@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Ops, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.A — scans / sources / catalog collection.
+  *
+  * Scale notes: projections + filters here are declarative, so Catalyst
+  * pushes them into the parquet scan (PushedFilters / ReadSchema —
+  * asserted in ScanSpec). `catalog_table_stats` unions 10 count(*)
+  * scans; each count is a metadata-only parquet footer aggregate
+  * at any scale.
+  */
+object Scans {
+  import Ops._
+
+  val queries: Seq[Q] = Seq(
+    Q("scan_parquet_project",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("disc_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity, $SQL_REVENUE AS disc_price
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("scan_pushdown_filter",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_day"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day, l_quantity
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("scan_events_ns_ts",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, user_id, event_type
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("catalog_table_stats",
+      (s, d) => {
+        // events carries a ns timestamp; allow it before schema inference.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Tables.names
+          .map(n => Tables.table(s, d, n)
+            .select(count(lit(1)).as("row_count"))
+            .select(lit(n).as("table_name"), col("row_count")))
+          .reduce(_.unionByName(_))
+          .orderBy("table_name")
+      },
+      Some(Tables.names
+        .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    Q("catalog_profile_columns",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          li.agg(
+            round(min(col(c)).cast("double"), 4).as("min_v"),
+            round(max(col(c)).cast("double"), 4).as("max_v"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("null_count"),
+            countDistinct(col(c)).as("ndv"))
+            .select(lit(c).as("column_name"), col("min_v"), col("max_v"),
+              col("null_count"), col("ndv"))
+        }.reduce(_.unionByName(_)).orderBy("column_name")
+      },
+      Some {
+        val one = (c: String) =>
+          s"""SELECT '$c' AS column_name, ROUND(CAST(MIN($c) AS DOUBLE), 4) AS min_v,
+             |ROUND(CAST(MAX($c) AS DOUBLE), 4) AS max_v,
+             |CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+             |COUNT(DISTINCT $c) AS ndv FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
+      })
+  )
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers the fixture parquet files
+as DuckDB views named by table, runs each oracle, loads the matching Spark
+parquet output, sorts columns by name, and compares row-by-row values.
+This is a strict approximation of the driver's hash compare: if this
+passes, the driver's should too.  Dev-only tool — NOT part of the Scala
+library and never invoked by the driver.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            oracle_rel = con.sql(sql)
+            ocols = list(oracle_rel.columns)
+            orows = oracle_rel.fetchall()
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = list(spark_rel.columns)
+            srows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        sperm = [scols.index(c) for c in sorted(scols)]
+        orows = [tuple(norm(r[i]) for i in operm) for r in orows]
+        srows = [tuple(norm(r[i]) for i in sperm) for r in srows]
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at {i}:")
+            print(f"  cols:   {sorted(ocols)}")
+            print(f"  oracle: {a}")
+            print(f"  spark:  {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(orows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
