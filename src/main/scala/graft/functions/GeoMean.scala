@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Geometric mean of a positive double column as a typed
+  * `Aggregator[IN, BUF, OUT]` (public Spark API, codegen-friendly
+  * buffer): accumulates (Σ ln x, n) per partition, merges
+  * associatively — a proper distributed partial aggregate at any scale.
+  */
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    (b._1 + math.log(x), b._2 + 1L)
+  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(b: (Double, Long)): Double =
+    if (b._2 == 0L) Double.NaN else math.exp(b._1 / b._2)
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -39,6 +39,121 @@ object Aggs {
               |COUNT(*) AS count_order
               |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               |GROUP BY l_returnflag, l_linestatus
-              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("agg_count_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Sketch-valued → deliberately no oracle (HLL++ estimate is
+    // engine-specific); unit test asserts within 5% of exact.
+    Q("agg_approx_hll",
+      (s, d) => Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("day"),
+      None),
+
+    Q("agg_grouping_sets",
+      (s, d) => Tables.customer(s, d)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("c_nationkey")),
+            Seq(col("c_mktsegment")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey"), lit(-1)).as("nat"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("seg", "nat"),
+      Some(s"""SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+              |COALESCE(c_nationkey, -1) AS nat,
+              |COUNT(*) AS n_cust, ${SQL_DSUM("c_acctbal")} AS sum_bal
+              |FROM customer
+              |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+              |ORDER BY seg, nat""".stripMargin)),
+
+    Q("agg_rollup",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+        // rollup(a,b) ≡ grouping sets ((a,b),(a),()); the groupingSets
+        // DSL sidesteps a Spark 4 analyzer false-positive ("ambiguous
+        // column") when rollup() sits directly on a multi-join input.
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("region", "nation"),
+      Some(s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+              |COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP (r_name, n_name)
+              |ORDER BY region, nation""".stripMargin)),
+
+    Q("agg_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              |COUNT(*) AS n, ${SQL_DSUM("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin)),
+
+    Q("agg_collect_sorted",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q("agg_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("dedup_dropduplicates",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .dropDuplicates("c_mktsegment", "c_nationkey")
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    Q("udaf_geomean",
+      (s, d) => {
+        val geomean = udaf(graft.functions.GeoMean)
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(round(geomean(col("value")), 4).as("geo_mean"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_mean
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

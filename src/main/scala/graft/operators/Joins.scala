@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Ops, Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.C — joins.
@@ -48,6 +49,162 @@ object Joins {
               |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
               |GROUP BY n_name
-              |ORDER BY revenue DESC, n_name""".stripMargin))
+              |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    Q("join_broadcast_dim",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_totalprice"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_totalprice
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("join_sortmerge_fact",
+      (s, d) => Tables.lineitem(s, d)
+        .hint("MERGE")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_orderdate").cast("date").as("order_day"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS order_day, l_quantity
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("join_shufflehash",
+      (s, d) => Tables.lineitem(s, d)
+        .hint("SHUFFLE_HASH")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${SQL_DSUM("l_extendedprice")} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("join_left_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_full_outer",
+      (s, d) => {
+        val partKeys = Tables.part(s, d).select(col("p_partkey"))
+        val liKeys = Tables.lineitem(s, d).select(col("l_partkey")).distinct()
+        partKeys.join(liKeys, col("p_partkey") === col("l_partkey"), "full")
+          .select(
+            coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+            col("p_partkey").isNull.as("missing_in_part"),
+            col("l_partkey").isNull.as("never_shipped"))
+          .orderBy("partkey")
+      },
+      Some("""SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+             |p_partkey IS NULL AS missing_in_part,
+             |l_partkey IS NULL AS never_shipped
+             |FROM (SELECT p_partkey FROM part) p
+             |FULL OUTER JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+             |ON p_partkey = l_partkey
+             |ORDER BY partkey""".stripMargin)),
+
+    Q("join_left_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_left_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_cross",
+      (s, d) => Tables.region(s, d)
+        .crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Band join. Scale note: the naive plan is a quadratic nested-loop
+    // cross product; instead we bucket both sides by floor(acctbal/width)
+    // and equi-join each supplier bucket against {b-1, b, b+1} — the
+    // standard distributed band-join, shuffle-partitioned by bucket.
+    Q("join_theta_band",
+      (s, d) => {
+        val width = 100
+        val sup = Tables.supplier(s, d)
+          .withColumn("bucket",
+            explode(array(
+              floor(col("s_acctbal") / width) - 1,
+              floor(col("s_acctbal") / width),
+              floor(col("s_acctbal") / width) + 1)))
+        val cust = Tables.customer(s, d)
+          .withColumn("bucket", floor(col("c_acctbal") / width))
+        sup.join(cust, Seq("bucket"))
+          .filter(abs(col("s_acctbal") - col("c_acctbal")) < width)
+          .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+          .distinct() // a pair can match via two adjacent buckets
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""SELECT DISTINCT s_suppkey, c_custkey, s_acctbal, c_acctbal
+             |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 100
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    Q("join_range_interval",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines_90d"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, COUNT(*) AS n_lines_90d
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  AND l_shipdate >= o_orderdate
+             |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // As-of join, Spark-first: no native asof, so instead of a self-join
+    // we take the running "latest signup ts" per user with a window —
+    // one shuffle on user_id, linear at any scale (DuckDB cross-checks
+    // with its native ASOF JOIN).
+    Q("join_asof_events",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("signup_ts",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts_str"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_str
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

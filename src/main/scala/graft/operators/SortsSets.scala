@@ -1,10 +1,72 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** §2.F + §2.G — sorts / limits / top-k and set operations.
-  * Populated incrementally; see SURVEY.md §2.
+  *
+  * Scale notes: global sorts are range-partitioned (sampled bounds,
+  * parallel); `orderBy.limit(k)` compiles to TakeOrderedAndProject —
+  * per-partition heaps + tiny driver merge, never a full sort. Set ops
+  * shuffle on the full row (distinct semantics), map-side-combined.
   */
 object SortsSets {
-  val queries: Seq[Q] = Seq()
+
+  private def highBal(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"))
+  private def building(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+  private val SQL_HIGH = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0"
+  private val SQL_BLD = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+  val queries: Seq[Q] = Seq(
+    Q("sort_multikey",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc_nulls_last,
+          col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin)),
+
+    Q("topk_global",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    Q("limit_offset",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+        .offset(20).limit(20),
+      Some("""SELECT p_partkey, p_name FROM part
+             |ORDER BY p_partkey LIMIT 20 OFFSET 20""".stripMargin)),
+
+    Q("set_union_all",
+      (s, d) => highBal(s, d).unionByName(building(s, d))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey FROM (($SQL_HIGH) UNION ALL ($SQL_BLD))
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("set_union_distinct",
+      (s, d) => highBal(s, d).union(building(s, d)).distinct()
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey FROM (($SQL_HIGH) UNION ($SQL_BLD))
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("set_intersect",
+      (s, d) => highBal(s, d).intersect(building(s, d))
+        .orderBy("c_custkey"),
+      Some(s"""($SQL_HIGH) INTERSECT ($SQL_BLD) ORDER BY c_custkey""")),
+
+    Q("set_except",
+      (s, d) => highBal(s, d).except(building(s, d))
+        .orderBy("c_custkey"),
+      Some(s"""($SQL_HIGH) EXCEPT ($SQL_BLD) ORDER BY c_custkey"""))
+  )
 }

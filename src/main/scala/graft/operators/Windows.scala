@@ -38,6 +38,92 @@ object Windows {
              |FROM orders
              |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
              |       wv AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
-             |ORDER BY o_custkey, rn""".stripMargin))
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    Q("win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us,
+             |LEAD(event_id, 1) OVER w AS next_event_id
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("win_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_day"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("win_range_frame",
+      (s, d) => {
+        val ep = expr("unix_micros(ts) div 1000000")
+        val w = Window.partitionBy("user_id").orderBy("ep")
+          .rangeBetween(-3600, 0)
+        Tables.events(s, d)
+          .withColumn("ep", ep)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("events_last_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("win_first_last",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderdate")).over(w).cast("date").as("first_day"),
+            last(col("o_orderdate")).over(w).cast("date").as("last_day"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(FIRST_VALUE(o_orderdate) OVER w AS DATE) AS first_day,
+             |CAST(LAST_VALUE(o_orderdate) OVER w AS DATE) AS last_day
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
   )
 }
