@@ -1,8 +1,164 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
 
-/** §2.H — scalar function suites. Populated incrementally. */
+/** §2.H — scalar function suites (string / date / math / array / map /
+  * json / conditional / hash).
+  *
+  * Scale notes: everything here is a built-in Catalyst expression —
+  * whole-stage-codegen'd, per-row, no shuffle beyond the final
+  * deterministic ORDER BY. Int-typed results are cast to BIGINT on both
+  * sides (Spark year()/datediff() are int32, DuckDB's are int64).
+  */
 object ScalarFns {
-  val queries: Seq[Q] = Seq()
+
+  val queries: Seq[Q] = Seq(
+    Q("fn_string_suite",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          upper(col("p_name")).as("name_up"),
+          lower(col("p_type")).as("type_lo"),
+          trim(col("p_name")).as("name_trim"),
+          lpad(col("p_type"), 10, ".").as("type_pad"),
+          length(col("p_name")).cast("long").as("name_len"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("name_devowel"),
+          levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("brand_dist"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |p_brand || ':' || p_type AS brand_type,
+             |substring(p_name, 1, 5) AS name5,
+             |upper(p_name) AS name_up,
+             |lower(p_type) AS type_lo,
+             |trim(p_name) AS name_trim,
+             |lpad(p_type, 10, '.') AS type_pad,
+             |CAST(length(p_name) AS BIGINT) AS name_len,
+             |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+             |regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+             |regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devowel,
+             |CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("fn_date_suite",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("epoch_days"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+          to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+            .as("roundtrip_day"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |year(o_orderdate) AS yr,
+             |month(o_orderdate) AS mo,
+             |day(o_orderdate) AS dom,
+             |date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_days,
+             |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+             |CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip_day
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("fn_math_suite",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 4).as("ln_price"),
+          round(exp(col("l_discount")), 4).as("exp_disc"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          abs(col("l_discount") - 0.05).cast("double").as("disc_dev"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          signum(col("l_discount") - 0.05).cast("double").as("disc_sign"),
+          pmod(col("l_partkey"), lit(7)).cast("long").as("partkey_mod7"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+             |ROUND(ln(l_extendedprice), 4) AS ln_price,
+             |ROUND(exp(l_discount), 4) AS exp_disc,
+             |ROUND(pow(l_quantity, 2), 4) AS qty_sq,
+             |abs(l_discount - 0.05) AS disc_dev,
+             |CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+             |CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             |CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+             |CAST((l_partkey % 7 + 7) % 7 AS BIGINT) AS partkey_mod7
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Higher-order functions over the 64-dim float vectors — no UDFs.
+    // Floats are cast to double BEFORE arithmetic on both sides so the
+    // sequential fold accumulates identically.
+    Q("fn_array_suite",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("n_pos"),
+          round(
+            sqrt(aggregate(
+              transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+              lit(0.0), (acc, x) => acc + x)),
+            4).as("l2_norm"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |CAST(len(embedding) AS BIGINT) AS dims,
+             |CAST(embedding[1] AS DOUBLE) AS first_val,
+             |CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_pos,
+             |ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+             |list_contains(embedding, 0.0) AS has_zero
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("fn_map_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          map_keys(from_json(col("props"), lit("map<string,bigint>")))
+            .getItem(0).as("first_key"),
+          size(map_keys(from_json(col("props"), lit("map<string,bigint>"))))
+            .cast("long").as("n_keys"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(props->>'$.k' AS BIGINT) AS k_val,
+             |json_keys(props)[1] AS first_key,
+             |CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("fn_conditional",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") > 5000.0, "GOLD")
+            .when(col("c_acctbal") > 1000.0, "SILVER")
+            .otherwise("BRONZE").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("B_NULL"))
+            .as("seg_nvl"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(0.0)).as("bal_neg"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |CASE WHEN c_acctbal > 5000.0 THEN 'GOLD'
+             |     WHEN c_acctbal > 1000.0 THEN 'SILVER'
+             |     ELSE 'BRONZE' END AS tier,
+             |COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'B_NULL') AS seg_nvl,
+             |greatest(c_acctbal, 0.0) AS bal_pos,
+             |least(c_acctbal, 0.0) AS bal_neg
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // xxhash64/murmur3 deliberately NOT oracled (Spark-specific seeds);
+    // md5/sha256 are standard and portable.
+    Q("fn_hash",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }
