@@ -1,15 +1,99 @@
 package graft.operators
 
 import graft.{Ops, Q, Tables}
+import graft.functions.TextUdfs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** §2.K — LLM-data-pipeline + catalog-heat operators. */
+/** §2.K — LLM-data-pipeline operators + catalog-heat analog.
+  *
+  * Scale notes per operator are inline; the common theme: no O(n²)
+  * all-pairs work except where explicitly blocked (LSH banding bounds
+  * near-dup candidates; label blocking bounds knn; brute-force cosine is
+  * a single-query top-k, not all-pairs). Hashes are md5-of-string on
+  * purpose — portable, so DuckDB mirrors bit-for-bit.
+  */
 object Llm {
   import Ops._
+  import TextUdfs.SQL_TOKENIZE
+
+  private val K = 16 // minhash signature length
+  private val BANDS = 4 // LSH bands (rows per band = K / BANDS = 4)
+
+  /** One row per token occurrence (not deduped — min() below is
+    * insensitive to duplicates and skipping distinct avoids a shuffle).
+    */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+  private val SQL_TOKENS =
+    s"SELECT doc_id, unnest($SQL_TOKENIZE) AS token FROM documents"
+
+  /** k=16 portable minhash: sig_i = min over tokens of md5(i || token).
+    * Map-side combine keeps the shuffle at 16 hashes per doc regardless
+    * of document length.
+    */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until K).map(i =>
+      min(md5(concat(lit(i.toString), col("token")))).as(s"sig_$i"))
+    tokens(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+  private val SQL_SIGS =
+    s"SELECT doc_id, " +
+      (0 until K).map(i => s"MIN(md5('$i' || token)) AS sig_$i").mkString(", ") +
+      s" FROM ($SQL_TOKENS) GROUP BY doc_id"
+
+  /** Signatures folded into BANDS band-hashes, exploded to
+    * (doc_id, band, bhash) rows — the LSH bucketing key.
+    */
+  private def banded(s: SparkSession, d: String): DataFrame = {
+    val bandCols: Seq[Column] = (0 until BANDS).map { b =>
+      md5(concat((0 until K / BANDS).map(r => col(s"sig_${b * (K / BANDS) + r}")): _*))
+    }
+    signatures(s, d)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
+  }
+  private val SQL_BANDED = {
+    val bandList = (0 until BANDS)
+      .map(b => "md5(" + (0 until K / BANDS)
+        .map(r => s"sig_${b * (K / BANDS) + r}").mkString(" || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band, unnest(bl) AS bhash
+       |FROM (SELECT doc_id, $bandList AS bl FROM ($SQL_SIGS))""".stripMargin
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, bhash) — a bucket
+    * join, shuffle-partitioned by hash, never an all-pairs product.
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val b = banded(s, d)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+  private val SQL_PAIRS =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM ($SQL_BANDED) a JOIN ($SQL_BANDED) b
+       |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Embeddings with the float vector cast to double element-wise (both
+    * engines then fold the dot product sequentially over identical
+    * doubles — bit-exact parity).
+    */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def SQL_DOT(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private val SQL_V = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
 
   val queries: Seq[Q] = Seq(
-    // Catalog "heat" analog: daily activity rollup over the audit-log-
-    // shaped events table.
     Q("heat_daily",
       (s, d) => Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -22,6 +106,193 @@ object Llm {
               |COUNT(DISTINCT user_id) AS active_users,
               |COUNT(*) AS n_events,
               |${SQL_DSUM("value")} AS sum_value
-              |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Exact dedup: one shuffle on the content hash; min() picks the
+    // canonical survivor deterministically.
+    Q("llm_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("md5_hex"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+        .orderBy("md5_hex"),
+      Some("""SELECT md5(text) AS md5_hex, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+             |FROM documents GROUP BY md5(text) ORDER BY md5_hex""".stripMargin)),
+
+    Q("llm_minhash_signatures",
+      (s, d) => signatures(s, d).orderBy("doc_id"),
+      Some(s"$SQL_SIGS ORDER BY doc_id")),
+
+    Q("llm_lsh_candidate_pairs",
+      (s, d) => candidatePairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
+
+    // Exact token-set Jaccard for LSH candidates only (the verify step
+    // touches |candidates| pairs, not n²). Integer set sizes + one
+    // division → deterministic doubles.
+    Q("llm_jaccard_verify",
+      (s, d) => {
+        val toksD = tokens(s, d).distinct()
+        val sizes = toksD.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        val pairs = candidatePairs(s, d)
+        val inter = pairs
+          .join(toksD.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(toksD.as("tb"),
+            col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("n_inter").cast("double") /
+              (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")), 4).as("jaccard"),
+            (col("n_inter").cast("double") /
+              (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")) >= 0.6).as("is_near_dup"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM ($SQL_TOKENS)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+              |pairs AS ($SQL_PAIRS),
+              |inter AS (
+              |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+              |  FROM pairs
+              |  JOIN toks ta ON doc_a = ta.doc_id
+              |  JOIN toks tb ON doc_b = tb.doc_id AND ta.token = tb.token
+              |  GROUP BY doc_a, doc_b)
+              |SELECT p.doc_a, p.doc_b,
+              |ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE) / (sa.n_tok + sb.n_tok - COALESCE(n_inter, 0)), 4) AS jaccard,
+              |CAST(COALESCE(n_inter, 0) AS DOUBLE) / (sa.n_tok + sb.n_tok - COALESCE(n_inter, 0)) >= 0.6 AS is_near_dup
+              |FROM pairs p
+              |LEFT JOIN inter USING (doc_a, doc_b)
+              |JOIN sizes sa ON p.doc_a = sa.doc_id
+              |JOIN sizes sb ON p.doc_b = sb.doc_id
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // Brute-force cosine top-k for ONE query vector — the correctness
+    // baseline for ANN. Broadcast of the single query row; ranking on
+    // the raw double, rounded only for output.
+    Q("llm_cosine_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (dot(col("v"), col("qv")) /
+              (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+              .as("sim_raw"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("sim_raw"), 4).as("cos_sim"))
+      },
+      Some(s"""SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+              |  SELECT a.vec_id,
+              |    ${SQL_DOT("a.v", "b.qv")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.qv", "b.qv")})) AS sim_raw
+              |  FROM (SELECT vec_id, $SQL_V AS v FROM embeddings WHERE vec_id <> 0) a,
+              |       (SELECT $SQL_V AS qv FROM embeddings WHERE vec_id = 0) b)
+              |ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // kNN with label blocking: the quadratic term is bounded per label
+    // partition (n/L)² — the standard blocked-similarity layout; the
+    // pair stream feeds a per-vector top-k window, no global sort.
+    Q("llm_knn_per_label",
+      (s, d) => {
+        val e = vecs(s, d)
+        val pairs = e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+            col("b.vec_id").as("nbr_id"),
+            (dot(col("a.v"), col("b.v")) /
+              (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
+              .as("sim_raw"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim_raw").desc, col("nbr_id"))
+        pairs.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("rn"), col("label"), col("nbr_id"),
+            round(col("sim_raw"), 4).as("cos_sim"))
+          .orderBy("vec_id", "rn")
+      },
+      Some(s"""SELECT vec_id, rn, label, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+              |  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
+              |    ${SQL_DOT("a.v", "b.v")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.v", "b.v")})) AS sim_raw,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${SQL_DOT("a.v", "b.v")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.v", "b.v")})) DESC, b.vec_id) AS rn
+              |  FROM (SELECT vec_id, label, $SQL_V AS v FROM embeddings) a
+              |  JOIN (SELECT vec_id, label, $SQL_V AS v FROM embeddings) b
+              |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+              |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
+
+    // tf-idf: two linear agg passes over the exploded token stream +
+    // a broadcast-sized per-lang top-k. Ranking uses the ROUNDED score
+    // so cross-engine ulp differences in ln() can't reorder ties.
+    Q("llm_tfidf_top_terms",
+      (s, d) => {
+        val tok = tokens(s, d)
+        // total doc count as a broadcast scalar — no driver-side action
+        val nDocs = Tables.documents(s, d)
+          .agg(count(lit(1)).cast("double").as("n_total"))
+        val tf = tok
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(df, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            round(col("tf") * log(col("n_total") / col("df")), 4))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("token"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("token"), col("tf"), col("df"), col("score"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |tf AS (
+              |  SELECT lang, token, COUNT(*) AS tf
+              |  FROM tok JOIN documents USING (doc_id) GROUP BY lang, token),
+              |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+              |scored AS (
+              |  SELECT lang, token, tf, df,
+              |    ROUND(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 4) AS score
+              |  FROM tf JOIN df USING (token))
+              |SELECT lang, rn, token, tf, df, score FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn
+              |  FROM scored) t
+              |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    Q("llm_lang_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(lit(1.0) -
+            countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 4)
+            .as("dup_rate"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+             |ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Multimodal row assembly: text cols ⋈ vector cols by id; the
+    // output keeps hashable scalars (SURVEY §2.K) — internally the
+    // struct() form is what a pipeline would carry.
+    Q("llm_multimodal_join",
+      (s, d) => Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          size(TextUdfs.tokenizeCol(col("text"))).cast("long").as("n_tokens"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, label,
+              |CAST(len($SQL_TOKENIZE) AS BIGINT) AS n_tokens,
+              |ROUND(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2_norm
+              |FROM documents JOIN embeddings ON doc_id = vec_id
+              |ORDER BY doc_id""".stripMargin))
   )
 }
