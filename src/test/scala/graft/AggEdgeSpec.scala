@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case aggregation behavior on micro-DataFrames: nulls, empty
+  * inputs, sketch accuracy.
+  */
+class AggEdgeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("GeoMean: empty → NaN, singleton → identity, merge associative") {
+    assert(graft.functions.GeoMean.finish(graft.functions.GeoMean.zero).isNaN)
+    val one = graft.functions.GeoMean.reduce(graft.functions.GeoMean.zero, 42.0)
+    assert(math.abs(graft.functions.GeoMean.finish(one) - 42.0) < 1e-9)
+    val a = graft.functions.GeoMean.reduce(graft.functions.GeoMean.zero, 2.0)
+    val b = graft.functions.GeoMean.reduce(graft.functions.GeoMean.zero, 8.0)
+    val m = graft.functions.GeoMean.merge(a, b)
+    assert(math.abs(graft.functions.GeoMean.finish(m) - 4.0) < 1e-9) // √(2·8)
+  }
+
+  test("udaf geomean over a DataFrame matches exp(mean(ln))") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 4.0, 8.0).toDF("v")
+    val gm = udaf(graft.functions.GeoMean)
+    val got = df.agg(gm($"v")).head.getDouble(0)
+    val want = math.exp(Seq(1.0, 2.0, 4.0, 8.0).map(math.log).sum / 4)
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("approx_count_distinct within 5% of exact on events users") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val exact = ev.agg(countDistinct(col("user_id"))).head.getLong(0).toDouble
+    val approx = ev.agg(approx_count_distinct(col("user_id"))).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("aggregates over empty input: global agg yields one row of null/0") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val row: Row = empty.agg(sum($"v"), count(lit(1))).head
+    assert(row.isNullAt(0) && row.getLong(1) == 0L)
+    assert(empty.groupBy($"k").agg(sum($"v")).count() == 0) // no groups
+  }
+
+  test("null handling: sum/avg ignore nulls, count(*) does not") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val r = df.agg(sum($"v"), avg($"v"), count(lit(1)), count($"v")).head
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
+  }
+
+  test("dedup is idempotent") {
+    val q = SparkEntry.queries("dedup_dropduplicates")
+    val once = q(spark, TestSpark.sf0001)
+    assert(once.count() == once.dropDuplicates().count())
+  }
+
+  test("running sum final row equals group total") {
+    val rs = SparkEntry.queries("win_running_sum")(spark, TestSpark.sf0001)
+    val lastPerCust = rs.groupBy("o_custkey")
+      .agg(max(col("running_spend")).as("final_run"))
+    val direct = Tables.orders(spark, TestSpark.sf0001)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    val joined = lastPerCust.join(direct, "o_custkey")
+      .filter(abs(col("final_run") - col("total")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the 100 TB story depends on these physical
+  * properties, not just correct rows.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("scan_pushdown_filter pushes the predicate into the parquet scan") {
+    val p = plan("scan_pushdown_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("scan_parquet_project prunes to the 4 referenced columns") {
+    val p = plan("scan_parquet_project")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_returnflag") && !p.contains("l_shipdate"),
+      s"unpruned scan in:\n$p")
+  }
+
+  test("join_star_5way broadcasts the dimension tables") {
+    val p = plan("join_star_5way")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("join_sortmerge_fact honors the MERGE hint") {
+    assert(plan("join_sortmerge_fact").contains("SortMergeJoin"))
+  }
+
+  test("join_shufflehash honors the SHUFFLE_HASH hint") {
+    assert(plan("join_shufflehash").contains("ShuffledHashJoin"))
+  }
+
+  test("topk_global compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_theta_band avoids a nested-loop join (bucketed equi-join)") {
+    val p = plan("join_theta_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join shape in:\n$p")
+  }
+
+  test("agg_pricing_summary uses partial hash aggregation") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
+  }
+
+  test("whole-stage codegen covers the pricing-summary pipeline") {
+    // AQE's pre-execution plan string hides codegen spans; check the
+    // non-adaptive formatted plan instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(s.contains("codegen id"), s) // formatted mode labels codegen'd ops
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Evt(ts: Timestamp, user: Long, id: Long)
+
+/** Watermark semantics with a controlled MemoryStream clock: late rows
+  * drop in append mode; within-watermark duplicates dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("late events beyond the watermark are dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("late_test").outputMode("append").start()
+    // two rows inside 10:00 window
+    input.addData(Evt(t("10:05"), 1L, 1L), Evt(t("10:30"), 1L, 2L))
+    q.processAllAvailable()
+    // advance watermark far past 11:00 → finalize the 10:00 window
+    input.addData(Evt(t("13:00"), 1L, 3L))
+    q.processAllAvailable()
+    // a LATE row for the already-finalized window — must be dropped
+    input.addData(Evt(t("10:45"), 1L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L, s"late row not dropped: $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val deduped = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    input.addData(Evt(t("10:00"), 1L, 100L), Evt(t("10:05"), 1L, 100L),
+      Evt(t("10:10"), 2L, 200L))
+    q.processAllAvailable()
+    input.addData(Evt(t("10:20"), 1L, 100L)) // still duplicate
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(100L, 200L), s"got ${ids.toSeq}")
+  }
+
+  test("declared streaming queries produce deterministic row counts") {
+    val names = Seq("stream_tumbling_1h", "stream_session", "stream_stateful_count")
+    names.foreach { n =>
+      val c1 = SparkEntry.queries(n)(spark, TestSpark.sf0001).count()
+      val c2 = SparkEntry.queries(n)(spark, TestSpark.sf0001).count()
+      assert(c1 == c2 && c1 > 0, s"$n: $c1 vs $c2")
+    }
+  }
+}
