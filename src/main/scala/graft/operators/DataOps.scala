@@ -1,0 +1,190 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing, SimHash dedup, and the bucketed
+  * ANN scale path.
+  */
+object DataOps {
+
+  // ---------- multimodal ----------
+
+  /** Raw media row: opaque bytes + typed metadata (the shape an
+    * image/audio/video column takes in a training pipeline).
+    */
+  case class MediaRow(doc_id: Long, blob: Array[Byte], mime: String)
+
+  /** Output of the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, sha256_hex: String,
+      width: Int, height: Int, n_frames: Long, n_sampled: Long, feat0: Double)
+
+  /** STUB decoder — the real image/audio libs are not in this
+    * environment, so decode is a DETERMINISTIC FAKE derived from the
+    * byte content. The Spark-side plumbing is real: binary column in,
+    * per-partition handle init (the MessageDigest stands in for a codec
+    * context), typed batch iterator out.
+    */
+  private def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    val md = MessageDigest.getInstance("SHA-256") // per-partition "codec" init
+    rows.map { r =>
+      val n = r.blob.length.toLong
+      val sha = md.digest(r.blob).map("%02x".format(_)).mkString
+      val frames = n / 100 + 1
+      MediaFeatures(r.doc_id, n, sha,
+        width = (1 + n % 64).toInt, height = (1 + n % 48).toInt,
+        n_frames = frames, n_sampled = (frames - 1) / 4 + 1, // every 4th frame
+        feat0 = (n % 255).toDouble / 255.0)
+    }
+  }
+
+  // ---------- simhash ----------
+
+  private val HEXPOS = "instr('0123456789abcdef', substr(h, %d, 1)) - 1"
+
+  /** 32-bit SimHash terms, built portably from md5 hex nibbles (no
+    * engine-specific hash): bit k lives in hex char k/4, bit k%4.
+    */
+  private def simhashBitSql(k: Int, dialectShift: (String, Int) => String): String = {
+    val nibble = HEXPOS.format(k / 4 + 1)
+    s"CASE WHEN ${dialectShift(s"($nibble)", k % 4)} % 2 = 1 THEN 1 ELSE -1 END"
+  }
+  private def sparkShift(e: String, j: Int) = s"shiftright($e, $j)"
+  private def duckShift(e: String, j: Int) = s"($e >> $j)"
+
+  // ---------- sign-LSH hyperplanes ----------
+
+  /** 8 pseudo-random ±1 hyperplanes, deterministically derived from md5
+    * so the DuckDB oracle embeds the exact same matrix.
+    */
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  private val PLANES: Array[Array[Int]] =
+    Array.tabulate(8, 64) { (i, j) =>
+      if ((Integer.parseInt(md5hex(s"$i:$j").substring(0, 1), 16) & 1) == 0) 1 else -1
+    }
+
+  private def SQL_DOT(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private val mmBinaryFeatures: Q =
+    Q("mm_binary_features",
+      (s, d) => {
+        implicit val enc = Encoders.product[MediaRow]
+        implicit val encOut = Encoders.product[MediaFeatures]
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"),
+            lit("text/plain").as("mime"))
+          .as[MediaRow]
+          .mapPartitions(decodePartition _)
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(octet_length(b) AS BIGINT) AS n_bytes,
+             |sha256(text) AS sha256_hex,
+             |CAST(1 + octet_length(b) % 64 AS INT) AS width,
+             |CAST(1 + octet_length(b) % 48 AS INT) AS height,
+             |CAST(octet_length(b) // 100 + 1 AS BIGINT) AS n_frames,
+             |CAST((octet_length(b) // 100) // 4 + 1 AS BIGINT) AS n_sampled,
+             |CAST(octet_length(b) % 255 AS DOUBLE) / 255.0 AS feat0
+             |FROM (SELECT doc_id, text, encode(text) AS b FROM documents) x
+             |ORDER BY doc_id""".stripMargin))
+
+  /** SimHash near-dup fingerprint: each shingle votes ±1 on 32 bit
+    * positions (bits from its portable md5); the fingerprint is the
+    * sign vector packed into a long. One linear pass + groupBy doc.
+    */
+  private def simhashQuery: Q = {
+    def fn(s: SparkSession, d: String) = {
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TextUdfs.tokenizeCol(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextUdfs.shinglesFromTokens(col("t"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bitAggs = (0 until 32).map(k =>
+        sum(expr(simhashBitSql(k, sparkShift))).as(s"s_$k"))
+      val sums = shingled.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val packed = (0 until 32).map(k =>
+        when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+      val withHash = sums.select(col("doc_id"), packed.as("simhash"))
+      val wGroup = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+      withHash
+        .withColumn("n_docs_same_hash", count(lit(1)).over(wGroup))
+        .orderBy("doc_id")
+    }
+    val bitSums = (0 until 32)
+      .map(k => s"SUM(${simhashBitSql(k, duckShift)}) AS s_$k").mkString(", ")
+    val packed = (0 until 32)
+      .map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    val sql =
+      s"""WITH sh AS (
+         |  SELECT doc_id, md5(tok) AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
+         |    FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t FROM documents) x) y),
+         |sums AS (SELECT doc_id, $bitSums FROM sh GROUP BY doc_id),
+         |hashed AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)
+         |SELECT doc_id, simhash,
+         |  COUNT(*) OVER (PARTITION BY simhash) AS n_docs_same_hash
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    Q("dedup_simhash", fn, Some(sql))
+  }
+
+  /** Sign-LSH bucketed ANN: 8 hyperplane sign bits → 256 buckets; the
+    * pairwise term collapses from n² to Σ bucket². Top-1 neighbor per
+    * vector within its bucket (brute-force llm_cosine_topk is the
+    * small-n correctness baseline; this is the scale path).
+    */
+  private def annQuery: Q = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def fn(s: SparkSession, d: String) = {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val bits = (0 until 8).map { i =>
+        val plane = array(PLANES(i).map(p => lit(p.toDouble)): _*)
+        when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      val bucketed = base.withColumn("bucket", concat(bits: _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim_raw").desc, col("nbr_id"))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+          col("b.vec_id").as("nbr_id"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bucket"), col("nbr_id"),
+          round(col("sim_raw"), 4).as("cos_sim"))
+        .orderBy("vec_id")
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def planeList(i: Int): String =
+      PLANES(i).map(p => s"$p.0").mkString("[", ", ", "]")
+    val bitExprs = (0 until 8)
+      .map(i => s"CASE WHEN ${SQL_DOT("v", planeList(i))} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm, $bitExprs AS bucket
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x)
+         |SELECT vec_id, bucket, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    Q("ann_lsh_bucketed", fn, Some(sql))
+  }
+
+  val queries: Seq[Q] = Seq(mmBinaryFeatures, simhashQuery, annQuery)
+}

@@ -205,6 +205,29 @@ object Joins {
              |FROM events e
              |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Skew-mitigation pattern: a hot-key fact⋈dim join salted 8 ways —
+    // the fact side gets a pseudo-random salt, the dim side is
+    // replicated once per salt value, and the join key becomes
+    // (key, salt). Same rows as the plain join (the oracle), but no
+    // single reducer owns a hot key at scale.
+    Q("join_skew_salted",
+      (s, d) => {
+        val salts = 8
+        val fact = Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(salts)))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+        fact.join(dim,
+            col("user_id") === col("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${SQL_DSUM("value")} AS sum_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -57,6 +57,22 @@ object Scans {
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY table_name"))),
 
+    // COLUMNS_V2 analog. No oracle: DuckDB spells parquet types
+    // differently; ScanSpec asserts the expected inventory instead.
+    Q("catalog_column_inventory",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rows = Tables.names.flatMap { n =>
+          Tables.table(s, d, n).schema.fields.zipWithIndex.map {
+            case (f, i) => (n, f.name, f.dataType.simpleString, i.toLong)
+          }
+        }
+        import s.implicits._
+        rows.toDF("table_name", "column_name", "type_name", "ordinal")
+          .orderBy("table_name", "ordinal")
+      },
+      None),
+
     Q("catalog_profile_columns",
       (s, d) => {
         val li = Tables.lineitem(s, d)

