@@ -144,6 +144,7 @@ object DataOps {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     def fn(s: SparkSession, d: String) = {
+      graft.functions.CosineSim.register(s)
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -159,7 +160,7 @@ object DataOps {
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
           col("b.vec_id").as("nbr_id"),
-          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim_raw"))
+          expr("cosine_sim(a.v, b.v)").as("sim_raw"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("bucket"), col("nbr_id"),

