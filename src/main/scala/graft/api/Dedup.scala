@@ -1,0 +1,105 @@
+package graft.api
+
+import graft.functions.TextUdfs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public deduplication API over arbitrary document DataFrames.
+  *
+  * All operators are linear-pass + key-shuffle shapes (no all-pairs
+  * work): exact dedup shuffles on a content hash; minhash/LSH shuffles
+  * on doc id then band hash; SimHash is one grouped pass. Hashes are
+  * md5-of-string on purpose — portable across engines and stable across
+  * runs, so results are reproducible cluster-wide.
+  */
+object Dedup {
+
+  /** Duplicate-content groups: one row per distinct content hash with
+    * the canonical (minimum) id and the group size.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("md5_hex"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Rows surviving exact dedup (the minimum id per content group). */
+  def exactKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** One row per (id, 3-token shingle) occurrence. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextUdfs.tokenizeCol(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(TextUdfs.shinglesFromTokens(col("__t"))).as("token"))
+
+  /** k portable minhash signatures per doc (columns sig_0..sig_{k-1}). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), col("token")))).as(s"sig_$i"))
+    shingleRows(docs, idCol, textCol).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of the signatures → (doc_id, band, bhash). */
+  def lshBanded(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      md5(concat((0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+    }
+    minhashSignatures(docs, idCol, textCol, k)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
+  }
+
+  /** Near-dup candidate pairs (doc_a < doc_b) via the LSH bucket join. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val b = lshBanded(docs, idCol, textCol, k, bands)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for the candidate pairs, with a
+    * near-dup flag at `threshold`.
+    */
+  def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
+    val toksD = shingleRows(docs, idCol, textCol).distinct()
+    val sizes = toksD.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
+    val inter = pairs
+      .join(toksD.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toksD.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")), 4).as("jaccard"),
+        (col("n_inter").cast("double") /
+          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")) >= threshold)
+          .as("is_near_dup"))
+  }
+
+  /** 32-bit SimHash fingerprint per doc from portable md5 nibble bits. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = shingleRows(docs, idCol, textCol).withColumn("h", md5(col("token")))
+    def bitVote(k: Int): Column = expr(
+      s"CASE WHEN shiftright((instr('0123456789abcdef', substr(h, ${k / 4 + 1}, 1)) - 1), ${k % 4}) % 2 = 1 THEN 1 ELSE -1 END")
+    val bitAggs = (0 until 32).map(k => sum(bitVote(k)).as(s"s_$k"))
+    val sums = shingled.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val packed = (0 until 32).map(k =>
+      when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), packed.as("simhash"))
+  }
+}

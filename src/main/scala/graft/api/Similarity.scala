@@ -1,0 +1,102 @@
+package graft.api
+
+import java.security.MessageDigest
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public similarity-search API over embedding DataFrames
+  * (`ArrayType(FloatType)` or `ArrayType(DoubleType)` vector column).
+  *
+  * `bruteForceTopK` is the exact small-n baseline (broadcast of one
+  * query vector, linear scan). `signLshBuckets` + `bucketedNeighbors`
+  * are the scale path: 2^planes buckets collapse the pairwise term from
+  * n² to Σ bucket². Both use the native codegen'd [[CosineSim]]
+  * expression in the hot loop.
+  */
+object Similarity {
+
+  /** Vector column normalized to array<double> + precomputed L2 norm. */
+  def prepare(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    CosineSim.register(embs.sparkSession)
+    embs.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__nrm",
+        sqrt(aggregate(zip_with(col("__v"), col("__v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Exact top-k neighbors of the vector with id `queryId` by cosine. */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int = 10): DataFrame = {
+    val e = prepare(embs, idCol, vecCol)
+    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), expr("cosine_sim(__v, __qv)").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Deterministic ±1 hyperplanes derived from md5 (reproducible across
+    * runs, sessions, and engines).
+    */
+  def hyperplanes(nPlanes: Int, dims: Int): Array[Array[Int]] = {
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    Array.tabulate(nPlanes, dims) { (i, j) =>
+      if ((Integer.parseInt(md5hex(s"$i:$j").substring(0, 1), 16) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** Sign-LSH bucket id per vector (a bit-string column `bucket`). */
+  def signLshBuckets(embs: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = prepare(embs, idCol, vecCol)
+    val planes = hyperplanes(nPlanes, dims)
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val bits = (0 until nPlanes).map { i =>
+      val plane = array(planes(i).map(p => lit(p.toDouble)): _*)
+      when(dot(col("__v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    e.withColumn("bucket", concat(bits: _*))
+  }
+
+  /** Top-k neighbors per vector among the vectors sharing its LSH
+    * bucket — approximate, linear-ish at scale.
+    */
+  def bucketedNeighbors(embs: DataFrame, idCol: String, vecCol: String,
+      topK: Int = 1, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val b = signLshBuckets(embs, idCol, vecCol, nPlanes, dims)
+    val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col("a.bucket").as("bucket"),
+        col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
+  /** Top-k same-label neighbors per vector (label blocking bounds the
+    * quadratic term to (n/labels)² per partition).
+    */
+  def knnPerLabel(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 3): DataFrame = {
+    val e = prepare(embs, idCol, vecCol)
+    val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
+    e.as("a").join(e.as("b"),
+        col(s"a.$labelCol") === col(s"b.$labelCol") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col(s"a.$labelCol").as(labelCol),
+        col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.api
+
+import graft.functions.TextUdfs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis API: quality scoring, language ID, token
+  * counting, fingerprinting — all per-row expression work plus linear
+  * aggregates (no driver-side state, no quadratic stages).
+  */
+object TextMetrics {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token statistics + a [0,1] heuristic quality score. */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    docs
+      .withColumn("__t", TextUdfs.tokenizeCol(col(textCol)))
+      .withColumn("__nl",
+        length(regexp_replace(lower(col(textCol)), "[^a-z]", "")))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .withColumn("avg_word_len",
+        round(col("__nl").cast("double") / size(col("__t")), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(col("__t"), x => x.isInCollection(stopwords)))
+          .cast("double") / size(col("__t")), 4))
+      .withColumn("quality",
+        floor((lit(0.4) * least(size(col("__t")).cast("double") / 50.0, lit(1.0)) +
+          lit(0.4) * (lit(1.0) - size(filter(col("__t"), x => x.isInCollection(stopwords)))
+            .cast("double") / size(col("__t"))) +
+          lit(0.2) * least((col("__nl").cast("double") / size(col("__t"))) / 8.0,
+            lit(1.0))) * 10000.0 + 0.5) / 10000.0)
+      .drop("__t", "__nl")
+
+  /** N-gram-profile language ID: build per-lang top-N token profiles
+    * from a labeled corpus, classify every doc by overlap argmax.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, profileSize: Int = 20): DataFrame = {
+    val docTok = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      explode(TextUdfs.tokenizeCol(col(textCol))).as("token"))
+    val profile = docTok.groupBy(col("lang").as("p_lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rn") <= profileSize)
+      .select(col("p_lang"), col("token"))
+    val overlap = docTok.distinct()
+      .join(broadcast(profile), Seq("token"))
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(count(lit(1)).as("overlap"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("p_lang"))
+    overlap.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as(idCol), col("lang").as(langCol),
+        col("p_lang").as("lang_pred"), col("overlap"),
+        (col("p_lang") === col("lang")).as("correct"))
+  }
+
+  /** Whitespace + BPE-ish regex-lexer token counts. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), " ", -1)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+
+  /** Rolling char-8-gram min-hash fingerprint per document. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(lower(col(textCol)), "[^a-z]", "").as("cleaned"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
+          .as("gram"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("gram"))).as("fingerprint"),
+        countDistinct(col("gram")).as("n_distinct_grams"))
+      .withColumnRenamed("doc_id", idCol)
+}

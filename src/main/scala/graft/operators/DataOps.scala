@@ -52,7 +52,6 @@ object DataOps {
     val nibble = HEXPOS.format(k / 4 + 1)
     s"CASE WHEN ${dialectShift(s"($nibble)", k % 4)} % 2 = 1 THEN 1 ELSE -1 END"
   }
-  private def sparkShift(e: String, j: Int) = s"shiftright($e, $j)"
   private def duckShift(e: String, j: Int) = s"($e >> $j)"
 
   // ---------- sign-LSH hyperplanes ----------
@@ -101,19 +100,8 @@ object DataOps {
     */
   private def simhashQuery: Q = {
     def fn(s: SparkSession, d: String) = {
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.TextUdfs.tokenizeCol(col("text")).as("t"))
-        .select(col("doc_id"),
-          explode(graft.functions.TextUdfs.shinglesFromTokens(col("t"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val bitAggs = (0 until 32).map(k =>
-        sum(expr(simhashBitSql(k, sparkShift))).as(s"s_$k"))
-      val sums = shingled.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val packed = (0 until 32).map(k =>
-        when(col(s"s_$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-      val withHash = sums.select(col("doc_id"), packed.as("simhash"))
       val wGroup = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
-      withHash
+      graft.api.Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .withColumn("n_docs_same_hash", count(lit(1)).over(wGroup))
         .orderBy("doc_id")
     }
@@ -141,32 +129,13 @@ object DataOps {
     * small-n correctness baseline; this is the scale path).
     */
   private def annQuery: Q = {
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def fn(s: SparkSession, d: String) = {
-      graft.functions.CosineSim.register(s)
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val bits = (0 until 8).map { i =>
-        val plane = array(PLANES(i).map(p => lit(p.toDouble)): _*)
-        when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-      }
-      val bucketed = base.withColumn("bucket", concat(bits: _*))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim_raw").desc, col("nbr_id"))
-      bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-          col("b.vec_id").as("nbr_id"),
-          expr("cosine_sim(a.v, b.v)").as("sim_raw"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    def fn(s: SparkSession, d: String) =
+      graft.api.Similarity
+        .bucketedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
+          topK = 1, nPlanes = 8, dims = 64)
         .select(col("vec_id"), col("bucket"), col("nbr_id"),
-          round(col("sim_raw"), 4).as("cos_sim"))
+          round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("vec_id")
-    }
     val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
     def planeList(i: Int): String =
       PLANES(i).map(p => s"$p.0").mkString("[", ", ", "]")

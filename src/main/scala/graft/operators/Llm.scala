@@ -30,43 +30,16 @@ object Llm {
   private val SQL_TOKENS =
     s"SELECT doc_id, unnest($SQL_TOKENIZE) AS token FROM documents"
 
-  /** One row per 3-shingle occurrence (see TextUdfs.shinglesCol for why
-    * shingles, not unigrams, are the minhash/Jaccard unit).
-    */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextUdfs.tokenizeCol(col("text")).as("t"))
-      .select(col("doc_id"),
-        explode(TextUdfs.shinglesFromTokens(col("t"))).as("token"))
   private val SQL_SHINGLE_ROWS =
     s"""SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
        |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
        |FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)""".stripMargin
 
-  /** k=16 portable minhash over shingles: sig_i = min md5(i || shingle).
-    * Map-side combine keeps the shuffle at 16 hashes per doc regardless
-    * of document length.
-    */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until K).map(i =>
-      min(md5(concat(lit(i.toString), col("token")))).as(s"sig_$i"))
-    shingleRows(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
   private val SQL_SIGS =
     s"SELECT doc_id, " +
       (0 until K).map(i => s"MIN(md5('$i' || token)) AS sig_$i").mkString(", ") +
       s" FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id"
 
-  /** Signatures folded into BANDS band-hashes, exploded to
-    * (doc_id, band, bhash) rows — the LSH bucketing key.
-    */
-  private def banded(s: SparkSession, d: String): DataFrame = {
-    val bandCols: Seq[Column] = (0 until BANDS).map { b =>
-      md5(concat((0 until K / BANDS).map(r => col(s"sig_${b * (K / BANDS) + r}")): _*))
-    }
-    signatures(s, d)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
-  }
   private val SQL_BANDED = {
     val bandList = (0 until BANDS)
       .map(b => "md5(" + (0 until K / BANDS)
@@ -76,17 +49,6 @@ object Llm {
        |FROM (SELECT doc_id, $bandList AS bl FROM ($SQL_SIGS))""".stripMargin
   }
 
-  /** Candidate near-dup pairs: equi-join on (band, bhash) — a bucket
-    * join, shuffle-partitioned by hash, never an all-pairs product.
-    */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = banded(s, d)
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
   private val SQL_PAIRS =
     s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM ($SQL_BANDED) a JOIN ($SQL_BANDED) b
@@ -131,19 +93,22 @@ object Llm {
     // Exact dedup: one shuffle on the content hash; min() picks the
     // canonical survivor deterministically.
     Q("llm_exact_dedup",
-      (s, d) => Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("md5_hex"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+      (s, d) => graft.api.Dedup
+        .exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("md5_hex"),
       Some("""SELECT md5(text) AS md5_hex, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
              |FROM documents GROUP BY md5(text) ORDER BY md5_hex""".stripMargin)),
 
     Q("llm_minhash_signatures",
-      (s, d) => signatures(s, d).orderBy("doc_id"),
+      (s, d) => graft.api.Dedup
+        .minhashSignatures(Tables.documents(s, d), "doc_id", "text", K)
+        .orderBy("doc_id"),
       Some(s"$SQL_SIGS ORDER BY doc_id")),
 
     Q("llm_lsh_candidate_pairs",
-      (s, d) => candidatePairs(s, d).orderBy("doc_a", "doc_b"),
+      (s, d) => graft.api.Dedup
+        .lshCandidatePairs(Tables.documents(s, d), "doc_id", "text", K, BANDS)
+        .orderBy("doc_a", "doc_b"),
       Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
 
     // Exact shingle-set Jaccard for LSH candidates only (the verify
@@ -151,27 +116,9 @@ object Llm {
     // signatures estimate). Integer set sizes + one division →
     // deterministic doubles.
     Q("llm_jaccard_verify",
-      (s, d) => {
-        val toksD = shingleRows(s, d).distinct()
-        val sizes = toksD.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-        val pairs = candidatePairs(s, d)
-        val inter = pairs
-          .join(toksD.as("ta"), col("doc_a") === col("ta.doc_id"))
-          .join(toksD.as("tb"),
-            col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-        pairs
-          .join(inter, Seq("doc_a", "doc_b"), "left")
-          .na.fill(0L, Seq("n_inter"))
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("n_inter").cast("double") /
-              (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")), 4).as("jaccard"),
-            (col("n_inter").cast("double") /
-              (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")) >= 0.6).as("is_near_dup"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => graft.api.Dedup
+        .jaccardVerify(Tables.documents(s, d), "doc_id", "text", 0.6, K, BANDS)
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM ($SQL_SHINGLE_ROWS)),
               |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
               |pairs AS ($SQL_PAIRS),
@@ -194,20 +141,10 @@ object Llm {
     // baseline for ANN. Broadcast of the single query row; ranking on
     // the raw double, rounded only for output.
     Q("llm_cosine_topk",
-      (s, d) => {
-        graft.functions.CosineSim.register(s)
-        val e = vecs(s, d)
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("v").as("qv"), col("nrm").as("qnrm"))
-        e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          // native codegen'd expression — 5.6× the HOF form, identical
-          // accumulation order so the oracle stays bit-exact
-          .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sim_raw"))
-          .orderBy(col("sim_raw").desc, col("vec_id"))
-          .limit(10)
-          .select(col("vec_id"), round(col("sim_raw"), 4).as("cos_sim"))
-      },
+      (s, d) => graft.api.Similarity
+        .bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0, topK = 10)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim")),
       Some(s"""SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM (
               |  SELECT a.vec_id,
               |    ${SQL_DOT("a.v", "b.qv")} / (a.nrm * b.qnrm) AS sim_raw
@@ -219,22 +156,12 @@ object Llm {
     // partition (n/L)² — the standard blocked-similarity layout; the
     // pair stream feeds a per-vector top-k window, no global sort.
     Q("llm_knn_per_label",
-      (s, d) => {
-        graft.functions.CosineSim.register(s)
-        val e = vecs(s, d)
-        val pairs = e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-            col("b.vec_id").as("nbr_id"),
-            expr("cosine_sim(a.v, b.v)").as("sim_raw"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("sim_raw").desc, col("nbr_id"))
-        pairs.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
-          .select(col("vec_id"), col("rn"), col("label"), col("nbr_id"),
-            round(col("sim_raw"), 4).as("cos_sim"))
-          .orderBy("vec_id", "rn")
-      },
+      (s, d) => graft.api.Similarity
+        .knnPerLabel(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+          topK = 3)
+        .select(col("vec_id"), col("rn").cast("long").as("rn"), col("label"),
+          col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_id", "rn"),
       Some(s"""SELECT vec_id, rn, label, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
               |  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
               |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,

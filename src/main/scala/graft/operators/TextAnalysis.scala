@@ -23,24 +23,10 @@ object TextAnalysis {
     // arbitrary but mirrored textually — per-row double math from
     // integer inputs is bit-exact across engines.
     Q("text_quality_score",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          TextUdfs.tokenizeCol(col("text")).as("t"),
-          length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_letters"))
-        .select(col("doc_id"), col("lang"),
-          size(col("t")).cast("long").as("n_words"),
-          round(col("n_letters").cast("double") / size(col("t")), 4).as("avg_word_len"),
-          round(size(filter(col("t"), x => x.isInCollection(STOP))).cast("double") /
-            size(col("t")), 4).as("stopword_ratio"),
-          // floor(x*1e4+0.5)/1e4 instead of round(x,4): the clean
-          // fractions here produce EXACT .00005 midpoints where Spark
-          // (HALF_UP on shortest repr) and DuckDB (half-even on binary)
-          // disagree; this form is the same IEEE ops on both engines.
-          (floor((lit(0.4) * least(size(col("t")).cast("double") / 50.0, lit(1.0)) +
-            lit(0.4) * (lit(1.0) - size(filter(col("t"), x => x.isInCollection(STOP)))
-              .cast("double") / size(col("t"))) +
-            lit(0.2) * least((col("n_letters").cast("double") / size(col("t"))) / 8.0,
-              lit(1.0))) * 10000.0 + 0.5) / 10000.0).as("quality"))
+      (s, d) => graft.api.TextMetrics
+        .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("avg_word_len"), col("stopword_ratio"), col("quality"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, lang,
               |CAST(len(t) AS BIGINT) AS n_words,
@@ -57,28 +43,9 @@ object TextAnalysis {
     // N-gram-profile language ID: build per-lang top-20 token profiles
     // FROM the corpus, classify each doc by profile-overlap argmax.
     Q("text_lang_id",
-      (s, d) => {
-        val docTok = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
-        val profile = docTok.groupBy(col("lang").as("p_lang"), col("token"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("token"))))
-          .filter(col("rn") <= 20)
-          .select(col("p_lang"), col("token"))
-        val overlap = docTok.select(col("doc_id"), col("lang"), col("token")).distinct()
-          .join(broadcast(profile), Seq("token"))
-          .groupBy("doc_id", "lang", "p_lang")
-          .agg(count(lit(1)).as("overlap"))
-        val wBest = Window.partitionBy("doc_id")
-          .orderBy(col("overlap").desc, col("p_lang"))
-        overlap.withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("lang"), col("p_lang").as("lang_pred"),
-            col("overlap"), (col("p_lang") === col("lang")).as("correct"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.api.TextMetrics
+        .langId(Tables.documents(s, d), "doc_id", "text", "lang", profileSize = 20)
+        .orderBy("doc_id"),
       Some(s"""WITH docTok AS (
               |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token FROM documents),
               |profile AS (
@@ -100,10 +67,9 @@ object TextAnalysis {
     // (letter runs / digit runs / single other chars).
     Q("text_token_count",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          size(split(col("text"), " ", -1)).cast("long").as("ws_tokens"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+        .select(col("doc_id"), col("n_chars"))
+        .join(graft.api.TextMetrics
+          .tokenCounts(Tables.documents(s, d), "doc_id", "text"), "doc_id")
         .withColumn("chars_per_token",
           round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
         .orderBy("doc_id"),
@@ -117,16 +83,8 @@ object TextAnalysis {
     // window) — the content-defined fingerprint used for near-dup
     // blocking of OCR-ish text.
     Q("text_fingerprint",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          regexp_replace(lower(col("text")), "[^a-z]", "").as("cleaned"))
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
-            .as("gram"))
-        .groupBy("doc_id")
-        .agg(min(md5(col("gram"))).as("fingerprint"),
-          countDistinct(col("gram")).as("n_distinct_grams"))
+      (s, d) => graft.api.TextMetrics
+        .fingerprint(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some("""SELECT doc_id, MIN(md5(gram)) AS fingerprint,
              |COUNT(DISTINCT gram) AS n_distinct_grams
