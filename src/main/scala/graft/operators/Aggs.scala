@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Ops, Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D — aggregations.
@@ -144,6 +145,74 @@ object Aggs {
         .orderBy("c_mktsegment", "c_nationkey"),
       Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
              |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Statistical moments. round(…,4) absorbs the last-ulp differences
+    // between the engines' streaming-variance algorithms.
+    Q("agg_stats",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+             |ROUND(var_samp(l_quantity), 4) AS var_qty,
+             |ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic modal value (built-in mode() breaks ties
+    // arbitrarily; this groupBy+window form pins the tie-break).
+    Q("agg_mode_median",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("cnt").desc, col("o_orderpriority"))
+        val modes = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("modal_priority"))
+        val medians = Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+        modes.join(medians, "o_orderstatus").orderBy("o_orderstatus")
+      },
+      Some("""WITH counts AS (
+             |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+             |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+             |modes AS (
+             |  SELECT o_orderstatus, o_orderpriority AS modal_priority FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY cnt DESC, o_orderpriority) AS rn FROM counts) t
+             |  WHERE rn = 1),
+             |medians AS (
+             |  SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, modal_priority, median_price
+             |FROM modes JOIN medians USING (o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("agg_bool_bit",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          bool_and(col("c_acctbal") > -1000.0).as("all_above_neg1k"),
+          bool_or(col("c_acctbal") > 9000.0).as("any_above_9k"),
+          bit_and(col("c_nationkey")).as("nation_bit_and"),
+          bit_or(col("c_nationkey")).as("nation_bit_or"),
+          bit_xor(col("c_nationkey")).as("nation_bit_xor"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             |bool_and(c_acctbal > -1000.0) AS all_above_neg1k,
+             |bool_or(c_acctbal > 9000.0) AS any_above_9k,
+             |bit_and(c_nationkey) AS nation_bit_and,
+             |bit_or(c_nationkey) AS nation_bit_or,
+             |bit_xor(c_nationkey) AS nation_bit_xor
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     Q("udaf_geomean",
       (s, d) => {

@@ -150,6 +150,51 @@ object ScalarFns {
              |least(c_acctbal, 0.0) AS bal_neg
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    Q("fn_bitwise",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_partkey").bitwiseAND(lit(255L))).as("and255"),
+          (col("p_partkey").bitwiseOR(lit(16L))).as("or16"),
+          (col("p_partkey").bitwiseXOR(col("p_size").cast("long"))).as("xor_size"),
+          shiftleft(col("p_partkey"), 2).as("shl2"),
+          shiftright(col("p_partkey"), 1).as("shr1"),
+          bitwise_not(col("p_partkey")).as("flipped"),
+          bit_count(col("p_partkey")).cast("long").as("popcount"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |p_partkey & 255 AS and255,
+             |p_partkey | 16 AS or16,
+             |xor(p_partkey, CAST(p_size AS BIGINT)) AS xor_size,
+             |p_partkey << 2 AS shl2,
+             |p_partkey >> 1 AS shr1,
+             |~p_partkey AS flipped,
+             |CAST(bit_count(p_partkey) AS BIGINT) AS popcount
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Array set algebra over token arrays; results sorted on both sides
+    // (engines differ on intersect/union element order, not content).
+    Q("fn_array_setops",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          split(col("p_name"), " ", -1).as("na"),
+          split(col("p_type"), " ", -1).as("ta"))
+        .select(col("p_partkey"),
+          array_sort(array_union(col("na"), col("ta"))).as("u"),
+          array_sort(array_intersect(col("na"), col("ta"))).as("i"),
+          array_sort(array_except(col("na"), col("ta"))).as("e"),
+          array_sort(flatten(array(col("na"), col("ta")))).as("f"),
+          array_sort(array_distinct(col("na"))).as("dd"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |list_sort(list_distinct(na || ta)) AS u,
+             |list_sort(list_intersect(na, ta)) AS i,
+             |list_sort(list_filter(list_distinct(na), x -> NOT list_contains(ta, x))) AS e,
+             |list_sort(flatten([na, ta])) AS f,
+             |list_sort(list_distinct(na)) AS dd
+             |FROM (SELECT p_partkey, string_split(p_name, ' ') AS na,
+             |      string_split(p_type, ' ') AS ta FROM part) x
+             |ORDER BY p_partkey""".stripMargin)),
+
     // xxhash64/murmur3 deliberately NOT oracled (Spark-specific seeds);
     // md5/sha256 are standard and portable.
     Q("fn_hash",

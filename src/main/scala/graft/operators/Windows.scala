@@ -110,6 +110,28 @@ object Windows {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    Q("win_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+             |ROUND(CUME_DIST() OVER w, 4) AS cume,
+             |NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+             |       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy("o_custkey")

@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** Spark 4 StatefulProcessor: per-user running sum in a ValueState. */
+class RunningValueSum
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+  @transient private var sumState: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    sumState = getHandle.getValueState[Double]("sum", Encoders.scalaDouble,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+    val prev = if (sumState.exists()) sumState.get() else 0.0
+    val next = prev + rows.map(_._2).sum
+    sumState.update(next)
+    Iterator((key, next))
+  }
+}
+
 /** §2.I — Structured Streaming operators.
   *
   * Each declared query runs a REAL streaming job over the events fixture
@@ -187,6 +206,29 @@ object Streams {
           }(longEnc, tupEnc)
           .toDF("user_id", "running_count")
         runToMemory(counted, "update").orderBy("user_id")
+      }, None),
+
+    // Spark 4 transformWithState: typed ValueState in the RocksDB state
+    // store (required provider for this API) — per-user running value
+    // sum; the modern arbitrary-state surface alongside
+    // flatMapGroupsWithState above.
+    Q("stream_transformwithstate",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        implicit val longEnc = Encoders.scalaLong
+        implicit val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+        implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+        val pairs = eventsStream(s, d)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)](inEnc)
+        val out = pairs.groupByKey(_._1)(longEnc)
+          .transformWithState(new RunningValueSum(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())(tupEnc)
+          .toDF("user_id", "running_value_sum")
+          .withColumn("running_value_sum", round(col("running_value_sum"), 2))
+        runToMemory(out, "update").orderBy("user_id")
       }, None),
 
     // foreachBatch sink: every micro-batch lands as parquet; read the
