@@ -1,0 +1,98 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-metastore collection API — the metadata-collector domain
+  * (DBS / TBLS / COLUMNS_V2 / TABLE_PARAMS analogs) expressed over
+  * Spark's catalog interface, so it works against any metastore the
+  * session is wired to (embedded Derby in tests, a production Hive
+  * metastore on a cluster).
+  *
+  * Catalog metadata is inherently driver-side and small (thousands of
+  * tables, not billions of rows) — materializing it into DataFrames is
+  * the correct shape; the heavy side (access logs) stays distributed
+  * and joins against these small broadcast dims.
+  */
+object Catalog {
+
+  /** DBS analog: one row per database. */
+  def databases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listDatabases().collect().toSeq
+      .map(db => (db.name, db.catalog, db.locationUri))
+      .toDF("db_name", "catalog", "location_uri")
+  }
+
+  /** TBLS analog: one row per table in `db`. */
+  def tables(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables(db).collect().toSeq
+      .map(t => (t.database, t.name, t.tableType, t.isTemporary))
+      .toDF("db_name", "table_name", "table_type", "is_temporary")
+  }
+
+  /** COLUMNS_V2 analog: one row per column of every table in `db`. */
+  def columns(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables(db).collect().toSeq
+      .filter(!_.isTemporary)
+      .flatMap { t =>
+        spark.catalog.listColumns(db, t.name).collect().zipWithIndex.map {
+          case (c, i) =>
+            (db, t.name, c.name, c.dataType, i.toLong, c.isPartition, c.isBucket)
+        }
+      }
+      .toDF("db_name", "table_name", "column_name", "type_name", "ordinal",
+        "is_partition", "is_bucket")
+  }
+
+  /** TABLE_PARAMS / stats analog: per-table size in bytes and row count
+    * (populated by `ANALYZE TABLE ... COMPUTE STATISTICS`).
+    */
+  def tableStats(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables(db).collect().toSeq
+      .filter(!_.isTemporary)
+      .map { t =>
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
+        val stats = meta.stats
+        (db, t.name,
+          stats.map(_.sizeInBytes.toLong).getOrElse(-1L),
+          stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L),
+          meta.provider.getOrElse(""),
+          meta.createTime)
+      }
+      .toDF("db_name", "table_name", "size_bytes", "row_count", "provider",
+        "create_time_ms")
+  }
+
+  /** Storage-format breakdown: table count + total bytes per provider. */
+  def storageBreakdown(spark: SparkSession, db: String): DataFrame =
+    tableStats(spark, db)
+      .groupBy("provider")
+      .agg(count(lit(1)).as("n_tables"),
+        sum(when(col("size_bytes") >= 0, col("size_bytes")).otherwise(0L))
+          .as("total_bytes"))
+
+  /** Access-heat rollup from an audit-log DataFrame: daily access count
+    * and distinct users per accessed table. The log side is arbitrarily
+    * large — this is a plain distributed aggregate.
+    */
+  def accessHeat(auditLog: DataFrame, tableCol: String, userCol: String,
+      tsCol: String): DataFrame =
+    auditLog.groupBy(col(tableCol).as("table_name"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_accesses"),
+        countDistinct(col(userCol)).as("n_users"))
+
+  /** Tables never touched by the audit log (dead-table detection) —
+    * the left-anti heat join of the collector's cleanup reports.
+    */
+  def deadTables(spark: SparkSession, db: String, auditLog: DataFrame,
+      tableCol: String): DataFrame =
+    tables(spark, db).filter(!col("is_temporary"))
+      .join(auditLog.select(col(tableCol).as("table_name")).distinct(),
+        Seq("table_name"), "left_anti")
+}

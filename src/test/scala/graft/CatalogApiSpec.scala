@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.api.Catalog against the embedded Derby metastore: the full
+  * collector loop — create, analyze, inventory, stats, heat, dead
+  * tables.
+  */
+class CatalogApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def setup(): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_api_cat")
+    Seq("region", "nation").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_api_cat.$t")
+      Tables.table(spark, TestSpark.sf0001, t)
+        .write.mode("overwrite").saveAsTable(s"graft_api_cat.$t")
+      spark.sql(s"ANALYZE TABLE graft_api_cat.$t COMPUTE STATISTICS")
+    }
+  }
+
+  test("databases/tables/columns inventory") {
+    setup()
+    assert(graft.api.Catalog.databases(spark)
+      .filter(col("db_name") === "graft_api_cat").count() == 1)
+    val tabs = graft.api.Catalog.tables(spark, "graft_api_cat")
+    assert(tabs.filter(col("table_name").isin("region", "nation")).count() == 2)
+    val cols = graft.api.Catalog.columns(spark, "graft_api_cat")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(cols.contains(("nation", "n_name", "string")))
+    assert(cols.contains(("region", "r_regionkey", "int")))
+  }
+
+  test("tableStats picks up ANALYZE results; storage breakdown sums") {
+    setup()
+    val stats = graft.api.Catalog.tableStats(spark, "graft_api_cat")
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats("region")._2 == 5L && stats("nation")._2 == 25L)
+    assert(stats("region")._1 > 0L)
+    val breakdown = graft.api.Catalog.storageBreakdown(spark, "graft_api_cat")
+    assert(breakdown.agg(sum("n_tables")).head.getLong(0) >= 2L)
+  }
+
+  test("accessHeat + deadTables from an audit log") {
+    setup()
+    import spark.implicits._
+    val audit = Seq(
+      ("region", 1L, "2024-01-01 10:00:00"),
+      ("region", 2L, "2024-01-01 11:00:00"),
+      ("region", 1L, "2024-01-02 09:00:00")
+    ).toDF("tbl", "uid", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val heat = graft.api.Catalog.accessHeat(audit, "tbl", "uid", "ts")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(heat.contains(("region", "2024-01-01", 2L, 2L)))
+    val dead = graft.api.Catalog.deadTables(spark, "graft_api_cat", audit, "tbl")
+      .select("table_name").collect().map(_.getString(0)).toSet
+    assert(dead.contains("nation") && !dead.contains("region"))
+  }
+}
