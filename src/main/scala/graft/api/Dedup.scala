@@ -34,11 +34,20 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), TextUdfs.tokenizeCol(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(TextUdfs.shinglesFromTokens(col("__t"))).as("token"))
 
-  /** k portable minhash signatures per doc (columns sig_0..sig_{k-1}). */
+  /** k portable minhash signatures per doc (columns sig_0..sig_{k-1}).
+    *
+    * Signatures are LONGS (the first 15 hex nibbles of the md5, via
+    * conv): min(long) is hash-aggregable, so the shingle stream gets a
+    * partial HashAggregate instead of the per-partition Sort that
+    * min(string) forces (SortAggregate) — the difference between a
+    * linear pass and a sort at 100 TB. DuckDB mirrors the value with a
+    * strpos polynomial over the same 15 nibbles.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame = {
     val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), col("token")))).as(s"sig_$i"))
+      min(conv(substring(md5(concat(lit(i.toString), col("token"))), 1, 15), 16, 10)
+        .cast("long")).as(s"sig_$i"))
     shingleRows(docs, idCol, textCol).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -48,7 +57,8 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val bandCols: Seq[Column] = (0 until bands).map { b =>
-      md5(concat((0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+      md5(concat_ws("|",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
     minhashSignatures(docs, idCol, textCol, k)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))

@@ -35,15 +35,23 @@ object Llm {
        |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
        |FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)""".stripMargin
 
+  /** First-15-hex-nibbles→BIGINT polynomial (mirrors Spark's
+    * conv(substr(md5,1,15),16,10) exactly).
+    */
+  private def SQL_HEX15(h: String): String =
+    (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+      .mkString("(", " + ", ")")
   private val SQL_SIGS =
     s"SELECT doc_id, " +
-      (0 until K).map(i => s"MIN(md5('$i' || token)) AS sig_$i").mkString(", ") +
+      (0 until K).map(i => s"MIN(${SQL_HEX15(s"md5('$i' || token)")}) AS sig_$i")
+        .mkString(", ") +
       s" FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id"
 
   private val SQL_BANDED = {
     val bandList = (0 until BANDS)
-      .map(b => "md5(" + (0 until K / BANDS)
-        .map(r => s"sig_${b * (K / BANDS) + r}").mkString(" || ") + ")")
+      .map(b => "md5(concat_ws('|', " + (0 until K / BANDS)
+        .map(r => s"CAST(sig_${b * (K / BANDS) + r} AS VARCHAR)").mkString(", ") + "))")
       .mkString("[", ", ", "]")
     s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band, unnest(bl) AS bhash
        |FROM (SELECT doc_id, $bandList AS bl FROM ($SQL_SIGS))""".stripMargin

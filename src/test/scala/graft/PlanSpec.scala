@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
   }
 
+  test("minhash aggregates hash-based, not sort-based (long-domain sigs)") {
+    val p = plan("llm_minhash_signatures")
+    assert(!p.contains("SortAggregate") && p.contains("HashAggregate"),
+      s"min(string) fell back to SortAggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
