@@ -156,5 +156,43 @@ object DataOps {
     Q("ann_lsh_bucketed", fn, Some(sql))
   }
 
-  val queries: Seq[Q] = Seq(mmBinaryFeatures, simhashQuery, annQuery)
+  /** Embedding-cosine near-duplicate pairs: within-LSH-bucket pairs
+    * (vec_a < vec_b) whose cosine exceeds the threshold — the vector
+    * twin of the minhash/Jaccard text pipeline, same bucket-join scale
+    * shape.
+    */
+  private def embedNearDupQuery: Q = {
+    val threshold = 0.9
+    def fn(s: SparkSession, d: String) =
+      graft.api.Similarity
+        .signLshBuckets(Tables.embeddings(s, d), "vec_id", "embedding")
+        .as("a").join(
+          graft.api.Similarity
+            .signLshBuckets(Tables.embeddings(s, d), "vec_id", "embedding").as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr("cosine_sim(a.__v, b.__v)").as("sim_raw"))
+        .filter(col("sim_raw") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def planeList(i: Int): String =
+      graft.api.Similarity.hyperplanes(8, 64)(i).map(p => s"$p.0").mkString("[", ", ", "]")
+    val bitExprs = (0 until 8)
+      .map(i => s"CASE WHEN ${SQL_DOT("v", planeList(i))} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, $bitExprs AS bucket
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x)
+         |SELECT vec_a, vec_b, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${SQL_DOT("a.v", "b.v")} / (sqrt(${SQL_DOT("a.v", "a.v")}) * sqrt(${SQL_DOT("b.v", "b.v")})) AS sim_raw
+         |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+         |WHERE sim_raw >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+    Q("llm_embed_neardup_pairs", fn, Some(sql))
+  }
+
+  val queries: Seq[Q] =
+    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery)
 }
