@@ -58,6 +58,14 @@ class AggEdgeSpec extends AnyFunSuite {
     assert(once.count() == once.dropDuplicates().count())
   }
 
+  test("union-all counts are additive; distinct union is bounded") {
+    val a = Tables.customer(spark, TestSpark.sf0001).filter(col("c_acctbal") > 5000.0)
+    val b = Tables.customer(spark, TestSpark.sf0001).filter(col("c_mktsegment") === "BUILDING")
+    assert(a.unionByName(b).count() == a.count() + b.count())
+    val du = a.union(b).distinct().count()
+    assert(du <= a.count() + b.count() && du >= math.max(a.count(), b.count()))
+  }
+
   test("running sum final row equals group total") {
     val rs = SparkEntry.queries("win_running_sum")(spark, TestSpark.sf0001)
     val lastPerCust = rs.groupBy("o_custkey")

@@ -47,6 +47,18 @@ class HiveCatalogSpec extends AnyFunSuite {
       .collect().sorted.head == "AFRICA")
   }
 
+  test("orc and text roundtrip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables.nation(spark, TestSpark.sf0001)
+    src.write.orc(s"$tmp/orc")
+    val orcBack = spark.read.orc(s"$tmp/orc")
+    assert(orcBack.count() == 25)
+    assert(orcBack.schema("n_nationkey").dataType.typeName == "integer")
+
+    src.select(col("n_name")).write.text(s"$tmp/txt")
+    assert(spark.read.text(s"$tmp/txt").count() == 25)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.customer(spark, TestSpark.sf0001)
