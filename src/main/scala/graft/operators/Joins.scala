@@ -207,6 +207,31 @@ object Joins {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // Same as-of semantics as join_asof_events, but through the engine's
+    // NATIVE operator stack: AsOfJoin logical node → AsOfJoinStrategy →
+    // AsOfJoinExec (ClusteredDistribution + (key,ts) ordering, streamed
+    // two-pointer merge). DuckDB's native ASOF JOIN is the oracle.
+    Q("join_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("signup_ts"))
+        graft.plans.AsOf.join(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            signups, key = "user_id", leftTs = "ts", rightTs = "signup_ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts_str"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_str
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Skew-mitigation pattern: a hot-key fact⋈dim join salted 8 ways —
     // the fact side gets a pseudo-random salt, the dim side is
     // replicated once per salt value, and the join key becomes

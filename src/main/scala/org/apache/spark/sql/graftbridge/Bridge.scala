@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal private[sql] bridge: build a DataFrame from a custom
+  * LogicalPlan. `Dataset.ofRows` is private[sql], so this one object
+  * lives under org.apache.spark.sql — the standard pattern for Spark
+  * extension libraries that introduce their own plan nodes.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native AsOfJoin operator: equivalence with the window-based
+  * formulation, null semantics, micro edge cases, plan shape.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native as-of equals the window-based formulation on events") {
+    val native = SparkEntry.queries("join_asof_native")(spark, TestSpark.sf0001)
+    val window = SparkEntry.queries("join_asof_events")(spark, TestSpark.sf0001)
+    val n = native.select("event_id", "user_id", "ts_str", "signup_ts_str")
+    val w = window.select("event_id", "user_id", "ts_str", "signup_ts_str")
+    assert(n.exceptAll(w).count() == 0 && w.exceptAll(n).count() == 0)
+    assert(n.count() == 1000)
+  }
+
+  test("micro case: latest prior row wins, no-prior → null, key isolation") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r5"), (1L, 12L, "r12"), (3L, 1L, "r1"))
+      .toDF("k", "t", "rtag")
+      .withColumnRenamed("t", "rt")
+    val out = graft.plans.AsOf.join(left, right, "k", "t", "rt")
+      .select("k", "t", "tag", "rtag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("NULL"))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", "r5"),   // only r5 precedes t=10
+      (1L, 20L, "b", "r12"),  // r12 is the latest <= 20
+      (2L, 15L, "c", "NULL")  // key 2 has no right rows
+    ))
+  }
+
+  test("physical plan uses AsOfJoinExec with shuffled+sorted children") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val su = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"))
+    val df = graft.plans.AsOf.join(ev, su, "user_id", "ts", "sts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // node name (Exec suffix stripped)
+    // EnsureRequirements satisfied our declared requirements:
+    assert(plan.contains("Exchange hashpartitioning(user_id"), plan)
+    assert(plan.contains("Sort [user_id"), plan)
+    assert(plan.contains("Sort [__asof_key"), plan)
+  }
+}
