@@ -146,6 +146,16 @@ object Aggs {
       Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
              |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
 
+    // Sketch-based percentiles (no oracle — approximation is
+    // engine-specific; AggEdgeSpec bounds the error vs exact).
+    Q("agg_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("approx_p50_p95"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Statistical moments. round(…,4) absorbs the last-ulp differences
     // between the engines' streaming-variance algorithms.
     Q("agg_stats",

@@ -59,6 +59,23 @@ object SortsSets {
       Some(s"""SELECT c_custkey FROM (($SQL_HIGH) UNION ($SQL_BLD))
               |ORDER BY c_custkey""".stripMargin)),
 
+    // Schema-evolution union: unionByName fills columns missing on
+    // either side with nulls — the reader-side story for tables whose
+    // schema grew over time.
+    Q("set_union_missing_cols",
+      (s, d) => {
+        val a = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val b = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("o_orderkey").asc,
+            col("o_totalprice").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority FROM orders)
+             |ORDER BY o_orderkey ASC, o_totalprice ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin)),
+
     Q("set_intersect",
       (s, d) => highBal(s, d).intersect(building(s, d))
         .orderBy("c_custkey"),

@@ -58,6 +58,15 @@ class AggEdgeSpec extends AnyFunSuite {
     assert(once.count() == once.dropDuplicates().count())
   }
 
+  test("approx_percentile within 1% of exact") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val approx = li.selectExpr(
+      "approx_percentile(l_extendedprice, 0.5, 10000) AS p").head.getDouble(0)
+    val exact = li.selectExpr(
+      "percentile(l_extendedprice, 0.5) AS p").head.getDouble(0)
+    assert(math.abs(approx - exact) / exact <= 0.01, s"approx=$approx exact=$exact")
+  }
+
   test("union-all counts are additive; distinct union is bounded") {
     val a = Tables.customer(spark, TestSpark.sf0001).filter(col("c_acctbal") > 5000.0)
     val b = Tables.customer(spark, TestSpark.sf0001).filter(col("c_mktsegment") === "BUILDING")
