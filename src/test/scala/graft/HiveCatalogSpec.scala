@@ -59,6 +59,27 @@ class HiveCatalogSpec extends AnyFunSuite {
     assert(spark.read.text(s"$tmp/txt").count() == 25)
   }
 
+  test("dynamic partition pruning kicks in for a filtered dim join") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, TestSpark.sf0001)
+      .write.partitionBy("o_orderstatus").parquet(s"$tmp/fact")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // dim must be file-backed with a surviving filter — a literal local
+    // relation gets constant-folded and the PartitionPruning rule then
+    // has no predicate to derive the DPP subquery from
+    Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+      .toDF("status", "label").write.parquet(s"$tmp/dim")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("label") === "open")
+    val joined = fact.join(dim, col("o_orderstatus") === col("status"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    assert(joined.count() ==
+      Tables.orders(spark, TestSpark.sf0001)
+        .filter(col("o_orderstatus") === "O").count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.customer(spark, TestSpark.sf0001)
