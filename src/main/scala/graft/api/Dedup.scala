@@ -64,16 +64,29 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
   }
 
-  /** Near-dup candidate pairs (doc_a < doc_b) via the LSH bucket join. */
+  /** Near-dup candidate pairs (doc_a < doc_b) by grouping per LSH
+    * bucket and expanding pairs from the collected id list. Versus a
+    * banded self-join this computes the shingle→minhash pipeline ONCE
+    * (Spark does not reuse the exchange across self-join sides —
+    * measured: the whole signature subtree ran twice) and turns the
+    * join into a groupBy whose state is one id list per bucket.
+    *
+    * `maxBucket` caps the per-bucket list: buckets larger than the cap
+    * contribute only their first `maxBucket` (sorted) ids — an explicit
+    * skew guard for pathological corpora; with shingle-based signatures
+    * real buckets stay in the single digits.
+    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    val b = lshBanded(docs, idCol, textCol, k, bands)
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 1000): DataFrame =
+    lshBanded(docs, idCol, textCol, k, bands)
+      .groupBy("band", "bhash")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Exact shingle-set Jaccard for the candidate pairs, with a
     * near-dup flag at `threshold`.

@@ -58,9 +58,12 @@ object Llm {
   }
 
   private val SQL_PAIRS =
-    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM ($SQL_BANDED) a JOIN ($SQL_BANDED) b
-       |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
+    s"""SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+       |  SELECT unnest(flatten(list_transform(ids, (x, i) ->
+       |    list_transform(ids[i+1:], y -> {'doc_a': x, 'doc_b': y})))) AS p
+       |  FROM (SELECT band, bhash, list_sort(list(doc_id))[:1000] AS ids
+       |        FROM ($SQL_BANDED) GROUP BY band, bhash) bk
+       |  WHERE len(ids) > 1) t""".stripMargin
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
