@@ -90,28 +90,27 @@ object Dedup {
 
   /** Exact shingle-set Jaccard for the candidate pairs, with a
     * near-dup flag at `threshold`.
+    *
+    * Shape: one pass collects the distinct-shingle SET per doc
+    * (ObjectHashAggregate — no sort), candidate pairs join that set
+    * table twice, and the intersection is computed per pair with
+    * array_intersect. Versus a token-level pair⋈token⋈token join this
+    * touches |pairs| rows instead of Σ|pair shingles| and avoids
+    * re-deriving the shingle stream three more times.
     */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
-    val toksD = shingleRows(docs, idCol, textCol).distinct()
-    val sizes = toksD.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val sets = shingleRows(docs, idCol, textCol)
+      .groupBy("doc_id").agg(collect_set(col("token")).as("toks"))
     val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
-    val inter = pairs
-      .join(toksD.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toksD.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val nInter = size(array_intersect(col("sa.toks"), col("sb.toks")))
+    val denom = size(col("sa.toks")) + size(col("sb.toks")) - nInter
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") /
-          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")), 4).as("jaccard"),
-        (col("n_inter").cast("double") /
-          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")) >= threshold)
-          .as("is_near_dup"))
+        round(nInter.cast("double") / denom, 4).as("jaccard"),
+        (nInter.cast("double") / denom >= threshold).as("is_near_dup"))
   }
 
   /** 32-bit SimHash fingerprint per doc from portable md5 nibble bits. */

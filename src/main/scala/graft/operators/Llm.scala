@@ -130,22 +130,18 @@ object Llm {
       (s, d) => graft.api.Dedup
         .jaccardVerify(Tables.documents(s, d), "doc_id", "text", 0.6, K, BANDS)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM ($SQL_SHINGLE_ROWS)),
-              |sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
-              |pairs AS ($SQL_PAIRS),
-              |inter AS (
-              |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
-              |  FROM pairs
-              |  JOIN toks ta ON doc_a = ta.doc_id
-              |  JOIN toks tb ON doc_b = tb.doc_id AND ta.token = tb.token
-              |  GROUP BY doc_a, doc_b)
+      Some(s"""WITH sets AS (
+              |  SELECT doc_id, list(DISTINCT token) AS toks
+              |  FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id),
+              |pairs AS ($SQL_PAIRS)
               |SELECT p.doc_a, p.doc_b,
-              |ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE) / (sa.n_tok + sb.n_tok - COALESCE(n_inter, 0)), 4) AS jaccard,
-              |CAST(COALESCE(n_inter, 0) AS DOUBLE) / (sa.n_tok + sb.n_tok - COALESCE(n_inter, 0)) >= 0.6 AS is_near_dup
+              |ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+              |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))), 4) AS jaccard,
+              |CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+              |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.6 AS is_near_dup
               |FROM pairs p
-              |LEFT JOIN inter USING (doc_a, doc_b)
-              |JOIN sizes sa ON p.doc_a = sa.doc_id
-              |JOIN sizes sb ON p.doc_b = sb.doc_id
+              |JOIN sets sa ON p.doc_a = sa.doc_id
+              |JOIN sets sb ON p.doc_b = sb.doc_id
               |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
 
     // Brute-force cosine top-k for ONE query vector — the correctness
