@@ -66,6 +66,30 @@ object TextMetrics {
       size(regexp_extract_all(col(textCol),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
 
+  /** tf-idf top terms per group (e.g. language): two linear aggregation
+    * passes over the exploded token stream, corpus size as a broadcast
+    * scalar, ranking on the ROUNDED score so cross-engine ln() ulp
+    * differences cannot reorder ties.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, topN: Int = 5): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextUdfs.tokenizeCol(col(textCol))).as("token"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_total"))
+    val tf = tok
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp")), Seq("doc_id"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topN)
+      .select(col("grp").as(groupCol), col("rn"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
+
   /** Rolling char-8-gram min-hash fingerprint per document. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

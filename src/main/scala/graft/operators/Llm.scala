@@ -21,12 +21,9 @@ object Llm {
   private val K = 16 // minhash signature length
   private val BANDS = 4 // LSH bands (rows per band = K / BANDS = 4)
 
-  /** One row per token occurrence (not deduped — min() below is
-    * insensitive to duplicates and skipping distinct avoids a shuffle).
+  /** DuckDB twin of the exploded unigram token stream (Spark side lives
+    * in graft.api.TextMetrics).
     */
-  private def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
   private val SQL_TOKENS =
     s"SELECT doc_id, unnest($SQL_TOKENIZE) AS token FROM documents"
 
@@ -65,23 +62,12 @@ object Llm {
        |        FROM ($SQL_BANDED) GROUP BY band, bhash) bk
        |  WHERE len(ids) > 1) t""".stripMargin
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // DuckDB twins of graft.api.Similarity's vector preparation: the
+  // Spark side lives in the API; these strings stay here because they
+  // are oracle-dialect, not engine code.
   private def SQL_DOT(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private val SQL_V = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
-
-  /** Embeddings with the float vector cast to double element-wise (both
-    * engines then fold the dot product sequentially over identical
-    * doubles — bit-exact parity) plus the L2 norm precomputed ONCE per
-    * vector — pairwise similarity then does 1 dot per pair instead
-    * of 3 (measured ~3× on the knn query).
-    */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   private val SQL_VECS =
     s"SELECT vec_id, label, v, sqrt(${SQL_DOT("v", "v")}) AS nrm " +
       s"FROM (SELECT vec_id, label, $SQL_V AS v FROM embeddings)"
@@ -182,27 +168,9 @@ object Llm {
     // a broadcast-sized per-lang top-k. Ranking uses the ROUNDED score
     // so cross-engine ulp differences in ln() can't reorder ties.
     Q("llm_tfidf_top_terms",
-      (s, d) => {
-        val tok = tokens(s, d)
-        // total doc count as a broadcast scalar — no driver-side action
-        val nDocs = Tables.documents(s, d)
-          .agg(count(lit(1)).cast("double").as("n_total"))
-        val tf = tok
-          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
-          .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
-        val df = tok.groupBy("token")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val scored = tf.join(df, Seq("token"))
-          .crossJoin(broadcast(nDocs))
-          .withColumn("score",
-            round(col("tf") * log(col("n_total") / col("df")), 4))
-        val w = Window.partitionBy("lang")
-          .orderBy(col("score").desc, col("token"))
-        scored.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 5)
-          .select(col("lang"), col("rn"), col("token"), col("tf"), col("df"), col("score"))
-          .orderBy("lang", "rn")
-      },
+      (s, d) => graft.api.TextMetrics
+        .tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", "lang", topN = 5)
+        .orderBy("lang", "rn"),
       Some(s"""WITH tok AS ($SQL_TOKENS),
               |tf AS (
               |  SELECT lang, token, COUNT(*) AS tf
