@@ -62,6 +62,23 @@ object Llm {
        |        FROM ($SQL_BANDED) GROUP BY band, bhash) bk
        |  WHERE len(ids) > 1) t""".stripMargin
 
+  /** DuckDB twin of graft.api.Dedup.jaccardVerify (no ORDER BY — reused
+    * by llm_jaccard_verify and llm_dedup_pipeline).
+    */
+  private val SQL_JACCARD =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list(DISTINCT token) AS toks
+       |  FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id),
+       |pairs AS ($SQL_PAIRS)
+       |SELECT p.doc_a, p.doc_b,
+       |ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))), 4) AS jaccard,
+       |CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.6 AS is_near_dup
+       |FROM pairs p
+       |JOIN sets sa ON p.doc_a = sa.doc_id
+       |JOIN sets sb ON p.doc_b = sb.doc_id""".stripMargin
+
   // DuckDB twins of graft.api.Similarity's vector preparation: the
   // Spark side lives in the API; these strings stay here because they
   // are oracle-dialect, not engine code.
@@ -116,19 +133,32 @@ object Llm {
       (s, d) => graft.api.Dedup
         .jaccardVerify(Tables.documents(s, d), "doc_id", "text", 0.6, K, BANDS)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH sets AS (
-              |  SELECT doc_id, list(DISTINCT token) AS toks
-              |  FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id),
-              |pairs AS ($SQL_PAIRS)
-              |SELECT p.doc_a, p.doc_b,
-              |ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-              |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))), 4) AS jaccard,
-              |CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-              |  / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.6 AS is_near_dup
-              |FROM pairs p
-              |JOIN sets sa ON p.doc_a = sa.doc_id
-              |JOIN sets sb ON p.doc_b = sb.doc_id
-              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+      Some(s"$SQL_JACCARD ORDER BY doc_a, doc_b")),
+
+    // The end-to-end training-data dedup deliverable: the CLEANED
+    // corpus after exact dedup (keep min doc per content hash) and
+    // greedy near-dup removal (drop doc_b of every verified pair).
+    Q("llm_dedup_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = graft.api.Dedup.exactKeep(docs, "doc_id", "text")
+        val nearDupLosers = graft.api.Dedup
+          .jaccardVerify(docs, "doc_id", "text", 0.6, K, BANDS)
+          .filter(col("is_near_dup"))
+          .select(col("doc_b"))
+        kept.join(nearDupLosers, col("doc_id") === col("doc_b"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH kept AS (
+              |  SELECT doc_id, lang, source FROM (
+              |    SELECT doc_id, lang, source,
+              |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |    FROM documents) t WHERE rn = 1),
+              |losers AS (SELECT DISTINCT doc_b FROM ($SQL_JACCARD) WHERE is_near_dup)
+              |SELECT doc_id, lang, source FROM kept
+              |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE doc_b = doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // Brute-force cosine top-k for ONE query vector — the correctness
     // baseline for ANN. Broadcast of the single query row; ranking on
