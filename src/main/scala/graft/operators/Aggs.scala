@@ -146,6 +146,21 @@ object Aggs {
       Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
              |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
 
+    // Pivot with an explicit value list (deterministic columns); the
+    // oracle mirrors with FILTERed aggregates.
+    Q("agg_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Sketch-based percentiles (no oracle — approximation is
     // engine-specific; AggEdgeSpec bounds the error vs exact).
     Q("agg_approx_percentile",

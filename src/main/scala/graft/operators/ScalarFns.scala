@@ -195,6 +195,28 @@ object ScalarFns {
              |      string_split(p_type, ' ') AS ta FROM part) x
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Struct assembly + field access (output flattened to scalars so
+    // the value compare stays engine-neutral).
+    Q("fn_struct_ops",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
+            struct(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+              .as("seg_info")).as("profile"))
+        .select(col("c_custkey"),
+          col("profile.name").as("name"),
+          col("profile.bal").as("bal"),
+          col("profile.seg_info.seg").as("seg"),
+          col("profile.seg_info.nat").as("nat"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, profile.name AS name, profile.bal AS bal,
+             |profile.seg_info.seg AS seg, profile.seg_info.nat AS nat
+             |FROM (SELECT c_custkey,
+             |  {'name': c_name, 'bal': c_acctbal,
+             |   'seg_info': {'seg': c_mktsegment, 'nat': c_nationkey}} AS profile
+             |  FROM customer) t
+             |ORDER BY c_custkey""".stripMargin)),
+
     // xxhash64/murmur3 deliberately NOT oracled (Spark-specific seeds);
     // md5/sha256 are standard and portable.
     Q("fn_hash",
