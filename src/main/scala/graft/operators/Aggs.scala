@@ -161,6 +161,24 @@ object Aggs {
              |COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Unpivot/melt (inverse of pivot): wide metric columns to long
+    // (metric, value) rows — the normalization step of stats collectors.
+    Q("agg_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // Sketch-based percentiles (no oracle — approximation is
     // engine-specific; AggEdgeSpec bounds the error vs exact).
     Q("agg_approx_percentile",
