@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * sequential HOF fold and to DuckDB's `list_sum(list_transform(...))`,
   * so oracle parity is preserved exactly.
   *
-  * Null semantics: null if either array is null (BinaryExpression
-  * default); null ELEMENTS are treated as 0.0 contribution.
+  * Null semantics: EXACTLY the higher-order-function form's — null if
+  * either array is null, if any element is null, or if lengths differ
+  * (zip_with pads the shorter side with nulls, poisoning the fold).
+  * This equivalence is what makes the AccelerateCosine optimizer
+  * rewrite unconditionally safe.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,12 +41,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
-      val yi = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -63,14 +68,21 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
-         |  double $yi = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
