@@ -113,6 +113,43 @@ object Dedup {
         (nInter.cast("double") / denom >= threshold).as("is_near_dup"))
   }
 
+  /** Connected components over the verified near-duplicate graph:
+    * every doc appearing in a near-dup pair gets the MINIMUM doc id
+    * reachable from it (its canonical representative). Iterative
+    * min-label propagation — each round joins labels to the undirected
+    * edge list and keeps the per-node min; converges in O(component
+    * diameter) rounds (near-dup components are clique-ish, so 2-3).
+    * `localCheckpoint` truncates the growing lineage each round.
+    * At cluster scale the identical loop runs with the same joins;
+    * Pregel-style frameworks optimize constants, not the shape.
+    */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
+      maxIters: Int = 25): DataFrame = {
+    val pairs = jaccardVerify(docs, idCol, textCol, threshold, k, bands)
+      .filter(col("is_near_dup"))
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("comp", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val propagated = labels.join(edges, col("doc") === col("u"))
+        .select(col("v").as("doc"), col("comp"))
+      val next = labels.unionByName(propagated)
+        .groupBy("doc").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "old"), "doc")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash fingerprint per doc from portable md5 nibble bits. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val shingled = shingleRows(docs, idCol, textCol).withColumn("h", md5(col("token")))

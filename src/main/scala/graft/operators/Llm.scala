@@ -160,6 +160,26 @@ object Llm {
               |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE doc_b = doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Connected components over the near-dup graph (iterative
+    // min-label propagation; DuckDB cross-checks with a recursive CTE
+    // reaching the same fixpoint).
+    Q("llm_neardup_components",
+      (s, d) => graft.api.Dedup
+        .nearDupComponents(Tables.documents(s, d), "doc_id", "text", 0.6, K, BANDS)
+        .orderBy("doc"),
+      Some(s"""WITH RECURSIVE
+              |jac AS ($SQL_JACCARD),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM jac WHERE is_near_dup
+              |  UNION ALL
+              |  SELECT doc_b AS u, doc_a AS v FROM jac WHERE is_near_dup),
+              |reach(doc, lab) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.v, r.lab FROM reach r JOIN edges e ON r.doc = e.u)
+              |SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
+              |ORDER BY doc""".stripMargin)),
+
     // Brute-force cosine top-k for ONE query vector — the correctness
     // baseline for ANN. Broadcast of the single query row; ranking on
     // the raw double, rounded only for output.
