@@ -82,6 +82,37 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (probe = 1), then search only within the cell. The codebook here
+    * is the `nCentroids` lowest-id vectors — a deterministic stand-in
+    * for a trained k-means codebook (training is an offline step in a
+    * real pipeline; the query-time dataflow — broadcast codebook →
+    * argmax assignment → cell-blocked pairwise — is identical).
+    */
+  def ivfNeighbors(embs: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, topK: Int = 2): DataFrame = {
+    val base = prepare(embs, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    val cents = base.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("c_id"), col("__v").as("c_v"), col("__nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr("cosine_sim(__v, c_v)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("__v"), col("__nrm"), col("c_id").as("cell"))
+    val wNbr = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col("a.cell").as("cell"),
+        col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(wNbr))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
   /** Top-k same-label neighbors per vector (label blocking bounds the
     * quadratic term to (n/labels)² per partition).
     */

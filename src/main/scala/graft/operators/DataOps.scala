@@ -193,6 +193,39 @@ object DataOps {
     Q("llm_embed_neardup_pairs", fn, Some(sql))
   }
 
+  /** IVF ANN (probe=1): deterministic 16-vector codebook, argmax cell
+    * assignment, top-2 neighbors within the cell.
+    */
+  private def ivfQuery: Q = {
+    def fn(s: SparkSession, d: String) =
+      graft.api.Similarity
+        .ivfNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCentroids = 16, topK = 2)
+        .select(col("vec_id"), col("cell"), col("rn").cast("long").as("rn"),
+          col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_id", "rn")
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |cents AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm FROM base WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${SQL_DOT("b.v", "c.c_v")} / (b.nrm * c.c_nrm) DESC, c.c_id) AS rn
+         |    FROM base b, cents c) t WHERE rn = 1)
+         |SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE rn <= 2 ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivf_cells", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery)
+    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery, ivfQuery)
 }
