@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(100L, 200L), s"got ${ids.toSeq}")
   }
 
+  test("stream_tumbling_1h (complete mode) equals the batch windowed agg") {
+    val streamed = SparkEntry.queries("stream_tumbling_1h")(spark, TestSpark.sf0001)
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stream_static_join equals the batch join") {
+    val streamed = SparkEntry.queries("stream_static_join")(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "c_name", "c_mktsegment")
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .join(Tables.customer(spark, TestSpark.sf0001),
+        col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_name", "c_mktsegment")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stream_stateful_count final counts equal batch per-user counts") {
+    val streamed = SparkEntry.queries("stream_stateful_count")(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(max("running_count").as("final_count"))
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("final_count"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("declared streaming queries produce deterministic row counts") {
     val names = Seq("stream_tumbling_1h", "stream_session", "stream_stateful_count")
     names.foreach { n =>
