@@ -68,6 +68,38 @@ object Catalog {
         "create_time_ms")
   }
 
+  /** PARTITIONS analog: one row per partition of a partitioned table
+    * (spec string, location, creation time).
+    */
+  def partitions(spark: SparkSession, db: String, table: String): DataFrame = {
+    import spark.implicits._
+    spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .map { p =>
+        (db, table,
+          p.spec.map { case (k, v) => s"$k=$v" }.mkString("/"),
+          p.storage.locationUri.map(_.toString).getOrElse(""),
+          p.createTime)
+      }
+      .toDF("db_name", "table_name", "partition_name", "location", "create_time_ms")
+  }
+
+  /** Partition-count report per table (growth/attention lists). */
+  def partitionCounts(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables(db).collect().toSeq
+      .filter(!_.isTemporary)
+      .map { t =>
+        val n =
+          try spark.sessionState.catalog
+            .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
+            .size.toLong
+          catch { case _: Exception => 0L } // unpartitioned tables
+        (db, t.name, n)
+      }
+      .toDF("db_name", "table_name", "n_partitions")
+  }
+
   /** Storage-format breakdown: table count + total bytes per provider. */
   def storageBreakdown(spark: SparkSession, db: String): DataFrame =
     tableStats(spark, db)

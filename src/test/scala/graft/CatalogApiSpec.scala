@@ -42,6 +42,21 @@ class CatalogApiSpec extends AnyFunSuite {
     assert(breakdown.agg(sum("n_tables")).head.getLong(0) >= 2L)
   }
 
+  test("partition inventory for a partitioned table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_api_cat")
+    spark.sql("DROP TABLE IF EXISTS graft_api_cat.cust_part")
+    Tables.customer(spark, TestSpark.sf0001)
+      .write.partitionBy("c_mktsegment")
+      .saveAsTable("graft_api_cat.cust_part")
+    val parts = graft.api.Catalog.partitions(spark, "graft_api_cat", "cust_part")
+      .collect().map(_.getString(2)).sorted
+    assert(parts.length == 5)
+    assert(parts.head.startsWith("c_mktsegment="))
+    val counts = graft.api.Catalog.partitionCounts(spark, "graft_api_cat")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts("cust_part") == 5L)
+  }
+
   test("accessHeat + deadTables from an audit log") {
     setup()
     import spark.implicits._
