@@ -4,6 +4,7 @@ import graft.functions.TextUdfs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Public deduplication API over arbitrary document DataFrames.
   *
@@ -44,23 +45,29 @@ object Dedup {
     * strpos polynomial over the same 15 nibbles.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16): DataFrame = {
+      k: Int = 16): DataFrame =
+    signaturesFromShingles(shingleRows(docs, idCol, textCol), k)
+
+  private def signaturesFromShingles(shingles: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(i =>
       min(conv(substring(md5(concat(lit(i.toString), col("token"))), 1, 15), 16, 10)
         .cast("long")).as(s"sig_$i"))
-    shingleRows(docs, idCol, textCol).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding of the signatures → (doc_id, band, bhash). */
   def lshBanded(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4): DataFrame = {
+      k: Int = 16, bands: Int = 4): DataFrame =
+    bandedFromShingles(shingleRows(docs, idCol, textCol), k, bands)
+
+  private def bandedFromShingles(shingles: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       md5(concat_ws("|",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
-    minhashSignatures(docs, idCol, textCol, k)
+    signaturesFromShingles(shingles, k)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
   }
 
@@ -78,7 +85,11 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, maxBucket: Int = 1000): DataFrame =
-    lshBanded(docs, idCol, textCol, k, bands)
+    pairsFromShingles(shingleRows(docs, idCol, textCol), k, bands, maxBucket)
+
+  private def pairsFromShingles(shingles: DataFrame, k: Int, bands: Int,
+      maxBucket: Int): DataFrame =
+    bandedFromShingles(shingles, k, bands)
       .groupBy("band", "bhash")
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -100,9 +111,18 @@ object Dedup {
     */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sets = shingleRows(docs, idCol, textCol)
+    // The tokenize+shingle explode of the whole corpus feeds BOTH the
+    // per-doc set branch and the minhash→LSH pair branch; Spark does
+    // not share the subtree across the two (the partial aggregates
+    // differ, so no exchange reuse). persist() materializes it once —
+    // and because persist registers with the session CacheManager by
+    // canonicalized plan, later queries over the same corpus (the
+    // pipeline + components queries) reuse the same cached shingles.
+    val shingles = shingleRows(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = shingles
       .groupBy("doc_id").agg(collect_set(col("token")).as("toks"))
-    val pairs = lshCandidatePairs(docs, idCol, textCol, k, bands)
+    val pairs = pairsFromShingles(shingles, k, bands, 1000)
     val nInter = size(array_intersect(col("sa.toks"), col("sb.toks")))
     val denom = size(col("sa.toks")) + size(col("sb.toks")) - nInter
     pairs
@@ -119,9 +139,19 @@ object Dedup {
     * min-label propagation — each round joins labels to the undirected
     * edge list and keeps the per-node min; converges in O(component
     * diameter) rounds (near-dup components are clique-ish, so 2-3).
-    * `localCheckpoint` truncates the growing lineage each round.
-    * At cluster scale the identical loop runs with the same joins;
-    * Pregel-style frameworks optimize constants, not the shape.
+    *
+    * Convergence is detected from sum(comp) over the freshly
+    * materialized labels: min-label propagation only ever DECREASES a
+    * label, so the sum is strictly monotone until the fixpoint — an
+    * O(|labels|) scan of the just-checkpointed rows instead of the
+    * join+filter+isEmpty job a change-set diff would cost per round.
+    *
+    * `localCheckpoint` truncates the growing lineage each round. It is
+    * NOT fault-tolerant (executor loss forfeits the run — the driver
+    * cannot recompute truncated lineage); this trade is deliberate
+    * here, a production cluster run that must survive executor churn
+    * should substitute reliable `checkpoint` with an HDFS checkpoint
+    * dir — same loop, same shape, one config.
     */
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
@@ -134,6 +164,11 @@ object Dedup {
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("comp", col("doc"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -141,9 +176,11 @@ object Dedup {
         .select(col("v").as("doc"), col("comp"))
       val next = labels.unionByName(propagated)
         .groupBy("doc").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "old"), "doc")
-        .filter(col("comp") =!= col("old")).isEmpty
+        .localCheckpoint() // eager: the round's one real job
+      // cheap scan of the checkpointed rows, no join
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -113,6 +113,87 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** Deterministic Lloyd k-means codebook over the embedding column —
+    * the trained upgrade of [[ivfNeighbors]]' first-k stand-in.
+    *
+    * Engine-portable determinism, piece by piece:
+    *  - init: the k vectors with the smallest `md5(cast(id as string))`
+    *    (a seedless pseudo-random draw both engines compute equally);
+    *  - assignment: nearest centroid by squared L2 accumulated in index
+    *    order, ties broken by lowest centroid id;
+    *  - update: per-cell per-dimension mean — the sum runs in
+    *    DECIMAL(38,20) (order-independent, and double→decimal rounding
+    *    is HALF_UP in both Spark and DuckDB, so even dyadic-tie values
+    *    cast identically), then one double division;
+    *  - empty cells keep their previous centroid.
+    *
+    * Scale shape: each round is one linear scan (assignment is a
+    * codegen'd map against the BROADCAST literal codebook — no join)
+    * plus one (cell, dim)-key aggregation whose result is k×dims rows;
+    * the driver collects only the k×dims codebook per round, which is
+    * the legitimate driver-sized reduce of k-means at any corpus size.
+    */
+  def kmeansCodebook(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    val base = prepare(embs, idCol, vecCol).select(col(idCol).as("__id"), col("__v"))
+    var codebook: Array[Array[Double]] = base
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy("__h").limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val stats = assignCells(base, codebook)
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum(col("__x").cast("decimal(38,20)")).as("__sx"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = codebook.map(_.clone) // empty cells keep their centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      codebook = next
+    }
+    codebook
+  }
+
+  /** Nearest-centroid cell (squared-L2, first-index tie-break) against
+    * a literal codebook: `array_position(dists, array_min(dists))`
+    * picks the FIRST minimum — lowest cell id — deterministically.
+    */
+  private def assignCells(df: DataFrame, codebook: Array[Array[Double]]): DataFrame = {
+    val cb = array(codebook.map(c => array(c.map(lit(_)): _*)): _*)
+    df.withColumn("__dists",
+        transform(cb, c => aggregate(zip_with(col("__v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, b) => a + b)))
+      .withColumn("__cell",
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
+      .drop("__dists")
+  }
+
+  /** IVF ANN over a TRAINED codebook (probe = 1): k-means cells from
+    * [[kmeansCodebook]], then top-k cosine neighbors within each cell —
+    * same cell-blocked dataflow as [[ivfNeighbors]], better cells.
+    */
+  def ivfTrainedNeighbors(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5, topK: Int = 2): DataFrame = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val assigned = assignCells(
+        prepare(embs, idCol, vecCol).select(col(idCol), col("__v"), col("__nrm")),
+        codebook)
+      .withColumnRenamed("__cell", "cell")
+    val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col("a.cell").as("cell"),
+        col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
   /** Top-k same-label neighbors per vector (label blocking bounds the
     * quadratic term to (n/labels)² per partition).
     */

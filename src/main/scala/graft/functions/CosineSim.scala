@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: fused cosine similarity over two
@@ -20,11 +22,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Null semantics: EXACTLY the higher-order-function form's — null if
   * either array is null, if any element is null, or if lengths differ
   * (zip_with pads the shorter side with nulls, poisoning the fold).
-  * This equivalence is what makes the AccelerateCosine optimizer
-  * rewrite unconditionally safe.
+  * Zero norm mirrors Divide's 0.0-divisor contract mode-for-mode:
+  * `failOnError` is captured from the session at construction (the
+  * same pattern as Divide itself), so ANSI throws DIVIDE_BY_ZERO and
+  * legacy mode returns null. This equivalence is what makes the
+  * AccelerateCosine optimizer rewrite safe under either mode.
   */
-case class CosineSim(left: Expression, right: Expression)
+case class CosineSim(left: Expression, right: Expression,
+    failOnError: Boolean = SQLConf.get.ansiEnabled)
     extends BinaryExpression {
+
+  // Can return null from non-null inputs (length mismatch, null
+  // element, zero norm) — same pattern as Spark's Divide. Without this
+  // override the inherited nullable would be false for non-nullable
+  // inputs, NullPropagation could constant-fold IsNull to false, and
+  // the non-nullable codegen path would emit `false = true;`.
+  override def nullable: Boolean = true
+
+  private def zeroNormError(): Nothing =
+    throw Bridge.divideByZeroError()
 
   // ExpectsInputTypes is unusable outside org.apache.spark.sql
   // (AbstractDataType is private[sql]); check types directly.
@@ -52,7 +68,10 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) {
+      // 0.0 divisor: throw under ANSI, null in legacy — like Divide
+      if (failOnError) zeroNormError() else null
+    } else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,7 +99,13 @@ case class CosineSim(left: Expression, right: Expression)
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${if (failOnError)
+               "throw org.apache.spark.sql.graftbridge.Bridge.divideByZeroError();"
+             else s"${ev.isNull} = true;"}
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin
@@ -89,6 +114,10 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+
+  // failOnError participates in equality (two CosineSims in different
+  // ANSI modes are different expressions) but must not break the
+  // 2-child contract — BinaryExpression's children stay (left, right).
 }
 
 object CosineSim {

@@ -118,12 +118,16 @@ object Aggs {
               |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
+    // collect_list output serialized to a CSV string at the boundary
+    // (driver's pandas sort cannot hash array cells); the sorted list
+    // itself is the aggregate under test.
     Q("agg_collect_sorted",
       (s, d) => Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("orderkeys"))
         .orderBy("o_custkey"),
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      Some("""SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     Q("agg_percentiles",
@@ -180,12 +184,17 @@ object Aggs {
              |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
 
     // Sketch-based percentiles (no oracle — approximation is
-    // engine-specific; AggEdgeSpec bounds the error vs exact).
+    // engine-specific; AggEdgeSpec bounds the error vs exact). The two
+    // quantiles are emitted as scalar columns so the driver can at
+    // least row-count the output (arrays crash its pandas sort).
     Q("agg_approx_percentile",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("approx_p50_p95"))
+          .as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("approx_p50"),
+          element_at(col("ap"), 2).as("approx_p95"))
         .orderBy("l_returnflag"),
       None),
 

@@ -226,6 +226,70 @@ object DataOps {
     Q("ann_ivf_cells", fn, Some(sql))
   }
 
+  /** IVF ANN over a TRAINED deterministic k-means codebook (probe=1):
+    * md5-ranked init, 5 Lloyd rounds with decimal-exact means, then the
+    * same cell-blocked top-k search as ann_ivf_cells. The DuckDB twin
+    * unrolls the 5 training rounds as CTEs and reproduces every
+    * determinism device (HALF_UP double→decimal cast, first-min
+    * tie-break, empty-cell carry-over).
+    */
+  private def ivfTrainedQuery: Q = {
+    val K = 16; val ITERS = 5; val TOPK = 2
+    def fn(s: SparkSession, d: String) =
+      graft.api.Similarity
+        .ivfTrainedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
+          K, ITERS, TOPK)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rn").cast("long").as("rn"),
+          col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_id", "rn")
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def L2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    // assignment of every vector to its nearest cbN centroid
+    def assign(cb: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM base b, $cb c) t WHERE rn = 1)""".stripMargin
+    // Lloyd update: decimal-exact per-dimension means; empty cells keep
+    // their previous centroid (mirrors the Scala carry-over)
+    def update(a: String, prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
+         |    SELECT cell, pos,
+         |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+         |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |          FROM $a) e
+         |    GROUP BY cell, pos) m GROUP BY cell
+         |  UNION ALL
+         |  SELECT c_id, v FROM $prev
+         |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
+    val iterCtes = (1 to ITERS).flatMap(i =>
+      Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |cb0 AS (
+         |  SELECT c_id, v FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
+         |    FROM base) r WHERE c_id < $K),
+         |${iterCtes.mkString(",\n")},
+         |${assign(s"cb$ITERS", "afinal")}
+         |SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |  FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivf_trained", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery, ivfQuery)
+    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery, ivfQuery,
+      ivfTrainedQuery)
 }

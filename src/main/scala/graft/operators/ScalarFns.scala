@@ -172,25 +172,27 @@ object ScalarFns {
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
     // Array set algebra over token arrays; results sorted on both sides
-    // (engines differ on intersect/union element order, not content).
+    // (engines differ on intersect/union element order, not content)
+    // and serialized to CSV strings at the output boundary (the
+    // driver's pandas sort cannot hash array cells).
     Q("fn_array_setops",
       (s, d) => Tables.part(s, d)
         .select(col("p_partkey"),
           split(col("p_name"), " ", -1).as("na"),
           split(col("p_type"), " ", -1).as("ta"))
         .select(col("p_partkey"),
-          array_sort(array_union(col("na"), col("ta"))).as("u"),
-          array_sort(array_intersect(col("na"), col("ta"))).as("i"),
-          array_sort(array_except(col("na"), col("ta"))).as("e"),
-          array_sort(flatten(array(col("na"), col("ta")))).as("f"),
-          array_sort(array_distinct(col("na"))).as("dd"))
+          concat_ws(",", array_sort(array_union(col("na"), col("ta")))).as("u"),
+          concat_ws(",", array_sort(array_intersect(col("na"), col("ta")))).as("i"),
+          concat_ws(",", array_sort(array_except(col("na"), col("ta")))).as("e"),
+          concat_ws(",", array_sort(flatten(array(col("na"), col("ta"))))).as("f"),
+          concat_ws(",", array_sort(array_distinct(col("na")))).as("dd"))
         .orderBy("p_partkey"),
       Some("""SELECT p_partkey,
-             |list_sort(list_distinct(na || ta)) AS u,
-             |list_sort(list_intersect(na, ta)) AS i,
-             |list_sort(list_filter(list_distinct(na), x -> NOT list_contains(ta, x))) AS e,
-             |list_sort(flatten([na, ta])) AS f,
-             |list_sort(list_distinct(na)) AS dd
+             |COALESCE(array_to_string(list_sort(list_distinct(na || ta)), ','), '') AS u,
+             |COALESCE(array_to_string(list_sort(list_intersect(na, ta)), ','), '') AS i,
+             |COALESCE(array_to_string(list_sort(list_filter(list_distinct(na), x -> NOT list_contains(ta, x))), ','), '') AS e,
+             |COALESCE(array_to_string(list_sort(flatten([na, ta])), ','), '') AS f,
+             |COALESCE(array_to_string(list_sort(list_distinct(na)), ','), '') AS dd
              |FROM (SELECT p_partkey, string_split(p_name, ' ') AS na,
              |      string_split(p_type, ' ') AS ta FROM part) x
              |ORDER BY p_partkey""".stripMargin)),

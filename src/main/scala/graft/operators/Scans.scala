@@ -42,6 +42,32 @@ object Scans {
       Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, user_id, event_type
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Partition pruning under the oracle contract: write a partitioned
+    // copy of orders (hive-style o_orderstatus=X directories), read it
+    // back with a partition filter, and aggregate — the scan must list
+    // and read ONLY the matching directory (PartitionFilters, asserted
+    // in PlanSpec). At 100 TB this is the difference between touching
+    // one partition and touching the table; the oracle runs the same
+    // aggregate over the original un-partitioned parquet.
+    Q("scan_partition_pruned",
+      (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_${math.abs(d.hashCode)}"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.orders(s, d).write.mode("overwrite")
+            .partitionBy("o_orderstatus").parquet(tmp)
+        }
+        s.read.parquet(tmp)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderstatus = 'F'
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.

@@ -11,13 +11,16 @@ object Udfs {
   import TextUdfs.SQL_TOKENIZE
 
   val queries: Seq[Q] = Seq(
+    // The token list is serialized to a space-joined string at the
+    // output boundary: the driver's compare sorts in pandas, which
+    // cannot hash array cells. The UDF itself still returns the array.
     Q("udf_tokenize",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          TextUdfs.tokenize(col("text")).as("tokens"),
+          concat_ws(" ", TextUdfs.tokenize(col("text"))).as("tokens"),
           size(TextUdfs.tokenize(col("text"))).cast("long").as("n_tokens"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, $SQL_TOKENIZE AS tokens,
+      Some(s"""SELECT doc_id, array_to_string($SQL_TOKENIZE, ' ') AS tokens,
               |CAST(len($SQL_TOKENIZE) AS BIGINT) AS n_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 

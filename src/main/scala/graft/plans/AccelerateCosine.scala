@@ -15,21 +15,38 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * into the native codegen'd [[CosineSim]] (measured 5.6×, identical
   * accumulation order → identical results).
   *
-  * Unconditionally safe: CosineSim implements the HOF form's exact
-  * null semantics (null array, null element, or length mismatch →
-  * null), so the rewrite never changes results.
+  * Safe in both SQL modes: CosineSim implements the HOF form's exact
+  * null semantics (null array, null element, length mismatch → null)
+  * and mirrors Divide's 0.0-divisor contract per mode — the rewrite
+  * passes the session's ansiEnabled into the expression, so zero-norm
+  * inputs throw DIVIDE_BY_ZERO under ANSI and return null in legacy,
+  * exactly like the Divide node it replaces.
   */
 object AccelerateCosine extends Rule[LogicalPlan] {
 
-  /** Match the `aggregate(zip_with(a, b, *), 0.0, +)` dot-product fold
-    * and return (a, b).
+  /** Both operands must be exactly the lambda's two DECLARED parameters
+    * (in either order, each used once) — matched by exprId, so
+    * `(x, y) -> x * x` or a fold reusing one variable does NOT match.
+    */
+  private def usesBothParams(used: Seq[NamedLambdaVariable],
+      declared: Seq[NamedLambdaVariable]): Boolean =
+    declared.length == 2 && used.length == 2 &&
+      used.map(_.exprId).toSet == declared.map(_.exprId).toSet &&
+      used(0).exprId != used(1).exprId
+
+  /** Match the `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0,
+    * (acc,v) -> acc+v)` dot-product fold and return (a, b).
     */
   private def asDot(e: Expression): Option[(Expression, Expression)] = e match {
     case ArrayAggregate(
-        ZipWith(a, b, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        ZipWith(a, b, LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), zipArgs, _)),
         Literal(0.0, DoubleType),
-        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-        _) => Some((a, b))
+        LambdaFunction(Add(p: NamedLambdaVariable, q: NamedLambdaVariable, _), foldArgs, _),
+        _)
+      if usesBothParams(Seq(x, y), zipArgs.collect { case v: NamedLambdaVariable => v }) &&
+        usesBothParams(Seq(p, q), foldArgs.collect { case v: NamedLambdaVariable => v }) &&
+        zipArgs.length == 2 && foldArgs.length == 2 =>
+      Some((a, b))
     case _ => None
   }
 
@@ -46,7 +63,7 @@ object AccelerateCosine extends Rule[LogicalPlan] {
               if a.semanticEquals(a1) && a.semanticEquals(a2) &&
                 b.semanticEquals(b1) && b.semanticEquals(b2) &&
                 doubleArray(a) && doubleArray(b) =>
-            CosineSim(a, b)
+            CosineSim(a, b, conf.ansiEnabled)
           case _ => orig
         }
     }

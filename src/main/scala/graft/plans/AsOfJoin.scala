@@ -83,7 +83,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val lk = blk.eval(l)
         val lt = blt.eval(l)
-        if (lk != null) {
+        // null left key or null left ts → no match by definition (the
+        // interpreted orderings reject null operands, so both are
+        // guarded before any compare).
+        if (lk != null && lt != null) {
           // advance the right side up to (lk, lt]; remember the last
           // same-key row as the as-of candidate
           var advancing = true
@@ -91,16 +94,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val rHead = rBuf.head
             val rk = brk.eval(rHead)
             val cmp = if (rk == null) -1 else keyOrd.compare(rk, lk)
-            if (cmp < 0 || (cmp == 0 && tsOrd.compare(brt.eval(rHead), lt) <= 0)) {
+            // null right ts sorts first within its key (ascending nulls
+            // first): consume it without candidacy so it cannot block
+            // the key group's real rows.
+            val rt = if (cmp == 0) brt.eval(rHead) else null
+            if (cmp < 0 || (cmp == 0 && (rt == null || tsOrd.compare(rt, lt) <= 0))) {
               val r = rBuf.next()
-              if (cmp == 0) {
+              if (cmp == 0 && rt != null) {
                 candidate = r.copy() // UnsafeRow reuse — must copy
-                candidateKey = rk
+                // re-derive the key FROM THE COPY: for non-primitive
+                // types (UTF8String, Decimal, structs) the value from
+                // brk.eval(rHead) points into the sorter's reused
+                // buffer and is clobbered once the iterator advances
+                candidateKey = brk.eval(candidate)
               }
             } else advancing = false
           }
         }
-        val matched = lk != null && candidate != null &&
+        val matched = lk != null && lt != null && candidate != null &&
           keyOrd.compare(candidateKey, lk) == 0
         joiner(l, if (matched) candidate else nullRight)
       }

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The engine's own DIVIDE_BY_ZERO (QueryExecutionErrors is
+    * private[sql]) — lets graft expressions throw the identical ANSI
+    * error Spark's Divide throws.
+    */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 }

@@ -47,6 +47,52 @@ class AccelerateCosineSpec extends AnyFunSuite {
     assert(plain.sameElements(accel))
   }
 
+  test("non-dot lambdas are NOT rewritten (params matched by exprId)") {
+    withRule {
+      // (x, y) -> x * x: same shape as a dot product to a naive matcher,
+      // semantically different — must survive the optimizer untouched.
+      def squareFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, _) => x * x), lit(0.0), (acc, v) => acc + v)
+      val q = vecs.limit(10).crossJoin(vecs.limit(1).select(col("v").as("qv")))
+        .select((squareFold(col("v"), col("qv")) /
+          (sqrt(squareFold(col("v"), col("v"))) * sqrt(squareFold(col("qv"), col("qv")))))
+          .as("notsim"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+
+      // (acc, v) -> v + v in the fold position: also must not match.
+      def doubleFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (_, v) => v + v)
+      val q2 = vecs.limit(10).crossJoin(vecs.limit(1).select(col("v").as("qv")))
+        .select((doubleFold(col("v"), col("qv")) /
+          (sqrt(doubleFold(col("v"), col("v"))) * sqrt(doubleFold(col("qv"), col("qv")))))
+          .as("notsim"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+    }
+  }
+
+  test("zero-norm vectors keep Divide's per-mode semantics through the rewrite") {
+    import spark.implicits._
+    val mk = () => Seq((Array(0.0, 0.0), Array(1.0, 2.0)),
+        (Array(1.0, 0.0), Array(1.0, 0.0)))
+      .toDF("a", "b")
+      .select(hofCosine(col("a"), col("b")).as("sim"))
+    // legacy mode: null on both the plain and the rewritten path
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val plain = mk().collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val accel = withRule {
+        mk().collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      }
+      assert(plain.toSeq == accel.toSeq)
+      assert(plain.head.isEmpty) // zero-norm row is null on both paths
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // ANSI mode: DIVIDE_BY_ZERO on both paths
+    val ePlain = intercept[Exception](mk().collect())
+    assert(ePlain.getMessage.contains("DIVIDE_BY_ZERO"), ePlain.getMessage)
+    val eAccel = intercept[Exception](withRule(mk().collect()))
+    assert(eAccel.getMessage.contains("DIVIDE_BY_ZERO"), eAccel.getMessage)
+  }
+
   test("nullable-element arrays rewrite AND keep null-poisoning semantics") {
     import spark.implicits._
     val mk = () => Seq((Some(1.0), Some(2.0)), (None, Some(3.0)))

@@ -36,6 +36,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("string keys: candidate key survives row-buffer reuse") {
+    import spark.implicits._
+    // many string keys per partition so the sorter's reused row buffer
+    // is overwritten between candidate capture and the compare
+    val left = (0 until 500).map(i => (s"key_${i % 50}", i.toLong + 100, i))
+      .toDF("k", "t", "lid")
+    val right = (0 until 500).map(i => (s"key_${i % 50}", i.toLong % 100, s"r$i"))
+      .toDF("k", "rt", "rtag")
+    val out = graft.plans.AsOf.join(left, right, "k", "t", "rt")
+    // every left row has t >= 100 > all right ts of its key → all match,
+    // and the match must be the LATEST right row of the SAME key
+    val rows = out.select(col("k"), col("t"), col("rtag")).collect()
+    assert(rows.length == 500 && rows.forall(_.getString(2) != null))
+    // ties on (k, rt) are broken by sort order within the operator, so
+    // assert the matched rtag belongs to the same key and max ts value
+    val rightTs = (0 until 500).map(i => (s"r$i", s"key_${i % 50}", i.toLong % 100))
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val maxTs = (0 until 500).map(i => (s"key_${i % 50}", i.toLong % 100))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    rows.foreach { r =>
+      val (rk, rt) = rightTs(r.getString(2))
+      assert(rk == r.getString(0), s"matched row from wrong key: $r")
+      assert(rt == maxTs(rk), s"matched non-latest row: $r")
+    }
+  }
+
+  test("null timestamps: left-null → no match, right-null → never a candidate") {
+    import spark.implicits._
+    val left = Seq((1L, Some(10L), "a"), (1L, None, "b"), (2L, Some(5L), "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, None, "rnull"), (1L, Some(7L), "r7"), (2L, None, "rn2"))
+      .toDF("k", "rt", "rtag")
+    val out = graft.plans.AsOf.join(left, right, "k", "t", "rt")
+      .select("k", "tag", "rtag")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("NULL"))).toSet
+    assert(out == Set(
+      (1L, "a", "r7"),    // r7 <= 10; rnull skipped, not blocking
+      (1L, "b", "NULL"),  // null left ts → no match
+      (2L, "c", "NULL")   // key 2's only right row has null ts
+    ))
+  }
+
   test("physical plan uses AsOfJoinExec with shuffled+sorted children") {
     val ev = Tables.events(spark, TestSpark.sf0001)
       .select(col("event_id"), col("user_id"), col("ts"))

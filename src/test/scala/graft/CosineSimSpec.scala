@@ -49,6 +49,44 @@ class CosineSimSpec extends AnyFunSuite {
     assert(math.abs(interp - expected) < 1e-12)
   }
 
+  test("zero-norm vector mirrors Divide per SQL mode (null legacy, throw ANSI)") {
+    graft.functions.CosineSim.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    // legacy mode: both the native expression and the HOF+Divide form → null
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(df.select(expr("cosine_sim(a, b)")).head.isNullAt(0))
+      assert(df.select(hofSim(col("a"), col("b"))).head.isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // ANSI mode: both throw DIVIDE_BY_ZERO
+    val eNative = intercept[Exception](
+      df.select(expr("cosine_sim(a, b)")).collect())
+    assert(eNative.getMessage.contains("DIVIDE_BY_ZERO"), eNative.getMessage)
+    val eHof = intercept[Exception](
+      df.select(hofSim(col("a"), col("b"))).collect())
+    assert(eHof.getMessage.contains("DIVIDE_BY_ZERO"), eHof.getMessage)
+    // interpreted path, legacy semantics, explicit failOnError=false
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val z = Literal.create(new GenericArrayData(Array(0.0, 0.0)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val v = Literal.create(new GenericArrayData(Array(1.0, 2.0)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(graft.functions.CosineSim(z, v, failOnError = false).eval(null) == null)
+    intercept[ArithmeticException](
+      graft.functions.CosineSim(z, v, failOnError = true).eval(null))
+  }
+
+  test("nullable is true even over non-nullable inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = Literal.create(new GenericArrayData(Array(1.0)),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    assert(graft.functions.CosineSim(a, a).nullable)
+  }
+
   test("type mismatch is rejected at analysis") {
     graft.functions.CosineSim.register(spark)
     import spark.implicits._

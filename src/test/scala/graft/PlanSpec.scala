@@ -24,6 +24,16 @@ class PlanSpec extends AnyFunSuite {
       s"unpruned scan in:\n$p")
   }
 
+  test("scan_partition_pruned prunes to one hive partition directory") {
+    val p = plan("scan_partition_pruned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus") ||
+      p.contains("PartitionFilters: [(o_orderstatus"),
+      s"no partition filters in:\n$p")
+    // the status column must NOT appear as a pushed data filter — it is
+    // a directory, not a column, in the partitioned copy
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus"), p)
+  }
+
   test("join_star_5way broadcasts the dimension tables") {
     val p = plan("join_star_5way")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
