@@ -13,8 +13,31 @@ import org.apache.spark.sql.functions._
   * tables, not billions of rows) — materializing it into DataFrames is
   * the correct shape; the heavy side (access logs) stays distributed
   * and joins against these small broadcast dims.
+  *
+  * Per-table metastore calls (`listColumns`, `getTableMetadata`,
+  * `listPartitionNames`) are issued CONCURRENTLY over a bounded pool of
+  * [[Catalog.rpcParallelism]] workers: against a 10^5-table production
+  * metastore the collector is RPC-latency-bound, and 8-way pipelining
+  * cuts the wall clock ~8× without stampeding the metastore. Results
+  * are re-assembled in deterministic table order (the pool changes
+  * completion order, never output order).
   */
 object Catalog {
+
+  /** Bounded concurrency for per-table metastore RPCs. */
+  val rpcParallelism = 8
+
+  /** Map `f` over `xs` with [[rpcParallelism]]-way concurrency,
+    * preserving input order.
+    */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(rpcParallelism)
+    val par = xs.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    try par.map(f).seq
+    finally pool.shutdown()
+  }
 
   /** DBS analog: one row per database. */
   def databases(spark: SparkSession): DataFrame = {
@@ -35,14 +58,14 @@ object Catalog {
   /** COLUMNS_V2 analog: one row per column of every table in `db`. */
   def columns(spark: SparkSession, db: String): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables(db).collect().toSeq
+    val tables = spark.catalog.listTables(db).collect().toSeq
       .filter(!_.isTemporary)
-      .flatMap { t =>
-        spark.catalog.listColumns(db, t.name).collect().zipWithIndex.map {
-          case (c, i) =>
-            (db, t.name, c.name, c.dataType, i.toLong, c.isPartition, c.isBucket)
-        }
-      }
+    parMap(tables) { t =>
+      spark.catalog.listColumns(db, t.name).collect().zipWithIndex.map {
+        case (c, i) =>
+          (db, t.name, c.name, c.dataType, i.toLong, c.isPartition, c.isBucket)
+      }.toSeq
+    }.flatten
       .toDF("db_name", "table_name", "column_name", "type_name", "ordinal",
         "is_partition", "is_bucket")
   }
@@ -52,9 +75,9 @@ object Catalog {
     */
   def tableStats(spark: SparkSession, db: String): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables(db).collect().toSeq
+    val tables = spark.catalog.listTables(db).collect().toSeq
       .filter(!_.isTemporary)
-      .map { t =>
+    parMap(tables) { t =>
         val meta = spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
         val stats = meta.stats
@@ -87,9 +110,9 @@ object Catalog {
   /** Partition-count report per table (growth/attention lists). */
   def partitionCounts(spark: SparkSession, db: String): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables(db).collect().toSeq
+    val tables = spark.catalog.listTables(db).collect().toSeq
       .filter(!_.isTemporary)
-      .map { t =>
+    parMap(tables) { t =>
         val n =
           try spark.sessionState.catalog
             .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))

@@ -110,16 +110,29 @@ object Dedup {
     * re-deriving the shingle stream three more times.
     */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
-    // The tokenize+shingle explode of the whole corpus feeds BOTH the
-    // per-doc set branch and the minhash→LSH pair branch; Spark does
-    // not share the subtree across the two (the partial aggregates
-    // differ, so no exchange reuse). persist() materializes it once —
-    // and because persist registers with the session CacheManager by
-    // canonicalized plan, later queries over the same corpus (the
-    // pipeline + components queries) reuse the same cached shingles.
-    val shingles = shingleRows(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame =
+    jaccardFromShingles(persistedShingles(docs, idCol, textCol),
+      threshold, k, bands)
+
+  /** The tokenize+shingle explode of the whole corpus feeds BOTH the
+    * per-doc set branch and the minhash→LSH pair branch; Spark does
+    * not share the subtree across the two (the partial aggregates
+    * differ, so no exchange reuse). persist() materializes it once —
+    * and because persist registers with the session CacheManager by
+    * canonicalized plan, later queries over the same corpus (the
+    * pipeline + components queries) reuse the same cached shingles.
+    * The cache lives until [[nearDupComponents]] (the terminal stage of
+    * the dedup pipeline) unpersists it; callers using [[jaccardVerify]]
+    * standalone on many distinct corpora should release it themselves
+    * via `df.sparkSession.catalog.clearCache()` or a matching
+    * `shingleRows(...).unpersist()`.
+    */
+  private def persistedShingles(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    shingleRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def jaccardFromShingles(shingles: DataFrame, threshold: Double,
+      k: Int, bands: Int): DataFrame = {
     val sets = shingles
       .groupBy("doc_id").agg(collect_set(col("token")).as("toks"))
     val pairs = pairsFromShingles(shingles, k, bands, 1000)
@@ -152,21 +165,30 @@ object Dedup {
     * here, a production cluster run that must survive executor churn
     * should substitute reliable `checkpoint` with an HDFS checkpoint
     * dir — same loop, same shape, one config.
+    *
+    * Requires a NUMERIC `idCol` (the convergence check sums labels; doc
+    * ids in this engine are longs). The sum runs in DECIMAL(38,0), so
+    * it cannot overflow under ANSI mode even for 10^19-scale id domains
+    * (38 digits of headroom over any realistic corpus).
     */
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
       maxIters: Int = 25): DataFrame = {
-    val pairs = jaccardVerify(docs, idCol, textCol, threshold, k, bands)
+    val shingles = persistedShingles(docs, idCol, textCol)
+    val pairs = jaccardFromShingles(shingles, threshold, k, bands)
       .filter(col("is_near_dup"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+      .localCheckpoint() // eager — the shingle cache is consumed here
+    // The pipeline is done with the shingle stream once the edge list is
+    // materialized; release the cache (blocking=false: lazy eviction).
+    shingles.unpersist(blocking = false)
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("comp", col("doc"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
     var prevSum = labelSum(labels)
     var converged = false

@@ -172,21 +172,50 @@ object Similarity {
       .drop("__dists")
   }
 
-  /** IVF ANN over a TRAINED codebook (probe = 1): k-means cells from
-    * [[kmeansCodebook]], then top-k cosine neighbors within each cell —
-    * same cell-blocked dataflow as [[ivfNeighbors]], better cells.
+  /** Top-`probes` nearest cells per vector (squared-L2 ascending, cell
+    * id tie-break) as an array column `__probe_cells`: structs of
+    * (dist, cell) sort lexicographically, so the natural array_sort
+    * gives exactly the deterministic order [[assignCells]] uses for its
+    * single cell.
+    */
+  private def probeCells(df: DataFrame, codebook: Array[Array[Double]],
+      probes: Int): DataFrame = {
+    val cb = array(codebook.map(c => array(c.map(lit(_)): _*)): _*)
+    df.withColumn("__dc",
+        transform(cb, (c, i) => struct(
+          aggregate(zip_with(col("__v"), c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, b) => a + b).as("d"),
+          i.cast("int").as("cell"))))
+      .withColumn("__probe_cells",
+        transform(slice(array_sort(col("__dc")), 1, probes), s => s("cell")))
+      .drop("__dc")
+  }
+
+  /** IVF ANN over a TRAINED codebook: k-means cells from
+    * [[kmeansCodebook]], then top-k cosine neighbors searched in each
+    * query's `probes` nearest cells — same cell-blocked dataflow as
+    * [[ivfNeighbors]], better cells.
+    *
+    * `probes` trades cost for recall: the index side stores each vector
+    * once (its single nearest cell), the query side fans out to its
+    * `probes` nearest cells, so the pairwise term scales linearly in
+    * `probes` (Σ probes·bucket² vs the n² brute force). probes=1 is the
+    * classic IVF fast path; KMeansIvfSpec measures the recall curve.
     */
   def ivfTrainedNeighbors(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 5, topK: Int = 2): DataFrame = {
+      k: Int = 16, iters: Int = 5, topK: Int = 2, probes: Int = 1): DataFrame = {
     val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
-    val assigned = assignCells(
-        prepare(embs, idCol, vecCol).select(col(idCol), col("__v"), col("__nrm")),
-        codebook)
-      .withColumnRenamed("__cell", "cell")
+    val base = prepare(embs, idCol, vecCol).select(col(idCol), col("__v"), col("__nrm"))
+    val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+    val queriesSide =
+      if (probes <= 1) assigned
+      else probeCells(base, codebook, probes)
+        .select(col(idCol), col("__v"), col("__nrm"),
+          explode(col("__probe_cells")).as("cell"))
     val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
-    assigned.as("a").join(assigned.as("b"),
+    queriesSide.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("__id_a"), col("a.cell").as("cell"),
+      .select(col(s"a.$idCol").as("__id_a"), col("b.cell").as("cell"),
         col(s"b.$idCol").as("nbr_id"),
         expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
       .withColumn("rn", row_number().over(w))

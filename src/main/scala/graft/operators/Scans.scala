@@ -51,7 +51,13 @@ object Scans {
     // aggregate over the original un-partitioned parquet.
     Q("scan_partition_pruned",
       (s, d) => {
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_${math.abs(d.hashCode)}"
+        // Cache dir keyed on the sanitized source path PLUS a source
+        // fingerprint (size + mtime): a regenerated fixture invalidates
+        // the cached partitioned copy instead of being silently shadowed
+        // by it, and distinct dataset paths can never collide.
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.orders(s, d).write.mode("overwrite")
             .partitionBy("o_orderstatus").parquet(tmp)

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trained-IVF quality evidence (SURVEY §2.L `ann_ivf_trained`):
+  * the k-means codebook is deterministic across runs, and its recall@1
+  * against exact brute-force ground truth beats the first-k stand-in
+  * codebook of `ann_ivf_cells` — i.e. training the codebook actually
+  * retrieves better, which is the point of training it. Also measures
+  * the multi-probe recall curve (probes=1/2/4) asserted monotone.
+  */
+class KMeansIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def embs = Tables.embeddings(spark, TestSpark.sf0001)
+
+  /** Exact top-1 neighbor per vector by cosine (all-pairs; 500 vectors
+    * at sf0.001 — test-scale only, this is the ground truth oracle).
+    */
+  private lazy val groundTruth: Map[Long, Long] = {
+    CosineSim.register(spark)
+    val e = graft.api.Similarity.prepare(embs, "vec_id", "embedding")
+      .select(col("vec_id"), col("__v"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
+    e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Fraction of vectors whose ANN top-1 equals the true top-1. */
+  private def recallAt1(ann: DataFrame): Double = {
+    val top1 = ann.filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groundTruth.count { case (id, nbr) => top1.get(id).contains(nbr) }
+      .toDouble / groundTruth.size
+  }
+
+  test("k-means codebook is deterministic across runs") {
+    val cb1 = graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding")
+    val cb2 = graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding")
+    assert(cb1.length == 16 && cb1.forall(_.length == 64))
+    assert(cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("trained IVF recall@1 beats the first-k stand-in codebook") {
+    val standIn = recallAt1(graft.api.Similarity
+      .ivfNeighbors(embs, "vec_id", "embedding", nCentroids = 16, topK = 1))
+    val trained = recallAt1(graft.api.Similarity
+      .ivfTrainedNeighbors(embs, "vec_id", "embedding", topK = 1))
+    info(f"recall@1: first-k stand-in=$standIn%.3f trained=$trained%.3f")
+    assert(trained > standIn,
+      s"training the codebook must improve retrieval ($trained <= $standIn)")
+    // Probe-1-of-16-cells touches 1/16 of the corpus; a random partition
+    // would land recall ≈ 1/16 ≈ 0.06. Trained k-means measures ~0.29
+    // here — assert a regression floor of 4× random.
+    assert(trained >= 0.25, s"trained recall@1 unreasonably low: $trained")
+  }
+
+  test("multi-probe recall curve is monotone and reaches higher recall") {
+    val recalls = Seq(1, 2, 4).map { p =>
+      p -> recallAt1(graft.api.Similarity
+        .ivfTrainedNeighbors(embs, "vec_id", "embedding", topK = 1, probes = p))
+    }
+    info(recalls.map { case (p, r) => f"probes=$p recall@1=$r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(hi >= lo, s"recall must not decrease with more probes: $recalls")
+    }
+    assert(recalls.last._2 > recalls.head._2,
+      s"probing 4 cells should strictly improve recall@1 at this scale: $recalls")
+  }
+}
