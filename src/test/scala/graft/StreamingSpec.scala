@@ -93,6 +93,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  // The production batch-catchup trigger: AvailableNow drains every
+  // available file in bounded batches and SELF-TERMINATES — the shape a
+  // scheduled incremental collector run takes (vs the always-on
+  // processAllAvailable harness above). Runs on the RocksDB state store
+  // and asserts real state metrics from StreamingQueryProgress.
+  test("Trigger.AvailableNow drains, self-terminates, and reports RocksDB state size") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = spark.readStream.schema(schema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("avnow_test")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must self-terminate once the source is drained")
+      val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "windowed agg must report a state operator")
+      assert(stateOps.map(_.numRowsTotal).max > 0, "state must hold window rows")
+      // RocksDB-provider-specific metrics prove the provider engaged
+      import scala.jdk.CollectionConverters._
+      assert(stateOps.exists(_.customMetrics.keySet.asScala
+          .exists(_.toLowerCase.contains("rocksdb"))),
+        "state operator must report RocksDB metrics")
+      assert(spark.table("avnow_test").count() > 0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("declared streaming queries produce deterministic row counts") {
     val names = Seq("stream_tumbling_1h", "stream_session", "stream_stateful_count")
     names.foreach { n =>

@@ -37,12 +37,41 @@ object PureProps extends Properties("graft") {
       tokenize(once).mkString(" ") == once
     }
 
-  property("minhash similarity estimates Jaccard within ±0.35 (k=16)") =
+  // Per-trial bound at k=64: est ~ Binomial(64, J)/64, worst-case
+  // σ = 0.0625, so ±0.28 is 4.5σ — Hoeffding gives
+  // P(miss) ≤ 2·exp(−2·64·0.28²) ≈ 4e-5 per trial (no flake at 100
+  // trials) yet any systematic estimator bias > σ would trip it.
+  property("minhash similarity estimates Jaccard within ±0.28 (k=64)") =
     Prop.forAll(wordSet, wordSet) { (a, b) =>
-      val shared = a.intersect(b)
-      val union = a.union(b)
-      val est = minhash(a, 16).zip(minhash(b, 16)).count { case (x, y) => x == y } / 16.0
-      math.abs(est - (shared.size.toDouble / union.size)) <= 0.35
+      val j = jaccard(a, b)
+      val est = minhash(a, 64).zip(minhash(b, 64)).count { case (x, y) => x == y } / 64.0
+      math.abs(est - j) <= 0.28
+    }
+
+  // Deterministic (seeded) aggregate bound — tight enough to actually
+  // fail on an implementation bug: over 200 fixed random set pairs the
+  // MEAN |est − J| must sit near the theoretical E|est − J| ≈ 0.8σ
+  // (≈0.1 at k=16), and quadrupling k must shrink it ~2× (σ ∝ 1/√k).
+  property("minhash mean error matches theory and halves from k=16 to k=64") =
+    Prop {
+      val rnd = new scala.util.Random(42)
+      def randSet(): Set[String] =
+        List.fill(5 + rnd.nextInt(36))(
+          List.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString).toSet
+      val pairs = List.fill(200) {
+        val a = randSet()
+        // half the pairs share a sampled subset → spread of true J values
+        val b = if (rnd.nextBoolean()) randSet()
+                else randSet() ++ a.filter(_ => rnd.nextBoolean())
+        (a, b)
+      }
+      def meanErr(k: Int): Double = pairs.map { case (a, b) =>
+        val est = minhash(a, k).zip(minhash(b, k)).count { case (x, y) => x == y }.toDouble / k
+        math.abs(est - jaccard(a, b))
+      }.sum / pairs.size
+      val e16 = meanErr(16)
+      val e64 = meanErr(64)
+      e16 <= 0.12 && e64 <= 0.06 && e64 < e16
     }
 
   property("identical sets have identical minhash signatures") =
