@@ -12,8 +12,9 @@ object SparkEntry {
   def all: Seq[Q] =
     Scans.queries ++ Filters.queries ++ Joins.queries ++ Aggs.queries ++
       Windows.queries ++ SortsSets.queries ++ ScalarFns.queries ++
-      Udfs.queries ++ Llm.queries ++ TextAnalysis.queries ++
-      DataOps.queries ++ graft.streaming.Streams.queries
+      Subqueries.queries ++ Udfs.queries ++ Llm.queries ++
+      TextAnalysis.queries ++ DataOps.queries ++
+      graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -275,6 +275,21 @@ object Aggs {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_mean
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Fixed-bin histogram: floor(x / width) capped to the last bucket.
+    // Division + floor are single IEEE ops — bit-identical across
+    // engines (unlike accumulated sums). One hash aggregate at any
+    // scale; bin bounds are literals so no second pass for min/max.
+    Q("agg_histogram",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+              |COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

@@ -228,6 +228,70 @@ object ScalarFns {
           sha2(col("text"), 256).as("sha256_hex"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Second datetime wave: quarter/week/day-part extraction, month-end,
+    // quarter truncation. Dialect parity notes: Spark dayofweek is
+    // 1=Sunday..7, DuckDB's is 0=Sunday..6 (mirrored with +1); both
+    // weekofyear/dayofyear are ISO-identical.
+    Q("fn_datetime2",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+            .as("month_start"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+             |CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+             |make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Second string wave: translate/repeat/reverse/ascii/chr/left/right
+    // (all portable; initcap/format_number deliberately skipped — no
+    // DuckDB twin with identical semantics).
+    Q("fn_string2",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_caps_vowels"),
+          repeat(substring(col("p_brand"), 1, 5), 2).as("brand_x2"),
+          reverse(col("p_type")).as("type_rev"),
+          ascii(col("p_name")).cast("long").as("first_ascii"),
+          chr(lit(65) + col("p_partkey") % 26).as("letter"),
+          expr("left(p_name, 6)").as("name_l6"),
+          expr("right(p_type, 4)").as("type_r4"),
+          col("p_type").contains("BRASS").as("is_brass"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+             |repeat(substring(p_brand, 1, 5), 2) AS brand_x2,
+             |reverse(p_type) AS type_rev,
+             |CAST(ascii(p_name) AS BIGINT) AS first_ascii,
+             |chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
+             |left(p_name, 6) AS name_l6,
+             |right(p_type, 4) AS type_r4,
+             |contains(p_type, 'BRASS') AS is_brass
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Generator breadth beyond posexplode: a literal-bounded sequence
+    // per row, exploded — the lateral row-multiplying shape (calendar
+    // spines, retry fan-outs) with deterministic cardinality.
+    Q("fn_sequence_explode",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          explode(sequence(lit(1L), quarter(col("o_orderdate")).cast("long")))
+            .as("q_idx"))
+        .orderBy("o_orderkey", "q_idx"),
+      Some("""SELECT o_orderkey, CAST(unnest(generate_series(1, quarter(o_orderdate))) AS BIGINT) AS q_idx
+             |FROM orders ORDER BY o_orderkey, q_idx""".stripMargin))
   )
 }

@@ -84,6 +84,40 @@ object SortsSets {
     Q("set_except",
       (s, d) => highBal(s, d).except(building(s, d))
         .orderBy("c_custkey"),
-      Some(s"""($SQL_HIGH) EXCEPT ($SQL_BLD) ORDER BY c_custkey"""))
+      Some(s"""($SQL_HIGH) EXCEPT ($SQL_BLD) ORDER BY c_custkey""")),
+
+    // Multiset (bag) semantics — intersectAll keeps min(countA, countB)
+    // copies of each row, exceptAll keeps countA − countB. Both plan as
+    // one shuffle with a count aggregate + generate (no distinct
+    // collapse), the shape that survives duplicate-heavy 100 TB inputs.
+    Q("set_intersect_all",
+      (s, d) => {
+        val a = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+          .select("o_orderpriority", "o_orderstatus")
+        val b = Tables.orders(s, d)
+          .filter(col("o_orderdate") > lit("1998-01-01").cast("timestamp"))
+          .select("o_orderpriority", "o_orderstatus")
+        a.intersectAll(b).orderBy("o_orderpriority", "o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_totalprice > 100000
+             |INTERSECT ALL
+             |SELECT o_orderpriority, o_orderstatus FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+             |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)),
+
+    Q("set_except_all",
+      (s, d) => {
+        val a = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+          .select("o_orderpriority", "o_orderstatus")
+        val b = Tables.orders(s, d)
+          .filter(col("o_orderdate") > lit("1998-01-01").cast("timestamp"))
+          .select("o_orderpriority", "o_orderstatus")
+        a.exceptAll(b).orderBy("o_orderpriority", "o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_totalprice > 100000
+             |EXCEPT ALL
+             |SELECT o_orderpriority, o_orderstatus FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+             |ORDER BY o_orderpriority, o_orderstatus""".stripMargin))
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.L (round 3) — SQL subquery surfaces: correlated EXISTS, IN, and
+  * correlated scalar subqueries, expressed through `spark.sql` so the
+  * analyzer/optimizer rewrite pipeline (`RewritePredicateSubquery`,
+  * `DecorrelateInnerQuery`, `RewriteCorrelatedScalarSubquery`) is the
+  * code under test, not a hand-built join.
+  *
+  * Scale notes: Catalyst rewrites all three into joins (semi join for
+  * EXISTS/IN, left outer + aggregate for the scalar), so the 100 TB
+  * story is the same as §2.C — shuffled or broadcast equi-joins, no
+  * nested-loop re-execution per outer row. The exact same SQL text runs
+  * in DuckDB as the oracle.
+  */
+object Subqueries {
+
+  /** Register the fixture tables this module's SQL references. */
+  private def views(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+  }
+
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, (s, d) => { views(s, d); s.sql(sql) }, Some(sql))
+
+  val queries: Seq[Q] = Seq(
+    // Correlated EXISTS → rewritten to a left-semi join
+    sqlQ("sql_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // IN + correlated NOT EXISTS (semi + anti in one query)
+    sqlQ("sql_in_subquery",
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND l.l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Correlated scalar subqueries → left outer join + aggregate per
+    // correlation key (exact COUNT/MAX — no float drift)
+    sqlQ("sql_scalar_subquery",
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+        |  (SELECT MAX(o.o_orderkey) FROM orders o, customer c2
+        |   WHERE c2.c_nationkey = n.n_nationkey
+        |     AND o.o_custkey = c2.c_custkey) AS max_orderkey
+        |FROM nation n ORDER BY n_name""".stripMargin)
+  )
+}

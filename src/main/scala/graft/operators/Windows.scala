@@ -132,6 +132,47 @@ object Windows {
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Batch sessionization (the batch twin of stream_session, §2.I):
+    // 30-min-gap sessions via lag → new-session flag → running sum =
+    // session id, then per-session stats. Exact µs epochs on both
+    // engines (unix_micros ↔ epoch_us) — no sub-second truncation
+    // ambiguity. Scale shape: one shuffle on user_id, two in-partition
+    // window passes, one grouped aggregate — no state store, no driver
+    // loop; this is how sessions are built over a 100 TB event log.
+    Q("win_sessionize_batch",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val us = unix_micros(col("ts"))
+        val prevUs = unix_micros(lag(col("ts"), 1).over(w))
+        Tables.events(s, d)
+          .withColumn("new_sess",
+            when(prevUs.isNull || us - prevUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              .as("duration_us"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""SELECT user_id, sess_id, COUNT(*) AS n_events,
+             |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start
+             |FROM (
+             |  SELECT user_id, ts, event_id,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN LAG(ts, 1) OVER w IS NULL
+             |             OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+             |           THEN 1 ELSE 0 END AS new_sess
+             |    FROM events
+             |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) flagged) sess
+             |GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin)),
+
     Q("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy("o_custkey")

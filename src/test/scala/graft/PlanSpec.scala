@@ -68,6 +68,29 @@ class PlanSpec extends AnyFunSuite {
       s"min(string) fell back to SortAggregate:\n$p")
   }
 
+  test("subqueries decorrelate to joins (no per-row re-execution)") {
+    // EXISTS → left semi; NOT EXISTS → left anti; correlated scalar →
+    // grouped left outer. None of them may survive as an uncorrelated
+    // nested-loop re-execution per outer row.
+    val exists = plan("sql_exists_subquery")
+    assert(exists.toLowerCase.contains("semi"), s"EXISTS not a semi join:\n$exists")
+    val in = plan("sql_in_subquery")
+    assert(in.toLowerCase.contains("semi") && in.toLowerCase.contains("anti"),
+      s"IN/NOT EXISTS not semi+anti joins:\n$in")
+    val scalar = plan("sql_scalar_subquery")
+    assert(scalar.contains("HashAggregate"),
+      s"scalar subquery not rewritten to aggregate+join:\n$scalar")
+  }
+
+  test("win_sessionize_batch shuffles once on user_id") {
+    val p = plan("win_sessionize_batch")
+    // both window passes + the grouped agg share the user_id
+    // partitioning: exactly one exchange below the final ORDER BY's
+    // range partitioning
+    val exchanges = "Exchange (hash|Single)".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
