@@ -12,7 +12,7 @@ object SparkEntry {
   def all: Seq[Q] =
     Scans.queries ++ Filters.queries ++ Joins.queries ++ Aggs.queries ++
       Windows.queries ++ SortsSets.queries ++ ScalarFns.queries ++
-      Subqueries.queries ++ Udfs.queries ++ Llm.queries ++
+      Subqueries.queries ++ TypedOps.queries ++ Udfs.queries ++ Llm.queries ++
       TextAnalysis.queries ++ DataOps.queries ++
       graft.streaming.Streams.queries
 

@@ -292,6 +292,24 @@ object ScalarFns {
             .as("q_idx"))
         .orderBy("o_orderkey", "q_idx"),
       Some("""SELECT o_orderkey, CAST(unnest(generate_series(1, quarter(o_orderdate))) AS BIGINT) AS q_idx
-             |FROM orders ORDER BY o_orderkey, q_idx""".stripMargin))
+             |FROM orders ORDER BY o_orderkey, q_idx""".stripMargin)),
+
+    // Interval arithmetic: literal month/day/minute intervals on
+    // timestamps. Month addition clamps to month end identically in
+    // both engines; outputs leave as DATE / formatted string so no
+    // timestamp binary-encoding ambiguity reaches the compare.
+    Q("fn_interval_suite",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTH")).cast("date").as("plus_3mo"),
+          (col("o_orderdate") - expr("INTERVAL 45 DAY")).cast("date").as("minus_45d"),
+          date_format(col("o_orderdate") + expr("INTERVAL 2190 MINUTE"),
+            "yyyy-MM-dd HH:mm:ss").as("plus_2190min"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+             |CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
+             |strftime(o_orderdate + INTERVAL 2190 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_2190min
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

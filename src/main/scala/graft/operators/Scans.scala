@@ -74,6 +74,53 @@ object Scans {
               |FROM orders WHERE o_orderstatus = 'F'
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // CSV source under the oracle contract: write a CSV copy of nation
+    // once (fingerprint-keyed like scan_partition_pruned), read it back
+    // with header + schema inference, aggregate; the oracle runs the
+    // same aggregate over the original parquet. Inferred int widths are
+    // normalized to BIGINT on both sides.
+    Q("scan_csv_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/nation.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.nation(s, d).write.mode("overwrite")
+            .option("header", "true").csv(tmp)
+        }
+        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+             |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin)),
+
+    // JSON-lines source, same contract: schema inference types
+    // c_custkey/c_nationkey as BIGINT and c_acctbal as DOUBLE — the
+    // natural JSON widths — so the aggregate mirrors directly.
+    Q("scan_json_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/customer.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_customer_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+            .write.mode("overwrite").json(tmp)
+        }
+        s.read.json(tmp)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_bal"),
+            min(col("c_name")).as("first_name"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+              |${SQL_DSUM("c_acctbal")} AS sum_bal, MIN(c_name) AS first_name
+              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.

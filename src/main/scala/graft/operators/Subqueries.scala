@@ -57,6 +57,29 @@ object Subqueries {
         |  (SELECT MAX(o.o_orderkey) FROM orders o, customer c2
         |   WHERE c2.c_nationkey = n.n_nationkey
         |     AND o.o_custkey = c2.c_custkey) AS max_orderkey
-        |FROM nation n ORDER BY n_name""".stripMargin)
+        |FROM nation n ORDER BY n_name""".stripMargin),
+
+    // Correlated LATERAL with ORDER BY + LIMIT: top-2 orders per
+    // customer as a lateral table function. Catalyst decorrelates the
+    // per-row LIMIT into a window (rank ≤ 2 over a single shuffle) —
+    // the declarative form of topk_per_group.
+    sqlQ("join_lateral_topn",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+
+    // Aggregate FILTER clause: per-group conditional aggregation
+    // without a self-join or CASE pyramid; identical syntax both
+    // engines. Decimal-domain sums per §7.4.
+    sqlQ("agg_filtered",
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS sum_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** §2.L (round 3) — the typed `Dataset[T]` surface: case-class rows,
+  * lambda filters, `groupByKey` + `mapGroups`.
+  *
+  * Scale notes, stated honestly: typed lambdas are OPAQUE to Catalyst —
+  * the filter below does not push down, and `mapGroups` has no partial
+  * aggregation (all rows of a group shuffle to one task). That is the
+  * inherent cost of the typed API and exactly why the other 100+
+  * queries use columns. Where typed aggregation must scale, use an
+  * `Aggregator[IN, BUF, OUT]` (see [[graft.functions.GeoMean]]) which
+  * DOES map-side combine. This query exists to cover the surface with
+  * an oracle, with the group state bounded to O(1) per group
+  * (count + decimal sum accumulated exactly, matching the engines'
+  * double→DECIMAL(18,2) cast semantics).
+  */
+object TypedOps {
+
+  case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+
+  val queries: Seq[Q] = Seq(
+    Q("ds_typed_agg",
+      (s, d) => {
+        implicit val rowEnc = Encoders.product[OrderRow]
+        implicit val keyEnc = Encoders.STRING
+        implicit val outEnc =
+          Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[OrderRow]
+          .filter(r => r.o_totalprice > 150000.0)
+          .groupByKey(_.o_orderstatus)
+          .mapGroups { (status, rows) =>
+            var n = 0L
+            var sum = BigDecimal(0)
+            rows.foreach { r =>
+              n += 1
+              // BigDecimal.decimal == shortest decimal repr of the
+              // double — the same value Spark's and DuckDB's
+              // double→decimal casts produce for these 2-dp inputs
+              sum += BigDecimal.decimal(r.o_totalprice)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            }
+            (status, n, sum.toDouble)
+          }
+          .toDF("o_orderstatus", "n_orders", "sum_price")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE o_totalprice > 150000.0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+  )
+}
