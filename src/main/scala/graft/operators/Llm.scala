@@ -39,11 +39,23 @@ object Llm {
     (1 to 15).map(p =>
       s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
       .mkString("(", " + ", ")")
-  private val SQL_SIGS =
+
+  /** DuckDB twin of graft.api.Dedup.shingleHashRows: ONE md5 per
+    * shingle, reduced to a 60-bit long.
+    */
+  private val SQL_SHINGLE_HASHES =
+    s"SELECT doc_id, ${SQL_HEX15("md5(token)")} AS h FROM ($SQL_SHINGLE_ROWS)"
+
+  /** sig_i = MIN(h XOR seed_i) — same xor-mix family as
+    * graft.api.Dedup.minhashSignatures, identical literal seeds.
+    */
+  private val SQL_SIGS = {
+    val seeds = graft.api.Dedup.minhashSeeds(K)
     s"SELECT doc_id, " +
-      (0 until K).map(i => s"MIN(${SQL_HEX15(s"md5('$i' || token)")}) AS sig_$i")
-        .mkString(", ") +
-      s" FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id"
+      (0 until K).map(i =>
+        s"MIN(xor(h, CAST(${seeds(i)} AS BIGINT))) AS sig_$i").mkString(", ") +
+      s" FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id"
+  }
 
   private val SQL_BANDED = {
     val bandList = (0 until BANDS)
@@ -67,8 +79,8 @@ object Llm {
     */
   private val SQL_JACCARD =
     s"""WITH sets AS (
-       |  SELECT doc_id, list(DISTINCT token) AS toks
-       |  FROM ($SQL_SHINGLE_ROWS) GROUP BY doc_id),
+       |  SELECT doc_id, list(DISTINCT h) AS toks
+       |  FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id),
        |pairs AS ($SQL_PAIRS)
        |SELECT p.doc_a, p.doc_b,
        |ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)

@@ -14,8 +14,15 @@ object PureProps extends Properties("graft") {
   private def tokenize(s: String): Seq[String] =
     s.toLowerCase.replaceAll("[^a-z ]", "").split(" ", -1).toSeq
 
-  private def minhash(tokens: Set[String], k: Int): Seq[String] =
-    (0 until k).map(i => tokens.map(t => md5hex(i.toString + t)).min)
+  /** Mirror of graft.api.Dedup.minhashSignatures' xor-mix family:
+    * one 60-bit md5-derived hash per element, k xor-constant re-orders.
+    */
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+  private def minhash(tokens: Set[String], k: Int): Seq[Long] = {
+    val hs = tokens.map(hash60)
+    graft.api.Dedup.minhashSeeds(k).map(c => hs.map(_ ^ c).min)
+  }
 
   private def jaccard(a: Set[String], b: Set[String]): Double =
     if (a.isEmpty && b.isEmpty) 1.0
