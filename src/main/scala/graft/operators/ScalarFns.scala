@@ -310,6 +310,48 @@ object ScalarFns {
              |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
              |CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
              |strftime(o_orderdate + INTERVAL 2190 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_2190min
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ANSI-safe "try" variants: under Spark 4's default ANSI mode a bad
+    // cast / division-by-zero / out-of-bounds index THROWS; the try_*
+    // family returns NULL instead — the contract a 100 TB pipeline
+    // wants (one poison row must not kill a 10-hour job). DuckDB
+    // mirrors with TRY_CAST, a zero-guard CASE (its / errors on
+    // integer zero), and native out-of-bounds list NULLs.
+    Q("fn_try_suite",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          expr("try_divide(p_retailprice, p_partkey % 7)").as("per_mod"),
+          expr("try_cast(p_brand AS INT)").as("brand_as_int"),
+          expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)")
+            .cast("long").as("brand_num"),
+          expr("try_element_at(split(p_name, ' '), 10)").as("word10"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |CASE WHEN p_partkey % 7 = 0 THEN NULL
+             |     ELSE p_retailprice / (p_partkey % 7) END AS per_mod,
+             |TRY_CAST(p_brand AS INT) AS brand_as_int,
+             |CAST(TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS BIGINT) AS brand_num,
+             |string_split(p_name, ' ')[10] AS word10
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Binary columns: encode/decode, base64, hex/unhex roundtrips over
+    // utf-8 blobs — the opaque-bytes plumbing multimodal pipelines rely
+    // on (mm_binary_features is the mapPartitions side; this is the
+    // expression side).
+    Q("fn_binary_suite",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+          base64(encode(substring(col("text"), 1, 12), "utf-8")).as("b64_prefix"),
+          hex(substring(col("text"), 1, 8)).as("hex_prefix"),
+          decode(unhex(hex(substring(col("text"), 1, 8))), "utf-8").as("roundtrip"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |base64(encode(substring(text, 1, 12))) AS b64_prefix,
+             |hex(substring(text, 1, 8)) AS hex_prefix,
+             |decode(unhex(hex(substring(text, 1, 8)))) AS roundtrip
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -54,6 +54,47 @@ class ApiSpec extends AnyFunSuite {
       s"near-dup not closer: ${h.toSeq.sorted}")
   }
 
+  test("Dedup APIs survive an empty corpus and a no-near-dup corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(graft.api.Dedup.exactGroups(empty, "id", "body").count() == 0)
+    assert(graft.api.Dedup.minhashSignatures(empty, "id", "body").count() == 0)
+    assert(graft.api.Dedup.lshCandidatePairs(empty, "id", "body").count() == 0)
+    assert(graft.api.Dedup.jaccardVerify(empty, "id", "body").count() == 0)
+    // empty edge set → fixpoint loop must converge immediately, not spin
+    assert(graft.api.Dedup.nearDupComponents(empty, "id", "body").count() == 0)
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("id", "body")
+    assert(graft.api.Dedup.nearDupComponents(distinctDocs, "id", "body").count() == 0)
+  }
+
+  test("components finds multi-hop chains (a~b, b~c, a!~c → one component)") {
+    import spark.implicits._
+    // 40-token docs (38 shingles). b changes tokens 30-35 vs a, c
+    // changes tokens 5-10 vs b: each hop kills 8 shingles → exact
+    // J(a,b) = J(b,c) = 30/46 ≈ 0.652 ≥ 0.6, while a↔c differ in both
+    // blocks → J(a,c) = 22/54 ≈ 0.41 < 0.6. Only transitivity links a
+    // to c. bands=8 (2 sig rows/band) keeps the LSH candidate
+    // probability at J≈0.65 near 1 (1-(1-0.65²)⁸ ≈ 0.99) — and the
+    // exact Jaccard verify step makes the ≥0.6 decision non-probabilistic.
+    // letter-only tokens: the tokenizer strips digits, so "tok1" would
+    // collapse every position to the same token
+    def w(prefix: String, i: Int) =
+      s"$prefix${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    def doc(mods: Map[Int, String]) =
+      (1 to 40).map(i => mods.getOrElse(i, w("tok", i))).mkString(" ")
+    val bMods = (30 to 35).map(i => i -> w("chg", i)).toMap
+    val cMods = bMods ++ (5 to 10).map(i => i -> w("alt", i)).toMap
+    val chain = Seq(
+      (1L, doc(Map.empty)), (2L, doc(bMods)), (3L, doc(cMods))).toDF("id", "body")
+    val comp = graft.api.Dedup
+      .nearDupComponents(chain, "id", "body", threshold = 0.6, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 3 && comp.values.toSet == Set(1L),
+      s"expected one component labeled 1, got $comp")
+  }
+
   test("Similarity.bruteForceTopK ranks an identical vector first") {
     import spark.implicits._
     val vecs = Seq(
