@@ -107,6 +107,43 @@ object Catalog {
       .toDF("db_name", "table_name", "partition_name", "location", "create_time_ms")
   }
 
+  /** TAB_COL_STATS analog: per-column statistics recorded by
+    * `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS ...` — NDV,
+    * null count, min/max (as strings — type-heterogeneous), avg/max
+    * byte length. Tables without column stats contribute no rows.
+    */
+  def columnStats(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    val tables = spark.catalog.listTables(db).collect().toSeq
+      .filter(!_.isTemporary)
+    parMap(tables) { t =>
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
+      meta.stats.map(_.colStats).getOrElse(Map.empty).toSeq.sortBy(_._1).map {
+        case (colName, cs) =>
+          (db, t.name, colName,
+            cs.distinctCount.map(_.toLong).getOrElse(-1L),
+            cs.nullCount.map(_.toLong).getOrElse(-1L),
+            cs.min.getOrElse(""), cs.max.getOrElse(""),
+            cs.avgLen.map(_.toLong).getOrElse(-1L),
+            cs.maxLen.map(_.toLong).getOrElse(-1L))
+      }
+    }.flatten
+      .toDF("db_name", "table_name", "column_name", "ndv", "null_count",
+        "min_value", "max_value", "avg_len", "max_len")
+  }
+
+  /** Partition growth report: partitions created per calendar day for
+    * one table (the collector's "is this table still growing" signal).
+    * Derived from the PARTITIONS analog, so it is metastore-only — no
+    * data files are touched.
+    */
+  def partitionGrowth(spark: SparkSession, db: String, table: String): DataFrame =
+    partitions(spark, db, table)
+      .groupBy(col("table_name"),
+        to_date(timestamp_millis(col("create_time_ms"))).as("day"))
+      .agg(count(lit(1)).as("n_new_partitions"))
+
   /** Partition-count report per table (growth/attention lists). */
   def partitionCounts(spark: SparkSession, db: String): DataFrame = {
     import spark.implicits._

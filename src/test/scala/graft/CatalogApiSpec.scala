@@ -72,4 +72,33 @@ class CatalogApiSpec extends AnyFunSuite {
       .select("table_name").collect().map(_.getString(0)).toSet
     assert(dead.contains("nation") && !dead.contains("region"))
   }
+
+  test("columnStats surfaces ANALYZE FOR COLUMNS results") {
+    setup()
+    spark.sql(
+      "ANALYZE TABLE graft_api_cat.nation COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+    val cs = graft.api.Catalog.columnStats(spark, "graft_api_cat")
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toMap
+    val key = cs(("nation", "n_nationkey"))
+    assert(key._1 == 25L, s"ndv: $key")         // 25 distinct keys
+    assert(key._2 == 0L, s"nulls: $key")
+    assert(key._3 == "0" && key._4 == "24", s"min/max: $key")
+    val name = cs(("nation", "n_name"))
+    assert(name._1 == 25L && name._3.isEmpty, // strings carry no min/max
+      s"n_name stats: $name")
+  }
+
+  test("partitionGrowth counts partitions per creation day") {
+    // cust_part is created by the partition-inventory test; ensure it exists
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_api_cat")
+    spark.sql("DROP TABLE IF EXISTS graft_api_cat.cust_growth")
+    Tables.customer(spark, TestSpark.sf0001)
+      .write.partitionBy("c_mktsegment")
+      .saveAsTable("graft_api_cat.cust_growth")
+    val growth = graft.api.Catalog
+      .partitionGrowth(spark, "graft_api_cat", "cust_growth")
+      .collect().map(r => r.getLong(2)).sum
+    assert(growth == 5L, s"expected 5 partitions across days, got $growth")
+  }
 }
