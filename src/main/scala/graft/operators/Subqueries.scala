@@ -80,6 +80,43 @@ object Subqueries {
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS sum_urgent
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
+    // order sequence link-by-link, accumulating spend in exact decimal.
+    // Iterations = max chain depth (joins per round), not rows — the
+    // iterative-join shape nearDupComponents hand-builds, here via the
+    // SQL surface. Types are pinned DECIMAL(18,2) in both arms (a
+    // recursive union must be type-stable in both engines).
+    sqlQ("sql_recursive_cte",
+      """WITH RECURSIVE seq AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |walk AS (
+        |  SELECT o_custkey, o_orderkey, rn, p AS cum FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.o_custkey, s.o_orderkey, s.rn, CAST(w.cum + s.p AS DECIMAL(18,2))
+        |  FROM walk w JOIN seq s ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1)
+        |SELECT o_custkey, o_orderkey, rn, CAST(cum AS DOUBLE) AS cum_spend
+        |FROM walk ORDER BY o_custkey, rn""".stripMargin),
+
+    // RANGE frame bounded by a time INTERVAL (vs win_range_frame's
+    // integer-epoch form): trailing-1h event count directly over the
+    // timestamp column. Both engines compare at microsecond precision
+    // (Spark's ts is ns→µs-truncated at read; the oracle truncates via
+    // date_trunc so frame boundaries agree exactly).
+    Q("win_range_interval",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT event_id,
+                |count(*) OVER (PARTITION BY user_id ORDER BY ts
+                |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n
+                |FROM events ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |CAST(count(*) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
+             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
