@@ -215,6 +215,10 @@ object Dedup {
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
       maxIters: Int = 25): DataFrame = {
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"nearDupComponents requires a numeric id column; '$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString} (the convergence check sums labels)")
     val shingles = persistedShingles(docs, idCol, textCol)
     val verified = jaccardFromShingles(shingles, threshold, k, bands)
     val pairs = verified.filter(col("is_near_dup"))

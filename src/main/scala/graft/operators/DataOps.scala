@@ -94,6 +94,23 @@ object DataOps {
              |FROM (SELECT doc_id, text, encode(text) AS b FROM documents) x
              |ORDER BY doc_id""".stripMargin))
 
+  /** DuckDB CTE chain computing `hashed(doc_id, simhash)` — shared by
+    * dedup_simhash and dedup_simhash_pairs.
+    */
+  private val SQL_SIMHASHED: String = {
+    val bitSums = (0 until 32)
+      .map(k => s"SUM(${simhashBitSql(k, duckShift)}) AS s_$k").mkString(", ")
+    val packed = (0 until 32)
+      .map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""sh AS (
+       |  SELECT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
+       |    FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t FROM documents) x) y),
+       |sums AS (SELECT doc_id, $bitSums FROM sh GROUP BY doc_id),
+       |hashed AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
   /** SimHash near-dup fingerprint: each shingle votes ±1 on 32 bit
     * positions (bits from its portable md5); the fingerprint is the
     * sign vector packed into a long. One linear pass + groupBy doc.
@@ -105,22 +122,50 @@ object DataOps {
         .withColumn("n_docs_same_hash", count(lit(1)).over(wGroup))
         .orderBy("doc_id")
     }
-    val bitSums = (0 until 32)
-      .map(k => s"SUM(${simhashBitSql(k, duckShift)}) AS s_$k").mkString(", ")
-    val packed = (0 until 32)
-      .map(k => s"CASE WHEN s_$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
     val sql =
-      s"""WITH sh AS (
-         |  SELECT doc_id, md5(tok) AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
-         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
-         |    FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t FROM documents) x) y),
-         |sums AS (SELECT doc_id, $bitSums FROM sh GROUP BY doc_id),
-         |hashed AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)
+      s"""WITH $SQL_SIMHASHED
          |SELECT doc_id, simhash,
          |  COUNT(*) OVER (PARTITION BY simhash) AS n_docs_same_hash
          |FROM hashed ORDER BY doc_id""".stripMargin
     Q("dedup_simhash", fn, Some(sql))
+  }
+
+  /** Hamming-LSH near-dup pairs over the SimHash fingerprints: split
+    * the 32-bit hash into 4 byte-bands; by pigeonhole, any pair within
+    * hamming distance 3 shares at least one identical band, so the
+    * band-bucket equi-join has EXACT recall at the ≤3 threshold (the
+    * bit_count verify then makes precision exact too). Same
+    * bucket-join scale shape as minhash-LSH, but distance is hamming
+    * on packed bits — no shingle sets at pair time.
+    */
+  private def simhashPairsQuery: Q = {
+    val THRESH = 3
+    def fn(s: SparkSession, d: String) = {
+      val sh = graft.api.Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      val banded = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval", expr("shiftright(simhash, band * 8) & 255"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= THRESH)
+        .orderBy("doc_a", "doc_b")
+    }
+    val sql =
+      s"""WITH $SQL_SIMHASHED,
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bval
+         |  FROM hashed, (SELECT unnest(generate_series(0, 3)) AS band) bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $THRESH
+         |ORDER BY doc_a, doc_b""".stripMargin
+    Q("dedup_simhash_pairs", fn, Some(sql))
   }
 
   /** Sign-LSH bucketed ANN: 8 hyperplane sign bits → 256 buckets; the
@@ -290,6 +335,6 @@ object DataOps {
   }
 
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, simhashQuery, annQuery, embedNearDupQuery, ivfQuery,
-      ivfTrainedQuery)
+    Seq(mmBinaryFeatures, simhashQuery, simhashPairsQuery, annQuery,
+      embedNearDupQuery, ivfQuery, ivfTrainedQuery)
 }
