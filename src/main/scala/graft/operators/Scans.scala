@@ -121,6 +121,27 @@ object Scans {
               |${SQL_DSUM("c_acctbal")} AS sum_bal, MIN(c_name) AS first_name
               |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // ORC source, same contract (DuckDB never sees the ORC bytes — the
+    // oracle aggregates the original parquet; the query proves the ORC
+    // write→read path preserves values exactly).
+    Q("scan_orc_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/supplier.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_supplier_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+        }
+        s.read.orc(tmp)
+          .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            dsum(col("s_acctbal")).as("sum_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+              |COUNT(*) AS n_suppliers, ${SQL_DSUM("s_acctbal")} AS sum_bal
+              |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.

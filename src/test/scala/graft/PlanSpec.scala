@@ -91,6 +91,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("similarity/simhash pair queries never plan a nested-loop join") {
+    // every pair generator must be a bucketed equi-join — an
+    // accidental cartesian here is the classic 100 TB killer.
+    // (ann_ivf_cells is excluded deliberately: its assignment step IS
+    // a broadcast nested-loop against the 16-row codebook — every
+    // vector scores every centroid by design; the trained variant
+    // avoids even that with a literal-codebook map.)
+    Seq("dedup_simhash_pairs", "ann_lsh_bucketed", "llm_embed_neardup_pairs",
+        "llm_knn_per_label").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
