@@ -133,8 +133,31 @@ object Similarity {
     * the driver collects only the k×dims codebook per round, which is
     * the legitimate driver-sized reduce of k-means at any corpus size.
     */
+  /** Trained codebooks memoized per (input plan, k, iters): training is
+    * deterministic, so re-deriving it for every query over the same
+    * corpus (e.g. the probe-1 and multi-probe declared queries) would
+    * repeat 5 Lloyd rounds for bit-identical output. Entries are
+    * k×dims doubles — driver-trivial; keyed by the canonicalized
+    * logical plan's semantic hash.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Test hook: force retraining (KMeansIvfSpec proves two TRAININGS
+    * agree, which memoization would otherwise make vacuous).
+    */
+  private[graft] def clearCodebookCache(): Unit = codebookCache.clear()
+
   def kmeansCodebook(embs: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    val planKey = embs.select(col(idCol), col(vecCol))
+      .queryExecution.analyzed.canonicalized.semanticHash()
+    codebookCache.computeIfAbsent((planKey, k, iters), _ =>
+      trainCodebook(embs, idCol, vecCol, k, iters))
+  }
+
+  private def trainCodebook(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
     val base = prepare(embs, idCol, vecCol).select(col(idCol).as("__id"), col("__v"))
     var codebook: Array[Array[Double]] = base
       .withColumn("__h", md5(col("__id").cast("string")))

@@ -278,12 +278,18 @@ object DataOps {
     * determinism device (HALF_UP double→decimal cast, first-min
     * tie-break, empty-cell carry-over).
     */
-  private def ivfTrainedQuery: Q = {
+  /** Builder shared by ann_ivf_trained (probes=1) and
+    * ann_ivf_multiprobe (probes=2): same trained codebook (memoized in
+    * graft.api.Similarity, so the 5 Lloyd rounds run once per corpus),
+    * different query-side fan-out. In the oracle, `afinal` (rn=1) is
+    * the index side and `aprobe` (rn ≤ probes) the query side.
+    */
+  private def ivfTrainedQ(name: String, probes: Int): Q = {
     val K = 16; val ITERS = 5; val TOPK = 2
     def fn(s: SparkSession, d: String) =
       graft.api.Similarity
         .ivfTrainedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
-          K, ITERS, TOPK)
+          K, ITERS, TOPK, probes)
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("rn").cast("long").as("rn"),
           col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
@@ -291,14 +297,14 @@ object DataOps {
     val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
     def L2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    // assignment of every vector to its nearest cbN centroid
-    def assign(cb: String, name: String) =
+    // assignment of every vector to its `maxRn` nearest cbN centroids
+    def assign(cb: String, name: String, maxRn: Int = 1) =
       s"""$name AS (
          |  SELECT vec_id, v, nrm, c_id AS cell FROM (
          |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
-         |    FROM base b, $cb c) t WHERE rn = 1)""".stripMargin
+         |    FROM base b, $cb c) t WHERE rn <= $maxRn)""".stripMargin
     // Lloyd update: decimal-exact per-dimension means; empty cells keep
     // their previous centroid (mirrors the Scala carry-over)
     def update(a: String, prev: String, name: String) =
@@ -314,6 +320,9 @@ object DataOps {
          |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
     val iterCtes = (1 to ITERS).flatMap(i =>
       Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
+    val probeCte =
+      if (probes <= 1) "" else s",\n${assign(s"cb$ITERS", "aprobe", probes)}"
+    val probeSide = if (probes <= 1) "afinal" else "aprobe"
     val sql =
       s"""WITH base AS (
          |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
@@ -323,18 +332,19 @@ object DataOps {
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
          |    FROM base) r WHERE c_id < $K),
          |${iterCtes.mkString(",\n")},
-         |${assign(s"cb$ITERS", "afinal")}
+         |${assign(s"cb$ITERS", "afinal")}$probeCte
          |SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
-         |  SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+         |  SELECT a.vec_id, b.cell, b.vec_id AS nbr_id,
          |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
          |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
-         |  FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |  FROM $probeSide a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
-    Q("ann_ivf_trained", fn, Some(sql))
+    Q(name, fn, Some(sql))
   }
 
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, simhashQuery, simhashPairsQuery, annQuery,
-      embedNearDupQuery, ivfQuery, ivfTrainedQuery)
+      embedNearDupQuery, ivfQuery, ivfTrainedQ("ann_ivf_trained", 1),
+      ivfTrainedQ("ann_ivf_multiprobe", 2))
 }

@@ -43,8 +43,11 @@ class KMeansIvfSpec extends AnyFunSuite {
   }
 
   test("k-means codebook is deterministic across runs") {
+    graft.api.Similarity.clearCodebookCache()
     val cb1 = graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding")
+    graft.api.Similarity.clearCodebookCache() // force a real second training
     val cb2 = graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding")
+    assert(!(cb1 eq cb2), "second call must be a fresh training, not the cache")
     assert(cb1.length == 16 && cb1.forall(_.length == 64))
     assert(cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) })
   }
