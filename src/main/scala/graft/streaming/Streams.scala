@@ -257,6 +257,42 @@ object Streams {
         runToMemory(out, "update").orderBy("user_id")
       }, None),
 
+    // The production batch-catchup shape: Trigger.AvailableNow with a
+    // PERSISTENT checkpoint and a parquet sink. First invocation drains
+    // the source and self-terminates; every later invocation replays
+    // NOTHING (the checkpoint knows the files are processed) and the
+    // sink still holds exactly one copy — so an aggregate over the sink
+    // equals the batch aggregate over the source, which is the DuckDB
+    // oracle. This is the one streaming query where an oracle is
+    // semantically sound: exactly-once delivery makes the streaming
+    // output bit-equal to batch. (The sink read honors the
+    // _spark_metadata manifest, so partially-written files from an
+    // interrupted run are invisible.)
+    Q("stream_availablenow_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_avnow_$key"
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
     Q("stream_foreachbatch",
