@@ -281,6 +281,22 @@ object Aggs {
     // Division + floor are single IEEE ops — bit-identical across
     // engines (unlike accumulated sums). One hash aggregate at any
     // scale; bin bounds are literals so no second pass for min/max.
+    // DataFrameStatFunctions crosstab: status × priority contingency
+    // table (the collector's ownership/format breakdown shape). The
+    // oracle rebuilds it with FILTER pivots over the known value set.
+    Q("stat_crosstab",
+      (s, d) => Tables.orders(s, d)
+        .stat.crosstab("o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderstatus_o_orderpriority"),
+      Some {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val cols = prios.map(p =>
+          s"""COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""").mkString(", ")
+        s"""SELECT o_orderstatus AS "o_orderstatus_o_orderpriority", $cols
+           |FROM orders GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus_o_orderpriority""".stripMargin
+      }),
+
     Q("agg_histogram",
       (s, d) => Tables.orders(s, d)
         .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0))

@@ -352,6 +352,36 @@ object ScalarFns {
              |base64(encode(substring(text, 1, 12))) AS b64_prefix,
              |hex(substring(text, 1, 8)) AS hex_prefix,
              |decode(unhex(hex(substring(text, 1, 8)))) AS roundtrip
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Map higher-order functions (transform_values / map_filter /
+    // map_concat), serialized as sorted "k=v" strings so the compare is
+    // engine-neutral. The fixture maps are single-key JSON ({"k": n}),
+    // so the oracle mirrors with scalar json_extract arithmetic — the
+    // Spark side still exercises the real MapType code paths.
+    Q("fn_map_hof",
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))
+        def ser(c: org.apache.spark.sql.Column) = concat_ws(",",
+          transform(array_sort(map_entries(c)),
+            e => concat(e("key"), lit("="), e("value").cast("string"))))
+        Tables.events(s, d)
+          .withColumn("m", m)
+          .select(col("event_id"),
+            ser(expr("transform_values(m, (k, v) -> v * 2)")).as("doubled"),
+            ser(expr("map_filter(m, (k, v) -> v % 2 = 0)")).as("evens_only"),
+            ser(map_concat(col("m"), map(lit("extra"), lit(1L)))).as("with_extra"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |'k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR) AS doubled,
+             |CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+             |     THEN 'k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+             |     ELSE '' END AS evens_only,
+             |'extra=1,k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS with_extra
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -108,6 +108,21 @@ object Subqueries {
         |SELECT o_custkey, o_orderkey, rn, CAST(cum AS DOUBLE) AS cum_spend
         |FROM walk ORDER BY o_custkey, rn""".stripMargin),
 
+    // listagg (Spark 4) with DISTINCT + WITHIN GROUP ordering — the
+    // ordered string-aggregation surface; DuckDB's string_agg with
+    // ORDER BY is the exact twin.
+    Q("agg_listagg",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus,
+                |listagg(DISTINCT o_orderpriority, '|')
+                |  WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+                |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // RANGE frame bounded by a time INTERVAL (vs win_range_frame's
     // integer-epoch form): trailing-1h event count directly over the
     // timestamp column. Both engines compare at microsecond precision

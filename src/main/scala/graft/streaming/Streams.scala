@@ -60,17 +60,25 @@ object Streams {
   /** The file stream source requires a DIRECTORY of files; stage the
     * events fixture into a per-sfDir temp dir once (idempotent copy) —
     * this also models the real deployment shape (files arriving in a
-    * watched directory).
+    * watched directory). The dir is keyed by the source fingerprint,
+    * NOT a random temp name: persistent checkpoints
+    * (stream_availablenow_catchup) record the source path in their
+    * offset log, so the staged path must be stable across JVM runs.
     */
-  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageEventsDir(d: String): String =
-    stagedDirs.computeIfAbsent(d, { dir =>
-      val target = java.nio.file.Files.createTempDirectory("graft_events_stream")
+  private def stageEventsDir(d: String): String = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+    val target = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_events_stream_$key")
+    if (!java.nio.file.Files.exists(target.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(target)
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        target.resolve("events.parquet"))
-      target.toString
-    })
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        target.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    target.toString
+  }
 
   /** events as a streaming source with ts normalized ns→µs timestamp. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
@@ -273,7 +281,10 @@ object Streams {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
         val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
-        val root = s"${sys.props("java.io.tmpdir")}/graft_avnow_$key"
+        // v2: keyed alongside the STABLE staged source path (a
+        // checkpoint written against a since-deleted random staging dir
+        // must not be resumed)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_avnow_v2_$key"
         val q = eventsStream(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
           .writeStream.format("parquet")
