@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   *
   * Per-table metastore calls (`listColumns`, `getTableMetadata`,
   * `listPartitionNames`) are issued CONCURRENTLY over a bounded pool of
-  * [[Catalog.rpcParallelism]] workers: against a 10^5-table production
-  * metastore the collector is RPC-latency-bound, and 8-way pipelining
-  * cuts the wall clock ~8× without stampeding the metastore. Results
-  * are re-assembled in deterministic table order (the pool changes
-  * completion order, never output order).
+  * [[Catalog.rpcParallelism]] workers. Caveat on the payoff: with the
+  * in-memory/Derby catalog used in tests the 8-way pipelining is fully
+  * parallel, but Spark's `HiveExternalCatalog` serializes every client
+  * call on one synchronized Hive client — against a real Hive metastore
+  * the workers queue behind that lock and the speedup collapses unless
+  * the deployment raises the client-pool side (e.g.
+  * `spark.sql.hive.metastore.jars`-level client pooling or one session
+  * per worker). The bounded pool is still the right API shape: it caps
+  * the stampede either way, and catalogs without the single-client
+  * bottleneck (in-memory, REST/Unity-style, Glue) get the full overlap.
+  * Results are re-assembled in deterministic table order (the pool
+  * changes completion order, never output order).
   */
 object Catalog {
 

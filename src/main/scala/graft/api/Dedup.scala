@@ -163,13 +163,37 @@ object Dedup {
     * is paid exactly once per corpus.
     * The cache lives until [[nearDupComponents]] (the terminal stage of
     * the dedup pipeline) unpersists it; callers using [[jaccardVerify]]
-    * standalone on many distinct corpora should release it themselves
-    * via `df.sparkSession.catalog.clearCache()` or a matching
-    * `shingleHashRows(...).unpersist()`.
+    * or [[lshCandidatePairs]] standalone on many distinct corpora
+    * should call [[releaseCaches]] per corpus when done.
     */
   private def persistedShingles(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     shingleHashRows(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Release every MEMORY_AND_DISK entry the dedup chain persists for
+    * `docs` — the hashed-shingle stream, the candidate pairs, and the
+    * verified pairs — without `clearCache()`-ing the whole session.
+    *
+    * [[nearDupComponents]] does the equivalent internally as the
+    * chain's terminal stage; call this yourself when driving
+    * [[jaccardVerify]] / [[lshCandidatePairs]] standalone across many
+    * distinct corpora (the caches otherwise accumulate for the session
+    * lifetime). Arguments must MATCH the producing calls: the
+    * CacheManager resolves entries by canonicalized plan, and
+    * threshold / k / bands / maxBucket are all part of that plan.
+    * Releasing an entry that was never persisted is a no-op.
+    */
+  def releaseCaches(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000): Unit = {
+    val shingles = shingleHashRows(docs, idCol, textCol)
+    // rebuilding the DataFrames re-registers each plan with the
+    // CacheManager (a no-op for already-cached plans) and unpersist
+    // then drops the entry by canonicalized-plan match
+    jaccardFromShingles(shingles, threshold, k, bands).unpersist(blocking = false)
+    pairsFromShingles(shingles, k, bands, maxBucket).unpersist(blocking = false)
+    shingles.unpersist(blocking = false)
+  }
 
   private def jaccardFromShingles(shingles: DataFrame, threshold: Double,
       k: Int, bands: Int): DataFrame = {

@@ -2,8 +2,10 @@ package graft.api
 
 import java.security.MessageDigest
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, SqL2}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +23,7 @@ object Similarity {
   /** Vector column normalized to array<double> + precomputed L2 norm. */
   def prepare(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     CosineSim.register(embs.sparkSession)
+    SqL2.register(embs.sparkSession)
     embs.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("__nrm",
         sqrt(aggregate(zip_with(col("__v"), col("__v"), (x, y) => x * y),
@@ -133,26 +136,55 @@ object Similarity {
     * the driver collects only the k×dims codebook per round, which is
     * the legitimate driver-sized reduce of k-means at any corpus size.
     */
-  /** Trained codebooks memoized per (input plan, k, iters): training is
-    * deterministic, so re-deriving it for every query over the same
-    * corpus (e.g. the probe-1 and multi-probe declared queries) would
-    * repeat 5 Lloyd rounds for bit-identical output. Entries are
-    * k×dims doubles — driver-trivial; keyed by the canonicalized
-    * logical plan's semantic hash.
+  /** Trained codebooks memoized per (input plan, source files, k,
+    * iters): training is deterministic, so re-deriving it for every
+    * query over the same corpus (e.g. the probe-1 and multi-probe
+    * declared queries) would repeat 5 Lloyd rounds for bit-identical
+    * output. Entries are k×dims doubles — driver-trivial.
+    *
+    * Key = the CANONICALIZED logical plan itself (structural equality —
+    * the same match rule Spark's CacheManager uses, so a 32-bit hash
+    * collision between distinct corpora cannot alias entries) plus a
+    * (path, size, mtime) fingerprint of every file-source leaf, so
+    * regenerating a fixture in place invalidates the entry.
     */
+  private case class CodebookKey(plan: LogicalPlan, sourceFp: String, k: Int, iters: Int)
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[CodebookKey, Array[Array[Double]]]()
 
-  /** Test hook: force retraining (KMeansIvfSpec proves two TRAININGS
-    * agree, which memoization would otherwise make vacuous).
+  /** Invalidation contract: entries key on the canonicalized input plan
+    * AND a size+mtime fingerprint of its file-source leaves, so both
+    * "different corpus" and "same path, regenerated file" retrain
+    * automatically; call this only to force retraining of an UNCHANGED
+    * corpus (KMeansIvfSpec proves two trainings agree, which
+    * memoization would otherwise make vacuous). The map is bounded:
+    * past 32 corpora it resets wholesale (entries are k×dims doubles —
+    * retraining is the only cost of an eviction).
     */
   private[graft] def clearCodebookCache(): Unit = codebookCache.clear()
 
+  /** (path, length, mtime) of every file behind file-source leaves —
+    * cheap (the FileIndex has already listed) and exactly the staleness
+    * signal the plan key lacks (InMemoryFileIndex equality is by root
+    * path only).
+    */
+  private def sourceFingerprint(plan: LogicalPlan): String =
+    plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString("|")
+        case _ => ""
+      }
+    }.mkString(";")
+
   def kmeansCodebook(embs: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
-    val planKey = embs.select(col(idCol), col(vecCol))
-      .queryExecution.analyzed.canonicalized.semanticHash()
-    codebookCache.computeIfAbsent((planKey, k, iters), _ =>
+    val analyzed = embs.select(col(idCol), col(vecCol)).queryExecution.analyzed
+    val key = CodebookKey(analyzed.canonicalized, sourceFingerprint(analyzed), k, iters)
+    if (codebookCache.size > 32) codebookCache.clear()
+    codebookCache.computeIfAbsent(key, _ =>
       trainCodebook(embs, idCol, vecCol, k, iters))
   }
 
@@ -184,12 +216,19 @@ object Similarity {
   /** Nearest-centroid cell (squared-L2, first-index tie-break) against
     * a literal codebook: `array_position(dists, array_min(dists))`
     * picks the FIRST minimum — lowest cell id — deterministically.
+    *
+    * Distances run through the native codegen'd [[SqL2]] expression,
+    * one explicit column per cell (k is driver-known), so the whole
+    * assignment stays inside whole-stage codegen — the previous
+    * `transform(cb, aggregate(zip_with(...)))` form paid interpreted
+    * lambda dispatch per element × cell × row, the hot multiplier of
+    * Lloyd training AND both IVF search queries. Numerics unchanged:
+    * SqL2 folds (x-y)² in index order, bit-identical to the HOF form.
     */
   private def assignCells(df: DataFrame, codebook: Array[Array[Double]]): DataFrame = {
-    val cb = array(codebook.map(c => array(c.map(lit(_)): _*)): _*)
-    df.withColumn("__dists",
-        transform(cb, c => aggregate(zip_with(col("__v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, b) => a + b)))
+    val dists = array(codebook.map(c =>
+      call_function("sq_l2", col("__v"), array(c.map(lit(_)): _*))): _*)
+    df.withColumn("__dists", dists)
       .withColumn("__cell",
         (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
       .drop("__dists")
@@ -203,12 +242,13 @@ object Similarity {
     */
   private def probeCells(df: DataFrame, codebook: Array[Array[Double]],
       probes: Int): DataFrame = {
-    val cb = array(codebook.map(c => array(c.map(lit(_)): _*)): _*)
-    df.withColumn("__dc",
-        transform(cb, (c, i) => struct(
-          aggregate(zip_with(col("__v"), c, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, b) => a + b).as("d"),
-          i.cast("int").as("cell"))))
+    // same native-SqL2 move as assignCells: one codegen'd (dist, cell)
+    // struct per cell instead of an interpreted transform lambda
+    val dc = array(codebook.zipWithIndex.map { case (c, i) => struct(
+      call_function("sq_l2", col("__v"), array(c.map(lit(_)): _*)).as("d"),
+      lit(i).cast("int").as("cell"))
+    }: _*)
+    df.withColumn("__dc", dc)
       .withColumn("__probe_cells",
         transform(slice(array_sort(col("__dc")), 1, probes), s => s("cell")))
       .drop("__dc")

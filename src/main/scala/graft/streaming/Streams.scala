@@ -47,6 +47,18 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** One entry per staged-source fingerprint; computeIfAbsent serializes
+    * concurrent stagers of the same fixture (the map value is just a
+    * completion token — the staged path itself is derived from the key).
+    */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Serializes the shuffle-partition conf flip in [[runToMemory]] so two
+    * overlapping streaming queries cannot interleave set/restore and leak
+    * a stale partition count into the shared session.
+    */
+  private val runLock = new Object
+
   /** Diagnostic hook (StreamProbe): invoked with every micro-batch's
     * StreamingQueryProgress after a query drains. Null when unused.
     */
@@ -66,18 +78,34 @@ object Streams {
     * offset log, so the staged path must be stable across JVM runs.
     */
   private def stageEventsDir(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val f = new java.io.File(s"$d/events.parquet")
     val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
-    val target = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_events_stream_$key")
-    if (!java.nio.file.Files.exists(target.resolve("events.parquet"))) {
-      java.nio.file.Files.createDirectories(target)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        target.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    target.toString
+    // computeIfAbsent both memoizes and SERIALIZES staging per key: a
+    // second caller blocks until the first finishes, so nobody reads a
+    // half-staged file. The copy lands under a temp name and is
+    // ATOMIC_MOVE'd into place — a crash mid-copy leaves only the temp
+    // file, never a truncated events.parquet that would pass the
+    // exists() check on the next run (the fingerprint key is unchanged
+    // after a crash, so a truncated final file would poison every later
+    // streaming query, including persistent AvailableNow checkpoints).
+    stagedDirs.computeIfAbsent(key, _ => {
+      val target = Paths.get(s"${sys.props("java.io.tmpdir")}/graft_events_stream_$key")
+      val dest = target.resolve("events.parquet")
+      if (!Files.exists(dest)) {
+        Files.createDirectories(target)
+        val tmp = Files.createTempFile(target, ".staging_", ".parquet")
+        Files.copy(Paths.get(s"$d/events.parquet"), tmp,
+          StandardCopyOption.REPLACE_EXISTING)
+        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another JVM won the race between our exists() and move —
+          // its completed copy is equally valid; discard ours
+          case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+        }
+      }
+      target.toString
+    })
   }
 
   /** events as a streaming source with ts normalized ns→µs timestamp. */
@@ -102,8 +130,16 @@ object Streams {
     * partition wants cores×2, exactly like batch). The session conf is
     * restored afterwards; each query uses a fresh temp checkpoint, so
     * no state-compatibility constraint crosses queries.
+    *
+    * The whole run holds [[runLock]]: the conf flip is session-global, so
+    * two overlapping streaming queries could otherwise interleave
+    * set/restore and strand the session at 8 partitions. Batch work
+    * issued concurrently on the SAME session would still observe the
+    * reduced setting for the duration of a streaming query — callers who
+    * need concurrent batch + streaming should give the streaming side
+    * its own `spark.newSession()` (shared SparkContext, isolated conf).
     */
-  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = runLock.synchronized {
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
