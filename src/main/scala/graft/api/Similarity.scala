@@ -42,6 +42,42 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Approximate top-k neighbors of ONE query vector via sign-LSH:
+    * only the candidates sharing the query's bucket are scored — the
+    * single-query twin of [[bucketedNeighbors]], and the scale path
+    * [[graft.plans.ResolveCosineTopK]] swaps in for [[bruteForceTopK]]
+    * when the corpus is large and the user has opted in.
+    *
+    * Same output schema as bruteForceTopK (idCol, cos_sim); APPROXIMATE
+    * results (recall < 1 — neighbors hashed into other buckets are
+    * unseen). Cost: the query row broadcast against one bucket's
+    * candidates (~n/2^planes rows) instead of the full corpus.
+    */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int = 10, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val b = signLshBuckets(embs, idCol, vecCol, nPlanes, dims)
+    val q = b.filter(col(idCol) === queryId)
+      .select(col("bucket").as("__qbucket"), col("__v").as("__qv"))
+    b.join(broadcast(q), col("bucket") === col("__qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), expr("cosine_sim(__v, __qv)").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Declarative top-k: plants a [[graft.plans.CosineTopK]] logical
+    * node and lets the resolution rule pick the physical path — exact
+    * brute force by default, the LSH-bucketed approximate path when the
+    * corpus exceeds the configured size AND
+    * `spark.graft.similarity.autoApprox.enabled=true` (STRICTLY opt-in:
+    * the swap changes exact→approximate semantics, so it must never be
+    * a silent default). Works on sessions without GraftExtensions too —
+    * the rule self-installs into `spark.experimental.extraOptimizations`.
+    */
+  def topKAuto(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int = 10): DataFrame =
+    graft.plans.CosineTopK.dataframe(embs, idCol, vecCol, queryId, topK)
+
   /** Deterministic ±1 hyperplanes derived from md5 (reproducible across
     * runs, sessions, and engines).
     */

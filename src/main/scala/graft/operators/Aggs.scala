@@ -306,6 +306,37 @@ object Aggs {
         .orderBy("bucket"),
       Some(s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
               |COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_price
-              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // max_by/min_by (↔ DuckDB arg_max/arg_min): the "which row holds
+    // the extreme" aggregate, one hash aggregate at any scale. Ties are
+    // broken DETERMINISTICALLY by ranking on a composite decimal key
+    // (price ⊕ orderkey ⊕ linenumber is unique) — bare max_by on the
+    // price alone would return an engine-dependent row among equals.
+    Q("agg_minmax_by", {
+      (s, d) =>
+        val ukey = col("l_extendedprice").cast("decimal(18,2)") * 100000000L +
+          col("l_orderkey") * 10 + col("l_linenumber")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(max_by(col("l_orderkey"), ukey).as("max_price_orderkey"),
+            max_by(col("l_linenumber"), ukey).cast("long").as("max_price_linenumber"),
+            max(col("l_extendedprice").cast("decimal(18,2)")).as("max_price"),
+            min_by(col("l_orderkey"), ukey).as("min_price_orderkey"),
+            min_by(col("l_linenumber"), ukey).cast("long").as("min_price_linenumber"),
+            min(col("l_extendedprice").cast("decimal(18,2)")).as("min_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  arg_max(l_orderkey, ukey) AS max_price_orderkey,
+             |  CAST(arg_max(l_linenumber, ukey) AS BIGINT) AS max_price_linenumber,
+             |  MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+             |  arg_min(l_orderkey, ukey) AS min_price_orderkey,
+             |  CAST(arg_min(l_linenumber, ukey) AS BIGINT) AS min_price_linenumber,
+             |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+             |FROM (SELECT *, CAST(l_extendedprice AS DECIMAL(18,2)) * 100000000
+             |        + l_orderkey * 10 + l_linenumber AS ukey
+             |      FROM lineitem) t
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

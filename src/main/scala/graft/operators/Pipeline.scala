@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextUdfs
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the pipeline stages between a raw
+  * crawled corpus and a training mix: benchmark decontamination,
+  * deterministic sampling/splitting, sequence packing, PII scrubbing,
+  * and mixture reweighting.
+  *
+  * Determinism doctrine: every "random" choice is a hash of the row key
+  * (`md5(tag || id)` reduced to a 60-bit long) — reproducible across
+  * runs, engines, and cluster topologies, and exactly mirrored by the
+  * DuckDB oracles. At 100 TB, hash-based selection also means a
+  * re-crawled shard re-samples identically, so incremental corpus
+  * builds don't churn the training set.
+  *
+  * Scale notes per operator are on each query; none of them has a
+  * driver-side or quadratic stage.
+  */
+object Pipeline {
+  import TextUdfs.SQL_TOKENIZE
+
+  /** First-15-hex-nibbles→BIGINT polynomial (mirrors Spark's
+    * conv(substr(md5,1,15),16,10) exactly — same device as the minhash
+    * chain's portable hash).
+    */
+  private def SQL_HEX15(h: String): String =
+    (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+      .mkString("(", " + ", ")")
+
+  /** 60-bit portable hash of `tag || id` in [0, 100) — the sampling
+    * coin. Spark side of [[SQL_HEX15]]'s mirror.
+    */
+  private def coin(tag: String, id: Column): Column =
+    conv(substring(md5(concat(lit(tag), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  private def SQL_COIN(tag: String, id: String): String =
+    s"${SQL_HEX15(s"md5('$tag' || CAST($id AS VARCHAR))")} % 100"
+
+  /** 8-token shingles of an already-materialized token array; docs
+    * shorter than 8 tokens contribute none (a doc that cannot contain a
+    * full benchmark n-gram cannot be contaminated by it).
+    */
+  private def grams8(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 7),
+      i => concat_ws(" ", (0 to 7).map(o => element_at(t, i + o)): _*))
+
+  val queries: Seq[Q] = Seq(
+
+    // Benchmark decontamination: flag every corpus doc sharing an
+    // 8-token n-gram with the benchmark set (here: doc_id < 20 stands
+    // in for an eval suite). The n-gram unit is the industry-standard
+    // overlap test; 8 grams are long enough that chance collisions in
+    // natural text are negligible, so any hit is a real leak.
+    //
+    // Scale shape: the benchmark side is distinct-hashed and TINY
+    // relative to the corpus (eval suites are KBs-MBs) → broadcast
+    // semi-join against the corpus gram stream; one linear pass over
+    // corpus grams, no shuffle of the corpus itself. At 100 TB the
+    // corpus side stays embarrassingly parallel.
+    Q("llm_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          TextUdfs.tokenizeCol(col("text")).as("__t"))
+        val grams = toks.filter(size(col("__t")) >= 8)
+          .select(col("doc_id"), explode(grams8(col("__t"))).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
+          .distinct()
+        val bench = grams.filter(col("doc_id") < 20).select("gh").distinct()
+        val overlap = grams.filter(col("doc_id") >= 20)
+          .join(broadcast(bench), "gh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+        docs.filter(col("doc_id") >= 20).select("doc_id", "lang")
+          .join(overlap, Seq("doc_id"), "left")
+          .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+          .withColumn("contaminated", col("n_shared_grams") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |grams AS (
+              |  SELECT DISTINCT doc_id, md5(gram) AS gh FROM (
+              |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+              |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gram
+              |    FROM toks WHERE len(t) >= 8) g),
+              |bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 20),
+              |ov AS (
+              |  SELECT g.doc_id, COUNT(*) AS n_shared_grams
+              |  FROM grams g JOIN bench USING (gh) WHERE g.doc_id >= 20
+              |  GROUP BY g.doc_id)
+              |SELECT d.doc_id, d.lang,
+              |  COALESCE(ov.n_shared_grams, 0) AS n_shared_grams,
+              |  COALESCE(ov.n_shared_grams, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+              |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language keep rates
+    // applied by hashing the doc id — no RNG, no seed plumbing, and a
+    // re-run (or re-crawl of one shard) selects the identical sample.
+    // Pure per-row expression work: zero shuffles before the output
+    // sort, any corpus size.
+    Q("llm_sample_stratified",
+      (s, d) => {
+        val pct = when(col("lang") === "en", 50)
+          .when(col("lang") === "es", 40)
+          .when(col("lang") === "zh", 30)
+          .when(col("lang") === "de", 20)
+          .otherwise(10)
+        Tables.documents(s, d)
+          .withColumn("bucket", coin("strat:", col("doc_id")))
+          .withColumn("keep_pct", pct)
+          .filter(col("bucket") < col("keep_pct"))
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            col("keep_pct").cast("int").as("keep_pct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, ${SQL_COIN("strat:", "doc_id")} AS bucket,
+              |  CAST(CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 40
+              |       WHEN 'zh' THEN 30 WHEN 'de' THEN 20 ELSE 10 END AS INT) AS keep_pct
+              |FROM documents
+              |WHERE ${SQL_COIN("strat:", "doc_id")} <
+              |  CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 40
+              |       WHEN 'zh' THEN 30 WHEN 'de' THEN 20 ELSE 10 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Hash-based train/valid/test split (80/10/10) with per-(lang,
+    // split) counts and token totals. The split hash uses a DIFFERENT
+    // tag than the sampling hash above — correlated coins would leak
+    // the sampling decision into the split. One aggregate shuffle on
+    // (lang, split): 15 output rows at any corpus size.
+    Q("llm_train_test_split",
+      (s, d) => {
+        val h = coin("split:", col("doc_id"))
+        val split = when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+        Tables.documents(s, d)
+          .withColumn("split", split)
+          .withColumn("n_tokens",
+            size(split_col(col("text"))).cast("long"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""SELECT lang,
+              |  CASE WHEN ${SQL_COIN("split:", "doc_id")} < 80 THEN 'train'
+              |       WHEN ${SQL_COIN("split:", "doc_id")} < 90 THEN 'valid'
+              |       ELSE 'test' END AS split,
+              |  COUNT(*) AS n_docs,
+              |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+              |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Sequence packing (concat-then-chunk): per language, documents are
+    // concatenated in doc_id order and cut into fixed 512-token context
+    // windows; each doc reports the chunk its first token lands in and
+    // the offset within it. This is GPT-style packing bookkeeping as a
+    // window computation: ONE shuffle on lang, running sum, pure
+    // arithmetic after. At 100 TB you'd range-partition (lang, doc_id)
+    // into shards and pack per shard — same running-sum shape per
+    // shard, boundaries only at shard edges.
+    Q("llm_pack_sequences",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+          .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(col("start_off") / 512).cast("long").as("chunk_id"),
+            (col("start_off") % 512).cast("long").as("chunk_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens,
+             |  CAST(FLOOR(start_off / 512) AS BIGINT) AS chunk_id,
+             |  CAST(start_off % 512 AS BIGINT) AS chunk_offset
+             |FROM (
+             |  SELECT doc_id, lang, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             |  FROM (SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+             |    FROM documents) t) p
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Mixture reweighting: given a target of uniform token share per
+    // source, compute each source's current share and the sampling
+    // weight that reaches the target. The aggregate is n_sources rows
+    // (driver-tiny at any corpus size); the window total is over that
+    // aggregate, not the corpus.
+    Q("llm_dataset_mix",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(split_col(col("text"))).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        val wAll = Window.partitionBy()
+        perSrc
+          .withColumn("share",
+            col("n_tokens").cast("double") / sum("n_tokens").over(wAll))
+          .withColumn("target_share",
+            lit(1.0) / count(lit(1)).over(wAll))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("share"),
+            round(col("target_share") / col("share"), 4).as("weight"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, n_docs, n_tokens,
+             |  ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS share,
+             |  ROUND((1.0 / COUNT(*) OVER ()) /
+             |        (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 4) AS weight
+             |FROM (SELECT source, COUNT(*) AS n_docs,
+             |        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+             |      FROM documents GROUP BY source) s
+             |ORDER BY source""".stripMargin)),
+
+    // PII scrubbing surface: mask account-number-like digit runs (≥4)
+    // and email-shaped strings, reporting per-row match counts — the
+    // audit trail a compliance pass needs. Customer names carry the
+    // digit runs in this star schema; the email pattern exercises the
+    // second scrubber (structurally zero hits here, same expressions).
+    // Pure per-row regex work — embarrassingly parallel.
+    Q("text_pii_redact",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(
+            regexp_replace(col("c_name"), "[0-9]{4,}", "[NUM]"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "[EMAIL]").as("redacted_name"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]{4,}"), lit(0)))
+            .cast("long").as("n_nums_masked"),
+          size(regexp_extract_all(col("c_name"),
+            lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"), lit(0)))
+            .cast("long").as("n_emails_masked"),
+          (length(col("c_name")) -
+            length(regexp_replace(col("c_name"), "[0-9]{4,}", "")))
+            .cast("long").as("chars_masked"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  regexp_replace(regexp_replace(c_name, '[0-9]{4,}', '[NUM]', 'g'),
+             |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '[EMAIL]', 'g') AS redacted_name,
+             |  CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_nums_masked,
+             |  CAST(len(regexp_extract_all(c_name, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails_masked,
+             |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]{4,}', '', 'g')) AS BIGINT) AS chars_masked
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+
+  /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`
+    * parity (see TextUdfs scaladoc for the tokenizer doctrine).
+    */
+  private def split_col(c: Column): Column = split(c, " ", -1)
+}

@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AccelerateCosine)
+    e.injectPostHocResolutionRule(s => ResolveCosineTopK(s))
   }
 }
