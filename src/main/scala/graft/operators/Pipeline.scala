@@ -220,6 +220,54 @@ object Pipeline {
              |      FROM documents GROUP BY source) s
              |ORDER BY source""".stripMargin)),
 
+    // Repetition-based quality signals (the Gopher-rule family): token
+    // distinct ratio and duplicate-2-gram share from pure array
+    // expressions (no shuffle), top-token share from one (doc, token)
+    // aggregate — the signals used to drop boilerplate/spam docs
+    // before training. All per-doc linear work; the token aggregate is
+    // the only shuffle and it keys on doc_id.
+    Q("llm_repetition_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          TextUdfs.tokenizeCol(col("text")).as("__t"))
+        val grams2 = transform(sequence(lit(1), greatest(size(col("__t")) - 1, lit(1))),
+          i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1)))
+        val exprStats = toks.select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          round(size(array_distinct(col("__t"))).cast("double") / size(col("__t")), 4)
+            .as("distinct_ratio"),
+          round(lit(1.0) - size(array_distinct(grams2)).cast("double") / size(grams2), 4)
+            .as("dup_2gram_share"))
+        val topShare = toks
+          .select(col("doc_id"), explode(col("__t")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c").cast("double") / sum("c"), 4).as("top_token_share"))
+        exprStats.join(topShare, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+            col("dup_2gram_share"), col("top_token_share"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |g2 AS (SELECT doc_id,
+              |         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+              |           i -> concat_ws(' ', t[i], t[i+1])) AS g
+              |       FROM toks),
+              |es AS (SELECT toks.doc_id,
+              |         CAST(len(t) AS BIGINT) AS n_tokens,
+              |         ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+              |         ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) AS dup_2gram_share
+              |       FROM toks JOIN g2 ON toks.doc_id = g2.doc_id),
+              |ts AS (SELECT doc_id,
+              |         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_token_share
+              |       FROM (SELECT doc_id, token, COUNT(*) AS c
+              |             FROM (SELECT doc_id, unnest(t) AS token FROM toks) u
+              |             GROUP BY doc_id, token) f GROUP BY doc_id)
+              |SELECT es.doc_id, n_tokens, distinct_ratio, dup_2gram_share, top_token_share
+              |FROM es JOIN ts ON es.doc_id = ts.doc_id
+              |ORDER BY es.doc_id""".stripMargin)),
+
     // PII scrubbing surface: mask account-number-like digit runs (≥4)
     // and email-shaped strings, reporting per-row match counts — the
     // audit trail a compliance pass needs. Customer names carry the

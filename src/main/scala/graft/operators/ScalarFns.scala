@@ -382,6 +382,54 @@ object ScalarFns {
              |     THEN 'k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
              |     ELSE '' END AS evens_only,
              |'extra=1,k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS with_extra
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // parse_url over crawl-shaped URLs (synthesized deterministically
+    // from document columns — the fixtures carry no raw URLs). The
+    // oracle mirrors each component with an anchored regexp; the
+    // synthesized URLs always contain every component, so the two
+    // engines' missing-part null conventions never diverge.
+    Q("fn_url_suite",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+          lit("?ref="), col("source"), lit("&id="), col("doc_id").cast("string"))
+        Tables.documents(s, d)
+          .withColumn("url", url)
+          .select(col("doc_id"), col("url"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY")).as("query"),
+            parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, url,
+             |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             |  regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+             |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+             |  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+             |FROM (SELECT doc_id,
+             |  'https://' || source || '.example.com/' || lang || '/doc/' ||
+             |  CAST(doc_id AS VARCHAR) || '?ref=' || source || '&id=' ||
+             |  CAST(doc_id AS VARCHAR) AS url FROM documents) u
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Spark 4 VARIANT type: parse_json → variant_get with a typed path
+    // — the modern semi-structured surface next to fn_map_json's
+    // classic get_json_object. The oracle mirrors with DuckDB's JSON
+    // extraction (props is single-key {"k": n} JSON).
+    Q("fn_variant",
+      (s, d) => Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          (expr("variant_get(v, '$.k', 'bigint')") * 2).as("k_doubled"),
+          expr("variant_get(v, '$.missing', 'bigint')").as("k_missing"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+             |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
              |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -187,6 +187,31 @@ object Windows {
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) t
-             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ntile decile assignment + per-decile stats: the quantile-bucket
+    // window (total order ⇒ one partition on the window side at any
+    // scale — use range-partitioned approximations when a global ntile
+    // over 10^11 rows is actually needed; here it mirrors the common
+    // "score deciles" analytics shape). Unique orderBy key keeps tiles
+    // deterministic.
+    Q("win_ntile_buckets",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            round(min("c_acctbal"), 2).as("min_bal"),
+            round(max("c_acctbal"), 2).as("max_bal"))
+          .orderBy("decile")
+      },
+      Some("""SELECT decile, COUNT(*) AS n,
+             |  ROUND(MIN(c_acctbal), 2) AS min_bal,
+             |  ROUND(MAX(c_acctbal), 2) AS max_bal
+             |FROM (SELECT c_acctbal,
+             |        CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS decile
+             |      FROM customer) t
+             |GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }

@@ -107,6 +107,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_decontaminate broadcasts the benchmark gram side") {
+    // the corpus side must stay a linear pass — a shuffled join of the
+    // corpus gram stream against a KB-scale benchmark set would be a
+    // pointless full-corpus shuffle at 100 TB
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+  }
+
+  test("llm_pack_sequences shuffles once on lang below the output sort") {
+    val p = plan("llm_pack_sequences")
+    val exchanges = "Exchange (hash|Single)".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("sampling/split/redact queries are expression-only (no mid-plan aggregation joins)") {
+    // deterministic hash sampling must not cost anything beyond the
+    // scan + filter: no join operator of any kind in the plan
+    Seq("llm_sample_stratified", "text_pii_redact").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
