@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, SqL2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,8 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sq_l2"),
+      new ExpressionInfo(classOf[SqL2].getName, "sq_l2"),
+      (exprs: Seq[Expression]) => SqL2(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AccelerateCosine)
+    e.injectOptimizerRule(_ => AccelerateSqL2)
     e.injectPostHocResolutionRule(s => ResolveCosineTopK(s))
   }
 }
