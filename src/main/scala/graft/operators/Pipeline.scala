@@ -151,7 +151,7 @@ object Pipeline {
               |       WHEN ${SQL_COIN("split:", "doc_id")} < 90 THEN 'valid'
               |       ELSE 'test' END AS split,
               |  COUNT(*) AS n_docs,
-              |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
               |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
     // Sequence packing (concat-then-chunk): per language, documents are
@@ -216,7 +216,7 @@ object Pipeline {
              |  ROUND((1.0 / COUNT(*) OVER ()) /
              |        (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 4) AS weight
              |FROM (SELECT source, COUNT(*) AS n_docs,
-             |        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+             |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
              |      FROM documents GROUP BY source) s
              |ORDER BY source""".stripMargin)),
 

@@ -105,7 +105,7 @@ object Subqueries {
         |  UNION ALL
         |  SELECT s.o_custkey, s.o_orderkey, s.rn, CAST(w.cum + s.p AS DECIMAL(18,2))
         |  FROM walk w JOIN seq s ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1)
-        |SELECT o_custkey, o_orderkey, rn, CAST(cum AS DOUBLE) AS cum_spend
+        |SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, CAST(cum AS DOUBLE) AS cum_spend
         |FROM walk ORDER BY o_custkey, rn""".stripMargin),
 
     // listagg (Spark 4) with DISTINCT + WITHIN GROUP ordering — the

@@ -58,6 +58,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}")
             n_fail += 1
             continue
+        # Type-strict gate: the driver's hash is type-sensitive, so a
+        # DuckDB HUGEINT (int128 from SUM over BIGINT) vs Spark BIGINT
+        # mismatch fails there even when values are identical.  Compare
+        # DuckDB's inferred type for each column in both relations.
+        otypes = {c: str(t) for c, t in zip(ocols, oracle_rel.types)}
+        stypes = {c: str(t) for c, t in zip(scols, spark_rel.types)}
+        tbad = [(c, otypes[c], stypes[c]) for c in sorted(ocols)
+                if otypes[c] != stypes[c]]
+        if tbad:
+            print(f"FAIL {name}: column types differ (oracle vs spark):")
+            for c, ot, st in tbad:
+                print(f"  {c}: oracle={ot} spark={st}")
+            n_fail += 1
+            continue
         operm = [ocols.index(c) for c in sorted(ocols)]
         sperm = [scols.index(c) for c in sorted(scols)]
         orows = [tuple(norm(r[i]) for i in operm) for r in orows]
