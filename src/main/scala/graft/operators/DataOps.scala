@@ -201,6 +201,50 @@ object DataOps {
     Q("ann_lsh_bucketed", fn, Some(sql))
   }
 
+  /** Cost-based top-k driven through the declarative
+    * [[graft.plans.CosineTopK]] node: the opt-in flag is set and the
+    * size threshold forced to 1 byte, so [[graft.plans.ResolveCosineTopK]]
+    * lowers the SAME declared intent to the approximate LSH-bucketed
+    * path — the decision the rule would make from ANALYZE stats on a
+    * real 10^9-row corpus, here exercised end-to-end under the
+    * driver's correctness signal. Runs on a child session
+    * (`newSession`) so the opt-in conf never leaks into the shared
+    * session's other queries. The oracle mirrors the LSH lowering
+    * exactly (same md5-derived hyperplanes): only candidates sharing
+    * the query vector's bucket are scored.
+    */
+  private def topkAutoQuery: Q = {
+    def fn(s: SparkSession, d: String) = {
+      val s2 = s.newSession()
+      s2.conf.set(graft.plans.CosineTopK.EnabledKey, "true")
+      s2.conf.set(graft.plans.CosineTopK.MinBytesKey, "1")
+      // 4 planes → 16 buckets: the fixture bucket holds enough
+      // candidates that the top-10 cut is actually exercised
+      s2.conf.set(graft.plans.CosineTopK.PlanesKey, "4")
+      graft.api.Similarity
+        .topKAuto(Tables.embeddings(s2, d), "vec_id", "embedding",
+          queryId = 0, topK = 10)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def planeList(i: Int): String =
+      PLANES(i).map(p => s"$p.0").mkString("[", ", ", "]")
+    val bitExprs = (0 until 4)
+      .map(i => s"CASE WHEN ${SQL_DOT("v", planeList(i))} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm, $bitExprs AS bucket
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |q AS (SELECT bucket AS qbucket, v AS qv, nrm AS qnrm FROM base WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, ${SQL_DOT("a.v", "q.qv")} / (a.nrm * q.qnrm) AS sim_raw
+         |  FROM base a JOIN q ON a.bucket = q.qbucket
+         |  WHERE a.vec_id <> 0) t
+         |ORDER BY sim_raw DESC, vec_id LIMIT 10""".stripMargin
+    Q("ann_topk_auto", fn, Some(sql))
+  }
+
   /** Embedding-cosine near-duplicate pairs: within-LSH-bucket pairs
     * (vec_a < vec_b) whose cosine exceeds the threshold — the vector
     * twin of the minhash/Jaccard text pipeline, same bucket-join scale
@@ -345,6 +389,6 @@ object DataOps {
 
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, simhashQuery, simhashPairsQuery, annQuery,
-      embedNearDupQuery, ivfQuery, ivfTrainedQ("ann_ivf_trained", 1),
-      ivfTrainedQ("ann_ivf_multiprobe", 2))
+      topkAutoQuery, embedNearDupQuery, ivfQuery,
+      ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2))
 }

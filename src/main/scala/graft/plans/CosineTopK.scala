@@ -34,6 +34,13 @@ case class CosineTopK(child: LogicalPlan, idCol: String, vecCol: String,
   // node survives analysis (extraOptimizations path)
   override def producedAttributes: AttributeSet =
     AttributeSet(output.filterNot(child.outputSet.contains))
+  // idCol/vecCol are carried as strings, not expressions, so the
+  // default (expression-derived) references are EMPTY — ColumnPruning
+  // would then strip the vector column from the child before the
+  // late-running resolution rule lowers the node (bites when a parent
+  // Project keeps only the node's output, e.g. rounding cos_sim).
+  override def references: AttributeSet =
+    AttributeSet(child.output.filter(a => a.name == idCol || a.name == vecCol))
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
     copy(child = newChild)
 }
@@ -43,6 +50,11 @@ object CosineTopK {
   val EnabledKey = "spark.graft.similarity.autoApprox.enabled"
   val MinRowsKey = "spark.graft.similarity.autoApprox.minRows"
   val MinBytesKey = "spark.graft.similarity.autoApprox.minBytes"
+  /** Hyperplane count for the approximate path: 2^planes buckets.
+    * Fewer planes = more candidates scored = higher recall, higher
+    * cost — the recall/cost dial a user tunes per corpus density.
+    */
+  val PlanesKey = "spark.graft.similarity.autoApprox.planes"
 
   /** Build the DataFrame around a fresh node, self-installing the
     * resolution rule for sessions constructed without GraftExtensions
@@ -88,7 +100,8 @@ case class ResolveCosineTopK(session: SparkSession) extends Rule[LogicalPlan] {
           stats.sizeInBytes >= confLong(CosineTopK.MinBytesKey, 128L << 20)
       val replacement =
         if (optIn && big)
-          graft.api.Similarity.lshTopK(corpus, t.idCol, t.vecCol, t.queryId, t.topK)
+          graft.api.Similarity.lshTopK(corpus, t.idCol, t.vecCol, t.queryId,
+            t.topK, nPlanes = confLong(CosineTopK.PlanesKey, 8L).toInt)
         else
           graft.api.Similarity.bruteForceTopK(corpus, t.idCol, t.vecCol, t.queryId, t.topK)
       val lowered = replacement.queryExecution.optimizedPlan

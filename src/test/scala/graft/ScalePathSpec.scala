@@ -39,6 +39,28 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("a parent projection over the node survives column pruning") {
+    // regression: CosineTopK carries idCol/vecCol as strings, so its
+    // expression-derived references were empty and ColumnPruning
+    // stripped the vector column from the child before the late
+    // resolution rule ran (UNRESOLVED_COLUMN on `embedding`); the
+    // references override keeps the needed columns alive
+    import org.apache.spark.sql.functions.{col, round}
+    withConf(
+      graft.plans.CosineTopK.EnabledKey -> "true",
+      graft.plans.CosineTopK.MinBytesKey -> "1",
+      graft.plans.CosineTopK.PlanesKey -> "4") {
+      val projected = rows(
+        graft.api.Similarity.topKAuto(embs, "vec_id", "embedding", 0L, 10)
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim")))
+      val lsh = rows(
+        graft.api.Similarity.lshTopK(embs, "vec_id", "embedding", 0L, 10, nPlanes = 4)
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim")))
+      assert(projected == lsh)
+      assert(projected.nonEmpty)
+    }
+  }
+
   test("a small corpus stays exact even when opted in (threshold gate)") {
     withConf(
       graft.plans.CosineTopK.EnabledKey -> "true",
