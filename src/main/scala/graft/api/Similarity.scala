@@ -322,6 +322,44 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** [[knnPerLabel]] routed through the trained IVF index — the scale
+    * path for same-label kNN. Label blocking alone is a quadratic trap:
+    * (n/L)² pairs per label grows 10,000× at 100× data. Here candidates
+    * must share BOTH the label and an IVF cell, so the pairwise term is
+    * Σ_cell Σ_label (n_cell,label)² · probes — and cell count k is a
+    * free dial: raise it with corpus size to keep cells bounded, which
+    * label cardinality never was. APPROXIMATE (recall < 1 when a true
+    * neighbor lives outside the probed cells); [[knnPerLabel]] stays
+    * the small-n exact ground truth. The codebook is shared with the
+    * ann_ivf_* queries via [[kmeansCodebook]]'s memo.
+    */
+  def knnPerLabelIvf(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 16, iters: Int = 5, topK: Int = 3,
+      probes: Int = 2): DataFrame = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val base = prepare(embs, idCol, vecCol)
+      .select(col(idCol), col(labelCol), col("__v"), col("__nrm"))
+    val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+    val queriesSide =
+      if (probes <= 1) assigned
+      else probeCells(base, codebook, probes)
+        .select(col(idCol), col(labelCol), col("__v"), col("__nrm"),
+          explode(col("__probe_cells")).as("cell"))
+    // each index vector owns ONE cell (rn=1), so a (query, nbr) pair
+    // matches at most once even with the probe-side fan-out
+    val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
+    queriesSide.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$labelCol") === col(s"b.$labelCol") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col(s"a.$labelCol").as(labelCol),
+        col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
   /** Top-k same-label neighbors per vector (label blocking bounds the
     * quadratic term to (n/labels)² per partition).
     */

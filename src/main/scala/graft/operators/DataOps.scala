@@ -328,24 +328,37 @@ object DataOps {
     * different query-side fan-out. In the oracle, `afinal` (rn=1) is
     * the index side and `aprobe` (rn ≤ probes) the query side.
     */
-  private def ivfTrainedQ(name: String, probes: Int): Q = {
-    val K = 16; val ITERS = 5; val TOPK = 2
-    def fn(s: SparkSession, d: String) =
-      graft.api.Similarity
-        .ivfTrainedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
-          K, ITERS, TOPK, probes)
-        .select(col("vec_id"), col("cell").cast("long").as("cell"),
-          col("rn").cast("long").as("rn"),
-          col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
-        .orderBy("vec_id", "rn")
+  private def ivfTrainedQ(name: String, probes: Int,
+      labelCol: Option[String] = None): Q = {
+    val K = 16; val ITERS = 5; val TOPK = if (labelCol.isDefined) 3 else 2
+    def fn(s: SparkSession, d: String) = labelCol match {
+      case Some(lab) =>
+        graft.api.Similarity
+          .knnPerLabelIvf(Tables.embeddings(s, d), "vec_id", "embedding", lab,
+            K, ITERS, TOPK, probes)
+          .select(col("vec_id"), col("rn").cast("long").as("rn"), col(lab),
+            col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy("vec_id", "rn")
+      case None =>
+        graft.api.Similarity
+          .ivfTrainedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
+            K, ITERS, TOPK, probes)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("rn").cast("long").as("rn"),
+            col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy("vec_id", "rn")
+    }
+    // label column threaded through base + assignment CTEs when present
+    val labSel = labelCol.map(l => s", $l").getOrElse("")
+    val labSelB = labelCol.map(l => s", b.$l").getOrElse("")
     val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
     def L2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
     // assignment of every vector to its `maxRn` nearest cbN centroids
     def assign(cb: String, name: String, maxRn: Int = 1) =
       s"""$name AS (
-         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
-         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |  SELECT vec_id$labSel, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id$labSelB, b.v, b.nrm, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
          |    FROM base b, $cb c) t WHERE rn <= $maxRn)""".stripMargin
@@ -367,28 +380,42 @@ object DataOps {
     val probeCte =
       if (probes <= 1) "" else s",\n${assign(s"cb$ITERS", "aprobe", probes)}"
     val probeSide = if (probes <= 1) "afinal" else "aprobe"
+    val finalSelect = labelCol match {
+      case Some(l) =>
+        s"""SELECT vec_id, rn, $l, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+           |  SELECT a.vec_id, a.$l, b.vec_id AS nbr_id,
+           |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+           |  FROM $probeSide a JOIN afinal b
+           |    ON a.cell = b.cell AND a.$l = b.$l AND a.vec_id <> b.vec_id) t
+           |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+      case None =>
+        s"""SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+           |  SELECT a.vec_id, b.cell, b.vec_id AS nbr_id,
+           |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+           |  FROM $probeSide a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+           |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    }
     val sql =
       s"""WITH base AS (
-         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
-         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |  SELECT vec_id$labSel, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id$labSel, $sqlV AS v FROM embeddings) x),
          |cb0 AS (
          |  SELECT c_id, v FROM (
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
          |    FROM base) r WHERE c_id < $K),
          |${iterCtes.mkString(",\n")},
          |${assign(s"cb$ITERS", "afinal")}$probeCte
-         |SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
-         |  SELECT a.vec_id, b.cell, b.vec_id AS nbr_id,
-         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
-         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
-         |  FROM $probeSide a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-         |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+         |$finalSelect""".stripMargin
     Q(name, fn, Some(sql))
   }
 
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
-      ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2))
+      ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
+      ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")))
 }

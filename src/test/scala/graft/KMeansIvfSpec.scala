@@ -66,6 +66,38 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(trained >= 0.25, s"trained recall@1 unreasonably low: $trained")
   }
 
+  test("IVF-routed same-label kNN is a sound approximation of the exact form") {
+    // llm_knn_ivf's API: every returned pair must be valid (same label,
+    // no self, no duplicates, cos_sim descending per vector), and the
+    // cell restriction must still find a decent share of the exact
+    // within-label top-1 neighbors (recall floor on the fixture).
+    val ivf = graft.api.Similarity
+      .knnPerLabelIvf(embs, "vec_id", "embedding", "label", topK = 3, probes = 2)
+      .collect()
+    val byVec = ivf.groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      val nbrs = rows.map(_.getAs[Long]("nbr_id"))
+      assert(nbrs.distinct.length == nbrs.length, "duplicate neighbor from probe fan-out")
+      assert(!nbrs.contains(rows.head.getAs[Long]("vec_id")), "self-pair")
+    }
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    ivf.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) == labels(r.getAs[Long]("nbr_id")))
+    }
+    val exactTop1 = graft.api.Similarity
+      .knnPerLabel(embs, "vec_id", "embedding", "label", topK = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id")).toMap
+    val ivfTop1 = ivf.filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id")).toMap
+    val hits = exactTop1.count { case (v, n) => ivfTop1.get(v).contains(n) }
+    val recall = hits.toDouble / exactTop1.size
+    info(f"same-label IVF kNN recall@1 = $recall%.3f (probes=2)")
+    assert(recall >= 0.3, s"label+cell blocking recall unreasonably low: $recall")
+  }
+
   test("multi-probe recall curve is monotone and reaches higher recall") {
     val recalls = Seq(1, 2, 4).map { p =>
       p -> recallAt1(graft.api.Similarity
