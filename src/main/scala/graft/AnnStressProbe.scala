@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: drive the trained-IVF ANN stack BEYOND fixture
+  * scale (the dedup chain has StressProbe; this is the vector twin).
+  * A perturbed ×N embeddings corpus is generated under java.io.tmpdir
+  * (never the read-only fixtures): replica vectors are the base vector
+  * plus a small deterministic per-(replica, dim) jitter, so the corpus
+  * keeps the base's cluster structure (what k-means must find) while
+  * every vector is distinct.
+  *
+  * Measures, with cold caches:
+  *   1. k-means codebook training wall-clock (the 5-Lloyd-round scan —
+  *      the piece with a potential scale cliff, since each round is a
+  *      full corpus pass + a (cell, dim) aggregate);
+  *   2. IVF search wall-clock at probes=1/2 (top-2 per vector — the
+  *      all-vectors self-kNN shape of the declared queries);
+  *   3. recall@1 vs exact brute-force ground truth on a deterministic
+  *      query sample (exact all-pairs at 100k vectors would be 10^10
+  *      pairs; a sample gives the same recall estimate for ~sample×n).
+  *
+  * The codebook size `k` is the probe's main dial: cells hold ~n/k
+  * vectors, the within-cell pairwise term is k·(n/k)² = n²/k, so k
+  * must GROW with the corpus (√n-ish) to hold per-cell cost constant —
+  * the run sweeps several k to measure exactly that.
+  *
+  * Usage: `sbt "runMain graft.AnnStressProbe [sfDir] [xFactor] [kList]"`.
+  * PERF.md records the measured table.
+  */
+object AnnStressProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val x = args.lift(1).map(_.toInt).getOrElse(50)
+    val ks = args.lift(2).getOrElse("16,64,256").split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[ann-stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val corpusDir = s"${sys.props("java.io.tmpdir")}/graft_ann_stress_${x}x"
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+      time(s"generate ${x}x embeddings → $corpusDir") {
+        generate(spark, d, x).write.mode("overwrite").parquet(corpusDir)
+      }
+    }
+    val embs = spark.read.parquet(corpusDir)
+    val n = embs.count()
+    println(s"[ann-stress] corpus vectors: $n")
+
+    // deterministic query sample for ground truth: every step-th id
+    val step = math.max(1L, n / 200)
+    val e = graft.api.Similarity.prepare(embs, "vec_id", "embedding")
+      .select(col("vec_id"), col("__v"))
+    val exactTop1: Map[Long, Long] = time(s"exact ground truth (sample of ~${n / step} queries)") {
+      val q = e.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("q_id"), col("__v").as("__qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("b_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("b_id"),
+          expr("cosine_sim(__v, __qv)").as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    for (k <- ks) {
+      graft.api.Similarity.clearCodebookCache()
+      time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {
+        graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding", k = k)
+      }
+      for (p <- Seq(1, 2)) {
+        val ann = time(s"IVF search k=$k probes=$p (top-2 per vector, memoized codebook)") {
+          val r = graft.api.Similarity
+            .ivfTrainedNeighbors(embs, "vec_id", "embedding", k = k, topK = 2, probes = p)
+          println(s"[ann-stress]   result rows: ${r.count()}")
+          r
+        }
+        val annTop1 = ann.filter(col("rn") === 1 && col("vec_id") % step === 0)
+          .select(col("vec_id"), col("nbr_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val hits = exactTop1.count { case (q, t) => annTop1.get(q).contains(t) }
+        println(f"[ann-stress]   recall@1 k=$k probes=$p: ${hits.toDouble / exactTop1.size}%.3f " +
+          s"($hits/${exactTop1.size} sampled queries)")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Base corpus + (x-1) replicas with fresh ids: replica r of vector i
+    * adds `(murmur3(r, i, dim) % 1000) / 5e4` (≤ ±2% of the unit-ish
+    * component scale) to every dimension — deterministic (no RNG state),
+    * distinct from the base and from every other replica, but close
+    * enough that the base's cluster structure survives: exactly the
+    * "many near-copies of real points" shape of a deduplicated-then-
+    * augmented embedding corpus. Labels carry over; ids are re-keyed.
+    */
+  private def generate(spark: SparkSession, d: String, x: Int): DataFrame = {
+    val base = Tables.embeddings(spark, d)
+    val n = base.count()
+    val replicas = base.crossJoin(spark.range(1, x).toDF("r"))
+      .select(
+        (col("vec_id") + col("r") * n).as("vec_id"),
+        expr("transform(embedding, (e, j) -> " +
+          "CAST(e + (hash(r, vec_id, j) % 1000) / 50000.0 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    base.select("vec_id", "embedding", "label").unionByName(replicas)
+  }
+}

@@ -18,9 +18,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Pass-through conf: set to a `thrift://host:port` URI to point the
+    * Catalog API at a LIVE Hive metastore instead of the embedded/
+    * in-memory catalog. [[builder]] translates it to the two settings a
+    * Hive-backed session needs (`hive.metastore.uris` + Hive catalog
+    * implementation) and enables Hive support. Tests cover the conf
+    * plumbing only — this offline environment has no thrift endpoint
+    * (SURVEY §7.5); everything in [[graft.api.Catalog]] goes through
+    * `spark.catalog`, so no other code changes when this is set.
+    */
+  val MetastoreUriKey = "spark.graft.metastore.uri"
+
   def builder(master: String = "local[*]",
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      metastoreUri: Option[String] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -29,6 +41,27 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    metastoreUri
+      .orElse(sys.props.get(MetastoreUriKey))
+      .fold(b) { uri =>
+        metastoreConf(uri).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+          .enableHiveSupport()
+      }
+  }
+
+  /** The conf pairs a metastore URI expands to — factored pure so the
+    * plumbing is assertable in tests without a live thrift endpoint.
+    * Rejects non-thrift URIs early: a silently-misspelled scheme would
+    * otherwise fall back to the embedded Derby catalog and "work".
+    */
+  def metastoreConf(uri: String): Seq[(String, String)] = {
+    require(uri.startsWith("thrift://"),
+      s"$MetastoreUriKey must be a thrift://host:port URI, got: $uri")
+    Seq(
+      MetastoreUriKey -> uri,
+      "hive.metastore.uris" -> uri,
+      "spark.sql.catalogImplementation" -> "hive")
+  }
 
   /** Build (or reuse) the tuned session. */
   def getOrCreate(master: String = "local[*]"): SparkSession =

@@ -142,6 +142,54 @@ object Scans {
               |COUNT(*) AS n_suppliers, ${SQL_DSUM("s_acctbal")} AS sum_bal
               |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // Avro source (the row-oriented interchange format of Kafka/registry
+    // pipelines — built into Spark 4's spark-sql), same contract as the
+    // ORC roundtrip: the oracle aggregates the original parquet, the
+    // query proves the avro write→read path preserves values exactly.
+    Q("scan_avro_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/part.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_avro_part_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.part(s, d).write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+        }
+        s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(tmp)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            dsum(col("p_retailprice")).as("sum_price"),
+            min(col("p_name")).as("first_name"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_parts,
+              |${SQL_DSUM("p_retailprice")} AS sum_price, MIN(p_name) AS first_name
+              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // XML source (Spark 4 ships the former spark-xml as a built-in
+    // datasource), same oracle contract. Schema inference types
+    // o_orderkey as BIGINT and o_totalprice as DOUBLE — the natural
+    // XML-inferred widths, so the aggregate mirrors the parquet truth.
+    Q("scan_xml_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_xml_orders_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite").format("xml")
+            .option("rowTag", "order").save(tmp)
+        }
+        s.read.format("xml").option("rowTag", "order").load(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.

@@ -20,6 +20,21 @@ class CatalogApiSpec extends AnyFunSuite {
     }
   }
 
+  test("metastore URI conf plumbs through (no live endpoint offline)") {
+    // thrift pass-through: the URI expands to exactly the pairs a
+    // Hive-backed session needs; the builder applies them + Hive
+    // support. No thrift endpoint exists offline, so the expansion is
+    // the testable surface (VERDICT r4 item 7).
+    val uri = "thrift://metastore.example:9083"
+    val conf = GraftSession.metastoreConf(uri).toMap
+    assert(conf(GraftSession.MetastoreUriKey) == uri)
+    assert(conf("hive.metastore.uris") == uri)
+    assert(conf("spark.sql.catalogImplementation") == "hive")
+    intercept[IllegalArgumentException] {
+      GraftSession.metastoreConf("http://not-a-metastore")
+    }
+  }
+
   test("databases/tables/columns inventory") {
     setup()
     assert(graft.api.Catalog.databases(spark)
