@@ -151,6 +151,50 @@ object Dedup {
     jaccardFromShingles(persistedShingles(docs, idCol, textCol),
       threshold, k, bands)
 
+  /** Incremental (batch-vs-corpus) near-dup flagging: each NEW doc
+    * (rows where `isNew` is true) is checked against the OLD corpus —
+    * candidates are old docs sharing an LSH band bucket with the new
+    * doc, verified by exact Jaccard over the hashed shingle sets.
+    * Returns one row per new doc: (doc_id, n_candidates, max_jaccard,
+    * is_dup), with zero-candidate docs present (left join, jaccard 0).
+    *
+    * This is the continuous-ingestion shape a training corpus actually
+    * runs: the full chain's intra-corpus pair expansion is replaced by
+    * a (band, bhash)-keyed equi-join of the SMALL new-batch band table
+    * against the corpus band table. At 100 TB the old side is a
+    * precomputed band artifact (bucketed by (band, bhash), maintained
+    * append-only as batches commit), so each ingested batch costs
+    * O(batch) signature work + one co-partitioned join — never a
+    * corpus rescan, and never intra-batch quadratics.
+    */
+  def incrementalNearDups(docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, threshold: Double = 0.6, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val flags = docs.select(col(idCol).as("doc_id"), isNew.as("__new"))
+    val shingles = persistedShingles(docs, idCol, textCol)
+    val banded = bandedFromShingles(shingles, k, bands).join(flags, "doc_id")
+    val cand = banded.filter(col("__new")).as("n")
+      .join(banded.filter(!col("__new")).as("o"),
+        col("n.band") === col("o.band") && col("n.bhash") === col("o.bhash"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val sets = shingles.groupBy("doc_id").agg(collect_set(col("h")).as("toks"))
+    val nInter = size(array_intersect(col("sa.toks"), col("sb.toks")))
+    val denom = size(col("sa.toks")) + size(col("sb.toks")) - nInter
+    val jac = cand
+      .join(sets.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("old_id") === col("sb.doc_id"))
+      .select(col("new_id"), (nInter.cast("double") / denom).as("__j"))
+    val agg = jac.groupBy("new_id").agg(
+      count(lit(1)).as("n_candidates"), max(col("__j")).as("__max_j"))
+    flags.filter(col("__new")).select(col("doc_id"))
+      .join(agg, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        round(coalesce(col("__max_j"), lit(0.0)), 4).as("max_jaccard"),
+        (coalesce(col("__max_j"), lit(0.0)) >= threshold).as("is_dup"))
+  }
+
   /** The tokenize+shingle+md5 stream of the whole corpus feeds BOTH the
     * per-doc set branch and the minhash→LSH pair branch; Spark does
     * not share the subtree across the two (the partial aggregates

@@ -201,6 +201,51 @@ object DataOps {
     Q("ann_lsh_bucketed", fn, Some(sql))
   }
 
+  /** int8 scalar quantization of the embedding column — the storage/
+    * bandwidth move every large vector corpus makes (4 B float → 1 B
+    * code, per-vector scale): q_j = floor(v_j/scale + 0.5) with
+    * scale = max|v|/127 (floor(+0.5) is the engine-portable round —
+    * both engines' native round() disagree on midpoints). Per-vector
+    * outputs: the scale, the exact integer code checksum (bit-level
+    * roundtrip proof), and the reconstruction MSE. Pure per-row array
+    * expressions — no shuffle, embarrassingly parallel at any scale;
+    * the codes would be written as a BYTE array column in a real
+    * export, the arithmetic here is the oracle-checkable core.
+    */
+  private def quantizeQuery: Q = {
+    def fn(s: SparkSession, d: String) =
+      Tables.embeddings(s, d)
+        .withColumn("__v", expr("transform(embedding, e -> CAST(e AS DOUBLE))"))
+        .withColumn("scale", expr(
+          "greatest(aggregate(__v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), 1e-12d) / 127.0d"))
+        .withColumn("q", expr("transform(__v, x -> CAST(floor(x / scale + 0.5d) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 8).as("scale"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          round(expr(
+            "aggregate(zip_with(__v, q, (x, c) -> (x - c * scale) * (x - c * scale)), CAST(0.0 AS DOUBLE), (a, e) -> a + e)")
+            / size(col("q")), 10).as("mse"))
+        .orderBy("vec_id")
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+         |  FROM base),
+         |qq AS (
+         |  SELECT vec_id, v, scale,
+         |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+         |  FROM sc)
+         |SELECT vec_id, ROUND(scale, 8) AS scale,
+         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |  ROUND(list_sum(list_transform(list_zip(v, q),
+         |    p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) / len(q), 10) AS mse
+         |FROM qq ORDER BY vec_id""".stripMargin
+    Q("mm_embed_quantize", fn, Some(sql))
+  }
+
   /** Cost-based top-k driven through the declarative
     * [[graft.plans.CosineTopK]] node: the opt-in flag is set and the
     * size threshold forced to 1 byte, so [[graft.plans.ResolveCosineTopK]]
@@ -414,7 +459,7 @@ object DataOps {
   }
 
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, simhashQuery, simhashPairsQuery, annQuery,
+    Seq(mmBinaryFeatures, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")))

@@ -137,6 +137,41 @@ object Llm {
         .orderBy("doc_a", "doc_b"),
       Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
 
+    // Incremental (batch-vs-corpus) dedup — the continuous-ingestion
+    // shape: docs with doc_id % 10 < 2 stand in for a freshly crawled
+    // batch checked against the standing corpus. Band-bucket equi-join
+    // (new bands × old bands), Jaccard verify on candidates only, one
+    // row per new doc with its verdict. At scale the old band table is
+    // a precomputed bucketed artifact — see Dedup.incrementalNearDups.
+    Q("llm_incremental_dedup",
+      (s, d) => graft.api.Dedup
+        .incrementalNearDups(Tables.documents(s, d), "doc_id", "text",
+          col("doc_id") % 10 < 2, 0.6, K, BANDS)
+        .orderBy("doc_id"),
+      Some(s"""WITH banded AS ($SQL_BANDED),
+              |cands AS (
+              |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              |  FROM (SELECT * FROM banded WHERE doc_id % 10 < 2) n
+              |  JOIN (SELECT * FROM banded WHERE doc_id % 10 >= 2) o
+              |    ON n.band = o.band AND n.bhash = o.bhash),
+              |sets AS (SELECT doc_id, list(DISTINCT h) AS toks
+              |         FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id),
+              |jac AS (
+              |  SELECT c.new_id,
+              |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+              |      / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) AS j
+              |  FROM cands c JOIN sets sa ON c.new_id = sa.doc_id
+              |               JOIN sets sb ON c.old_id = sb.doc_id),
+              |agg AS (SELECT new_id, COUNT(*) AS n_candidates, MAX(j) AS max_j
+              |        FROM jac GROUP BY new_id)
+              |SELECT d.doc_id,
+              |  CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+              |  ROUND(COALESCE(a.max_j, 0.0), 4) AS max_jaccard,
+              |  COALESCE(a.max_j, 0.0) >= 0.6 AS is_dup
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) d
+              |LEFT JOIN agg a ON d.doc_id = a.new_id
+              |ORDER BY doc_id""".stripMargin)),
+
     // Exact shingle-set Jaccard for LSH candidates only (the verify
     // step touches |candidates| pairs, not n²; same shingle unit the
     // signatures estimate). Integer set sizes + one division →

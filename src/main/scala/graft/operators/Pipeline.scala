@@ -295,7 +295,39 @@ object Pipeline {
              |  CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_nums_masked,
              |  CAST(len(regexp_extract_all(c_name, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT) AS n_emails_masked,
              |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]{4,}', '', 'g')) AS BIGINT) AS chars_masked
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Training-shard export bookkeeping: hash-assign every doc to one
+    // of 8 shards (portable md5 coin — a re-crawled corpus re-shards
+    // identically) and report per-shard docs, tokens, id range, and
+    // token share. The aggregate is one shuffle keyed on shard; the
+    // share window runs over 8 rows. At 100 TB the same assignment
+    // expression IS the partitionBy("shard") of the export write —
+    // this query is the audit the export job emits alongside it.
+    Q("llm_export_shards",
+      (s, d) => {
+        val shard = (conv(substring(
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 8).as("shard")
+        val wAll = Window.partitionBy()
+        Tables.documents(s, d)
+          .withColumn("shard", shard)
+          .withColumn("n_tokens", size(split_col(col("text"))).cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .withColumn("token_share",
+            round(col("n_tokens").cast("double") / sum("n_tokens").over(wAll), 6))
+          .orderBy("shard")
+      },
+      Some(s"""SELECT shard, n_docs, n_tokens, min_doc, max_doc,
+              |  ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+              |FROM (SELECT ${SQL_HEX15("md5('shard:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+              |    COUNT(*) AS n_docs,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+              |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+              |  FROM documents GROUP BY 1) s
+              |ORDER BY shard""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

@@ -45,6 +45,27 @@ class ApiSpec extends AnyFunSuite {
     assert(j((10L, 11L)) == 1.0)
   }
 
+  test("Dedup.incrementalNearDups flags a new exact dup, passes fresh content") {
+    // treat ids >= 13 as the "new batch": 13/14 are unrelated to the
+    // old corpus (10-12); add 15 = exact copy of old doc 10 — it must
+    // flag is_dup with max_jaccard 1.0; 13/14 must appear with zero
+    // candidates and is_dup false (the left-join contract)
+    import spark.implicits._
+    val withCopy = docs.union(Seq(
+      (15L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("id", "body"))
+    val out = graft.api.Dedup
+      .incrementalNearDups(withCopy, "id", "body", col("id") >= 13)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(13L, 14L, 15L))
+    assert(out(15L)._2 == 1.0 && out(15L)._3, s"exact copy not flagged: $out")
+    assert(out(13L) == ((0L, 0.0, false)) && out(14L) == ((0L, 0.0, false)),
+      s"fresh docs must pass with zero candidates: $out")
+    graft.api.Dedup.releaseCaches(withCopy, "id", "body")
+  }
+
   test("Dedup.simhash: identical docs identical, near-dups close in hamming") {
     val h = graft.api.Dedup.simhash(docs, "id", "body")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
