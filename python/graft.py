@@ -1,0 +1,212 @@
+"""PySpark bindings for the graft engine's Scala API.
+
+Thin py4j wrappers: every function delegates to the JVM-side
+``graft.api.*`` objects through the active session's gateway and wraps
+the returned JVM DataFrame back into a PySpark ``DataFrame``. No logic
+lives here — the Scala API is the single source of truth, so results
+are bit-identical to the Scala calls (same plans, same expressions).
+
+Usage::
+
+    from pyspark.sql import SparkSession
+    import graft
+
+    spark = (SparkSession.builder
+             .config("spark.jars", "path/to/graft.jar")
+             .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+             .getOrCreate())
+    docs = spark.read.parquet(".../documents.parquet")
+    clean = graft.dedup.near_dup_components(docs, "doc_id", "text")
+
+Notes:
+  * Scala default arguments do not exist at the Java interop layer, so
+    every wrapper passes the full argument list explicitly (defaults
+    here mirror the Scala defaults).
+  * This offline build environment has no pyspark, so these bindings
+    are exercised on a cluster, not in this repo's test suite; the
+    wrapped Scala methods themselves are oracle- and scalatest-covered.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _active_spark():
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    return spark
+
+
+def _wrap(jdf, spark=None):
+    spark = spark or _active_spark()
+    return DataFrame(jdf, spark)
+
+
+def _jvm():
+    return _active_spark()._jvm
+
+
+class dedup:
+    """graft.api.Dedup — exact/minhash/LSH/SimHash deduplication."""
+
+    @staticmethod
+    def exact_groups(docs, id_col, text_col):
+        return _wrap(_jvm().graft.api.Dedup.exactGroups(docs._jdf, id_col, text_col))
+
+    @staticmethod
+    def exact_keep(docs, id_col, text_col):
+        return _wrap(_jvm().graft.api.Dedup.exactKeep(docs._jdf, id_col, text_col))
+
+    @staticmethod
+    def minhash_signatures(docs, id_col, text_col, k=16):
+        return _wrap(_jvm().graft.api.Dedup.minhashSignatures(docs._jdf, id_col, text_col, k))
+
+    @staticmethod
+    def lsh_candidate_pairs(docs, id_col, text_col, k=16, bands=4, max_bucket=1000):
+        return _wrap(_jvm().graft.api.Dedup.lshCandidatePairs(
+            docs._jdf, id_col, text_col, k, bands, max_bucket))
+
+    @staticmethod
+    def jaccard_verify(docs, id_col, text_col, threshold=0.6, k=16, bands=4):
+        return _wrap(_jvm().graft.api.Dedup.jaccardVerify(
+            docs._jdf, id_col, text_col, threshold, k, bands))
+
+    @staticmethod
+    def near_dup_components(docs, id_col, text_col, threshold=0.6, k=16,
+                            bands=4, max_iters=25):
+        return _wrap(_jvm().graft.api.Dedup.nearDupComponents(
+            docs._jdf, id_col, text_col, threshold, k, bands, max_iters))
+
+    @staticmethod
+    def incremental_near_dups(docs, id_col, text_col, is_new, threshold=0.6,
+                              k=16, bands=4):
+        """``is_new``: a pyspark Column marking the new-batch rows."""
+        return _wrap(_jvm().graft.api.Dedup.incrementalNearDups(
+            docs._jdf, id_col, text_col, is_new._jc, threshold, k, bands))
+
+    @staticmethod
+    def simhash(docs, id_col, text_col):
+        return _wrap(_jvm().graft.api.Dedup.simhash(docs._jdf, id_col, text_col))
+
+    @staticmethod
+    def release_caches(docs, id_col, text_col, threshold=0.6, k=16, bands=4,
+                       max_bucket=1000):
+        _jvm().graft.api.Dedup.releaseCaches(
+            docs._jdf, id_col, text_col, threshold, k, bands, max_bucket)
+
+
+class similarity:
+    """graft.api.Similarity — brute/LSH/IVF vector search."""
+
+    @staticmethod
+    def brute_force_top_k(embs, id_col, vec_col, query_id, top_k=10):
+        return _wrap(_jvm().graft.api.Similarity.bruteForceTopK(
+            embs._jdf, id_col, vec_col, query_id, top_k))
+
+    @staticmethod
+    def lsh_top_k(embs, id_col, vec_col, query_id, top_k=10, n_planes=8, dims=64):
+        return _wrap(_jvm().graft.api.Similarity.lshTopK(
+            embs._jdf, id_col, vec_col, query_id, top_k, n_planes, dims))
+
+    @staticmethod
+    def top_k_auto(embs, id_col, vec_col, query_id, top_k=10):
+        """Cost-based path selection (see spark.graft.similarity.autoApprox.*)."""
+        return _wrap(_jvm().graft.api.Similarity.topKAuto(
+            embs._jdf, id_col, vec_col, query_id, top_k))
+
+    @staticmethod
+    def bucketed_neighbors(embs, id_col, vec_col, top_k=1, n_planes=8, dims=64):
+        return _wrap(_jvm().graft.api.Similarity.bucketedNeighbors(
+            embs._jdf, id_col, vec_col, top_k, n_planes, dims))
+
+    @staticmethod
+    def ivf_trained_neighbors(embs, id_col, vec_col, k=16, iters=5, top_k=2,
+                              probes=1):
+        return _wrap(_jvm().graft.api.Similarity.ivfTrainedNeighbors(
+            embs._jdf, id_col, vec_col, k, iters, top_k, probes))
+
+    @staticmethod
+    def knn_per_label(embs, id_col, vec_col, label_col, top_k=3):
+        return _wrap(_jvm().graft.api.Similarity.knnPerLabel(
+            embs._jdf, id_col, vec_col, label_col, top_k))
+
+    @staticmethod
+    def knn_per_label_ivf(embs, id_col, vec_col, label_col, k=16, iters=5,
+                          top_k=3, probes=2):
+        return _wrap(_jvm().graft.api.Similarity.knnPerLabelIvf(
+            embs._jdf, id_col, vec_col, label_col, k, iters, top_k, probes))
+
+
+class text:
+    """graft.api.TextMetrics — quality / language-ID / tf-idf / fingerprints."""
+
+    @staticmethod
+    def quality(docs, id_col, text_col, stopwords):
+        sw = _to_seq(stopwords)
+        return _wrap(_jvm().graft.api.TextMetrics.quality(docs._jdf, id_col, text_col, sw))
+
+    @staticmethod
+    def lang_id(docs, id_col, text_col, lang_col, profile_size=20):
+        return _wrap(_jvm().graft.api.TextMetrics.langId(
+            docs._jdf, id_col, text_col, lang_col, profile_size))
+
+    @staticmethod
+    def token_counts(docs, id_col, text_col):
+        return _wrap(_jvm().graft.api.TextMetrics.tokenCounts(docs._jdf, id_col, text_col))
+
+    @staticmethod
+    def tf_idf_top_terms(docs, id_col, text_col, group_col, top_n=5):
+        return _wrap(_jvm().graft.api.TextMetrics.tfIdfTopTerms(
+            docs._jdf, id_col, text_col, group_col, top_n))
+
+    @staticmethod
+    def fingerprint(docs, id_col, text_col):
+        return _wrap(_jvm().graft.api.TextMetrics.fingerprint(docs._jdf, id_col, text_col))
+
+
+class catalog:
+    """graft.api.Catalog — metastore collection (DBS/TBLS/COLUMNS analogs)."""
+
+    @staticmethod
+    def databases():
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.databases(s._jsparkSession), s)
+
+    @staticmethod
+    def tables(db):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.tables(s._jsparkSession, db), s)
+
+    @staticmethod
+    def columns(db):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.columns(s._jsparkSession, db), s)
+
+    @staticmethod
+    def table_stats(db):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.tableStats(s._jsparkSession, db), s)
+
+    @staticmethod
+    def partitions(db, table):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.partitions(s._jsparkSession, db, table), s)
+
+    @staticmethod
+    def column_stats(db):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.columnStats(s._jsparkSession, db), s)
+
+    @staticmethod
+    def storage_breakdown(db):
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Catalog.storageBreakdown(s._jsparkSession, db), s)
+
+
+def _to_seq(xs):
+    """Python list → scala.collection.immutable.Seq of strings."""
+    jvm = _jvm()
+    arr = jvm.java.util.ArrayList()
+    for x in xs:
+        arr.add(x)
+    return jvm.scala.jdk.CollectionConverters.ListHasAsScala(arr).asScala().toSeq()
