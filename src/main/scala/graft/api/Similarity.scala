@@ -4,7 +4,9 @@ import java.security.MessageDigest
 
 import graft.functions.{CosineSim, SqL2}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -249,46 +251,31 @@ object Similarity {
     codebook
   }
 
-  /** Nearest-centroid cell (squared-L2, first-index tie-break) against
-    * a literal codebook: `array_position(dists, array_min(dists))`
-    * picks the FIRST minimum — lowest cell id — deterministically.
-    *
-    * Distances run through the native codegen'd [[SqL2]] expression,
-    * one explicit column per cell (k is driver-known), so the whole
-    * assignment stays inside whole-stage codegen — the previous
-    * `transform(cb, aggregate(zip_with(...)))` form paid interpreted
-    * lambda dispatch per element × cell × row, the hot multiplier of
-    * Lloyd training AND both IVF search queries. Numerics unchanged:
-    * SqL2 folds (x-y)² in index order, bit-identical to the HOF form.
+  /** Nearest-centroid cell (squared-L2, first-index tie-break) via the
+    * native [[graft.functions.NearestCells]] expression — the codebook
+    * rides as ONE codegen reference, so generated-code size is
+    * independent of k. (History: the HOF `transform(cb, aggregate(...))`
+    * form paid interpreted lambda dispatch; the k-SqL2-literal-columns
+    * form that replaced it fell off the JIT cliff at k≥64 — 50 s→353 s
+    * training for 4× k at 100k vectors, AnnStressProbe/PERF.md.)
+    * Numerics and tie-break unchanged: index-order (x-y)² fold,
+    * first-min = lowest cell id.
     */
-  private def assignCells(df: DataFrame, codebook: Array[Array[Double]]): DataFrame = {
-    val dists = array(codebook.map(c =>
-      call_function("sq_l2", col("__v"), array(c.map(lit(_)): _*))): _*)
-    df.withColumn("__dists", dists)
-      .withColumn("__cell",
-        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
-      .drop("__dists")
-  }
+  private def assignCells(df: DataFrame, codebook: Array[Array[Double]]): DataFrame =
+    df.withColumn("__cell",
+      element_at(Bridge.column(graft.functions.NearestCells(
+        UnresolvedAttribute("__v"), codebook, 1)), 1))
 
   /** Top-`probes` nearest cells per vector (squared-L2 ascending, cell
-    * id tie-break) as an array column `__probe_cells`: structs of
-    * (dist, cell) sort lexicographically, so the natural array_sort
-    * gives exactly the deterministic order [[assignCells]] uses for its
-    * single cell.
+    * id tie-break) as an array column `__probe_cells` — same
+    * [[graft.functions.NearestCells]] expression as [[assignCells]],
+    * same deterministic order (its probes=1 head IS the assign cell).
     */
   private def probeCells(df: DataFrame, codebook: Array[Array[Double]],
-      probes: Int): DataFrame = {
-    // same native-SqL2 move as assignCells: one codegen'd (dist, cell)
-    // struct per cell instead of an interpreted transform lambda
-    val dc = array(codebook.zipWithIndex.map { case (c, i) => struct(
-      call_function("sq_l2", col("__v"), array(c.map(lit(_)): _*)).as("d"),
-      lit(i).cast("int").as("cell"))
-    }: _*)
-    df.withColumn("__dc", dc)
-      .withColumn("__probe_cells",
-        transform(slice(array_sort(col("__dc")), 1, probes), s => s("cell")))
-      .drop("__dc")
-  }
+      probes: Int): DataFrame =
+    df.withColumn("__probe_cells",
+      Bridge.column(graft.functions.NearestCells(
+        UnresolvedAttribute("__v"), codebook, probes)))
 
   /** IVF ANN over a TRAINED codebook: k-means cells from
     * [[kmeansCodebook]], then top-k cosine neighbors searched in each

@@ -167,28 +167,32 @@ object Scans {
 
     // XML source (Spark 4 ships the former spark-xml as a built-in
     // datasource), same oracle contract. Schema inference types
-    // o_orderkey as BIGINT and o_totalprice as DOUBLE — the natural
+    // c_custkey as BIGINT and c_acctbal as DOUBLE — the natural
     // XML-inferred widths, so the aggregate mirrors the parquet truth.
+    // Customer (not orders): XML text parsing is ~10× parquet cost per
+    // row, so the roundtrip proof runs on the 15k-row table — format
+    // breadth is the point here, not volume (bench: orders-XML cost
+    // 4.6 s at sf0.1, within sight of the 5 s red line).
     Q("scan_xml_roundtrip",
       (s, d) => {
-        val src = new java.io.File(s"$d/orders.parquet")
+        val src = new java.io.File(s"$d/customer.parquet")
         val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_xml_orders_$key"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_xml_customer_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
-          Tables.orders(s, d)
-            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          Tables.customer(s, d)
+            .select("c_custkey", "c_nationkey", "c_acctbal")
             .write.mode("overwrite").format("xml")
-            .option("rowTag", "order").save(tmp)
+            .option("rowTag", "customer").save(tmp)
         }
-        s.read.format("xml").option("rowTag", "order").load(tmp)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
-            dsum(col("o_totalprice")).as("sum_price"))
-          .orderBy("o_orderpriority")
+        s.read.format("xml").option("rowTag", "customer").load(tmp)
+          .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("c_nationkey")
       },
-      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
-              |${SQL_DSUM("o_totalprice")} AS sum_price
-              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+      Some(s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+              |COUNT(*) AS n_customers, ${SQL_DSUM("c_acctbal")} AS sum_bal
+              |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
 
     Q("catalog_table_stats",
       (s, d) => {

@@ -19,4 +19,12 @@ object Bridge {
     */
   def divideByZeroError(): ArithmeticException =
     org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+
+  /** Column from a raw Catalyst Expression (the Column(expr) ctor is
+    * private in Spark 4) — for graft expressions that carry non-Column
+    * payloads (e.g. a codebook matrix) and so can't go through the
+    * function registry.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
 }
