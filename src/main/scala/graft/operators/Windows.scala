@@ -173,6 +173,57 @@ object Windows {
              |GROUP BY user_id, sess_id
              |ORDER BY user_id, sess_id""".stripMargin)),
 
+    // Time-series resample + gap fill: hourly per-user buckets on a
+    // complete generated grid (min..max observed hour per user),
+    // missing hours forward-filled from the last observed bucket.
+    // sequence()+explode builds each user's grid IN the engine (no
+    // driver loop); the fill is one last(ignoreNulls) window pass over
+    // the grid. The user sample bounds grid size at any sf; at 100 TB
+    // the same shape shards by user range — grid generation, join and
+    // fill all key on user_id, so one shuffle co-locates everything.
+    // Hours travel as formatted strings: Spark's parquet timestamps
+    // are UTC-adjusted (DuckDB types them TIMESTAMPTZ) while the
+    // oracle's date_trunc yields TIMESTAMP — identical values, failing
+    // type gate; same dodge as scan_events_ns_ts.
+    Q("ts_gap_fill",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .filter(col("user_id") % 50 === 0)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"),
+            count(lit(1)).as("n_events"))
+        val grid = b.groupBy("user_id")
+          .agg(min("h").as("hmin"), max("h").as("hmax"))
+          .select(col("user_id"),
+            explode(sequence(col("hmin"), col("hmax"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(b, Seq("user_id", "h"), "left")
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            col("v").isNull.as("is_filled"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("v"), ignoreNulls = true).over(w).as("value"))
+          .orderBy("user_id", "hour")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+             |    COUNT(*) AS n_events
+             |  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+             |  FROM (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+             |        FROM b GROUP BY 1) spans)
+             |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M') AS hour,
+             |  b.v IS NULL AS is_filled,
+             |  CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+             |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+             |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+             |ORDER BY g.user_id, hour""".stripMargin)),
+
     Q("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
