@@ -224,6 +224,58 @@ object Windows {
              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
              |ORDER BY g.user_id, hour""".stripMargin)),
 
+    // Ordered-funnel analysis (view → click → purchase, strictly later
+    // at each stage): the product-analytics staple over an event log.
+    // Three stacked per-user window mins — each stage's first-hit time
+    // conditions on the previous stage's — share ONE user_id shuffle
+    // and sort; the per-user reduction and the 1-row summary are free.
+    // No self-joins: at 100 TB this is a single pass over events. The
+    // oracle mirrors the semantics with correlated min-joins (different
+    // plan, same values — first click strictly after first view, etc.).
+    Q("ts_funnel",
+      (s, d) => {
+        val wU = Window.partitionBy("user_id")
+        val us = unix_micros(col("ts"))
+        Tables.events(s, d)
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", us)).over(wU))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && us > col("t_view"), us)).over(wU))
+          .withColumn("t_purch",
+            min(when(col("event_type") === "purchase" && us > col("t_click"), us)).over(wU))
+          .groupBy("user_id")
+          .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+            max("t_purch").as("t_purch"))
+          .agg(count(col("t_view")).as("n_view"),
+            count(col("t_click")).as("n_click"),
+            count(col("t_purch")).as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click").cast("double") / col("n_view"), 4).as("r_click"),
+            round(col("n_purchase").cast("double") / col("n_view"), 4).as("r_purchase"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+             |  FROM events GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purch
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+             |  GROUP BY e.user_id),
+             |f AS (
+             |  SELECT COUNT(v.t_view) AS n_view, COUNT(c.t_click) AS n_click,
+             |         COUNT(p.t_purch) AS n_purchase
+             |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |         LEFT JOIN p ON v.user_id = p.user_id)
+             |SELECT n_view, n_click, n_purchase,
+             |  ROUND(CAST(n_click AS DOUBLE) / n_view, 4) AS r_click,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / n_view, 4) AS r_purchase
+             |FROM f""".stripMargin)),
+
     Q("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
