@@ -217,6 +217,19 @@ object Similarity {
       }
     }.mkString(";")
 
+  /** IVF cell-count rule, measured (AnnStressProbe / PERF.md): the
+    * within-cell pairwise term is n²/k, so cells must GROW with the
+    * corpus — cells ≈ √n holds per-cell cost flat, and since
+    * [[graft.functions.NearestCells]] the assignment cost is
+    * k-independent, so nothing pushes back. Clamped to [16, 4096]
+    * (below 16 cells the index stops discriminating; above 4096 the
+    * k×dims codebook broadcast and the per-round (cell, dim) aggregate
+    * stop being driver-trivial).
+    */
+  def suggestCells(corpusSize: Long): Int =
+    math.max(16, math.min(4096,
+      math.round(math.sqrt(corpusSize.toDouble)).toInt))
+
   def kmeansCodebook(embs: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     val analyzed = embs.select(col(idCol), col(vecCol)).queryExecution.analyzed

@@ -65,9 +65,13 @@ object CosineTopK {
   def dataframe(embs: DataFrame, idCol: String, vecCol: String,
       queryId: Long, topK: Int): DataFrame = {
     val spark = embs.sparkSession
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveCosineTopK]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ ResolveCosineTopK(spark)
+    // read-check-append under a lock: two threads planting nodes on the
+    // same session must not double-install (or lose) the rule
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveCosineTopK]))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ ResolveCosineTopK(spark)
+    }
     val child = embs.queryExecution.analyzed
     val idAttr = child.output.find(_.name == idCol).getOrElse(
       throw new IllegalArgumentException(s"column $idCol not in ${child.output.map(_.name)}"))

@@ -98,6 +98,14 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"label+cell blocking recall unreasonably low: $recall")
   }
 
+  test("suggestCells follows the measured sqrt-n rule with sane clamps") {
+    import graft.api.Similarity.suggestCells
+    assert(suggestCells(100) == 16)          // floor
+    assert(suggestCells(100000) == 316)      // ~sqrt(100k), the sweep's regime
+    assert(suggestCells(1000000000L) == 4096) // ceiling
+    assert(suggestCells(0) == 16)
+  }
+
   test("multi-probe recall curve is monotone and reaches higher recall") {
     val recalls = Seq(1, 2, 4).map { p =>
       p -> recallAt1(graft.api.Similarity

@@ -91,6 +91,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("ts_funnel shares one user_id shuffle across all three window stages") {
+    val p = plan("ts_funnel")
+    // 3 stacked window mins + the per-user reduction ride the same
+    // user_id hash partitioning; the only other exchange is the 1-row
+    // global summary's single partition
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("NestedLoop"), s"funnel must not self-join:\n$p")
+  }
+
+  test("ts_gap_fill keys every stage on user_id (grid, join, fill)") {
+    val p = plan("ts_gap_fill")
+    // bucket agg + span agg + grid-bucket join + fill window: all on
+    // user_id (or (user_id, h)); no broadcast of the big side, no
+    // nested loop
+    assert(!p.contains("NestedLoop"), s"gap fill must stay an equi-join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toList
+    assert(hashEx.nonEmpty && "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).nonEmpty, s"expected user_id-keyed exchanges:\n$p")
+  }
+
+  test("mm_embed_quantize is expression-only below its output sort") {
+    val p = plan("mm_embed_quantize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"quantization must not shuffle on a key:\n$p")
+    assert(!p.contains("Join"), s"quantization must not join:\n$p")
+  }
+
   test("similarity/simhash pair queries never plan a nested-loop join") {
     // every pair generator must be a bucketed equi-join — an
     // accidental cartesian here is the classic 100 TB killer.
