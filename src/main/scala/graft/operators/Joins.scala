@@ -135,6 +135,34 @@ object Joins {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Null-safe equi-join (<=> ↔ IS NOT DISTINCT FROM): the "nullable
+    // dimension key" case — rows whose key is NULL join the dimension's
+    // NULL row instead of silently dropping (what a plain equi-join
+    // does). BUILDING is nulled on both sides to manufacture the case;
+    // the dim side is a distinct-derived 5-row table, broadcast. The
+    // null-safe operator still hash-partitions (null is just a key
+    // value), so scale shape = any broadcast dim join.
+    Q("join_nullsafe",
+      (s, d) => {
+        val segOrNull = when(col("c_mktsegment") === "BUILDING",
+          lit(null: String)).otherwise(col("c_mktsegment"))
+        val fact = Tables.customer(s, d).withColumn("seg", segOrNull)
+        val dim = fact.select(col("seg").as("dim_seg")).distinct()
+        fact.join(broadcast(dim), col("seg") <=> col("dim_seg"))
+          .groupBy("dim_seg")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("dim_seg").asc_nulls_first)
+      },
+      Some(s"""SELECT d.dim_seg, COUNT(*) AS n_customers,
+              |${SQL_DSUM("c.c_acctbal")} AS sum_bal
+              |FROM (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+              |      FROM customer) c
+              |JOIN (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS dim_seg
+              |      FROM customer) d
+              |  ON c.seg IS NOT DISTINCT FROM d.dim_seg
+              |GROUP BY d.dim_seg ORDER BY d.dim_seg NULLS FIRST""".stripMargin)),
+
     Q("join_cross",
       (s, d) => Tables.region(s, d)
         .crossJoin(Tables.nation(s, d))

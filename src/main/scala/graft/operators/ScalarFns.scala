@@ -430,6 +430,31 @@ object ScalarFns {
              |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
              |  CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
              |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Edit distance (both engines implement classic Levenshtein) over
+    // all nation-name pairs — the string-similarity primitive of
+    // fuzzy entity matching / data cleaning. 25×24/2 pairs here; at
+    // scale the pair stream comes from a blocking key (same first
+    // letter, same length band, an LSH bucket), never a full cross —
+    // the per-pair expression is what this query pins.
+    Q("fn_edit_distance",
+      (s, d) => {
+        val n = Tables.nation(s, d).select(col("n_name"))
+        n.as("a").join(n.as("b"), col("a.n_name") < col("b.n_name"))
+          .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+            levenshtein(col("a.n_name"), col("b.n_name")).cast("long").as("edit_dist"),
+            round(lit(1.0) -
+              levenshtein(col("a.n_name"), col("b.n_name")).cast("double") /
+                greatest(length(col("a.n_name")), length(col("b.n_name"))), 4)
+              .as("sim"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+             |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
+             |  ROUND(1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
+             |    / greatest(length(a.n_name), length(b.n_name)), 4) AS sim
+             |FROM nation a JOIN nation b ON a.n_name < b.n_name
+             |ORDER BY name_a, name_b""".stripMargin))
   )
 }

@@ -173,6 +173,35 @@ object Windows {
              |GROUP BY user_id, sess_id
              |ORDER BY user_id, sess_id""".stripMargin)),
 
+    // nth_value over the full partition frame: per customer, the top
+    // and 2nd-highest order price (NULL when only one order exists —
+    // the honest "no second" answer). row_number dedups to one row per
+    // customer; both windows share the o_custkey shuffle + sort.
+    Q("win_nth_value",
+      (s, d) => {
+        val ord = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val full = ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("top_price", first("o_totalprice").over(full))
+          .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("top_price"), col("second_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, top_price, second_price FROM (
+             |  SELECT o_custkey,
+             |    ROW_NUMBER() OVER wo AS rn,
+             |    first_value(o_totalprice) OVER wf AS top_price,
+             |    nth_value(o_totalprice, 2) OVER wf AS second_price
+             |  FROM orders
+             |  WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             |         wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
     // Time-series resample + gap fill: hourly per-user buckets on a
     // complete generated grid (min..max observed hour per user),
     // missing hours forward-filled from the last observed bucket.
