@@ -130,6 +130,24 @@ class ApiSpec extends AnyFunSuite {
     assert(top.last._1 == 2L && math.abs(top.last._2) < 1e-9)
   }
 
+  test("observe() metrics ride along a curation query (pipeline observability)") {
+    // the ops surface a 100 TB pipeline needs: row/token counters
+    // collected DURING the real pass (no second scan), pulled from the
+    // observation after the action completes
+    // Observation registers a listener, so the metrics arrive no
+    // matter which ACTION executes the plan (count() runs its own
+    // QueryExecution — reading observedMetrics off the handle misses)
+    val obs = org.apache.spark.sql.Observation("curation_metrics")
+    val observed = docs.observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(length(col("body"))).as("chars_seen"))
+    val out = graft.api.Dedup.exactKeep(observed, "id", "body")
+    assert(out.count() == 4)
+    val row = obs.get
+    assert(row("rows_seen") == 5L)
+    assert(row("chars_seen").asInstanceOf[Long] > 0L)
+  }
+
   test("TextMetrics.quality adds the metric columns, preserves rows") {
     val q = graft.api.TextMetrics.quality(docs, "id", "body")
     assert(q.count() == 5)

@@ -90,6 +90,35 @@ object PureProps extends Properties("graft") {
       j >= 0.0 && j <= 1.0 && j == jaccard(b, a) && jaccard(a, a) == 1.0
     }
 
+  property("int8 quantization (mm_embed_quantize formula) error ≤ scale/2, codes in [-127,127]") =
+    Prop.forAll(Gen.choose(2, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)))) { v =>
+      val scale = math.max(v.map(math.abs).max, 1e-12) / 127.0
+      val q = v.map(x => math.floor(x / scale + 0.5).toLong)
+      val recon = q.map(_ * scale)
+      q.forall(c => c >= -127 && c <= 127) &&
+        v.zip(recon).forall { case (x, r) =>
+          math.abs(x - r) <= scale / 2 + 1e-12 }
+    }
+
+  property("NearestCells matches brute-force argmin with first-min ties (any k, probes)") =
+    Prop.forAll(
+      Gen.choose(2, 12), Gen.choose(1, 4),
+      Gen.choose(2, 6)) { (k, probes, dims) =>
+      // deterministic "random" codebook/vector from index arithmetic
+      val cb = Array.tabulate(k, dims)((i, j) => ((i * 7 + j * 13) % 10) / 3.0)
+      val v = Array.tabulate(dims)(j => ((j * 5) % 7) / 2.0)
+      val expr = graft.functions.NearestCells(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("x"), cb, probes)
+      val got = expr.nearestEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+        .toIntArray().toList
+      val dists = cb.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val want = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
+        .take(math.min(probes, k)).map(_._2).toList
+      got == want
+    }
+
   property("GeoMean merge is commutative") =
     Prop.forAll(Gen.listOf(Gen.choose(0.1, 100.0)),
       Gen.listOf(Gen.choose(0.1, 100.0))) { (xs, ys) =>
