@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 plan audit helper: prints formatted plans of the newest
+  * queries so shuffle/broadcast shapes are reviewable in test output.
+  * Assertions live in PlanSpec; this is the audit trail.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("audit: newest round-5 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("llm_incremental_dedup", "llm_export_shards",
+      "join_nullsafe", "win_nth_value", "fn_edit_distance", "ann_topk_auto")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+}
