@@ -51,6 +51,26 @@ object Aggs {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Exact distinct via BITMAP aggregation (Spark 3.5+ bitmap fns):
+    // bitmap_construct_agg packs ids into fixed 4 KB bucket bitmaps, so
+    // the shuffle carries one bitmap per (group, 32k-id bucket) instead
+    // of every distinct id — the standard exact-distinct-at-scale trick
+    // when ids are dense integers (COUNT(DISTINCT) expands rows; HLL
+    // approximates; bitmaps do exact with bounded state). The oracle is
+    // plain COUNT(DISTINCT): same answer, different machinery.
+    Q("agg_bitmap_distinct",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_users
+                |FROM (
+                |  SELECT event_type, bitmap_bucket_number(user_id) AS b,
+                |         bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
+                |  FROM events GROUP BY event_type, b)
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Sketch-valued → deliberately no oracle (HLL++ estimate is
     // engine-specific); unit test asserts within 5% of exact.
     Q("agg_approx_hll",

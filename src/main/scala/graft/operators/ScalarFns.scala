@@ -432,6 +432,29 @@ object ScalarFns {
              |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Array predicate HOFs (exists / forall / filter-count): the
+    // short-circuiting membership tests a feature-gating pass runs per
+    // row over embedding vectors. DuckDB mirrors via list_filter
+    // lengths (no short-circuit, same answers). Thresholds compare
+    // float→double casts — bit-exact on both engines.
+    Q("fn_array_predicates",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            exists(v, x => x > 0.45).as("has_hot_dim"),
+            forall(v, x => x > -0.5).as("all_above_floor"),
+            size(filter(v, x => x < 0.0)).cast("long").as("n_negative"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  len(list_filter(v, x -> x > 0.45)) > 0 AS has_hot_dim,
+             |  len(list_filter(v, x -> NOT (x > -0.5))) = 0 AS all_above_floor,
+             |  CAST(len(list_filter(v, x -> x < 0.0)) AS BIGINT) AS n_negative
+             |FROM (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+             |      FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
+
     // Edit distance (both engines implement classic Levenshtein) over
     // all nation-name pairs — the string-similarity primitive of
     // fuzzy entity matching / data cleaning. 25×24/2 pairs here; at
