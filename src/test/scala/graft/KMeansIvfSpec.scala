@@ -98,6 +98,20 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"label+cell blocking recall unreasonably low: $recall")
   }
 
+  test("auto-k plumbing: ivfTrainedNeighbors at suggestCells(n) is well-formed") {
+    val n = embs.count()
+    val k = graft.api.Similarity.suggestCells(n)
+    assert(k >= 16 && k <= 4096)
+    val ann = graft.api.Similarity
+      .ivfTrainedNeighbors(embs, "vec_id", "embedding", k = k, topK = 1)
+      .collect()
+    assert(ann.nonEmpty)
+    // one neighbor per vector that shares a cell with someone; cells
+    // are legal ids under the suggested codebook
+    assert(ann.forall(r => r.getAs[Int]("cell") >= 0 && r.getAs[Int]("cell") < k))
+    assert(ann.map(_.getAs[Long]("vec_id")).distinct.length == ann.length)
+  }
+
   test("suggestCells follows the measured sqrt-n rule with sane clamps") {
     import graft.api.Similarity.suggestCells
     assert(suggestCells(100) == 16)          // floor
