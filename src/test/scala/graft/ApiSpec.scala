@@ -66,6 +66,20 @@ class ApiSpec extends AnyFunSuite {
     graft.api.Dedup.releaseCaches(withCopy, "id", "body")
   }
 
+  test("Dedup.incrementalNearDups edges: empty new batch; all-new corpus") {
+    // no new rows -> empty result (not an error); all rows new -> every
+    // doc present with zero candidates (nothing old to collide with)
+    val none = graft.api.Dedup
+      .incrementalNearDups(docs, "id", "body", lit(false))
+    assert(none.count() == 0)
+    val all = graft.api.Dedup
+      .incrementalNearDups(docs, "id", "body", lit(true))
+      .collect()
+    assert(all.length == 5)
+    assert(all.forall(r => r.getLong(1) == 0L && !r.getBoolean(3)))
+    graft.api.Dedup.releaseCaches(docs, "id", "body")
+  }
+
   test("Dedup.simhash: identical docs identical, near-dups close in hamming") {
     val h = graft.api.Dedup.simhash(docs, "id", "body")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
