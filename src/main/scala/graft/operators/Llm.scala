@@ -137,6 +137,37 @@ object Llm {
         .orderBy("doc_a", "doc_b"),
       Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
 
+    // Vocabulary coverage (tokenizer-prep view): top-50 corpus tokens
+    // with rank and CUMULATIVE token-mass share — the curve a
+    // vocab-size decision reads (how much of the corpus do the first
+    // N entries cover). The token aggregate is vocab-sized, not
+    // corpus-sized; the ranking window runs over that vocab (fine at
+    // ~1M entries; the corpus-sized stream never hits a single
+    // partition).
+    Q("llm_vocab_coverage",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val counts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        val wOrd = Window.orderBy(col("n").desc, col("token"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        counts
+          .withColumn("rank", row_number().over(wOrd).cast("long"))
+          .withColumn("cum_share",
+            round(sum("n").over(wCum).cast("double") / sum("n").over(wAll), 6))
+          .filter(col("rank") <= 50)
+          .select(col("rank"), col("token"), col("n"), col("cum_share"))
+          .orderBy("rank")
+      },
+      Some(s"""SELECT CAST(rank AS BIGINT) AS rank, token, n, cum_share FROM (
+              |  SELECT token, n,
+              |    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+              |    ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+              |      / SUM(n) OVER (), 6) AS cum_share
+              |  FROM (SELECT token, COUNT(*) AS n FROM ($SQL_TOKENS) GROUP BY token) c) t
+              |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
+
     // Incremental (batch-vs-corpus) dedup — the continuous-ingestion
     // shape: docs with doc_id % 10 < 2 stand in for a freshly crawled
     // batch checked against the standing corpus. Band-bucket equi-join

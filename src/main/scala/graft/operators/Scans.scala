@@ -142,6 +142,37 @@ object Scans {
               |COUNT(*) AS n_suppliers, ${SQL_DSUM("s_acctbal")} AS sum_bal
               |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // Partition-skew report over the hive-partitioned copy (the
+    // metastore-collector question "which partitions are outliers":
+    // per-partition rows + share of the largest partition). Reads ONLY
+    // partition dirs + footers at scale; the oracle groups the
+    // original un-partitioned parquet by the same key.
+    Q("catalog_partition_skew",
+      (s, d) => {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.orders(s, d).write.mode("overwrite")
+            .partitionBy("o_orderstatus").parquet(tmp)
+        }
+        val perPart = s.read.parquet(tmp)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_rows"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        perPart
+          .withColumn("share", round(col("n_rows").cast("double")
+            / sum("n_rows").over(w), 6))
+          .withColumn("skew_vs_max", round(col("n_rows").cast("double")
+            / max("n_rows").over(w), 6))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, n_rows,
+             |  ROUND(CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER (), 6) AS share,
+             |  ROUND(CAST(n_rows AS DOUBLE) / MAX(n_rows) OVER (), 6) AS skew_vs_max
+             |FROM (SELECT o_orderstatus, COUNT(*) AS n_rows
+             |      FROM orders GROUP BY 1) p
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // Avro source (the row-oriented interchange format of Kafka/registry
     // pipelines — built into Spark 4's spark-sql), same contract as the
     // ORC roundtrip: the oracle aggregates the original parquet, the
