@@ -40,6 +40,41 @@ object TextAnalysis {
               |      FROM documents) x
               |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-filter retention report: the decision view a curation
+    // run emits — per language, how many docs survive the quality
+    // threshold and the retained token mass. Composes the quality
+    // score above with one (lang)-keyed aggregate; thresholding is a
+    // per-row predicate, so the whole report is one linear pass.
+    Q("text_quality_retention",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+        q.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("quality") >= 0.5, col("n_words")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            col("tokens_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 4)
+              .as("retention"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN quality >= 0.5 THEN len(t) ELSE 0 END) AS BIGINT) AS tokens_kept,
+              |  ROUND(CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*), 4) AS retention
+              |FROM (
+              |  SELECT lang, t,
+              |    floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+              |  FROM (SELECT lang, $SQL_TOKENIZE AS t,
+              |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |        FROM documents) x) s
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // N-gram-profile language ID: build per-lang top-20 token profiles
     // FROM the corpus, classify each doc by profile-overlap argmax.
     Q("text_lang_id",
