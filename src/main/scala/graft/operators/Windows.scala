@@ -253,6 +253,34 @@ object Windows {
              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
              |ORDER BY g.user_id, hour""".stripMargin)),
 
+    // Sequence-pattern detection (the MATCH_RECOGNIZE family, composed
+    // from lags): per user, count strictly-rising value triples in
+    // event order — the "N consecutive increases" alert shape. Two lag
+    // columns + one predicate share a single user_id shuffle/sort; the
+    // per-user rollup is free on the same partitioning.
+    Q("win_pattern_rise",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("v1", lag("value", 1).over(w))
+          .withColumn("v2", lag("value", 2).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("value") > col("v1") && col("v1") > col("v2"), 1L)
+              .otherwise(0L)).as("n_rising_triples"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN value > v1 AND v1 > v2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rising_triples
+             |FROM (
+             |  SELECT user_id, value,
+             |    LAG(value, 1) OVER w AS v1,
+             |    LAG(value, 2) OVER w AS v2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Ordered-funnel analysis (view → click → purchase, strictly later
     // at each stage): the product-analytics staple over an event log.
     // Three stacked per-user window mins — each stage's first-hit time
