@@ -195,6 +195,105 @@ object Dedup {
         (coalesce(col("__max_j"), lit(0.0)) >= threshold).as("is_dup"))
   }
 
+  /** Persist the corpus's near-dup index as two BUCKETED parquet tables
+    * — the 100-TB artifact behind [[incrementalNearDupsIndexed]]:
+    *
+    *   - `<table>_bands` (doc_id, band, bhash), bucketed+sorted by
+    *     (band, bhash): the LSH candidate side. Bucketing makes every
+    *     later batch-vs-corpus band join co-partitioned — the corpus
+    *     side scans straight into the join with NO shuffle Exchange
+    *     (DedupIndexSpec asserts this on the executed plan).
+    *   - `<table>_sets` (doc_id, toks), bucketed+sorted by doc_id: the
+    *     per-doc hashed shingle sets for exact Jaccard verification of
+    *     candidates, again exchange-free on the corpus side.
+    *
+    * `buckets` sizes the artifact for the deployment (fixture tests use
+    * 8; a 100-TB corpus wants thousands — bucket count is fixed at
+    * write time, so size it for the corpus you'll grow into). The
+    * signature work is O(corpus) ONCE; every later ingest pays only
+    * O(batch) (see [[appendToBandIndex]]).
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 16, bands: Int = 4, buckets: Int = 8,
+      append: Boolean = false): Unit = {
+    val mode =
+      if (append) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite
+    val shingles = shingleHashRows(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedFromShingles(shingles, k, bands)
+        .write.mode(mode)
+        .bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
+        .saveAsTable(s"${table}_bands")
+      shingles.groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("toks"))
+        .write.mode(mode)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${table}_sets")
+    } finally shingles.unpersist(blocking = false)
+  }
+
+  /** Commit an ingested batch into the band index — append-only, cost
+    * O(batch): Spark appends new bucket files under the SAME bucket
+    * spec, so the artifact stays co-partitionable forever; no corpus
+    * rescan, no rewrite. Call after a batch passes
+    * [[incrementalNearDupsIndexed]] and is accepted into the corpus.
+    */
+  def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 16, bands: Int = 4, buckets: Int = 8): Unit =
+    writeBandIndex(batch, idCol, textCol, table, k, bands, buckets, append = true)
+
+  /** [[incrementalNearDups]] against the PERSISTED band index — the
+    * shape a continuous-ingestion corpus actually runs at 100 TB. The
+    * batch side computes its signatures fresh (O(batch)); the corpus
+    * side is the pre-bucketed artifact, so both joins against it (band
+    * candidates, then shingle-set verification) read the bucketed scan
+    * DIRECTLY into the join — the only Exchanges in the plan are on the
+    * batch/candidate side, never the corpus side. Corpus columns are
+    * aliased (`ob_*` / `set_doc_id`) so plan audits can tell the sides
+    * apart; alias-aware output partitioning preserves the bucket
+    * distribution through the rename.
+    *
+    * Same contract as [[incrementalNearDups]]: one row per batch doc —
+    * (doc_id, n_candidates, max_jaccard, is_dup), zero-candidate docs
+    * present via the left join.
+    */
+  def incrementalNearDupsIndexed(batch: DataFrame, idCol: String,
+      textCol: String, table: String, threshold: Double = 0.6,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusBands = spark.table(s"${table}_bands")
+      .select(col("band").as("ob_band"), col("bhash").as("ob_bhash"),
+        col("doc_id").as("old_id"))
+    val corpusSets = spark.table(s"${table}_sets")
+      .select(col("doc_id").as("set_doc_id"), col("toks").as("old_toks"))
+    // batch shingles recomputed per consumer rather than persisted:
+    // the batch is ingest-sized by definition, and leaving no cache
+    // entries behind matters more here than one extra batch-local scan
+    val shingles = shingleHashRows(batch, idCol, textCol)
+    val cand = bandedFromShingles(shingles, k, bands)
+      .join(corpusBands,
+        col("band") === col("ob_band") && col("bhash") === col("ob_bhash"))
+      .select(col("doc_id").as("new_id"), col("old_id"))
+      .distinct()
+    val newSets = shingles.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("new_toks"))
+    val nInter = size(array_intersect(col("new_toks"), col("old_toks")))
+    val denom = size(col("new_toks")) + size(col("old_toks")) - nInter
+    val jac = cand
+      .join(newSets, col("new_id") === col("doc_id"))
+      .join(corpusSets, col("old_id") === col("set_doc_id"))
+      .select(col("new_id"), (nInter.cast("double") / denom).as("__j"))
+    val agg = jac.groupBy("new_id").agg(
+      count(lit(1)).as("n_candidates"), max(col("__j")).as("__max_j"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(agg, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        round(coalesce(col("__max_j"), lit(0.0)), 4).as("max_jaccard"),
+        (coalesce(col("__max_j"), lit(0.0)) >= threshold).as("is_dup"))
+  }
+
   /** The tokenize+shingle+md5 stream of the whole corpus feeds BOTH the
     * per-doc set branch and the minhash→LSH pair branch; Spark does
     * not share the subtree across the two (the partial aggregates

@@ -362,9 +362,27 @@ object Similarity {
 
   /** Top-k same-label neighbors per vector (label blocking bounds the
     * quadratic term to (n/labels)² per partition).
+    *
+    * EXACT small-n ground truth, guarded: the within-label self-join is
+    * O(n²/L) pairs, which grows 10,000× at 100× data — running it
+    * unmodified over a production corpus is a scale-killer, so corpora
+    * larger than `maxExactRows` are rejected up front (one cheap count
+    * of the id column, paid before any quadratic work is scheduled).
+    * Callers above the bound should use [[knnPerLabelIvf]] (candidates
+    * blocked on label AND trained IVF cell — the k dial keeps cells
+    * bounded at any corpus size) and keep this form for recall
+    * ground-truthing on samples; to knowingly run the exact form on a
+    * bigger corpus, pass an explicit larger `maxExactRows`.
     */
   def knnPerLabel(embs: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, topK: Int = 3): DataFrame = {
+      labelCol: String, topK: Int = 3,
+      maxExactRows: Long = 200000L): DataFrame = {
+    val n = embs.select(col(idCol)).count()
+    require(n <= maxExactRows,
+      s"knnPerLabel is the EXACT quadratic baseline (O(n²/labels) pairs) " +
+        s"and the corpus has $n rows > maxExactRows=$maxExactRows. Use " +
+        s"Similarity.knnPerLabelIvf (IVF-cell-blocked, scale-safe) or pass " +
+        s"a larger maxExactRows to knowingly run the exact form.")
     val e = prepare(embs, idCol, vecCol)
     val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
     e.as("a").join(e.as("b"),

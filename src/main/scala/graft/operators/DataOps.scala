@@ -374,20 +374,30 @@ object DataOps {
     * the index side and `aprobe` (rn ≤ probes) the query side.
     */
   private def ivfTrainedQ(name: String, probes: Int,
-      labelCol: Option[String] = None): Q = {
+      labelCol: Option[String] = None, autoK: Boolean = false): Q = {
     val K = 16; val ITERS = 5; val TOPK = if (labelCol.isDefined) 3 else 2
+    // auto-k (`ann_ivf_autok`): cells = Similarity.suggestCells(n), the
+    // measured √n rule — k is DATA-DRIVEN, so the one count() here is
+    // the query's declared intent, not driver-side compute. The oracle
+    // mirrors it with a scalar subquery (the k-means CTE chain is
+    // k-independent in STRUCTURE — k only appears as the `c_id < k`
+    // codebook cut, so auto-k costs the oracle nothing).
+    def cells(s: SparkSession, d: String): Int =
+      if (autoK) graft.api.Similarity
+        .suggestCells(Tables.embeddings(s, d).count())
+      else K
     def fn(s: SparkSession, d: String) = labelCol match {
       case Some(lab) =>
         graft.api.Similarity
           .knnPerLabelIvf(Tables.embeddings(s, d), "vec_id", "embedding", lab,
-            K, ITERS, TOPK, probes)
+            cells(s, d), ITERS, TOPK, probes)
           .select(col("vec_id"), col("rn").cast("long").as("rn"), col(lab),
             col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy("vec_id", "rn")
       case None =>
         graft.api.Similarity
           .ivfTrainedNeighbors(Tables.embeddings(s, d), "vec_id", "embedding",
-            K, ITERS, TOPK, probes)
+            cells(s, d), ITERS, TOPK, probes)
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             col("rn").cast("long").as("rn"),
             col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
@@ -444,6 +454,12 @@ object DataOps {
            |  FROM $probeSide a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
            |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     }
+    // DuckDB twin of Similarity.suggestCells: round-half-up sqrt(n)
+    // clamped to [16, 4096] (both engines round positive halves up)
+    val kSql =
+      if (autoK)
+        "(SELECT GREATEST(16, LEAST(4096, CAST(round(sqrt(COUNT(*))) AS BIGINT))) FROM base)"
+      else K.toString
     val sql =
       s"""WITH base AS (
          |  SELECT vec_id$labSel, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
@@ -451,7 +467,7 @@ object DataOps {
          |cb0 AS (
          |  SELECT c_id, v FROM (
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
-         |    FROM base) r WHERE c_id < $K),
+         |    FROM base) r WHERE c_id < $kSql),
          |${iterCtes.mkString(",\n")},
          |${assign(s"cb$ITERS", "afinal")}$probeCte
          |$finalSelect""".stripMargin
@@ -462,5 +478,6 @@ object DataOps {
     Seq(mmBinaryFeatures, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
-      ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")))
+      ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),
+      ivfTrainedQ("ann_ivf_autok", 1, autoK = true))
 }

@@ -349,17 +349,19 @@ object Windows {
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
-    // ntile decile assignment + per-decile stats: the quantile-bucket
-    // window (total order ⇒ one partition on the window side at any
-    // scale — use range-partitioned approximations when a global ntile
-    // over 10^11 rows is actually needed; here it mirrors the common
-    // "score deciles" analytics shape). Unique orderBy key keeps tiles
-    // deterministic.
+    // ntile decile assignment + per-decile stats — the "score deciles"
+    // analytics shape, computed SCALE-SAFE: graft.api.Ranking.ntileExact
+    // replaces the global NTILE window (whose total order funnels every
+    // row through ONE window partition) with a range-partitioned
+    // two-pass global row number + the front-loaded-remainder tile rule.
+    // Bit-identical to NTILE(10) (the oracle keeps the window form);
+    // the only single-partition work is a prefix sum over the ≤32
+    // per-range counts. Unique orderBy key keeps tiles deterministic.
     Q("win_ntile_buckets",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-        Tables.customer(s, d)
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        graft.api.Ranking
+          .ntileExact(Tables.customer(s, d), 10,
+            Seq(col("c_acctbal").desc, col("c_custkey")), tileCol = "decile")
           .groupBy("decile")
           .agg(count(lit(1)).as("n"),
             round(min("c_acctbal"), 2).as("min_bal"),

@@ -120,6 +120,19 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(suggestCells(0) == 16)
   }
 
+  test("knnPerLabel rejects corpora above the exact-form guard") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Similarity
+        .knnPerLabel(embs, "vec_id", "embedding", "label", maxExactRows = 10)
+    }
+    assert(ex.getMessage.contains("knnPerLabelIvf"),
+      s"guard must point at the scale path: ${ex.getMessage}")
+    // and the default bound admits the fixture (the declared query path)
+    assert(graft.api.Similarity
+      .knnPerLabel(embs, "vec_id", "embedding", "label", topK = 1)
+      .limit(1).count() == 1)
+  }
+
   test("multi-probe recall curve is monotone and reaches higher recall") {
     val recalls = Seq(1, 2, 4).map { p =>
       p -> recallAt1(graft.api.Similarity

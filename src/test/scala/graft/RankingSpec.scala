@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.api.Ranking: the range-partitioned two-pass global ranks must
+  * be BIT-IDENTICAL to the single-partition window functions they
+  * replace, while never planning a full-input single-partition window.
+  */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def customer = Tables.customer(spark, TestSpark.sf0001)
+  private val sortCols = Seq(col("c_acctbal").desc, col("c_custkey"))
+
+  test("withGlobalRowNumber matches the global row_number window exactly") {
+    val got = graft.api.Ranking
+      .withGlobalRowNumber(customer, sortCols, partitions = 5)
+      .select(col("c_custkey"), col("__rn"), col("__n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.orderBy(sortCols: _*)
+    val expect = customer
+      .select(col("c_custkey"), row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = expect.size.toLong
+    assert(got.size == expect.size)
+    expect.foreach { case (k, rn) => assert(got(k) == (rn, n), s"c_custkey=$k") }
+  }
+
+  test("ntileExact matches NTILE for tile counts with and without remainder") {
+    val w = Window.orderBy(sortCols: _*)
+    Seq(7, 10, 32).foreach { tiles =>
+      val got = graft.api.Ranking.ntileExact(customer, tiles, sortCols)
+        .select(col("c_custkey"), col("__ntile"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = customer
+        .select(col("c_custkey"), ntile(tiles).over(w).cast("long").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"tiles=$tiles diverged from NTILE")
+    }
+  }
+
+  test("ntileExact handles fewer rows than tiles (each row its own tile)") {
+    val tiny = customer.orderBy("c_custkey").limit(3)
+    val got = graft.api.Ranking
+      .ntileExact(tiny, 10, Seq(col("c_custkey")))
+      .select(col("c_custkey"), col("__ntile"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("win_ntile_buckets plans no full-input global window") {
+    val df = SparkEntry.queries("win_ntile_buckets")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ntile("), s"global NTILE window survived:\n$p")
+    // the scale-safe shape: a range exchange feeds the per-range local
+    // windows; the only unpartitioned window runs over the ≤p-row
+    // per-range count aggregate (broadcast back as offsets)
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected the range-repartition pass:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"offsets must join back via broadcast:\n$p")
+  }
+}
