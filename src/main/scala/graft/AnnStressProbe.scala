@@ -27,14 +27,18 @@ import org.apache.spark.sql.functions._
   * must GROW with the corpus (√n-ish) to hold per-cell cost constant —
   * the run sweeps several k to measure exactly that.
   *
-  * Usage: `sbt "runMain graft.AnnStressProbe [sfDir] [xFactor] [kList]"`.
-  * PERF.md records the measured table.
+  * Usage: `sbt "runMain graft.AnnStressProbe [sfDir] [xFactor] [kList] [mode]"`
+  * where mode ∈ plain|label|both — `label` sweeps the LABEL-blocked
+  * `knnPerLabelIvf` (the `llm_knn_ivf` headline) across probes=1/2/4
+  * against exact same-label ground truth, measuring the recall/probe
+  * dial the declared query exposes. PERF.md records the measured tables.
   */
 object AnnStressProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val x = args.lift(1).map(_.toInt).getOrElse(50)
     val ks = args.lift(2).getOrElse("16,64,256").split(",").map(_.trim.toInt).toSeq
+    val mode = args.lift(3).getOrElse("plain")
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -59,7 +63,7 @@ object AnnStressProbe {
     val step = math.max(1L, n / 200)
     val e = graft.api.Similarity.prepare(embs, "vec_id", "embedding")
       .select(col("vec_id"), col("__v"))
-    val exactTop1: Map[Long, Long] = time(s"exact ground truth (sample of ~${n / step} queries)") {
+    lazy val exactTop1: Map[Long, Long] = time(s"exact ground truth (sample of ~${n / step} queries)") {
       val q = e.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("q_id"), col("__v").as("__qv"))
       val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("b_id"))
@@ -72,11 +76,46 @@ object AnnStressProbe {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
 
+    // Exact same-label top-1 on the sample — ground truth for the
+    // label-blocked sweep (the llm_knn_ivf headline's recall dial).
+    lazy val exactLabelTop1: Map[Long, Long] = time("exact same-label ground truth (sample)") {
+      val el = graft.api.Similarity.prepare(embs, "vec_id", "embedding")
+        .select(col("vec_id"), col("label"), col("__v"))
+      val q = el.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("__v").as("__qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("b_id"))
+      el.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+        .select(col("q_id"), col("vec_id").as("b_id"),
+          expr("cosine_sim(__v, __qv)").as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
     for (k <- ks) {
       graft.api.Similarity.clearCodebookCache()
       time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {
         graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding", k = k)
       }
+      if (mode == "label" || mode == "both") {
+        for (p <- Seq(1, 2, 4)) {
+          val ann = time(s"label-blocked kNN k=$k probes=$p (top-3 per vector)") {
+            val r = graft.api.Similarity.knnPerLabelIvf(
+              embs, "vec_id", "embedding", "label", k = k, topK = 3, probes = p)
+            println(s"[ann-stress]   result rows: ${r.count()}")
+            r
+          }
+          val annTop1 = ann.filter(col("rn") === 1 && col("vec_id") % step === 0)
+            .select(col("vec_id"), col("nbr_id"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val hits = exactLabelTop1.count { case (q, t) => annTop1.get(q).contains(t) }
+          println(f"[ann-stress]   LABEL recall@1 k=$k probes=$p: " +
+            f"${hits.toDouble / exactLabelTop1.size}%.3f ($hits/${exactLabelTop1.size})")
+        }
+      }
+      if (mode == "label") () else
       for (p <- Seq(1, 2)) {
         val ann = time(s"IVF search k=$k probes=$p (top-2 per vector, memoized codebook)") {
           val r = graft.api.Similarity

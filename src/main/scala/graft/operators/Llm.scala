@@ -21,6 +21,10 @@ object Llm {
   private val K = 16 // minhash signature length
   private val BANDS = 4 // LSH bands (rows per band = K / BANDS = 4)
 
+  /** Per-JVM home for dedup_index_incremental's bucketed artifact. */
+  private lazy val dedupIdxLocation =
+    java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+
   /** DuckDB twin of the exploded unigram token stream (Spark side lives
     * in graft.api.TextMetrics).
     */
@@ -65,6 +69,36 @@ object Llm {
     s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band, unnest(bl) AS bhash
        |FROM (SELECT doc_id, $bandList AS bl FROM ($SQL_SIGS))""".stripMargin
   }
+
+  /** DuckDB twin of the batch-vs-corpus incremental near-dup check —
+    * shared verbatim by `llm_incremental_dedup` (in-session corpus) and
+    * `dedup_index_incremental` (persisted bucketed artifact): both
+    * compute the same rows, only the Spark-side physical shape differs.
+    */
+  private val SQL_INCREMENTAL =
+    s"""WITH banded AS ($SQL_BANDED),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM (SELECT * FROM banded WHERE doc_id % 10 < 2) n
+       |  JOIN (SELECT * FROM banded WHERE doc_id % 10 >= 2) o
+       |    ON n.band = o.band AND n.bhash = o.bhash),
+       |sets AS (SELECT doc_id, list(DISTINCT h) AS toks
+       |         FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id),
+       |jac AS (
+       |  SELECT c.new_id,
+       |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) AS j
+       |  FROM cands c JOIN sets sa ON c.new_id = sa.doc_id
+       |               JOIN sets sb ON c.old_id = sb.doc_id),
+       |agg AS (SELECT new_id, COUNT(*) AS n_candidates, MAX(j) AS max_j
+       |        FROM jac GROUP BY new_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  ROUND(COALESCE(a.max_j, 0.0), 4) AS max_jaccard,
+       |  COALESCE(a.max_j, 0.0) >= 0.6 AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) d
+       |LEFT JOIN agg a ON d.doc_id = a.new_id
+       |ORDER BY doc_id""".stripMargin
 
   private val SQL_PAIRS =
     s"""SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
@@ -179,29 +213,36 @@ object Llm {
         .incrementalNearDups(Tables.documents(s, d), "doc_id", "text",
           col("doc_id") % 10 < 2, 0.6, K, BANDS)
         .orderBy("doc_id"),
-      Some(s"""WITH banded AS ($SQL_BANDED),
-              |cands AS (
-              |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-              |  FROM (SELECT * FROM banded WHERE doc_id % 10 < 2) n
-              |  JOIN (SELECT * FROM banded WHERE doc_id % 10 >= 2) o
-              |    ON n.band = o.band AND n.bhash = o.bhash),
-              |sets AS (SELECT doc_id, list(DISTINCT h) AS toks
-              |         FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id),
-              |jac AS (
-              |  SELECT c.new_id,
-              |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-              |      / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) AS j
-              |  FROM cands c JOIN sets sa ON c.new_id = sa.doc_id
-              |               JOIN sets sb ON c.old_id = sb.doc_id),
-              |agg AS (SELECT new_id, COUNT(*) AS n_candidates, MAX(j) AS max_j
-              |        FROM jac GROUP BY new_id)
-              |SELECT d.doc_id,
-              |  CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
-              |  ROUND(COALESCE(a.max_j, 0.0), 4) AS max_jaccard,
-              |  COALESCE(a.max_j, 0.0) >= 0.6 AS is_dup
-              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) d
-              |LEFT JOIN agg a ON d.doc_id = a.new_id
-              |ORDER BY doc_id""".stripMargin)),
+      Some(SQL_INCREMENTAL)),
+
+    // The SAME batch-vs-corpus check driven through the PERSISTED
+    // bucketed band artifact (Dedup.writeBandIndex →
+    // incrementalNearDupsIndexed): the corpus side is two bucketed
+    // tables — (band,bhash)-bucketed candidates and doc_id-bucketed
+    // shingle sets — that join WITHOUT a shuffle Exchange on the corpus
+    // side (DedupIndexSpec asserts the plan). This is the continuous-
+    // ingestion 100-TB shape: index signatures computed once at build,
+    // every later batch pays O(batch) + two co-partitioned joins.
+    // Results are identical to llm_incremental_dedup (same oracle).
+    Q("dedup_index_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // explicit per-JVM tmp location: not a cwd-relative warehouse
+        // the invoking process may not own, and unique per process —
+        // a FIXED path collides across JVMs (catalog metadata does not
+        // outlive the session, so a later JVM's CREATE TABLE finds the
+        // previous run's orphaned directory → LOCATION_ALREADY_EXISTS)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup_idx LOCATION " +
+          s"'$dedupIdxLocation'")
+        graft.api.Dedup.writeBandIndex(
+          docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
+          "graft_dedup_idx.corpus", K, BANDS)
+        graft.api.Dedup.incrementalNearDupsIndexed(
+          docs.filter(col("doc_id") % 10 < 2), "doc_id", "text",
+          "graft_dedup_idx.corpus", 0.6, K, BANDS)
+          .orderBy("doc_id")
+      },
+      Some(SQL_INCREMENTAL)),
 
     // Exact shingle-set Jaccard for LSH candidates only (the verify
     // step touches |candidates| pairs, not n²; same shingle unit the

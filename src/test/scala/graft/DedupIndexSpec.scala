@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted near-dup band artifact (Dedup.writeBandIndex): the
+  * 100-TB incremental-dedup claim, DEMONSTRATED —
+  *   1. batch-vs-artifact results are identical to the in-session
+  *      incremental form,
+  *   2. the pre-bucketed corpus sides join with NO shuffle Exchange
+  *      (the plan property that makes per-batch cost O(batch)),
+  *   3. the artifact is append-only: committing a batch makes its docs
+  *      visible to the next batch without any rewrite.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+  private val T = "graft_buckets.dedup_idx" // reuse the bucket-test db
+
+  private def buildIndex(): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    Seq("_bands", "_sets").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $T$s"))
+    graft.api.Dedup.writeBandIndex(
+      docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text", T)
+  }
+
+  test("indexed incremental dedup matches the in-session form row for row") {
+    buildIndex()
+    val indexed = graft.api.Dedup
+      .incrementalNearDupsIndexed(docs.filter(col("doc_id") % 10 < 2),
+        "doc_id", "text", T)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val inSession = graft.api.Dedup
+      .incrementalNearDups(docs, "doc_id", "text", col("doc_id") % 10 < 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(indexed.nonEmpty && indexed == inSession)
+    graft.api.Dedup.releaseCaches(docs, "doc_id", "text")
+  }
+
+  test("the bucketed corpus sides join without a shuffle Exchange") {
+    buildIndex()
+    // force sort-merge joins: at fixture scale broadcast would hide
+    // whether the bucket distribution is actually used
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.api.Dedup
+        .incrementalNearDupsIndexed(docs.filter(col("doc_id") % 10 < 2),
+          "doc_id", "text", T)
+        .queryExecution.executedPlan.toString
+      // corpus columns are aliased ob_*/set_doc_id inside
+      // incrementalNearDupsIndexed precisely so this audit can tell the
+      // sides apart: any exchange keyed on them means the corpus got
+      // reshuffled and the artifact bought nothing
+      assert(!p.contains("Exchange hashpartitioning(ob_band"),
+        s"corpus band side shuffled:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(set_doc_id"),
+        s"corpus sets side shuffled:\n$p")
+      // and the batch side DOES shuffle to meet the buckets — the plan
+      // didn't just broadcast everything
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge joins:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("appendToBandIndex commits a batch without rewriting the corpus") {
+    buildIndex()
+    val bandFiles0 = spark.table(s"${T}_bands").inputFiles.toSet
+    val batch = docs.filter(col("doc_id") % 10 < 2)
+    graft.api.Dedup.appendToBandIndex(batch, "doc_id", "text", T)
+    // old files untouched (append-only), new bucket files added
+    val bandFiles1 = spark.table(s"${T}_bands").inputFiles.toSet
+    assert(bandFiles0.subsetOf(bandFiles1) && bandFiles1.size > bandFiles0.size)
+    // a re-ingest of the same batch now self-matches: every doc has at
+    // least one candidate (itself) at jaccard 1.0
+    val re = graft.api.Dedup
+      .incrementalNearDupsIndexed(batch, "doc_id", "text", T)
+      .collect()
+    assert(re.nonEmpty && re.forall(_.getBoolean(3)),
+      "appended docs must be found as exact dups on re-ingest")
+  }
+}

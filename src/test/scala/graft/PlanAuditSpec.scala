@@ -9,9 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("audit: newest round-5 queries have no scan-all/nested-loop surprises") {
+  test("audit: newest round-5/6 queries have no scan-all/nested-loop surprises") {
     val names = Seq("llm_incremental_dedup", "llm_export_shards",
-      "join_nullsafe", "win_nth_value", "fn_edit_distance", "ann_topk_auto")
+      "join_nullsafe", "win_nth_value", "fn_edit_distance", "ann_topk_auto",
+      "dedup_index_incremental", "ann_ivf_autok", "win_ntile_buckets")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
