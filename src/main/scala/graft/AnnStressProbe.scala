@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * the run sweeps several k to measure exactly that.
   *
   * Usage: `sbt "runMain graft.AnnStressProbe [sfDir] [xFactor] [kList] [mode]"`
-  * where mode ∈ plain|label|both — `label` sweeps the LABEL-blocked
+  * where mode ∈ plain|label|both|train — `train` times codebook
+  * training only (the native-aggregate benchmark); `label` sweeps the LABEL-blocked
   * `knnPerLabelIvf` (the `llm_knn_ivf` headline) across probes=1/2/4
   * against exact same-label ground truth, measuring the recall/probe
   * dial the declared query exposes. PERF.md records the measured tables.
@@ -96,9 +97,16 @@ object AnnStressProbe {
 
     for (k <- ks) {
       graft.api.Similarity.clearCodebookCache()
-      time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {
+      val cb = time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {
         graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding", k = k)
       }
+      // cross-JVM determinism evidence: two independent probe runs (two
+      // JVMs) must print the same fingerprint for the same corpus and k
+      val fp = java.security.MessageDigest.getInstance("MD5").digest(
+        cb.flatten.map(java.lang.Double.doubleToRawLongBits)
+          .mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      println(s"[ann-stress]   codebook fingerprint k=$k: $fp")
       if (mode == "label" || mode == "both") {
         for (p <- Seq(1, 2, 4)) {
           val ann = time(s"label-blocked kNN k=$k probes=$p (top-3 per vector)") {
@@ -115,7 +123,7 @@ object AnnStressProbe {
             f"${hits.toDouble / exactLabelTop1.size}%.3f ($hits/${exactLabelTop1.size})")
         }
       }
-      if (mode == "label") () else
+      if (mode == "label" || mode == "train") () else
       for (p <- Seq(1, 2)) {
         val ann = time(s"IVF search k=$k probes=$p (top-2 per vector, memoized codebook)") {
           val r = graft.api.Similarity

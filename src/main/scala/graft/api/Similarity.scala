@@ -239,25 +239,58 @@ object Similarity {
       trainCodebook(embs, idCol, vecCol, k, iters))
   }
 
+  /** Opt-out flag for the native Lloyd-round aggregate
+    * ([[graft.functions.CellVectorSums]]): `false` falls back to the
+    * original posexplode + DECIMAL(38,20) aggregate. The two paths are
+    * bit-identical BY CONSTRUCTION (the native one sums the same
+    * decimal-rounded elements as exact 128-bit integers — associative
+    * and merge-order-free; KMeansAggSpec asserts element equality,
+    * AnnStressProbe prints cross-JVM codebook fingerprints), so the
+    * default is the fast path and no oracle changes.
+    */
+  val KmeansNativeAggKey = "spark.graft.kmeans.nativeAgg"
+
   private def trainCodebook(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
     val base = prepare(embs, idCol, vecCol).select(col(idCol).as("__id"), col("__v"))
+    val native = embs.sparkSession.conf
+      .get(KmeansNativeAggKey, "true").toBoolean
     var codebook: Array[Array[Double]] = base
       .withColumn("__h", md5(col("__id").cast("string")))
       .orderBy("__h").limit(k)
       .select(col("__v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val stats = assignCells(base, codebook)
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cell", "__pos")
-        .agg(sum(col("__x").cast("decimal(38,20)")).as("__sx"),
-          count(lit(1)).as("__n"))
-        .collect()
       val next = codebook.map(_.clone) // empty cells keep their centroid
-      stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDecimal(2).doubleValue() / r.getLong(3)
+      if (native) {
+        // one typed partial aggregate over the (cell, vector) rows:
+        // k×(dims+1) numbers cross the wire, nothing is exploded
+        import graft.functions.CellVectorSums
+        val sums = udaf(new CellVectorSums.Agg(k),
+          org.apache.spark.sql.Encoders.product[(Int, Seq[Double])])
+        val row = assignCells(base, codebook)
+          .select(col("__cell"), col("__v"))
+          .agg(sums(col("__cell"), col("__v")).as("s"))
+          .head.getSeq[org.apache.spark.sql.Row](0)
+        row.foreach { r =>
+          val cell = r.getInt(0); val n = r.getLong(1)
+          val hi = r.getSeq[Long](2); val lo = r.getSeq[Long](3)
+          var i = 0
+          while (i < hi.length) {
+            next(cell)(i) = CellVectorSums.mean(hi(i), lo(i), n); i += 1
+          }
+        }
+      } else {
+        val stats = assignCells(base, codebook)
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos")
+          .agg(sum(col("__x").cast("decimal(38,20)")).as("__sx"),
+            count(lit(1)).as("__n"))
+          .collect()
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            r.getDecimal(2).doubleValue() / r.getLong(3)
+        }
       }
       codebook = next
     }
