@@ -90,17 +90,24 @@ object TextMetrics {
         col("tf"), col("df"), col("score"))
   }
 
-  /** Rolling char-8-gram min-hash fingerprint per document. */
+  /** Rolling char-8-gram min-hash fingerprint per document.
+    *
+    * Entirely within-row: the gram array, its md5 min, and its distinct
+    * count are higher-order-function expressions over each document, so
+    * the job is a single narrow scan — no explode (which multiplied the
+    * row count by document length) and no doc_id shuffle. Per-row
+    * transient memory is O(doc length), the same bound the exploded
+    * form paid in shuffle volume. Equivalent to
+    * `explode(grams) → groupBy(doc_id).agg(min(md5), countDistinct)`
+    * for non-null text (the fixture's documents are all non-null).
+    */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol),
         regexp_replace(lower(col(textCol)), "[^a-z]", "").as("cleaned"))
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
-          .as("gram"))
-      .groupBy("doc_id")
-      .agg(min(md5(col("gram"))).as("fingerprint"),
-        countDistinct(col("gram")).as("n_distinct_grams"))
-      .withColumnRenamed("doc_id", idCol)
+      .withColumn("__grams", expr(
+        "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
+      .select(col(idCol),
+        expr("array_min(transform(__grams, g -> md5(g)))").as("fingerprint"),
+        expr("size(array_distinct(__grams))").cast("long").as("n_distinct_grams"))
 }

@@ -100,6 +100,59 @@ object Pipeline {
               |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
               |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination: logically IDENTICAL to
+    // llm_decontaminate (same output, same oracle), but the physical
+    // path is the one a 100-TB corpus wants when the reference set is
+    // too large to broadcast as exact hashes: build a Bloom filter over
+    // the benchmark grams (~10 bits/key at 1% fpp vs 64+ bits/key for
+    // the exact hash set), prefilter the corpus gram stream with it map
+    // side, and run the exact verify join over SURVIVORS only (true
+    // overlaps + ~1% false positives) — the shuffle carries the
+    // survivor set, not the corpus. False positives cannot leak into
+    // the result: the exact join removes them, so the bloom only buys
+    // I/O, never changes the answer. The filter itself is a bounded
+    // aggregate (model-parameter-sized, like the IVF codebook) shipped
+    // to executors once via broadcast.
+    Q("llm_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          TextUdfs.tokenizeCol(col("text")).as("__t"))
+        val grams = toks.filter(size(col("__t")) >= 8)
+          .select(col("doc_id"), explode(grams8(col("__t"))).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
+          .distinct()
+        val bench = grams.filter(col("doc_id") < 20).select("gh").distinct()
+        val bf = bench.stat.bloomFilter("gh", 1 << 16, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val might = udf((g: String) => g != null && bfB.value.mightContain(g))
+        val survivors = grams.filter(col("doc_id") >= 20)
+          .filter(might(col("gh")))
+        val overlap = survivors.join(bench, "gh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+        docs.filter(col("doc_id") >= 20).select("doc_id", "lang")
+          .join(overlap, Seq("doc_id"), "left")
+          .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+          .withColumn("contaminated", col("n_shared_grams") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |grams AS (
+              |  SELECT DISTINCT doc_id, md5(gram) AS gh FROM (
+              |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+              |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gram
+              |    FROM toks WHERE len(t) >= 8) g),
+              |bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 20),
+              |ov AS (
+              |  SELECT g.doc_id, COUNT(*) AS n_shared_grams
+              |  FROM grams g JOIN bench USING (gh) WHERE g.doc_id >= 20
+              |  GROUP BY g.doc_id)
+              |SELECT d.doc_id, d.lang,
+              |  COALESCE(ov.n_shared_grams, 0) AS n_shared_grams,
+              |  COALESCE(ov.n_shared_grams, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+              |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin)),
+
     // Deterministic stratified sampling: per-language keep rates
     // applied by hashing the doc id — no RNG, no seed plumbing, and a
     // re-run (or re-crawl of one shard) selects the identical sample.

@@ -253,6 +253,67 @@ object Windows {
              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
              |ORDER BY g.user_id, hour""".stripMargin)),
 
+    // Cohort retention: users grouped by first-active week, activity
+    // counted at each whole-week offset — the standard growth-analytics
+    // matrix. Two shuffles total, both on user_id-sized data: one tiny
+    // aggregate for first-seen week (map-side combine over events),
+    // one count-distinct per (cohort, offset). The events table itself
+    // is never re-shuffled wider than its user_id grouping, so the
+    // shape holds at any event volume.
+    Q("ts_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val first = ev.groupBy("user_id").agg(min("w").as("cohort_w"))
+        ev.join(first, "user_id")
+          .withColumn("week_offset",
+            datediff(col("w"), col("cohort_w")).cast("long") / 7)
+          .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset").cast("long").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+             |first AS (
+             |  SELECT user_id, MIN(w) AS cohort_w FROM ev GROUP BY user_id)
+             |SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+             |  CAST(date_diff('day', f.cohort_w, e.w) / 7 AS BIGINT) AS week_offset,
+             |  COUNT(DISTINCT e.user_id) AS n_active_users
+             |FROM ev e JOIN first f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Burst dedup: collapse repeated (user, event_type) firings inside
+    // the same hour to their earliest occurrence — the at-least-once
+    // ingestion cleanup every event pipeline needs. Expressed as ONE
+    // hash aggregate with min(struct(ts, event_id)) rather than a
+    // row_number window: the aggregate combines map side (partial min
+    // per input partition), so the shuffle carries one row per
+    // (user, type, hour) key instead of every event — the difference
+    // between shuffling keys and shuffling the corpus at 100 TB.
+    Q("dedup_time_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("__first"),
+          count(lit(1)).as("n_in_window"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("__first.event_id").as("kept_event_id"),
+          date_format(col("__first.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+          col("n_in_window"))
+        .orderBy("user_id", "event_type", "hour"),
+      Some("""SELECT user_id, event_type,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             |  event_id AS kept_event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+             |  COUNT(*) OVER (PARTITION BY user_id, event_type,
+             |    date_trunc('hour', ts)) AS n_in_window
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type,
+             |  date_trunc('hour', ts) ORDER BY ts, event_id) = 1
+             |ORDER BY user_id, event_type, hour""".stripMargin)),
+
     // Sequence-pattern detection (the MATCH_RECOGNIZE family, composed
     // from lags): per user, count strictly-rising value triples in
     // event order — the "N consecutive increases" alert shape. Two lag

@@ -170,4 +170,20 @@ class ApiSpec extends AnyFunSuite {
     assert(q.select(min(col("quality"))).head.getDouble(0) >= 0.0)
     assert(q.select(max(col("quality"))).head.getDouble(0) <= 1.0)
   }
+
+  test("TextMetrics.fingerprint (within-row HOF) equals the explode+groupBy form") {
+    val hof = graft.api.TextMetrics.fingerprint(docs, "id", "body")
+      .orderBy("id").collect().toSeq
+    val exploded = docs
+      .select(col("id"),
+        regexp_replace(lower(col("body")), "[^a-z]", "").as("cleaned"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, greatest(length(cleaned) - 7, 1)), i -> substr(cleaned, i, 8))"))
+        .as("gram"))
+      .groupBy("id")
+      .agg(min(md5(col("gram"))).as("fingerprint"),
+        countDistinct(col("gram")).as("n_distinct_grams"))
+      .orderBy("id").collect().toSeq
+    assert(hof == exploded)
+  }
 }

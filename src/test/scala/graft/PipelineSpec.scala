@@ -30,6 +30,15 @@ class PipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("llm_decontaminate_bloom is row-identical to the exact path") {
+    // The bloom prefilter may pass false positives into the verify
+    // join, but never into the result: the exact join removes them, so
+    // the two declared queries must agree row for row.
+    val exact = run("llm_decontaminate").collect().toSeq
+    val bloom = run("llm_decontaminate_bloom").collect().toSeq
+    assert(bloom == exact, "bloom-prefiltered path must equal exact path")
+  }
+
   test("llm_sample_stratified is deterministic and rate-calibrated per stratum") {
     val a = run("llm_sample_stratified").collect()
     val b = run("llm_sample_stratified").collect()
