@@ -9,52 +9,86 @@ import org.apache.spark.sql.functions._
   * A global `row_number()`/`ntile()` window over an unpartitioned frame
   * funnels EVERY row through one window partition — the classic
   * single-task sort that stops scaling at ~10⁸ rows. The primitives
-  * here produce the exact same numbers with a range-partitioned
-  * two-pass shape instead:
+  * here produce the exact same numbers with a range-bucketed two-pass
+  * shape instead:
   *
-  *   1. `repartitionByRange` on the sort key (sampled boundaries — a
-  *      parallel shuffle, no global sort),
-  *   2. a per-partition local `row_number` (windows partitioned by the
-  *      physical range id, so every sort is partition-local),
-  *   3. per-partition row counts prefix-summed into offsets — a
-  *      partition-count-sized aggregate (≤ a few thousand rows at any
+  *   1. bucket every row by WHERE its first sort-key value falls in a
+  *      set of range boundaries (computed once, up front, as a tiny
+  *      `approx_percentile` aggregate — see the in-method note on why
+  *      NOT `repartitionByRange`),
+  *   2. a per-bucket local `row_number` (windows partitioned by the
+  *      bucket id, so every sort is partition-local),
+  *   3. per-bucket row counts prefix-summed into offsets — a
+  *      bucket-count-sized aggregate (≤ a few thousand rows at any
   *      scale) that is broadcast back, so global rank = offset + local
   *      rank.
   *
-  * The only single-partition work is the prefix sum over the per-range
-  * counts — O(shuffle partitions) rows, driver-trivial forever. The
-  * result is EXACT (not approximate): range boundaries affect only how
-  * rows are grouped, never their global rank, so the sampling inside
-  * `repartitionByRange` cannot perturb results when the sort key is
-  * total (pass a unique tiebreak column, same rule as SURVEY §7.4).
+  * The only single-partition work is the prefix sum over the per-bucket
+  * counts — O(buckets) rows, driver-trivial forever. The result is
+  * EXACT (not approximate): boundary placement affects only how rows
+  * are grouped, never their global rank, when the sort key is total
+  * (pass a unique tiebreak column, same rule as SURVEY §7.4). Boundary
+  * quality affects only balance — a skewed first column degrades to
+  * fewer effective buckets, never to wrong ranks.
   */
 object Ranking {
 
   /** `df` plus `rnCol` = exact 1-based global row number under
     * `sortCols`, and `nCol` = the total row count (both LongType).
-    * Range-partitioned two-pass; see object doc. `sortCols` must be a
+    * Range-bucketed two-pass; see object doc. `sortCols` must be a
     * total order (include a unique tiebreak).
+    *
+    * `bucketBy` drives the bucketing and must be a numeric expression
+    * that is ASCENDING-monotonic in the `sortCols` ordering (rows that
+    * sort earlier must have bucket values ≤ rows that sort later) and
+    * null-free. It defaults to `sortCols.head`, which is correct for a
+    * plain ascending first column; for a descending first column pass
+    * its negation (see `win_ntile_buckets`).
+    *
+    * Note: runs one small Spark job eagerly (the boundary aggregate)
+    * when called.
     */
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rnCol: String = "__rn", nCol: String = "__n",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, bucketBy: Column = null): DataFrame = {
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // __pid is the RANGE bucket id: deterministic given the data (range
-    // boundaries are sampled with Spark's fixed per-partition seeds), so
-    // the two consumers below agree on it even if the exchange is not
-    // reused.
-    val ranged = df.repartitionByRange(p, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    // __pid is the range-bucket id, computed as a PURE EXPRESSION over
+    // boundaries collected once on the driver. It must NOT come from
+    // repartitionByRange + spark_partition_id(): this DataFrame is
+    // consumed by two plan branches below (local ranks, bucket counts),
+    // exchange reuse between them is an optimization rather than a
+    // guarantee (diverging column pruning defeats it), and
+    // RangePartitioner seeds its reservoir sample with the physical RDD
+    // id — so un-reused branches can see DIFFERENT boundaries, local
+    // ranks against one bucketing and offsets against another, and the
+    // "global" row number silently gains duplicates and gaps (caught by
+    // export_zorder_layout's oracle). A literal boundary array is
+    // identical in every subtree by construction; it is (p-1) doubles —
+    // model-parameter-sized, the IVF-codebook precedent.
+    val firstD = Option(bucketBy).getOrElse(sortCols.head).cast("double")
+    val bounds: Seq[Double] =
+      if (p <= 1) Seq.empty
+      else {
+        val probs = (1 until p).map(i => i.toDouble / p)
+        val row = df.select(percentile_approx(firstD,
+          array(probs.map(lit): _*), lit(10000)).as("b")).head()
+        if (row.isNullAt(0)) Seq.empty
+        else row.getSeq[Double](0).toSeq
+      }
+    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(firstD >= lit(b), 1).otherwise(0)
+    }
+    val binned = df.withColumn("__pid", pidExpr)
     val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
-    // per-range counts → exclusive prefix sum; ≤ p rows, so the
+    val local = binned.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    // per-bucket counts → exclusive prefix sum; ≤ p rows, so the
     // unpartitioned window here is over a driver-trivial aggregate, not
     // the input (the whole point of the two-pass shape)
     val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = binned.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
       .withColumn(nCol, sum("__cnt").over(wAll))
       .select(col("__pid"), col("__off"), col(nCol))
@@ -73,9 +107,9 @@ object Ranking {
     * bit-for-bit on any engine.
     */
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
-      tileCol: String = "__ntile"): DataFrame = {
+      tileCol: String = "__ntile", bucketBy: Column = null): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")
-    val withRn = withGlobalRowNumber(df, sortCols)
+    val withRn = withGlobalRowNumber(df, sortCols, bucketBy = bucketBy)
     // floor-division via doubles is exact below 2^53 rows — 9×10^15,
     // comfortably above any corpus (100 TB ≈ 10^12-10^13 rows)
     def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")

@@ -380,7 +380,65 @@ object Pipeline {
               |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
               |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
               |  FROM documents GROUP BY 1) s
-              |ORDER BY shard""".stripMargin))
+              |ORDER BY shard""".stripMargin)),
+
+    // Z-order export layout: interleave the bits of two query
+    // dimensions (customer bucket, order-day bucket) into one Morton
+    // key, lay the table out in that order, and report each output
+    // file's min/max range on BOTH dimensions — the audit that proves
+    // multi-dimensional data skipping works. A z-sorted layout keeps
+    // every file's range narrow on every interleaved dimension at
+    // once, so a predicate on EITHER column prunes most files from a
+    // parquet scan (min/max footer stats) — at 100 TB this layout
+    // choice, not the query engine, decides whether a point lookup
+    // reads 1 file or 10,000. The global order comes from
+    // Ranking.withGlobalRowNumber (range-partitioned two-pass), so no
+    // single-partition sort of the input anywhere; bit interleaving is
+    // pure integer expression work.
+    Q("export_zorder_layout",
+      (s, d) => {
+        val x = col("o_custkey") % 256
+        val y = datediff(col("o_orderdate"), lit("1992-01-01")) % 256
+        val z = (0 to 7).map { i =>
+          shiftright(col("x"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
+            shiftright(col("y"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+        val keyed = Tables.orders(s, d)
+          .select(col("o_orderkey"), x.cast("long").as("x"),
+            y.cast("long").as("y"))
+          .withColumn("z", z)
+        val ranked = graft.api.Ranking.withGlobalRowNumber(
+          keyed, Seq(col("z"), col("o_orderkey")), "rn", "n")
+        ranked
+          .withColumn("file_id",
+            expr("(rn - 1) div cast(ceil(n / 16.0) as long)"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("min_cust_bucket"), max("x").as("max_cust_bucket"),
+            min("y").as("min_day_bucket"), max("y").as("max_day_bucket"))
+          .orderBy("file_id")
+      },
+      Some {
+        val zSql = (0 to 7).map(i =>
+          s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH k AS (
+           |  SELECT o_orderkey,
+           |    CAST(o_custkey % 256 AS BIGINT) AS x,
+           |    CAST(date_diff('day', DATE '1992-01-01',
+           |      CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+           |  FROM orders),
+           |z AS (SELECT o_orderkey, x, y, $zSql AS z FROM k),
+           |r AS (SELECT *,
+           |    row_number() OVER (ORDER BY z, o_orderkey) AS rn,
+           |    COUNT(*) OVER () AS n FROM z)
+           |SELECT CAST((rn - 1) // CAST(CEIL(n / 16.0) AS BIGINT) AS BIGINT)
+           |    AS file_id,
+           |  COUNT(*) AS n_rows,
+           |  MIN(x) AS min_cust_bucket, MAX(x) AS max_cust_bucket,
+           |  MIN(y) AS min_day_bucket, MAX(y) AS max_day_bucket
+           |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
+      })
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

@@ -91,6 +91,44 @@ object ScalarFns {
              |CAST((l_partkey % 7 + 7) % 7 AS BIGINT) AS partkey_mod7
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Geospatial scalar suite: haversine great-circle distance to a
+    // fixed point + bounding-box containment, on synthetic-but-
+    // deterministic coordinates derived from the customer key (pure
+    // hash-free integer arithmetic, identical on any engine). All trig
+    // is per-row expression work under whole-stage codegen; ROUND(…,3)
+    // on the km result absorbs cross-libm ulp differences, the same
+    // device fn_math_suite uses for ln/exp.
+    Q("fn_geo_suite",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("lat",
+            (col("c_custkey") % 17000).cast("double") / 100.0 - 85.0)
+          .withColumn("lon",
+            (col("c_custkey") * 7 % 36000).cast("double") / 100.0 - 180.0)
+        val lat1 = radians(col("lat"))
+        val lat2 = radians(lit(40.7128))
+        val a = pow(sin((lat2 - lat1) / 2), 2) +
+          cos(lat1) * cos(lat2) *
+            pow(sin((radians(lit(-74.006)) - radians(col("lon"))) / 2), 2)
+        c.select(col("c_custkey"), col("lat"), col("lon"),
+          round(lit(2 * 6371.0088) * asin(sqrt(a)), 3).as("dist_nyc_km"),
+          (col("lat").between(30, 50) && col("lon").between(-90, -60))
+            .as("in_bbox"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |  CAST(c_custkey % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             |  CAST(c_custkey * 7 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+             |  FROM customer)
+             |SELECT c_custkey, lat, lon,
+             |  ROUND(2 * 6371.0088 * asin(sqrt(
+             |    pow(sin((radians(40.7128) - radians(lat)) / 2), 2) +
+             |    cos(radians(lat)) * cos(radians(40.7128)) *
+             |    pow(sin((radians(-74.006) - radians(lon)) / 2), 2))), 3)
+             |    AS dist_nyc_km,
+             |  (lat BETWEEN 30 AND 50) AND (lon BETWEEN -90 AND -60) AS in_bbox
+             |FROM c ORDER BY c_custkey""".stripMargin)),
+
     // Higher-order functions over the 64-dim float vectors — no UDFs.
     // Floats are cast to double BEFORE arithmetic on both sides so the
     // sequential fold accumulates identically.

@@ -225,6 +225,40 @@ object Scans {
               |COUNT(*) AS n_customers, ${SQL_DSUM("c_acctbal")} AS sum_bal
               |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
 
+    // Schema evolution: two parquet batches written with DIFFERENT
+    // schemas (a column added between ingest generations — the normal
+    // life of a 100-TB table), read back as one dataset with
+    // mergeSchema. Spark reconciles per-file footers into the union
+    // schema and fills missing columns with null; at scale this is
+    // footer-only work (no data rewrite — the whole point vs a
+    // migrate-in-place ALTER TABLE). The oracle reconstructs the same
+    // union from the original table.
+    Q("scan_schema_evolution",
+      (s, d) => {
+        val src = new java.io.File(s"$d/nation.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_evolve_nation_$key"
+        if (!new java.io.File(s"$tmp/gen2/_SUCCESS").exists()) {
+          Tables.nation(s, d).select(lit(1L).as("gen"), col("n_nationkey"),
+              col("n_name"))
+            .write.mode("overwrite").parquet(s"$tmp/gen1")
+          Tables.nation(s, d).select(lit(2L).as("gen"), col("n_nationkey"),
+              col("n_name"), col("n_regionkey"))
+            .write.mode("overwrite").parquet(s"$tmp/gen2")
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .select(col("gen"), col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))
+          .orderBy("gen", "n_nationkey")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS gen, n_nationkey, n_name,
+             |  CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT) AS gen, n_nationkey, n_name, n_regionkey
+             |FROM nation
+             |ORDER BY gen, n_nationkey""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.

@@ -422,7 +422,10 @@ object Windows {
       (s, d) => {
         graft.api.Ranking
           .ntileExact(Tables.customer(s, d), 10,
-            Seq(col("c_acctbal").desc, col("c_custkey")), tileCol = "decile")
+            Seq(col("c_acctbal").desc, col("c_custkey")), tileCol = "decile",
+            // descending first sort column → its negation is the
+            // ascending-monotonic bucketing proxy Ranking requires
+            bucketBy = -col("c_acctbal"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"),
             round(min("c_acctbal"), 2).as("min_bal"),

@@ -15,7 +15,8 @@ class RankingSpec extends AnyFunSuite {
 
   test("withGlobalRowNumber matches the global row_number window exactly") {
     val got = graft.api.Ranking
-      .withGlobalRowNumber(customer, sortCols, partitions = 5)
+      .withGlobalRowNumber(customer, sortCols, partitions = 5,
+        bucketBy = -col("c_acctbal"))
       .select(col("c_custkey"), col("__rn"), col("__n"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val w = Window.orderBy(sortCols: _*)
@@ -30,7 +31,8 @@ class RankingSpec extends AnyFunSuite {
   test("ntileExact matches NTILE for tile counts with and without remainder") {
     val w = Window.orderBy(sortCols: _*)
     Seq(7, 10, 32).foreach { tiles =>
-      val got = graft.api.Ranking.ntileExact(customer, tiles, sortCols)
+      val got = graft.api.Ranking.ntileExact(customer, tiles, sortCols,
+        bucketBy = -col("c_acctbal"))
         .select(col("c_custkey"), col("__ntile"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val expect = customer
@@ -49,15 +51,35 @@ class RankingSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("global rank stays a permutation when consumer branches prune differently") {
+    // Regression for the bug export_zorder_layout's oracle caught: the
+    // rank consumer carries payload columns the count branch prunes
+    // away, so the two subtrees would NOT share one exchange — with
+    // repartitionByRange + spark_partition_id bucketing, each branch
+    // could sample different range boundaries and the "global" row
+    // number gained duplicates and gaps. The literal-boundary bucketing
+    // must yield an exact 1..n permutation regardless of plan reuse.
+    val keyed = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), (col("o_custkey") % 256).as("x"),
+        (col("o_orderkey") % 199).as("z"))
+    val rns = graft.api.Ranking
+      .withGlobalRowNumber(keyed, Seq(col("z"), col("o_orderkey")),
+        partitions = 7)
+      .select(col("__rn")).collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to rns.length).toSeq,
+      "row numbers must be an exact permutation of 1..n")
+  }
+
   test("win_ntile_buckets plans no full-input global window") {
     val df = SparkEntry.queries("win_ntile_buckets")(spark, TestSpark.sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("ntile("), s"global NTILE window survived:\n$p")
-    // the scale-safe shape: a range exchange feeds the per-range local
-    // windows; the only unpartitioned window runs over the ≤p-row
-    // per-range count aggregate (broadcast back as offsets)
-    assert(p.contains("Exchange rangepartitioning"),
-      s"expected the range-repartition pass:\n$p")
+    // the scale-safe shape: a hash exchange on the literal-boundary
+    // bucket id feeds the per-bucket local windows; the only
+    // unpartitioned window runs over the ≤p-row per-bucket count
+    // aggregate (broadcast back as offsets)
+    assert(p.contains("Exchange hashpartitioning(__pid"),
+      s"expected the bucket-id hash exchange:\n$p")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       s"offsets must join back via broadcast:\n$p")
   }
