@@ -106,6 +106,59 @@ object Ranking {
     * integral arithmetic, so this matches the window function
     * bit-for-bit on any engine.
     */
+  /** `df` plus `rnCol` = exact 1-based row number under `sortCols`
+    * WITHIN each `groupCols` group — the scale-safe form of
+    * `row_number() OVER (PARTITION BY group ORDER BY …)` when there are
+    * FEW, LARGE groups (5 priority classes over 100 TB = 5 single-task
+    * sorts for the plain window; here every group is split across
+    * `partitions` range buckets and only per-(group, bucket) counts are
+    * prefix-summed). For many small groups the plain window is already
+    * parallel — use it directly.
+    *
+    * Same contract as [[withGlobalRowNumber]]: `sortCols` total within
+    * a group, `bucketBy` numeric + ascending-monotonic + null-free
+    * (defaults to `sortCols.head`). Per-group boundary arrays come from
+    * one `approx_percentile` aggregate (groups × (p−1) doubles —
+    * requires the GROUP COUNT, not the data, to be broadcast-sized).
+    */
+  def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rnCol: String = "__rn",
+      partitions: Int = 0, bucketBy: Column = null): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val firstD = Option(bucketBy).getOrElse(sortCols.head).cast("double")
+    val probs = (1 until p).map(i => i.toDouble / p)
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(firstD, array(probs.map(lit): _*), lit(10000))
+        .as("__bounds"))
+    // bucket id from the group's own boundary array — a pure expression
+    // once the tiny bounds table is broadcast-joined in, so every
+    // consumer subtree sees the identical bucketing (the same
+    // reuse-independence argument as withGlobalRowNumber)
+    val binned = df.join(broadcast(bounds), groupCols)
+      .withColumn("__pid",
+        aggregate(coalesce(col("__bounds"), array()), lit(0),
+          (acc, b) => acc + when(firstD >= b, 1).otherwise(0)))
+      .drop("__bounds")
+    val gCols = groupCols.map(col)
+    val wLocal = Window.partitionBy(gCols :+ col("__pid"): _*)
+      .orderBy(sortCols: _*)
+    val local = binned.withColumn("__lrn",
+      row_number().over(wLocal).cast("long"))
+    // per-(group, bucket) counts → prefix sum within the group; the
+    // window here runs over groups × p rows, never the input
+    val wOff = Window.partitionBy(gCols: _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(gCols :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select((gCols :+ col("__pid") :+ col("__off")): _*)
+    local.join(broadcast(offsets), groupCols :+ "__pid")
+      .withColumn(rnCol, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn")
+  }
+
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
       tileCol: String = "__ntile", bucketBy: Column = null): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")

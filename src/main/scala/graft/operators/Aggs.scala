@@ -317,6 +317,83 @@ object Aggs {
            |ORDER BY o_orderstatus_o_orderpriority""".stripMargin
       }),
 
+    // Gini coefficient of order value per priority class — the
+    // inequality measure every revenue/usage-concentration dashboard
+    // wants. Exact rank-sum form: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) with
+    // x sorted ascending within the group. The within-group rank comes
+    // from Ranking.withGroupedRowNumber, NOT a plain window partitioned
+    // by the 5-value priority key: 5 groups over 100 TB would be 5
+    // single-task sorts — the grouped two-pass splits every group
+    // across all range buckets and prefix-sums only (groups × buckets)
+    // counts. Σi·x stays exact in DECIMAL (integer rank × decimal
+    // money); only the final ratio drops to double.
+    Q("stat_gini",
+      (s, d) => {
+        graft.api.Ranking.withGroupedRowNumber(
+            Tables.orders(s, d), Seq("o_orderpriority"),
+            Seq(col("o_totalprice"), col("o_orderkey")), rnCol = "i")
+          .select(col("o_orderpriority"),
+            col("o_totalprice").cast("decimal(18,2)").as("x"), col("i"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("i")).as("six"))
+          .select(col("o_orderpriority"), col("n"),
+            round((lit(2.0) * col("six").cast("double")
+              - (col("n") + 1).cast("double") * col("sx").cast("double"))
+              / (col("n").cast("double") * col("sx").cast("double")), 6)
+              .as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+             |  FROM orders)
+             |SELECT o_orderpriority, COUNT(*) AS n,
+             |  ROUND((2.0 * CAST(SUM(x * i) AS DOUBLE)
+             |    - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+             |    AS gini
+             |FROM r GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Shannon entropy of each cohort's event-type mix — the diversity
+    // measure for behavioral segmentation (and for training-mix
+    // balance checks). Counts are exact integers from one hash
+    // aggregate; p·log₂p runs over the handful of event types per
+    // cohort, so the double sum has too few terms to drift past
+    // ROUND(…,4) on any merge order.
+    Q("stat_entropy",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy((col("user_id") % 15).as("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = counts.groupBy("cohort")
+          .agg(sum("cnt").as("tot"), count(lit(1)).as("n_types"))
+        counts.join(totals, "cohort")
+          .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
+          .groupBy("cohort")
+          .agg(max(col("n_types")).as("n_types"), max(col("tot")).as("n_events"),
+            round(-sum(col("p") * log2(col("p"))), 4).as("entropy_bits"))
+          .orderBy("cohort")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id % 15 AS cohort, event_type, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT cohort, SUM(cnt) AS tot, COUNT(*) AS n_types
+             |  FROM c GROUP BY cohort)
+             |SELECT c.cohort,
+             |  MAX(t.n_types) AS n_types,
+             |  CAST(MAX(t.tot) AS BIGINT) AS n_events,
+             |  ROUND(-SUM((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+             |    * log2(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 4)
+             |    AS entropy_bits
+             |FROM c JOIN t USING (cohort)
+             |GROUP BY c.cohort ORDER BY cohort""".stripMargin)),
+
     Q("agg_histogram",
       (s, d) => Tables.orders(s, d)
         .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0))

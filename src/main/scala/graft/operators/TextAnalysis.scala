@@ -114,6 +114,58 @@ object TextAnalysis {
              |ROUND(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Bigram language-model statistics: per-language top-5 bigrams by
+    // count, with the conditional probability P(w₂|w₁) =
+    // c(w₁w₂)/Σ_w c(w₁w) — the first stop of any n-gram LM or
+    // repetition analysis over a corpus. Bigrams are built WITHIN each
+    // row (HOF over the token array, no self-join), counted in one
+    // hash aggregate; the ranking window runs over the per-language
+    // AGGREGATED bigram table (vocab²-bounded, like
+    // llm_vocab_coverage's ranking), never the corpus.
+    Q("llm_bigram_stats",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), TextUdfs.tokenizeCol(col("text")).as("t"))
+        val bigrams = toks.filter(size(col("t")) >= 2)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("bigram"))
+        val c2 = bigrams.groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("n_bigram"))
+          .withColumn("w1", element_at(split(col("bigram"), " ", -1), 1))
+        val c1 = c2.groupBy("lang", "w1").agg(sum("n_bigram").as("n_w1"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_bigram").desc, col("bigram"))
+        c2.join(c1, Seq("lang", "w1"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("bigram"), col("n_bigram"),
+            col("n_w1").cast("long").as("n_w1"),
+            round(col("n_bigram").cast("double") / col("n_w1").cast("double"), 4)
+              .as("p_cond"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH toks AS (SELECT lang, $SQL_TOKENIZE AS t FROM documents),
+              |bg AS (
+              |  SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i+1])) AS bigram
+              |  FROM toks WHERE len(t) >= 2),
+              |c2 AS (
+              |  SELECT lang, bigram, COUNT(*) AS n_bigram,
+              |    string_split(bigram, ' ')[1] AS w1
+              |  FROM bg GROUP BY lang, bigram),
+              |c1 AS (
+              |  SELECT lang, w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1
+              |  FROM c2 GROUP BY lang, w1),
+              |ranked AS (
+              |  SELECT c2.lang, c2.bigram, c2.n_bigram, c1.n_w1,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY c2.lang
+              |      ORDER BY c2.n_bigram DESC, c2.bigram) AS BIGINT) AS rn
+              |  FROM c2 JOIN c1 USING (lang, w1))
+              |SELECT lang, rn, bigram, n_bigram, n_w1,
+              |  ROUND(CAST(n_bigram AS DOUBLE) / CAST(n_w1 AS DOUBLE), 4) AS p_cond
+              |FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
     // Document fingerprint: min-hash over character 8-grams (rolling
     // window) — the content-defined fingerprint used for near-dup
     // blocking of OCR-ish text.

@@ -51,6 +51,24 @@ class RankingSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("withGroupedRowNumber matches the per-group row_number window exactly") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val sort = Seq(col("o_totalprice"), col("o_orderkey"))
+    val got = graft.api.Ranking
+      .withGroupedRowNumber(orders, Seq("o_orderpriority"), sort,
+        partitions = 7)
+      .select(col("o_orderkey"), col("__rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("o_orderpriority").orderBy(sort: _*)
+    val expect = orders
+      .select(col("o_orderkey"), row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, rn) =>
+      assert(got(k) == rn, s"o_orderkey=$k")
+    }
+  }
+
   test("global rank stays a permutation when consumer branches prune differently") {
     // Regression for the bug export_zorder_layout's oracle caught: the
     // rank consumer carries payload columns the count branch prunes
