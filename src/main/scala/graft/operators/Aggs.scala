@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Ops, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -393,6 +394,100 @@ object Aggs {
              |    AS entropy_bits
              |FROM c JOIN t USING (cohort)
              |GROUP BY c.cohort ORDER BY cohort""".stripMargin)),
+
+    // Median absolute deviation per group — the robust dispersion
+    // measure. Two exact-percentile aggregates chained through a
+    // broadcast of the per-group medians (5 rows); each percentile is
+    // Spark's exact interpolating `percentile` ↔ DuckDB `quantile_cont`
+    // (the agg_mode_median device), so the result is deterministic at
+    // ROUND(…,4) with no merge-order exposure.
+    Q("win_mad",
+      (s, d) => {
+        val med = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        Tables.orders(s, d)
+          .join(broadcast(med), "o_orderpriority")
+          .withColumn("dev", abs(col("o_totalprice") - col("med")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med")), 4).as("median_price"),
+            round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o.o_orderpriority, COUNT(*) AS n,
+             |  ROUND(MAX(m.med), 4) AS median_price,
+             |  ROUND(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 4) AS mad
+             |FROM orders o JOIN med m USING (o_orderpriority)
+             |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Pearson correlation matrix over the lineitem measures, computed
+    // from EXACT decimal co-moments (Σx, Σy, Σxy, Σx², Σy² as
+    // DECIMAL sums of cent-exact values) rather than the built-in
+    // `corr` aggregate: the built-in accumulates doubles whose merge
+    // order differs between engines and partitionings, while decimal
+    // sums are associative-exact, so only the final closed-form ratio
+    // drops to double — deterministic at ROUND(…,4) at any scale. One
+    // hash aggregate, one row per group.
+    Q("stat_corr_matrix",
+      (s, d) => {
+        def dd(c: String) = col(c).cast("decimal(18,2)")
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          dd("l_quantity").as("q"), dd("l_extendedprice").as("p"),
+          dd("l_discount").as("dc"))
+        def corrOf(sx: Column, sy: Column, sxy: Column, sx2: Column,
+            sy2: Column, n: Column): Column = {
+          val nd = n.cast("double")
+          val num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+          val den = sqrt(nd * sx2.cast("double") - pow(sx.cast("double"), 2)) *
+            sqrt(nd * sy2.cast("double") - pow(sy.cast("double"), 2))
+          round(num / den, 4)
+        }
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("q").as("sq"), sum("p").as("sp"), sum("dc").as("sd"),
+            sum(col("q") * col("p")).as("sqp"),
+            sum(col("q") * col("dc")).as("sqd"),
+            sum(col("p") * col("dc")).as("spd"),
+            sum(col("q") * col("q")).as("sq2"),
+            sum(col("p") * col("p")).as("sp2"),
+            sum(col("dc") * col("dc")).as("sd2"))
+          .select(col("l_returnflag"), col("n"),
+            corrOf(col("sq"), col("sp"), col("sqp"), col("sq2"), col("sp2"),
+              col("n")).as("corr_qty_price"),
+            corrOf(col("sq"), col("sd"), col("sqd"), col("sq2"), col("sd2"),
+              col("n")).as("corr_qty_disc"),
+            corrOf(col("sp"), col("sd"), col("spd"), col("sp2"), col("sd2"),
+              col("n")).as("corr_price_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(q) AS sq, SUM(p) AS sp, SUM(dc) AS sd,
+             |    SUM(q*p) AS sqp, SUM(q*dc) AS sqd, SUM(p*dc) AS spd,
+             |    SUM(q*q) AS sq2, SUM(p*p) AS sp2, SUM(dc*dc) AS sd2
+             |  FROM (SELECT l_returnflag,
+             |      CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             |      CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             |      CAST(l_discount AS DECIMAL(18,2)) AS dc
+             |    FROM lineitem) x GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE)*CAST(sq2 AS DOUBLE) - pow(CAST(sq AS DOUBLE), 2))
+             |     * sqrt(CAST(n AS DOUBLE)*CAST(sp2 AS DOUBLE) - pow(CAST(sp AS DOUBLE), 2))), 4)
+             |    AS corr_qty_price,
+             |  ROUND((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE)*CAST(sq2 AS DOUBLE) - pow(CAST(sq AS DOUBLE), 2))
+             |     * sqrt(CAST(n AS DOUBLE)*CAST(sd2 AS DOUBLE) - pow(CAST(sd AS DOUBLE), 2))), 4)
+             |    AS corr_qty_disc,
+             |  ROUND((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sd AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE)*CAST(sp2 AS DOUBLE) - pow(CAST(sp AS DOUBLE), 2))
+             |     * sqrt(CAST(n AS DOUBLE)*CAST(sd2 AS DOUBLE) - pow(CAST(sd AS DOUBLE), 2))), 4)
+             |    AS corr_price_disc
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     Q("agg_histogram",
       (s, d) => Tables.orders(s, d)

@@ -166,6 +166,58 @@ object TextAnalysis {
               |  ROUND(CAST(n_bigram AS DOUBLE) / CAST(n_w1 AS DOUBLE), 4) AS p_cond
               |FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
 
+    // Perplexity proxy: score every document by the average
+    // -log₂ P(w₂|w₁) of its bigrams under the corpus's own bigram LM —
+    // the classic cheap fluency/quality signal for training-data
+    // filtering (a doc whose transitions are improbable under the
+    // corpus model is boilerplate, OCR noise, or another language).
+    // Two linear passes: one hash aggregate builds the
+    // vocab²-bounded LM table, one equi-join on (lang, bigram) scores
+    // the corpus bigram stream against it — no quadratic stage, and
+    // the join key carries the aggregated LM side, not the corpus.
+    Q("llm_perplexity_proxy",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextUdfs.tokenizeCol(col("text")).as("t"))
+        val bigrams = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("bigram"))
+        val c2 = bigrams.groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("n_bigram"))
+          .withColumn("w1", element_at(split(col("bigram"), " ", -1), 1))
+        val lm = c2
+          .withColumn("n_w1",
+            sum("n_bigram").over(Window.partitionBy("lang", "w1")))
+          .select(col("lang"), col("bigram"),
+            (col("n_bigram").cast("double") / col("n_w1").cast("double"))
+              .as("p"))
+        bigrams.join(lm, Seq("lang", "bigram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log2(col("p"))), 4).as("avg_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKENIZE AS t FROM documents),
+              |bg AS (
+              |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i+1])) AS bigram
+              |  FROM toks WHERE len(t) >= 2),
+              |c2 AS (
+              |  SELECT lang, bigram, COUNT(*) AS n_bigram,
+              |    string_split(bigram, ' ')[1] AS w1
+              |  FROM bg GROUP BY lang, bigram),
+              |lm AS (
+              |  SELECT lang, bigram,
+              |    CAST(n_bigram AS DOUBLE)
+              |      / CAST(SUM(n_bigram) OVER (PARTITION BY lang, w1) AS DOUBLE) AS p
+              |  FROM c2)
+              |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+              |  ROUND(AVG(-log2(lm.p)), 4) AS avg_bits
+              |FROM bg JOIN lm USING (lang, bigram)
+              |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
     // Document fingerprint: min-hash over character 8-grams (rolling
     // window) — the content-defined fingerprint used for near-dup
     // blocking of OCR-ish text.
