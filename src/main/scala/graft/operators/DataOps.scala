@@ -474,10 +474,142 @@ object DataOps {
     Q(name, fn, Some(sql))
   }
 
+  /** Product quantization with asymmetric-distance (ADC) search: the
+    * memory-compression end of the ANN spectrum. The 64-dim vector is
+    * split into M=4 16-dim subspaces, each quantized against its own
+    * k=16 k-means codebook — so a stored vector is 4 SMALL CODES
+    * (4 bytes here vs 256 B of floats; at 100 TB the codes table is
+    * ~1.6% of the raw embeddings and the scan/shuffle cost shrinks with
+    * it). Search never decodes: the query precomputes a 4×16 lookup
+    * table of exact subspace distances to every centroid (64 doubles —
+    * driver-side model parameters, the codebook precedent) and each
+    * candidate's approximate distance is 4 array lookups + 3 adds, all
+    * expression work under codegen. `true_dist` rides along to expose
+    * the approximation error. The oracle unrolls all four k-means
+    * trainings + coding + LUT scoring in SQL (same determinism devices
+    * as ann_ivf_trained: md5 init, DECIMAL(38,20) means, first-min
+    * tie-breaks, index-order double folds).
+    */
+  private val annPqAdcQuery: Q = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftbridge.Bridge
+    val M = 4; val SUB = 16; val K = 16; val ITERS = 5; val TOPK = 10
+    val QID = 0L
+    def fn(s: SparkSession, d: String) = {
+      val embs = Tables.embeddings(s, d)
+      def sliceCol(m: Int) = expr(
+        s"transform(slice(embedding, ${m * SUB + 1}, $SUB), e -> cast(e as double))")
+      val cbs: Array[Array[Array[Double]]] = (0 until M).map { m =>
+        graft.api.Similarity.kmeansCodebook(
+          embs.select(col("vec_id"), sliceCol(m).as("sub")),
+          "vec_id", "sub", K, ITERS)
+      }.toArray
+      val q: Array[Double] = embs.filter(col("vec_id") === QID)
+        .select(expr("transform(embedding, e -> cast(e as double))"))
+        .head.getSeq[Double](0).toArray
+      // 4×16 LUT of exact subspace L2 distances query↔centroid, in the
+      // same index-order fold the oracle's list_sum uses
+      val luts: Array[Seq[Double]] = (0 until M).map { m =>
+        cbs(m).map { c =>
+          var s2 = 0.0; var i = 0
+          while (i < SUB) {
+            val dx = q(m * SUB + i) - c(i); s2 += dx * dx; i += 1
+          }
+          s2
+        }.toSeq
+      }.toArray
+      var coded = embs.filter(col("vec_id") =!= QID)
+        .select(col("vec_id"),
+          expr("transform(embedding, e -> cast(e as double))").as("v"))
+      for (m <- 0 until M)
+        coded = coded
+          .withColumn(s"sub_$m", expr(
+            s"slice(v, ${m * SUB + 1}, $SUB)"))
+          .withColumn(s"code_$m", element_at(Bridge.column(
+            graft.functions.NearestCells(
+              UnresolvedAttribute(s"sub_$m"), cbs(m), 1)), 1))
+      val adc = (0 until M)
+        .map(m => element_at(typedlit(luts(m)), col(s"code_$m") + 1))
+        .reduce(_ + _)
+      val qlit = typedlit(q.toSeq)
+      val trueD = aggregate(
+        zip_with(col("v"), qlit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)
+      coded.withColumn("__adc", adc)
+        .orderBy(col("__adc"), col("vec_id"))
+        .limit(TOPK)
+        .select(col("vec_id"), round(col("__adc"), 4).as("adc_dist"),
+          round(trueD, 4).as("true_dist"))
+    }
+    def L2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    def perSub(m: Int): String = {
+      val off = m * SUB
+      def assign(cb: String, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id, sv, c_id AS cell FROM (
+           |    SELECT b.vec_id, b.sv, c.c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+           |        ORDER BY ${L2("b.sv", "c.v")}, c.c_id) AS rn
+           |    FROM sub_$m b, $cb c) t WHERE rn = 1)""".stripMargin
+      def update(a: String, prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
+           |    SELECT cell, pos,
+           |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+           |    FROM (SELECT cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+           |          FROM $a) e
+           |    GROUP BY cell, pos) mm GROUP BY cell
+           |  UNION ALL
+           |  SELECT c_id, v FROM $prev
+           |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
+      val iters = (1 to ITERS).flatMap(i => Seq(
+        assign(s"cb${i - 1}_$m", s"a${i}_$m"),
+        update(s"a${i}_$m", s"cb${i - 1}_$m", s"cb${i}_$m")))
+      (Seq(
+        s"""sub_$m AS (
+           |  SELECT vec_id, v[${off + 1}:${off + SUB}] AS sv FROM base)""".stripMargin,
+        s"""cb0_$m AS (
+           |  SELECT c_id, sv AS v FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, sv
+           |    FROM sub_$m) r WHERE c_id < $K)""".stripMargin)
+        ++ iters ++ Seq(
+        assign(s"cb${ITERS}_$m", s"codes_$m"),
+        s"""q_$m AS (SELECT sv FROM sub_$m WHERE vec_id = $QID),
+           |lut_$m AS (
+           |  SELECT c.c_id, ${L2("c.v", "q.sv")} AS dist
+           |  FROM cb${ITERS}_$m c, q_$m q)""".stripMargin))
+        .mkString(",\n")
+    }
+    val joins = (0 until M).map(m =>
+      s"JOIN lut_$m l$m ON c$m.cell = l$m.c_id").mkString("\n  ")
+    val codeJoins = (1 until M).map(m =>
+      s"JOIN codes_$m c$m USING (vec_id)").mkString("\n  ")
+    val adcSum = (0 until M).map(m => s"l$m.dist").mkString(" + ")
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${(0 until M).map(perSub).mkString(",\n")},
+         |adc AS (
+         |  SELECT c0.vec_id, $adcSum AS adc
+         |  FROM codes_0 c0
+         |  $codeJoins
+         |  $joins
+         |  WHERE c0.vec_id <> $QID),
+         |qv AS (SELECT v FROM base WHERE vec_id = $QID)
+         |SELECT x.vec_id, ROUND(x.adc, 4) AS adc_dist,
+         |  ROUND(${L2("b.v", "q.v")}, 4) AS true_dist
+         |FROM adc x JOIN base b ON x.vec_id = b.vec_id, qv q
+         |ORDER BY x.adc, x.vec_id LIMIT $TOPK""".stripMargin
+    Q("ann_pq_adc", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),
-      ivfTrainedQ("ann_ivf_autok", 1, autoK = true))
+      ivfTrainedQ("ann_ivf_autok", 1, autoK = true),
+      annPqAdcQuery)
 }

@@ -133,6 +133,23 @@ class KMeansIvfSpec extends AnyFunSuite {
       .limit(1).count() == 1)
   }
 
+  test("ann_pq_adc is run-deterministic and ADC tracks true distance") {
+    val run1 = SparkEntry.queries("ann_pq_adc")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    val run2 = SparkEntry.queries("ann_pq_adc")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(run1 == run2, "PQ codes/LUT must be run-stable")
+    assert(run1.size == 10)
+    // ADC is a lossy estimate of the true subspace-sum distance, but on
+    // the top-10 it must stay the same order of magnitude — a gross
+    // mismatch means codes and LUT disagree about the codebooks
+    run1.foreach { r =>
+      val adc = r.getDouble(1); val t = r.getDouble(2)
+      assert(adc >= 0 && t > 0, s"row $r")
+      assert(adc < 4 * t + 1, s"ADC wildly overshoots true distance: $r")
+    }
+  }
+
   test("multi-probe recall curve is monotone and reaches higher recall") {
     val recalls = Seq(1, 2, 4).map { p =>
       p -> recallAt1(graft.api.Similarity
