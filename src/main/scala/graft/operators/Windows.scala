@@ -253,6 +253,91 @@ object Windows {
              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
              |ORDER BY g.user_id, hour""".stripMargin)),
 
+    // Rolling z-score anomaly detection: each event scored against the
+    // mean/stddev of its user's trailing 20 events — the standard
+    // streaming-metrics outlier flag, expressed as one rows-frame
+    // window (a single user_id shuffle; the frame is bounded at 21
+    // rows regardless of history length). The frame needs a TOTAL
+    // order (ep, event_id) so both engines accumulate the identical
+    // row set in the identical sequence; z is rounded before the
+    // threshold filter so the flagged set is cross-engine stable.
+    Q("ts_anomaly_zscore",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ep", "event_id").rowsBetween(-20, 0)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts) div 1000000"))
+          .withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("mean_v", avg("value").over(w))
+          .withColumn("sd_v", stddev_samp(col("value")).over(w))
+          .filter(col("n_win") >= 12 && col("sd_v") > 1e-9)
+          .select(col("event_id"), col("user_id"),
+            round((col("value") - col("mean_v")) / col("sd_v"), 4).as("z"))
+          .filter(abs(col("z")) > 2.0)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, z FROM (
+             |  SELECT event_id, user_id,
+             |    COUNT(*) OVER w AS n_win,
+             |    ROUND((value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4) AS z,
+             |    STDDEV_SAMP(value) OVER w AS sd_v
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY epoch_us(ts) // 1000000, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) t
+             |WHERE n_win >= 12 AND sd_v > 1e-9 AND abs(z) > 2.0
+             |ORDER BY event_id""".stripMargin)),
+
+    // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per
+    // user — the engagement-streak metric. The island key is
+    // day_index − dense_rank (constant within a run of consecutive
+    // days), all integer arithmetic after a per-user day dedup; two
+    // aggregates and one per-user window, every stage keyed on
+    // user_id.
+    Q("win_streak",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("2024-01-01")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val runs = days
+          .withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        val wBest = Window.partitionBy("user_id")
+          .orderBy(col("len").desc, col("start_day"))
+        runs
+          .withColumn("rn", row_number().over(wBest))
+          .withColumn("n_streaks",
+            count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("len").as("longest_streak"),
+            col("start_day").cast("long").as("streak_start_day"),
+            col("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+             |  FROM events),
+             |islands AS (
+             |  SELECT user_id, day - ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY day) AS island, day
+             |  FROM days),
+             |runs AS (
+             |  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+             |  FROM islands GROUP BY user_id, island)
+             |SELECT user_id, len AS longest_streak,
+             |  CAST(start_day AS BIGINT) AS streak_start_day, n_streaks
+             |FROM (
+             |  SELECT user_id, len, start_day,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY len DESC, start_day) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+             |  FROM runs) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Cohort retention: users grouped by first-active week, activity
     // counted at each whole-week offset — the standard growth-analytics
     // matrix. Two shuffles total, both on user_id-sized data: one tiny

@@ -12,7 +12,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("audit: newest round-5/6 queries have no scan-all/nested-loop surprises") {
     val names = Seq("llm_incremental_dedup", "llm_export_shards",
       "join_nullsafe", "win_nth_value", "fn_edit_distance", "ann_topk_auto",
-      "dedup_index_incremental", "ann_ivf_autok", "win_ntile_buckets")
+      "dedup_index_incremental", "ann_ivf_autok", "win_ntile_buckets",
+      "llm_decontaminate_bloom", "ts_retention_cohorts", "dedup_time_window",
+      "text_fingerprint", "export_zorder_layout", "stat_gini",
+      "llm_bigram_stats", "llm_perplexity_proxy", "ann_pq_adc",
+      "stat_corr_matrix", "win_mad", "fn_geo_suite", "scan_schema_evolution",
+      "stat_entropy", "ts_retention_cohorts")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
