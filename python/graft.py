@@ -89,6 +89,28 @@ class dedup:
         return _wrap(_jvm().graft.api.Dedup.simhash(docs._jdf, id_col, text_col))
 
     @staticmethod
+    def write_band_index(docs, id_col, text_col, table, k=16, bands=4,
+                         buckets=8, append=False):
+        """Persist the corpus near-dup index as bucketed tables
+        (``<table>_bands`` / ``<table>_sets``)."""
+        _jvm().graft.api.Dedup.writeBandIndex(
+            docs._jdf, id_col, text_col, table, k, bands, buckets, append)
+
+    @staticmethod
+    def append_to_band_index(batch, id_col, text_col, table, k=16, bands=4,
+                             buckets=8):
+        _jvm().graft.api.Dedup.appendToBandIndex(
+            batch._jdf, id_col, text_col, table, k, bands, buckets)
+
+    @staticmethod
+    def incremental_near_dups_indexed(batch, id_col, text_col, table,
+                                      threshold=0.6, k=16, bands=4):
+        """Batch-vs-persisted-index dedup: no shuffle Exchange on the
+        pre-bucketed corpus sides."""
+        return _wrap(_jvm().graft.api.Dedup.incrementalNearDupsIndexed(
+            batch._jdf, id_col, text_col, table, threshold, k, bands))
+
+    @staticmethod
     def release_caches(docs, id_col, text_col, threshold=0.6, k=16, bands=4,
                        max_bucket=1000):
         _jvm().graft.api.Dedup.releaseCaches(
@@ -126,15 +148,61 @@ class similarity:
             embs._jdf, id_col, vec_col, k, iters, top_k, probes))
 
     @staticmethod
-    def knn_per_label(embs, id_col, vec_col, label_col, top_k=3):
+    def knn_per_label(embs, id_col, vec_col, label_col, top_k=3,
+                      max_exact_rows=200000):
+        """EXACT quadratic baseline; corpora above ``max_exact_rows``
+        are rejected (use :meth:`knn_per_label_ivf`). py4j resolves by
+        arity, so the guard bound is passed explicitly."""
         return _wrap(_jvm().graft.api.Similarity.knnPerLabel(
-            embs._jdf, id_col, vec_col, label_col, top_k))
+            embs._jdf, id_col, vec_col, label_col, top_k, max_exact_rows))
 
     @staticmethod
     def knn_per_label_ivf(embs, id_col, vec_col, label_col, k=16, iters=5,
                           top_k=3, probes=2):
         return _wrap(_jvm().graft.api.Similarity.knnPerLabelIvf(
             embs._jdf, id_col, vec_col, label_col, k, iters, top_k, probes))
+
+    @staticmethod
+    def hard_negatives(embs, id_col, vec_col, label_col, k=16, iters=5,
+                       top_k=3, probes=2):
+        """Top-k most-similar DIFFERENT-label neighbors (contrastive
+        hard-negative mining), same IVF cell blocking as
+        :meth:`knn_per_label_ivf`."""
+        return _wrap(_jvm().graft.api.Similarity.hardNegatives(
+            embs._jdf, id_col, vec_col, label_col, k, iters, top_k, probes))
+
+
+class ranking:
+    """graft.api.Ranking — scale-safe global/grouped row numbers and NTILE.
+
+    ``sort_cols`` are pyspark Columns forming a total order;
+    ``bucket_by`` (optional Column) must be ascending-monotonic in that
+    order (pass ``-col`` for a descending first sort column).
+    """
+
+    @staticmethod
+    def _cols(cols):
+        return _to_seq([c._jc for c in cols])
+
+    @staticmethod
+    def with_global_row_number(df, sort_cols, rn_col="__rn", n_col="__n",
+                               partitions=0, bucket_by=None):
+        return _wrap(_jvm().graft.api.Ranking.withGlobalRowNumber(
+            df._jdf, ranking._cols(sort_cols), rn_col, n_col, partitions,
+            bucket_by._jc if bucket_by is not None else None))
+
+    @staticmethod
+    def with_grouped_row_number(df, group_cols, sort_cols, rn_col="__rn",
+                                partitions=0, bucket_by=None):
+        return _wrap(_jvm().graft.api.Ranking.withGroupedRowNumber(
+            df._jdf, _to_seq(group_cols), ranking._cols(sort_cols), rn_col,
+            partitions, bucket_by._jc if bucket_by is not None else None))
+
+    @staticmethod
+    def ntile_exact(df, tiles, sort_cols, tile_col="__ntile", bucket_by=None):
+        return _wrap(_jvm().graft.api.Ranking.ntileExact(
+            df._jdf, tiles, ranking._cols(sort_cols), tile_col,
+            bucket_by._jc if bucket_by is not None else None))
 
 
 class text:

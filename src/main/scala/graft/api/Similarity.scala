@@ -368,7 +368,28 @@ object Similarity {
     */
   def knnPerLabelIvf(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 16, iters: Int = 5, topK: Int = 3,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2): DataFrame =
+    labelBlockedIvf(embs, idCol, vecCol, labelCol, k, iters, topK, probes,
+      sameLabel = true)
+
+  /** Hard-negative mining for contrastive training: each vector's
+    * top-k most-similar neighbors with a DIFFERENT label — the
+    * near-miss examples a metric-learning objective needs. Same IVF
+    * cell blocking (and shared memoized codebook) as
+    * [[knnPerLabelIvf]], only the label predicate flips: candidates
+    * must share the cell and DIFFER in label, so the pairwise term is
+    * the same Σ_cell bounded product and the k dial scales it exactly
+    * the same way.
+    */
+  def hardNegatives(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 16, iters: Int = 5, topK: Int = 3,
+      probes: Int = 2): DataFrame =
+    labelBlockedIvf(embs, idCol, vecCol, labelCol, k, iters, topK, probes,
+      sameLabel = false)
+
+  private def labelBlockedIvf(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, iters: Int, topK: Int, probes: Int,
+      sameLabel: Boolean): DataFrame = {
     val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
     val base = prepare(embs, idCol, vecCol)
       .select(col(idCol), col(labelCol), col("__v"), col("__nrm"))
@@ -378,12 +399,14 @@ object Similarity {
       else probeCells(base, codebook, probes)
         .select(col(idCol), col(labelCol), col("__v"), col("__nrm"),
           explode(col("__probe_cells")).as("cell"))
+    val labelPred =
+      if (sameLabel) col(s"a.$labelCol") === col(s"b.$labelCol")
+      else col(s"a.$labelCol") =!= col(s"b.$labelCol")
     // each index vector owns ONE cell (rn=1), so a (query, nbr) pair
     // matches at most once even with the probe-side fan-out
     val w = Window.partitionBy("__id_a").orderBy(col("cos_sim").desc, col("nbr_id"))
     queriesSide.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col(s"a.$labelCol") === col(s"b.$labelCol") &&
+        col("a.cell") === col("b.cell") && labelPred &&
           col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("__id_a"), col(s"a.$labelCol").as(labelCol),
         col(s"b.$idCol").as("nbr_id"),

@@ -374,7 +374,8 @@ object DataOps {
     * the index side and `aprobe` (rn ≤ probes) the query side.
     */
   private def ivfTrainedQ(name: String, probes: Int,
-      labelCol: Option[String] = None, autoK: Boolean = false): Q = {
+      labelCol: Option[String] = None, autoK: Boolean = false,
+      negLabel: Boolean = false): Q = {
     val K = 16; val ITERS = 5; val TOPK = if (labelCol.isDefined) 3 else 2
     // auto-k (`ann_ivf_autok`): cells = Similarity.suggestCells(n), the
     // measured √n rule — k is DATA-DRIVEN, so the one count() here is
@@ -388,9 +389,14 @@ object DataOps {
       else K
     def fn(s: SparkSession, d: String) = labelCol match {
       case Some(lab) =>
-        graft.api.Similarity
-          .knnPerLabelIvf(Tables.embeddings(s, d), "vec_id", "embedding", lab,
-            cells(s, d), ITERS, TOPK, probes)
+        (if (negLabel)
+          graft.api.Similarity
+            .hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", lab,
+              cells(s, d), ITERS, TOPK, probes)
+        else
+          graft.api.Similarity
+            .knnPerLabelIvf(Tables.embeddings(s, d), "vec_id", "embedding", lab,
+              cells(s, d), ITERS, TOPK, probes))
           .select(col("vec_id"), col("rn").cast("long").as("rn"), col(lab),
             col("nbr_id"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy("vec_id", "rn")
@@ -443,7 +449,7 @@ object DataOps {
            |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
            |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
            |  FROM $probeSide a JOIN afinal b
-           |    ON a.cell = b.cell AND a.$l = b.$l AND a.vec_id <> b.vec_id) t
+           |    ON a.cell = b.cell AND a.$l ${if (negLabel) "<>" else "="} b.$l AND a.vec_id <> b.vec_id) t
            |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
       case None =>
         s"""SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
@@ -611,5 +617,9 @@ object DataOps {
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),
       ivfTrainedQ("ann_ivf_autok", 1, autoK = true),
+      // hard-negative mining: identical IVF blocking, label predicate
+      // flipped — the contrastive-training near-miss sampler
+      ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
+        negLabel = true),
       annPqAdcQuery)
 }
