@@ -281,6 +281,61 @@ object Joins {
       },
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${SQL_DSUM("value")} AS sum_value
               |FROM events JOIN customer ON user_id = c_custkey
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // SCD-2 style snapshot merge (the MERGE INTO shape without a
+    // transactional table format): classify every key across two
+    // snapshot generations as insert / update / delete / unchanged via
+    // ONE full-outer join on the business key, and emit the change
+    // rows a slowly-changing-dimension writer would append. The two
+    // "snapshots" are deterministic slices of customer (new snapshot
+    // drops custkey%17==0, adds a +100 balance adjustment to
+    // custkey%5==0). One shuffle on the merge key at any scale; change
+    // detection is pure column comparison — the shape stays linear no
+    // matter how wide the dimension gets.
+    Q("join_scd2_merge",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        val oldSnap = cust.filter(col("c_custkey") % 10 < 8)
+        val newSnap = cust.filter(col("c_custkey") % 17 =!= 0)
+          .withColumn("bal",
+            when(col("c_custkey") % 5 === 0,
+              col("bal") + lit(100).cast("decimal(18,2)"))
+              .otherwise(col("bal")))
+        oldSnap.as("o").join(newSnap.as("n"),
+            col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+          .withColumn("action",
+            when(col("o.c_custkey").isNull, "insert")
+              .when(col("n.c_custkey").isNull, "delete")
+              .when(col("o.bal") =!= col("n.bal"), "update")
+              .otherwise("unchanged"))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(coalesce(col("n.bal"), lit(0).cast("decimal(18,2)")))
+              .cast("double").as("new_bal_total"))
+          .orderBy("action")
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+             |  FROM customer),
+             |o AS (SELECT * FROM cust WHERE c_custkey % 10 < 8),
+             |n AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CASE WHEN c_custkey % 5 = 0
+             |      THEN bal + CAST(100 AS DECIMAL(18,2)) ELSE bal END AS bal
+             |  FROM cust WHERE c_custkey % 17 <> 0)
+             |SELECT CASE
+             |    WHEN o.c_custkey IS NULL THEN 'insert'
+             |    WHEN n.c_custkey IS NULL THEN 'delete'
+             |    WHEN o.bal <> n.bal THEN 'update'
+             |    ELSE 'unchanged' END AS action,
+             |  COUNT(*) AS n_keys,
+             |  CAST(SUM(COALESCE(n.bal, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS new_bal_total
+             |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+             |GROUP BY 1 ORDER BY action""".stripMargin))
   )
 }

@@ -259,6 +259,49 @@ object Scans {
              |FROM nation
              |ORDER BY gen, n_nationkey""".stripMargin)),
 
+    // Malformed-input tolerance: a JSON-lines file with broken rows
+    // mixed in (the normal state of a crawled 100-TB corpus), read in
+    // PERMISSIVE mode with an explicit schema + corrupt-record column
+    // — bad lines become quarantine rows instead of killing the job,
+    // and the query audits valid-vs-corrupt counts. The staged file is
+    // built once (good rows = nation as JSON + 3 deterministic broken
+    // lines).
+    Q("scan_json_corrupt",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val src = new java.io.File(s"$d/nation.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_corrupt_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          import s.implicits._
+          val good = Tables.nation(s, d).toJSON
+          val bad = s.createDataset(Seq(
+            "{\"n_nationkey\": 99, \"n_name\": \"TRUNCATED",
+            "not json at all",
+            "{]"))
+          good.union(bad).repartition(1).write.mode("overwrite").text(tmp)
+        }
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType),
+          StructField("_corrupt", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(tmp)
+          .withColumn("kind",
+            when(col("_corrupt").isNotNull, lit("corrupt"))
+              .otherwise(concat(lit("region_"), col("n_regionkey"))))
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+          .orderBy("kind")
+      },
+      Some("""SELECT 'region_' || CAST(n_regionkey AS VARCHAR) AS kind,
+             |  COUNT(*) AS n
+             |FROM nation GROUP BY 1
+             |UNION ALL SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n
+             |ORDER BY kind""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.
