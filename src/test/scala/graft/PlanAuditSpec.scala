@@ -17,7 +17,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_fingerprint", "export_zorder_layout", "stat_gini",
       "llm_bigram_stats", "llm_perplexity_proxy", "ann_pq_adc",
       "stat_corr_matrix", "win_mad", "fn_geo_suite", "scan_schema_evolution",
-      "stat_entropy", "ts_retention_cohorts")
+      "stat_entropy", "llm_hard_negatives", "join_scd2_merge",
+      "scan_json_corrupt", "ts_anomaly_zscore", "win_streak",
+      "llm_perplexity_proxy")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
