@@ -338,6 +338,37 @@ object Windows {
              |  FROM runs) t
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Running DISTINCT count without distinct-state: "how many distinct
+    // event types has this user seen so far" as a first-occurrence flag
+    // (row_number over (user, type) == 1) running-summed over the
+    // user's event order. Exact, two user-keyed windows sharing one
+    // shuffle, O(1) state per row — the composable alternative to a
+    // per-row distinct set that would grow with history.
+    Q("win_running_distinct",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts)"))
+        val wFirst = Window.partitionBy("user_id", "event_type")
+          .orderBy("ep", "event_id")
+        val wRun = Window.partitionBy("user_id").orderBy("ep", "event_id")
+        ev
+          .withColumn("is_first",
+            (row_number().over(wFirst) === 1).cast("long"))
+          .withColumn("n_types_seen", sum("is_first").over(wRun))
+          .select(col("event_id"), col("user_id"), col("n_types_seen"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, n_types_seen FROM (
+             |  SELECT event_id, user_id,
+             |    CAST(SUM(is_first) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS n_types_seen
+             |  FROM (
+             |    SELECT event_id, user_id, ts,
+             |      CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |        ORDER BY epoch_us(ts), event_id) = 1 AS BIGINT) AS is_first
+             |    FROM events) f) t
+             |ORDER BY event_id""".stripMargin)),
+
     // Cohort retention: users grouped by first-active week, activity
     // counted at each whole-week offset — the standard growth-analytics
     // matrix. Two shuffles total, both on user_id-sized data: one tiny
