@@ -40,6 +40,54 @@ object TextAnalysis {
               |      FROM documents) x
               |ORDER BY doc_id""".stripMargin)),
 
+    // The curation FUNNEL: the composite keep/drop gate a C4/
+    // RefinedWeb-style pipeline runs, with every dropped doc
+    // attributed to its FIRST failing stage (length gate → exact-dup
+    // gate → quality gate) so the report explains where the corpus
+    // went. Composes the library's own signals (token count, quality
+    // formula, content-hash first-occurrence dedup) in one linear
+    // pass: per-row predicates + one content-hash window + a 5-row
+    // aggregate. The per-stage share window runs over the 5-row
+    // result, never the corpus.
+    Q("llm_corpus_funnel",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+        val wDup = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val wAll = Window.partitionBy()
+        q.withColumn("dup_rn", row_number().over(wDup))
+          .withColumn("stage",
+            when(col("n_words") < 25, "1_too_short")
+              .when(col("n_words") > 90, "2_too_long")
+              .when(col("dup_rn") > 1, "3_exact_dup")
+              .when(col("quality") < 0.75, "4_low_quality")
+              .otherwise("5_kept"))
+          .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+          .withColumn("share",
+            round(col("n_docs").cast("double") / sum("n_docs").over(wAll), 4))
+          .orderBy("stage")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_words,
+              |    floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+              |  FROM (SELECT doc_id, text, $SQL_TOKENIZE AS t,
+              |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |        FROM documents) x),
+              |staged AS (
+              |  SELECT CASE
+              |      WHEN n_words < 25 THEN '1_too_short'
+              |      WHEN n_words > 90 THEN '2_too_long'
+              |      WHEN ROW_NUMBER() OVER (PARTITION BY md5(text)
+              |        ORDER BY doc_id) > 1 THEN '3_exact_dup'
+              |      WHEN quality < 0.75 THEN '4_low_quality'
+              |      ELSE '5_kept' END AS stage
+              |  FROM q)
+              |SELECT stage, COUNT(*) AS n_docs,
+              |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 4) AS share
+              |FROM staged GROUP BY stage ORDER BY stage""".stripMargin)),
+
     // Quality-filter retention report: the decision view a curation
     // run emits — per language, how many docs survive the quality
     // threshold and the retained token mass. Composes the quality
