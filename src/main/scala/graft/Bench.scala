@@ -4,14 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Repeat count (env SPARK_GRAFT_BENCH_REPEAT or first arg): >1 runs
-    // every query N times and reports the per-query MEDIAN, separating
-    // real plan cost from machine contention (round-5 verdict #6: a
-    // driver bench run minutes after a 23-suite test run showed 3×
-    // spreads on three queries that a quiet-machine run didn't have).
-    // The driver invokes with no args → N=1, same behavior as before.
+    // Repeat count (env SPARK_GRAFT_BENCH_REPEAT or first arg). DEFAULT
+    // IS 3 — the bench self-medians without any env var. Three rounds
+    // running, the driver's no-env single-pass number carried 2-4×
+    // machine-contention phantoms (r6: 103.0 s driver vs 61.3 s builder
+    // median of the SAME commit) on queries that differed every round;
+    // a median of 3 interleaved passes rejects any one transient spike
+    // by construction (round-6 verdict Next #1). Cost: ~3×61 s of timed
+    // passes + warm-up ≈ well under the ~4 min budget. Pass 1 / set
+    // SPARK_GRAFT_BENCH_REPEAT=1 to get the old single-pass behavior.
     val repeat = math.max(1, args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT")).map(_.toInt).getOrElse(1))
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT")).map(_.toInt).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** `df` plus `rnCol` = exact 1-based global row number under
     * `sortCols`, and `nCol` = the total row count (both LongType).
     * Range-bucketed two-pass; see object doc. `sortCols` must be a
@@ -67,19 +69,53 @@ object Ranking {
     // export_zorder_layout's oracle). A literal boundary array is
     // identical in every subtree by construction; it is (p-1) doubles —
     // model-parameter-sized, the IVF-codebook precedent.
-    val firstD = Option(bucketBy).getOrElse(sortCols.head).cast("double")
+    val rawBucket = Option(bucketBy).getOrElse(sortCols.head)
+    // try_cast, not cast: under ANSI a malformed (e.g. string) bucket
+    // value would throw a bare CAST_INVALID_INPUT from deep inside the
+    // boundary aggregate; try_cast turns it into a NULL the guard below
+    // counts and reports as the actual caller error (pass a numeric
+    // bucketBy). The guard proves castfail == 0, so try_cast ≡ cast on
+    // every row that reaches the bucket expression.
+    val firstD = rawBucket.try_cast("double")
     val bounds: Seq[Double] =
       if (p <= 1) Seq.empty
       else {
         val probs = (1 until p).map(i => i.toDouble / p)
-        val row = df.select(percentile_approx(firstD,
-          array(probs.map(lit): _*), lit(10000)).as("b")).head()
+        // Alongside the boundaries, count the rows whose bucket value is
+        // non-null but casts to NULL — a string first sort column does
+        // exactly this, every row lands in bucket 0, and the API
+        // silently recreates the single-task global sort it exists to
+        // remove. That is a caller error; fail loudly (round-6 advice).
+        val row = df.select(
+          percentile_approx(firstD, array(probs.map(lit): _*), lit(10000)).as("b"),
+          count(when(firstD.isNull && rawBucket.isNotNull, 1)).as("castfail"),
+          count(when(firstD.isNull, 1)).as("nulls")).head()
+        require(row.getLong(1) == 0L,
+          s"withGlobalRowNumber: bucketBy (default sortCols.head) must be " +
+            s"numeric — ${row.getLong(1)} row(s) have a non-null value that " +
+            s"casts to NULL. Every row would fall into one range bucket, " +
+            s"recreating the single-task global sort. Pass a numeric bucketBy.")
+        if (row.getLong(2) > 0L)
+          log.warn(s"withGlobalRowNumber: bucketBy is NULL on ${row.getLong(2)} " +
+            s"row(s); they bucket FIRST, which is exact only for an ascending " +
+            s"nulls-first sort — for a descending first column, nulls order " +
+            s"last but bucket first, yielding wrong ranks. Pass a null-free " +
+            s"bucketBy (e.g. coalesce to a sentinel).")
         if (row.isNullAt(0)) Seq.empty
         else row.getSeq[Double](0).toSeq
       }
-    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(firstD >= lit(b), 1).otherwise(0)
-    }
+    // Native binary-search bucket id: O(1) codegen size in p (the
+    // fold-of-whens it replaces was p−1 additions deep — round-6
+    // advice) and O(log p) per row. NOT the `aggregate(lit(bounds), …)`
+    // HOF — see BucketIndex's scaladoc for the lambda-references
+    // constraint-inference trap that form trips at this exact self-join.
+    val pidExpr =
+      if (bounds.isEmpty) lit(0)
+      else {
+        import org.apache.spark.sql.graftbridge.Bridge
+        Bridge.column(
+          graft.functions.BucketIndex(Bridge.expression(firstD), bounds.toArray))
+      }
     val binned = df.withColumn("__pid", pidExpr)
     val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val local = binned.withColumn("__lrn", row_number().over(wLocal).cast("long"))
@@ -135,12 +171,24 @@ object Ranking {
     // bucket id from the group's own boundary array — a pure expression
     // once the tiny bounds table is broadcast-joined in, so every
     // consumer subtree sees the identical bucketing (the same
-    // reuse-independence argument as withGlobalRowNumber)
-    val binned = df.join(broadcast(bounds), groupCols)
+    // reuse-independence argument as withGlobalRowNumber).
+    //
+    // Both joins below MUST be null-safe (<=>): row_number() OVER
+    // (PARTITION BY g …) treats a NULL group key as a regular partition,
+    // but a plain equi-join on groupCols silently DROPS those rows —
+    // the exact mismatch the round-6 advice flagged. The bounds/offsets
+    // tables are renamed (__g_*) so the <=> condition is unambiguous.
+    def renamedG(t: DataFrame, keep: Seq[Column]): DataFrame =
+      t.select(groupCols.map(g => col(g).as(s"__g_$g")) ++ keep: _*)
+    def gMatch(right: DataFrame): Column =
+      groupCols.map(g => col(g) <=> right(s"__g_$g")).reduce(_ && _)
+    val gRenamed = groupCols.map(g => s"__g_$g")
+    val boundsR = renamedG(bounds, Seq(col("__bounds")))
+    val binned = df.join(broadcast(boundsR), gMatch(boundsR))
       .withColumn("__pid",
         aggregate(coalesce(col("__bounds"), array()), lit(0),
           (acc, b) => acc + when(firstD >= b, 1).otherwise(0)))
-      .drop("__bounds")
+      .drop("__bounds").drop(gRenamed: _*)
     val gCols = groupCols.map(col)
     val wLocal = Window.partitionBy(gCols :+ col("__pid"): _*)
       .orderBy(sortCols: _*)
@@ -153,10 +201,12 @@ object Ranking {
     val offsets = binned.groupBy(gCols :+ col("__pid"): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
-      .select((gCols :+ col("__pid") :+ col("__off")): _*)
-    local.join(broadcast(offsets), groupCols :+ "__pid")
+    val offsetsR = renamedG(offsets,
+      Seq(col("__pid").as("__opid"), col("__off")))
+    local.join(broadcast(offsetsR),
+        gMatch(offsetsR) && col("__pid") === col("__opid"))
       .withColumn(rnCol, col("__lrn") + col("__off"))
-      .drop("__pid", "__lrn")
+      .drop("__pid", "__lrn", "__opid", "__off").drop(gRenamed: _*)
   }
 
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],

@@ -126,13 +126,22 @@ object Joins {
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Anti-join against the URGENT subset, not all orders: at sf0.01
+    // every customer has SOME order, so the unfiltered anti-join
+    // hash-matched the oracle on the empty set — a vacuous check
+    // (round-6 verdict "What's wrong #1"). Filtering the right side
+    // leaves ~14% survivors, so the driver verifies real rows while the
+    // plan shape (filter pushed below the anti-join build side) is the
+    // one that matters at scale anyway.
     Q("join_left_anti",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
     // Null-safe equi-join (<=> ↔ IS NOT DISTINCT FROM): the "nullable

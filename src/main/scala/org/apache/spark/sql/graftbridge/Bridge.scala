@@ -27,4 +27,11 @@ object Bridge {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     classic.ExpressionUtils.column(e)
+
+  /** The inverse: raw Catalyst Expression of a Column — for graft
+    * expressions whose child is a caller-supplied Column expression
+    * (not a plain attribute name).
+    */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_corr_matrix", "win_mad", "fn_geo_suite", "scan_schema_evolution",
       "stat_entropy", "llm_hard_negatives", "join_scd2_merge",
       "scan_json_corrupt", "ts_anomaly_zscore", "win_streak",
-      "llm_perplexity_proxy")
+      "llm_corpus_funnel")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString

@@ -69,6 +69,36 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("withGroupedRowNumber keeps NULL group keys as their own partition") {
+    // row_number() OVER (PARTITION BY g …) ranks NULL-keyed rows as a
+    // regular partition; the bounds/offsets joins must be null-safe or
+    // those rows silently vanish (round-6 advice, medium).
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("prio",
+        when(col("o_orderpriority") === "1-URGENT", lit(null: String))
+          .otherwise(col("o_orderpriority")))
+    val sort = Seq(col("o_totalprice"), col("o_orderkey"))
+    val got = graft.api.Ranking
+      .withGroupedRowNumber(orders, Seq("prio"), sort, partitions = 7)
+      .select(col("o_orderkey"), col("__rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("prio").orderBy(sort: _*)
+    val expect = orders
+      .select(col("o_orderkey"), row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expect.size,
+      s"null-group rows dropped: got ${got.size}, expect ${expect.size}")
+    expect.foreach { case (k, rn) => assert(got(k) == rn, s"o_orderkey=$k") }
+  }
+
+  test("withGlobalRowNumber rejects a non-numeric bucket column loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Ranking.withGlobalRowNumber(
+        customer, Seq(col("c_name"), col("c_custkey")), partitions = 5)
+    }
+    assert(ex.getMessage.contains("numeric"), ex.getMessage)
+  }
+
   test("global rank stays a permutation when consumer branches prune differently") {
     // Regression for the bug export_zorder_layout's oracle caught: the
     // rank consumer carries payload columns the count branch prunes
