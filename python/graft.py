@@ -89,6 +89,20 @@ class dedup:
         return _wrap(_jvm().graft.api.Dedup.simhash(docs._jdf, id_col, text_col))
 
     @staticmethod
+    def drop_boilerplate_lines(docs, id_col, text_col, line_words=3, max_docs=2):
+        """Line-level cross-document dedup: drop lines occurring in more
+        than ``max_docs`` distinct docs, reassemble with retention stats."""
+        return _wrap(_jvm().graft.api.Dedup.dropBoilerplateLines(
+            docs._jdf, id_col, text_col, line_words, max_docs))
+
+    @staticmethod
+    def exact_substring_spans(docs, id_col, text_col, span_tokens=5, min_docs=2):
+        """Per-doc token mass covered by spans appearing verbatim in
+        other docs (Lee-et-al exact-substring dedup report)."""
+        return _wrap(_jvm().graft.api.Dedup.exactSubstringSpans(
+            docs._jdf, id_col, text_col, span_tokens, min_docs))
+
+    @staticmethod
     def write_band_index(docs, id_col, text_col, table, k=16, bands=4,
                          buckets=8, append=False):
         """Persist the corpus near-dup index as bucketed tables
@@ -230,6 +244,12 @@ class text:
     @staticmethod
     def fingerprint(docs, id_col, text_col):
         return _wrap(_jvm().graft.api.TextMetrics.fingerprint(docs._jdf, id_col, text_col))
+
+    @staticmethod
+    def normalize(docs, text_col):
+        """NFC + control-strip + whitespace-collapse with per-row
+        per-stage removal counts and a changed flag."""
+        return _wrap(_jvm().graft.api.TextMetrics.normalize(docs._jdf, text_col))
 
 
 class catalog:

@@ -425,6 +425,105 @@ object Dedup {
     labels
   }
 
+  /** Line-level cross-document dedup — the CCNet/RefinedWeb boilerplate
+    * stage: split every document into sub-document "lines", drop each
+    * line that occurs in more than `maxDocs` DISTINCT documents (nav
+    * bars, cookie banners, license headers), and reassemble the
+    * surviving lines in original order with per-doc retention stats.
+    *
+    * The fixture corpus has no newlines, so a "line" here is a
+    * fixed-width chunk of `lineWords` consecutive tokens — the unit is
+    * a parameter; on real web text pass-through of `split(text, '\n')`
+    * slots into the same shape unchanged.
+    *
+    * Scale shape (the reason this beats per-doc heuristics at 100 TB):
+    * one linear explode to (doc, pos, line); one line-keyed hash
+    * aggregate for the distinct-doc counts (map-side partial combine,
+    * carries one row per DISTINCT line); one equi-join of the line
+    * stream back to those counts on the SAME key — Catalyst reuses the
+    * hash partitioning, so the boilerplate verdict costs no extra wide
+    * shuffle; one doc-keyed aggregate to reassemble. No quadratic
+    * stage and no driver-side state. A mega-frequent line skews its
+    * aggregate partition, but the aggregate emits one row per line
+    * value, so the skew is bounded by the distinct-line count, not the
+    * corpus.
+    */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      lineWords: Int = 3, maxDocs: Int = 2): DataFrame = {
+    val lined = docs
+      .select(col(idCol).as("doc_id"), TextUdfs.tokenizeCol(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(__t) / ${lineWords}.0) as int) - 1),
+           |  i -> array_join(slice(__t, i * $lineWords + 1, $lineWords), ' '))"""
+          .stripMargin)).as(Seq("pos", "line")))
+    val docFreq = lined.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_docs"))
+    lined.join(docFreq, Seq("line"))
+      .withColumn("__keep", col("line_docs") <= maxDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ").as("kept_text"))
+  }
+
+  /** Exact-substring cross-document duplication report — the
+    * suffix-array-free Spark shape of Lee et al.'s "Deduplicating
+    * Training Data" exact-substring dedup: for every document, the
+    * fraction of its token positions covered by a `spanTokens`-token
+    * run that also appears VERBATIM in at least `minDocs−1` other
+    * documents. Heavily-covered docs are templated/near-copied content
+    * the token-level curation gates miss.
+    *
+    * Mechanics: sliding `spanTokens`-grams WITH positions (unlike the
+    * disjoint chunks of [[dropBoilerplateLines]], spans overlap, so a
+    * shared 6-token run yields two overlapping 5-grams covering 6
+    * tokens, not 10); gram→distinct-doc-count aggregate; flagged gram
+    * positions per doc merged into an interval UNION via one running
+    * `max(pos+span)` window (newly-covered = span end minus the
+    * farther of previous coverage end and span start, floored at 0).
+    * `dup_heavy` is the ≥1/5-coverage gate, compared in INTEGER form
+    * (`dup_tokens * 5 >= n_tokens`) because `0.2 * n` in binary
+    * floating point is not midpoint-safe cross-engine.
+    *
+    * Scale shape: one explode (×~tokens rows), one gram-keyed hash
+    * aggregate, one equi-join back on the same key, one doc-keyed
+    * window + aggregate — linear with key shuffles, no quadratic
+    * stage, same envelope as the minhash chain.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextUdfs.tokenizeCol(col(textCol)).as("__t"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"""CASE WHEN size(__t) >= $spanTokens
+           |THEN transform(sequence(1, size(__t) - ${spanTokens - 1}),
+           |  i -> array_join(slice(__t, i, $spanTokens), ' '))
+           |ELSE array() END""".stripMargin)).as(Seq("__p0", "g")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("g"))
+    val docFreq = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.join(docFreq, Seq("g"))
+      .withColumn("__prev_end", max(col("pos") + spanTokens).over(wPrev))
+      .withColumn("__newly", greatest(lit(0),
+        col("pos") + spanTokens -
+          greatest(coalesce(col("__prev_end"), lit(0)), col("pos"))))
+    val perDoc = cov.groupBy("doc_id")
+      .agg(sum(col("__newly")).cast("long").as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+      .withColumn("dup_heavy", col("dup_tokens") * 5 >= col("n_tokens"))
+  }
+
   /** 32-bit SimHash fingerprint per doc from portable md5 nibble bits. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val shingled = shingleRows(docs, idCol, textCol).withColumn("h", md5(col("token")))

@@ -90,6 +90,31 @@ object TextMetrics {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Unicode/text normalization — the first stage of every real text
+    * pipeline: NFC canonical composition (combining sequences fold into
+    * precomposed codepoints), control-character strip, whitespace-run
+    * collapse + trim. Emits the normalized text plus per-row audit
+    * columns (how many chars each stage removed, and a changed flag) so
+    * a curation run can report normalization impact without a second
+    * pass. All per-row work: the NFC UDF is the only non-codegen
+    * column, everything else is built-in regexp/length expressions.
+    */
+  def normalize(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__nfc", TextUdfs.nfc(col(textCol)))
+      .withColumn("__ctrl",
+        regexp_replace(col("__nfc"), "[\\x00-\\x1f\\x7f]", ""))
+      .withColumn("norm_text",
+        trim(regexp_replace(col("__ctrl"), "\\s+", " ")))
+      .withColumn("nfc_delta",
+        (length(col(textCol)) - length(col("__nfc"))).cast("long"))
+      .withColumn("ctrl_removed",
+        (length(col("__nfc")) - length(col("__ctrl"))).cast("long"))
+      .withColumn("ws_removed",
+        (length(col("__ctrl")) - length(col("norm_text"))).cast("long"))
+      .withColumn("changed", col(textCol) =!= col("norm_text"))
+      .drop("__nfc", "__ctrl")
+
   /** Rolling char-8-gram min-hash fingerprint per document.
     *
     * Entirely within-row: the gram array, its md5 min, and its distinct

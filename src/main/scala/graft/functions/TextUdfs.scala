@@ -23,6 +23,18 @@ object TextUdfs {
       if (s == null) Seq.empty[String]
       else s.toLowerCase.replaceAll("[^a-z ]", "").split(" ", -1).toSeq)
 
+  /** Unicode NFC normalization via `java.text.Normalizer` (public JDK).
+    * A UDF because Spark has no built-in normalization expression; it
+    * breaks codegen for this one column but is per-row and stateless,
+    * so it stays fully distributed. The DuckDB oracle mirrors it with
+    * `nfc_normalize` — both sides implement Unicode's canonical
+    * composition, and the queries exercise only BMP sequences (e.g.
+    * e + U+0301 → U+00E9) where the two agree exactly.
+    */
+  val nfc: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** Same semantics as [[tokenize]] but as built-in expressions
     * (codegen-friendly; used by downstream §2.K operators).
     */

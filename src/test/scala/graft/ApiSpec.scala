@@ -171,6 +171,77 @@ class ApiSpec extends AnyFunSuite {
     assert(q.select(max(col("quality"))).head.getDouble(0) <= 1.0)
   }
 
+  test("Dedup.dropBoilerplateLines drops cross-doc lines, keeps doc set intact") {
+    import spark.implicits._
+    // "lines" of 2 words; "nav bar" occurs in 3 docs (> maxDocs=2) →
+    // boilerplate; "unique words" occurs once → kept.
+    val corpus = Seq(
+      (1L, "nav bar alpha beta"),
+      (2L, "nav bar gamma delta"),
+      (3L, "nav bar epsilon zeta"),
+      (4L, "unique words only here")
+    ).toDF("id", "body")
+    val out = graft.api.Dedup
+      .dropBoilerplateLines(corpus, "id", "body", lineWords = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // every doc survives, even if fully boilerplate
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_lines") == 2 && d1.getAs[Long]("n_kept") == 1)
+    assert(d1.getAs[String]("kept_text") == "alpha beta")
+    assert(out(3).getAs[Long]("n_kept") == 2)
+    assert(out(3).getAs[String]("kept_text") == "unique words only here")
+    // a doc that is ALL boilerplate keeps its row with empty text
+    val all = graft.api.Dedup
+      .dropBoilerplateLines(corpus, "id", "body", lineWords = 2, maxDocs = 0)
+      .orderBy("doc_id").collect()
+    assert(all.forall(_.getAs[Long]("n_kept") == 0L))
+    assert(all.forall(_.getAs[String]("kept_text") == ""))
+  }
+
+  test("Dedup.exactSubstringSpans: interval union, not per-gram double counting") {
+    import spark.implicits._
+    // A and B share the verbatim 6-token run "p q r s t u" → two
+    // OVERLAPPING 5-grams each; the union must cover 6 tokens, not 10.
+    val corpus = Seq(
+      (1L, "p q r s t u aa bb cc"),            // 9 tokens, shared run at 1-6
+      (2L, "x y z p q r s t u w"),             // 10 tokens, shared run at 4-9
+      (3L, "completely unrelated words here live quietly") // no shared span
+    ).toDF("id", "body")
+    val out = graft.api.Dedup
+      .exactSubstringSpans(corpus, "id", "body", spanTokens = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("dup_tokens")).toSeq == Seq(6L, 6L, 0L))
+    assert(out(0).getAs[Double]("dup_ratio") == 0.6667)
+    assert(out(0).getAs[Boolean]("dup_heavy") && out(1).getAs[Boolean]("dup_heavy"))
+    assert(!out(2).getAs[Boolean]("dup_heavy"))
+    // docs shorter than the span survive with zero coverage (no grams)
+    val short = Seq((1L, "one two"), (2L, "one two")).toDF("id", "body")
+    val s = graft.api.Dedup
+      .exactSubstringSpans(short, "id", "body", spanTokens = 5, minDocs = 2)
+      .collect()
+    assert(s.length == 2 && s.forall(_.getAs[Long]("dup_tokens") == 0L))
+  }
+
+  test("TextMetrics.normalize: NFC composes, control stripped, whitespace collapsed") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "Cafe\u0301 \t hello \u0007  world  "), // decomposed e+U+0301, tab, BEL, runs
+      (2L, "already clean")
+    ).toDF("id", "raw")
+    val out = graft.api.TextMetrics.normalize(dirty, "raw")
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("norm_text") == "Café hello world")
+    assert(r1.getAs[Long]("nfc_delta") == 1L)    // e+combining → é
+    assert(r1.getAs[Long]("ctrl_removed") == 2L) // tab + BEL
+    assert(r1.getAs[Boolean]("changed"))
+    val r2 = out(1)
+    assert(r2.getAs[String]("norm_text") == "already clean")
+    assert(r2.getAs[Long]("nfc_delta") == 0L &&
+      r2.getAs[Long]("ctrl_removed") == 0L && r2.getAs[Long]("ws_removed") == 0L)
+    assert(!r2.getAs[Boolean]("changed"))
+  }
+
   test("TextMetrics.fingerprint (within-row HOF) equals the explode+groupBy form") {
     val hof = graft.api.TextMetrics.fingerprint(docs, "id", "body")
       .orderBy("id").collect().toSeq

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_corr_matrix", "win_mad", "fn_geo_suite", "scan_schema_evolution",
       "stat_entropy", "llm_hard_negatives", "join_scd2_merge",
       "scan_json_corrupt", "ts_anomaly_zscore", "win_streak",
-      "llm_corpus_funnel")
+      "llm_corpus_funnel", "ann_ivfpq_adc", "llm_line_dedup",
+      "text_normalize_suite", "dedup_exact_substring")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
