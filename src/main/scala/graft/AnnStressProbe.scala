@@ -95,6 +95,55 @@ object AnnStressProbe {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
 
+    // mode=profile (round-6 verdict Next #6): decompose ONE Lloyd
+    // iteration into cumulative stages so the 20-24 s/100k-vector
+    // training floor is attributed before anyone optimizes the wrong
+    // piece. Stages (each a full job, median of 3):
+    //   s1 scan+prepare     — parquet read + float→double cast
+    //   s2 + assignment     — adds the NearestCells argmin scan
+    //   s3 + Lloyd aggregate— adds the CellVectorSums typed UDAF
+    // s2−s1 = assignment cost, s3−s2 = aggregate cost (incl. the
+    // typed-encoder Seq[Double] conversion the UDAF input pays),
+    // s1 = I/O+cast floor that per-iteration caching could amortize.
+    if (mode == "profile") {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val k = ks.head
+      graft.api.Similarity.clearCodebookCache()
+      val cb = time(s"profile: full training (k=$k, 5 rounds, cold)") {
+        graft.api.Similarity.kmeansCodebook(embs, "vec_id", "embedding", k = k)
+      }
+      val base = graft.api.Similarity.prepare(embs, "vec_id", "embedding")
+        .select(col("vec_id").as("__id"), col("__v"))
+      def assigned = base.withColumn("__cell", element_at(
+        Bridge.column(graft.functions.NearestCells(
+          UnresolvedAttribute("__v"), cb, 1)), 1))
+      val sums = udaf(new graft.functions.CellVectorSums.Agg(k),
+        org.apache.spark.sql.Encoders.product[(Int, Seq[Double])])
+      def med(label: String)(body: => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[ann-stress] profile $label: median ${ts(1)}%.2f s " +
+          s"(${ts.map(t => f"$t%.2f").mkString(", ")})")
+        ts(1)
+      }
+      val s1 = med("s1 scan+prepare (force cast via element sum)") {
+        base.agg(sum(element_at(col("__v"), 1))).head(); ()
+      }
+      val s2 = med("s2 + NearestCells assignment") {
+        assigned.agg(sum(col("__cell"))).head(); ()
+      }
+      val s3 = med("s3 + CellVectorSums Lloyd aggregate") {
+        assigned.select(col("__cell"), col("__v"))
+          .agg(sums(col("__cell"), col("__v")).as("s")).head(); ()
+      }
+      println(f"[ann-stress] profile attribution: scan+cast ${s1}%.2f s, " +
+        f"assignment ${s2 - s1}%.2f s, aggregate ${s3 - s2}%.2f s " +
+        f"(per iteration; training = init + 5 × s3 ≈ ${5 * s3}%.2f s)")
+      spark.stop(); return
+    }
+
     for (k <- ks) {
       graft.api.Similarity.clearCodebookCache()
       val cb = time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {

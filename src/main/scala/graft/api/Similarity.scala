@@ -252,7 +252,27 @@ object Similarity {
 
   private def trainCodebook(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
-    val base = prepare(embs, idCol, vecCol).select(col(idCol).as("__id"), col("__v"))
+    val prepared = prepare(embs, idCol, vecCol)
+      .select(col(idCol).as("__id"), col("__v"))
+    // Training iterates `iters`+1 jobs over the SAME rows, so (a)
+    // repartition up to defaultParallelism when the source arrives in
+    // fewer splits — a 100k-vector corpus is one ~25 MB parquet split,
+    // which ran every Lloyd round's decimal-exact aggregate on ONE core
+    // of 32 (profiled: 3.6 s of the 4.5 s round was the single-task
+    // aggregate; PERF.md round 7) — and (b) persist the prepared
+    // (cast + normed) rows across rounds instead of re-scanning and
+    // re-casting per round. Neither changes a single output bit:
+    // repartitioning only rebalances rows (the 128-bit aggregate is
+    // associative/commutative and the md5-ranked init is an orderBy —
+    // both partitioning-independent), and the cache stores the same
+    // rows the plan would recompute. MEMORY_AND_DISK: beyond-memory
+    // corpora spill, never fail — the standard iterative-ML tradeoff.
+    val p = embs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (prepared.rdd.getNumPartitions < p) prepared.repartition(p)
+      else prepared
+    val base = balanced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val native = embs.sparkSession.conf
       .get(KmeansNativeAggKey, "true").toBoolean
     var codebook: Array[Array[Double]] = base
@@ -295,6 +315,7 @@ object Similarity {
       codebook = next
     }
     codebook
+    } finally base.unpersist(false)
   }
 
   /** Nearest-centroid cell (squared-L2, first-index tie-break) via the
