@@ -67,6 +67,22 @@ object StressProbe {
       graft.api.TextMetrics.quality(docs, "doc_id", "text",
         Seq("the", "a", "of", "and", "to", "in")).count()
     }
+    // round-7 sub-document ops at the same volume: the line-dedup and
+    // span-coverage shapes multiply rows by lines/grams per doc, so
+    // their beyond-fixture wall-clock is the scale evidence their
+    // SURVEY claims rest on
+    time("line-level boilerplate dedup (3-token lines, >2 docs)") {
+      val r = graft.api.Dedup.dropBoilerplateLines(docs, "doc_id", "text")
+      println(s"[stress-probe]   docs reassembled: ${r.count()}")
+    }
+    time("exact-substring span coverage (5-gram, >=2 docs)") {
+      val r = graft.api.Dedup.exactSubstringSpans(docs, "doc_id", "text")
+        .filter(col("dup_heavy"))
+      println(s"[stress-probe]   dup-heavy docs: ${r.count()}")
+    }
+    time("unicode normalize suite (NFC UDF + regexp passes)") {
+      graft.api.TextMetrics.normalize(docs, "text").count()
+    }
     pairs.unpersist(blocking = false)
     spark.stop()
   }
