@@ -288,6 +288,55 @@ object Windows {
              |WHERE n_win >= 12 AND sd_v > 1e-9 AND abs(z) > 2.0
              |ORDER BY event_id""".stripMargin)),
 
+    // Exponentially-weighted moving average per user (α=0.25, 8-term
+    // lookback) — the time-series smoothing staple. The textbook
+    // recursive form (ewma_t = α·x + (1−α)·ewma_{t−1}) is not
+    // window-expressible, so this uses the FINITE-window expansion:
+    // 8 lag() terms sharing ONE user-keyed window sort, weights
+    // α(1−α)^j renormalized over the lags that exist at the head of
+    // each series. Determinism device: every weight is an EXACTLY
+    // representable double (3^j/2^(2+2j)) emitted as its shortest
+    // round-trip decimal and CAST('…' AS DOUBLE) in the oracle, and
+    // both engines sum the 8 products in the same written order —
+    // identical IEEE arithmetic, no libm, round(4) on top.
+    Q("ts_ewma", {
+      val J = 8
+      val weights: Seq[Double] =
+        (0 until J).map(j => (1 to j).foldLeft(0.25)((a, _) => a * 0.75))
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+        def lagV(j: Int) =
+          if (j == 0) col("value") else lag(col("value"), j).over(w)
+        val num = (0 until J).map(j => coalesce(lagV(j), lit(0.0)) * weights(j))
+          .reduce(_ + _)
+        val den = (0 until J)
+          .map(j => when(lagV(j).isNotNull, weights(j)).otherwise(0.0))
+          .reduce(_ + _)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts) div 1000000"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(num / den, 4).as("ewma"))
+          .orderBy("event_id")
+      }
+    },
+      Some {
+        val J = 8
+        val weights: Seq[Double] =
+          (0 until J).map(j => (1 to j).foldLeft(0.25)((a, _) => a * 0.75))
+        def wLit(j: Int) = s"CAST('${weights(j)}' AS DOUBLE)"
+        def lagV(j: Int) = if (j == 0) "value" else s"LAG(value, $j) OVER w"
+        val num = (0 until J)
+          .map(j => s"COALESCE(${lagV(j)}, 0.0) * ${wLit(j)}").mkString(" + ")
+        val den = (0 until J)
+          .map(j => s"CASE WHEN ${lagV(j)} IS NOT NULL THEN ${wLit(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""SELECT event_id, user_id, value, ROUND(($num) / ($den), 4) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id
+           |             ORDER BY epoch_us(ts) // 1000000, event_id)
+           |ORDER BY event_id""".stripMargin
+      }),
+
     // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per
     // user — the engagement-streak metric. The island key is
     // day_index − dense_rank (constant within a run of consecutive

@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_entropy", "llm_hard_negatives", "join_scd2_merge",
       "scan_json_corrupt", "ts_anomaly_zscore", "win_streak",
       "llm_corpus_funnel", "ann_ivfpq_adc", "llm_line_dedup",
-      "text_normalize_suite", "dedup_exact_substring")
+      "text_normalize_suite", "dedup_exact_substring", "ts_ewma")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
