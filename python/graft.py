@@ -96,6 +96,14 @@ class dedup:
             docs._jdf, id_col, text_col, line_words, max_docs))
 
     @staticmethod
+    def keep_best_per_component(docs, id_col, text_col, threshold=0.6, k=16,
+                                bands=4):
+        """Near-dup collapse with the keep-longest policy: every doc
+        labeled (comp, n_tokens, kept); singletons keep themselves."""
+        return _wrap(_jvm().graft.api.Dedup.keepBestPerComponent(
+            docs._jdf, id_col, text_col, threshold, k, bands))
+
+    @staticmethod
     def exact_substring_spans(docs, id_col, text_col, span_tokens=5, min_docs=2):
         """Per-doc token mass covered by spans appearing verbatim in
         other docs (Lee-et-al exact-substring dedup report)."""
@@ -185,6 +193,13 @@ class similarity:
         return _wrap(_jvm().graft.api.Similarity.hardNegatives(
             embs._jdf, id_col, vec_col, label_col, k, iters, top_k, probes))
 
+    @staticmethod
+    def sem_dedup(embs, id_col, vec_col, k=16, iters=5, threshold=0.4):
+        """SemDeDup: k-means cells + within-cell cosine pruning; every
+        vector gets (cell, kept, dup_of, max_sim)."""
+        return _wrap(_jvm().graft.api.Similarity.semDedup(
+            embs._jdf, id_col, vec_col, k, iters, threshold))
+
 
 class ranking:
     """graft.api.Ranking — scale-safe global/grouped row numbers and NTILE.
@@ -250,6 +265,22 @@ class text:
         """NFC + control-strip + whitespace-collapse with per-row
         per-stage removal counts and a changed flag."""
         return _wrap(_jvm().graft.api.TextMetrics.normalize(docs._jdf, text_col))
+
+    @staticmethod
+    def chunk_documents(docs, id_col, text_col, chunk_tokens=40, stride=30):
+        """Overlapping token-window chunks (chunk_idx / n_tokens /
+        chunk_text per chunk); the final chunk may be shorter."""
+        return _wrap(_jvm().graft.api.TextMetrics.chunkDocuments(
+            docs._jdf, id_col, text_col, chunk_tokens, stride))
+
+    @staticmethod
+    def hashed_linear_score(docs, id_col, text_col, weights):
+        """fastText-style hashed linear scorer: md5-bucketed tokens into
+        the given weight vector, score = mean bucket weight (token-order
+        fold), keep_label = score >= 0."""
+        ws = _to_seq([float(w) for w in weights])
+        return _wrap(_jvm().graft.api.TextMetrics.hashedLinearScore(
+            docs._jdf, id_col, text_col, ws))
 
 
 class catalog:

@@ -425,6 +425,36 @@ object Dedup {
     labels
   }
 
+  /** Near-dup dedup with a KEEP-BEST policy: every document gets a
+    * near-duplicate component label ([[nearDupComponents]]; documents
+    * with no near-dup edge are their own singleton component) and each
+    * component keeps exactly one representative — the LONGEST document
+    * (token count, ties to the lowest id), the keep-longest rule
+    * web-corpus curation uses so boilerplate-trimmed fragments lose to
+    * the fullest copy. Emits every input doc with its component, token
+    * count, and keep verdict, so the caller can either filter `kept`
+    * or audit the drop set.
+    *
+    * Scale shape: the component labels come from the banded-LSH chain
+    * (never all-pairs); scoring is per-row expression work; the verdict
+    * is one row_number window over components — component sizes are
+    * near-dup cluster sizes (small by construction; a pathological
+    * mega-cluster would already have been the LSH chain's problem, not
+    * this stage's).
+    */
+  def keepBestPerComponent(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
+    val comps = nearDupComponents(docs, idCol, textCol, threshold, k, bands)
+    val scored = docs.select(col(idCol),
+      size(TextUdfs.tokenizeCol(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("n_tokens").desc, col(idCol))
+    scored.join(comps, scored(idCol) === comps("doc"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"),
+        col("n_tokens"))
+      .withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Line-level cross-document dedup — the CCNet/RefinedWeb boilerplate
     * stage: split every document into sub-document "lines", drop each
     * line that occurs in more than `maxDocs` DISTINCT documents (nav

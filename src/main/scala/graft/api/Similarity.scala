@@ -376,6 +376,44 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    * semantic deduplication by k-means clustering + within-cluster
+    * cosine pruning. Every vector is assigned to its nearest trained
+    * cell ([[kmeansCodebook]], shared memo with the IVF queries), and a
+    * vector is DROPPED when an earlier-id vector in the SAME cell has
+    * cosine ≥ `threshold` — a deterministic stand-in for the paper's
+    * arbitrary within-group keep choice. Emits every input vector with
+    * its cell, keep verdict, and (for drops) the earliest duplicate
+    * partner and the max similarity that condemned it.
+    *
+    * Scale shape — the paper's own trick: pairwise work is confined to
+    * cells, Σ n_cell² instead of n², and the cell count k is the dial
+    * (√n via [[suggestCells]] keeps expected cell sizes ~√n, so the
+    * per-cell quadratic term stays bounded as the corpus grows). The
+    * join shuffles on `cell` only; no global pairwise stage exists.
+    * APPROXIMATE in the same sense as the paper: near-dups straddling
+    * a cell boundary are missed; raise k more slowly than n (or probe
+    * neighbor cells) to trade cost for recall.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5, threshold: Double = 0.4): DataFrame = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val base = prepare(embs, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+      .select(col(s"a.$idCol").as("__id"), col(s"b.$idCol").as("__nbr"),
+        expr("cosine_sim(a.__v, b.__v)").as("__sim"))
+      .filter(col("__sim") >= threshold)
+      .groupBy("__id")
+      .agg(min("__nbr").as("dup_of"), round(max("__sim"), 4).as("max_sim"))
+    assigned.join(dups, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("cell"), col("__id").isNull.as("kept"),
+        col("dup_of"), col("max_sim"))
+  }
+
   /** [[knnPerLabel]] routed through the trained IVF index — the scale
     * path for same-label kNN. Label blocking alone is a quadratic trap:
     * (n/L)² pairs per label grows 10,000× at 100× data. Here candidates

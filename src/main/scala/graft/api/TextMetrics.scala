@@ -135,4 +135,70 @@ object TextMetrics {
       .select(col(idCol),
         expr("array_min(transform(__grams, g -> md5(g)))").as("fingerprint"),
         expr("size(array_distinct(__grams))").cast("long").as("n_distinct_grams"))
+
+  /** Split each document into overlapping token-window chunks — the
+    * standard context-window preparation stage for training and
+    * retrieval corpora (chunk = `chunkTokens` tokens, next chunk starts
+    * `stride` tokens later, so consecutive chunks overlap by
+    * `chunkTokens - stride`). The final chunk may be shorter; documents
+    * tokenizing to nothing are dropped.
+    *
+    * Emits one row per (doc, chunk): `chunk_idx` (0-based), `n_tokens`,
+    * and the chunk text rejoined with single spaces.
+    *
+    * Scale shape: tokenize is per-row expression work, and the explode
+    * multiplies rows by ~n_tokens/stride — output-proportional, the
+    * same cost any chunker must pay. No shuffle at all: the whole job
+    * is scan → generate → project, so it pipelines into whatever
+    * grouping or write follows.
+    */
+  /** fastText-style hashed linear text scorer: each token hashes (first
+    * two md5 hex chars → 0..255) into one of `weights.length` buckets
+    * and the document's score is the MEAN bucket weight, folded over
+    * the token array IN TOKEN ORDER — a sequential within-row fold, so
+    * any engine mirroring the fold order reproduces the doubles
+    * bit-for-bit (no rounding needed downstream). The weight vector is
+    * the model artifact: a real deployment trains it offline and
+    * broadcasts it exactly like this (model-parameter-sized driver
+    * state, the codebook precedent); no training libs exist in this
+    * container, so callers pass the weights in. Per-row expression
+    * work only — no shuffle, no UDF, stays inside codegen.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val d = weights.length
+    // shortest round-trip decimal reprs — parse to identical doubles
+    val wLit = weights.map(w => s"${w}D").mkString("array(", ", ", ")")
+    docs
+      .withColumn("__t", TextUdfs.tokenizeCol(col(textCol)))
+      .withColumn("__raw", expr(
+        s"""aggregate(__t, CAST(0.0 AS DOUBLE), (acc, tok) ->
+           |  acc + element_at($wLit,
+           |    CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) % $d + 1))"""
+          .stripMargin))
+      .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"),
+        (col("__raw") / size(col("__t")).cast("double")).as("score"),
+        (col("__raw") >= 0.0).as("keep_label"))
+  }
+
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(chunkTokens >= stride,
+      s"chunkTokens ($chunkTokens) must be >= stride ($stride) or tokens would be skipped")
+    docs
+      .select(col(idCol), TextUdfs.tokenizeCol(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      // last start is the largest multiple of `stride` strictly below
+      // n_tokens, so every token lands in at least one chunk
+      .withColumn("__start", explode(expr(
+        s"sequence(0, ((size(__t) - 1) div $stride) * $stride, $stride)")))
+      .select(col(idCol),
+        expr(s"__start div $stride").as("chunk_idx"),
+        slice(col("__t"), col("__start") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

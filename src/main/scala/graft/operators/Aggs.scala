@@ -489,6 +489,210 @@ object Aggs {
              |    AS corr_price_disc
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-group OLS regression (price ~ quantity per return flag):
+    // slope / intercept / r² from the same exact-decimal co-moment
+    // device as stat_corr_matrix — sums are DECIMAL(18,2) (exact,
+    // partitioning-independent), the closed-form regression math runs
+    // on doubles in textually mirrored expression order, outputs
+    // rounded to 4. One map-side-combined aggregate; safe at any scale.
+    Q("stat_linreg",
+      (s, d) => {
+        def dd(c: String) = col(c).cast("decimal(18,2)")
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          dd("l_quantity").as("x"), dd("l_extendedprice").as("y"))
+        val m = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+        val nd = col("n").cast("double")
+        def D(c: Column) = c.cast("double")
+        val cov = nd * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+        val varx = nd * D(col("sx2")) - pow(D(col("sx")), 2)
+        val vary = nd * D(col("sy2")) - pow(D(col("sy")), 2)
+        val slope = cov / varx
+        m.select(col("l_returnflag"), col("n"),
+            round(slope, 4).as("slope"),
+            round((D(col("sy")) - slope * D(col("sx"))) / nd, 4).as("intercept"),
+            round(cov * cov / (varx * vary), 4).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |    SUM(x*x) AS sx2, SUM(y*y) AS sy2
+             |  FROM (SELECT l_returnflag,
+             |      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |    FROM lineitem) t GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2)), 4) AS slope,
+             |  ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE), 4) AS intercept,
+             |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / ((CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2))
+             |     * (CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - pow(CAST(sy AS DOUBLE), 2))), 4) AS r2
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov statistic (click vs view event
+    // values): D = max |F1 - F2| over observed points, computed in
+    // EXACT INTEGER form — per distinct value the cumulative counts
+    // (ca, cb), maximized as |ca·n2 − cb·n1| (a bigint), divided only
+    // at the end — so the statistic is partitioning- and
+    // engine-independent by construction. Shape: one value-keyed
+    // aggregate + one running-sum window + a scalar max; the window
+    // carries two longs of state.
+    Q("stat_ks_test",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+        val pts = ev.groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("bn"))
+        // The ordered running sum rides on the DISTINCT-value aggregate
+        // (6.6k rows at sf0.01), not the event stream — at 100 TB the
+        // standard move is KS over pre-binned values, which drops into
+        // the same shape with `width_bucket(value, …)` as the group key.
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        pts
+          .withColumn("ca", sum("an").over(w))
+          .withColumn("cb", sum("bn").over(w))
+          .withColumn("n_a", sum("an").over(wAll))
+          .withColumn("n_b", sum("bn").over(wAll))
+          .groupBy("n_a", "n_b")
+          .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+            .as("d_num"))
+          .select(col("n_a"), col("n_b"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bn
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY value),
+             |cum AS (
+             |  SELECT an, bn,
+             |    SUM(an) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    SUM(bn) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |  FROM pts),
+             |tot AS (SELECT SUM(an) AS n_a, SUM(bn) AS n_b FROM pts)
+             |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+             |  CAST(MAX(ABS(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS d_num,
+             |  ROUND(CAST(MAX(ABS(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+             |    / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS d_stat
+             |FROM cum c, tot t GROUP BY t.n_a, t.n_b""".stripMargin)),
+
+    // Mann–Whitney U (click vs view): rank-sum in EXACT DOUBLED-
+    // INTEGER form — per distinct value the click rows occupy ranks
+    // [prev+1, prev+cnt], so twice their average-rank sum is
+    // an·(2·prev + cnt + 1), an integer; U×2 = R1×2 − n1(n1+1) stays
+    // integer until the final /2.0. The normal-approximation z (no tie
+    // correction — documented large-sample form) uses only division
+    // and IEEE-exact sqrt in textually mirrored order, so no rounding
+    // is needed anywhere. Same distinct-value-aggregate shape (and
+    // 100-TB pre-binning note) as stat_ks_test.
+    Q("stat_mannwhitney",
+      (s, d) => {
+        val pts = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("bn"))
+        val wPrev = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = pts
+          .withColumn("prev",
+            coalesce(sum(col("an") + col("bn")).over(wPrev), lit(0L)))
+          .agg(sum("an").as("n_a"), sum("bn").as("n_b"),
+            sum(col("an") * (lit(2L) * col("prev") + col("an") + col("bn") + lit(1L)))
+              .as("r1x2"))
+        val u2 = col("r1x2") - col("n_a") * (col("n_a") + lit(1L))
+        val ud = u2.cast("double") / lit(2.0)
+        val mu = (col("n_a") * col("n_b")).cast("double") / lit(2.0)
+        val sig = sqrt((col("n_a") * col("n_b") *
+          (col("n_a") + col("n_b") + lit(1L))).cast("double") / lit(12.0))
+        r.select(col("n_a"), col("n_b"), ud.as("u_stat"),
+          ((ud - mu) / sig).as("z"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bn
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY value),
+             |r AS (
+             |  SELECT CAST(SUM(an) AS BIGINT) AS n_a, CAST(SUM(bn) AS BIGINT) AS n_b,
+             |    CAST(SUM(an * (2 * COALESCE(prev, 0) + an + bn + 1)) AS BIGINT) AS r1x2
+             |  FROM (SELECT an, bn,
+             |      SUM(an + bn) OVER (ORDER BY value
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+             |    FROM pts) t)
+             |SELECT n_a, n_b,
+             |  CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
+             |  (CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+             |    - CAST(n_a * n_b AS DOUBLE) / 2.0)
+             |    / sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 12.0) AS z
+             |FROM r""".stripMargin)),
+
+    // Chi-squared independence test (lang × source over documents):
+    // observed counts and row·col products stay integer; the Pearson
+    // terms are folded over a SORTED cell array in lexicographic
+    // (lang, source) order — the index-order-fold device (SQL_DOT
+    // precedent), so both engines accumulate the identical doubles and
+    // the statistic ships UNROUNDED. Contingency cells are
+    // |langs|×|sources| — model-sized, so the sorted collect is a
+    // 25-element array, not a data-sized structure.
+    Q("stat_chi2",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+          .withColumn("rc",
+            sum("o").over(Window.partitionBy("lang")) *
+              sum("o").over(Window.partitionBy("source")))
+        cells
+          .agg(sum("o").as("n_docs"),
+            countDistinct("lang").as("nl"),
+            countDistinct("source").as("ns"),
+            sort_array(collect_list(struct(col("lang"), col("source"),
+              col("o").cast("double").as("od"), col("rc")))).as("cs"))
+          .select(col("n_docs"),
+            ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+            expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) ->
+              acc + (x.od - CAST(x.rc AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  * (x.od - CAST(x.rc AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  / (CAST(x.rc AS DOUBLE) / CAST(n_docs AS DOUBLE)))""")
+              .as("chi2"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+             |rc AS (
+             |  SELECT lang, source, CAST(o AS DOUBLE) AS od,
+             |    SUM(o) OVER (PARTITION BY lang) * SUM(o) OVER (PARTITION BY source) AS rc
+             |  FROM cells),
+             |agg AS (
+             |  SELECT (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n_docs,
+             |    (SELECT COUNT(DISTINCT lang) FROM cells) AS nl,
+             |    (SELECT COUNT(DISTINCT source) FROM cells) AS ns,
+             |    list(list_value(od, CAST(rc AS DOUBLE)) ORDER BY lang, source) AS cs
+             |  FROM rc)
+             |SELECT n_docs, (nl - 1) * (ns - 1) AS dof,
+             |  list_sum(list_transform(cs, x ->
+             |    (x[1] - x[2] / CAST(n_docs AS DOUBLE))
+             |      * (x[1] - x[2] / CAST(n_docs AS DOUBLE))
+             |      / (x[2] / CAST(n_docs AS DOUBLE)))) AS chi2
+             |FROM agg""".stripMargin)),
+
     Q("agg_histogram",
       (s, d) => Tables.orders(s, d)
         .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0))

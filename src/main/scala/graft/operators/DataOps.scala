@@ -418,34 +418,9 @@ object DataOps {
     // label column threaded through base + assignment CTEs when present
     val labSel = labelCol.map(l => s", $l").getOrElse("")
     val labSelB = labelCol.map(l => s", b.$l").getOrElse("")
-    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
-    def L2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    // assignment of every vector to its `maxRn` nearest cbN centroids
-    def assign(cb: String, name: String, maxRn: Int = 1) =
-      s"""$name AS (
-         |  SELECT vec_id$labSel, v, nrm, c_id AS cell FROM (
-         |    SELECT b.vec_id$labSelB, b.v, b.nrm, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
-         |    FROM base b, $cb c) t WHERE rn <= $maxRn)""".stripMargin
-    // Lloyd update: decimal-exact per-dimension means; empty cells keep
-    // their previous centroid (mirrors the Scala carry-over)
-    def update(a: String, prev: String, name: String) =
-      s"""$name AS (
-         |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
-         |    SELECT cell, pos,
-         |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
-         |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-         |          FROM $a) e
-         |    GROUP BY cell, pos) m GROUP BY cell
-         |  UNION ALL
-         |  SELECT c_id, v FROM $prev
-         |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
-    val iterCtes = (1 to ITERS).flatMap(i =>
-      Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
     val probeCte =
-      if (probes <= 1) "" else s",\n${assign(s"cb$ITERS", "aprobe", probes)}"
+      if (probes <= 1) ""
+      else s",\n${kmAssign(s"cb$ITERS", "aprobe", probes, labSel, labSelB)}"
     val probeSide = if (probes <= 1) "afinal" else "aprobe"
     val finalSelect = labelCol match {
       case Some(l) =>
@@ -473,17 +448,95 @@ object DataOps {
         "(SELECT GREATEST(16, LEAST(4096, CAST(round(sqrt(COUNT(*))) AS BIGINT))) FROM base)"
       else K.toString
     val sql =
-      s"""WITH base AS (
-         |  SELECT vec_id$labSel, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
-         |  FROM (SELECT vec_id$labSel, $sqlV AS v FROM embeddings) x),
-         |cb0 AS (
-         |  SELECT c_id, v FROM (
-         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
-         |    FROM base) r WHERE c_id < $kSql),
-         |${iterCtes.mkString(",\n")},
-         |${assign(s"cb$ITERS", "afinal")}$probeCte
+      s"""WITH ${kmChain(kSql, ITERS, labSel, labSelB)}$probeCte
          |$finalSelect""".stripMargin
     Q(name, fn, Some(sql))
+  }
+
+  // ---- shared DuckDB k-means oracle scaffolding (trained-IVF family +
+  // llm_semdedup): md5-seeded init, DECIMAL(38,20) exact means,
+  // first-min tie-breaks — the same determinism devices the Scala
+  // trainCodebook uses, so both engines reach the identical codebook.
+  private def kmL2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** Assignment of every vector to its `maxRn` nearest `cb` centroids. */
+  private def kmAssign(cb: String, name: String, maxRn: Int = 1,
+      labSel: String = "", labSelB: String = ""): String =
+    s"""$name AS (
+       |  SELECT vec_id$labSel, v, nrm, c_id AS cell FROM (
+       |    SELECT b.vec_id$labSelB, b.v, b.nrm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${kmL2("b.v", "c.v")}, c.c_id) AS rn
+       |    FROM base b, $cb c) t WHERE rn <= $maxRn)""".stripMargin
+
+  /** Lloyd update: decimal-exact per-dimension means; empty cells keep
+    * their previous centroid (mirrors the Scala carry-over).
+    */
+  private def kmUpdate(a: String, prev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
+       |    SELECT cell, pos,
+       |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+       |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |          FROM $a) e
+       |    GROUP BY cell, pos) m GROUP BY cell
+       |  UNION ALL
+       |  SELECT c_id, v FROM $prev
+       |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
+
+  /** The full WITH-body prefix shared by every trained-codebook oracle:
+    * `base` (vectors + norms), `cb0` (md5-seeded init), `iters`
+    * assign/update Lloyd rounds, and `afinal` (every vector in its
+    * nearest final cell).
+    */
+  private def kmChain(kSql: String, iters: Int,
+      labSel: String = "", labSelB: String = ""): String = {
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    val iterCtes = (1 to iters).flatMap(i =>
+      Seq(kmAssign(s"cb${i - 1}", s"a$i", 1, labSel, labSelB),
+        kmUpdate(s"a$i", s"cb${i - 1}", s"cb$i")))
+    s"""base AS (
+       |  SELECT vec_id$labSel, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id$labSel, $sqlV AS v FROM embeddings) x),
+       |cb0 AS (
+       |  SELECT c_id, v FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
+       |    FROM base) r WHERE c_id < $kSql),
+       |${iterCtes.mkString(",\n")},
+       |${kmAssign(s"cb$iters", "afinal", 1, labSel, labSelB)}""".stripMargin
+  }
+
+  /** SemDeDup (see [[graft.api.Similarity.semDedup]]): k-means cells +
+    * within-cell cosine pruning at τ=0.4 — chosen from the measured
+    * pairwise-cosine distribution of the synthetic embeddings (nearest
+    * pair sits ≥1.3e-4 from the cut at sf0.001 AND sf0.01, so the
+    * verdict set is cross-engine float-stable; 59 global pairs clear
+    * τ, so the op demonstrably drops rows). The oracle unrolls the
+    * shared k-means chain and mirrors the earlier-id drop rule.
+    */
+  private val semDedupQuery: Q = {
+    val K = 16; val ITERS = 5; val TAU = 0.4
+    def fn(s: SparkSession, d: String) =
+      graft.api.Similarity
+        .semDedup(Tables.embeddings(s, d), "vec_id", "embedding", K, ITERS, TAU)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("kept"), col("dup_of"), col("max_sim"))
+        .orderBy("vec_id")
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |sims AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+         |  FROM afinal a JOIN afinal b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
+         |dups AS (
+         |  SELECT id, MIN(nbr) AS dup_of, ROUND(MAX(sim), 4) AS max_sim
+         |  FROM sims WHERE sim >= $TAU GROUP BY id)
+         |SELECT f.vec_id, f.cell, d.id IS NULL AS kept, d.dup_of, d.max_sim
+         |FROM afinal f LEFT JOIN dups d ON f.vec_id = d.id
+         |ORDER BY f.vec_id""".stripMargin
+    Q("llm_semdedup", fn, Some(sql))
   }
 
   /** Product quantization with asymmetric-distance (ADC) search: the
@@ -811,5 +864,5 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery)
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery)
 }

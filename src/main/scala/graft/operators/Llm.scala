@@ -299,6 +299,36 @@ object Llm {
               |SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
               |ORDER BY doc""".stripMargin)),
 
+    // Keep-best near-dup collapse: every doc labeled with its near-dup
+    // component (singletons keep themselves), each component keeps its
+    // LONGEST member (ties → lowest id) — the keep-longest curation
+    // rule, with the full audit trail (comp, n_tokens, kept) per doc.
+    Q("llm_dedup_keep_best",
+      (s, d) => graft.api.Dedup
+        .keepBestPerComponent(Tables.documents(s, d), "doc_id", "text",
+          0.6, K, BANDS)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+              |jac AS ($SQL_JACCARD),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM jac WHERE is_near_dup
+              |  UNION ALL
+              |  SELECT doc_b AS u, doc_a AS v FROM jac WHERE is_near_dup),
+              |reach(doc, lab) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.v, r.lab FROM reach r JOIN edges e ON r.doc = e.u),
+              |comps AS (SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc),
+              |scored AS (
+              |  SELECT doc_id, CAST(len($SQL_TOKENIZE) AS BIGINT) AS n_tokens
+              |  FROM documents)
+              |SELECT doc_id, comp, n_tokens, rn = 1 AS kept FROM (
+              |  SELECT s.doc_id, COALESCE(c.comp, s.doc_id) AS comp, s.n_tokens,
+              |    ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, s.doc_id)
+              |      ORDER BY s.n_tokens DESC, s.doc_id) AS rn
+              |  FROM scored s LEFT JOIN comps c ON s.doc_id = c.doc) t
+              |ORDER BY doc_id""".stripMargin)),
+
     // Brute-force cosine top-k for ONE query vector — the correctness
     // baseline for ANN. Broadcast of the single query row; ranking on
     // the raw double, rounded only for output.

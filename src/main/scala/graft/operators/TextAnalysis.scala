@@ -378,6 +378,98 @@ object TextAnalysis {
              |      i -> substr(cleaned, i, 8))) AS gram
              |  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS cleaned
              |        FROM documents) c) g
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping token-window chunking (40-token chunks, stride 30 →
+    // 10-token overlap): the context-window preparation stage every
+    // training/retrieval corpus runs before packing or embedding. Pure
+    // scan → generate → project, no shuffle; see
+    // TextMetrics.chunkDocuments for the scale shape.
+    Q("llm_chunk_documents",
+      (s, d) => graft.api.TextMetrics
+        .chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 40, stride = 30)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |ch AS (
+              |  SELECT doc_id, st // 30 AS chunk_idx, t[st + 1 : st + 40] AS c
+              |  FROM toks, unnest(generate_series(0, ((len(t) - 1) // 30) * 30, 30)) AS u(st)
+              |  WHERE len(t) > 0)
+              |SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tokens,
+              |  array_to_string(c, ' ') AS chunk_text
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // fastText-style hashed linear quality classifier: tokens hash into
+    // 64 buckets (first two md5 hex chars — the repo's portable-hash
+    // device), the doc score is the mean bucket weight folded IN TOKEN
+    // ORDER (sequential within-row fold → bit-identical doubles, no
+    // rounding anywhere). The fixed weight vector stands in for the
+    // offline-trained model (no training libs in this container); the
+    // Spark plumbing — hashing, fold, broadcast-sized model — is the
+    // real deployment shape. Weights cycle uniformly over
+    // {-1.0, -0.9, …, +1.0} so the keep/drop split is non-trivial.
+    {
+      val D = 64
+      val weights: Seq[Double] =
+        (0 until D).map(i => ((i * 37 + 11) % 21 - 10) / 10.0)
+      val wSql = s"CAST(${weights.mkString("[", ", ", "]")} AS DOUBLE[])"
+      val nib = "0123456789abcdef"
+      val hSql = s"((strpos('$nib', substr(md5(tok), 1, 1)) - 1) * 16" +
+        s" + strpos('$nib', substr(md5(tok), 2, 1)) - 1)"
+      Q("llm_quality_classifier",
+        (s, d) => graft.api.TextMetrics
+          .hashedLinearScore(Tables.documents(s, d), "doc_id", "text", weights)
+          .orderBy("doc_id"),
+        Some(s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                |  list_sum(list_transform(t, tok ->
+                |    ($wSql)[$hSql % $D + 1])) / CAST(len(t) AS DOUBLE) AS score,
+                |  list_sum(list_transform(t, tok ->
+                |    ($wSql)[$hSql % $D + 1])) >= 0.0 AS keep_label
+                |FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents) x
+                |ORDER BY doc_id""".stripMargin))
+    },
+
+    // N-gram novelty curve: per doc (in corpus order), how much of its
+    // distinct-5-gram mass appears here FIRST (min doc_id over the
+    // corpus owns each gram)? The curation signal for "is this batch
+    // adding new content or re-crawling" — and the dual of
+    // dedup_exact_substring's duplicated-mass view. One explode to
+    // distinct grams, one gram-keyed min window (O(1) state, same key
+    // class as line dedup), one doc-keyed aggregate; novelty ships as
+    // the RAW integer ratio division — deterministic, never rounded.
+    Q("llm_ngram_novelty",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), TextUdfs.tokenizeCol(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 5)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(1, size(__t) - 4), i -> array_join(slice(__t, i, 5), ' '))")))
+              .as("g"))
+        grams
+          .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("doc_id"), col("n_grams"), col("n_new"),
+            (col("n_new").cast("double") / col("n_grams").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id, unnest(list_distinct(list_transform(
+              |    generate_series(1, len(t) - 4),
+              |    i -> array_to_string(t[i:i+4], ' ')))) AS g
+              |  FROM toks WHERE len(t) >= 5),
+              |fst AS (
+              |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+              |  FROM grams)
+              |SELECT doc_id, COUNT(*) AS n_grams,
+              |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+              |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+              |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

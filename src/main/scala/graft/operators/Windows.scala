@@ -253,6 +253,170 @@ object Windows {
              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
              |ORDER BY g.user_id, hour""".stripMargin)),
 
+    // Linear interpolation over time-series gaps: the ts_gap_fill grid,
+    // but missing hours get prev + (next - prev) * gap_fraction instead
+    // of a carried-forward value — the standard resampling fill for
+    // numeric metrics. Cross-engine exactness by construction: the
+    // hourly sums are kept as EXACT CENTS (bigint), the interpolation
+    // numerator pv·len + (nv−pv)·pos is exact integer arithmetic, and
+    // the ONLY float operation is the final division — identical IEEE
+    // doubles in both engines, no rounding anywhere (a round(…, 4)
+    // variant died on a genuine x.xxxx5 midpoint: Spark rounds through
+    // BigDecimal.valueOf's shortest-string double, DuckDB rounds the
+    // raw binary — they disagree exactly at midpoints). The grid spans
+    // [first, last] observed hour per user, so every gap has both
+    // neighbors. Scale shape: one user_id shuffle shared by all four
+    // windows, O(1) frame state, no quadratic stage.
+    Q("ts_interpolate_linear",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .filter(col("user_id") % 50 === 0)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("c"))
+        val grid = b.groupBy("user_id")
+          .agg(min("h").as("hmin"), max("h").as("hmax"))
+          .select(col("user_id"),
+            explode(sequence(col("hmin"), col("hmax"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val wo = Window.partitionBy("user_id").orderBy("h")
+        val wb = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(b, Seq("user_id", "h"), "left")
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("pc", last(col("c"), ignoreNulls = true).over(wb))
+          .withColumn("prn",
+            last(when(col("c").isNotNull, col("rn")), ignoreNulls = true).over(wb))
+          .withColumn("nc", first(col("c"), ignoreNulls = true).over(wf))
+          .withColumn("nrn",
+            first(when(col("c").isNotNull, col("rn")), ignoreNulls = true).over(wf))
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            col("c").isNull.as("is_filled"),
+            when(col("c").isNotNull, col("c").cast("double") / lit(100.0))
+              .otherwise(
+                (col("pc") * (col("nrn") - col("prn")) +
+                  (col("nc") - col("pc")) * (col("rn") - col("prn")))
+                  .cast("double") /
+                  ((col("nrn") - col("prn")) * 100L).cast("double"))
+              .as("value"))
+          .orderBy("user_id", "hour")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+             |  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+             |  FROM (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+             |        FROM b GROUP BY 1) spans),
+             |j AS (
+             |  SELECT g.user_id, g.h, b.c,
+             |    ROW_NUMBER() OVER (PARTITION BY g.user_id ORDER BY g.h) AS rn
+             |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h),
+             |w AS (
+             |  SELECT user_id, h, c, rn,
+             |    last_value(c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             |    last_value(CASE WHEN c IS NOT NULL THEN rn END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+             |    first_value(c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             |    first_value(CASE WHEN c IS NOT NULL THEN rn END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+             |  FROM j)
+             |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+             |  c IS NULL AS is_filled,
+             |  CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) / 100.0
+             |    ELSE CAST(pc * (nrn - prn) + (nc - pc) * (rn - prn) AS DOUBLE)
+             |      / CAST((nrn - prn) * 100 AS DOUBLE)
+             |  END AS value
+             |FROM w ORDER BY user_id, hour""".stripMargin)),
+
+    // OHLC resampling: per (event_type, hour) the first/last/extreme
+    // values — the downsampling shape every metrics store runs. Open
+    // and close are picked by a total (ts, event_id) order via two
+    // row_number windows folded into one conditional aggregate; min,
+    // max, and count ride the same grouped pass. Values are PICKED
+    // doubles (bit-identical in both engines), never summed, so no
+    // rounding games are needed.
+    Q("ts_resample_ohlc",
+      (s, d) => {
+        val wAsc = Window.partitionBy(col("event_type"), col("h"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy(col("event_type"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("h", date_trunc("hour", col("ts")))
+          .withColumn("ra", row_number().over(wAsc))
+          .withColumn("rd", row_number().over(wDesc))
+          .groupBy(col("event_type"), col("h"))
+          .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_events"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts ASC, event_id ASC) AS ra,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM events)
+             |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+             |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+             |  COUNT(*) AS n_events
+             |FROM r GROUP BY event_type, h
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // Rolling median over each user's trailing 21 events — the robust
+    // smoother percentile windows can't express natively in either
+    // engine, built as a sorted frame-list pick: collect the bounded
+    // frame (≤21 values), sort, index. Median values are PICKED doubles
+    // (odd frames) or one (a+b)/2.0 of picked doubles (even frames) —
+    // no accumulation, so no rounding needed. The frame is bounded at
+    // 21 rows regardless of history, the one shuffle is user-keyed; the
+    // (ep, event_id) total order makes both engines build identical
+    // frame sets.
+    Q("ts_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ep", "event_id").rowsBetween(-20, 0)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts) div 1000000"))
+          .withColumn("arr", sort_array(collect_list("value").over(w)))
+          .withColumn("n", size(col("arr")))
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("""CASE WHEN n % 2 = 1 THEN element_at(arr, CAST((n + 1) div 2 AS INT))
+              ELSE (element_at(arr, CAST(n div 2 AS INT))
+                  + element_at(arr, CAST(n div 2 + 1 AS INT))) / 2.0
+              END""").as("roll_median"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  CASE WHEN n % 2 = 1 THEN arr[CAST((n + 1) // 2 AS INT)]
+             |    ELSE (arr[CAST(n // 2 AS INT)] + arr[CAST(n // 2 + 1 AS INT)]) / 2.0
+             |  END AS roll_median
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    list_sort(list(value) OVER w) AS arr,
+             |    CAST(COUNT(*) OVER w AS INT) AS n
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY epoch_us(ts) // 1000000, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) t
+             |ORDER BY event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection: each event scored against the
     // mean/stddev of its user's trailing 20 events — the standard
     // streaming-metrics outlier flag, expressed as one rows-frame

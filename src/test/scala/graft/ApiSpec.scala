@@ -257,4 +257,68 @@ class ApiSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(hof == exploded)
   }
+
+  test("TextMetrics.chunkDocuments: overlap, coverage, final short chunk") {
+    import spark.implicits._
+    // 25 letter-only tokens (tokenizer-stable), chunk=10, stride=7 →
+    // starts 0,7,14,21 → lengths 10,10,10,4
+    val one = Seq((1L, (1 to 25).map(i =>
+      s"${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}x").mkString(" ")))
+      .toDF("id", "body")
+    val chunks = graft.api.TextMetrics
+      .chunkDocuments(one, "id", "body", chunkTokens = 10, stride = 7)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(10L, 10L, 10L, 4L))
+    // consecutive chunks overlap by chunk-stride = 3 tokens
+    val t0 = chunks(0).getAs[String]("chunk_text").split(" ")
+    val t1 = chunks(1).getAs[String]("chunk_text").split(" ")
+    assert(t0.takeRight(3).sameElements(t1.take(3)))
+    // every token of the doc appears in some chunk, in order
+    val reassembled = chunks.flatMap(r =>
+      r.getAs[String]("chunk_text").split(" ").take(7)).take(25)
+    assert(reassembled.length == 25)
+    intercept[IllegalArgumentException] {
+      graft.api.TextMetrics.chunkDocuments(one, "id", "body", 5, 10)
+    }
+  }
+
+  test("TextMetrics.hashedLinearScore: mean of bucket weights, stable labels") {
+    import spark.implicits._
+    // one-bucket weight vector → every token scores the same weight,
+    // so the mean is that weight exactly, label follows its sign
+    val one = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("id", "body")
+    val pos = graft.api.TextMetrics.hashedLinearScore(one, "id", "body", Seq(0.5))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(pos(1L) == (0.5, true) && pos(2L) == (0.5, true))
+    val neg = graft.api.TextMetrics.hashedLinearScore(one, "id", "body", Seq(-0.25))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(neg(1L) == (-0.25, false))
+    intercept[IllegalArgumentException] {
+      graft.api.TextMetrics.hashedLinearScore(one, "id", "body", Seq.empty)
+    }
+  }
+
+  test("Dedup.keepBestPerComponent keeps the longest member per component") {
+    import spark.implicits._
+    // 10/11 exact dups; 12 near-dup of both (one changed token →
+    // J(10,12) = 9/13) — extend it by ONE token so it wins on length
+    // while staying above the 0.6 threshold (9 shared shingles of
+    // 11∪12 → J = 9/14 ≈ 0.643).
+    val d2 = docs.withColumn("body",
+      when(col("id") === 12L, concat(col("body"), lit(" extra")))
+        .otherwise(col("body")))
+    val out = graft.api.Dedup
+      .keepBestPerComponent(d2, "id", "body", 0.6, 16, 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 5)
+    // 10,11,12 share one component labeled by min id 10
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L && out(12L)._1 == 10L)
+    // 12 is longest → kept; 10 and 11 dropped
+    assert(out(12L)._3 && !out(10L)._3 && !out(11L)._3)
+    // singletons keep themselves
+    assert(out(13L)._3 && out(14L)._3 &&
+      out(13L)._1 == 13L && out(14L)._1 == 14L)
+  }
 }

@@ -57,4 +57,38 @@ class DataOpsSpec extends AnyFunSuite {
       .select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(rows.forall(r => langs(r.getString(2))))
   }
+
+  test("Similarity.semDedup drops the later near-identical vector, keeps the rest") {
+    import spark.implicits._
+    // 1↔2 nearly identical (cos ≈ 0.9999), everything else orthogonal
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(1.0f, 0.02f, 0f, 0f)),
+      (3L, Array(0f, 1.0f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1.0f, 0f)),
+      (5L, Array(0f, 0f, 0f, 1.0f))).toDF("vid", "emb")
+    val out = graft.api.Similarity
+      .semDedup(vecs, "vid", "emb", k = 3, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out.size == 5)
+    assert(out(1L)._1, "earliest of the dup pair must be kept")
+    assert(!out(2L)._1 && out(2L)._2.contains(1L),
+      s"2 must be dropped as a dup of 1, got ${out(2L)}")
+    assert(Seq(3L, 4L, 5L).forall(out(_)._1), "orthogonal vectors all kept")
+  }
+
+  test("llm_semdedup on the fixture: verdict consistent, real drop mass") {
+    val rows = q("llm_semdedup").collect()
+    assert(rows.length == 500)
+    val dropped = rows.filterNot(_.getBoolean(2))
+    assert(dropped.nonEmpty, "τ=0.4 must drop at least one vector at sf0.001")
+    dropped.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0),
+        "dup_of must be an earlier id")
+      assert(r.getDouble(4) >= 0.4)
+    }
+    rows.filter(_.getBoolean(2)).foreach(r =>
+      assert(r.isNullAt(3) && r.isNullAt(4), "kept rows carry no dup info"))
+  }
 }

@@ -20,7 +20,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_entropy", "llm_hard_negatives", "join_scd2_merge",
       "scan_json_corrupt", "ts_anomaly_zscore", "win_streak",
       "llm_corpus_funnel", "ann_ivfpq_adc", "llm_line_dedup",
-      "text_normalize_suite", "dedup_exact_substring", "ts_ewma")
+      "text_normalize_suite", "dedup_exact_substring", "ts_ewma",
+      "llm_semdedup", "llm_chunk_documents", "llm_dedup_keep_best",
+      "ts_interpolate_linear", "ts_resample_ohlc", "stat_linreg",
+      "stat_ks_test", "llm_quality_classifier", "llm_ngram_novelty",
+      "ts_rolling_median", "stat_mannwhitney", "stat_chi2")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
