@@ -94,6 +94,41 @@ object DataOps {
              |FROM (SELECT doc_id, text, encode(text) AS b FROM documents) x
              |ORDER BY doc_id""".stripMargin))
 
+  /** Frame sampling over the stubbed media decode: every 4th frame of
+    * each blob's frame sequence (frame = 100-byte window, the same
+    * deterministic fake mm_binary_features uses — real codecs aren't
+    * in this container, the Spark plumbing is the product). The shape
+    * IS the video-pipeline shape: per-blob frame explode with
+    * output-proportional row growth, byte offsets for range reads,
+    * zero shuffles — a decode UDF slots into the projected row
+    * without touching the plan.
+    */
+  private val mmFrameSample: Q = {
+      val FRAME = 100; val STRIDE = 4
+      Q("mm_frame_sample",
+        (s, d) => Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+          .withColumn("n_frames", expr(s"n_bytes div $FRAME + 1"))
+          .withColumn("frame_idx",
+            explode(expr(s"sequence(0L, n_frames - 1, $STRIDE)")))
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            (col("frame_idx") * FRAME).as("byte_off"),
+            greatest(lit(0L), least(lit(FRAME.toLong),
+              col("n_bytes") - col("frame_idx") * FRAME)).as("frame_bytes"))
+          .orderBy("doc_id", "frame_idx"),
+        Some(s"""WITH b AS (
+                |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                |    CAST(octet_length(encode(text)) // $FRAME + 1 AS BIGINT) AS n_frames
+                |  FROM documents)
+                |SELECT doc_id, n_frames,
+                |  CAST(f AS BIGINT) AS frame_idx,
+                |  CAST(f * $FRAME AS BIGINT) AS byte_off,
+                |  GREATEST(0, LEAST($FRAME, n_bytes - f * $FRAME)) AS frame_bytes
+                |FROM b, unnest(generate_series(0, n_frames - 1, $STRIDE)) AS u(f)
+                |ORDER BY doc_id, frame_idx""".stripMargin))
+    }
+
   /** DuckDB CTE chain computing `hashed(doc_id, simhash)` — shared by
     * dedup_simhash and dedup_simhash_pairs.
     */
@@ -855,7 +890,7 @@ object DataOps {
   }
 
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
+    Seq(mmBinaryFeatures, mmFrameSample, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),

@@ -438,7 +438,84 @@ object Pipeline {
            |  MIN(x) AS min_cust_bucket, MAX(x) AS max_cust_bucket,
            |  MIN(y) AS min_day_bucket, MAX(y) AS max_day_bucket
            |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
-      })
+      }),
+
+    // Curriculum-learning stage assignment: documents bucketed into 10
+    // stages by length (short → long, the classic easy→hard ordering)
+    // via Ranking.ntileExact — the two-pass EXACT global ntile, so at
+    // 100 TB the curriculum split never plans a single-partition sort
+    // (the device win_ntile_buckets proved bit-identical to ntile()).
+    // Per-stage summary: doc count, char bounds, mean chars as a raw
+    // integer division — nothing rounded.
+    Q("llm_curriculum_buckets",
+      (s, d) => {
+        val staged = graft.api.Ranking.ntileExact(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          tiles = 10, sortCols = Seq(col("n_chars"), col("doc_id")),
+          tileCol = "stage")
+        staged.groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"))
+          .select(col("stage"), col("n_docs"), col("min_chars"),
+            col("max_chars"),
+            (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+              .as("mean_chars"))
+          .orderBy("stage")
+      },
+      Some("""SELECT stage, COUNT(*) AS n_docs,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+             |FROM (
+             |  SELECT CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage,
+             |    n_chars
+             |  FROM documents) t
+             |GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // One-row corpus "dataset card": the summary block every released
+    // training set ships (counts, language/source spread, token mass,
+    // exact-dup rate, short-doc rate). Pure integer aggregates with
+    // raw-division ratios — no rounding; one linear pass plus one
+    // distinct-hash aggregate.
+    Q("llm_dataset_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__t", TextUdfs.tokenizeCol(col("text")))
+        docs.agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"),
+            sum(size(col("__t")).cast("long")).as("total_tokens"),
+            countDistinct(md5(col("text"))).as("n_unique_texts"),
+            sum(when(size(col("__t")) < 50, 1L).otherwise(0L)).as("n_short"))
+          .select(col("n_docs"), col("n_langs"), col("n_sources"),
+            col("total_tokens"),
+            (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("mean_tokens"),
+            (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+            ((col("n_docs") - col("n_unique_texts")).cast("double") /
+              col("n_docs").cast("double")).as("dup_ratio"),
+            col("n_short"),
+            (col("n_short").cast("double") / col("n_docs").cast("double"))
+              .as("short_ratio"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, source, text,
+              |    $SQL_TOKENIZE AS toks FROM documents),
+              |a AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              |    CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+              |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+              |    CAST(SUM(CASE WHEN len(toks) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+              |  FROM t)
+              |SELECT n_docs, n_langs, n_sources, total_tokens,
+              |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+              |  n_docs - n_unique_texts AS n_exact_dups,
+              |  CAST(n_docs - n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio,
+              |  n_short,
+              |  CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_ratio
+              |FROM a""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

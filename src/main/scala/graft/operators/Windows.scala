@@ -417,6 +417,44 @@ object Windows {
              |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) t
              |ORDER BY event_id""".stripMargin)),
 
+    // Seasonal-baseline decomposition: the hour-of-day profile per
+    // event type (the naive seasonal model every metrics stack starts
+    // with), subtracted from each sampled event to expose residuals.
+    // The seasonal mean is EXACT-CENTS/(100·n) — one integer cast to
+    // double and one division, so both engines derive identical
+    // baselines and residuals with no rounding. The profile is
+    // types×24 rows (model-sized → broadcast join onto the event
+    // stream); one aggregate + one narrow join, no extra shuffle on
+    // the fact side beyond the aggregate's.
+    Q("ts_seasonal_baseline",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("hod", hour(col("ts")).cast("long"))
+        val seas = ev.groupBy("event_type", "hod")
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"), count(lit(1)).as("n"))
+          .select(col("event_type"), col("hod"),
+            (col("cents").cast("double") /
+              (col("n") * 100L).cast("double")).as("seasonal"))
+        ev.filter(col("user_id") % 100 === 0)
+          .join(broadcast(seas), Seq("event_type", "hod"))
+          .select(col("event_id"), col("event_type"), col("hod"),
+            col("value"), col("seasonal"),
+            (col("value") - col("seasonal")).as("residual"))
+          .orderBy("event_id")
+      },
+      Some("""WITH seas AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             |      / CAST(COUNT(*) * 100 AS DOUBLE) AS seasonal
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod,
+             |  e.value, s.seasonal, e.value - s.seasonal AS residual
+             |FROM events e JOIN seas s
+             |  ON e.event_type = s.event_type AND CAST(hour(e.ts) AS BIGINT) = s.hod
+             |WHERE e.user_id % 100 = 0
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection: each event scored against the
     // mean/stddev of its user's trailing 20 events — the standard
     // streaming-metrics outlier flag, expressed as one rows-frame

@@ -24,7 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_semdedup", "llm_chunk_documents", "llm_dedup_keep_best",
       "ts_interpolate_linear", "ts_resample_ohlc", "stat_linreg",
       "stat_ks_test", "llm_quality_classifier", "llm_ngram_novelty",
-      "ts_rolling_median", "stat_mannwhitney", "stat_chi2")
+      "ts_rolling_median", "stat_mannwhitney", "stat_chi2",
+      "llm_curriculum_buckets", "llm_dataset_card", "mm_frame_sample",
+      "ts_seasonal_baseline")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
