@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.M — graph analytics over a DERIVED co-activity graph: users are
+  * linked when they were active in the same (event_type, hour) cell.
+  * The same operator shapes power link-graph corpus curation (page
+  * quality via the hyperlink graph — the classic web-scale PageRank
+  * deployment) and entity-graph feature engineering; the fixture has
+  * no explicit edge table, so the edge derivation is itself the first
+  * (and at 100 TB usually the dominant) stage: one distinct-project of
+  * the activity fact, one cell-blocked self-join — candidate pairs are
+  * bounded per cell, never a global cross join.
+  *
+  * Cross-engine determinism for PageRank uses the ordered-fold device
+  * (SQL_DOT / stat_chi2 precedent): each destination's contributions
+  * are collected as a list SORTED BY SOURCE id and summed sequentially
+  * in that order on both engines — identical IEEE accumulation without
+  * any double→decimal cast (whose rounding semantics differ between
+  * engines for arbitrary quotient doubles: Spark goes through the
+  * shortest-string BigDecimal, DuckDB through the binary value — a
+  * first cut using DECIMAL(38,20) drifted by 1 ulp on 50/150 ranks).
+  * In-neighbor lists are degree-bounded (≤ max degree), so the fold is
+  * per-row bounded state, and ranks ship as raw, unrounded doubles.
+  */
+object Graphs {
+
+  /** One direction (u < v) of the distinct co-activity edge set. */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).distinct()
+    a.as("a").join(a.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v")).distinct()
+  }
+
+  /** Both directions — the adjacency list PageRank walks. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val p = pairs(s, d)
+    p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  private val SQL_EDGES =
+    """ae AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      |       FROM events),
+      |e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM ae a JOIN ae b
+      |    ON a.event_type = b.event_type AND a.h = b.h
+      |   AND a.user_id < b.user_id),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
+
+  /** PageRank (damping 0.85, 5 unrolled iterations) over the
+    * co-activity graph. Every node has degree ≥ 1 by construction
+    * (isolated users never enter the edge set — documented scope), so
+    * no dangling-mass redistribution is needed. The one `count()` is
+    * the rank initializer 1/N — a declared model parameter (the auto-k
+    * precedent), not a data collect. Scale shape per iteration: one
+    * edges⋈ranks equi-join + one dst-keyed exact-decimal aggregate —
+    * the textbook distributed PR step; the edge set is cached across
+    * the 5 iterations.
+    */
+  private def pagerankQuery: Q = {
+    val ITERS = 5
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).cache()
+      val nodes = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .select(col("u").as("node"), col("deg"))
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
+      for (_ <- 1 to ITERS) {
+        val contrib = e.join(ranks, e("u") === ranks("node"))
+          .select(col("v"), col("u"),
+            (col("rank") / col("deg").cast("double")).as("c"))
+        val sums = contrib.groupBy("v")
+          .agg(sort_array(collect_list(struct(col("u"), col("c")))).as("cs"))
+          .select(col("v"), expr(
+            "aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)")
+            .as("sc"))
+        ranks = nodes.join(sums, nodes("node") === sums("v"))
+          .select(col("node"), col("deg"),
+            (lit(0.15) / lit(n) + lit(0.85) * col("sc")).as("rank"))
+      }
+      val out = ranks.select(col("node").as("user_id"), col("rank"))
+        .orderBy("user_id")
+      e.unpersist(blocking = false)
+      out
+    }
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT d.node, d.deg,
+         |    0.15e0 / CAST(n.n AS DOUBLE) + 0.85e0 * s.sc AS rank
+         |  FROM (
+         |    SELECT e.v AS node,
+         |      list_sum(list(r.rank / CAST(r.deg AS DOUBLE) ORDER BY e.u)) AS sc
+         |    FROM edges e JOIN r${k - 1} r ON e.u = r.node
+         |    GROUP BY e.v) s
+         |  JOIN deg d ON s.node = d.node, nn n)""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY u),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT node, deg, 1e0 / CAST(n.n AS DOUBLE) AS rank
+         |       FROM deg, nn n),
+         |${(1 to ITERS).map(iter).mkString(",\n")}
+         |SELECT node AS user_id, rank FROM r$ITERS ORDER BY user_id""".stripMargin
+    Q("graph_pagerank", fn, Some(sql))
+  }
+
+  /** Exact triangle count + global clustering coefficient. The
+    * canonical a<b<c edge-iterator join: each triangle counted once
+    * via (a,b)⋈(b,c)⋈(a,c) over the u<v pair list — exact integers
+    * throughout, the coefficient is one raw division at the end.
+    * Scale note: at web scale the standard refinement orients edges
+    * low-degree → high-degree before the join to bound the wedge
+    * stream; the join shape is identical.
+    */
+  private def trianglesQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val p = pairs(s, d).cache()
+      val tri = p.as("e1").join(p.as("e2"), col("e1.v") === col("e2.u"))
+        .join(p.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = p.select(col("u").as("x"))
+        .unionByName(p.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val base = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("dg")) / 2).cast("long").as("n_edges"),
+        sum(col("dg") * (col("dg") - 1) / 2).cast("long").as("n_wedges"))
+      val out = base.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          ((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+      p.unpersist(blocking = false)
+      out
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+         |  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |deg AS (
+         |  SELECT x, COUNT(*) AS dg FROM (
+         |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) t
+         |  GROUP BY x),
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(dg) / 2 AS BIGINT) AS n_edges,
+         |    CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges
+         |  FROM deg)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         |    AS clustering
+         |FROM base, tri""".stripMargin
+    Q("graph_triangles", fn, Some(sql))
+  }
+
+  val queries: Seq[Q] = Seq(pagerankQuery, trianglesQuery)
+}

@@ -106,4 +106,21 @@ class AggEdgeSpec extends AnyFunSuite {
     val rm = q("ts_rolling_median").limit(200).collect()
     assert(rm.forall(r => !r.isNullAt(3)))
   }
+
+  test("graph queries: rank mass conserved, clustering coefficient bounded") {
+    def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+    val pr = q("graph_pagerank").collect()
+    val n = pr.length
+    assert(n > 0)
+    val ranks = pr.map(_.getDouble(1))
+    // undirected graph, no dangling nodes → total rank stays ~1
+    assert(math.abs(ranks.sum - 1.0) < 1e-9, s"rank mass ${ranks.sum}")
+    assert(ranks.forall(r => r >= 0.15 / n - 1e-12))
+    val tr = q("graph_triangles").head
+    val (nodes, edges, tris, wedges, cc) = (tr.getLong(0), tr.getLong(1),
+      tr.getLong(2), tr.getLong(3), tr.getDouble(4))
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(cc >= 0.0 && cc <= 1.0, s"clustering $cc")
+    assert(3 * tris <= wedges)
+  }
 }

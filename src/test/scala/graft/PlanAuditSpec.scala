@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_ks_test", "llm_quality_classifier", "llm_ngram_novelty",
       "ts_rolling_median", "stat_mannwhitney", "stat_chi2",
       "llm_curriculum_buckets", "llm_dataset_card", "mm_frame_sample",
-      "ts_seasonal_baseline")
+      "ts_seasonal_baseline", "graph_pagerank", "graph_triangles")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
