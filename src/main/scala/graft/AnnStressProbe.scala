@@ -144,6 +144,33 @@ object AnnStressProbe {
       spark.stop(); return
     }
 
+    // mode=semdedup: drive Similarity.semDedup beyond fixture scale.
+    // The replica corpus is by construction near-dup-saturated (x-1
+    // jittered copies of every base vector, cosine ≈ 1), so τ=0.9
+    // must drop ~(x-1)/x of the corpus WHEN the dup partner lands in
+    // the same cell — printed kept/dropped is simultaneously a
+    // correctness smoke (drop mass ≈ replica mass) and a recall probe
+    // (cell-boundary misses surface as kept replicas). Sweeping k
+    // measures the Σ n_cell² dial: cost shrinks as k grows, recall
+    // holds while clusters stay coarser than the jitter.
+    if (mode == "semdedup") {
+      for (k <- ks) {
+        graft.api.Similarity.clearCodebookCache()
+        val out = time(s"semDedup k=$k τ=0.9 (training + within-cell prune, cold)") {
+          val r = graft.api.Similarity
+            .semDedup(embs, "vec_id", "embedding", k = k, iters = 5,
+              threshold = 0.9)
+          r.groupBy("kept").count().collect()
+            .map(row => row.getBoolean(0) -> row.getLong(1)).toMap
+        }
+        val kept = out.getOrElse(true, 0L); val dropped = out.getOrElse(false, 0L)
+        println(f"[ann-stress]   semdedup k=$k: kept $kept dropped $dropped " +
+          f"(drop ratio ${dropped.toDouble / (kept + dropped)}%.3f; " +
+          f"replica mass ${(x - 1).toDouble / x}%.3f)")
+      }
+      spark.stop(); return
+    }
+
     for (k <- ks) {
       graft.api.Similarity.clearCodebookCache()
       val cb = time(s"k-means training (k=$k, 5 Lloyd rounds, cold)") {
