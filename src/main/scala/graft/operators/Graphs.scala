@@ -27,12 +27,28 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Crowded-cell cap: cells with more co-active users than this are
+    * dropped BEFORE pairing — the stop-cell device of co-occurrence
+    * mining (the graph twin of stopword removal). A cell with k users
+    * emits C(k,2) pairs, so without the cap the edge derivation is the
+    * quadratic trap: measured at sf0.1 the uncapped graph reached 789k
+    * edges / 1.67e9 wedges and the triangle join took 79 s. Crowded
+    * cells (bot hours, everyone-with-everyone) carry no pair signal;
+    * capping bounds pairs per cell at C(12,2) = 66 and makes the whole
+    * chain linear in the number of cells at any scale.
+    */
+  private val MaxCellUsers = 12
+
   /** One direction (u < v) of the distinct co-activity edge set. */
   private def pairs(s: SparkSession, d: String): DataFrame = {
     val a = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).as("h")).distinct()
-    a.as("a").join(a.as("b"),
+    val ok = a.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
+      .drop("k")
+    val af = a.join(ok, Seq("event_type", "h"))
+    af.as("a").join(af.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.h") === col("b.h") &&
           col("a.user_id") < col("b.user_id"))
@@ -46,8 +62,11 @@ object Graphs {
   }
 
   private val SQL_EDGES =
-    """ae AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
-      |       FROM events),
+    s"""ae0 AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      |        FROM events),
+      |okc AS (SELECT event_type, h FROM ae0
+      |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
+      |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
       |e0 AS (
       |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
       |  FROM ae a JOIN ae b
