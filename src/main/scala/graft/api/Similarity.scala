@@ -408,7 +408,12 @@ object Similarity {
         expr("cosine_sim(a.__v, b.__v)").as("__sim"))
       .filter(col("__sim") >= threshold)
       .groupBy("__id")
-      .agg(min("__nbr").as("dup_of"), round(max("__sim"), 4).as("max_sim"))
+      // max_sim ships RAW: the cosines are already bit-equal across
+      // engines (ordered-fold dot product), while round(.,4) is NOT
+      // cross-engine stable at decimal midpoints (Spark shortest-string
+      // BigDecimal vs DuckDB binary rounding — the documented
+      // ts_interpolate_linear finding).
+      .agg(min("__nbr").as("dup_of"), max("__sim").as("max_sim"))
     assigned.join(dups, col(idCol) === col("__id"), "left")
       .select(col(idCol), col("cell"), col("__id").isNull.as("kept"),
         col("dup_of"), col("max_sim"))

@@ -650,16 +650,26 @@ object Aggs {
     // terms are folded over a SORTED cell array in lexicographic
     // (lang, source) order — the index-order-fold device (SQL_DOT
     // precedent), so both engines accumulate the identical doubles and
-    // the statistic ships UNROUNDED. Contingency cells are
-    // |langs|×|sources| — model-sized, so the sorted collect is a
-    // 25-element array, not a data-sized structure.
+    // the statistic ships UNROUNDED. The textbook statistic sums over
+    // the FULL r×c table, so the observed counts are left-joined onto
+    // the lang×source marginal grid (COALESCE 0): a structurally
+    // absent combo contributes its full expected count E to chi². The
+    // grid is built with a constant-key equi-join (BroadcastHashJoin,
+    // not a cartesian) and is |langs|×|sources| — model-sized, so the
+    // sorted collect is a 25-element array, not a data-sized structure.
     Q("stat_chi2",
       (s, d) => {
-        val cells = Tables.documents(s, d)
-          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
-          .withColumn("rc",
-            sum("o").over(Window.partitionBy("lang")) *
-              sum("o").over(Window.partitionBy("source")))
+        val obs = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("obs_n"))
+        val rowTot = obs.groupBy("lang").agg(sum("obs_n").as("rl"))
+          .withColumn("__k", lit(1))
+        val colTot = obs.groupBy("source").agg(sum("obs_n").as("cl"))
+          .withColumn("__k", lit(1))
+        val cells = rowTot.join(colTot, "__k")
+          .join(obs, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"),
+            coalesce(col("obs_n"), lit(0L)).as("o"),
+            (col("rl") * col("cl")).as("rc"))
         cells
           .agg(sum("o").as("n_docs"),
             countDistinct("lang").as("nl"),
@@ -674,12 +684,17 @@ object Aggs {
                   / (CAST(x.rc AS DOUBLE) / CAST(n_docs AS DOUBLE)))""")
               .as("chi2"))
       },
-      Some("""WITH cells AS (
-             |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      Some("""WITH obs AS (
+             |  SELECT lang, source, COUNT(*) AS obs_n FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT lang, SUM(obs_n) AS rl FROM obs GROUP BY 1),
+             |ct AS (SELECT source, SUM(obs_n) AS cl FROM obs GROUP BY 1),
+             |cells AS (
+             |  SELECT r.lang, c.source, COALESCE(o.obs_n, 0) AS o,
+             |    r.rl * c.cl AS rc
+             |  FROM rt r CROSS JOIN ct c
+             |  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source),
              |rc AS (
-             |  SELECT lang, source, CAST(o AS DOUBLE) AS od,
-             |    SUM(o) OVER (PARTITION BY lang) * SUM(o) OVER (PARTITION BY source) AS rc
-             |  FROM cells),
+             |  SELECT lang, source, CAST(o AS DOUBLE) AS od, rc FROM cells),
              |agg AS (
              |  SELECT (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n_docs,
              |    (SELECT COUNT(DISTINCT lang) FROM cells) AS nl,

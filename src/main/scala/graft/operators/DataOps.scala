@@ -101,7 +101,10 @@ object DataOps {
     * IS the video-pipeline shape: per-blob frame explode with
     * output-proportional row growth, byte offsets for range reads,
     * zero shuffles — a decode UDF slots into the projected row
-    * without touching the plan.
+    * without touching the plan. Frame count is the true ceiling
+    * `⌈n_bytes / FRAME⌉` (floored at 1 so empty blobs still emit one
+    * zero-length row): exact-multiple blobs emit no trailing empty
+    * frame, so every non-degenerate byte range is readable.
     */
   private val mmFrameSample: Q = {
       val FRAME = 100; val STRIDE = 4
@@ -109,7 +112,8 @@ object DataOps {
         (s, d) => Tables.documents(s, d)
           .select(col("doc_id"),
             length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
-          .withColumn("n_frames", expr(s"n_bytes div $FRAME + 1"))
+          .withColumn("n_frames",
+            expr(s"greatest(1L, (n_bytes + ${FRAME - 1}) div $FRAME)"))
           .withColumn("frame_idx",
             explode(expr(s"sequence(0L, n_frames - 1, $STRIDE)")))
           .select(col("doc_id"), col("n_frames"), col("frame_idx"),
@@ -119,7 +123,7 @@ object DataOps {
           .orderBy("doc_id", "frame_idx"),
         Some(s"""WITH b AS (
                 |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                |    CAST(octet_length(encode(text)) // $FRAME + 1 AS BIGINT) AS n_frames
+                |    CAST(GREATEST(1, (octet_length(encode(text)) + ${FRAME - 1}) // $FRAME) AS BIGINT) AS n_frames
                 |  FROM documents)
                 |SELECT doc_id, n_frames,
                 |  CAST(f AS BIGINT) AS frame_idx,
@@ -566,7 +570,7 @@ object DataOps {
          |  FROM afinal a JOIN afinal b
          |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
          |dups AS (
-         |  SELECT id, MIN(nbr) AS dup_of, ROUND(MAX(sim), 4) AS max_sim
+         |  SELECT id, MIN(nbr) AS dup_of, MAX(sim) AS max_sim
          |  FROM sims WHERE sim >= $TAU GROUP BY id)
          |SELECT f.vec_id, f.cell, d.id IS NULL AS kept, d.dup_of, d.max_sim
          |FROM afinal f LEFT JOIN dups d ON f.vec_id = d.id

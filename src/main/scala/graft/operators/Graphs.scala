@@ -87,6 +87,12 @@ object Graphs {
   private def pagerankQuery: Q = {
     val ITERS = 5
     def fn(s: SparkSession, d: String): DataFrame = {
+      // The nodes.count() below doubles as the cache materialization
+      // barrier: it runs through `e` AFTER cache(), so all 5 iteration
+      // joins read the cached edge set. No unpersist here — the
+      // returned (lazy) DataFrame still references `e`, and the cache
+      // entry is deduplicated across re-invocations by canonicalized
+      // plan, so repeated runs in one session hold ONE edge-set copy.
       val e = edges(s, d).cache()
       val nodes = e.groupBy("u").agg(count(lit(1)).as("deg"))
         .select(col("u").as("node"), col("deg"))
@@ -105,10 +111,8 @@ object Graphs {
           .select(col("node"), col("deg"),
             (lit(0.15) / lit(n) + lit(0.85) * col("sc")).as("rank"))
       }
-      val out = ranks.select(col("node").as("user_id"), col("rank"))
+      ranks.select(col("node").as("user_id"), col("rank"))
         .orderBy("user_id")
-      e.unpersist(blocking = false)
-      out
     }
     def iter(k: Int): String =
       s"""r$k AS (
@@ -142,7 +146,12 @@ object Graphs {
     */
   private def trianglesQuery: Q = {
     def fn(s: SparkSession, d: String): DataFrame = {
-      val p = pairs(s, d).cache()
+      // No cache: nothing runs between a cache() here and the harness's
+      // collect, so it would never materialize before the three join
+      // legs race to compute it anyway; recomputing the capped pair
+      // list (≤C(12,2) pairs/cell) is cheaper than an artificial
+      // materialization action.
+      val p = pairs(s, d)
       val tri = p.as("e1").join(p.as("e2"), col("e1.v") === col("e2.u"))
         .join(p.as("e3"),
           col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
@@ -153,13 +162,11 @@ object Graphs {
       val base = deg.agg(count(lit(1)).as("n_nodes"),
         (sum(col("dg")) / 2).cast("long").as("n_edges"),
         sum(col("dg") * (col("dg") - 1) / 2).cast("long").as("n_wedges"))
-      val out = base.crossJoin(tri)
+      base.crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           col("n_wedges"),
           ((lit(3L) * col("n_triangles")).cast("double") /
             col("n_wedges").cast("double")).as("clustering"))
-      p.unpersist(blocking = false)
-      out
     }
     val sql =
       s"""WITH $SQL_EDGES,
