@@ -709,39 +709,65 @@ object DataOps {
     Q("ann_pq_adc", fn, Some(sql))
   }
 
-  /** IVF + PQ with exact rerank — THE billion-vector ANN architecture
-    * (round-6 verdict Next #3), composed from the two devices already
-    * oracled separately: `ivfTrainedQ`'s trained coarse cells give a
-    * SUB-LINEAR candidate set (only vectors in the query's `PROBES`
-    * nearest cells are touched), `ann_pq_adc`'s 4×16 LUT scores those
-    * candidates on 4-byte PQ codes (memory-compressed — at 100 TB the
-    * scanned codes+cell table is ~2% of the raw embeddings), and the
-    * top `RERANK` ADC candidates alone are re-scored with the exact
-    * distance (a TOPK-sized correction pass, so the float-approximate
-    * ADC never decides the final order). Every determinism device is
-    * inherited: md5-ranked k-means init, DECIMAL(38,20) means,
-    * first-min tie-breaks, index-order double folds, (dist, vec_id)
-    * total orders. The oracle unrolls the coarse training + 4 subspace
-    * trainings + probe-cell routing + ADC + rerank in one CTE chain.
+  /** IVF + PQ with RESIDUAL encoding and exact rerank — THE
+    * billion-vector ANN architecture (FAISS IVFPQ; round-7 verdict
+    * Next #1): `ivfTrainedQ`'s trained coarse cells give a SUB-LINEAR
+    * candidate set (only vectors in the query's `PROBES` nearest cells
+    * are touched), and PQ quantizes the RESIDUAL `v − centroid(cell)`
+    * rather than the raw vector — residuals concentrate around the
+    * origin with far less variance than raw vectors, so the same
+    * 4×16-codebook byte budget spends its codes on the part of the
+    * vector the coarse quantizer didn't already explain (measured on
+    * the scattered fixture: recall@10 0.4 raw → see PERF.md round-8
+    * row for the residual number). The ADC lookup table becomes
+    * PER-COARSE-CELL (the query's residual differs per probed cell):
+    * CELLS×M×PQK exact subspace distances — still model-sized driver
+    * numbers. The top `RERANK` ADC candidates alone are re-scored with
+    * the exact distance (a TOPK-sized correction pass, so the
+    * float-approximate ADC never decides the final order). Every
+    * determinism device is inherited: md5-ranked k-means init,
+    * DECIMAL(38,20) means, first-min tie-breaks, index-order double
+    * folds, (dist, vec_id) total orders; the residual subtraction is a
+    * single IEEE op mirrored elementwise by the oracle. The oracle
+    * unrolls the coarse training + residual derivation + 4 subspace
+    * trainings + probe-cell routing + per-cell LUT ADC + rerank in one
+    * CTE chain. `ann_pq_adc` keeps the raw-vector form (no coarse
+    * quantizer to take a residual against) as the comparison baseline.
     */
   private val annIvfPqQuery: Q = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graftbridge.Bridge
     val M = 4; val SUB = 16; val PQK = 16; val CELLS = 16; val ITERS = 5
-    val PROBES = 2; val RERANK = 30; val TOPK = 10
+    // PROBES=4 (was 2): measured on this fixture, the exact top-10
+    // spreads over 5 coarse cells — probes=2 caps ANY code quality at
+    // recall 0.5 (routing, not quantization); probes=4 raises the
+    // routing ceiling to 0.9 while still scanning only 4/16 of the
+    // corpus. PERF.md round-8 table decomposes ceiling vs achieved.
+    val PROBES = 4; val RERANK = 30; val TOPK = 10
     val QID = 0L
     def fn(s: SparkSession, d: String) = {
       val embs = Tables.embeddings(s, d)
       val vcol = expr("transform(embedding, e -> cast(e as double))")
-      // coarse IVF codebook over the full 64-dim vectors + per-subspace
-      // PQ codebooks — all memoized/native k-means (CellVectorSums path)
+      // coarse IVF codebook over the full 64-dim vectors — memoized
+      // native k-means (CellVectorSums path)
       val coarse = graft.api.Similarity.kmeansCodebook(
         embs.select(col("vec_id"), vcol.as("v")), "vec_id", "v", CELLS, ITERS)
-      def sliceCol(m: Int) = expr(
-        s"transform(slice(embedding, ${m * SUB + 1}, $SUB), e -> cast(e as double))")
+      val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+      // residual table over ALL vectors (query included — PQ training
+      // parity with the oracle's base): r = v − centroid(cell), one
+      // elementwise IEEE subtraction both engines mirror exactly
+      val resid = embs
+        .select(col("vec_id"), vcol.as("v"))
+        .withColumn("cell", element_at(Bridge.column(
+          graft.functions.NearestCells(
+            UnresolvedAttribute("v"), coarse, 1)), 1))
+        .withColumn("r", zip_with(col("v"),
+          element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+      def subCol(m: Int) = expr(s"slice(r, ${m * SUB + 1}, $SUB)")
+      // per-subspace PQ codebooks trained on RESIDUAL slices
       val cbs: Array[Array[Array[Double]]] = (0 until M).map { m =>
         graft.api.Similarity.kmeansCodebook(
-          embs.select(col("vec_id"), sliceCol(m).as("sub")),
+          resid.select(col("vec_id"), subCol(m).as("sub")),
           "vec_id", "sub", PQK, ITERS)
       }.toArray
       val q: Array[Double] = embs.filter(col("vec_id") === QID)
@@ -754,30 +780,36 @@ object DataOps {
         while (j < c.length) { val dx = q(j) - c(j); s2 += dx * dx; j += 1 }
         (s2, i)
       }.sortBy(identity).take(PROBES).map(_._2).toSeq
-      val luts: Array[Seq[Double]] = (0 until M).map { m =>
-        cbs(m).map { c =>
-          var s2 = 0.0; var i = 0
-          while (i < SUB) { val dx = q(m * SUB + i) - c(i); s2 += dx * dx; i += 1 }
-          s2
+      // PER-CELL LUTs: the query's residual against cell `cell` scored
+      // to every PQ centroid — (q_i − coarse[cell]_i) − cb_i matches
+      // the oracle's (qr_j − cb_j) with qr = q − coarse[cell]
+      val luts: Array[Seq[Seq[Double]]] = (0 until M).map { m =>
+        coarse.indices.map { cell =>
+          cbs(m).map { c =>
+            var s2 = 0.0; var i = 0
+            while (i < SUB) {
+              val dx = (q(m * SUB + i) - coarse(cell)(m * SUB + i)) - c(i)
+              s2 += dx * dx; i += 1
+            }
+            s2
+          }.toSeq
         }.toSeq
       }.toArray
-      // candidate generation: cell assignment, then keep ONLY probed
-      // cells — the filter lands on the coded table's cell column, the
-      // sub-linear heart of the architecture
-      var coded = embs.filter(col("vec_id") =!= QID)
-        .select(col("vec_id"), vcol.as("v"))
-        .withColumn("cell", element_at(Bridge.column(
-          graft.functions.NearestCells(
-            UnresolvedAttribute("v"), coarse, 1)), 1))
+      // candidate generation: keep ONLY probed cells — the filter lands
+      // on the coded table's cell column, the sub-linear heart of the
+      // architecture
+      var coded = resid.filter(col("vec_id") =!= QID)
         .filter(col("cell").isin(probeCellIds: _*))
       for (m <- 0 until M)
         coded = coded
-          .withColumn(s"sub_$m", expr(s"slice(v, ${m * SUB + 1}, $SUB)"))
+          .withColumn(s"sub_$m", subCol(m))
           .withColumn(s"code_$m", element_at(Bridge.column(
             graft.functions.NearestCells(
               UnresolvedAttribute(s"sub_$m"), cbs(m), 1)), 1))
       val adc = (0 until M)
-        .map(m => element_at(typedlit(luts(m)), col(s"code_$m") + 1))
+        .map(m => element_at(
+          element_at(typedlit(luts(m)), col("cell") + 1),
+          col(s"code_$m") + 1))
         .reduce(_ + _)
       val qlit = typedlit(q.toSeq)
       val trueD = aggregate(
@@ -821,7 +853,9 @@ object DataOps {
       ++ (1 to ITERS).flatMap(i =>
         Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
       ++ Seq(assign(s"cb$ITERS", "afinal"))).mkString(",\n")
-    // per-subspace PQ chain — the ann_pq_adc template verbatim
+    // per-subspace PQ chain — the ann_pq_adc template, retargeted at
+    // the RESIDUAL table; the LUT is per-coarse-cell (query residual
+    // differs per probed cell)
     def perSub(m: Int): String = {
       val off = m * SUB
       def assignS(cb: String, name: String) =
@@ -847,30 +881,44 @@ object DataOps {
         updateS(s"a${i}_$m", s"cb${i - 1}_$m", s"cb${i}_$m")))
       (Seq(
         s"""sub_$m AS (
-           |  SELECT vec_id, v[${off + 1}:${off + SUB}] AS sv FROM base)""".stripMargin,
+           |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM resid)""".stripMargin,
         s"""cb0_$m AS (
            |  SELECT c_id, sv AS v FROM (
            |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, sv
            |    FROM sub_$m) r WHERE c_id < $PQK)""".stripMargin)
         ++ iters ++ Seq(
         assignS(s"cb${ITERS}_$m", s"codes_$m"),
-        s"""q_$m AS (SELECT sv FROM sub_$m WHERE vec_id = $QID),
-           |lut_$m AS (
-           |  SELECT c.c_id, ${L2("c.v", "q.sv")} AS dist
-           |  FROM cb${ITERS}_$m c, q_$m q)""".stripMargin))
+        s"""lut_$m AS (
+           |  SELECT qr.pcell, c.c_id,
+           |    ${L2("c.v", s"qr.r[${off + 1}:${off + SUB}]")} AS dist
+           |  FROM cb${ITERS}_$m c, qres qr)""".stripMargin))
         .mkString(",\n")
     }
     val codeJoins = (1 until M).map(m =>
-      s"JOIN codes_$m c$m USING (vec_id)").mkString("\n  ")
+      s"JOIN codes_$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n  ")
     val joins = (0 until M).map(m =>
-      s"JOIN lut_$m l$m ON c$m.cell = l$m.c_id").mkString("\n  ")
+      s"JOIN lut_$m l$m ON c$m.cell = l$m.c_id AND l$m.pcell = af.cell")
+      .mkString("\n  ")
     val adcSum = (0 until M).map(m => s"l$m.dist").mkString(" + ")
+    // base / resid / qres are MATERIALIZED: DuckDB inlines CTEs by
+    // default, and the 4 subspace chains each reference resid → afinal
+    // → the whole coarse k-means chain — inlined, that expansion
+    // multiplies parquet scans combinatorially (measured: blows the
+    // 20k open-file limit); materialized, each hub computes once.
     val sql =
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
          |  FROM embeddings),
          |$coarseCtes,
          |qv AS (SELECT v FROM base WHERE vec_id = $QID),
+         |resid AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
+         |  FROM afinal a JOIN cb$ITERS c ON a.cell = c.c_id),
+         |qres AS MATERIALIZED (
+         |  SELECT c.c_id AS pcell,
+         |    list_transform(list_zip(q.v, c.v), x -> x[1] - x[2]) AS r
+         |  FROM cb$ITERS c, qv q),
          |pcells AS (
          |  SELECT c_id FROM (
          |    SELECT c.c_id, ROW_NUMBER() OVER (
@@ -880,9 +928,9 @@ object DataOps {
          |cand AS (
          |  SELECT c0.vec_id, af.cell, $adcSum AS adc
          |  FROM codes_0 c0
+         |  JOIN afinal af ON c0.vec_id = af.vec_id
          |  $codeJoins
          |  $joins
-         |  JOIN afinal af ON c0.vec_id = af.vec_id
          |  WHERE c0.vec_id <> $QID AND af.cell IN (SELECT c_id FROM pcells)
          |  ORDER BY adc, c0.vec_id LIMIT $RERANK)
          |SELECT x.vec_id, CAST(x.cell AS BIGINT) AS cell,
