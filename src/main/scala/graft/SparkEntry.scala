@@ -13,7 +13,7 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Joins.queries ++ Aggs.queries ++
       Windows.queries ++ SortsSets.queries ++ ScalarFns.queries ++
       Subqueries.queries ++ TypedOps.queries ++ Udfs.queries ++ Llm.queries ++
-      TextAnalysis.queries ++ DataOps.queries ++ Pipeline.queries ++
+      TextAnalysis.queries ++ DataOps.queries ++ Pipeline.queries ++ Bpe.queries ++
       Graphs.queries ++ graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
