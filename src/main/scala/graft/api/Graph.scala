@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the §2.M queries and usable
+  * as a library API. The iteration style is CONVERGENT, not
+  * fixture-unrolled: each round is one equi-join + one keyed aggregate
+  * (the scalable shape), and the driver checks a changed-label COUNT —
+  * a scalar model-control action (the sanctioned k-means/auto-k
+  * pattern), never a data collect.
+  */
+object Graph {
+
+  /** Connected components by iterated min-label propagation.
+    *
+    * `edges` must hold BOTH directions of each undirected edge (u→v and
+    * v→u); labels start as each node's own id and each round every node
+    * takes the min of its own label and its neighbors' labels. The loop
+    * runs until NO label changes (a driver-side count per round), so
+    * path graphs longer than any fixed unroll converge correctly —
+    * min-label propagation needs O(diameter) rounds, and `maxIters`
+    * is a runaway bound (cycle-free propagation can never need more
+    * rounds than nodes), not a truncation device: hitting it throws
+    * rather than silently emitting half-merged components.
+    *
+    * Scale shape per round: one edges⋈labels shuffle join on the edge
+    * destination + one src-keyed min aggregate + one node-keyed join —
+    * all hash-partitioned on node ids, no quadratic stage, per-round
+    * state bounded by the node count. (The well-known large-star/
+    * small-star optimization [Kiveris et al. 2014] shortcuts label
+    * hops; the propagation below is the textbook baseline whose rounds
+    * are bounded by component DIAMETER, which for the near-dup cluster
+    * graphs this repo feeds it is single-digit.)
+    *
+    * Returns (node, component) with component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 100): DataFrame = {
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    // Each round's label table references the previous one TWICE
+    // (neighbor-min join + own-label least), so plain cache() would
+    // leave a logical plan doubling every round — 2^diameter analyzer
+    // nodes (measured: OOMs the driver on a 40-node path graph long
+    // before any data moves). localCheckpoint() materializes AND
+    // truncates lineage each round — the standard Spark iterative-graph
+    // device (a reliable checkpoint dir is the durable variant on a
+    // real cluster); superseded round RDDs are dropped by the
+    // ContextCleaner once unreferenced.
+    var labels = e.select(col("__u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds")
+      val nbrMin = e.join(labels, e("__v") === labels("node"))
+        .groupBy(col("__u")).agg(min("label").as("__nl"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.node") === nbrMin("__u"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("__nl"), col("l.label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Convergent connected components (api.Graph) — the point of the
+  * convergence loop is exactly the case a fixed unroll gets wrong: a
+  * path graph whose diameter exceeds any fixture-sized iteration
+  * count. llm_neardup_components unrolls 5 rounds; the path here needs
+  * 39.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def bothDirs(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val p = pairs.toDF("u", "v")
+    p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  test("path graph of 40 nodes collapses to one component (39 rounds > any unroll)") {
+    val e = bothDirs((0L until 39L).map(i => (i, i + 1)))
+    val comp = graft.api.Graph.connectedComponents(e, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 40)
+    assert(comp.values.forall(_ == 0L))
+  }
+
+  test("two components + a ring get distinct min labels") {
+    // ring 10..14 and segment 20..22, plus an isolated pair 30-31
+    val e = bothDirs(
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 10L),
+        (20L, 21L), (21L, 22L), (30L, 31L)))
+    val comp = graft.api.Graph.connectedComponents(e, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(comp(_) == 10L))
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+  }
+
+  test("non-convergence bound throws instead of truncating") {
+    val e = bothDirs((0L until 10L).map(i => (i, i + 1)))
+    assertThrows[IllegalStateException] {
+      graft.api.Graph.connectedComponents(e, "u", "v", maxIters = 3).collect()
+    }
+  }
+
+  test("declared graph_components query: labels are component minima on sf0.001") {
+    val df = graft.SparkEntry.queries("graph_components")(spark, TestSpark.sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every component id is a member of its own component, and is its min
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, members) =>
+      val ids = members.map(_.getLong(0))
+      assert(ids.min == c)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+  }
+}
