@@ -71,4 +71,39 @@ object Graph {
     }
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Deterministic two-level ordered double sum — the HUB-SAFE
+    * replacement for the "collect the whole group as one sorted list
+    * and fold it" device (round-7 verdict Next #4). A single-list fold
+    * is bit-deterministic but materializes each group's entire
+    * neighborhood in ONE row; on a power-law graph a hub's in-edge
+    * list is unbounded. Here values are folded inside fixed-size
+    * chunks (chunk membership = order rank div `chunk` — a total
+    * order, so chunking is itself deterministic), then the chunk
+    * partials are folded in chunk order: the same summation tree on
+    * both engines ⇒ identical IEEE result, while per-row state is
+    * bounded by max(chunk, ceil(degree/chunk)) — √degree at the
+    * balanced setting — instead of degree.
+    *
+    * Scale: one window rank + two keyed aggregates, all partitioned on
+    * `key`; degree 10M at chunk=1024 means 1024-row level-1 groups and
+    * a 9.8k-entry level-2 row where the one-list fold held 10M.
+    */
+  def orderedChunkedSum(df: DataFrame, key: String, ord: String,
+      value: String, out: String, chunk: Int = 1024): DataFrame = {
+    require(chunk > 0)
+    df.select(col(key), col(ord).as("__o"), col(value).as("__c"))
+      .withColumn("__chunk",
+        expr(s"(row_number() OVER (PARTITION BY `$key` ORDER BY __o) - 1) div $chunk"))
+      .groupBy(col(key), col("__chunk"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__o"), col("__c")))),
+        lit(0.0).cast("double"),
+        (acc, x) => acc + x.getField("__c")).as("__partial"))
+      .groupBy(col(key))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__chunk"), col("__partial")))),
+        lit(0.0).cast("double"),
+        (acc, x) => acc + x.getField("__partial")).as(out))
+  }
 }
