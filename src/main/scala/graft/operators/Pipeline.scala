@@ -515,7 +515,64 @@ object Pipeline {
               |  CAST(n_docs - n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio,
               |  n_short,
               |  CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_ratio
-              |FROM a""".stripMargin))
+              |FROM a""".stripMargin)),
+
+    // Mixture-sampling MATERIALIZATION (round-7 verdict Next #5):
+    // llm_dataset_mix computes the per-source reweighting; this emits
+    // the actual epoch sample it implies. Each doc gets
+    // floor(w) guaranteed copies plus one more when the deterministic
+    // hash coin lands under the fractional part — so >1× sources
+    // oversample via explode-by-repeat-count and <1× sources
+    // subsample, with NO RNG (a re-run or a re-crawled shard
+    // reproduces the identical epoch). The weight is the raw
+    // unrounded quotient (both engines compute the same doubles in
+    // the same order); the coin is integer vs double*100 — resolution
+    // 1%, the declared quantization of the device. Scale shape: one
+    // n_sources-row aggregate broadcast back onto the corpus, then
+    // pure per-row work — zero corpus-keyed shuffles before the
+    // output sort.
+    Q("llm_dataset_sample",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split_col(col("text"))).cast("long"))
+          .groupBy("source")
+          .agg(sum("n_tokens").as("n_tokens"))
+        val wAll = Window.partitionBy()
+        val wts = perSrc
+          .withColumn("w",
+            (lit(1.0) / count(lit(1)).over(wAll)) /
+              (col("n_tokens").cast("double") / sum("n_tokens").over(wAll)))
+          .select(col("source"), col("w"))
+        Tables.documents(s, d)
+          .join(broadcast(wts), "source")
+          .withColumn("n_copies",
+            floor(col("w")).cast("long") +
+              when(coin("mix:", col("doc_id")) <
+                (col("w") - floor(col("w"))) * 100, 1L).otherwise(0L))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("source"), col("n_copies"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT source,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source),
+              |wts AS (
+              |  SELECT source,
+              |    (1.0 / COUNT(*) OVER ()) /
+              |      (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
+              |  FROM stats),
+              |docs AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(FLOOR(w) AS BIGINT) +
+              |      CASE WHEN ${SQL_COIN("mix:", "d.doc_id")} < (w - FLOOR(w)) * 100
+              |           THEN 1 ELSE 0 END AS n_copies
+              |  FROM documents d JOIN wts USING (source))
+              |SELECT doc_id, source, n_copies, CAST(copy AS BIGINT) AS copy
+              |FROM docs, unnest(generate_series(1, n_copies)) AS t(copy)
+              |WHERE n_copies > 0
+              |ORDER BY doc_id, copy""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

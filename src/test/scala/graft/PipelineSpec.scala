@@ -102,6 +102,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("n_emails_masked") =!= 0).count() == 0)
   }
 
+  test("llm_dataset_sample: realized per-source token shares hit the uniform target") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("nt"))
+    val sample = run("llm_dataset_sample")
+    // one row per COPY: token mass counts once per copy
+    val realized = sample.join(docs.drop("source"), "doc_id")
+      .groupBy(sample("source")).agg(sum("nt").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = realized.values.sum.toDouble
+    val target = 1.0 / realized.size
+    realized.foreach { case (src, t) =>
+      val share = t / total
+      assert(math.abs(share - target) < 0.012,
+        s"$src realized share $share vs target $target")
+    }
+    // the oversampling path is real: some doc must carry >1 copies
+    assert(sample.filter(col("n_copies") > 1).count() > 0)
+    // determinism: a second run is row-identical (hash coins, no RNG)
+    assert(run("llm_dataset_sample").collect().toSeq ==
+      sample.collect().toSeq)
+  }
+
   test("Dedup.releaseCaches drops exactly the chain's cache entries") {
     import spark.implicits._
     val docs = Seq(
