@@ -154,17 +154,17 @@ object AnnStressProbe {
     // measures the Σ n_cell² dial: cost shrinks as k grows, recall
     // holds while clusters stay coarser than the jitter.
     if (mode == "semdedup") {
-      for (k <- ks) {
+      for (k <- ks; p <- Seq(1, 2)) {
         graft.api.Similarity.clearCodebookCache()
-        val out = time(s"semDedup k=$k τ=0.9 (training + within-cell prune, cold)") {
+        val out = time(s"semDedup k=$k probes=$p τ=0.9 (training + prune, cold)") {
           val r = graft.api.Similarity
             .semDedup(embs, "vec_id", "embedding", k = k, iters = 5,
-              threshold = 0.9)
+              threshold = 0.9, probes = p)
           r.groupBy("kept").count().collect()
             .map(row => row.getBoolean(0) -> row.getLong(1)).toMap
         }
         val kept = out.getOrElse(true, 0L); val dropped = out.getOrElse(false, 0L)
-        println(f"[ann-stress]   semdedup k=$k: kept $kept dropped $dropped " +
+        println(f"[ann-stress]   semdedup k=$k probes=$p: kept $kept dropped $dropped " +
           f"(drop ratio ${dropped.toDouble / (kept + dropped)}%.3f; " +
           f"replica mass ${(x - 1).toDouble / x}%.3f)")
       }

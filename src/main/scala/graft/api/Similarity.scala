@@ -396,12 +396,26 @@ object Similarity {
     * neighbor cells) to trade cost for recall.
     */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 5, threshold: Double = 0.4): DataFrame = {
+      k: Int = 16, iters: Int = 5, threshold: Double = 0.4,
+      probes: Int = 1): DataFrame = {
     val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
     val base = prepare(embs, idCol, vecCol)
       .select(col(idCol), col("__v"), col("__nrm"))
     val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
-    val dups = assigned.as("a").join(assigned.as("b"),
+    // probes ≥ 2 closes the boundary-miss recall gap (the documented
+    // approximation): the CANDIDATE side fans out to its `probes`
+    // nearest cells while the index side stays in its one home cell —
+    // a (a,b) pair can therefore match at most once, and probes=1 is
+    // exactly the home-cell-only shape. Cost multiplies the pairwise
+    // term by ≤probes (reusing probeCells, the IVF device); the
+    // declared llm_semdedup query stays probes=1 — the dial is the
+    // library surface, measured in AnnStressProbe's semdedup sweep.
+    val candSide =
+      if (probes <= 1) assigned
+      else probeCells(base, codebook, probes)
+        .select(col(idCol), col("__v"), col("__nrm"),
+          explode(col("__probe_cells")).as("cell"))
+    val dups = candSide.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol"))
       .select(col(s"a.$idCol").as("__id"), col(s"b.$idCol").as("__nbr"),
