@@ -748,6 +748,95 @@ object Aggs {
              |FROM (SELECT *, CAST(l_extendedprice AS DECIMAL(18,2)) * 100000000
              |        + l_orderkey * 10 + l_linenumber AS ukey
              |      FROM lineitem) t
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Bootstrap confidence interval for mean(l_quantity) via the
+    // POISSON bootstrap — the resampling form that actually
+    // distributes: classic bootstrap draws n-with-replacement (needs a
+    // global sample index — inherently serial); Poisson(1) per-row
+    // weights approximate the multinomial exactly as n grows and need
+    // only per-row hash coins. Each of B=32 resamples weighs every row
+    // by k ~ Poisson(1), materialized DETERMINISTICALLY: a 60-bit hash
+    // uniform u per (resample, row) stepped through the Poisson CDF
+    // literals (each the shortest round-trip decimal, parsed to the
+    // identical double by both engines). l_quantity is integral, so
+    // every resample's Σk·q and Σk are exact longs — merge-order-free,
+    // no float accumulation anywhere; the per-resample mean is ONE
+    // double division, the CI endpoints are order statistics of the 32
+    // means under the (mean, b) total order. Scale shape: the explode
+    // is map-side (B tiny groups ⇒ partial aggregation collapses each
+    // partition to ≤B rows before the shuffle); no collect, no RNG.
+    Q("stat_bootstrap_ci", {
+      val B = 32
+      // Poisson(1) cumulative probabilities P(X ≤ k), k = 0..5
+      val cdf = Seq("0.36787944117144233", "0.7357588823428847",
+        "0.9196986029286058", "0.9810118431238463",
+        "0.9963401531726563", "0.9994058151824183")
+      val TWO60 = "1152921504606846976"
+      (s, d) => {
+        val rows = Tables.lineitem(s, d).select(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("long").as("q"))
+        val eb = rows.select(col("rid"), col("q"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        val u = (conv(substring(md5(concat(lit("boot:"),
+            col("b").cast("string"), lit(":"), col("rid"))), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(TWO60.toDouble))
+        val k = cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
+          case ((p, i), els) => when(u < lit(p.toDouble), i).otherwise(els)
+        }
+        val means = eb.withColumn("k", k.cast("long"))
+          .groupBy("b")
+          .agg(sum(col("k") * col("q")).as("wq"), sum("k").as("w"))
+          .withColumn("m", col("wq").cast("double") / col("w"))
+        val rk = means.withColumn("r", row_number().over(
+          Window.orderBy(col("m"), col("b"))))
+        val ci = rk.agg(
+          max(when(col("r") === 2, col("m"))).as("ci_lo"),
+          max(when(col("r") === B - 1, col("m"))).as("ci_hi"))
+        val pt = rows.agg(count(lit(1)).as("n_rows"),
+          (sum("q").cast("double") / count(lit(1))).as("point_mean"))
+        pt.crossJoin(ci) // 1×1 summary join
+          .select(col("n_rows"), lit(B.toLong).as("n_resamples"),
+            col("point_mean"), col("ci_lo"), col("ci_hi"))
+      }
+    }, Some {
+      val B = 32
+      val cdf = Seq("0.36787944117144233", "0.7357588823428847",
+        "0.9196986029286058", "0.9810118431238463",
+        "0.9963401531726563", "0.9994058151824183")
+      val hex15 = (1 to 15).map(p =>
+        s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+        .mkString("(", " + ", ")")
+      // CAST('…' AS DOUBLE) — the ts_ewma literal device: a bare
+      // decimal literal is DECIMAL in DuckDB, not DOUBLE
+      val kase = cdf.zipWithIndex
+        .map { case (p, i) => s"WHEN u < CAST('$p' AS DOUBLE) THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
+      s"""WITH rows_ AS (
+         |  SELECT CAST(l_orderkey AS VARCHAR) || '_' ||
+         |    CAST(l_linenumber AS VARCHAR) AS rid,
+         |    CAST(l_quantity AS BIGINT) AS q
+         |  FROM lineitem),
+         |eb AS (
+         |  SELECT rid, q, b FROM rows_, generate_series(0, ${B - 1}) t(b)),
+         |ks AS (
+         |  SELECT b, q, $kase AS k FROM (
+         |    SELECT b, q,
+         |      CAST($hex15 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+         |    FROM (SELECT rid, q, b,
+         |      substr(md5('boot:' || CAST(b AS VARCHAR) || ':' || rid), 1, 15) AS h
+         |      FROM eb) hh) uu),
+         |means AS (
+         |  SELECT b, CAST(SUM(k * q) AS DOUBLE) / SUM(k) AS m
+         |  FROM ks GROUP BY b),
+         |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM means),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS point_mean FROM rows_)
+         |SELECT n_rows, CAST($B AS BIGINT) AS n_resamples, point_mean,
+         |  (SELECT m FROM rk WHERE r = 2) AS ci_lo,
+         |  (SELECT m FROM rk WHERE r = ${B - 1}) AS ci_hi
+         |FROM pt""".stripMargin
+    })
   )
 }

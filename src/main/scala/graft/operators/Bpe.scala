@@ -226,5 +226,45 @@ object Bpe {
             col("n_bpe_tokens").cast("double") / col("n_syms0"))
           .orderBy("doc_id")
       },
-      Some(tokenizeSql)))
+      Some(tokenizeSql)),
+
+    // Tokenizer FERTILITY audit — tokens-per-word and tokens-per-char
+    // by language, the standard multilingual-tokenizer health metric
+    // (a vocab trained on one language tokenizes others into more,
+    // shorter pieces; fertility quantifies the tax each lang pays).
+    // Same trained vocab (shared memoized run), one lang-keyed
+    // aggregate; ratios are raw long/long double divisions.
+    Q("llm_tokenizer_fertility",
+      (s, d) => {
+        val (_, words) = train(s, d)
+        val wt = words.select(col("word"),
+          expr("size(split(toks, ' '))").as("nt"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+            .as("word"))
+          .join(wt, "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("length(word)")).as("n_chars"),
+            sum(col("nt").cast("long")).as("n_bpe_tokens"))
+          .withColumn("fertility",
+            col("n_bpe_tokens").cast("double") / col("n_words"))
+          .withColumn("tokens_per_char",
+            col("n_bpe_tokens").cast("double") / col("n_chars"))
+          .orderBy("lang")
+      },
+      Some(s"WITH $trainChain,\n" +
+        s"""docw AS (
+           |  SELECT lang, unnest(list_filter(
+           |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES)
+           |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(SUM(wt.nt) AS DOUBLE) / COUNT(*) AS fertility,
+           |  CAST(SUM(wt.nt) AS DOUBLE) / SUM(length(d.word)) AS tokens_per_char
+           |FROM docw d JOIN wt ON d.word = wt.word
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin)))
 }

@@ -248,5 +248,69 @@ object Graphs {
     Q("graph_components", fn, Some(sql))
   }
 
-  val queries: Seq[Q] = Seq(pagerankQuery, trianglesQuery, componentsQuery)
+  /** Degree assortativity (Newman 2002) + degree summary over the
+    * co-activity graph: the Pearson correlation of endpoint degrees
+    * across directed edge occurrences — positive on social-style
+    * graphs (hubs link hubs), negative on web/dependency-style graphs.
+    * Because the directed edge list holds both (u,v) and (v,u), the
+    * two endpoint marginals are IDENTICAL, so r reduces to
+    * (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — every term an exact integer
+    * sum (degrees and m are ints), ONE double division at the end, no
+    * sqrt: bit-exact cross-engine by construction. Scale shape: one
+    * degree aggregate + two broadcast-able joins back onto the edge
+    * list + one global aggregate; the exact-integer device holds while
+    * m·Σ(deg²) fits a 64-bit long (~10^18 — beyond that, swap the
+    * final sums to DECIMAL(38,0), same plan).
+    */
+  private def assortativityQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val ed = e.as("e")
+        .join(deg.select(col("u").as("n1"), col("deg").as("du")),
+          col("e.u") === col("n1"))
+        .join(deg.select(col("u").as("n2"), col("deg").as("dv")),
+          col("e.v") === col("n2"))
+        .select(col("du"), col("dv"))
+      val sums = ed.agg(count(lit(1)).as("m"), sum("du").as("sx"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+        max("deg").as("max_degree"), sum("deg").as("sdeg"))
+      nodes.crossJoin(sums) // 1×1 summary join (graph_triangles precedent)
+        .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+          col("max_degree"),
+          (col("sdeg").cast("double") / col("n_nodes")).as("mean_degree"),
+          ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("assortativity"))
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY u),
+         |ed AS (
+         |  SELECT d1.deg AS du, d2.deg AS dv
+         |  FROM edges e JOIN deg d1 ON e.u = d1.u JOIN deg d2 ON e.v = d2.u),
+         |sums AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(du) AS BIGINT) AS sx,
+         |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+         |    CAST(SUM(du * du) AS BIGINT) AS sxx
+         |  FROM ed),
+         |nodes AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(MAX(deg) AS BIGINT) AS max_degree,
+         |    CAST(SUM(deg) AS BIGINT) AS sdeg
+         |  FROM deg)
+         |SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges, max_degree,
+         |  CAST(sdeg AS DOUBLE) / n_nodes AS mean_degree,
+         |  CAST(m * sxy - sx * sx AS DOUBLE) /
+         |    CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+         |FROM nodes, sums""".stripMargin
+    Q("graph_assortativity", fn, Some(sql))
+  }
+
+  val queries: Seq[Q] =
+    Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery)
 }

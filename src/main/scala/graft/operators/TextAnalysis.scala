@@ -470,6 +470,45 @@ object TextAnalysis {
               |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
               |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
               |    / CAST(COUNT(*) AS DOUBLE) AS novelty
-              |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Flesch reading-ease readability — the classic document-level
+    // quality covariate training-data filters stratify on. Sentence
+    // count = non-blank [.!?]-separated segments (min 1: the fixture
+    // corpus is mostly unpunctuated prose — a single-sentence doc, not
+    // a divide-by-zero); syllables via the standard vowel-group proxy
+    // ([aeiouy]+ runs). Pure per-row expression work, zero shuffles;
+    // score is literal-constant double math over exact integer counts,
+    // mirrored textually — bit-exact cross-engine.
+    Q("text_readability",
+      (s, d) => {
+        val sents = greatest(lit(1L), size(expr(
+          "filter(split(text, '[.!?]+'), x -> trim(x) <> '')")).cast("long"))
+        val words = greatest(lit(1L), size(expr(
+          "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).cast("long"))
+        val syll = size(expr(
+          "regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), sents.as("n_sents"), words.as("n_words"),
+            syll.as("n_syllables"))
+          .withColumn("flesch",
+            lit(206.835) - lit(1.015) *
+              (col("n_words").cast("double") / col("n_sents")) -
+              lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_sents, n_words, n_syllables,
+             |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+             |FROM (
+             |  SELECT doc_id,
+             |    GREATEST(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+             |      x -> trim(x) <> '')) AS BIGINT)) AS n_sents,
+             |    GREATEST(1, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |      x -> x <> '')) AS BIGINT)) AS n_words,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             |      AS n_syllables
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin))
   )
 }

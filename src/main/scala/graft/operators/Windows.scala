@@ -805,6 +805,69 @@ object Windows {
              |FROM (SELECT c_acctbal,
              |        CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS decile
              |      FROM customer) t
-             |GROUP BY decile ORDER BY decile""".stripMargin))
+             |GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // Change-point detection by the two-sample window-scan statistic:
+    // per event_type over the hourly count series, score each hour by
+    // |mean(next 12 hours incl. now) − mean(previous 12 hours)| — the
+    // mean-shift detector (the O(n) sliding form of the CUSUM family;
+    // the recursive CUSUM itself is not window-expressible). Only
+    // full-frame positions score (12 rows on each side), top-3 per
+    // series reported. Exact integer hour-count sums; the two /12
+    // divisions and the difference are the only double ops, mirrored
+    // textually — a deterministic total order (score DESC, h) ranks.
+    // Scale shape: one (type, hour) count aggregate, ONE window sort
+    // per series shared by all four frame aggregates, top-k via
+    // row_number — no self-join, any series length.
+    Q("ts_changepoint_scan",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val ord = Window.partitionBy("event_type").orderBy("h")
+        val wl = ord.rowsBetween(-12, -1)
+        val wr = ord.rowsBetween(0, 11)
+        val scored = hourly
+          .withColumn("ln", count(lit(1)).over(wl))
+          .withColumn("rn", count(lit(1)).over(wr))
+          .withColumn("ls", sum("c").over(wl))
+          .withColumn("rs", sum("c").over(wr))
+          .filter(col("ln") === 12 && col("rn") === 12)
+          .withColumn("left_mean", col("ls").cast("double") / 12)
+          .withColumn("right_mean", col("rs").cast("double") / 12)
+          .withColumn("score", abs(col("right_mean") - col("left_mean")))
+        val rk = Window.partitionBy("event_type")
+          .orderBy(col("score").desc, col("h"))
+        scored.withColumn("rk", row_number().over(rk).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("h"), col("left_mean"),
+            col("right_mean"), col("score"), col("rk"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, h, left_mean, right_mean, score, rk FROM (
+             |  SELECT event_type, h, left_mean, right_mean, score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY score DESC, h) AS BIGINT) AS rk
+             |  FROM (
+             |    SELECT event_type, h,
+             |      CAST(ls AS DOUBLE) / 12 AS left_mean,
+             |      CAST(rs AS DOUBLE) / 12 AS right_mean,
+             |      abs(CAST(rs AS DOUBLE) / 12 - CAST(ls AS DOUBLE) / 12) AS score
+             |    FROM (
+             |      SELECT event_type, h,
+             |        COUNT(*) OVER wl AS ln, COUNT(*) OVER wr AS rn,
+             |        SUM(c) OVER wl AS ls, SUM(c) OVER wr AS rs
+             |      FROM (
+             |        SELECT event_type, date_trunc('hour', ts) AS h,
+             |          COUNT(*) AS c
+             |        FROM events GROUP BY 1, 2) hr
+             |      WINDOW
+             |        wl AS (PARTITION BY event_type ORDER BY h
+             |               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+             |        wr AS (PARTITION BY event_type ORDER BY h
+             |               ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)) f
+             |    WHERE ln = 12 AND rn = 12) sc) r
+             |WHERE rk <= 3
+             |ORDER BY event_type, rk""".stripMargin))
   )
 }
