@@ -72,6 +72,77 @@ object Graph {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Single-source hop distances (unweighted BFS) by iterated
+    * relaxation: dist starts at {source → 0} and each round every
+    * node takes min(own, neighbor + 1), until a driver-checked round
+    * neither adds a node nor lowers a distance. Same localCheckpoint-per-round
+    * lineage discipline as [[connectedComponents]]; rounds are bounded
+    * by the source's eccentricity. Returns (node, dist) for REACHABLE
+    * nodes only.
+    */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxIters: Int = 100): DataFrame = {
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"hopDistances did not converge in $maxIters rounds")
+      val relax = e.join(dist, e("__v") === dist("node"))
+        .select(col("__u").as("node"), (col("d") + 1).as("d"))
+      val next = dist.unionByName(relax)
+        .groupBy("node").agg(min("d").as("d")).localCheckpoint()
+      changed = next.as("n")
+        .join(dist.as("o"), col("n.node") === col("o.node"), "left")
+        .filter(col("o.d").isNull || col("n.d") < col("o.d")).count()
+      dist = next
+      rounds += 1
+    }
+    dist
+  }
+
+  /** k-core: the maximal subgraph where every node has degree ≥ k,
+    * computed by iterative peeling — drop nodes under degree k,
+    * recompute, repeat until stable (driver-checked edge count).
+    * `maxRounds` mirrors the oracle's unroll depth: peeling is
+    * idempotent once stable, so an oracle that unrolls MORE rounds
+    * than convergence took is exact, but fewer would be wrong —
+    * hence the throw, which keeps the declared query honest rather
+    * than silently under-peeled. Returns (node, degree) within the
+    * core (both-direction edge list assumed, as elsewhere).
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    var e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .localCheckpoint()
+    var before = e.count()
+    var removed = 1L
+    var rounds = 0
+    while (removed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kcore did not stabilize in $maxRounds rounds")
+      val keep = e.groupBy("__u").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("__u"))
+      val e2 = e
+        .join(keep.select(col("__u").as("__ku")), col("__u") === col("__ku"))
+        .drop("__ku")
+        .join(keep.select(col("__u").as("__kv")), col("__v") === col("__kv"))
+        .drop("__kv")
+        .localCheckpoint()
+      val after = e2.count()
+      removed = before - after
+      before = after
+      e = e2
+      rounds += 1
+    }
+    e.groupBy("__u").agg(count(lit(1)).as("degree"))
+      .select(col("__u").as("node"), col("degree"))
+  }
+
   /** Deterministic two-level ordered double sum — the HUB-SAFE
     * replacement for the "collect the whole group as one sorted list
     * and fold it" device (round-7 verdict Next #4). A single-list fold

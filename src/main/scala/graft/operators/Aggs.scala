@@ -837,6 +837,69 @@ object Aggs {
          |  (SELECT m FROM rk WHERE r = 2) AS ci_lo,
          |  (SELECT m FROM rk WHERE r = ${B - 1}) AS ci_hi
          |FROM pt""".stripMargin
-    })
+    }),
+
+    // Two-proportion A/B z-test: users hash-split into arms (user_id
+    // parity — deterministic, the assignment device an experimentation
+    // system would persist), conversion = "heavy purchaser" (≥14
+    // purchase events — every fixture user purchases at least once, so
+    // has-a-purchase is degenerate p=1 and zeroes the pooled
+    // variance). All counts exact; p̂s, the pooled variance, and z are
+    // mirrored double math with one sqrt (IEEE correctly-rounded,
+    // engine-identical). Scale shape: one user-level aggregate + one
+    // 2-row group — the per-user rollup is the only
+    // corpus-proportional stage.
+    Q("stat_ab_test",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L).as("converted"))
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        val byArm = users.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        val a = byArm.filter(col("arm") === "A")
+          .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        val b = byArm.filter(col("arm") === "B")
+          .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        a.crossJoin(b) // 1×1 summary join
+          .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+          .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+          .withColumn("p_pool",
+            (col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b")))
+          .withColumn("z",
+            (col("p_a") - col("p_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+            col("p_a"), col("p_b"), col("z"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             |         THEN 1 ELSE 0 END AS converted
+             |  FROM events GROUP BY user_id),
+             |arms AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(converted) AS BIGINT) AS conv
+             |  FROM users GROUP BY 1),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+             |    (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+             |    (SELECT conv FROM arms WHERE arm = 'A') AS conv_a,
+             |    (SELECT conv FROM arms WHERE arm = 'B') AS conv_b),
+             |ps AS (
+             |  SELECT *, CAST(conv_a AS DOUBLE) / n_a AS p_a,
+             |    CAST(conv_b AS DOUBLE) / n_b AS p_b,
+             |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+             |  FROM ab)
+             |SELECT n_a, n_b, conv_a, conv_b, p_a, p_b,
+             |  (p_a - p_b) / sqrt(p_pool * (CAST(1 AS DOUBLE) - p_pool) *
+             |    (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z
+             |FROM ps""".stripMargin))
   )
 }

@@ -311,6 +311,71 @@ object Graphs {
     Q("graph_assortativity", fn, Some(sql))
   }
 
+  /** Single-source hop distances from the graph's min user_id (a
+    * deterministic source choice; the min is a driver scalar — the
+    * sanctioned model-parameter pattern). BFS-by-relaxation to
+    * convergence on the Spark side; the oracle's recursive walk is
+    * depth-bounded at 64 (≥ any fixture eccentricity — the bound only
+    * needs to dominate the true distances, extra depth adds no rows
+    * after MIN) and takes MIN(d) per node outside the recursion.
+    * Reachable nodes only.
+    */
+  private def hopDistanceQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val src = e.agg(min("u")).head().getLong(0)
+      graft.api.Graph.hopDistances(e, "u", "v", src)
+        .select(col("node").as("user_id"), col("d").as("hops"))
+        .orderBy("user_id")
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |src AS (SELECT MIN(u) AS s FROM edges),
+         |walk AS (
+         |  SELECT s AS node, CAST(0 AS BIGINT) AS d FROM src
+         |  UNION
+         |  SELECT e.u AS node, w.d + 1 AS d
+         |  FROM edges e JOIN walk w ON e.v = w.node
+         |  WHERE w.d < 64)
+         |SELECT node AS user_id, MIN(d) AS hops
+         |FROM walk GROUP BY node ORDER BY user_id""".stripMargin
+    Q("graph_hop_distance", fn, Some(sql))
+  }
+
+  /** 3-core of the co-activity graph by iterative peeling
+    * ([[graft.api.Graph.kcore]]): the densest-cohesion community
+    * skeleton (every member has ≥3 in-core partners). The Spark side
+    * peels to CONVERGENCE with a 12-round honesty bound; the oracle
+    * unrolls exactly those 12 rounds — peeling is idempotent once
+    * stable, so oracle rounds past convergence are no-ops, and the
+    * Spark-side throw guarantees convergence happened inside the
+    * unroll. Each w{r} MATERIALIZED (referenced by keep-filter twice).
+    */
+  private def kcoreQuery: Q = {
+    val K = 3; val ROUNDS = 12
+    def fn(s: SparkSession, d: String): DataFrame =
+      graft.api.Graph.kcore(edges(s, d), "u", "v", K, ROUNDS)
+        .select(col("node").as("user_id"), col("degree"))
+        .orderBy("user_id")
+    def round(r: Int): String =
+      s"""kk$r AS MATERIALIZED (
+         |  SELECT __u FROM (
+         |    SELECT __u, COUNT(*) AS dg FROM ke${r - 1} GROUP BY __u)
+         |  WHERE dg >= $K),
+         |ke$r AS MATERIALIZED (
+         |  SELECT e.__u, e.__v FROM ke${r - 1} e
+         |  JOIN kk$r a ON e.__u = a.__u
+         |  JOIN kk$r b ON e.__v = b.__u)""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |ke0 AS MATERIALIZED (SELECT u AS __u, v AS __v FROM edges),
+         |${(1 to ROUNDS).map(round).mkString(",\n")}
+         |SELECT __u AS user_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM ke$ROUNDS GROUP BY __u ORDER BY user_id""".stripMargin
+    Q("graph_kcore", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
-    Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery)
+    Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
+      hopDistanceQuery, kcoreQuery)
 }

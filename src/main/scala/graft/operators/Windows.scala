@@ -868,6 +868,72 @@ object Windows {
              |               ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)) f
              |    WHERE ln = 12 AND rn = 12) sc) r
              |WHERE rk <= 3
-             |ORDER BY event_type, rk""".stripMargin))
+             |ORDER BY event_type, rk""".stripMargin)),
+
+    // Sample autocorrelation (ACF, lags 1..6) of each event_type's
+    // hourly count series — the first thing a forecaster computes and
+    // the seasonality detector behind ts_seasonal_baseline's choice of
+    // period. Pairs (x_t, x_{t−l}) come from 6 lag() columns sharing
+    // ONE series-keyed window sort, stacked and aggregated per (type,
+    // lag). Every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+    // integer sum over the hour counts, so r_l is pure double math on
+    // exact inputs — the graph_assortativity device — with sqrt (IEEE
+    // correctly-rounded, engine-identical) on each marginal variance.
+    Q("ts_autocorrelation", {
+      val LAGS = 1 to 6
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val lagged = LAGS.foldLeft(hourly) { (df, l) =>
+          df.withColumn(s"x$l", lag(col("c"), l).over(w))
+        }
+        val stackExpr = LAGS.map(l => s"${l}L, x$l").mkString(", ")
+        lagged
+          .selectExpr("event_type", "c",
+            s"stack(${LAGS.size}, $stackExpr) AS (lag, xl)")
+          .filter(col("xl").isNotNull)
+          .groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n"), sum("c").as("sx"), sum("xl").as("sy"),
+            sum(col("c") * col("xl")).as("sxy"),
+            sum(col("c") * col("c")).as("sxx"),
+            sum(col("xl") * col("xl")).as("syy"))
+          .select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("acf"))
+          .orderBy("event_type", "lag")
+      }
+    }, Some {
+      val LAGS = 1 to 6
+      val lagCols = LAGS.map(l => s"LAG(c, $l) OVER w AS x$l").mkString(", ")
+      val arms = LAGS.map(l =>
+        s"SELECT event_type, CAST($l AS BIGINT) AS lag, c, x$l AS xl FROM lagged")
+        .mkString("\n  UNION ALL ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT event_type, c, $lagCols
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |pairs AS (
+         |  $arms),
+         |moments AS (
+         |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(xl) AS BIGINT) AS sy,
+         |    CAST(SUM(c * xl) AS BIGINT) AS sxy,
+         |    CAST(SUM(c * c) AS BIGINT) AS sxx,
+         |    CAST(SUM(xl * xl) AS BIGINT) AS syy
+         |  FROM pairs WHERE xl IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, lag, n AS n_pairs,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+         |FROM moments ORDER BY event_type, lag""".stripMargin
+    })
   )
 }

@@ -45,6 +45,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hopDistances: path graph distances are exact, unreachable nodes absent") {
+    val e = bothDirs((0L until 39L).map(i => (i, i + 1)) :+ (100L, 101L))
+    val d = graft.api.Graph.hopDistances(e, "u", "v", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 39L).forall(i => d(i) == i))
+    assert(!d.contains(100L) && !d.contains(101L))
+  }
+
+  test("kcore peels a tail down to the clique") {
+    // K5 clique (0..4) + a path tail 4-10-11-12: tail degrees ≤2 < 3,
+    // so peeling must remove the whole tail (3 cascading rounds) and
+    // keep exactly the clique at degree 4
+    val clique = for (a <- 0L until 5L; b <- 0L until 5L if a < b) yield (a, b)
+    val tail = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val core = graft.api.Graph.kcore(bothDirs(clique ++ tail), "u", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 4L))
+    // a pure path has no 3-core at all
+    val none = graft.api.Graph.kcore(
+      bothDirs((0L until 10L).map(i => (i, i + 1))), "u", "v", 3)
+    assert(none.count() == 0)
+  }
+
   test("orderedChunkedSum at a 50k-spoke synthetic hub: exact two-level fold, bounded rows") {
     import spark.implicits._
     val n = 50000

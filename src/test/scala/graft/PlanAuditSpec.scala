@@ -26,7 +26,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_ks_test", "llm_quality_classifier", "llm_ngram_novelty",
       "ts_rolling_median", "stat_mannwhitney", "stat_chi2",
       "llm_curriculum_buckets", "llm_dataset_card", "mm_frame_sample",
-      "ts_seasonal_baseline", "graph_pagerank", "graph_triangles")
+      "ts_seasonal_baseline", "graph_pagerank", "graph_triangles",
+      // round 8
+      "llm_bpe_train", "llm_bpe_tokenize", "graph_components",
+      "llm_dataset_sample", "llm_tokenizer_fertility", "stat_bootstrap_ci",
+      "graph_assortativity", "ts_changepoint_scan", "text_readability",
+      "ts_autocorrelation", "stat_ab_test", "graph_hop_distance", "graph_kcore")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
