@@ -81,6 +81,31 @@ object Aggs {
         .orderBy("day"),
       None),
 
+    // Count-min sketch heavy-hitter estimates — the third sketch of
+    // the family (HLL = distincts, KLL/percentile = quantiles, CMS =
+    // frequencies). The sketch is built distributed (one mergeable
+    // aggregate, the point of CMS at 100 TB: eps=0.001/δ=0.01 is a
+    // fixed ~2 KB of state per executor regardless of corpus size),
+    // then queried driver-side as a model artifact (the kmeans
+    // pattern). Fixed seed ⇒ deterministic runs; no oracle — sketch
+    // layout is engine-specific hashing (the agg_approx_hll
+    // precedent) — AggEdgeSpec asserts the CMS guarantee instead
+    // (exact ≤ est ≤ exact + eps·N).
+    Q("agg_count_min",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val skBytes = ev.select(count_min_sketch(col("event_type"),
+            lit(0.001), lit(0.99), lit(42)).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val est = udf((t: String) => cms.estimateCount(t))
+        ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+          .withColumn("cms_estimate", est(col("event_type")))
+          .orderBy("event_type")
+      },
+      None),
+
     Q("agg_grouping_sets",
       (s, d) => Tables.customer(s, d)
         .groupingSets(

@@ -105,12 +105,14 @@ object Bpe {
           .cache()
         // post-merge stats materialize `next` (so the parent can be
         // dropped) and chart the classic vocab-growth / compression
-        // curve the merge table is judged by
-        val vocab = next.select(explode(expr("split(toks, ' ')")).as("sym"))
-          .agg(countDistinct("sym")).head().getLong(0)
-        val corpusToks = next
-          .select(sum(expr("freq * size(split(toks, ' '))")))
-          .head().getLong(0)
+        // curve the merge table is judged by. ONE action for both:
+        // over the exploded (sym, freq) rows, distinct syms is the
+        // vocab and Σfreq is exactly Σ_word freq·n_syms
+        val statsRow = next
+          .select(col("freq"), explode(expr("split(toks, ' ')")).as("sym"))
+          .agg(countDistinct("sym"), sum("freq")).head()
+        val vocab = statsRow.getLong(0)
+        val corpusToks = statsRow.getLong(1)
         words.unpersist()
         words = next
         merges += MergeRow(r.toLong, a, b, a + b, n, vocab, corpusToks)

@@ -36,6 +36,19 @@ class AggEdgeSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("agg_count_min: CMS estimates obey exact <= est <= exact + eps*N") {
+    val rows = SparkEntry.queries("agg_count_min")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS may never undercount")
+      assert(est <= exact + (0.001 * total).ceil.toLong + 1,
+        s"${r.getString(0)}: est=$est exact=$exact over eps bound")
+    }
+  }
+
   test("aggregates over empty input: global agg yields one row of null/0") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
