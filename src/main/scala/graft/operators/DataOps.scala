@@ -3,7 +3,8 @@ package graft.operators
 import java.security.MessageDigest
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column plumbing, SimHash dedup, and the bucketed
@@ -951,5 +952,73 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery, semDedupQuery)
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery)
+
+  /** Topic-balance audit: k-means topic cells over the embeddings
+    * (SHARED memoized codebook — the ann_ivf_* training runs once per
+    * corpus) × the doc→source linkage, reporting per-cell doc mass,
+    * source diversity, source-share entropy (stat_entropy device:
+    * ≤n_sources terms per cell under ROUND(4)), and the dominant
+    * source under the (n DESC, source) total order. This is the
+    * curation question SemDeDup doesn't answer: not "which docs are
+    * copies" but "is any embedding-topic owned by one source" — the
+    * mixture skew llm_dataset_mix's per-source weights cannot see.
+    * Scale shape: one assignment scan + two cell-keyed aggregates
+    * (16-row groups); the oracle unrolls the shared k-means chain.
+    */
+  // lazy: declared below the `queries` val — a plain val would still be
+  // null when `queries` initializes (object-init order)
+  private lazy val topicBalanceQuery: Q = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftbridge.Bridge
+    val K = 16; val ITERS = 5
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val embs = Tables.embeddings(s, d)
+      val vcol = expr("transform(embedding, e -> cast(e as double))")
+      val coarse = graft.api.Similarity.kmeansCodebook(
+        embs.select(col("vec_id"), vcol.as("v")), "vec_id", "v", K, ITERS)
+      val assigned = embs.select(col("vec_id"), vcol.as("v"))
+        .withColumn("cell", element_at(Bridge.column(
+          graft.functions.NearestCells(
+            UnresolvedAttribute("v"), coarse, 1)), 1).cast("long"))
+      val dc = Tables.documents(s, d)
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .groupBy("cell", "source").agg(count(lit(1)).as("n"))
+      val tot = dc.groupBy("cell")
+        .agg(sum("n").as("tot"), count(lit(1)).as("n_src"))
+      val ent = dc.join(tot, "cell")
+        .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+        .groupBy("cell")
+        .agg(max("tot").as("n_docs"), max("n_src").as("n_sources"),
+          round(-sum(col("p") * log2(col("p"))), 4).as("entropy_bits"))
+      val w = Window.partitionBy("cell").orderBy(col("n").desc, col("source"))
+      val top = dc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("cell"), col("source").as("top_source"))
+      ent.join(top, "cell")
+        .select(col("cell"), col("n_docs"), col("n_sources"),
+          col("entropy_bits"), col("top_source"))
+        .orderBy("cell")
+    }
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |dc AS (
+         |  SELECT a.cell, d.source, COUNT(*) AS n
+         |  FROM afinal a JOIN documents d ON d.doc_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |t AS (SELECT cell, SUM(n) AS tot, COUNT(*) AS n_src FROM dc GROUP BY cell),
+         |e AS (
+         |  SELECT dc.cell, CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+         |    CAST(MAX(t.n_src) AS BIGINT) AS n_sources,
+         |    ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 4) AS entropy_bits
+         |  FROM dc JOIN t USING (cell) GROUP BY dc.cell),
+         |tp AS (
+         |  SELECT cell, source AS top_source FROM (
+         |    SELECT cell, source,
+         |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, source) AS rn
+         |    FROM dc) r WHERE rn = 1)
+         |SELECT e.cell, e.n_docs, e.n_sources, e.entropy_bits, tp.top_source
+         |FROM e JOIN tp USING (cell) ORDER BY cell""".stripMargin
+    Q("llm_topic_balance", fn, Some(sql))
+  }
 }

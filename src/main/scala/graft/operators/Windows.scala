@@ -934,6 +934,51 @@ object Windows {
          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
          |FROM moments ORDER BY event_type, lag""".stripMargin
-    })
+    }),
+
+    // Seasonal-naive forecast backtest: predict each hour's event
+    // count by the count 24 hours earlier (the no-skill baseline every
+    // real forecast must beat) and score MAE / WAPE / bias per series.
+    // The seasonal shift is a TIME-keyed equi-join (h = h−24h), not a
+    // row lag — robust to gap hours and it distributes as a plain
+    // shuffle join on (type, hour). Error sums are exact integers;
+    // WAPE = Σ|err|/Σactual replaces MAPE (whose per-row division sum
+    // is float-order-sensitive — the kind of accumulation this repo
+    // bans); the three ratios are the only double ops.
+    Q("ts_backtest_snaive",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val fc = hourly.select(col("event_type"),
+          (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("c").as("f"))
+        hourly.join(fc, Seq("event_type", "h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(abs(col("c") - col("f"))).as("sad"),
+            sum("c").as("sc"), sum(col("c") - col("f")).as("sdiff"))
+          .select(col("event_type"), col("n_scored"),
+            (col("sad").cast("double") / col("n_scored")).as("mae"),
+            (col("sad").cast("double") / col("sc").cast("double")).as("wape"),
+            (col("sdiff").cast("double") / col("n_scored")).as("bias"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+             |    CAST(SUM(abs(a.c - f.c)) AS BIGINT) AS sad,
+             |    CAST(SUM(a.c) AS BIGINT) AS sc,
+             |    CAST(SUM(a.c - f.c) AS BIGINT) AS sdiff
+             |  FROM hourly a
+             |  JOIN hourly f ON a.event_type = f.event_type
+             |    AND a.h = f.h + INTERVAL 24 HOURS
+             |  GROUP BY a.event_type)
+             |SELECT event_type, n_scored,
+             |  CAST(sad AS DOUBLE) / n_scored AS mae,
+             |  CAST(sad AS DOUBLE) / CAST(sc AS DOUBLE) AS wape,
+             |  CAST(sdiff AS DOUBLE) / n_scored AS bias
+             |FROM scored ORDER BY event_type""".stripMargin))
   )
 }

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_bpe_train", "llm_bpe_tokenize", "graph_components",
       "llm_dataset_sample", "llm_tokenizer_fertility", "stat_bootstrap_ci",
       "graph_assortativity", "ts_changepoint_scan", "text_readability",
-      "ts_autocorrelation", "stat_ab_test", "graph_hop_distance", "graph_kcore")
+      "ts_autocorrelation", "stat_ab_test", "graph_hop_distance", "graph_kcore",
+      "ts_backtest_snaive", "llm_topic_balance", "agg_count_min")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
