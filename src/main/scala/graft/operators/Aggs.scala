@@ -81,6 +81,28 @@ object Aggs {
         .orderBy("day"),
       None),
 
+    // MERGEABLE HLL (Datasketches): per-day user sketches UNIONED into
+    // a period total — the two-level aggregation that makes sketches
+    // the 100-TB device (daily partials persist as ~KB binaries; any
+    // rollup window is a re-union, never a re-scan of raw events).
+    // approx_count_distinct alone can't do this: its sketch is not a
+    // first-class value. No oracle (sketch hashing is engine-specific
+    // — the agg_approx_hll precedent); AggEdgeSpec asserts the union
+    // estimate within the HLL error bound of exact, and that
+    // union-of-parts equals the one-shot sketch estimate.
+    Q("agg_hll_union",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events"))
+        daily.agg(count(lit(1)).as("n_days"),
+          sum("n_events").as("n_events"),
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_distinct_users"))
+      },
+      None),
+
     // Count-min sketch heavy-hitter estimates — the third sketch of
     // the family (HLL = distincts, KLL/percentile = quantiles, CMS =
     // frequencies). The sketch is built distributed (one mergeable

@@ -49,6 +49,20 @@ class AggEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_union: union-of-daily-sketches estimate matches one-shot and exact") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val exact = ev.agg(countDistinct(col("user_id"))).head.getLong(0).toDouble
+    val row = SparkEntry.queries("agg_hll_union")(spark, TestSpark.sf0001).head
+    val unionEst = row.getLong(2).toDouble
+    assert(math.abs(unionEst - exact) / exact <= 0.05,
+      s"exact=$exact union=$unionEst")
+    // mergeability: the union of per-day partials equals the sketch
+    // built in one pass — the property that makes partials reusable
+    val oneShot = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head.getLong(0)
+    assert(oneShot == row.getLong(2), s"one-shot=$oneShot union=${row.getLong(2)}")
+  }
+
   test("aggregates over empty input: global agg yields one row of null/0") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
