@@ -185,13 +185,16 @@ object Bpe {
        |  SELECT doc_id, unnest(list_filter(
        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
        |  FROM documents),
-       |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES)
-       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |  CAST(SUM(length(d.word) + 1) AS BIGINT) AS n_syms0,
-       |  CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens,
-       |  CAST(SUM(wt.nt) AS DOUBLE) / SUM(length(d.word) + 1) AS compression
-       |FROM docw d JOIN wt ON d.word = wt.word
-       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+       |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES),
+       |tok AS (
+       |  SELECT d.doc_id, d.word,
+       |    COALESCE(wt.nt, length(d.word) + 1) AS nt
+       |  FROM docw d LEFT JOIN wt ON d.word = wt.word)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(word) + 1) AS BIGINT) AS n_syms0,
+       |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(nt) AS DOUBLE) / SUM(length(word) + 1) AS compression
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
     // The learned merge table itself IS the result — rank order is the
@@ -209,7 +212,11 @@ object Bpe {
     // Apply the learned vocab back to the corpus: per-doc BPE token
     // counts vs the pre-merge symbol mass. The tokenization is a JOIN
     // against the trained word table (map-side at scale: the vocab is
-    // broadcast-able) — no per-doc re-derivation.
+    // broadcast-able) — no per-doc re-derivation. LEFT join +
+    // character fallback (an out-of-vocab word tokenizes to its
+    // length+1 unmerged symbols): on the training corpus itself every
+    // word is in-vocab so this is output-neutral, but a held-out
+    // corpus must not silently DROP its OOV words.
     Q("llm_bpe_tokenize",
       (s, d) => {
         val (_, words) = train(s, d)
@@ -219,7 +226,9 @@ object Bpe {
           .select(col("doc_id"), explode(
             expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
             .as("word"))
-          .join(wt, "word")
+          .join(wt, Seq("word"), "left")
+          .withColumn("nt",
+            coalesce(col("nt"), length(col("word")) + 1))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum(expr("length(word) + 1")).as("n_syms0"),
@@ -245,7 +254,9 @@ object Bpe {
           .select(col("lang"), explode(
             expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
             .as("word"))
-          .join(wt, "word")
+          .join(wt, Seq("word"), "left")
+          .withColumn("nt",
+            coalesce(col("nt"), length(col("word")) + 1))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_words"),
             sum(expr("length(word)")).as("n_chars"),
@@ -261,12 +272,15 @@ object Bpe {
            |  SELECT lang, unnest(list_filter(
            |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
            |  FROM documents),
-           |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES)
-           |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-           |  CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
-           |  CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens,
-           |  CAST(SUM(wt.nt) AS DOUBLE) / COUNT(*) AS fertility,
-           |  CAST(SUM(wt.nt) AS DOUBLE) / SUM(length(d.word)) AS tokens_per_char
-           |FROM docw d JOIN wt ON d.word = wt.word
-           |GROUP BY d.lang ORDER BY d.lang""".stripMargin)))
+           |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES),
+           |tok AS (
+           |  SELECT d.lang, d.word,
+           |    COALESCE(wt.nt, length(d.word) + 1) AS nt
+           |  FROM docw d LEFT JOIN wt ON d.word = wt.word)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS fertility,
+           |  CAST(SUM(nt) AS DOUBLE) / SUM(length(word)) AS tokens_per_char
+           |FROM tok GROUP BY lang ORDER BY lang""".stripMargin)))
 }
