@@ -69,6 +69,10 @@ object Graph {
       labels = next
       rounds += 1
     }
+    // labels is localCheckpoint-materialized — independent of e, so the
+    // edge cache can be released NOW (not the round-7 advisory pattern
+    // of unpersisting before anything ran)
+    e.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -101,6 +105,7 @@ object Graph {
       dist = next
       rounds += 1
     }
+    e.unpersist() // dist is checkpoint-materialized, e no longer needed
     dist
   }
 

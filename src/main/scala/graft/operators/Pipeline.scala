@@ -382,6 +382,41 @@ object Pipeline {
               |  FROM documents GROUP BY 1) s
               |ORDER BY shard""".stripMargin)),
 
+    // Content-addressable shard MANIFEST — the reproducibility artifact
+    // an export pipeline publishes next to its shards: per shard (same
+    // hash rule as llm_export_shards), doc/byte totals plus a content
+    // hash = md5 of the doc-id-ordered concatenation of per-doc text
+    // md5s. Two exports are byte-identical iff the manifests match —
+    // no re-download diffing. The per-shard ordered digest is the one
+    // inherently sequential step; its state is bounded by SHARD SIZE,
+    // which is this operator's own dial (a shard = one output file —
+    // nobody ships 10M docs in one file), so the collect_list row is
+    // capped by construction, not by luck.
+    Q("llm_shard_manifest",
+      (s, d) => {
+        val shard = (conv(substring(
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 8).as("shard")
+        Tables.documents(s, d)
+          .withColumn("shard", shard)
+          .withColumn("h", md5(col("text")))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_bytes"),
+            md5(expr(
+              """array_join(transform(
+                |  sort_array(collect_list(struct(doc_id, h))), x -> x.h), '')"""
+                .stripMargin)).as("content_hash"))
+          .orderBy("shard")
+      },
+      Some(s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_hash
+              |FROM (SELECT ${SQL_HEX15("md5('shard:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+              |    doc_id, text
+              |  FROM documents) s
+              |GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Z-order export layout: interleave the bits of two query
     // dimensions (customer bucket, order-day bucket) into one Morton
     // key, lay the table out in that order, and report each output

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_dataset_sample", "llm_tokenizer_fertility", "stat_bootstrap_ci",
       "graph_assortativity", "ts_changepoint_scan", "text_readability",
       "ts_autocorrelation", "stat_ab_test", "graph_hop_distance", "graph_kcore",
-      "ts_backtest_snaive", "llm_topic_balance", "agg_count_min")
+      "ts_backtest_snaive", "llm_topic_balance", "agg_count_min",
+      "agg_hll_union", "llm_shard_manifest")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
