@@ -81,8 +81,17 @@ object Bpe {
 
   private[graft] def train(s: SparkSession, d: String): (Seq[MergeRow], DataFrame) = {
     if (memo.size > 8) memo.clear()
-    memo.computeIfAbsent((System.identityHashCode(s), d), _ => {
-      var words = symbolized(s, d).cache()
+    memo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      trainOnWords(symbolized(s, d)))
+  }
+
+  /** The merge-round loop over an arbitrary (word, freq, toks)
+    * histogram — split out so probes can drive it at synthetic vocab
+    * scales the fixture corpus can't produce (BpeProbe).
+    */
+  private[graft] def trainOnWords(hist: DataFrame): (Seq[MergeRow], DataFrame) = {
+    {
+      var words = hist.cache()
       val merges = Seq.newBuilder[MergeRow]
       var exhausted = false
       for (r <- 1 to N_MERGES if !exhausted) {
@@ -119,7 +128,7 @@ object Bpe {
         }
       }
       (merges.result(), words)
-    })
+    }
   }
 
   // ---------------------------------------------------------------------
