@@ -472,6 +472,102 @@ object TextAnalysis {
               |    / CAST(COUNT(*) AS DOUBLE) AS novelty
               |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing (Schleimer/Wilkerson/Aiken 2003 — the MOSS device):
+    // per doc, hash every 8-char gram, slide a window of 4 consecutive
+    // gram hashes and select each window's MINIMUM — the guarantee
+    // text_fingerprint's single global min lacks: any shared substring
+    // of ≥ 11 chars shares at least one SELECTED fingerprint, at ~2×
+    // the sampling cost of the window width, not the gram count. The
+    // selected sets are compared CROSS-doc (a fingerprint in ≥2 docs
+    // is shared — the llm_line_dedup shape), giving per-doc robust
+    // overlap evidence. Selection = min hash VALUE per window, so the
+    // per-doc selected SET is position-tie-free by construction; all
+    // hashes are exact 60-bit longs. One explode + one window min +
+    // one fingerprint-keyed distinct-doc aggregate — no pairwise
+    // stage at any scale.
+    Q("llm_winnowing",
+      (s, d) => {
+        val W = 4
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(lower(col("text")), "[^a-z]", "").as("cleaned"))
+          .filter(length(col("cleaned")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(1, length(cleaned) - 7),
+              |  i -> conv(substring(md5(substring(cleaned, i, 8)), 1, 15), 16, 10))"""
+              .stripMargin)))
+          // posexplode is 0-based; +1 aligns with the oracle's 1-based
+          // generate_series so the window-start cutoffs coincide
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            col("col").cast("long").as("h"))
+        val win = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, W - 1)
+        val nw = Window.partitionBy("doc_id")
+        val sel = grams
+          .withColumn("n_grams", count(lit(1)).over(nw))
+          .filter(col("pos") <= col("n_grams") - (W - 1))
+          .select(col("doc_id"), col("n_grams"),
+            min("h").over(win).as("fp"))
+          .distinct()
+        val shared = sel.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select(col("fp"))
+        sel.join(shared, Seq("fp"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fp"))
+          .join(sel.groupBy("doc_id")
+            .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fp")),
+            Seq("doc_id"), "right")
+          .select(col("doc_id"), col("n_grams"), col("n_fp"),
+            coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+          .withColumn("shared_ratio",
+            col("n_shared_fp").cast("double") / col("n_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, i AS pos,
+             |    (strpos('0123456789abcdef', substr(h15, 1, 1)) - 1) * 72057594037927936
+             |    + (strpos('0123456789abcdef', substr(h15, 2, 1)) - 1) * 4503599627370496
+             |    + (strpos('0123456789abcdef', substr(h15, 3, 1)) - 1) * 281474976710656
+             |    + (strpos('0123456789abcdef', substr(h15, 4, 1)) - 1) * 17592186044416
+             |    + (strpos('0123456789abcdef', substr(h15, 5, 1)) - 1) * 1099511627776
+             |    + (strpos('0123456789abcdef', substr(h15, 6, 1)) - 1) * 68719476736
+             |    + (strpos('0123456789abcdef', substr(h15, 7, 1)) - 1) * 4294967296
+             |    + (strpos('0123456789abcdef', substr(h15, 8, 1)) - 1) * 268435456
+             |    + (strpos('0123456789abcdef', substr(h15, 9, 1)) - 1) * 16777216
+             |    + (strpos('0123456789abcdef', substr(h15, 10, 1)) - 1) * 1048576
+             |    + (strpos('0123456789abcdef', substr(h15, 11, 1)) - 1) * 65536
+             |    + (strpos('0123456789abcdef', substr(h15, 12, 1)) - 1) * 4096
+             |    + (strpos('0123456789abcdef', substr(h15, 13, 1)) - 1) * 256
+             |    + (strpos('0123456789abcdef', substr(h15, 14, 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substr(h15, 15, 1)) - 1) AS h
+             |  FROM (
+             |    SELECT doc_id, i, substr(md5(substr(cleaned, i, 8)), 1, 15) AS h15
+             |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS cleaned
+             |          FROM documents) c,
+             |      unnest(generate_series(1, length(cleaned) - 7)) t(i)
+             |    WHERE length(cleaned) >= 8)),
+             |sel AS (
+             |  SELECT DISTINCT doc_id, n_grams, fp FROM (
+             |    SELECT doc_id, n_grams, pos,
+             |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |    FROM (SELECT doc_id, pos, h,
+             |            COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM g) x
+             |    WHERE pos <= n_grams - 3) w),
+             |sh AS (SELECT fp FROM (
+             |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY fp) q
+             |  WHERE nd >= 2),
+             |per AS (
+             |  SELECT s.doc_id, MAX(s.n_grams) AS n_grams,
+             |    CAST(COUNT(*) AS BIGINT) AS n_fp,
+             |    CAST(SUM(CASE WHEN sh.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_shared_fp
+             |  FROM sel s LEFT JOIN sh ON s.fp = sh.fp
+             |  GROUP BY s.doc_id)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_fp, n_shared_fp,
+             |  CAST(n_shared_fp AS DOUBLE) / n_fp AS shared_ratio
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
     // Flesch reading-ease readability — the classic document-level
     // quality covariate training-data filters stratify on. Sentence
     // count = non-blank [.!?]-separated segments (min 1: the fixture

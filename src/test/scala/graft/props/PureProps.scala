@@ -119,6 +119,42 @@ object PureProps extends Properties("graft") {
       got == want
     }
 
+  // --- BPE merge-fold device (operators/Bpe.applyMerge) ---
+  // Both engines implement one merge pass as a LEFT FOLD over the
+  // symbol list with a string accumulator: if the accumulator's last
+  // token equals `a` and the next symbol is `b`, fuse; else append.
+  // The property proves that fold equals the SPEC of a BPE merge pass
+  // — greedy left-to-right non-overlapping replacement — including the
+  // run cases ([A,A,A] with pair (A,A) → [AA, A]) where a naive
+  // "replace everywhere" differs.
+  private def foldMerge(syms: List[String], a: String, b: String): List[String] =
+    syms.foldLeft(List.empty[String]) {
+      case (acc, x) if acc.nonEmpty && acc.last == a && x == b =>
+        acc.init :+ (a + b)
+      case (acc, x) => acc :+ x
+    }
+  private def specMerge(syms: List[String], a: String, b: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+  private val sym: Gen[String] = Gen.oneOf("a", "b", "ab", "aa", "c")
+  property("BPE merge fold == greedy left-to-right non-overlap spec") =
+    Prop.forAll(Gen.listOf(sym), sym, sym) { (syms, a, b) =>
+      foldMerge(syms, a, b) == specMerge(syms, a, b)
+    }
+  property("BPE merge pass never re-merges the symbol it just fused") =
+    Prop.forAll(Gen.choose(1, 8)) { n =>
+      // n-run of "a" merging (a,a): floor(n/2) fusions, alternating
+      val merged = foldMerge(List.fill(n)("a"), "a", "a")
+      merged.count(_ == "aa") == n / 2 && merged.count(_ == "a") == n % 2
+    }
+
   property("GeoMean merge is commutative") =
     Prop.forAll(Gen.listOf(Gen.choose(0.1, 100.0)),
       Gen.listOf(Gen.choose(0.1, 100.0))) { (xs, ys) =>
