@@ -382,6 +382,51 @@ object Pipeline {
               |  FROM documents GROUP BY 1) s
               |ORDER BY shard""".stripMargin)),
 
+    // Per-domain document cap — the anti-domination curation rule
+    // (FineWeb-style): within each source, rank docs by a quality
+    // signal (token count here, any score column in general) under a
+    // deterministic total order and keep the top CAP; emit per-source
+    // retention stats. One window rank per source partition — the
+    // canonical distributed top-N-per-group, no global sort, no
+    // collect. Integer rank comparisons only.
+    Q("llm_domain_cap",
+      (s, d) => {
+        val CAP = 15
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split_col(col("text"))).cast("long"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= CAP, 1L).otherwise(0L)).as("n_kept"),
+            sum("n_tokens").as("tokens_total"),
+            sum(when(col("rk") <= CAP, col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .withColumn("doc_retention",
+            col("n_kept").cast("double") / col("n_docs"))
+          .withColumn("token_retention",
+            col("tokens_kept").cast("double") / col("tokens_total"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS tokens_kept,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*) AS doc_retention,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN n_tokens ELSE 0 END) AS DOUBLE)
+             |    / SUM(n_tokens) AS token_retention
+             |FROM (
+             |  SELECT source, n_tokens,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_tokens DESC, doc_id) AS rk
+             |  FROM (SELECT doc_id, source,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |        FROM documents) t) r
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Content-addressable shard MANIFEST — the reproducibility artifact
     // an export pipeline publishes next to its shards: per shard (same
     // hash rule as llm_export_shards), doc/byte totals plus a content
