@@ -77,10 +77,13 @@ object Streams {
     * (stream_availablenow_catchup) record the source path in their
     * offset log, so the staged path must be stable across JVM runs.
     */
-  private def stageEventsDir(d: String): String = {
+  private def stageEventsDir(d: String): String = stageDir(d, "events")
+
+  private def stageDir(d: String, tbl: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val f = new java.io.File(s"$d/events.parquet")
-    val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+    val f = new java.io.File(s"$d/$tbl.parquet")
+    val key =
+      s"${tbl}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
     // computeIfAbsent both memoizes and SERIALIZES staging per key: a
     // second caller blocks until the first finishes, so nobody reads a
     // half-staged file. The copy lands under a temp name and is
@@ -90,12 +93,12 @@ object Streams {
     // after a crash, so a truncated final file would poison every later
     // streaming query, including persistent AvailableNow checkpoints).
     stagedDirs.computeIfAbsent(key, _ => {
-      val target = Paths.get(s"${sys.props("java.io.tmpdir")}/graft_events_stream_$key")
-      val dest = target.resolve("events.parquet")
+      val target = Paths.get(s"${sys.props("java.io.tmpdir")}/graft_stream_$key")
+      val dest = target.resolve(s"$tbl.parquet")
       if (!Files.exists(dest)) {
         Files.createDirectories(target)
         val tmp = Files.createTempFile(target, ".staging_", ".parquet")
-        Files.copy(Paths.get(s"$d/events.parquet"), tmp,
+        Files.copy(Paths.get(s"$d/$tbl.parquet"), tmp,
           StandardCopyOption.REPLACE_EXISTING)
         try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
         catch {
@@ -114,6 +117,17 @@ object Streams {
     s.readStream.schema(eventsSchema).parquet(stageEventsDir(d))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** documents as a streaming source (crawl batches arriving in a
+    * watched directory — the ingest shape of a curation pipeline).
+    */
+  private def documentsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(documentsSchema).parquet(stageDir(d, "documents"))
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return its final contents.
@@ -317,10 +331,13 @@ object Streams {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
         val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
-        // v2: keyed alongside the STABLE staged source path (a
+        // v3: keyed alongside the STABLE staged source path (a
         // checkpoint written against a since-deleted random staging dir
-        // must not be resumed)
-        val root = s"${sys.props("java.io.tmpdir")}/graft_avnow_v2_$key"
+        // must not be resumed). Bumped v2→v3 when stageDir generalized
+        // to per-table staging and the staged path changed — a v2
+        // checkpoint's offset log records the OLD source path and must
+        // not be resumed against the new one.
+        val root = s"${sys.props("java.io.tmpdir")}/graft_avnow_v3_$key"
         val q = eventsStream(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
           .writeStream.format("parquet")
@@ -356,6 +373,40 @@ object Streams {
         q.processAllAvailable()
         q.stop()
         s.read.parquet(outDir).orderBy("event_id")
+      }, None),
+
+    // Streaming ingest deduped against the PERSISTED band index — the
+    // continuous-crawl architecture that joins this repo's two praised
+    // halves: the standing corpus lives as bucketed band/set tables
+    // (Dedup.writeBandIndex — no corpus-side shuffle on read-back,
+    // DedupIndexSpec), and each arriving micro-batch of docs is checked
+    // via foreachBatch → Dedup.incrementalNearDupsIndexed, appending
+    // verdicts to the sink. Batch-vs-stream equivalence is the test
+    // contract (StreamingSpec): the streamed verdicts must equal the
+    // one-shot batch check on the same split — micro-batching must not
+    // change dedup semantics (each batch is independent vs the index;
+    // the fixture split mirrors llm_incremental_dedup's).
+    Q("stream_dedup_index",
+      (s, d) => {
+        val corpus = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 10 >= 2)
+        graft.api.Dedup.writeBandIndex(corpus, "doc_id", "text",
+          table = "stream_dedup_idx")
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup").toString
+        val q = documentsStream(s, d)
+          .filter(col("doc_id") % 10 < 2)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.api.Dedup
+              .incrementalNearDupsIndexed(batch, "doc_id", "text",
+                "stream_dedup_idx")
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(outDir).orderBy("doc_id")
       }, None)
   )
 }

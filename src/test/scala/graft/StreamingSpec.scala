@@ -143,4 +143,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(c1 == c2 && c1 > 0, s"$n: $c1 vs $c2")
     }
   }
+
+  test("stream_dedup_index: streamed verdicts equal the one-shot batch check") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("stream_dedup_index")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    // the same split checked in ONE batch against the same index —
+    // micro-batching must not change dedup semantics
+    val batch = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter(col("doc_id") % 10 < 2)
+    val oneShot = graft.api.Dedup
+      .incrementalNearDupsIndexed(batch, "doc_id", "text", "stream_dedup_idx")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == oneShot)
+  }
 }
