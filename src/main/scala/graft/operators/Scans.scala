@@ -302,6 +302,51 @@ object Scans {
              |UNION ALL SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n
              |ORDER BY kind""".stripMargin)),
 
+    // Corrupt-FILE recovery (`spark.sql.files.ignoreCorruptFiles`) —
+    // the operational sibling of scan_json_corrupt's corrupt-RECORD
+    // handling: at 100 TB some object-store file WILL be truncated,
+    // and the job must skip it and account for the loss, not die. A
+    // staged dir holds the real customer parquet plus a garbage
+    // ".parquet"; the scan under the flag returns exactly the good
+    // file's rows (oracle = the fixture table), and the flag is
+    // restored afterwards so no other query inherits silent skipping.
+    Q("scan_corrupt_recovery",
+      (s, d) => {
+        val src = new java.io.File(s"$d/customer.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_corrupt_file_$key"
+        val dir = new java.io.File(tmp)
+        if (!new java.io.File(s"$tmp/.staged").exists()) {
+          dir.mkdirs()
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/customer.parquet"),
+            java.nio.file.Paths.get(s"$tmp/good.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/broken.parquet"),
+            "this is not a parquet file, merely named like one".getBytes)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/.staged"), Array.empty[Byte])
+        }
+        // explicit schema: inference would have to read every footer,
+        // and the garbage file has none — exactly what a production
+        // job with a declared schema never depends on
+        val sch = s.read.parquet(s"$d/customer.parquet").schema
+        val prev = s.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+        s.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        try {
+          s.read.schema(sch).parquet(tmp)
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_cust"))
+            .orderBy("c_mktsegment")
+            // materialize under the flag: the lazy plan must not
+            // observe the restored conf
+            .localCheckpoint()
+        } finally s.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust
+             |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
     Q("catalog_table_stats",
       (s, d) => {
         // events carries a ns timestamp; allow it before schema inference.
