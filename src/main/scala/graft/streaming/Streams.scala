@@ -47,6 +47,10 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Per-JVM home for stream_dedup_index's bucketed artifact. */
+  private lazy val streamIdxLocation =
+    java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+
   /** One entry per staged-source fingerprint; computeIfAbsent serializes
     * concurrent stagers of the same fixture (the map value is just a
     * completion token — the staged path itself is derived from the key).
@@ -388,10 +392,16 @@ object Streams {
     // the fixture split mirrors llm_incremental_dedup's).
     Q("stream_dedup_index",
       (s, d) => {
+        // per-JVM tmp database location — the dedup_index_incremental
+        // pattern (a fixed cwd-relative warehouse dir outlives the
+        // session's catalog metadata → LOCATION_ALREADY_EXISTS on the
+        // next JVM)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
+          s"'$streamIdxLocation'")
         val corpus = s.read.parquet(s"$d/documents.parquet")
           .filter(col("doc_id") % 10 >= 2)
         graft.api.Dedup.writeBandIndex(corpus, "doc_id", "text",
-          table = "stream_dedup_idx")
+          table = "graft_stream_idx.corpus")
         val outDir = java.nio.file.Files
           .createTempDirectory("graft_stream_dedup").toString
         val q = documentsStream(s, d)
@@ -400,7 +410,7 @@ object Streams {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             graft.api.Dedup
               .incrementalNearDupsIndexed(batch, "doc_id", "text",
-                "stream_dedup_idx")
+                "graft_stream_idx.corpus")
               .write.mode("append").parquet(outDir)
           }
           .start()

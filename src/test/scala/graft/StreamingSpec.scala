@@ -154,7 +154,8 @@ class StreamingSpec extends AnyFunSuite {
     val batch = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
       .filter(col("doc_id") % 10 < 2)
     val oneShot = graft.api.Dedup
-      .incrementalNearDupsIndexed(batch, "doc_id", "text", "stream_dedup_idx")
+      .incrementalNearDupsIndexed(batch, "doc_id", "text",
+        "graft_stream_idx.corpus")
       .orderBy("doc_id").collect().toSeq
     assert(streamed == oneShot)
   }
