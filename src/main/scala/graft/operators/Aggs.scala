@@ -81,6 +81,88 @@ object Aggs {
         .orderBy("day"),
       None),
 
+    // Weighted median (50th weighted percentile) of price weighted by
+    // quantity, per return flag — the "median price per UNIT sold"
+    // question an unweighted median answers wrongly. Fully exact
+    // device: weights are integral quantities, the cumulative weight is
+    // an exact integer window sum under the (price, orderkey,
+    // linenumber) total order, and the selected row is the first with
+    // 2·cum ≥ total — an INTEGER comparison (no /2, no float
+    // accumulation anywhere; the emitted median is a value from the
+    // data, not an interpolation). One window sort per group.
+    Q("agg_percentile_weighted",
+      (s, d) => {
+        val rows = Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        val ord = Window.partitionBy("l_returnflag")
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        val tot = Window.partitionBy("l_returnflag")
+        val pick = Window.partitionBy("l_returnflag")
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        rows
+          .withColumn("cw", sum("w").over(ord))
+          .withColumn("tw", sum("w").over(tot))
+          .filter(col("cw") * 2 >= col("tw"))
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("tw").as("total_weight"),
+            col("v").as("weighted_median"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+             |  v AS weighted_median FROM (
+             |  SELECT l_returnflag, v, tw,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY v, l_orderkey, l_linenumber) AS rn
+             |  FROM (
+             |    SELECT l_returnflag, l_extendedprice AS v, l_orderkey, l_linenumber,
+             |      SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+             |        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |        ROWS UNBOUNDED PRECEDING) AS cw,
+             |      SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+             |    FROM lineitem) c
+             |  WHERE cw * 2 >= tw) p
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Tukey fences (1.5×IQR) outlier audit per market segment: exact
+    // interpolating quartiles (Spark `percentile` ↔ DuckDB
+    // `quantile_cont` — the win_mad device), fence arithmetic in
+    // mirrored double math, then one broadcast-join of the 5-row fence
+    // table back onto the rows for exact-comparison counting. The
+    // boxplot rule — the robust outlier screen profiling dashboards
+    // run per column.
+    Q("stat_outlier_tukey",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val q = cust.groupBy("c_mktsegment")
+          .agg(expr("percentile(c_acctbal, 0.25)").as("q1"),
+            expr("percentile(c_acctbal, 0.75)").as("q3"))
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        cust.join(broadcast(q), "c_mktsegment")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), max("q1").as("q1"), max("q3").as("q3"),
+            sum(when(col("c_acctbal") < col("lo") ||
+              col("c_acctbal") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH q AS (
+             |  SELECT c_mktsegment,
+             |    quantile_cont(c_acctbal, 0.25) AS q1,
+             |    quantile_cont(c_acctbal, 0.75) AS q3
+             |  FROM customer GROUP BY c_mktsegment),
+             |f AS (SELECT c_mktsegment, q1, q3,
+             |        q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+             |      FROM q)
+             |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+             |  CAST(SUM(CASE WHEN c.c_acctbal < f.lo OR c.c_acctbal > f.hi
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM customer c JOIN f USING (c_mktsegment)
+             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
     // MERGEABLE HLL (Datasketches): per-day user sketches UNIONED into
     // a period total — the two-level aggregation that makes sketches
     // the 100-TB device (daily partials persist as ~KB binaries; any

@@ -244,6 +244,59 @@ object Joins {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // NEAREST-in-time as-of (both directions, ties → earlier): each
+    // event matched to its user's closest purchase event, the feature-
+    // store variant backward-only as-of can't express. Two window
+    // passes over ONE user-keyed sort (last purchase ≤ t, first
+    // purchase ≥ t), then an exact integer micros comparison picks the
+    // nearer side — no interval arithmetic, no float. Null-safe at
+    // series edges (users before their first / after their last
+    // purchase take the only candidate).
+    Q("join_asof_nearest",
+      (s, d) => {
+        val wPrev = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val p = when(col("event_type") === "purchase", col("ts"))
+        Tables.events(s, d)
+          .withColumn("prev_p", last(p, ignoreNulls = true).over(wPrev))
+          .withColumn("next_p", first(p, ignoreNulls = true).over(wNext))
+          .withColumn("nearest",
+            when(col("prev_p").isNull, col("next_p"))
+              .when(col("next_p").isNull, col("prev_p"))
+              .when(expr("unix_micros(ts) - unix_micros(prev_p)") <=
+                expr("unix_micros(next_p) - unix_micros(ts)"), col("prev_p"))
+              .otherwise(col("next_p")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            date_format(col("nearest"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("nearest_purchase_str"),
+            expr("abs(unix_micros(ts) - unix_micros(nearest))").as("dist_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |  strftime(nearest, '%Y-%m-%d %H:%M:%S.%f') AS nearest_purchase_str,
+             |  abs(epoch_us(ts) - epoch_us(nearest)) AS dist_us
+             |FROM (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN prev_p IS NULL THEN next_p
+             |         WHEN next_p IS NULL THEN prev_p
+             |         WHEN epoch_us(ts) - epoch_us(prev_p)
+             |              <= epoch_us(next_p) - epoch_us(ts) THEN prev_p
+             |         ELSE next_p END AS nearest
+             |  FROM (
+             |    SELECT event_id, user_id, ts,
+             |      last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             |        OVER (PARTITION BY user_id ORDER BY ts
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+             |      first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             |        OVER (PARTITION BY user_id ORDER BY ts
+             |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+             |    FROM events) w) n
+             |ORDER BY event_id""".stripMargin)),
+
     // Same as-of semantics as join_asof_events, but through the engine's
     // NATIVE operator stack: AsOfJoin logical node → AsOfJoinStrategy →
     // AsOfJoinExec (ClusteredDistribution + (key,ts) ordering, streamed

@@ -54,6 +54,55 @@ object TypedOps {
       Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders WHERE o_totalprice > 150000.0
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // joinWith keeps BOTH sides as typed objects (a Dataset of pairs —
+    // no column flattening), then one mapGroups computes count + argmax
+    // in O(1) state per group under an exact total order (price DESC,
+    // orderkey ASC — double compares and long compares, no float
+    // accumulation). Same honesty note as ds_typed_agg: the typed
+    // lambdas are opaque to Catalyst; the columnar twin of this query
+    // is max_by + count with map-side combine.
+    Q("ds_typed_joinwith",
+      (s, d) => {
+        implicit val ordEnc = Encoders.product[OrderRow]
+        implicit val custEnc = Encoders.product[CustRow]
+        implicit val keyEnc = Encoders.STRING
+        implicit val outEnc = Encoders.tuple(Encoders.STRING,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[OrderRow]
+        val custs = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .as[CustRow]
+        orders.joinWith(custs, orders("o_custkey") === custs("c_custkey"))
+          .groupByKey(_._2.c_mktsegment)
+          .mapGroups { (seg, rows) =>
+            var n = 0L
+            var bestKey = Long.MaxValue
+            var bestPrice = Double.NegativeInfinity
+            rows.foreach { case (o, _) =>
+              n += 1
+              if (o.o_totalprice > bestPrice ||
+                (o.o_totalprice == bestPrice && o.o_orderkey < bestKey)) {
+                bestPrice = o.o_totalprice; bestKey = o.o_orderkey
+              }
+            }
+            (seg, n, bestKey, bestPrice)
+          }
+          .toDF("c_mktsegment", "n_orders", "top_orderkey", "top_price")
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, n_orders, top_orderkey, top_price FROM (
+             |  SELECT c.c_mktsegment,
+             |    COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n_orders,
+             |    o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price,
+             |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+             |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+             |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin))
   )
+
+  case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)
 }

@@ -33,7 +33,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph_assortativity", "ts_changepoint_scan", "text_readability",
       "ts_autocorrelation", "stat_ab_test", "graph_hop_distance", "graph_kcore",
       "ts_backtest_snaive", "llm_topic_balance", "agg_count_min",
-      "agg_hll_union", "llm_shard_manifest", "llm_winnowing", "llm_domain_cap", "scan_corrupt_recovery")
+      "agg_hll_union", "llm_shard_manifest", "llm_winnowing", "llm_domain_cap", "scan_corrupt_recovery",
+      "ds_typed_joinwith", "agg_percentile_weighted", "stat_outlier_tukey",
+      "join_asof_nearest")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
