@@ -81,6 +81,66 @@ object Aggs {
         .orderBy("day"),
       None),
 
+    // Skewness + excess kurtosis per group from EXACT integer power
+    // sums: l_quantity is integral, so Σq..Σq⁴ are exact longs (q⁴ ≤
+    // 6.25e6 × row count — fits 64 bits far past sf100) and the
+    // central-moment formulas are pure mirrored double math on exact
+    // inputs — no float accumulation, unlike the built-in
+    // skewness()/kurtosis() whose merge order is partition-dependent.
+    // m2^1.5 is written m2·sqrt(m2): sqrt is IEEE correctly-rounded
+    // and engine-identical, pow is libm and is not.
+    Q("stat_skew_kurtosis",
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        val m = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+            sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+            sum(q * q * q * q).as("s4"))
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("m2",
+            col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+          .withColumn("m3",
+            col("s3").cast("double") / col("n")
+              - lit(3.0) * col("mean") * (col("s2").cast("double") / col("n"))
+              + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4",
+            col("s4").cast("double") / col("n")
+              - lit(4.0) * col("mean") * (col("s3").cast("double") / col("n"))
+              + lit(6.0) * col("mean") * col("mean") *
+                (col("s2").cast("double") / col("n"))
+              - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        m.select(col("l_returnflag"), col("n"), col("mean").as("mean_qty"),
+            (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+              .as("kurtosis_excess"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n, mean AS mean_qty,
+             |  m3 / (m2 * sqrt(m2)) AS skewness,
+             |  m4 / (m2 * m2) - 3.0e0 AS kurtosis_excess
+             |FROM (
+             |  SELECT l_returnflag, n, mean,
+             |    CAST(s2 AS DOUBLE) / n - mean * mean AS m2,
+             |    CAST(s3 AS DOUBLE) / n
+             |      - 3.0e0 * mean * (CAST(s2 AS DOUBLE) / n)
+             |      + 2.0e0 * mean * mean * mean AS m3,
+             |    CAST(s4 AS DOUBLE) / n
+             |      - 4.0e0 * mean * (CAST(s3 AS DOUBLE) / n)
+             |      + 6.0e0 * mean * mean * (CAST(s2 AS DOUBLE) / n)
+             |      - 3.0e0 * mean * mean * mean * mean AS m4
+             |  FROM (
+             |    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |      CAST(SUM(q) AS BIGINT) AS s1,
+             |      CAST(SUM(q * q) AS BIGINT) AS s2,
+             |      CAST(SUM(q * q * q) AS BIGINT) AS s3,
+             |      CAST(SUM(q * q * q * q) AS BIGINT) AS s4,
+             |      CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean
+             |    FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+             |          FROM lineitem) t
+             |    GROUP BY l_returnflag) sums) mom
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Weighted median (50th weighted percentile) of price weighted by
     // quantity, per return flag — the "median price per UNIT sold"
     // question an unweighted median answers wrongly. Fully exact

@@ -472,6 +472,65 @@ object TextAnalysis {
               |    / CAST(COUNT(*) AS DOUBLE) AS novelty
               |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // SymSpell fuzzy vocabulary matching (Garbe's symmetric-delete
+    // device): every word generates its ≤2-deletion neighborhood, and
+    // two words are CANDIDATES iff they share a variant — an EQUI-join
+    // on the variant string, never an all-pairs or inequality join
+    // (deletes cover insert/delete/substitute, so lev ≤ 2 ⟹ a shared
+    // ≤2-delete variant). Candidates then verify with exact
+    // levenshtein ≤ 2. Variant count is C(len,2)-bounded per word —
+    // the blocking fan-out is the dial, and the verify touches
+    // |candidates| pairs only: the typo-cluster / query-suggestion
+    // shape at any vocabulary size. Distinct-word table first, so the
+    // whole thing is vocabulary-, not corpus-, proportional.
+    Q("dedup_fuzzy_symspell",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+            .as("w"))
+          .distinct()
+        // dels2 = deletes of deletes, mirroring the oracle's chain; the
+        // only Spark/DuckDB divergence (sequence(1,0) descends vs
+        // empty) hits v='' and yields duplicates the distinct removes
+        def del(src: org.apache.spark.sql.DataFrame) = src
+          .select(col("w"), explode(expr(
+            """transform(sequence(1, length(v)),
+              |  i -> concat(substring(v, 1, i - 1), substring(v, i + 1)))"""
+              .stripMargin)).as("v"))
+        val asV = words.select(col("w"), col("w").as("v"))
+        val dels1 = del(asV)
+        val variants = asV.unionByName(dels1).unionByName(del(dels1)).distinct()
+        variants.as("a").join(variants.as("b"),
+            col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("word_a"), col("b.w").as("word_b"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("word_a"), col("word_b")).cast("long"))
+          .filter(col("dist") <= 2)
+          .orderBy("word_a", "word_b")
+      },
+      Some("""WITH words AS (
+             |  SELECT DISTINCT unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+             |  FROM documents),
+             |dels1 AS (
+             |  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
+             |  FROM words, unnest(generate_series(1, length(w))) t(i)),
+             |dels2 AS (
+             |  SELECT w, substr(v, 1, j - 1) || substr(v, j + 1) AS v
+             |  FROM dels1, unnest(generate_series(1, length(v))) t(j)),
+             |variants AS (
+             |  SELECT DISTINCT w, v FROM (
+             |    SELECT w, w AS v FROM words
+             |    UNION ALL SELECT w, v FROM dels1
+             |    UNION ALL SELECT w, v FROM dels2))
+             |SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+             |FROM (
+             |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+             |  FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w) p
+             |WHERE levenshtein(word_a, word_b) <= 2
+             |ORDER BY word_a, word_b""".stripMargin)),
+
     // Winnowing (Schleimer/Wilkerson/Aiken 2003 — the MOSS device):
     // per doc, hash every 8-char gram, slide a window of 4 consecutive
     // gram hashes and select each window's MINIMUM — the guarantee

@@ -936,6 +936,40 @@ object Windows {
          |FROM moments ORDER BY event_type, lag""".stripMargin
     }),
 
+    // Burstiness audit: the Fano factor (variance-to-mean ratio) of
+    // each event_type's hourly arrival counts — ≈1 for a Poisson
+    // process, ≫1 for bursty/bot traffic, the dispersion screen run
+    // before alerting thresholds are set. n, Σc, Σc² are exact integer
+    // sums (the assortativity device); sample variance, mean, and the
+    // ratio are mirrored double math on those exact inputs.
+    Q("ts_burstiness",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("event_type"), col("n_hours"),
+            (col("s1").cast("double") / col("n_hours")).as("mean_rate"),
+            (((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double") /
+              (col("n_hours") * (col("n_hours") - 1))) /
+              (col("s1").cast("double") / col("n_hours"))).as("fano"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, n_hours,
+             |  CAST(s1 AS DOUBLE) / n_hours AS mean_rate,
+             |  (CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+             |    / (n_hours * (n_hours - 1)))
+             |    / (CAST(s1 AS DOUBLE) / n_hours) AS fano
+             |FROM (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+             |  FROM (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+             |        FROM events GROUP BY 1, 2) hr
+             |  GROUP BY event_type) m
+             |ORDER BY event_type""".stripMargin)),
+
     // Seasonal-naive forecast backtest: predict each hour's event
     // count by the count 24 hours earlier (the no-skill baseline every
     // real forecast must beat) and score MAE / WAPE / bias per series.

@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_backtest_snaive", "llm_topic_balance", "agg_count_min",
       "agg_hll_union", "llm_shard_manifest", "llm_winnowing", "llm_domain_cap", "scan_corrupt_recovery",
       "ds_typed_joinwith", "agg_percentile_weighted", "stat_outlier_tukey",
-      "join_asof_nearest")
+      "join_asof_nearest",
+      "dedup_fuzzy_symspell", "ts_burstiness", "stat_skew_kurtosis")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
