@@ -302,6 +302,40 @@ object Scans {
              |UNION ALL SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n
              |ORDER BY kind""".stripMargin)),
 
+    // DYNAMIC partition overwrite — the incremental-reprocessing
+    // primitive (recompute ONE day/type and swap it in, leaving every
+    // other partition untouched): full partitioned write, then a
+    // second write containing only the reprocessed 'click' slice under
+    // partitionOverwriteMode=dynamic. STATIC mode would have truncated
+    // the whole table — the distinction this query pins. Read-back
+    // counts per partition prove the swap (click = filtered rows,
+    // everything else intact); conf restored in finally.
+    Q("scan_dynamic_overwrite",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dynover").toString
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        val prev = s.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          ev.filter(col("event_type") === "click" && col("value") > 0.5)
+            .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(tmp)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |WHERE event_type <> 'click' GROUP BY event_type
+             |UNION ALL
+             |SELECT 'click' AS event_type, COUNT(*) AS n FROM events
+             |WHERE event_type = 'click' AND value > 0.5
+             |ORDER BY event_type""".stripMargin)),
+
     // Corrupt-FILE recovery (`spark.sql.files.ignoreCorruptFiles`) —
     // the operational sibling of scan_json_corrupt's corrupt-RECORD
     // handling: at 100 TB some object-store file WILL be truncated,

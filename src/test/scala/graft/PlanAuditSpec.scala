@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_hll_union", "llm_shard_manifest", "llm_winnowing", "llm_domain_cap", "scan_corrupt_recovery",
       "ds_typed_joinwith", "agg_percentile_weighted", "stat_outlier_tukey",
       "join_asof_nearest",
-      "dedup_fuzzy_symspell", "ts_burstiness", "stat_skew_kurtosis")
+      "dedup_fuzzy_symspell", "ts_burstiness", "stat_skew_kurtosis",
+      "scan_dynamic_overwrite")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
