@@ -155,6 +155,38 @@ object PureProps extends Properties("graft") {
       merged.count(_ == "aa") == n / 2 && merged.count(_ == "a") == n % 2
     }
 
+  // --- SymSpell blocking recall (dedup_fuzzy_symspell) ---
+  // The operator's candidate stage keeps only pairs sharing a
+  // ≤2-deletion variant; its correctness rests on: lev(a,b) ≤ 2 ⟹
+  // a and b share such a variant (deletes cover insert/delete/
+  // substitute). Checked against a reference Levenshtein on random
+  // small-alphabet words (small alphabet ⇒ near-miss pairs are
+  // actually generated).
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+  private def delVariants(w: String): Set[String] = {
+    val d1 = (0 until w.length).map(i => w.take(i) + w.drop(i + 1)).toSet
+    val d2 = d1.flatMap(v => (0 until v.length).map(i => v.take(i) + v.drop(i + 1)))
+    d1 ++ d2 + w
+  }
+  private val smallWord: Gen[String] = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  property("SymSpell: lev <= 2 implies a shared <=2-delete variant") =
+    Prop.forAll(smallWord, smallWord) { (a, b) =>
+      lev(a, b) > 2 || delVariants(a).intersect(delVariants(b)).nonEmpty
+    }
+
   property("GeoMean merge is commutative") =
     Prop.forAll(Gen.listOf(Gen.choose(0.1, 100.0)),
       Gen.listOf(Gen.choose(0.1, 100.0))) { (xs, ys) =>
