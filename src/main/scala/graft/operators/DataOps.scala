@@ -134,6 +134,73 @@ object DataOps {
                 |ORDER BY doc_id, frame_idx""".stripMargin))
     }
 
+  /** Frame-level cross-video dedup — the video-curation stage after
+    * [[mmFrameSample]]'s sampling: hash each sampled frame's content
+    * and drop/flag frames appearing in ≥2 distinct media objects
+    * (intros, logo cards, black frames — the bulk of cross-video
+    * redundancy). Same stubbed-decoder convention as the rest of the
+    * mm family: "frame content" is the byte-range slice of the
+    * utf-8 stub payload (single-byte chars in the fixture, so char
+    * slicing == byte slicing; a real deployment hashes the decoded
+    * frame tensor in the same plan shape). Frame-hash-keyed
+    * distinct-doc aggregate — the llm_line_dedup shape, no pairwise
+    * stage, linear in sampled frames at any scale.
+    */
+  private val mmFrameDedup: Q = {
+    val FRAME = 100; val STRIDE = 4
+    Q("mm_frame_dedup",
+      (s, d) => {
+        val frames = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+          .withColumn("n_frames",
+            expr(s"greatest(1L, (n_bytes + ${FRAME - 1}) div $FRAME)"))
+          .withColumn("frame_idx",
+            explode(expr(s"sequence(0L, n_frames - 1, $STRIDE)")))
+          .withColumn("frame_bytes",
+            greatest(lit(0L), least(lit(FRAME.toLong),
+              col("n_bytes") - col("frame_idx") * FRAME)))
+          .filter(col("frame_bytes") > 0)
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr(s"substring(text, cast(frame_idx * $FRAME + 1 as int), $FRAME)"))
+              .as("fh"))
+        val shared = frames.groupBy("fh")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select(col("fh"))
+        frames.join(shared, Seq("fh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_frames"))
+          .join(frames.groupBy("doc_id").agg(count(lit(1)).as("n_sampled")),
+            Seq("doc_id"), "right")
+          .select(col("doc_id"), col("n_sampled"),
+            coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"))
+          .withColumn("dup_share",
+            col("n_dup_frames").cast("double") / col("n_sampled"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, text,
+              |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              |    CAST(GREATEST(1, (octet_length(encode(text)) + ${FRAME - 1}) // $FRAME) AS BIGINT) AS n_frames
+              |  FROM documents),
+              |frames AS (
+              |  SELECT doc_id, f AS frame_idx,
+              |    md5(substr(text, CAST(f * $FRAME + 1 AS INT), $FRAME)) AS fh
+              |  FROM b, unnest(generate_series(0, n_frames - 1, $STRIDE)) AS u(f)
+              |  WHERE GREATEST(0, LEAST($FRAME, n_bytes - f * $FRAME)) > 0),
+              |sh AS (SELECT fh FROM (
+              |  SELECT fh, COUNT(DISTINCT doc_id) AS nd FROM frames GROUP BY fh) q
+              |  WHERE nd >= 2),
+              |per AS (
+              |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              |    CAST(SUM(CASE WHEN sh.fh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_dup_frames
+              |  FROM frames f LEFT JOIN sh ON f.fh = sh.fh
+              |  GROUP BY f.doc_id)
+              |SELECT doc_id, n_sampled, n_dup_frames,
+              |  CAST(n_dup_frames AS DOUBLE) / n_sampled AS dup_share
+              |FROM per ORDER BY doc_id""".stripMargin))
+  }
+
   /** DuckDB CTE chain computing `hashed(doc_id, simhash)` — shared by
     * dedup_simhash and dedup_simhash_pairs.
     */
@@ -943,7 +1010,7 @@ object DataOps {
   }
 
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, mmFrameSample, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
+    Seq(mmBinaryFeatures, mmFrameSample, mmFrameDedup, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),

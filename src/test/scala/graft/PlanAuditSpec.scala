@@ -37,7 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ds_typed_joinwith", "agg_percentile_weighted", "stat_outlier_tukey",
       "join_asof_nearest",
       "dedup_fuzzy_symspell", "ts_burstiness", "stat_skew_kurtosis",
-      "scan_dynamic_overwrite")
+      "scan_dynamic_overwrite", "mm_frame_dedup")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
