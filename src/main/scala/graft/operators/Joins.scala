@@ -244,6 +244,62 @@ object Joins {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // Interval join with NO equi key — the case join_range_interval's
+    // order-key equi-join never hits, and the one a naive plan turns
+    // into a nested-loop cross product. The GRID-BUCKET device makes
+    // it an equi-join: time is cut into fixed 7-day cells, each
+    // interval EXPLODES into the cells it overlaps (≤2 here — the
+    // explosion factor is interval_len/grid + 1, the tuning dial),
+    // each point maps to its single cell, the join is a plain
+    // shuffle equi-join on the cell id, and the exact containment
+    // predicate verifies survivors. A point's cell is unique, so no
+    // pair dedup is needed. Promo-window semantics: ~1% of orders
+    // open a 7-day window; count lineitem shipments falling inside.
+    Q("join_interval_bucketed",
+      (s, d) => {
+        val GRID = 7
+        val day0 = lit("1970-01-01")
+        val windows = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+            expr("o_orderdate + INTERVAL 7 DAYS").as("w_end"))
+          .withColumn("cell", explode(sequence(
+            (datediff(col("w_start"), day0) / GRID).cast("long"),
+            (datediff(col("w_end"), day0) / GRID).cast("long"))))
+        val points = Tables.lineitem(s, d)
+          .select(col("l_shipdate"))
+          .withColumn("cell",
+            (datediff(col("l_shipdate"), day0) / GRID).cast("long"))
+        windows.join(points, Seq("cell"), "left")
+          .withColumn("hit",
+            when(col("l_shipdate").isNotNull &&
+              col("l_shipdate") >= col("w_start") &&
+              col("l_shipdate") <= col("w_end"), 1L).otherwise(0L))
+          .groupBy("o_orderkey")
+          .agg(sum("hit").as("n_shipments_in_window"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_orderdate AS w_start,
+             |    o_orderdate + INTERVAL 7 DAY AS w_end
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |wc AS (
+             |  SELECT o_orderkey, w_start, w_end, c AS cell
+             |  FROM w, unnest(generate_series(
+             |    CAST((w_start - DATE '1970-01-01') // 7 AS BIGINT),
+             |    CAST((CAST(w_end AS DATE) - DATE '1970-01-01') // 7 AS BIGINT))) t(c)),
+             |p AS (
+             |  SELECT l_shipdate,
+             |    CAST((l_shipdate - DATE '1970-01-01') // 7 AS BIGINT) AS cell
+             |  FROM lineitem)
+             |SELECT wc.o_orderkey,
+             |  CAST(SUM(CASE WHEN p.l_shipdate IS NOT NULL
+             |    AND p.l_shipdate >= wc.w_start
+             |    AND p.l_shipdate <= wc.w_end THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shipments_in_window
+             |FROM wc LEFT JOIN p USING (cell)
+             |GROUP BY wc.o_orderkey ORDER BY wc.o_orderkey""".stripMargin)),
+
     // NEAREST-in-time as-of (both directions, ties → earlier): each
     // event matched to its user's closest purchase event, the feature-
     // store variant backward-only as-of can't express. Two window
