@@ -28,20 +28,46 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with the parquet ns-timestamp normalized to a proper µs
-    * TimestampType column `ts` (FIXTURES.md: Spark 4 refuses
-    * TIMESTAMP(NANOS) by default). `ts div 1000` is integer division on
-    * longs — exact truncation, matching DuckDB's native ns→µs read.
+  /** Normalizes an events scan's `ts` to a µs TimestampType column,
+    * whatever physical type the fixture stores:
+    *  - TIMESTAMP(NANOS) read as `bigint` ns under `nanosAsLong`
+    *    (pre-round-9 fixtures): `ts div 1000` — exact integer
+    *    truncation, matching DuckDB's native ns→µs read;
+    *  - TIMESTAMP_NTZ µs (round-9+ fixtures): cast to TimestampType —
+    *    value-preserving because the session timezone is pinned UTC;
+    *  - already TimestampType: pass through.
+    * Being schema-adaptive here (one place) keeps every events query
+    * fixture-version-agnostic.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** `events` with `ts` normalized to a proper µs TimestampType column
+    * (FIXTURES.md: Spark 4 refuses TIMESTAMP(NANOS) by default, hence
+    * the `nanosAsLong` escape hatch, harmless for µs fixtures).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(table(s, d, "events"))
   }
 
-  /** `events` with `ts` kept as raw nanosecond epoch longs. */
+  /** `events` with `ts` as raw nanosecond epoch longs. For a µs-typed
+    * fixture the ns value is derived (×1000, zero sub-µs digits) so
+    * callers keep a stable BIGINT contract across fixture versions.
+    */
   def eventsRawNanos(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => normalizeEventsTs(raw)
+        .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    }
   }
 }

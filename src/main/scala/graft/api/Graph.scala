@@ -154,8 +154,11 @@ object Graph {
     * is bit-deterministic but materializes each group's entire
     * neighborhood in ONE row; on a power-law graph a hub's in-edge
     * list is unbounded. Here values are folded inside fixed-size
-    * chunks (chunk membership = order rank div `chunk` — a total
-    * order, so chunking is itself deterministic), then the chunk
+    * chunks (chunk membership = order rank div `chunk`; the rank
+    * breaks `ord` ties by the value column, so chunking is
+    * deterministic even when `ord` is not unique within a key — rows
+    * tying on BOTH (ord, value) are interchangeable equal summands,
+    * which cannot change any partial), then the chunk
     * partials are folded in chunk order: the same summation tree on
     * both engines ⇒ identical IEEE result, while per-row state is
     * bounded by max(chunk, ceil(degree/chunk)) — √degree at the
@@ -170,7 +173,7 @@ object Graph {
     require(chunk > 0)
     df.select(col(key), col(ord).as("__o"), col(value).as("__c"))
       .withColumn("__chunk",
-        expr(s"(row_number() OVER (PARTITION BY `$key` ORDER BY __o) - 1) div $chunk"))
+        expr(s"(row_number() OVER (PARTITION BY `$key` ORDER BY __o, __c) - 1) div $chunk"))
       .groupBy(col(key), col("__chunk"))
       .agg(aggregate(
         sort_array(collect_list(struct(col("__o"), col("__c")))),

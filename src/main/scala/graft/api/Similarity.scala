@@ -402,20 +402,24 @@ object Similarity {
     val base = prepare(embs, idCol, vecCol)
       .select(col(idCol), col("__v"), col("__nrm"))
     val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
-    // probes ≥ 2 closes the boundary-miss recall gap (the documented
-    // approximation): the CANDIDATE side fans out to its `probes`
-    // nearest cells while the index side stays in its one home cell —
-    // a (a,b) pair can therefore match at most once, and probes=1 is
-    // exactly the home-cell-only shape. Cost multiplies the pairwise
-    // term by ≤probes (reusing probeCells, the IVF device); the
-    // declared llm_semdedup query stays probes=1 — the dial is the
-    // library surface, measured in AnnStressProbe's semdedup sweep.
+    // probes ≥ 2 narrows the boundary-miss recall gap (the documented
+    // approximation): BOTH join sides fan out to their `probes` nearest
+    // cells (reusing probeCells, the IVF device), so a boundary pair
+    // (x,y) is recovered when EITHER vector probes a cell containing
+    // the other — the one-directional variant (candidate side only)
+    // still missed pairs where only the smaller id probed the larger's
+    // home cell. A pair can now match in up to `probes` shared cells;
+    // the min/max aggregate below absorbs the duplicates, and probes=1
+    // degenerates to exactly the home-cell-only shape. Cost multiplies
+    // the pairwise term by ≤probes² in the worst case; the declared
+    // llm_semdedup query stays probes=1 — the dial is the library
+    // surface, measured in AnnStressProbe's semdedup sweep.
     val candSide =
       if (probes <= 1) assigned
       else probeCells(base, codebook, probes)
         .select(col(idCol), col("__v"), col("__nrm"),
           explode(col("__probe_cells")).as("cell"))
-    val dups = candSide.as("a").join(assigned.as("b"),
+    val dups = candSide.as("a").join(candSide.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol"))
       .select(col(s"a.$idCol").as("__id"), col(s"b.$idCol").as("__nbr"),

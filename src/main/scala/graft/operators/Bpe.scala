@@ -149,11 +149,12 @@ object Bpe {
        |  ORDER BY n DESC, a, b LIMIT 1),
        |w$r AS MATERIALIZED (
        |  SELECT word, freq,
-       |    list_reduce(string_split(w.toks, ' '), (acc, x) -> CASE
-       |      WHEN string_split(acc, ' ')[-1] = br.a AND x = br.b
-       |      THEN substr(acc, 1, length(acc) - length(br.a)) || br.a || br.b
-       |      ELSE acc || ' ' || x END) AS toks
-       |  FROM $prev w, b$r br),
+       |    CASE WHEN br.a IS NULL THEN w.toks ELSE
+       |      list_reduce(string_split(w.toks, ' '), (acc, x) -> CASE
+       |        WHEN string_split(acc, ' ')[-1] = br.a AND x = br.b
+       |        THEN substr(acc, 1, length(acc) - length(br.a)) || br.a || br.b
+       |        ELSE acc || ' ' || x END) END AS toks
+       |  FROM $prev w LEFT JOIN b$r br ON TRUE),
        |s$r AS (
        |  SELECT
        |    (SELECT COUNT(DISTINCT x) FROM

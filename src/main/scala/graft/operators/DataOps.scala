@@ -140,9 +140,14 @@ object DataOps {
     * (intros, logo cards, black frames — the bulk of cross-video
     * redundancy). Same stubbed-decoder convention as the rest of the
     * mm family: "frame content" is the byte-range slice of the
-    * utf-8 stub payload (single-byte chars in the fixture, so char
-    * slicing == byte slicing; a real deployment hashes the decoded
-    * frame tensor in the same plan shape). Frame-hash-keyed
+    * utf-8 stub payload. The slice is CHAR-based while the frame
+    * accounting is BYTE-based — consistent only while every char is
+    * single-byte (true of the fixture, and DuckDB cannot slice BLOBs,
+    * so byte-true slicing has no oracle-expressible form); an
+    * assert_true guard makes that assumption fail loudly per-row
+    * instead of silently drifting if the corpus ever gains multi-byte
+    * text (a real deployment hashes the decoded frame tensor in the
+    * same plan shape anyway). Frame-hash-keyed
     * distinct-doc aggregate — the llm_line_dedup shape, no pairwise
     * stage, linear in sampled frames at any scale.
     */
@@ -153,6 +158,14 @@ object DataOps {
         val frames = Tables.documents(s, d)
           .select(col("doc_id"), col("text"),
             length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+          // single-byte contract gate: char-based substring below only
+          // equals the byte accounting when n_chars == n_bytes.
+          // assert_true returns NULL on success (filter keeps the row)
+          // and THROWS on the first violating row — un-prunable, so the
+          // assumption can never silently rot.
+          .filter(assert_true(length(col("text")).cast("long") === col("n_bytes"),
+            lit("mm_frame_dedup: multi-byte text violates the " +
+              "char-slice==byte-slice fixture contract")).isNull)
           .withColumn("n_frames",
             expr(s"greatest(1L, (n_bytes + ${FRAME - 1}) div $FRAME)"))
           .withColumn("frame_idx",

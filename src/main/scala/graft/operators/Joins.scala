@@ -286,11 +286,11 @@ object Joins {
              |wc AS (
              |  SELECT o_orderkey, w_start, w_end, c AS cell
              |  FROM w, unnest(generate_series(
-             |    CAST((w_start - DATE '1970-01-01') // 7 AS BIGINT),
-             |    CAST((CAST(w_end AS DATE) - DATE '1970-01-01') // 7 AS BIGINT))) t(c)),
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(w_start AS DATE)) // 7 AS BIGINT),
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(w_end AS DATE)) // 7 AS BIGINT))) t(c)),
              |p AS (
              |  SELECT l_shipdate,
-             |    CAST((l_shipdate - DATE '1970-01-01') // 7 AS BIGINT) AS cell
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS cell
              |  FROM lineitem)
              |SELECT wc.o_orderkey,
              |  CAST(SUM(CASE WHEN p.l_shipdate IS NOT NULL

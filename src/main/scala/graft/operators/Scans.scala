@@ -325,9 +325,16 @@ object Scans {
           ev.filter(col("event_type") === "click" && col("value") > 0.5)
             .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
         finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        s.read.parquet(tmp)
+        // localCheckpoint materializes the (tiny) per-partition counts
+        // so the staging dir can be deleted eagerly — repeated harness
+        // runs would otherwise accumulate a full events copy per call
+        val out = s.read.parquet(tmp)
           .groupBy("event_type").agg(count(lit(1)).as("n"))
           .orderBy("event_type")
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        out
       },
       Some("""SELECT event_type, COUNT(*) AS n FROM events
              |WHERE event_type <> 'click' GROUP BY event_type

@@ -63,7 +63,13 @@ object StreamProbe {
     if (!dest.exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-      val b = spark.read.parquet(s"$base/events.parquet")
+      // jitter below is ns-long arithmetic; normalize a µs-typed
+      // fixture to ns longs first (eventsStream adapts either way)
+      val raw = spark.read.parquet(s"$base/events.parquet")
+      val b =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) raw
+        else graft.Tables.normalizeEventsTs(raw)
+          .withColumn("ts", expr("unix_micros(ts) * 1000L"))
       val n = b.count()
       val reps = b.crossJoin(spark.range(1, x).toDF("r"))
         .select(

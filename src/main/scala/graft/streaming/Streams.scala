@@ -68,10 +68,8 @@ object Streams {
     */
   @volatile var lastProgressHook: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit = null
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // ts physical type varies by fixture version (ns-long vs µs NTZ);
+  // eventsStream infers it from the staged file via a batch read.
 
   /** The file stream source requires a DIRECTORY of files; stage the
     * events fixture into a per-sfDir temp dir once (idempotent copy) —
@@ -115,11 +113,17 @@ object Streams {
     })
   }
 
-  /** events as a streaming source with ts normalized ns→µs timestamp. */
+  /** events as a streaming source with ts normalized to a µs timestamp.
+    * The file stream source needs a static schema upfront, so the
+    * actual physical schema is inferred with a one-footer batch read of
+    * the staged copy; Tables.normalizeEventsTs then adapts ts whatever
+    * that schema says (ns-long or µs NTZ fixture).
+    */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema).parquet(stageEventsDir(d))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageEventsDir(d)
+    val physical = s.read.parquet(dir).schema
+    graft.Tables.normalizeEventsTs(s.readStream.schema(physical).parquet(dir))
   }
 
   private val documentsSchema = StructType(Seq(

@@ -105,16 +105,13 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val agg = spark.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val schema = spark.read.parquet(dir.toString).schema
+      val agg = Tables.normalizeEventsTs(
+          spark.readStream.schema(schema).parquet(dir.toString))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
