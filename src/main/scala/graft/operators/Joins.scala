@@ -454,6 +454,62 @@ object Joins {
              |  CAST(SUM(COALESCE(n.bal, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
              |    AS new_bal_total
              |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
-             |GROUP BY 1 ORDER BY action""".stripMargin))
+             |GROUP BY 1 ORDER BY action""".stripMargin)),
+
+    // Bucketed CO-LOCATED fact-fact join — the zero-shuffle layout for
+    // a join that repeats every day at 100 TB: both tables are written
+    // ONCE as bucketed+sorted parquet on the join key (8 buckets here;
+    // a real deployment sizes thousands at write time), after which
+    // every lineitem⋈orders join reads bucket i against bucket i with
+    // NO Exchange and NO Sort on either side — the shuffle was paid
+    // once at layout time instead of once per query. PlanSpec asserts
+    // the executed plan: SortMergeJoin with zero ShuffleExchange below
+    // it. MERGE hints pin SMJ so the assertion never silently degrades
+    // to a broadcast plan at fixture scale. The artifact lives in a
+    // per-JVM tmp database (the dedup_index_incremental convention —
+    // fixed paths collide across JVMs), memoized per fixture
+    // fingerprint so repeated harness runs pay the layout once.
+    Q("join_bucketed_colocated",
+      (s, d) => {
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        // table-identifier-safe key: dots (sf0.01) are NOT allowed in
+        // table names, unlike the path-keyed staging dirs elsewhere
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        bktTables.computeIfAbsent(key, _ => {
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION " +
+            s"'$bktLocation'")
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount"))
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(s"graft_bkt.lineitem_$key")
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(s"graft_bkt.orders_$key")
+          key
+        })
+        val li = s.table(s"graft_bkt.lineitem_$key")
+        val ord = s.table(s"graft_bkt.orders_$key")
+        li.hint("MERGE")
+          .join(ord.hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            dsumExact(revenueDec(col("l_extendedprice"), col("l_discount")))
+              .as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+              |${SQL_DSUM_EXACT(SQL_REV_DEC)} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
+
+  /** Per-JVM home for join_bucketed_colocated's bucketed tables. */
+  private lazy val bktLocation =
+    java.nio.file.Files.createTempDirectory("graft_bkt").toString
+  private val bktTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -652,7 +652,57 @@ object Pipeline {
               |SELECT doc_id, source, n_copies, CAST(copy AS BIGINT) AS copy
               |FROM docs, unnest(generate_series(1, n_copies)) AS t(copy)
               |WHERE n_copies > 0
-              |ORDER BY doc_id, copy""".stripMargin))
+              |ORDER BY doc_id, copy""".stripMargin)),
+
+    // Small-file compaction PLANNER — the table-maintenance staple at
+    // 100 TB (a day of streaming ingest leaves thousands of KB-scale
+    // files per partition; readers then pay one task + one open per
+    // file). The current layout is modeled as one file per
+    // (event_type, day) with exact integer byte sizes (fixed-width
+    // columns + measured string bytes); the plan assigns files to
+    // target-sized output bins by the streaming next-fit rule:
+    // bin = (bytes-before-this-file) div target, one prefix-sum window
+    // per partition — O(files log files) for the sort, no pairwise
+    // packing stage, embarrassingly parallel across partitions. Bins
+    // can overshoot by at most one file (the bounded greedy guarantee);
+    // n_files/total_bytes per bin are exact integers.
+    Q("export_compaction_plan", {
+      val TARGET = 64L * 1024
+      (s, d) => {
+        val files = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(lit(44L) + length(col("event_type")).cast("long") +
+              length(col("props")).cast("long")).as("bytes"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files
+          .withColumn("cum", sum("bytes").over(w))
+          .withColumn("bin", expr(s"(cum - bytes) div $TARGET"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+            sum("bytes").as("total_bytes"),
+            min("day").as("first_day"), max("day").as("last_day"))
+          .orderBy("event_type", "bin")
+      }
+    },
+      Some(s"""WITH files AS (
+              |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              |    COUNT(*) AS n_rows,
+              |    CAST(SUM(44 + length(event_type) + length(props)) AS BIGINT) AS bytes
+              |  FROM events GROUP BY 1, 2),
+              |planned AS (
+              |  SELECT event_type, day, n_rows, bytes,
+              |    (SUM(bytes) OVER (PARTITION BY event_type ORDER BY day
+              |       ROWS UNBOUNDED PRECEDING) - bytes) // ${64L * 1024} AS bin
+              |  FROM files)
+              |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+              |  COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+              |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+              |  MIN(day) AS first_day, MAX(day) AS last_day
+              |FROM planned GROUP BY event_type, bin
+              |ORDER BY event_type, bin""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

@@ -441,6 +441,74 @@ object Scans {
              |COUNT(DISTINCT $c) AS ndv FROM lineitem""".stripMargin
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
-      })
+      }),
+
+    // Declarative data-quality rule report (the Deequ/Great-Expectations
+    // shape): each rule is (rule_id, n_checked, n_violations, pass) and
+    // the report is ONE row per rule — completeness (null fraction),
+    // domain (range / enum), uniqueness (duplicate key count), and
+    // referential integrity (orphan foreign keys). Scale shape: every
+    // rule is a single linear aggregate over its table; uniqueness is
+    // one hash aggregate on the key; the referential probe is an
+    // anti-join against a broadcastable key set — none of them a second
+    // pass over the fact table once Spark shares the scan. At 100 TB
+    // this is the pre-ingest gate that runs BEFORE a corpus lands in
+    // the training mix; pass/fail is exact-integer, no flaky sampling.
+    Q("dq_rule_report",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        def rule(id: String, checked: org.apache.spark.sql.DataFrame,
+            viol: org.apache.spark.sql.Column) =
+          checked.agg(count(lit(1)).as("n_checked"),
+              sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(id).as("rule_id"), col("n_checked"),
+              col("n_violations"), (col("n_violations") === 0L).as("pass"))
+        val completeness =
+          rule("lineitem.l_quantity.not_null", li, col("l_quantity").isNull)
+        val range = rule("lineitem.l_discount.range_0_0.1", li,
+          col("l_discount") < 0.0 || col("l_discount") > 0.1)
+        val domain = rule("orders.o_orderstatus.enum", ord,
+          !col("o_orderstatus").isin("F", "O", "P"))
+        val unique = rule("lineitem.pk.unique",
+          li.groupBy("l_orderkey", "l_linenumber")
+            .agg(count(lit(1)).as("__n")),
+          col("__n") > 1L)
+        val referential = rule("lineitem.l_orderkey.ref_orders",
+          li.select(col("l_orderkey"))
+            .join(ord.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left")
+            .select(col("o_orderkey").isNull.as("__orphan")),
+          col("__orphan"))
+        Seq(completeness, range, domain, unique, referential)
+          .reduce(_.unionByName(_)).orderBy("rule_id")
+      },
+      Some("""SELECT 'lineitem.l_quantity.not_null' AS rule_id,
+             |  COUNT(*) AS n_checked,
+             |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem.l_discount.range_0_0.1', COUNT(*),
+             |  CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders.o_orderstatus.enum', COUNT(*),
+             |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+             |  SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
+             |FROM orders
+             |UNION ALL
+             |SELECT 'lineitem.pk.unique', COUNT(*),
+             |  CAST(SUM(CASE WHEN __n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  SUM(CASE WHEN __n > 1 THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT COUNT(*) AS __n FROM lineitem
+             |      GROUP BY l_orderkey, l_linenumber) g
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey.ref_orders', COUNT(*),
+             |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |ORDER BY rule_id""".stripMargin))
   )
 }

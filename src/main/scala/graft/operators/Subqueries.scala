@@ -139,6 +139,20 @@ object Subqueries {
       Some("""SELECT event_id,
              |CAST(count(*) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
              |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // GROUP BY ALL (Spark 3.4+ / DuckDB): every non-aggregate select
+    // item becomes a grouping key — the analyst-ergonomics surface that
+    // removes the classic copy-the-select-list-into-group-by failure
+    // mode. Same text both engines; the physical plan is the ordinary
+    // hash aggregate, so nothing changes at scale. Decimal-domain money
+    // per §7.4.
+    sqlQ("sql_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
   )
 }

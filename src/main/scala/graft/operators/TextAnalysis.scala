@@ -664,6 +664,69 @@ object TextAnalysis {
              |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
              |      AS n_syllables
              |  FROM documents) t
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Zipf's-law fit of the corpus vocabulary: OLS of ln(freq) on
+    // ln(rank) over the top-512 word ranks — the standard corpus-health
+    // check (natural text slopes ≈ −1; a synthetic or boilerplate-heavy
+    // corpus bends the curve). Rank selection is a distributed top-k
+    // (orderBy+limit → TakeOrdered, per-partition heaps + one k-row
+    // merge, NEVER a global sort), so the only vocabulary-proportional
+    // work is the word histogram itself; the 512-row regression tail is
+    // constant. The unpartitioned rank window runs AFTER the limit — a
+    // single task over 512 rows, not the single-partition-sort trap.
+    // Determinism: rank ties broken by word; the five regression sums
+    // run over ≤512 doubles and land behind ROUND(…,4), far beyond any
+    // merge-order drift (the stat_entropy argument); ln is mirrored
+    // textually per the global ln/log rule.
+    Q("llm_zipf_fit", {
+      val K = 512
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(TextUdfs.tokenizeCol(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val ranked = counts
+          .orderBy(col("n").desc, col("w")).limit(K)
+          .withColumn("r", row_number()
+            .over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
+          .select(expr("ln(cast(r as double))").as("x"),
+            expr("ln(cast(n as double))").as("y"))
+        ranked
+          .agg(count(lit(1)).cast("double").as("k"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("k").cast("long").as("n_ranks"),
+            round((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+            round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("k"), 4).as("intercept"),
+            round(((col("k") * col("sxy") - col("sx") * col("sy")) *
+              (col("k") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("k") * col("sxx") - col("sx") * col("sx")) *
+                (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+      }
+    },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT w, COUNT(*) AS n FROM w WHERE w <> '' GROUP BY w),
+             |top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 512),
+             |r AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS DOUBLE)) AS x,
+             |             ln(CAST(n AS DOUBLE)) AS y FROM top),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+             |  FROM r)
+             |SELECT CAST(k AS BIGINT) AS n_ranks,
+             |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+             |  ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+             |    AS intercept,
+             |  ROUND(((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+             |    ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+             |FROM m""".stripMargin))
   )
 }

@@ -158,6 +158,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed_colocated joins bucket-to-bucket with no shuffle") {
+    // The whole point of the bucketed layout: the SMJ must sit directly
+    // on the bucketed scans — zero ShuffleExchange anywhere below the
+    // join (the post-join groupBy is allowed its one exchange, which in
+    // the full plan string appears ABOVE the SortMergeJoin line).
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+    val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"shuffle below the bucketed join:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan not bucket-aware:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
