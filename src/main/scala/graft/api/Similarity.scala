@@ -533,4 +533,63 @@ object Similarity {
       .filter(col("rn") <= topK)
       .withColumnRenamed("__id_a", idCol)
   }
+
+  /** Persist the trained IVF index as a BUCKETED postings table — the
+    * serving artifact of the IVF family (the ANN twin of
+    * [[graft.api.Dedup.writeBandIndex]]): one row per corpus vector
+    * (id, cell, normalized v, norm), bucketed+sorted by `cell`, so
+    * every later query batch joins bucket-to-bucket with NO Exchange on
+    * the corpus side. The 5-round training happens here ONCE; the
+    * returned codebook is the model-sized routing table query batches
+    * need (persist it separately or recompute from the memo — it is
+    * k×dim doubles, parameter-sized by construction).
+    */
+  def writeIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+      table: String, k: Int = 16, iters: Int = 5,
+      buckets: Int = 8): Array[Array[Double]] = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val base = prepare(embs, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+      .select(col(idCol), col("cell"), col("__v").as("v"),
+        col("__nrm").as("nrm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    codebook
+  }
+
+  /** Top-k cosine neighbors of a QUERY BATCH against the persisted
+    * postings table from [[writeIvfIndex]]. The batch fans out to its
+    * `probes` nearest cells via the codebook (per-row expression work);
+    * the corpus side is the bucketed artifact, read straight into the
+    * cell equi-join — the only Exchanges in the plan are on the
+    * batch/probe side, never the corpus side (AnnIndexSpec asserts
+    * this), which is what makes serving O(batch·probes·cell) at any
+    * corpus size. Postings columns are aliased `pb_*` so plan audits
+    * can tell the sides apart.
+    */
+  def ivfQueryIndexed(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, codebook: Array[Array[Double]],
+      topK: Int = 2, probes: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    val base = prepare(batch, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    val qs = probeCells(base, codebook, probes)
+      .select(col(idCol), col("__v"), col("__nrm"),
+        explode(col("__probe_cells")).as("cell"))
+    val postings = s.table(table)
+      .select(col(idCol).as("pb_id"), col("cell").as("pb_cell"),
+        col("v").as("pb_v"), col("nrm").as("pb_nrm"))
+    val w = Window.partitionBy("__id_a")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    qs.as("a").join(postings,
+        col("a.cell") === col("pb_cell") && col(s"a.$idCol") =!= col("pb_id"))
+      .select(col(s"a.$idCol").as("__id_a"), col("pb_cell").as("cell"),
+        col("pb_id").as("nbr_id"),
+        expr("cosine_sim(a.__v, pb_v)").as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
 }

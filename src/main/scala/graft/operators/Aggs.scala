@@ -1131,6 +1131,66 @@ object Aggs {
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
              |    / 100.0 AS total_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Exact heavy hitters by the two-pass sketch-then-verify pattern:
+    // pass 1 runs MISRA-GRIES (k=64 counters) INSIDE each partition —
+    // genuine per-partition imperative state, the sanctioned
+    // mapPartitions case — emitting a tiny candidate set; pass 2
+    // exact-counts ONLY candidates (broadcast semi-join) and keeps
+    // words with count·k > total. Correct by the MG guarantee plus
+    // pigeonhole: a word with global share > 1/k must exceed the 1/k
+    // share in at least one partition, where MG (error ≤ m_p/(k+1))
+    // cannot evict it — so the candidate set is a SUPERSET of the true
+    // hitters and the exact verify makes the output independent of the
+    // sketch. At 100 TB this replaces a full-vocabulary shuffle with
+    // O(partitions·k) candidate rows + one semi-joined count; the
+    // oracle is the plain exact histogram + HAVING, which is the whole
+    // point — sketch path ≡ exact path, enforced by the gate.
+    Q("agg_heavy_hitters", {
+      val K = 64
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select(explode(graft.functions.TextUdfs
+            .tokenizeCol(col("text"))).as("w"))
+          .filter(col("w") =!= "").as[String]
+        val candidates = words.mapPartitions { it =>
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { w =>
+            counts.get(w) match {
+              case Some(c) => counts(w) = c + 1
+              case None if counts.size < K => counts(w) = 1L
+              case None =>
+                val dead = List.newBuilder[String]
+                counts.foreach { case (cw, c) =>
+                  if (c == 1L) dead += cw else counts(cw) = c - 1
+                }
+                dead.result().foreach(counts.remove)
+            }
+          }
+          counts.keysIterator
+        }.distinct().toDF("w")
+        val total = words.groupBy().agg(count(lit(1)).as("total"))
+        words.toDF("w")
+          .join(broadcast(candidates), Seq("w"), "left_semi")
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .filter(col("n") * K > col("total"))
+          .select(col("w").as("word"), col("n").as("n_occurrences"),
+            col("total").as("n_tokens"))
+          .orderBy(col("n_occurrences").desc, col("word"))
+      }
+    },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(lower(regexp_replace(text, '[^a-z ]', '', 'g')), ' ')) AS w
+             |  FROM documents),
+             |wf AS (SELECT w FROM w WHERE w <> ''),
+             |t AS (SELECT COUNT(*) AS total FROM wf)
+             |SELECT w AS word, COUNT(*) AS n_occurrences,
+             |  (SELECT total FROM t) AS n_tokens
+             |FROM wf GROUP BY w
+             |HAVING COUNT(*) * 64 > (SELECT total FROM t)
+             |ORDER BY n_occurrences DESC, word""".stripMargin))
   )
 }

@@ -1032,7 +1032,8 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery)
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery,
+      annIndexPersistedQuery)
 
   /** Topic-balance audit: k-means topic cells over the embeddings
     * (SHARED memoized codebook — the ann_ivf_* training runs once per
@@ -1100,5 +1101,58 @@ object DataOps {
          |SELECT e.cell, e.n_docs, e.n_sources, e.entropy_bits, tp.top_source
          |FROM e JOIN tp USING (cell) ORDER BY cell""".stripMargin
     Q("llm_topic_balance", fn, Some(sql))
+  }
+
+  /** Per-JVM home + per-fixture memo for ann_index_persisted's bucketed
+    * postings artifact (the dedup_index_incremental convention).
+    */
+  private lazy val annIdxLocation =
+    java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+  private val annIdxCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** The SERVED IVF path: train + persist the index ONCE
+    * ([[graft.api.Similarity.writeIvfIndex]] — bucketed postings,
+    * exactly the Dedup band-index convention), then answer a query
+    * BATCH (vec_id % 97 — a fresh-arrivals stand-in) against the
+    * artifact with no corpus-side Exchange and no retraining
+    * ([[graft.api.Similarity.ivfQueryIndexed]]; AnnIndexSpec asserts
+    * the plan). Logically identical to ann_ivf_multiprobe restricted to
+    * the batch — which is what the oracle expresses — so the gate pins
+    * artifact-served ≡ freshly-computed.
+    */
+  private def annIndexPersistedQuery: Q = {
+    val K = 16; val ITERS = 5; val TOPK = 2; val PROBES = 2
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val table = s"graft_ann_idx.ivf_$key"
+      val codebook = annIdxCodebooks.computeIfAbsent(key, _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        graft.api.Similarity.writeIvfIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding", table, K, ITERS)
+      })
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0)
+      graft.api.Similarity
+        .ivfQueryIndexed(batch, "vec_id", "embedding", table, codebook,
+          TOPK, PROBES)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rn").cast("long").as("rn"), col("nbr_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_id", "rn")
+    }
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |${kmAssign(s"cb$ITERS", "aprobe", PROBES)}
+         |SELECT vec_id, cell, rn, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, b.cell, b.vec_id AS nbr_id,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+         |  FROM aprobe a JOIN afinal b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_index_persisted", fn, Some(sql))
   }
 }

@@ -375,7 +375,77 @@ object Graphs {
     Q("graph_kcore", fn, Some(sql))
   }
 
+  /** Adamic-Adar link prediction over the co-activity graph: for every
+    * candidate pair (the existing u<v edge set stands in for the
+    * candidate generator), count common neighbors and score
+    * AA = Σ_w 1/ln(deg(w)) — the classic "rare shared friends matter
+    * more" weighting; top-20 pairs reported. Every common neighbor w is
+    * adjacent to both endpoints, so deg(w) ≥ 2 and ln never hits zero.
+    *
+    * Scale shape: two equi-joins of the pair list against the adjacency
+    * list (cell-capped, so neighborhoods are bounded), one degree
+    * aggregate, and the AA sum through the HUB-SAFE two-level
+    * [[graft.api.Graph.orderedChunkedSum]] fold (same device as
+    * PageRank — identical summation tree both engines, per-row state
+    * bounded by chunk size, not neighborhood size). Final ranking
+    * compares bit-identical doubles with a (u, v) tie-break.
+    */
+  private def adamicAdarQuery: Q = {
+    val CHUNK = 8
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val p = pairs(s, d)
+      val cn = p
+        .join(e.select(col("u").as("pu"), col("v").as("w")),
+          col("u") === col("pu"))
+        .join(e.select(col("u").as("pv"), col("v").as("w2")),
+          col("v") === col("pv") && col("w") === col("w2"))
+        .select(col("u"), col("v"), col("w"))
+      val scored = cn
+        .join(deg.select(col("u").as("w"), col("deg")), Seq("w"))
+        .withColumn("x", lit(1.0) / log(col("deg").cast("double")))
+        .withColumn("pk", concat_ws("_", col("u"), col("v")))
+      val aa = graft.api.Graph.orderedChunkedSum(
+        scored.select(col("pk"), col("w"), col("x")),
+        "pk", "w", "x", "aa", CHUNK)
+      cn.groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+        .withColumn("pk", concat_ws("_", col("u"), col("v")))
+        .join(aa, Seq("pk"))
+        .select(col("u"), col("v"), col("n_common"), col("aa"))
+        .orderBy(col("aa").desc, col("u"), col("v"))
+        .limit(20)
+    }
+    // mirrors orderedChunkedSum (w is unique per pair, so ORDER BY w is
+    // the same total order the Spark rank uses)
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY u),
+         |cn AS (
+         |  SELECT p.u, p.v, ea.v AS w
+         |  FROM e0 p
+         |  JOIN edges ea ON ea.u = p.u
+         |  JOIN edges eb ON eb.u = p.v AND eb.v = ea.v),
+         |sc AS (
+         |  SELECT cn.u, cn.v, cn.w, 1e0 / ln(CAST(deg.deg AS DOUBLE)) AS x,
+         |    (ROW_NUMBER() OVER (PARTITION BY cn.u, cn.v ORDER BY cn.w) - 1)
+         |      // $CHUNK AS chunk
+         |  FROM cn JOIN deg ON cn.w = deg.u),
+         |l1 AS (
+         |  SELECT u, v, chunk, list_sum(list(x ORDER BY w)) AS partial
+         |  FROM sc GROUP BY u, v, chunk),
+         |l2 AS (
+         |  SELECT u, v, list_sum(list(partial ORDER BY chunk)) AS aa
+         |  FROM l1 GROUP BY u, v),
+         |cnt AS (SELECT u, v, COUNT(*) AS n_common FROM cn GROUP BY u, v)
+         |SELECT cnt.u, cnt.v, cnt.n_common, l2.aa
+         |FROM cnt JOIN l2 USING (u, v)
+         |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin
+    Q("graph_adamic_adar", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
-      hopDistanceQuery, kcoreQuery)
+      hopDistanceQuery, kcoreQuery, adamicAdarQuery)
 }

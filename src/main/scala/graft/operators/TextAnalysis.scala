@@ -266,6 +266,83 @@ object TextAnalysis {
               |FROM bg JOIN lm USING (lang, bigram)
               |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    // smoothing every n-gram LM toolkit defaults to) — the principled
+    // upgrade of llm_perplexity_proxy's raw MLE: probability mass D=0.75
+    // is discounted from every seen bigram and redistributed through
+    // the CONTINUATION unigram (how many distinct left-contexts a word
+    // follows — the "San Francisco" insight: 'francisco' is frequent
+    // but predictable, so its continuation mass is tiny). Per-doc
+    // avg -log2 P over seen bigrams; every model term (c, c(w1·),
+    // N1+(w1·), N1+(·w2), type count T) is an exact integer per lang,
+    // so P is mirrored pure-double math; the per-doc AVG has ≤~90 terms
+    // behind ROUND(…,4) (the proxy's argument).
+    //
+    // Scale shape: one corpus-linear bigram explode; every model table
+    // is vocab- or vocab²-bounded (the proxy precedent) and the scoring
+    // join is bigram-keyed — no quadratic or driver-side stage.
+    Q("llm_kn_perplexity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextUdfs.tokenizeCol(col("text")).as("t"))
+        val bigrams = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("bigram"))
+        val c2 = bigrams.groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w1", element_at(split(col("bigram"), " ", -1), 1))
+          .withColumn("w2", element_at(split(col("bigram"), " ", -1), 2))
+        val left = c2.groupBy("lang", "w1")
+          .agg(sum("n").as("ctot"), count(lit(1)).as("n1f"))
+        val cont = c2.groupBy("lang", "w2")
+          .agg(count(lit(1)).as("ncont"))
+        val types = c2.groupBy("lang").agg(count(lit(1)).as("tt"))
+        val lm = c2
+          .join(left, Seq("lang", "w1"))
+          .join(cont, Seq("lang", "w2"))
+          .join(types, Seq("lang"))
+          .select(col("lang"), col("bigram"),
+            ((col("n").cast("double") - lit(0.75)) / col("ctot").cast("double")
+              + lit(0.75) * col("n1f").cast("double") / col("ctot").cast("double")
+                * (col("ncont").cast("double") / col("tt").cast("double")))
+              .as("p"))
+        bigrams.join(lm, Seq("lang", "bigram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log2(col("p"))), 4).as("avg_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKENIZE AS t FROM documents),
+              |bg AS (
+              |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 1),
+              |    i -> t[i] || ' ' || t[i+1])) AS bigram
+              |  FROM toks WHERE len(t) >= 2),
+              |c2 AS (
+              |  SELECT lang, bigram, COUNT(*) AS n,
+              |    string_split(bigram, ' ')[1] AS w1,
+              |    string_split(bigram, ' ')[2] AS w2
+              |  FROM bg GROUP BY lang, bigram),
+              |lft AS (
+              |  SELECT lang, w1, SUM(n) AS ctot, COUNT(*) AS n1f
+              |  FROM c2 GROUP BY lang, w1),
+              |cont AS (SELECT lang, w2, COUNT(*) AS ncont FROM c2 GROUP BY lang, w2),
+              |tps AS (SELECT lang, COUNT(*) AS tt FROM c2 GROUP BY lang),
+              |lm AS (
+              |  SELECT c2.lang, c2.bigram,
+              |    (CAST(c2.n AS DOUBLE) - 0.75) / CAST(lft.ctot AS DOUBLE)
+              |      + 0.75 * CAST(lft.n1f AS DOUBLE) / CAST(lft.ctot AS DOUBLE)
+              |        * (CAST(cont.ncont AS DOUBLE) / CAST(tps.tt AS DOUBLE)) AS p
+              |  FROM c2
+              |  JOIN lft ON c2.lang = lft.lang AND c2.w1 = lft.w1
+              |  JOIN cont ON c2.lang = cont.lang AND c2.w2 = cont.w2
+              |  JOIN tps ON c2.lang = tps.lang)
+              |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+              |  ROUND(AVG(-log2(lm.p)), 4) AS avg_bits
+              |FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bigram = lm.bigram
+              |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
     // Line-level cross-document dedup (round-6 verdict Next #4): the
     // CCNet/RefinedWeb boilerplate-removal stage. "Lines" are 3-token
     // chunks (the fixture has no newlines; the unit is a parameter of

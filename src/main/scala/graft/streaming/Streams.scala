@@ -279,6 +279,36 @@ object Streams {
         runToMemory(joined, "append").orderBy("p_id", "c_id")
       }, None),
 
+    // LEFT OUTER stream-stream join: same watermarked interval join,
+    // but purchases with NO preceding click in the hour still emit
+    // (with null click columns) once the watermark passes their join
+    // window — the attribution-with-fallout shape a pure inner join
+    // cannot express. Outer emission is watermark-driven state
+    // EVICTION: a row leaves the left buffer exactly once, so results
+    // are exactly-once per purchase; StreamingSpec pins matched +
+    // unmatched counts against the batch oracle computation.
+    Q("stream_stream_outer",
+      (s, d) => {
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+          .select(col("p_id"), col("c_id"), col("p_user"),
+            col("c_id").isNull.as("unattributed"))
+        runToMemory(joined, "append").orderBy("p_id", "c_id")
+      }, None),
+
     // Arbitrary stateful processing: running per-user event count kept
     // in GroupState; emits the updated count each batch (update mode).
     Q("stream_stateful_count",

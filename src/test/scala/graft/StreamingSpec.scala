@@ -93,6 +93,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_stream_outer: matched = batch inner; fallout is watermark-evicted") {
+    val streamed = SparkEntry.queries("stream_stream_outer")(spark, TestSpark.sf0001)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val cond = col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts")
+    // matched rows emit eagerly, exactly the batch inner join
+    val sMatched = streamed.filter(!col("unattributed")).select("p_id", "c_id")
+    val bMatched = p.join(c, cond).select("p_id", "c_id")
+    assert(sMatched.exceptAll(bMatched).count() == 0)
+    assert(bMatched.exceptAll(sMatched).count() == 0)
+    // unmatched rows emit on state eviction: every streamed fallout row
+    // is a true batch fallout, and every fallout whose state the final
+    // watermark DEFINITELY expired must have emitted. The global
+    // watermark is min over both inputs (max event time − 1h delay),
+    // and outer-state retention additionally spans the 1h join range —
+    // so guarantee only rows a further join-range + 1s pad behind it.
+    val sUn = streamed.filter(col("unattributed")).select("p_id")
+    val bUn = p.join(c, cond, "left_anti").select("p_id", "p_ts")
+    assert(sUn.exceptAll(bUn.select("p_id")).count() == 0)
+    val maxP = ev.filter(col("event_type") === "purchase")
+      .agg(max("ts")).head().getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(max("ts")).head().getTimestamp(0)
+    val wmBase = if (maxP.before(maxC)) maxP else maxC
+    val guaranteed = bUn.filter(
+      col("p_ts") < lit(wmBase) - expr("INTERVAL 2 HOURS") - expr("INTERVAL 1 SECOND"))
+      .select("p_id")
+    assert(guaranteed.exceptAll(sUn).count() == 0,
+      "watermark-evicted fallout rows missing from the streamed result")
+    assert(sUn.count() > 0, "no unattributed purchases — vacuous outer join")
+  }
+
   // The production batch-catchup trigger: AvailableNow drains every
   // available file in bounded batches and SELF-TERMINATES — the shape a
   // scheduled incremental collector run takes (vs the always-on
