@@ -1033,7 +1033,7 @@ object DataOps {
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery,
-      annIndexPersistedQuery)
+      annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery)
 
   /** Topic-balance audit: k-means topic cells over the embeddings
     * (SHARED memoized codebook — the ann_ivf_* training runs once per
@@ -1101,6 +1101,136 @@ object DataOps {
          |SELECT e.cell, e.n_docs, e.n_sources, e.entropy_bits, tp.top_source
          |FROM e JOIN tp USING (cell) ORDER BY cell""".stripMargin
     Q("llm_topic_balance", fn, Some(sql))
+  }
+
+  /** Average-hash perceptual dedup over the stubbed media payloads —
+    * the pHash-family whole-object fingerprint (vs mm_frame_dedup's
+    * frame-range hashing): the first 60 bytes stand in for the decoded
+    * thumbnail (the stub's "resize"), split into 30 fixed 2-byte cells;
+    * bit i = cell i's byte sum above the thumbnail mean, compared by
+    * EXACT integer cross-multiply (cs·30 > S — no float mean), packed
+    * into one BIGINT. Equal hashes → perceptual-dup clusters (the
+    * fixture's shared-prefix near-dup groups light up by
+    * construction). Per-row expression work + one hash-keyed
+    * aggregate — the llm_exact_dedup shape, linear at any scale; a
+    * real deployment swaps the byte window for decoded pixels in the
+    * same plan.
+    */
+  private def phashDedupQuery: Q = {
+    val CROP = 60; val CELLS = 30; val L = CROP / CELLS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n"))
+        // same single-byte contract gate as mm_frame_dedup: ascii()
+        // "pixels" == payload bytes only while every char is one byte
+        .filter(assert_true(
+          length(encode(col("text"), "utf-8")).cast("long") === col("n"),
+          lit("mm_phash_dedup: multi-byte text violates the " +
+            "char==byte fixture contract")).isNull)
+        .filter(col("n") >= CROP)
+        .withColumn("cs", expr(
+          s"""transform(sequence(0, ${CELLS - 1}), c ->
+             |  aggregate(sequence(1, $L), cast(0 as bigint),
+             |    (acc, j) -> acc + ascii(substring(text, cast(c * $L + j as int), 1))))"""
+            .stripMargin))
+        .withColumn("s_all", expr("aggregate(cs, cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("phash", expr(
+          s"""aggregate(sequence(0, ${CELLS - 1}), cast(0 as bigint), (acc, i) ->
+             |  acc + CASE WHEN element_at(cs, cast(i + 1 as int)) * $CELLS > s_all
+             |             THEN shiftleft(cast(1 as bigint), cast(i as int))
+             |             ELSE cast(0 as bigint) END)""".stripMargin))
+        .select(col("doc_id"), col("phash"))
+      val grp = hashed.groupBy("phash")
+        .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical"))
+      hashed.join(grp, Seq("phash"))
+        .select(col("doc_id"), col("phash"), col("group_size"),
+          (col("group_size") > 1L).as("is_dup"), col("canonical"))
+        .orderBy("doc_id")
+    }
+    val sql =
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, ${CELLS - 1}), c ->
+         |      list_sum(list_transform(generate_series(1, $L), j ->
+         |        CAST(ord(substr(text, CAST(c * $L + j AS INT), 1)) AS BIGINT)))) AS cs
+         |  FROM documents WHERE length(text) >= $CROP),
+         |p AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(0, ${CELLS - 1}), i ->
+         |      CASE WHEN cs[i + 1] * $CELLS > list_sum(cs)
+         |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS phash
+         |  FROM h),
+         |g AS (
+         |  SELECT phash, COUNT(*) AS group_size, MIN(doc_id) AS canonical
+         |  FROM p GROUP BY phash)
+         |SELECT p.doc_id, CAST(p.phash AS BIGINT) AS phash, g.group_size,
+         |  g.group_size > 1 AS is_dup, g.canonical
+         |FROM p JOIN g USING (phash)
+         |ORDER BY p.doc_id""".stripMargin
+    Q("mm_phash_dedup", fn, Some(sql))
+  }
+
+  /** Per-label embedding outliers — the label-noise screen a curated
+    * embedding table runs before training: each label's centroid is the
+    * exact per-dimension mean (posexplode + DECIMAL(38,20) sum, the
+    * Lloyd-update device, so both engines derive the identical
+    * centroid), and each vector's squared-L2 distance to its OWN
+    * label's centroid ranks it; top-3 per label by (dist DESC, vec_id)
+    * are the mislabel candidates. One explode-aggregate (labels×dims
+    * rows — model-sized) broadcast back onto the corpus; distance is
+    * the index-ordered sq_l2 fold — no pairwise stage, linear at any
+    * corpus size.
+    */
+  private def embeddingOutliersQuery: Q = {
+    val TOPK = 3
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val base = graft.api.Similarity
+        .prepare(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("label"), col("__v"))
+      val means = base
+        .select(col("label"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast("decimal(38,20)")).cast("double") /
+          count(lit(1))).as("m"))
+      val cents = means.groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("c_v"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("dist").desc, col("vec_id"))
+      base.join(broadcast(cents), Seq("label"))
+        .withColumn("dist", expr("sq_l2(__v, c_v)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= TOPK)
+        .select(col("label").cast("long").as("label"), col("rn"),
+          col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("label", "rn")
+    }
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |        FROM base) e
+         |  GROUP BY label, pos),
+         |cents AS (SELECT label, list(m ORDER BY pos) AS c_v FROM m GROUP BY label),
+         |sc AS (
+         |  SELECT b.vec_id, b.label,
+         |    ${kmL2("b.v", "c.c_v")} AS dist
+         |  FROM base b JOIN cents c ON b.label = c.label)
+         |SELECT CAST(label AS BIGINT) AS label, rn, vec_id,
+         |  ROUND(dist, 4) AS dist
+         |FROM (
+         |  SELECT vec_id, label, dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY dist DESC, vec_id) AS BIGINT) AS rn
+         |  FROM sc) t
+         |WHERE rn <= $TOPK ORDER BY label, rn""".stripMargin
+    Q("llm_embedding_outliers", fn, Some(sql))
   }
 
   /** Per-JVM home + per-fixture memo for ann_index_persisted's bucketed

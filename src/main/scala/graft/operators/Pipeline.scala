@@ -702,7 +702,55 @@ object Pipeline {
               |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
               |  MIN(day) AS first_day, MAX(day) AS last_day
               |FROM planned GROUP BY event_type, bin
-              |ORDER BY event_type, bin""".stripMargin))
+              |ORDER BY event_type, bin""".stripMargin)),
+
+    // Temperature-scaled source sampling (the exponentiated-share rule
+    // multilingual corpora train with — mBERT/XLM's p^α, α=0.3):
+    // natural token shares are flattened toward uniform, upsampling
+    // low-resource sources without letting any source dominate —
+    // llm_dataset_mix's uniform target is the α→0 limit, natural
+    // sampling the α=1 limit; this query emits the whole dial's
+    // per-source outcome (natural share, temperature share, upsample
+    // factor). One n_sources-row aggregate; pow is mirrored textually
+    // and every share sits behind ROUND (float sums span ~20 sources —
+    // the stat_entropy argument).
+    Q("llm_dataset_temperature", {
+      val ALPHA = 0.3
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split_col(col("text"))).cast("long")).as("n_tokens"))
+        val tot = st.agg(sum("n_tokens").as("tot"))
+        val x = st.crossJoin(broadcast(tot))
+          .withColumn("p",
+            col("n_tokens").cast("double") / col("tot").cast("double"))
+          .withColumn("pa", pow(col("p"), lit(ALPHA)))
+        val den = x.agg(sum("pa").as("den"))
+        x.crossJoin(broadcast(den))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("p"), 6).as("nat_share"),
+            round(col("pa") / col("den"), 6).as("temp_share"),
+            round((col("pa") / col("den")) / col("p"), 4).as("upsample"))
+          .orderBy("source")
+      }
+    },
+      Some(s"""WITH st AS (
+              |  SELECT source, COUNT(*) AS n_docs,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source),
+              |x AS (
+              |  SELECT source, n_docs, n_tokens,
+              |    CAST(n_tokens AS DOUBLE)
+              |      / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+              |  FROM st),
+              |y AS (SELECT *, pow(p, 0.3) AS pa FROM x),
+              |z AS (SELECT *, SUM(pa) OVER () AS den FROM y)
+              |SELECT source, n_docs, n_tokens,
+              |  ROUND(p, 6) AS nat_share,
+              |  ROUND(pa / den, 6) AS temp_share,
+              |  ROUND((pa / den) / p, 4) AS upsample
+              |FROM z ORDER BY source""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`
