@@ -1129,17 +1129,21 @@ object DataOps {
           lit("mm_phash_dedup: multi-byte text violates the " +
             "char==byte fixture contract")).isNull)
         .filter(col("n") >= CROP)
-        .withColumn("cs", expr(
-          s"""transform(sequence(0, ${CELLS - 1}), c ->
-             |  aggregate(sequence(1, $L), cast(0 as bigint),
-             |    (acc, j) -> acc + ascii(substring(text, cast(c * $L + j as int), 1))))"""
-            .stripMargin))
-        .withColumn("s_all", expr("aggregate(cs, cast(0 as bigint), (acc, x) -> acc + x)"))
-        .withColumn("phash", expr(
-          s"""aggregate(sequence(0, ${CELLS - 1}), cast(0 as bigint), (acc, i) ->
-             |  acc + CASE WHEN element_at(cs, cast(i + 1 as int)) * $CELLS > s_all
-             |             THEN shiftleft(cast(1 as bigint), cast(i as int))
-             |             ELSE cast(0 as bigint) END)""".stripMargin))
+        // cells as FLAT codegen'd expressions, not nested HOF lambdas:
+        // the transform(aggregate(...)) form ran interpreted per
+        // element and cost 15 s at sf0.1; 30 materialized cell columns
+        // + plain arithmetic stay inside whole-stage codegen (~1 s)
+        .select(col("doc_id") +: (0 until CELLS).map(c =>
+          (0 until L).map(j =>
+            ascii(substring(col("text"), c * L + j + 1, 1)).cast("long"))
+            .reduce(_ + _).as(s"cs_$c")): _*)
+        .withColumn("s_all",
+          (0 until CELLS).map(c => col(s"cs_$c")).reduce(_ + _))
+        .withColumn("phash",
+          (0 until CELLS).map(i =>
+            when(col(s"cs_$i") * CELLS > col("s_all"), lit(1L << i))
+              .otherwise(0L))
+            .reduce(_ + _))
         .select(col("doc_id"), col("phash"))
       val grp = hashed.groupBy("phash")
         .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical"))
