@@ -1133,6 +1133,68 @@ object Aggs {
              |    / 100.0 AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Benford's-law first-digit audit of o_totalprice — the classic
+    // forensic screen for fabricated or truncated numeric columns (a
+    // DQ sibling of dq_rule_report): exact first-significant-digit
+    // counts (regex over the DECIMAL string — no float log10 at the
+    // power-of-ten boundaries), expected shares as shortest-round-trip
+    // double literals (the ts_ewma device), and the per-digit χ²
+    // contribution in mirrored double math. One linear aggregate.
+    Q("stat_benford", {
+      val benford: Seq[Double] =
+        (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(regexp_extract(
+            col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "[1-9]", 0).as("digit"))
+          .filter(col("digit") =!= "")
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = digits.agg(sum("n_obs").as("total"))
+        // expected-share column via chained when (textual twin of the
+        // oracle's CASE over the same shortest-round-trip literals)
+        val pCol = (1 to 9).foldLeft(lit(0.0)) { (acc, dd) =>
+          when(col("digit") === dd.toString,
+            expr(s"CAST('${benford(dd - 1)}' AS DOUBLE)")).otherwise(acc)
+        }
+        digits.crossJoin(broadcast(tot))
+          .withColumn("benford_p", pCol)
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("total").cast("double"), 6)
+              .as("obs_share"),
+            round(col("benford_p"), 6).as("benford_p"),
+            round(((col("n_obs").cast("double")
+              - col("total").cast("double") * col("benford_p"))
+              * (col("n_obs").cast("double")
+                - col("total").cast("double") * col("benford_p")))
+              / (col("total").cast("double") * col("benford_p")), 6)
+              .as("chi2_contrib"))
+          .orderBy("digit")
+      }
+    },
+      Some {
+        val benford: Seq[Double] =
+          (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+        val pCase = (1 to 9)
+          .map(dd => s"WHEN digit = '$dd' THEN CAST('${benford(dd - 1)}' AS DOUBLE)")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+        s"""WITH dg AS (
+           |  SELECT regexp_extract(
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
+           |    AS digit
+           |  FROM orders),
+           |c AS (SELECT digit, COUNT(*) AS n_obs FROM dg
+           |      WHERE digit <> '' GROUP BY digit),
+           |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM c)
+           |SELECT digit, n_obs,
+           |  ROUND(CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+           |  ROUND($pCase, 6) AS benford_p,
+           |  ROUND(((CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE) * ($pCase))
+           |    * (CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE) * ($pCase)))
+           |    / (CAST(total AS DOUBLE) * ($pCase)), 6) AS chi2_contrib
+           |FROM c, t ORDER BY digit""".stripMargin
+      }),
+
     // Exact heavy hitters by the two-pass sketch-then-verify pattern:
     // pass 1 runs MISRA-GRIES (k=64 counters) INSIDE each partition —
     // genuine per-partition imperative state, the sanctioned
@@ -1155,22 +1217,9 @@ object Aggs {
           .select(explode(graft.functions.TextUdfs
             .tokenizeCol(col("text"))).as("w"))
           .filter(col("w") =!= "").as[String]
-        val candidates = words.mapPartitions { it =>
-          val counts = scala.collection.mutable.HashMap.empty[String, Long]
-          it.foreach { w =>
-            counts.get(w) match {
-              case Some(c) => counts(w) = c + 1
-              case None if counts.size < K => counts(w) = 1L
-              case None =>
-                val dead = List.newBuilder[String]
-                counts.foreach { case (cw, c) =>
-                  if (c == 1L) dead += cw else counts(cw) = c - 1
-                }
-                dead.result().foreach(counts.remove)
-            }
-          }
-          counts.keysIterator
-        }.distinct().toDF("w")
+        val candidates = words
+          .mapPartitions(graft.functions.MisraGries.candidates(_, K))
+          .distinct().toDF("w")
         val total = words.groupBy().agg(count(lit(1)).as("total"))
         words.toDF("w")
           .join(broadcast(candidates), Seq("w"), "left_semi")

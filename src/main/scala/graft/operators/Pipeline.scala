@@ -750,7 +750,100 @@ object Pipeline {
               |  ROUND(p, 6) AS nat_share,
               |  ROUND(pa / den, 6) AS temp_share,
               |  ROUND((pa / den) / p, 4) AS upsample
-              |FROM z ORDER BY source""".stripMargin))
+              |FROM z ORDER BY source""".stripMargin)),
+
+    // T5-style span corruption (Raffel et al. 2020): ~15% of token
+    // positions are masked by the deterministic hash coin, contiguous
+    // masked runs collapse into one <extra_id_k> sentinel in the input
+    // and expand after it in the target — the exact (corrupted input,
+    // span target) pair a span-corruption pretraining objective
+    // consumes. Span ids come from one running-sum window over the
+    // span-start flag (the sessionize device); both output strings are
+    // assembled in position order per doc. Zero RNG: re-runs and both
+    // engines pick identical spans. One explode + one doc-keyed window
+    // + one doc-keyed aggregate — corpus-linear.
+    Q("llm_span_corruption", {
+      val RATE = 15
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split_col(col("text"))).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "")
+          .withColumn("mask",
+            conv(substring(md5(concat(lit("span:"),
+              col("doc_id").cast("string"), lit(":"),
+              col("pos").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 100 < RATE)
+          .withColumn("span_start",
+            col("mask") && !coalesce(lag(col("mask"), 1).over(w), lit(false)))
+          .withColumn("span_id",
+            sum(when(col("span_start"), 1L).otherwise(0L)).over(w) - 1)
+        val inputTok = when(!col("mask"), col("tok"))
+          .when(col("span_start"), concat(lit("<extra_id_"),
+            col("span_id").cast("string"), lit(">")))
+        val targetTok = when(col("span_start"), concat(
+          lit("<extra_id_"), col("span_id").cast("string"), lit("> "),
+          col("tok"))).when(col("mask"), col("tok"))
+        toks
+          .withColumn("in_tok", inputTok)
+          .withColumn("tg_tok", targetTok)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("mask"), 1L).otherwise(0L)).as("n_masked"),
+            (max("span_id") + 1).as("n_spans"),
+            array_join(transform(sort_array(collect_list(
+              struct(col("pos"), col("in_tok").as("t")))),
+              e => e.getField("t")), " ").as("corrupted"),
+            array_join(transform(sort_array(collect_list(
+              struct(col("pos"), col("tg_tok").as("t")))),
+              e => e.getField("t")), " ").as("target"))
+          .withColumn("n_spans", greatest(col("n_spans"), lit(0L)))
+          // an unmasked doc has an all-null target list: array_join
+          // yields '' where string_agg yields NULL — normalize to NULL
+          .withColumn("target",
+            when(col("n_masked") === 0L, lit(null).cast("string"))
+              .otherwise(col("target")))
+          .orderBy("doc_id")
+      }
+    },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM
+              |    (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |    unnest(generate_series(1, len(t))) AS u(i)
+              |  WHERE t[i] <> ''),
+              |m AS (
+              |  SELECT doc_id, pos, tok,
+              |    ${SQL_HEX15("md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))")} % 100 < 15 AS mask
+              |  FROM toks),
+              |sp0 AS (
+              |  SELECT doc_id, pos, tok, mask,
+              |    mask AND NOT COALESCE(
+              |      LAG(mask) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              |      AS span_start
+              |  FROM m),
+              |sp AS (
+              |  SELECT doc_id, pos, tok, mask, span_start,
+              |    SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos
+              |            ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+              |  FROM sp0),
+              |o AS (
+              |  SELECT doc_id, pos, mask, span_start, span_id,
+              |    CASE WHEN NOT mask THEN tok
+              |         WHEN span_start
+              |           THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+              |         END AS in_tok,
+              |    CASE WHEN span_start
+              |           THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '> ' || tok
+              |         WHEN mask THEN tok END AS tg_tok
+              |  FROM sp)
+              |SELECT doc_id, COUNT(*) AS n_tokens,
+              |  CAST(SUM(CASE WHEN mask THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+              |  GREATEST(CAST(MAX(span_id) + 1 AS BIGINT), 0) AS n_spans,
+              |  string_agg(in_tok, ' ' ORDER BY pos) AS corrupted,
+              |  string_agg(tg_tok, ' ' ORDER BY pos) AS target
+              |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

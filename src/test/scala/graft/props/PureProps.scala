@@ -197,4 +197,37 @@ object PureProps extends Properties("graft") {
       val m2 = g.finish(g.merge(b, a))
       (m1.isNaN && m2.isNaN) || math.abs(m1 - m2) < 1e-9
     }
+
+  // ---- Misra-Gries (agg_heavy_hitters candidate stage) ----
+
+  /** Skewed streams: a few hot items over a small alphabet, shuffled —
+    * the adversarial shape for counter eviction.
+    */
+  private val mgStream: Gen[List[String]] = for {
+    n <- Gen.choose(1, 400)
+    items <- Gen.listOfN(n,
+      Gen.frequency((6, Gen.const("hot")), (3, Gen.const("warm")),
+        (1, smallWord)))
+  } yield items
+
+  property("Misra-Gries keeps every item with count > m/(k+1)") =
+    Prop.forAll(mgStream, Gen.choose(2, 16)) { (xs, k) =>
+      val cands = graft.functions.MisraGries.sketch(xs.iterator, k).keySet
+      val m = xs.length
+      xs.groupBy(identity).forall { case (w, occ) =>
+        occ.length.toLong * (k + 1) <= m || cands.contains(w)
+      }
+    }
+
+  property("Misra-Gries never holds more than k counters") =
+    Prop.forAll(mgStream, Gen.choose(2, 16)) { (xs, k) =>
+      graft.functions.MisraGries.sketch(xs.iterator, k).size <= k
+    }
+
+  property("Misra-Gries counter never exceeds the true count") =
+    Prop.forAll(mgStream, Gen.choose(2, 16)) { (xs, k) =>
+      val sk = graft.functions.MisraGries.sketch(xs.iterator, k)
+      val exact = xs.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+      sk.forall { case (w, c) => c <= exact(w) }
+    }
 }
