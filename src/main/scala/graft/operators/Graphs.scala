@@ -445,7 +445,64 @@ object Graphs {
     Q("graph_adamic_adar", fn, Some(sql))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007), 4 unrolled rounds: every node starts as its own label;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label — a fully
+    * deterministic synchronous variant (the classic async coin-flip
+    * tie-break can't cross engines). Fixed unrolled depth, the
+    * llm_neardup_components precedent: communities in a cell-capped
+    * co-activity graph stabilize in a few rounds; the convergent-loop
+    * sibling is `api.Graph.connectedComponents`. Per round: one
+    * edges⋈labels join + one (node, label) count + one top-1 window —
+    * all keyed shuffles, state one label per node.
+    */
+  private def labelPropagationQuery: Q = {
+    val ROUNDS = 4
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).localCheckpoint()
+      var labels = e.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to ROUNDS) {
+        val counts = e
+          .join(labels.withColumnRenamed("node", "v2"),
+            col("v") === col("v2"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+          .orderBy(col("c").desc, col("lbl"))
+        labels = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("node"), col("lbl"))
+          .localCheckpoint()
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("node").as("user_id"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy("user_id")
+    }
+    def round(r: Int): String =
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.u AS node, p.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, p.lbl) AS rn
+         |    FROM edges e JOIN l${r - 1} p ON e.v = p.node
+         |    GROUP BY e.u, p.lbl) t
+         |  WHERE rn = 1)""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+         |${(1 to ROUNDS).map(round).mkString(",\n")},
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+         |       FROM l$ROUNDS GROUP BY lbl)
+         |SELECT l.node AS user_id, l.lbl AS community, sz.community_size
+         |FROM l$ROUNDS l JOIN sz USING (lbl)
+         |ORDER BY user_id""".stripMargin
+    Q("graph_label_propagation", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
-      hopDistanceQuery, kcoreQuery, adamicAdarQuery)
+      hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery)
 }

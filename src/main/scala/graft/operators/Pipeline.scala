@@ -462,6 +462,75 @@ object Pipeline {
               |  FROM documents) s
               |GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // Snapshot time travel on PLAIN parquet via a commit-log
+    // discipline — the lakehouse mechanism (Delta/Iceberg's core idea)
+    // with no table format: every commit writes new files and a
+    // version manifest listing exactly the files visible at that
+    // version; readers plan a scan from the manifest, never from
+    // directory listing. Version 1 = the first 14 days of events,
+    // version 2 = an APPEND of the rest — v1 files are never touched,
+    // so reading AS OF v1 after the append returns byte-identical
+    // history (the oracle pins both versions against time-filtered
+    // recomputes). The manifest is metadata-sized (file paths, not
+    // data) — the one driver-side artifact a real log store would keep
+    // in its catalog; scans stay fully distributed. Staged once per
+    // fixture fingerprint.
+    Q("export_snapshot_read", {
+      val SPLIT = "2024-01-15"
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val src = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_snap_$key"
+        val dataDir = s"$root/data"
+        def partFiles(): Seq[String] =
+          new java.io.File(dataDir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath).toSeq.sorted
+        if (!Files.exists(Paths.get(s"$root/_committed_v2"))) {
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("ts"), col("event_type"),
+              col("value"))
+          ev.filter(col("ts") < lit(SPLIT))
+            .write.mode("overwrite").parquet(dataDir)
+          Files.createDirectories(Paths.get(s"$root/log"))
+          Files.write(Paths.get(s"$root/log/v1.manifest"),
+            partFiles().mkString("\n").getBytes("UTF-8"))
+          ev.filter(col("ts") >= lit(SPLIT))
+            .write.mode("append").parquet(dataDir)
+          Files.write(Paths.get(s"$root/log/v2.manifest"),
+            partFiles().mkString("\n").getBytes("UTF-8"))
+          Files.write(Paths.get(s"$root/_committed_v2"), Array.empty[Byte])
+        }
+        def asOf(v: Int): org.apache.spark.sql.DataFrame = {
+          val files = Files.readAllLines(
+            Paths.get(s"$root/log/v$v.manifest")).asScala.toSeq
+          s.read.parquet(files: _*)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"),
+              sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+                .as("cents"))
+            .select(lit(v.toLong).as("version"), col("event_type"),
+              col("n_rows"),
+              (col("cents").cast("double") / 100.0).as("total_value"))
+        }
+        asOf(1).unionByName(asOf(2)).orderBy("version", "event_type")
+      }
+    },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, event_type,
+             |  COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
+             |FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+             |GROUP BY event_type
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), event_type, COUNT(*),
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             |    / 100.0
+             |FROM events GROUP BY event_type
+             |ORDER BY version, event_type""".stripMargin)),
+
     // Z-order export layout: interleave the bits of two query
     // dimensions (customer bucket, order-day bucket) into one Morton
     // key, lay the table out in that order, and report each output
