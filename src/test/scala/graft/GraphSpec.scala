@@ -103,4 +103,23 @@ class GraphSpec extends AnyFunSuite {
       assert(members.forall(_.getLong(2) == members.length))
     }
   }
+
+  test("graph_label_propagation: labels are node ids, sizes consistent, communities refine components") {
+    val lpa = graft.SparkEntry.queries("graph_label_propagation")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lpa.nonEmpty)
+    val nodes = lpa.map(_._1).toSet
+    // every community label is an existing node id (labels only propagate)
+    assert(lpa.map(_._2).toSet.subsetOf(nodes))
+    // reported sizes match actual community row counts
+    val bySize = lpa.groupBy(_._2)
+    lpa.foreach { case (_, c, sz) => assert(bySize(c).length.toLong == sz) }
+    // a community never spans two connected components
+    val comp = graft.SparkEntry.queries("graph_components")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lpa.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(m => comp(m._1)).toSet.size == 1,
+        "community crosses a connected component")
+    }
+  }
 }

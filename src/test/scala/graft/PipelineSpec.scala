@@ -125,6 +125,39 @@ class PipelineSpec extends AnyFunSuite {
       sample.collect().toSeq)
   }
 
+  test("llm_span_corruption: corrupted + target reconstruct the original tokens") {
+    val out = run("llm_span_corruption").collect()
+    assert(out.nonEmpty)
+    val originals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).toSeq.filter(_.nonEmpty)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    var sawSpan = false
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val corrupted = r.getString(4).split(" ", -1).toSeq.filter(_.nonEmpty)
+      val target = Option(r.getString(5)).getOrElse("")
+      // parse target into span_id -> tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.split(" ", -1).filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      val rebuilt = corrupted.flatMap {
+        case sentinel(k) => sawSpan = true; spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      assert(rebuilt == originals(docId),
+        s"doc $docId reconstruction mismatch")
+      // n_masked/n_spans bookkeeping matches the parsed spans
+      assert(spans.values.map(_.size).sum.toLong == r.getLong(2))
+      assert(spans.size.toLong == r.getLong(3))
+    }
+    assert(sawSpan, "no masked span anywhere — vacuous corruption")
+  }
+
   test("Dedup.releaseCaches drops exactly the chain's cache entries") {
     import spark.implicits._
     val docs = Seq(
