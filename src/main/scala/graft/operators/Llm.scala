@@ -254,6 +254,106 @@ object Llm {
         .orderBy("doc_a", "doc_b"),
       Some(s"$SQL_JACCARD ORDER BY doc_a, doc_b")),
 
+    // LSH band tuning, MEASURED: for every (bands, rows) split of the
+    // K=16 signature, count candidate pairs and verified dups, report
+    // precision, recall vs the finest split, and the analytic
+    // s-curve capture probability 1-(1-s^r)^b at s=0.6 next to the
+    // measured numbers. Candidate sets are provably NESTED here
+    // (a match on a 2r-row band implies both r-row halves match ⇒
+    // fewer bands ⊆ more bands), so recall_vs_finest is exact, not
+    // sampled twice. The shingle pass is shared across settings via
+    // the persisted-shingle cache; everything downstream is
+    // signature-sized. (At 100 TB you tune on a deterministic sample
+    // first — the query is shape-identical under any doc_id filter; at
+    // fixture scale the full corpus is the interesting measurement:
+    // bands=2 MISSES dups the finer splits find, bands=8 admits false
+    // candidates the verify stage rejects — the s-curve, observed.)
+    Q("llm_lsh_band_tuning", {
+      val SETTINGS = Seq(2, 4, 8)
+      val analytic: Map[Int, Double] = SETTINGS.map(b =>
+        b -> (1.0 - math.pow(1.0 - math.pow(0.6, K / b), b))).toMap
+      (s, d) => {
+        val stats = SETTINGS.map { b =>
+          graft.api.Dedup
+            .jaccardVerify(Tables.documents(s, d), "doc_id", "text", 0.6, K, b)
+            .agg(count(lit(1)).as("n_candidates"),
+              sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("n_dups"))
+            .select(lit(b.toLong).as("bands"),
+              lit((K / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_dups"))
+        }
+        val all = stats.reduce(_.unionByName(_))
+        val best = all.filter(col("bands") === SETTINGS.max)
+          .select(col("n_dups").as("best_dups"))
+        val pCol = SETTINGS.foldLeft(lit(0.0)) { (acc, b) =>
+          when(col("bands") === b.toLong,
+            expr(s"CAST('${analytic(b)}' AS DOUBLE)")).otherwise(acc)
+        }
+        all.crossJoin(broadcast(best))
+          .withColumn("p_capture_analytic", round(pCol, 4))
+          .selectExpr("bands", "rows_per_band", "n_candidates", "n_dups",
+            "round(CAST(n_dups AS DOUBLE) / nullif(n_candidates, 0), 4) AS candidate_precision",
+            "round(CAST(n_dups AS DOUBLE) / nullif(best_dups, 0), 4) AS recall_vs_finest",
+            "p_capture_analytic")
+          .orderBy("bands")
+      }
+    },
+      Some {
+        val seeds = graft.api.Dedup.minhashSeeds(K)
+        val analytic: Map[Int, Double] = Seq(2, 4, 8).map(b =>
+          b -> (1.0 - math.pow(1.0 - math.pow(0.6, K / b), b))).toMap
+        val sigsSel = (0 until K).map(i =>
+          s"MIN(xor(h, CAST(${seeds(i)} AS BIGINT))) AS sig_$i").mkString(", ")
+        def bandCtes(b: Int): String = {
+          val bandList = (0 until b)
+            .map(bb => "md5(concat_ws('|', " + (0 until K / b)
+              .map(r => s"CAST(sig_${bb * (K / b) + r} AS VARCHAR)").mkString(", ") + "))")
+            .mkString("[", ", ", "]")
+          s"""bd$b AS (
+             |  SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band,
+             |    unnest(bl) AS bhash
+             |  FROM (SELECT doc_id, $bandList AS bl FROM sigs)),
+             |cand$b AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bd$b a JOIN bd$b b
+             |    ON a.band = b.band AND a.bhash = b.bhash
+             |   AND a.doc_id < b.doc_id),
+             |st$b AS (
+             |  SELECT CAST($b AS BIGINT) AS bands,
+             |    CAST(${K / b} AS BIGINT) AS rows_per_band,
+             |    COUNT(*) AS n_candidates,
+             |    CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+             |      / (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks)))
+             |      >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+             |  FROM cand$b c
+             |  JOIN sets sa ON c.doc_a = sa.doc_id
+             |  JOIN sets sb ON c.doc_b = sb.doc_id)""".stripMargin
+        }
+        val pCase = Seq(2, 4, 8)
+          .map(b => s"WHEN bands = $b THEN CAST('${analytic(b)}' AS DOUBLE)")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+        s"""WITH toks AS (
+           |  SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+           |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS token
+           |  FROM toks),
+           |hs AS (SELECT doc_id, ${SQL_HEX15("md5(token)")} AS h FROM sh),
+           |sets AS (SELECT doc_id, list(DISTINCT h) AS toks FROM hs GROUP BY doc_id),
+           |sigs AS (SELECT doc_id, $sigsSel FROM hs GROUP BY doc_id),
+           |${Seq(2, 4, 8).map(bandCtes).mkString(",\n")},
+           |allst AS (SELECT * FROM st2 UNION ALL SELECT * FROM st4
+           |          UNION ALL SELECT * FROM st8),
+           |best AS (SELECT n_dups AS best_dups FROM st8)
+           |SELECT bands, rows_per_band, n_candidates, n_dups,
+           |  ROUND(CAST(n_dups AS DOUBLE) / nullif(n_candidates, 0), 4)
+           |    AS candidate_precision,
+           |  ROUND(CAST(n_dups AS DOUBLE) / nullif(best_dups, 0), 4)
+           |    AS recall_vs_finest,
+           |  ROUND($pCase, 4) AS p_capture_analytic
+           |FROM allst, best ORDER BY bands""".stripMargin
+      }),
+
     // The end-to-end training-data dedup deliverable: the CLEANED
     // corpus after exact dedup (keep min doc per content hash) and
     // greedy near-dup removal (drop doc_b of every verified pair).
