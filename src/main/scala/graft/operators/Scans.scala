@@ -447,41 +447,54 @@ object Scans {
     // shape): each rule is (rule_id, n_checked, n_violations, pass) and
     // the report is ONE row per rule — completeness (null fraction),
     // domain (range / enum), uniqueness (duplicate key count), and
-    // referential integrity (orphan foreign keys). Scale shape: every
-    // rule is a single linear aggregate over its table; uniqueness is
-    // one hash aggregate on the key; the referential probe is an
-    // anti-join against a broadcastable key set — none of them a second
-    // pass over the fact table once Spark shares the scan. At 100 TB
-    // this is the pre-ingest gate that runs BEFORE a corpus lands in
-    // the training mix; pass/fail is exact-integer, no flaky sampling.
+    // referential integrity (orphan foreign keys). Scale shape: ALL
+    // per-row rules on a table fold into ONE linear aggregate over it
+    // (Spark does not share scans across union branches — rules must be
+    // columns of one pass, then unpivot), so lineitem is read exactly
+    // three times total: the per-row pass, the key-uniqueness hash
+    // aggregate, and the referential probe's join side. At 100 TB this
+    // is the pre-ingest gate that runs BEFORE a corpus lands in the
+    // training mix; pass/fail is exact-integer, no flaky sampling.
     Q("dq_rule_report",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val ord = Tables.orders(s, d)
-        def rule(id: String, checked: org.apache.spark.sql.DataFrame,
+        def asRule(id: String, checked: org.apache.spark.sql.Column,
             viol: org.apache.spark.sql.Column) =
-          checked.agg(count(lit(1)).as("n_checked"),
-              sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
-            .select(lit(id).as("rule_id"), col("n_checked"),
-              col("n_violations"), (col("n_violations") === 0L).as("pass"))
-        val completeness =
-          rule("lineitem.l_quantity.not_null", li, col("l_quantity").isNull)
-        val range = rule("lineitem.l_discount.range_0_0.1", li,
-          col("l_discount") < 0.0 || col("l_discount") > 0.1)
-        val domain = rule("orders.o_orderstatus.enum", ord,
-          !col("o_orderstatus").isin("F", "O", "P"))
-        val unique = rule("lineitem.pk.unique",
-          li.groupBy("l_orderkey", "l_linenumber")
-            .agg(count(lit(1)).as("__n")),
-          col("__n") > 1L)
-        val referential = rule("lineitem.l_orderkey.ref_orders",
-          li.select(col("l_orderkey"))
-            .join(ord.select(col("o_orderkey")),
-              col("l_orderkey") === col("o_orderkey"), "left")
-            .select(col("o_orderkey").isNull.as("__orphan")),
-          col("__orphan"))
-        Seq(completeness, range, domain, unique, referential)
-          .reduce(_.unionByName(_)).orderBy("rule_id")
+          struct(lit(id).as("rule_id"), checked.as("n_checked"),
+            viol.as("n_violations"))
+        // one pass over lineitem computes every per-row lineitem rule
+        val liRules = li.agg(
+          asRule("lineitem.l_quantity.not_null", count(lit(1)),
+            sum(when(col("l_quantity").isNull, 1L).otherwise(0L))).as("r1"),
+          asRule("lineitem.l_discount.range_0_0.1", count(lit(1)),
+            sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+              .otherwise(0L))).as("r2"))
+          .select(explode(array(col("r1"), col("r2"))).as("r"))
+          .select(col("r.rule_id"), col("r.n_checked"), col("r.n_violations"))
+        val domain = ord.agg(count(lit(1)).as("n_checked"),
+            sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+              .otherwise(0L)).as("n_violations"))
+          .select(lit("orders.o_orderstatus.enum").as("rule_id"),
+            col("n_checked"), col("n_violations"))
+        val unique = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("__n"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("__n") > 1L, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("lineitem.pk.unique").as("rule_id"),
+            col("n_checked"), col("n_violations"))
+        val referential = li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit("lineitem.l_orderkey.ref_orders").as("rule_id"),
+            col("n_checked"), col("n_violations"))
+        Seq(liRules, domain, unique, referential)
+          .reduce(_.unionByName(_))
+          .withColumn("pass", col("n_violations") === 0L)
+          .orderBy("rule_id")
       },
       Some("""SELECT 'lineitem.l_quantity.not_null' AS rule_id,
              |  COUNT(*) AS n_checked,
