@@ -539,6 +539,90 @@ object Windows {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // Holt's linear-trend smoothing (double exponential smoothing) in
+    // its DISTRIBUTED truncated-lag form: the coupled (level, trend)
+    // recurrence s_t = A·s_{t−1} + v·x_t is linear, so s_t is a lag
+    // convolution with matrix-power weights A^k·v — the ts_ewma device
+    // generalized to a 2-vector. The exact infinite recurrence is not
+    // window-expressible; truncating at J=12 lags (residual weight
+    // mass ~5% at α=0.5, β=0.3 — the weights decay by the spectral
+    // radius of A) gives a per-row LINEAR expression over 12 lagged
+    // hourly counts with shortest-round-trip literal weights, mirrored
+    // textually term-by-term in identical fold order — bit-exact both
+    // engines, no rounding device needed. Only full-frame positions
+    // emit (the changepoint convention). One series-keyed window sort
+    // shared by all 12 lags; state is 12 rows regardless of history.
+    Q("ts_holt_linear", {
+      val ALPHA = 0.5; val BETA = 0.3; val J = 12
+      // weight pairs w_k = A^k·v for the (level, trend) state
+      val (wl, wb) = {
+        val a = Array(Array(1 - ALPHA, 1 - ALPHA),
+          Array(-BETA * ALPHA, 1 - BETA * ALPHA))
+        var cur = Array(ALPHA, BETA * ALPHA)
+        val ls = Array.newBuilder[Double]; val bs = Array.newBuilder[Double]
+        for (_ <- 0 until J) {
+          ls += cur(0); bs += cur(1)
+          cur = Array(a(0)(0) * cur(0) + a(0)(1) * cur(1),
+            a(1)(0) * cur(0) + a(1)(1) * cur(1))
+        }
+        (ls.result(), bs.result())
+      }
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("h")
+        def lagC(k: Int) =
+          (if (k == 0) col("c") else lag(col("c"), k).over(w)).cast("double")
+        def conv(ws: Array[Double]) = (0 until J)
+          .map(k => lagC(k) * expr(s"CAST('${ws(k)}' AS DOUBLE)"))
+          .reduce(_ + _)
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("ln",
+            count(lit(1)).over(w.rowsBetween(-(J - 1), 0)))
+          .withColumn("level", conv(wl))
+          .withColumn("trend", conv(wb))
+          .filter(col("ln") === J)
+          .select(col("event_type"), col("h"), col("c"),
+            col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast_next"))
+          .orderBy("event_type", "h")
+      }
+    },
+      Some {
+        val ALPHA = 0.5; val BETA = 0.3; val J = 12
+        val (wl, wb) = {
+          val a = Array(Array(1 - ALPHA, 1 - ALPHA),
+            Array(-BETA * ALPHA, 1 - BETA * ALPHA))
+          var cur = Array(ALPHA, BETA * ALPHA)
+          val ls = Array.newBuilder[Double]; val bs = Array.newBuilder[Double]
+          for (_ <- 0 until J) {
+            ls += cur(0); bs += cur(1)
+            cur = Array(a(0)(0) * cur(0) + a(0)(1) * cur(1),
+              a(1)(0) * cur(0) + a(1)(1) * cur(1))
+          }
+          (ls.result(), bs.result())
+        }
+        def lagC(k: Int) =
+          if (k == 0) "CAST(c AS DOUBLE)" else s"CAST(LAG(c, $k) OVER w AS DOUBLE)"
+        def conv(ws: Array[Double]) = (0 until J)
+          .map(k => s"${lagC(k)} * CAST('${ws(k)}' AS DOUBLE)")
+          .mkString(" + ")
+        s"""SELECT event_type, h, c, level, trend,
+           |  level + trend AS forecast_next
+           |FROM (
+           |  SELECT event_type, h, c,
+           |    COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+           |      ROWS BETWEEN ${J - 1} PRECEDING AND CURRENT ROW) AS ln,
+           |    ${conv(wl)} AS level,
+           |    ${conv(wb)} AS trend
+           |  FROM (
+           |    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           |    FROM events GROUP BY 1, 2) hr
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY h)) t
+           |WHERE ln = $J
+           |ORDER BY event_type, h""".stripMargin
+      }),
+
     // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per
     // user — the engagement-streak metric. The island key is
     // day_index − dense_rank (constant within a run of consecutive
