@@ -244,6 +244,48 @@ object Joins {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // As-of join WITH TOLERANCE (the pandas merge_asof(tolerance=...)
+    // surface): each purchase matched to its user's most recent click,
+    // but only if that click is ≤10 minutes old — older matches null
+    // out rather than attribute. Same one-window-sort backward-as-of
+    // device as join_asof_events; the tolerance is a post-match µs
+    // comparison (exact integers), so the plan cost is identical to
+    // the untolerated join and the dial is free. DuckDB mirrors with
+    // ASOF LEFT JOIN + the same epoch-µs gate.
+    Q("join_asof_tolerance",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val TOL_US = 10L * 60 * 1000000
+        Tables.events(s, d)
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("attributed",
+            col("click_ts").isNotNull &&
+              expr("unix_micros(ts) - unix_micros(click_ts)") <= TOL_US)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            when(col("attributed"),
+              date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+              .as("click_ts_str"),
+            col("attributed"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |  CASE WHEN c.ts IS NOT NULL
+             |         AND epoch_us(e.ts) - epoch_us(c.ts) <= 600000000
+             |       THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts_str,
+             |  c.ts IS NOT NULL
+             |    AND epoch_us(e.ts) - epoch_us(c.ts) <= 600000000 AS attributed
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+             |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+             |                WHERE event_type = 'click') c
+             |  ON e.user_id = c.user_id AND e.ts >= c.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Interval join with NO equi key — the case join_range_interval's
     // order-key equi-join never hits, and the one a naive plan turns
     // into a nested-loop cross product. The GRID-BUCKET device makes

@@ -158,6 +158,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sawSpan, "no masked span anywhere — vacuous corruption")
   }
 
+  test("export_snapshot_read: append-only commits — v1 manifest nests in v2") {
+    run("export_snapshot_read").collect() // stages the log if needed
+    val src = new java.io.File(s"$sf/events.parquet")
+    val key = s"${sf.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+    val log = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_snap_$key/log")
+    def files(v: Int): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(log.resolve(s"v$v.manifest"))
+        .asScala.toSet
+    }
+    val (v1, v2) = (files(1), files(2))
+    assert(v1.nonEmpty && v1.subsetOf(v2), "v1 files must survive the append")
+    assert((v2 -- v1).nonEmpty, "the v2 commit must add new files")
+    // every v1 file still exists on disk — append never rewrites history
+    assert(v1.forall(f => new java.io.File(f).exists()))
+  }
+
   test("Dedup.releaseCaches drops exactly the chain's cache entries") {
     import spark.implicits._
     val docs = Seq(
