@@ -1133,6 +1133,65 @@ object Aggs {
              |    / 100.0 AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Cramér's V — the EFFECT-SIZE companion to stat_chi2's
+    // independence test (a significant χ² on 100 TB of rows is
+    // near-certain; V says whether the association is big enough to
+    // care): V = sqrt(χ²/(n·min(r−1,c−1))) over the
+    // (o_orderstatus, o_orderpriority) contingency table. Every cell
+    // and marginal is an exact integer from ONE hash aggregate
+    // (contingency cells are far smaller than the table — model-sized);
+    // χ² accumulates over r·c=15 mirrored double terms behind
+    // ROUND(…,6) (the stat_entropy argument), sqrt is
+    // correctly-rounded IEEE on both engines.
+    Q("stat_cramers_v",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("nij"))
+        val rowm = cells.groupBy("o_orderstatus").agg(sum("nij").as("ri"))
+        val colm = cells.groupBy("o_orderpriority").agg(sum("nij").as("cj"))
+        val tot = cells.agg(sum("nij").as("n"),
+          countDistinct("o_orderstatus").as("r"),
+          countDistinct("o_orderpriority").as("c"))
+        cells.join(rowm, Seq("o_orderstatus"))
+          .join(colm, Seq("o_orderpriority"))
+          .crossJoin(broadcast(tot))
+          .withColumn("e",
+            col("ri").cast("double") * col("cj").cast("double") /
+              col("n").cast("double"))
+          .withColumn("t",
+            (col("nij").cast("double") - col("e")) *
+              (col("nij").cast("double") - col("e")) / col("e"))
+          .groupBy("n", "r", "c")
+          .agg(sum("t").as("chi2"))
+          .select(col("n"), col("r"), col("c"),
+            round(col("chi2"), 6).as("chi2"),
+            round(sqrt(col("chi2") /
+              (col("n").cast("double") *
+                least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+              .as("cramers_v"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS nij
+             |  FROM orders GROUP BY 1, 2),
+             |rm AS (SELECT o_orderstatus, SUM(nij) AS ri FROM cells GROUP BY 1),
+             |cm AS (SELECT o_orderpriority, SUM(nij) AS cj FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             |        COUNT(DISTINCT o_orderstatus) AS r,
+             |        COUNT(DISTINCT o_orderpriority) AS c FROM cells),
+             |x AS (
+             |  SELECT t.n, t.r, t.c,
+             |    (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |    * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |    / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(t.n AS DOUBLE)) AS tt
+             |  FROM cells
+             |  JOIN rm USING (o_orderstatus)
+             |  JOIN cm USING (o_orderpriority), t)
+             |SELECT n, r, c, ROUND(SUM(tt), 6) AS chi2,
+             |  ROUND(sqrt(SUM(tt) / (CAST(n AS DOUBLE)
+             |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+             |FROM x GROUP BY n, r, c""".stripMargin)),
+
     // Benford's-law first-digit audit of o_totalprice — the classic
     // forensic screen for fabricated or truncated numeric columns (a
     // DQ sibling of dq_rule_report): exact first-significant-digit

@@ -443,6 +443,42 @@ object Scans {
           .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
       }),
 
+    // Parquet AGGREGATE pushdown — the third pushdown surface next to
+    // predicate (scan_pushdown_filter) and partition
+    // (scan_partition_pruned) pruning: under
+    // spark.sql.parquet.aggregatePushDown, MIN/MAX/COUNT with no
+    // filter and no residual columns are answered from parquet FOOTER
+    // STATISTICS — zero data pages read, so the "query" costs one
+    // footer per file at any scale (PlanSpec asserts PushedAggregation
+    // on the scan node). The conf is flipped inside the query and
+    // restored; the v2 DS path (USING parquet via the DataFrame
+    // reader) supports it natively.
+    Q("scan_agg_pushdown",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+        // aggregate pushdown lives in the DSv2 reader; parquet resolves
+        // through the v1 path unless excluded from useV1SourceList
+        val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+        s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList",
+          prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+        try Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .localCheckpoint()
+        finally {
+          s.conf.set("spark.sql.parquet.aggregatePushDown", prev)
+          s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+        }
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+             |FROM lineitem""".stripMargin)),
+
     // Declarative data-quality rule report (the Deequ/Great-Expectations
     // shape): each rule is (rule_id, n_checked, n_violations, pass) and
     // the report is ONE row per rule — completeness (null fraction),

@@ -172,6 +172,28 @@ class PlanSpec extends AnyFunSuite {
       s"scan not bucket-aware:\n$p")
   }
 
+  test("scan_agg_pushdown answers MIN/MAX/COUNT from parquet footers") {
+    // the declared query localCheckpoints (to scope its conf flip), so
+    // audit the plan on a fresh build under the same conf
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+    try {
+      val p = Tables.lineitem(spark, TestSpark.sf0001)
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)") ||
+        p.contains("PushedAggregation"), s"aggregate not pushed:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE's pre-execution plan string hides codegen spans; check the
     // non-adaptive formatted plan instead.
