@@ -457,30 +457,69 @@ object Graphs {
     * edges⋈labels join + one (node, label) count + one top-1 window —
     * all keyed shuffles, state one label per node.
     */
-  private def labelPropagationQuery: Q = {
-    val ROUNDS = 4
-    def fn(s: SparkSession, d: String): DataFrame = {
-      val e = edges(s, d).localCheckpoint()
-      var labels = e.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      for (_ <- 1 to ROUNDS) {
-        val counts = e
-          .join(labels.withColumnRenamed("node", "v2"),
-            col("v") === col("v2"))
-          .groupBy(col("u").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
-          .orderBy(col("c").desc, col("lbl"))
-        labels = counts.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("node"), col("lbl"))
-          .localCheckpoint()
-      }
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-      labels.join(sizes, Seq("lbl"))
-        .select(col("node").as("user_id"), col("lbl").as("community"),
-          col("community_size"))
-        .orderBy("user_id")
+  private val LPA_ROUNDS = 4
+
+  /** The COMMUNITY graph: co-purchase within a 10-minute cell, cells
+    * capped at 4 users. The dense all-activity graph (SQL_EDGES) is
+    * deliberately NOT used here — at fixture scale it is one blob and
+    * synchronous LPA (correctly) collapses it to a single community, a
+    * vacuous output. Tight cells + a low cap keep genuine small-group
+    * structure (measured at sf0.01: 12 communities over 149 nodes,
+    * modularity ≫ 0), which is what a community detector is FOR. Cell
+    * id is exact integer epoch-µs division — no timestamp arithmetic
+    * to mirror.
+    */
+  private def communityEdges(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 600000000").as("h")).distinct()
+    val ok = a.groupBy("h").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= 4).drop("k")
+    val af = a.join(ok, Seq("h"))
+    val p = af.as("a").join(af.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v")).distinct()
+    p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  private val SQL_COMMUNITY_EDGES =
+    s"""ae0 AS (SELECT DISTINCT user_id, epoch_us(ts) // 600000000 AS h
+      |        FROM events WHERE event_type = 'purchase'),
+      |okc AS (SELECT h FROM ae0 GROUP BY 1 HAVING COUNT(*) <= 4),
+      |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (h)),
+      |e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM ae a JOIN ae b ON a.h = b.h AND a.user_id < b.user_id),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
+
+  /** 4-round synchronous LPA labels (node, lbl) over a checkpointed
+    * edge list — shared by graph_label_propagation and
+    * graph_modularity.
+    */
+  private def lpaLabels(e: DataFrame): DataFrame = {
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LPA_ROUNDS) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "v2"),
+          col("v") === col("v2"))
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      labels = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+        .localCheckpoint()
     }
+    labels
+  }
+
+  /** DuckDB twin of [[lpaLabels]]: l0..l4 round CTEs (callers append
+    * their own consumers of l`LPA_ROUNDS`).
+    */
+  private def lpaSqlChain: String = {
     def round(r: Int): String =
       s"""l$r AS MATERIALIZED (
          |  SELECT node, lbl FROM (
@@ -490,10 +529,23 @@ object Graphs {
          |    FROM edges e JOIN l${r - 1} p ON e.v = p.node
          |    GROUP BY e.u, p.lbl) t
          |  WHERE rn = 1)""".stripMargin
+    s"""l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+       |${(1 to LPA_ROUNDS).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def labelPropagationQuery: Q = {
+    val ROUNDS = LPA_ROUNDS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val labels = lpaLabels(communityEdges(s, d).localCheckpoint())
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("node").as("user_id"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy("user_id")
+    }
     val sql =
-      s"""WITH $SQL_EDGES,
-         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM edges),
-         |${(1 to ROUNDS).map(round).mkString(",\n")},
+      s"""WITH $SQL_COMMUNITY_EDGES,
+         |$lpaSqlChain,
          |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
          |       FROM l$ROUNDS GROUP BY lbl)
          |SELECT l.node AS user_id, l.lbl AS community, sz.community_size
@@ -502,7 +554,67 @@ object Graphs {
     Q("graph_label_propagation", fn, Some(sql))
   }
 
+  /** Newman modularity of the LPA partition — the number that says
+    * whether the communities MEAN anything (Q≈0: no better than random
+    * given the degree sequence; Q≳0.3: real structure). Exact integer
+    * ingredients per community over the both-directions edge list
+    // (M = directed edge count = 2m):
+    * Q = Σ_c (e_c/M − (K_c/M)²) with e_c = within-community directed
+    * edges, K_c = total degree. The per-community double terms (~150)
+    * sit behind ROUND(…,6); everything upstream is one edges⋈labels⋈
+    * labels join + two keyed aggregates.
+    */
+  private def modularityQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = communityEdges(s, d).localCheckpoint()
+      val labels = lpaLabels(e)
+      val m = e.count().toDouble // directed edge count — a model scalar
+      val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+      val within = e.join(lu, Seq("u")).join(lv, Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("lbl")).agg(count(lit(1)).as("ec"))
+      val degs = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .join(labels.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy("lbl").agg(sum("deg").as("kc"))
+      degs.join(within, Seq("lbl"), "left")
+        .withColumn("ec", coalesce(col("ec"), lit(0L)))
+        .select((col("ec").cast("double") / lit(m)
+          - (col("kc").cast("double") / lit(m))
+            * (col("kc").cast("double") / lit(m))).as("term"))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum("term"), 6).as("modularity"))
+        .select(col("n_communities"),
+          lit(m.toLong).as("n_edges_directed"), col("modularity"))
+    }
+    val sql =
+      s"""WITH $SQL_COMMUNITY_EDGES,
+         |$lpaSqlChain,
+         |mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges),
+         |wc AS (
+         |  SELECT lu.lbl, COUNT(*) AS ec
+         |  FROM edges e
+         |  JOIN l$LPA_ROUNDS lu ON e.u = lu.node
+         |  JOIN l$LPA_ROUNDS lv ON e.v = lv.node
+         |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+         |dg AS (
+         |  SELECT l.lbl, SUM(d.deg) AS kc FROM (
+         |    SELECT u, COUNT(*) AS deg FROM edges GROUP BY u) d
+         |  JOIN l$LPA_ROUNDS l ON d.u = l.node GROUP BY l.lbl),
+         |terms AS (
+         |  SELECT CAST(COALESCE(wc.ec, 0) AS DOUBLE) / mm.m
+         |    - (CAST(dg.kc AS DOUBLE) / mm.m) * (CAST(dg.kc AS DOUBLE) / mm.m)
+         |    AS term
+         |  FROM dg LEFT JOIN wc USING (lbl), mm)
+         |SELECT COUNT(*) AS n_communities,
+         |  (SELECT CAST(m AS BIGINT) FROM mm) AS n_edges_directed,
+         |  ROUND(SUM(term), 6) AS modularity
+         |FROM terms""".stripMargin
+    Q("graph_modularity", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
-      hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery)
+      hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
+      modularityQuery)
 }
