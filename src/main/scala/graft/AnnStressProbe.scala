@@ -144,6 +144,48 @@ object AnnStressProbe {
       spark.stop(); return
     }
 
+    // mode=serve: the persisted-index serving claim, MEASURED — build
+    // the bucketed IVF postings artifact once (training + layout,
+    // paid at index time), then answer a ~200-query batch two ways:
+    //   a. ivfQueryIndexed against the artifact (no retraining, no
+    //      corpus-side shuffle), and
+    //   b. the in-session ivfTrainedNeighbors with a COLD codebook
+    //      cache restricted to the same batch (what a no-artifact
+    //      deployment pays per batch: full retrain + corpus reshuffle).
+    // The delta is the artifact's per-batch dividend; recall@1 of the
+    // served answers vs exact ground truth sanity-checks that serving
+    // didn't trade accuracy.
+    if (mode == "serve") {
+      val k = ks.head
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_ann_serve LOCATION " +
+        s"'${java.nio.file.Files.createTempDirectory("graft_ann_serve")}'")
+      val table = s"graft_ann_serve.idx_${x}x_$k"
+      graft.api.Similarity.clearCodebookCache()
+      val cb = time(s"serve: build persisted index (train k=$k + bucketed write, cold)") {
+        graft.api.Similarity.writeIvfIndex(embs, "vec_id", "embedding", table, k = k)
+      }
+      val batch = embs.filter(col("vec_id") % step === 0)
+      val served = time("serve: batch via persisted artifact (ivfQueryIndexed)") {
+        graft.api.Similarity
+          .ivfQueryIndexed(batch, "vec_id", "embedding", table, cb,
+            topK = 1, probes = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      }
+      graft.api.Similarity.clearCodebookCache()
+      val insession = time("serve: same batch, no artifact (cold retrain + in-session IVF)") {
+        graft.api.Similarity
+          .ivfTrainedNeighbors(embs, "vec_id", "embedding", k = k,
+            topK = 1, probes = 2)
+          .filter(col("vec_id") % step === 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      }
+      val agree = served.count { case (q, nb) => insession.get(q).contains(nb) }
+      val recall = served.count { case (q, nb) => exactTop1.get(q).contains(nb) }
+      println(f"[ann-stress] serve: batch=${served.size} served≡in-session " +
+        f"${agree}/${served.size}, recall@1 vs exact ${recall.toDouble / served.size}%.2f")
+      spark.stop(); return
+    }
+
     // mode=semdedup: drive Similarity.semDedup beyond fixture scale.
     // The replica corpus is by construction near-dup-saturated (x-1
     // jittered copies of every base vector, cosine ≈ 1), so τ=0.9
