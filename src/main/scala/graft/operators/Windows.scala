@@ -539,6 +539,56 @@ object Windows {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // Time-decay EWMA for IRREGULAR series — ts_ewma's fixed per-step
+    // α assumes evenly spaced observations; real event streams aren't,
+    // so each lag is weighted by 0.5^(Δt/1h) from its ACTUAL age
+    // (half-life form). Δt is exact integer µs; the per-row pow/divide
+    // chain is mirrored textually and the output sits behind
+    // ROUND(…,4) (pow may differ in the last ulp across libm
+    // implementations — 4 dp is 10 orders of magnitude above that).
+    // Same single user-keyed window sort as ts_ewma, 8 lags.
+    Q("ts_ewma_timedecay", {
+      val J = 8
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+        def lagV(j: Int) =
+          if (j == 0) col("value") else lag(col("value"), j).over(w)
+        def lagT(j: Int) =
+          if (j == 0) col("ep") else lag(col("ep"), j).over(w)
+        def wt(j: Int) = pow(lit(0.5),
+          (col("ep") - lagT(j)).cast("double") / lit(3600000000.0))
+        val num = (0 until J)
+          .map(j => coalesce(lagV(j) * wt(j), lit(0.0))).reduce(_ + _)
+        val den = (0 until J)
+          .map(j => when(lagV(j).isNotNull, wt(j)).otherwise(lit(0.0)))
+          .reduce(_ + _)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts)"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(num / den, 4).as("ewma_tw"))
+          .orderBy("event_id")
+      }
+    },
+      Some {
+        val J = 8
+        def lagV(j: Int) = if (j == 0) "value" else s"LAG(value, $j) OVER w"
+        def lagT(j: Int) =
+          if (j == 0) "epoch_us(ts)" else s"LAG(epoch_us(ts), $j) OVER w"
+        def wt(j: Int) =
+          s"pow(0.5, CAST(epoch_us(ts) - ${lagT(j)} AS DOUBLE) / 3600000000.0)"
+        val num = (0 until J)
+          .map(j => s"COALESCE(${lagV(j)} * ${wt(j)}, 0.0)").mkString(" + ")
+        val den = (0 until J)
+          .map(j => s"CASE WHEN ${lagV(j)} IS NOT NULL THEN ${wt(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""SELECT event_id, user_id, value,
+           |  ROUND(($num) / ($den), 4) AS ewma_tw
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id
+           |             ORDER BY epoch_us(ts), event_id)
+           |ORDER BY event_id""".stripMargin
+      }),
+
     // Holt's linear-trend smoothing (double exponential smoothing) in
     // its DISTRIBUTED truncated-lag form: the coupled (level, trend)
     // recurrence s_t = A·s_{t−1} + v·x_t is linear, so s_t is a lag
