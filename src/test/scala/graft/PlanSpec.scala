@@ -172,6 +172,21 @@ class PlanSpec extends AnyFunSuite {
       s"scan not bucket-aware:\n$p")
   }
 
+  test("llm_zipf_fit selects its rank head via TakeOrdered, not a global sort") {
+    val p = plan("llm_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-512 rank cut must be a distributed top-k:\n$p")
+  }
+
+  test("agg_incremental_rollup pushes the fresh-days predicate into the scan") {
+    // the whole point of the partial-aggregate artifact: the refresh
+    // scans ONLY days >= the split, and that filter must reach parquet
+    val p = plan("agg_incremental_rollup")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts") ||
+      p.contains("GreaterThanOrEqual(ts"),
+      s"fresh-days filter not pushed to the events scan:\n$p")
+  }
+
   test("scan_agg_pushdown answers MIN/MAX/COUNT from parquet footers") {
     // the declared query localCheckpoints (to scope its conf flip), so
     // audit the plan on a fresh build under the same conf
