@@ -379,6 +379,64 @@ object Llm {
               |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE doc_b = doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Per-SOURCE dedup health — the curation dashboard view that tells
+    // you WHICH feed is polluting the corpus (a scraped mirror shows up
+    // here long before a global dup rate moves): per source, exact-dup
+    // mass (non-canonical members of md5 groups) and near-dup loser
+    // mass (doc_b of verified pairs), plus the clean share. Reuses the
+    // exact-group and LSH-verify chains (shared shingle cache); the
+    // per-source rollup is one broadcastable join + one aggregate on
+    // top of work the pipeline already does.
+    Q("llm_dedup_rate_by_source",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val exactLosers = graft.api.Dedup
+          .exactGroups(docs, "doc_id", "text")
+          .filter(col("n_docs") > 1)
+          .join(docs.select(col("doc_id"), md5(col("text")).as("md5_hex")),
+            Seq("md5_hex"))
+          .filter(col("doc_id") =!= col("keep_doc_id"))
+          .select(col("doc_id"))
+        val nearLosers = graft.api.Dedup
+          .jaccardVerify(docs, "doc_id", "text", 0.6, K, BANDS)
+          .filter(col("is_near_dup"))
+          .select(col("doc_b").as("doc_id")).distinct()
+        docs.select(col("doc_id"), col("source"))
+          .join(exactLosers.withColumn("__e", lit(1L)), Seq("doc_id"), "left")
+          .join(nearLosers.withColumn("__n", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__e"), lit(0L))).as("n_exact_dups"),
+            sum(coalesce(col("__n"), lit(0L))).as("n_near_dup_losers"),
+            sum(when(col("__e").isNull && col("__n").isNull, 1L)
+              .otherwise(0L)).as("n_clean"))
+          .withColumn("clean_share",
+            round(col("n_clean").cast("double") / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id,
+              |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+              |      COUNT(*) OVER (PARTITION BY md5(text)) AS n
+              |    FROM documents) t
+              |  WHERE n > 1 AND rn > 1),
+              |nl AS (SELECT DISTINCT doc_b AS doc_id
+              |       FROM ($SQL_JACCARD) WHERE is_near_dup)
+              |SELECT d.source, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_exact_dups,
+              |  CAST(SUM(CASE WHEN nl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_near_dup_losers,
+              |  CAST(SUM(CASE WHEN ex.doc_id IS NULL AND nl.doc_id IS NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+              |  ROUND(CAST(SUM(CASE WHEN ex.doc_id IS NULL AND nl.doc_id IS NULL
+              |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS clean_share
+              |FROM documents d
+              |LEFT JOIN ex ON d.doc_id = ex.doc_id
+              |LEFT JOIN nl ON d.doc_id = nl.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // Connected components over the near-dup graph (iterative
     // min-label propagation; DuckDB cross-checks with a recursive CTE
     // reaching the same fixpoint).
