@@ -539,6 +539,52 @@ object Windows {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // Seasonality STRENGTH — the forecastability score behind
+    // ts_seasonal_baseline's model choice: η² (correlation ratio) of
+    // value against the hour-of-day profile, i.e. 1 − SSE_within/SST
+    // where SSE_within = Σ_cells (Σc² − (Σc)²/n_c) and
+    // SST = Σc² − (Σc)²/N, all in the EXACT integer cents domain
+    // (residuals are mean-zero within every cell by construction, so
+    // the decomposition needs no residual materialization at all — two
+    // moment aggregates, no join back to the fact). Strength ≈ 0: the
+    // hourly profile explains nothing; ≈ 1: the series IS its profile.
+    // The handful of double divisions per type sit behind ROUND(…,6).
+    Q("ts_seasonality_strength",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), hour(col("ts")).as("hod"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        val cells = ev.groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("n_c"), sum("c").as("s_c"),
+            sum(col("c") * col("c")).as("ss_c"))
+        cells.groupBy("event_type")
+          .agg(sum("n_c").as("n"), sum("s_c").as("s"), sum("ss_c").as("ss"),
+            sum(col("ss_c").cast("double") -
+              col("s_c").cast("double") * col("s_c").cast("double") /
+                col("n_c").cast("double")).as("sse_within"))
+          .select(col("event_type"), col("n"),
+            round(lit(1.0) - col("sse_within") /
+              (col("ss").cast("double") -
+                col("s").cast("double") * col("s").cast("double") /
+                  col("n").cast("double")), 6).as("seasonality_strength"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, hour(ts) AS hod,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             |  FROM events),
+             |cells AS (
+             |  SELECT event_type, hod, COUNT(*) AS n_c,
+             |    SUM(c) AS s_c, SUM(c * c) AS ss_c
+             |  FROM ev GROUP BY event_type, hod)
+             |SELECT event_type, CAST(SUM(n_c) AS BIGINT) AS n,
+             |  ROUND(1.0 - SUM(CAST(ss_c AS DOUBLE)
+             |      - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             |    / (CAST(SUM(ss_c) AS DOUBLE)
+             |      - CAST(SUM(s_c) AS DOUBLE) * CAST(SUM(s_c) AS DOUBLE)
+             |        / CAST(SUM(n_c) AS DOUBLE)), 6) AS seasonality_strength
+             |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Time-decay EWMA for IRREGULAR series — ts_ewma's fixed per-step
     // α assumes evenly spaced observations; real event streams aren't,
     // so each lag is weighted by 0.5^(Δt/1h) from its ACTUAL age
