@@ -100,6 +100,64 @@ object Pipeline {
               |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
               |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin)),
 
+    // The n-gram-size decontamination DIAL, measured (the band-tuning
+    // companion for contamination): sweep n ∈ {4, 8, 12} and report
+    // how many corpus docs each unit flags against the same benchmark
+    // set plus the distinct shared-gram mass. Short grams over-flag
+    // (common phrases collide), long grams under-flag (one token of
+    // drift breaks the match) — the sweep shows the operating curve a
+    // deployment picks from instead of assuming n=8 is right. Each
+    // setting is the llm_decontaminate shape (distinct-hashed grams,
+    // broadcast benchmark, corpus-linear); the token explode is shared
+    // per setting by Spark's scan reuse within the union.
+    Q("llm_decontaminate_sweep", {
+      val NS = Seq(4, 8, 12)
+      def gramsN(t: Column, n: Int): Column =
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextUdfs.tokenizeCol(col("text")).as("__t"))
+        val stats = NS.map { n =>
+          val grams = toks.filter(size(col("__t")) >= n)
+            .select(col("doc_id"), explode(gramsN(col("__t"), n)).as("gram"))
+            .select(col("doc_id"), md5(col("gram")).as("gh"))
+            .distinct()
+          val bench = grams.filter(col("doc_id") < 20).select("gh").distinct()
+          grams.filter(col("doc_id") >= 20)
+            .join(broadcast(bench), "gh")
+            .agg(countDistinct("doc_id").as("n_contaminated"),
+              countDistinct("gh").as("n_shared_grams"))
+            .select(lit(n.toLong).as("gram_n"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+        }
+        stats.reduce(_.unionByName(_)).orderBy("gram_n")
+      }
+    },
+      Some {
+        def one(n: Int): String = {
+          val gram = (0 until n).map(o => s"t[i+$o]").mkString("concat_ws(' ', ", ", ", ")")
+          s"""SELECT CAST($n AS BIGINT) AS gram_n,
+             |  COALESCE(COUNT(DISTINCT g.doc_id), 0) AS n_contaminated,
+             |  COALESCE(COUNT(DISTINCT g.gh), 0) AS n_shared_grams
+             |FROM (
+             |  SELECT DISTINCT doc_id, md5(gram) AS gh FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+             |      i -> $gram)) AS gram
+             |    FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)
+             |    WHERE len(t) >= $n) x) g
+             |JOIN (
+             |  SELECT DISTINCT md5(gram) AS gh FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+             |      i -> $gram)) AS gram
+             |    FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)
+             |    WHERE len(t) >= $n) y WHERE doc_id < 20) b USING (gh)
+             |WHERE g.doc_id >= 20""".stripMargin
+        }
+        Seq(4, 8, 12).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY gram_n")
+      }),
+
     // Bloom-prefiltered decontamination: logically IDENTICAL to
     // llm_decontaminate (same output, same oracle), but the physical
     // path is the one a 100-TB corpus wants when the reference set is
