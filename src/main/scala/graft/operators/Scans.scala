@@ -142,6 +142,32 @@ object Scans {
               |COUNT(*) AS n_suppliers, ${SQL_DSUM("s_acctbal")} AS sum_bal
               |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // TEXT source roundtrip — the last format in the matrix
+    // (csv/json/orc/avro/xml/parquet covered elsewhere): region
+    // serialized as pipe-delimited lines via spark.write.text, read
+    // back as raw lines and re-parsed with split() — the
+    // log-file-ingest shape where the "schema" is a parse expression,
+    // not file metadata. Oracle recomputes from the original parquet.
+    Q("scan_text_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/region.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_region_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          Tables.region(s, d)
+            .select(concat_ws("|", col("r_regionkey"), col("r_name"))
+              .as("value"))
+            .write.mode("overwrite").text(tmp)
+        }
+        s.read.text(tmp)
+          .select(split(col("value"), "\\|").as("f"))
+          .select(element_at(col("f"), 1).cast("long").as("r_regionkey"),
+            element_at(col("f"), 2).as("r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
     // Partition-skew report over the hive-partitioned copy (the
     // metastore-collector question "which partitions are outliers":
     // per-partition rows + share of the largest partition). Reads ONLY
