@@ -1299,6 +1299,97 @@ object Aggs {
              |  (SELECT total FROM t) AS n_tokens
              |FROM wf GROUP BY w
              |HAVING COUNT(*) * 64 > (SELECT total FROM t)
-             |ORDER BY n_occurrences DESC, word""".stripMargin))
+             |ORDER BY n_occurrences DESC, word""".stripMargin)),
+
+    // Spearman rank correlation (tie-corrected: Pearson on average
+    // ranks) between quantity and price per return flag. The ranks are
+    // NOT computed by a per-row window sort: average rank of value v is
+    // derived from the per-(group, value) frequency table — cum_before
+    // via one window over DISTINCT VALUES (50 quantities / ~cents
+    // prices per group, orders of magnitude smaller than the row
+    // stream), joined back to rows. Doubled average rank
+    // 2·r̄ = 2·cum_before + cnt + 1 stays an exact BIGINT (no .5
+    // halves), the Pearson moments accumulate as DECIMAL(38,0) —
+    // associative-exact at any partitioning (the stat_corr_matrix
+    // device) — and only the final closed-form ratio drops to double
+    // behind ROUND(…,4). At 100 TB: two small-table windows, two
+    // broadcastable rank joins, one hash aggregate.
+    Q("stat_spearman",
+      (s, d) => {
+        def ranks2(v: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy("l_returnflag").orderBy(col(v))
+          Tables.lineitem(s, d)
+            .groupBy(col("l_returnflag"), col(v))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("cumb",
+              coalesce(sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("l_returnflag"), col(v),
+              (col("cumb") * 2 + col("cnt") + 1).as(s"r2_$v"))
+        }
+        // 18,0 not 38,0: DuckDB decimal multiply needs p1+p2 ≤ 38, and
+        // doubled ranks are ≤ ~2·rows so 18 digits is ample headroom.
+        def dec(c: Column) = c.cast("decimal(18,0)")
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"))
+          .join(ranks2("l_quantity"), Seq("l_returnflag", "l_quantity"))
+          .join(ranks2("l_extendedprice"),
+            Seq("l_returnflag", "l_extendedprice"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("r2_l_quantity"))).as("sx"),
+            sum(dec(col("r2_l_extendedprice"))).as("sy"),
+            sum(dec(col("r2_l_quantity")) * dec(col("r2_l_extendedprice")))
+              .as("sxy"),
+            sum(dec(col("r2_l_quantity")) * dec(col("r2_l_quantity")))
+              .as("sx2"),
+            sum(dec(col("r2_l_extendedprice")) *
+              dec(col("r2_l_extendedprice"))).as("sy2"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sx2").cast("double") -
+                pow(col("sx").cast("double"), 2)) *
+                sqrt(col("n").cast("double") * col("sy2").cast("double") -
+                  pow(col("sy").cast("double"), 2))), 4).as("spearman_rho"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH rq AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) + cnt + 1 AS r2_q
+             |  FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+             |        FROM lineitem GROUP BY 1, 2)),
+             |rp AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) + cnt + 1 AS r2_p
+             |  FROM (SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+             |        FROM lineitem GROUP BY 1, 2)),
+             |j AS (
+             |  SELECT l.l_returnflag,
+             |    CAST(rq.r2_q AS DECIMAL(18,0)) AS x,
+             |    CAST(rp.r2_p AS DECIMAL(18,0)) AS y
+             |  FROM lineitem l
+             |  JOIN rq ON l.l_returnflag = rq.l_returnflag
+             |         AND l.l_quantity = rq.l_quantity
+             |  JOIN rp ON l.l_returnflag = rp.l_returnflag
+             |         AND l.l_extendedprice = rp.l_extendedprice),
+             |m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             |    SUM(x * x) AS sx2, SUM(y * y) AS sy2
+             |  FROM j GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) ** 2)
+             |      * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) ** 2)), 4) AS spearman_rho
+             |FROM m ORDER BY l_returnflag""".stripMargin))
   )
 }

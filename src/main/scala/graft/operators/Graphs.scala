@@ -613,8 +613,70 @@ object Graphs {
     Q("graph_modularity", fn, Some(sql))
   }
 
+  /** Bounded-radius harmonic centrality: HC_H(u) = Σ_{0<d(u,v)≤H} 1/d
+    * with H=3 — the standard scalable stand-in for exact closeness on
+    * big graphs (exact closeness needs all-pairs distances; the
+    * H-ball variant is the form production graph systems actually
+    * ship, and on small-world graphs the H-ball already carries most
+    * of the signal). Multi-source BFS by H rounds of frontier
+    * expansion (join frontier ⋈ edges + min-distance aggregate, edge
+    * set cached); ball size per node is bounded by the stop-cell
+    * degree cap, so the (root, node, d) table is O(n·deg^H) with
+    * small constants, never all-pairs. Determinism: 1/1+1/2+1/3 sums
+    * are carried as EXACT integers in the ×6 domain
+    * (hc6 = 6·n1 + 3·n2 + 2·n3); only the reported hc divides down to
+    * double, a single exact-integer ratio — no float accumulation at
+    * all. Oracle: bounded recursive CTE + the same integer form.
+    */
+  private def harmonicQuery: Q = {
+    val H = 3
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).cache()
+      // rounds of expansion: dist r+1 candidates from frontier r
+      var reach = e.select(col("u").as("root"), col("v").as("node"))
+        .withColumn("d", lit(1L))
+      var frontier = reach
+      for (r <- 2 to H) {
+        val step = e.select(col("u").as("__fu"), col("v").as("__fv"))
+        val nxt = frontier.join(step, frontier("node") === step("__fu"))
+          .select(col("root"), col("__fv").as("node"))
+          .withColumn("d", lit(r.toLong))
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+      }
+      val dist = reach
+        .filter(col("root") =!= col("node"))
+        .groupBy("root", "node").agg(min("d").as("dist"))
+      dist.groupBy("root")
+        .agg(sum(when(col("dist") === 1, 6L).when(col("dist") === 2, 3L)
+          .when(col("dist") === 3, 2L).otherwise(0L)).as("hc6"),
+          count(lit(1)).as("n_ball"))
+        .select(col("root").as("user_id"), col("n_ball"), col("hc6"),
+          round(col("hc6").cast("double") / 6.0, 4).as("harmonic"))
+        .orderBy("user_id")
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |walk AS (
+         |  SELECT u AS root, v AS node, CAST(1 AS BIGINT) AS d FROM edges
+         |  UNION
+         |  SELECT w.root, e.v AS node, w.d + 1 AS d
+         |  FROM walk w JOIN edges e ON w.node = e.u
+         |  WHERE w.d < $H),
+         |dist AS (
+         |  SELECT root, node, MIN(d) AS dist FROM walk
+         |  WHERE root <> node GROUP BY root, node)
+         |SELECT root AS user_id, COUNT(*) AS n_ball,
+         |  CAST(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+         |    WHEN 3 THEN 2 ELSE 0 END) AS BIGINT) AS hc6,
+         |  ROUND(CAST(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+         |    WHEN 3 THEN 2 ELSE 0 END) AS DOUBLE) / 6.0, 4) AS harmonic
+         |FROM dist GROUP BY root ORDER BY user_id""".stripMargin
+    Q("graph_harmonic", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
-      modularityQuery)
+      modularityQuery, harmonicQuery)
 }

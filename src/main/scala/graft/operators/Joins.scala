@@ -546,7 +546,83 @@ object Joins {
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
               |${SQL_DSUM_EXACT(SQL_REV_DEC)} AS revenue
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Grid-blocked spatial radius join — the distributed spatial-join
+    // pattern (geohash/S2 cell blocking): each point maps to an
+    // integer grid cell sized ≥ the radius, the PROBE side fans out to
+    // its 3×3 cell neighborhood (a 9× explode, never a cross join),
+    // the build side stays in its single home cell, and an exact
+    // Chebyshev predicate verifies survivors. Because the build side
+    // appears in exactly one cell, every qualifying pair meets in
+    // exactly one (probe-cell, home-cell) bucket — no pair dedup
+    // stage. The fixture has no coordinates, so points are derived
+    // with the portable md5-polynomial device (the hash-coin
+    // precedent): two 20-bit fields of one md5 → a 4096² integer
+    // space; every predicate below is exact integer arithmetic. At
+    // 100 TB this is cells ≈ data density as the skew dial (the LSH
+    // band analogy); the shuffle is one equi-join on (cx, cy).
+    Q("join_spatial_grid", {
+      val CELL = 128; val R = 96 // CELL ≥ R ⇒ 3×3 neighborhood suffices
+      (s, d) => {
+        def coord(tag: String, key: String, from: Int) =
+          conv(substring(md5(concat(lit(tag), col(key).cast("string"))),
+            from, 5), 16, 10).cast("long") % 4096
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            coord("pt:", "c_custkey", 1).as("x"),
+            coord("pt:", "c_custkey", 6).as("y"))
+        val supp = Tables.supplier(s, d)
+          .select(col("s_suppkey"),
+            coord("pt:", "s_suppkey", 1).as("sx"),
+            coord("pt:", "s_suppkey", 6).as("sy"))
+          .withColumn("cx", expr(s"sx div $CELL"))
+          .withColumn("cy", expr(s"sy div $CELL"))
+        val probes = cust
+          .withColumn("dxy", explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> named_struct('dx', dx, 'dy', dy))))")))
+          .withColumn("cx", expr(s"(x div $CELL) + dxy.dx"))
+          .withColumn("cy", expr(s"(y div $CELL) + dxy.dy"))
+        probes.join(supp, Seq("cx", "cy"))
+          .filter(abs(col("x") - col("sx")) <= R &&
+            abs(col("y") - col("sy")) <= R)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("c_custkey").as("n_customers"),
+            min(greatest(abs(col("x") - col("sx")),
+              abs(col("y") - col("sy")))).as("min_cheby"))
+          .orderBy("c_nationkey")
+      }
+    },
+      Some {
+        def hex20(h: String, from: Int): String =
+          (0 until 5).map(i =>
+            s"(strpos('0123456789abcdef', substr($h, ${from + i}, 1)) - 1) * ${1L << (4 * (4 - i))}")
+            .mkString("(", " + ", ")")
+        val ch = "md5('pt:' || CAST(c_custkey AS VARCHAR))"
+        val sh = "md5('pt:' || CAST(s_suppkey AS VARCHAR))"
+        s"""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    ${hex20(ch, 1)} % 4096 AS x, ${hex20(ch, 6)} % 4096 AS y
+           |  FROM customer),
+           |supp AS (
+           |  SELECT s_suppkey,
+           |    ${hex20(sh, 1)} % 4096 AS sx, ${hex20(sh, 6)} % 4096 AS sy
+           |  FROM supplier),
+           |sc AS (SELECT *, sx // 128 AS cx, sy // 128 AS cy FROM supp),
+           |probes AS (
+           |  SELECT c.*, (x // 128) + dx.d AS cx, (y // 128) + dy.d AS cy
+           |  FROM cust c, (VALUES (-1), (0), (1)) dx(d),
+           |       (VALUES (-1), (0), (1)) dy(d))
+           |SELECT c_nationkey,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           |  CAST(MIN(GREATEST(abs(x - sx), abs(y - sy))) AS BIGINT)
+           |    AS min_cheby
+           |FROM probes p JOIN sc USING (cx, cy)
+           |WHERE abs(x - sx) <= 96 AND abs(y - sy) <= 96
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+      })
   )
 
   /** Per-JVM home for join_bucketed_colocated's bucketed tables. */

@@ -572,6 +572,85 @@ object Llm {
               |CAST(len($SQL_TOKENIZE) AS BIGINT) AS n_tokens,
               |ROUND(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 4) AS l2_norm
               |FROM documents JOIN embeddings ON doc_id = vec_id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ROUGE-2 overlap scoring of the LSH candidate pairs — the
+    // summarization-style n-gram metric applied where a curation
+    // pipeline actually uses it: quantifying HOW MUCH two near-dup
+    // candidates overlap (Jaccard says "related"; clipped-bigram
+    // ROUGE says "how much of b is reproduced in a"). Clipped overlap
+    // Σ_g min(count_a(g), count_b(g)) is exact integer arithmetic from
+    // per-(doc, bigram) count tables; precision (vs a), recall (vs b)
+    // and F1 drop to double only behind ROUND(…,4). Scale shape: the
+    // bigram-count table is corpus-linear and the per-gram join is
+    // candidate-pair-bounded — the all-pairs stage never exists (the
+    // pairs come from banded LSH), so cost is |pairs|·|grams per doc|.
+    Q("llm_rouge2_pairs",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), TextUdfs.tokenizeCol(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val totals = grams.groupBy("doc_id").agg(sum("c").as("tot"))
+        val pairs = graft.api.Dedup
+          .lshCandidatePairs(Tables.documents(s, d), "doc_id", "text", K, BANDS)
+        val overlap = pairs
+          .join(grams.select(col("doc_id").as("doc_a"), col("g"),
+            col("c").as("ca")), Seq("doc_a"))
+          .join(grams.select(col("doc_id").as("doc_b"), col("g"),
+            col("c").as("cb")), Seq("doc_b", "g"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+        pairs
+          .join(overlap, Seq("doc_a", "doc_b"), "left")
+          .join(totals.select(col("doc_id").as("doc_a"),
+            col("tot").as("tot_a")), Seq("doc_a"))
+          .join(totals.select(col("doc_id").as("doc_b"),
+            col("tot").as("tot_b")), Seq("doc_b"))
+          .withColumn("ov", coalesce(col("ov"), lit(0L)))
+          .select(col("doc_a"), col("doc_b"),
+            col("ov").as("n_overlap_bigrams"),
+            round(col("ov").cast("double") / col("tot_a").cast("double"), 4)
+              .as("rouge2_precision"),
+            round(col("ov").cast("double") / col("tot_b").cast("double"), 4)
+              .as("rouge2_recall"),
+            round(when(col("ov") === 0, lit(0.0)).otherwise(
+              lit(2.0) * col("ov").cast("double") /
+                (col("tot_a") + col("tot_b")).cast("double")), 4)
+              .as("rouge2_f1"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH grams AS (
+              |  SELECT doc_id, g, COUNT(*) AS c FROM (
+              |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+              |      i -> t[i] || ' ' || t[i+1])) AS g
+              |    FROM (SELECT doc_id, $SQL_TOKENIZE AS t FROM documents)
+              |    WHERE len(t) >= 2)
+              |  GROUP BY doc_id, g),
+              |totals AS (SELECT doc_id, SUM(c) AS tot FROM grams GROUP BY doc_id),
+              |pairs AS ($SQL_PAIRS),
+              |ov AS (
+              |  SELECT p.doc_a, p.doc_b, SUM(LEAST(ga.c, gb.c)) AS ov
+              |  FROM pairs p
+              |  JOIN grams ga ON ga.doc_id = p.doc_a
+              |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+              |  GROUP BY p.doc_a, p.doc_b)
+              |SELECT p.doc_a, p.doc_b,
+              |  CAST(COALESCE(o.ov, 0) AS BIGINT) AS n_overlap_bigrams,
+              |  ROUND(CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(ta.tot AS DOUBLE), 4)
+              |    AS rouge2_precision,
+              |  ROUND(CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(tb.tot AS DOUBLE), 4)
+              |    AS rouge2_recall,
+              |  ROUND(CASE WHEN COALESCE(o.ov, 0) = 0 THEN 0.0
+              |    ELSE 2.0 * CAST(o.ov AS DOUBLE)
+              |      / CAST(ta.tot + tb.tot AS DOUBLE) END, 4) AS rouge2_f1
+              |FROM pairs p
+              |LEFT JOIN ov o ON p.doc_a = o.doc_a AND p.doc_b = o.doc_b
+              |JOIN totals ta ON ta.doc_id = p.doc_a
+              |JOIN totals tb ON tb.doc_id = p.doc_b
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin))
   )
 }

@@ -150,4 +150,36 @@ class AggEdgeSpec extends AnyFunSuite {
     assert(cc >= 0.0 && cc <= 1.0, s"clustering $cc")
     assert(3 * tris <= wedges)
   }
+
+  test("stat_spearman matches a brute-force tie-corrected computation") {
+    val got = SparkEntry.queries("stat_spearman")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent reference: collect the (tiny at sf0.001) group rows,
+    // average-rank both variables in plain Scala, Pearson on the ranks
+    val rows = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def avgRanks(xs: Seq[Double]): Map[Double, Double] = {
+      val sorted = xs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1.0).sum / g.length) }
+    }
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val rx = avgRanks(g.map(_._2).toSeq)
+      val ry = avgRanks(g.map(_._3).toSeq)
+      val pts = g.map(t => (rx(t._2), ry(t._3)))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(t => t._1 * t._2).sum
+      val sx2 = pts.map(t => t._1 * t._1).sum
+      val sy2 = pts.map(t => t._2 * t._2).sum
+      val rho = (n * sxy - sx * sy) /
+        (math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy))
+      val (gn, grho) = got(flag)
+      assert(gn == g.length.toLong)
+      assert(math.abs(grho - rho) < 5e-4, s"$flag: $grho vs brute $rho")
+    }
+  }
 }

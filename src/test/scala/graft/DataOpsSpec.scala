@@ -94,4 +94,57 @@ class DataOpsSpec extends AnyFunSuite {
     rows.filter(_.getBoolean(2)).foreach(r =>
       assert(r.isNullAt(3) && r.isNullAt(4), "kept rows carry no dup info"))
   }
+
+  test("join_spatial_grid matches the brute-force cross join at sf0.001") {
+    // 150 customers × 10 suppliers — small enough to verify the grid
+    // blocking finds EXACTLY the pairs the unblocked cross join finds.
+    def coord(tag: String, key: String, from: Int) =
+      conv(substring(md5(concat(lit(tag), col(key).cast("string"))),
+        from, 5), 16, 10).cast("long") % 4096
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"),
+        coord("pt:", "c_custkey", 1).as("x"),
+        coord("pt:", "c_custkey", 6).as("y"))
+    val supp = Tables.supplier(spark, TestSpark.sf0001)
+      .select(col("s_suppkey"),
+        coord("pt:", "s_suppkey", 1).as("sx"),
+        coord("pt:", "s_suppkey", 6).as("sy"))
+    val brute = cust.crossJoin(supp)
+      .filter(abs(col("x") - col("sx")) <= 96 &&
+        abs(col("y") - col("sy")) <= 96)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val grid = q("join_spatial_grid").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(grid == brute, s"grid $grid vs brute $brute")
+  }
+
+  test("llm_rouge2_pairs: bounded metrics, overlap matches brute recount") {
+    val rows = q("llm_rouge2_pairs").collect()
+    assert(rows.nonEmpty, "LSH surfaced no candidate pairs at sf0.001")
+    rows.foreach { r =>
+      val (p, rec, f1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p >= 0.0 && p <= 1.0); assert(rec >= 0.0 && rec <= 1.0)
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      // F1 is the harmonic mean: never above both sides
+      assert(f1 <= math.max(p, rec) + 1e-9)
+    }
+    // recount the clipped bigram overlap of every pair in plain Scala
+    val texts = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Map[String, Int] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z ]", "").split(" ", -1)
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.length }
+    }
+    rows.foreach { r =>
+      val ba = bigrams(texts(r.getLong(0)))
+      val bb = bigrams(texts(r.getLong(1)))
+      val clipped = ba.keysIterator
+        .map(g => math.min(ba(g), bb.getOrElse(g, 0))).sum.toLong
+      assert(r.getLong(2) == clipped,
+        s"pair ${r.getLong(0)},${r.getLong(1)}: ${r.getLong(2)} vs $clipped")
+    }
+  }
 }

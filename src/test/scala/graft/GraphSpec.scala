@@ -122,4 +122,31 @@ class GraphSpec extends AnyFunSuite {
         "community crosses a connected component")
     }
   }
+
+  test("harmonic centrality agrees with single-source hop distances at the BFS root") {
+    // graph_hop_distance runs a full BFS from the min-u node;
+    // graph_harmonic's row for that same node must equal
+    // Σ_{0<d≤3} 1/d over those distances (×6 integer domain) — two
+    // independently-implemented declared queries cross-checking.
+    val hops = graft.SparkEntry.queries("graph_hop_distance")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = hops.minBy(_._2)._1 // d=0 row is the root itself
+    assert(hops(root) == 0L)
+    val expected6 = hops.values.collect {
+      case 1L => 6L; case 2L => 3L; case 3L => 2L
+    }.sum
+    val expectedBall = hops.values.count(d => d >= 1L && d <= 3L).toLong
+    val hc = graft.SparkEntry.queries("graph_harmonic")(spark, TestSpark.sf0001)
+      .filter(col("user_id") === root).collect()
+    assert(hc.length == 1)
+    assert(hc(0).getAs[Long]("hc6") == expected6)
+    assert(hc(0).getAs[Long]("n_ball") == expectedBall)
+    // global sanity: every term is ≤ 1 so harmonic ≤ ball size
+    val all = graft.SparkEntry.queries("graph_harmonic")(spark, TestSpark.sf0001)
+      .collect()
+    all.foreach { r =>
+      assert(r.getAs[Long]("hc6") <= 6L * r.getAs[Long]("n_ball"))
+      assert(r.getAs[Long]("hc6") >= 2L * r.getAs[Long]("n_ball"))
+    }
+  }
 }

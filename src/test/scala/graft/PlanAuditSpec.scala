@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "ds_typed_joinwith", "agg_percentile_weighted", "stat_outlier_tukey",
       "join_asof_nearest",
       "dedup_fuzzy_symspell", "ts_burstiness", "stat_skew_kurtosis",
-      "scan_dynamic_overwrite", "mm_frame_dedup")
+      "scan_dynamic_overwrite", "mm_frame_dedup",
+      // round 9 continuation
+      "stat_spearman", "llm_rouge2_pairs", "graph_harmonic",
+      "join_spatial_grid")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
