@@ -1390,6 +1390,124 @@ object Aggs {
              |        - CAST(sx AS DOUBLE) ** 2)
              |      * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
              |        - CAST(sy AS DOUBLE) ** 2)), 4) AS spearman_rho
-             |FROM m ORDER BY l_returnflag""".stripMargin))
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Kendall tau-b between quantity and discount per return flag,
+    // computed from the CONTINGENCY TABLE, not row pairs: concordant /
+    // discordant mass is Σ n_a·n_b over ordered cell pairs (a.q < b.q,
+    // sign of the discount difference splits C from D), so the
+    // quadratic term is |cells|² (50 quantities × 11 discounts = 550
+    // cells ⇒ ~150k cell pairs) regardless of row count — the same
+    // trick that makes tau computable on a 100-TB fact table: one hash
+    // aggregate to the contingency table, one cell self-join. Tie
+    // corrections use the doubled forms N0 = n(n−1), N1 = Σ n_q(n_q−1),
+    // N2 = Σ n_d(n_d−1) to stay division-free in exact DECIMAL until
+    // the final tau = 2(C−D)/√((N0−N1)(N0−N2)) drops to double behind
+    // ROUND(…,4).
+    Q("stat_kendall",
+      (s, d) => {
+        def dec(c: Column) = c.cast("decimal(18,0)")
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+            col("l_discount").as("dc"))
+          .agg(count(lit(1)).as("n"))
+        val cd = cells.as("a").join(cells.as("b"),
+            col("a.f") === col("b.f") && col("a.q") < col("b.q"))
+          .groupBy(col("a.f").as("f"))
+          .agg(
+            sum(when(col("a.dc") < col("b.dc"),
+              dec(col("a.n")) * dec(col("b.n"))).otherwise(lit(0))).as("cc"),
+            sum(when(col("a.dc") > col("b.dc"),
+              dec(col("a.n")) * dec(col("b.n"))).otherwise(lit(0))).as("dd"))
+        val nq = cells.groupBy("f", "q").agg(sum("n").as("nq"))
+          .groupBy("f").agg(sum(dec(col("nq")) * dec(col("nq") - 1)).as("n1"))
+        val nd = cells.groupBy("f", "dc").agg(sum("n").as("nd"))
+          .groupBy("f").agg(sum(dec(col("nd")) * dec(col("nd") - 1)).as("n2"))
+        val tot = cells.groupBy("f")
+          .agg(sum("n").as("n"))
+          .select(col("f"), col("n"), (dec(col("n")) * dec(col("n") - 1)).as("n0"))
+        cd.join(nq, "f").join(nd, "f").join(tot, "f")
+          .select(col("f").as("l_returnflag"), col("n"),
+            round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
+              sqrt((col("n0") - col("n1")).cast("double") *
+                (col("n0") - col("n2")).cast("double")), 4).as("kendall_tau_b"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag AS f, l_quantity AS q, l_discount AS dc,
+             |    COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2, 3),
+             |cd AS (
+             |  SELECT a.f,
+             |    SUM(CASE WHEN a.dc < b.dc THEN CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0)) ELSE 0 END) AS cc,
+             |    SUM(CASE WHEN a.dc > b.dc THEN CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0)) ELSE 0 END) AS dd
+             |  FROM cells a JOIN cells b ON a.f = b.f AND a.q < b.q
+             |  GROUP BY a.f),
+             |n1t AS (
+             |  SELECT f, SUM(CAST(nq AS DECIMAL(18,0))
+             |    * CAST(nq - 1 AS DECIMAL(18,0))) AS n1
+             |  FROM (SELECT f, q, SUM(n) AS nq FROM cells GROUP BY f, q)
+             |  GROUP BY f),
+             |n2t AS (
+             |  SELECT f, SUM(CAST(nd AS DECIMAL(18,0))
+             |    * CAST(nd - 1 AS DECIMAL(18,0))) AS n2
+             |  FROM (SELECT f, dc, SUM(n) AS nd FROM cells GROUP BY f, dc)
+             |  GROUP BY f),
+             |tt AS (
+             |  SELECT f, CAST(SUM(n) AS BIGINT) AS n,
+             |    CAST(SUM(n) AS DECIMAL(18,0))
+             |      * CAST(SUM(n) - 1 AS DECIMAL(18,0)) AS n0
+             |  FROM cells GROUP BY f)
+             |SELECT tt.f AS l_returnflag, tt.n,
+             |  ROUND(2.0 * CAST(cd.cc - cd.dd AS DOUBLE)
+             |    / sqrt(CAST(tt.n0 - n1t.n1 AS DOUBLE)
+             |      * CAST(tt.n0 - n2t.n2 AS DOUBLE)), 4) AS kendall_tau_b
+             |FROM tt JOIN cd USING (f) JOIN n1t USING (f) JOIN n2t USING (f)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Differentially-private group counts with DETERMINISTIC Laplace
+    // noise — the privacy-preserving release shape (counts + ε-scaled
+    // Laplace perturbation, sensitivity 1 for a count). The uniform
+    // draw is the md5-polynomial hash coin (the llm_sample_stratified
+    // device) seeded by the group key, so both engines — and any two
+    // runs — derive the identical perturbation; a production release
+    // would swap the coin for a real CSPRNG draw, which is exactly one
+    // expression. Inverse-CDF Laplace: −b·sign(u−½)·ln(1−2|u−½|),
+    // b = 1/ε. Per-group scalar math on one exact hash aggregate; no
+    // accumulation of floats anywhere (ln of one value per group).
+    Q("agg_dp_noisy", {
+      val EPS = 1.0
+      (s, d) => {
+        val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+          1, 15), 16, 10).cast("double") + 0.5) / lit((1L << 60).toDouble)
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("true_n"))
+          .withColumn("u", u)
+          .select(col("event_type"),
+            round(col("true_n") + lit(-1.0 / EPS) *
+              signum(col("u") - 0.5) *
+              log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 4)
+              .as("noisy_count"),
+            lit(EPS).as("epsilon"))
+          .orderBy("event_type")
+      }
+    },
+      Some {
+        val hex15 = (1 to 15).map(p =>
+          s"(strpos('0123456789abcdef', substr(md5('dp:' || event_type), $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+          .mkString("(", " + ", ")")
+        s"""WITH g AS (
+           |  SELECT event_type, COUNT(*) AS true_n,
+           |    (CAST($hex15 AS DOUBLE) + 0.5) / ${(1L << 60).toDouble} AS u
+           |  FROM events GROUP BY event_type)
+           |SELECT event_type,
+           |  ROUND(true_n + (-1.0) * sign(u - 0.5)
+           |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count,
+           |  CAST(1.0 AS DOUBLE) AS epsilon
+           |FROM g ORDER BY event_type""".stripMargin
+      })
   )
 }

@@ -1022,8 +1022,81 @@ object DataOps {
     Q("ann_ivfpq_adc", fn, Some(sql))
   }
 
+  /** CLIP-style cross-modal alignment filter — the curation stage that
+    * drops pairs whose text and media embedding disagree (the LAION
+    * recipe: keep if cosine(text_emb, image_emb) clears a floor). The
+    * TEXT ENCODER is stubbed (no model weights offline — the
+    * mm_binary_features honesty device): a deterministic hashed
+    * bag-of-words into the same 64-dim space, so scores are
+    * pseudo-random but the pipeline is real end-to-end — per-doc
+    * feature vector build (one token aggregate, no shuffle beyond it),
+    * id-equi-join against the embedding table, one fused cosine per
+    * row, threshold + retention audit. Swapping the stub for a real
+    * encoder changes one projection. Cosine inputs are exact integers
+    * (counts) and fixture floats; both engines fold the 64-term dot
+    * identically (llm_cosine_topk precedent), ROUND(…,4) guards.
+    */
+  private val clipFilterQuery: Q = {
+    val DIMS = 64
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val tvec = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextUdfs.tokenizeCol(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("dim",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % DIMS)
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("c"))))
+          .as("m"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, ${DIMS - 1}), j -> cast(coalesce(element_at(m, cast(j as bigint)), 0) as double))")
+          .as("t"))
+      Tables.embeddings(s, d)
+        .join(tvec, col("vec_id") === col("doc_id"))
+        .withColumn("v", expr("transform(embedding, e -> cast(e as double))"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(t, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+        .withColumn("nt", sqrt(expr(
+          "aggregate(t, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+        .withColumn("nv", sqrt(expr(
+          "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+        .select(col("doc_id"),
+          round(col("dot") / (col("nt") * col("nv")), 4).as("align_cos"),
+          (col("dot") >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    }
+    val hex15 = (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+      .mkString("(", " + ", ")")
+    val sql =
+      s"""WITH toks AS (
+         |  SELECT doc_id, $hex15 % $DIMS AS dim FROM (
+         |    SELECT doc_id, unnest(${graft.functions.TextUdfs.SQL_TOKENIZE}) AS w
+         |    FROM documents) x WHERE w <> ''),
+         |tv AS (
+         |  SELECT doc_id, list_transform(generate_series(0, ${DIMS - 1}),
+         |    j -> CAST(len(list_filter(ds, x -> x = j)) AS DOUBLE)) AS t
+         |  FROM (SELECT doc_id, list(dim) AS ds FROM toks GROUP BY doc_id)),
+         |j AS (
+         |  SELECT doc_id, t,
+         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings JOIN tv ON vec_id = doc_id),
+         |sc AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(list_zip(t, v), x -> x[1] * x[2])) AS dot,
+         |    sqrt(list_sum(list_transform(t, x -> x * x))) AS nt,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+         |  FROM j)
+         |SELECT doc_id, ROUND(dot / (nt * nv), 4) AS align_cos,
+         |  dot >= 0.0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
+    Q("mm_clip_filter", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, mmFrameSample, mmFrameDedup, quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
+    Seq(mmBinaryFeatures, mmFrameSample, mmFrameDedup, clipFilterQuery,
+      quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),

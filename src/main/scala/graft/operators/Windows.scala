@@ -1193,6 +1193,54 @@ object Windows {
              |  CAST(sad AS DOUBLE) / n_scored AS mae,
              |  CAST(sad AS DOUBLE) / CAST(sc AS DOUBLE) AS wape,
              |  CAST(sdiff AS DOUBLE) / n_scored AS bias
-             |FROM scored ORDER BY event_type""".stripMargin))
+             |FROM scored ORDER BY event_type""".stripMargin)),
+
+    // Theil-Sen robust trend of each event_type's hourly arrival
+    // counts: the median of pairwise slopes, immune to the outlier
+    // hours that wreck OLS (stat_linreg is the fragile twin). The full
+    // estimator is quadratic in series length, so this is the BOUNDED
+    // form production systems use: only pairs within a 24-hour
+    // horizon, making the pair stream a band self-join — series_len ×
+    // 24 rows, linear in the series at any scale (the join_range
+    // blocking idea applied to time). Each slope Δcount/Δhours is one
+    // exact-integer ratio (bit-identical both engines); the median
+    // interpolates two doubles at most (the agg_mode_median device),
+    // deterministic behind ROUND(…,4).
+    Q("ts_theil_sen", {
+      val HORIZON = 24
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+              .cast("long").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val slopes = hourly.as("a").join(hourly.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.hr") > col("a.hr") &&
+              col("b.hr") <= col("a.hr") + HORIZON)
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.c") - col("a.c")).cast("double") /
+              (col("b.hr") - col("a.hr")).cast("double")).as("slope"))
+        slopes.groupBy("event_type")
+          .agg(count(lit(1)).as("n_slopes"),
+            round(expr("percentile(slope, 0.5)"), 4).as("theil_sen_slope"))
+          .orderBy("event_type")
+      }
+    },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |slopes AS (
+             |  SELECT a.event_type,
+             |    CAST(b.c - a.c AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE)
+             |      AS slope
+             |  FROM hourly a JOIN hourly b
+             |    ON a.event_type = b.event_type
+             |   AND b.hr > a.hr AND b.hr <= a.hr + 24)
+             |SELECT event_type, COUNT(*) AS n_slopes,
+             |  ROUND(quantile_cont(slope, 0.5), 4) AS theil_sen_slope
+             |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

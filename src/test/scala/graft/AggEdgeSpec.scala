@@ -182,4 +182,71 @@ class AggEdgeSpec extends AnyFunSuite {
       assert(math.abs(grho - rho) < 5e-4, s"$flag: $grho vs brute $rho")
     }
   }
+
+  test("stat_kendall matches brute-force pairwise tau-b") {
+    val got = SparkEntry.queries("stat_kendall")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_discount").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      var c = 0L; var dd = 0L; var tx = 0L; var ty = 0L
+      val arr = g.toArray
+      for (i <- arr.indices; j <- (i + 1) until arr.length) {
+        val sq = java.lang.Double.compare(arr(i)._2, arr(j)._2)
+        val sd = java.lang.Double.compare(arr(i)._3, arr(j)._3)
+        if (sq == 0) tx += 1
+        if (sd == 0) ty += 1
+        if (sq != 0 && sd != 0) { if (sq * sd > 0) c += 1 else dd += 1 }
+      }
+      val n = arr.length.toLong
+      val n0 = n * (n - 1) / 2
+      // brute tx counts pairs tied on x (incl. both-tied); tau-b's n1
+      // counts pairs tied on x regardless of y — same thing
+      val tau = (c - dd).toDouble /
+        math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+      assert(math.abs(got(flag) - tau) < 5e-4,
+        s"$flag: ${got(flag)} vs brute $tau")
+    }
+  }
+
+  test("agg_dp_noisy: noise bounded by the Laplace tail, runs identical") {
+    val trueCounts = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run() = SparkEntry.queries("agg_dp_noisy")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run(); val b = run()
+    assert(a == b, "deterministic noise must be run-stable")
+    a.foreach { case (et, noisy) =>
+      // u has ≥ 2^-61 mass from the +0.5 offset ⇒ |noise| ≤ ln(2^61)/ε
+      assert(math.abs(noisy - trueCounts(et)) <= 61 * math.log(2.0) + 1,
+        s"$et: $noisy vs ${trueCounts(et)}")
+      assert(noisy != trueCounts(et).toDouble, s"$et: noise degenerate")
+    }
+  }
+
+  test("ts_theil_sen matches the brute-force bounded-pair median") {
+    val hourly = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("ts_theil_sen")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (et, nSlopes, slope) =>
+      val series = hourly.filter(_._1 == et)
+      val slopes = (for {
+        a <- series; b <- series
+        if b._2 > a._2 && b._2 <= a._2 + 24
+      } yield (b._3 - a._3).toDouble / (b._2 - a._2).toDouble).sorted
+      assert(nSlopes == slopes.length.toLong)
+      val m =
+        if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+        else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2.0
+      assert(math.abs(slope - m) < 5e-4, s"$et: $slope vs brute $m")
+    }
+  }
 }

@@ -147,4 +147,20 @@ class DataOpsSpec extends AnyFunSuite {
         s"pair ${r.getLong(0)},${r.getLong(1)}: ${r.getLong(2)} vs $clipped")
     }
   }
+
+  test("mm_clip_filter: one row per doc-vector pair, cosine bounded, keep consistent") {
+    val rows = q("mm_clip_filter").collect()
+    assert(rows.length == 500, "every embedding row must be scored")
+    rows.foreach { r =>
+      val a = r.getDouble(1)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"cosine out of range: $a")
+      // keep is dot ≥ 0, and the rounded cosine must agree in sign
+      // (away from the rounding boundary)
+      if (math.abs(a) > 1e-3) assert(r.getBoolean(2) == (a > 0))
+    }
+    // the stubbed hash encoder must actually discriminate: both
+    // classes present, scores not constant
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+    assert(rows.map(_.getDouble(1)).distinct.length > 100)
+  }
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan_dynamic_overwrite", "mm_frame_dedup",
       // round 9 continuation
       "stat_spearman", "llm_rouge2_pairs", "graph_harmonic",
-      "join_spatial_grid")
+      "join_spatial_grid", "stat_kendall", "agg_dp_noisy", "ts_theil_sen",
+      "mm_clip_filter")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
