@@ -23,6 +23,29 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("md5_hex"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Canonical key for normalized exact dedup (the CCNet device):
+    * lower-case, non-alphanumerics → space, whitespace runs collapsed,
+    * trimmed — documents differing only in case/punct/spacing share a
+    * key. SQL mirror: md5(trim(regexp_replace(regexp_replace(
+    * lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))).
+    */
+  def normalizedKey(textCol: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(textCol),
+      "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Per-doc normalized-dedup verdict: family size under
+    * [[normalizedKey]] and whether this row is the keeper (min id).
+    */
+  def normalizedFamilies(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol), normalizedKey(col(textCol)).as("ck"))
+    val fams = keyed.groupBy("ck")
+      .agg(count(lit(1)).as("family_size"), min(idCol).as("__keeper"))
+    keyed.join(fams, "ck")
+      .select(col(idCol), col("family_size"),
+        (col(idCol) === col("__keeper")).as("is_keeper"))
+  }
+
   /** Rows surviving exact dedup (the minimum id per content group). */
   def exactKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))

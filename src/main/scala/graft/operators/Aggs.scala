@@ -1508,6 +1508,54 @@ object Aggs {
            |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count,
            |  CAST(1.0 AS DOUBLE) AS epsilon
            |FROM g ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // One-way ANOVA F: does mean extended price differ across return
+    // flags? Between/within sums of squares from EXACT decimal moments
+    // (n, Σx, Σx² per group — cent-clean values, the stat_corr_matrix
+    // device): SSB = Σ S_g²/n_g − S²/N and SSW = Σx² − Σ S_g²/n_g are
+    // closed-form ratios of exact sums, evaluated in double only at
+    // the end — identical IEEE on both engines, ROUND(…,4). The one
+    // float sum (Σ S_g²/n_g) has k=3 terms — the stat_entropy
+    // adjudication: too few summands to drift past the round guard on
+    // any merge order. One hash aggregate + a 3-row rollup: the
+    // cheapest hypothesis test there is at any scale.
+    Q("stat_anova_f",
+      (s, d) => {
+        val g = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("ng"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("sg"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_extendedprice").cast("decimal(18,2)")).as("sg2"))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum(col("sg")).as("s"), sum(col("sg2")).as("s2"),
+            sum(col("sg").cast("double") * col("sg").cast("double") /
+              col("ng").cast("double")).as("sqn"))
+          .select(col("k"), col("n"),
+            round(((col("sqn") - col("s").cast("double") *
+              col("s").cast("double") / col("n").cast("double")) /
+              (col("k") - 1).cast("double")) /
+              ((col("s2").cast("double") - col("sqn")) /
+                (col("n") - col("k")).cast("double")), 4).as("f_stat"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, COUNT(*) AS ng,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sg,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sg2
+             |  FROM lineitem GROUP BY l_returnflag),
+             |m AS (
+             |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             |    SUM(sg) AS s, SUM(sg2) AS s2,
+             |    SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |      / CAST(ng AS DOUBLE)) AS sqn
+             |  FROM g)
+             |SELECT k, n,
+             |  ROUND(((sqn - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             |    / ((CAST(s2 AS DOUBLE) - sqn)
+             |      / CAST(n - k AS DOUBLE)), 4) AS f_stat
+             |FROM m""".stripMargin))
   )
 }

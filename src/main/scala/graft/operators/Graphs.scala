@@ -675,8 +675,60 @@ object Graphs {
     Q("graph_harmonic", fn, Some(sql))
   }
 
+  /** Neighborhood-Jaccard link scoring over the existing edge set:
+    * J(u,v) = |N(u)∩N(v)| / (deg u + deg v − |N(u)∩N(v)|) — the
+    * tie-strength companion to Adamic-Adar (AA weights rare shared
+    * partners; Jaccard asks what FRACTION of the combined circles is
+    * shared). Entirely exact integers until the single final division:
+    * no ordered-fold machinery needed at all, which is why this is the
+    * cheapest link score to run at 100 TB — two adjacency equi-joins
+    * (cell-cap-bounded neighborhoods) + one pair count + one degree
+    * join. Note N(u)∋v and N(v)∋u by construction (scored pairs are
+    * edges), so the union term includes both endpoints — the standard
+    * convention for tie strength on adjacent pairs.
+    */
+  private def jaccardLinksQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val p = pairs(s, d)
+      val cn = p
+        .join(e.select(col("u").as("pu"), col("v").as("w")),
+          col("u") === col("pu"))
+        .join(e.select(col("u").as("pv"), col("v").as("w2")),
+          col("v") === col("pv") && col("w") === col("w2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+      cn.join(deg.select(col("u").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("du") + col("dv") - col("n_common")).cast("double"), 4))
+        .select(col("u"), col("v"), col("n_common"),
+          (col("du") + col("dv") - col("n_common")).as("n_union"),
+          col("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY u),
+         |cn AS (
+         |  SELECT p.u, p.v, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM e0 p
+         |  JOIN edges ea ON ea.u = p.u
+         |  JOIN edges eb ON eb.u = p.v AND eb.v = ea.v
+         |  GROUP BY p.u, p.v)
+         |SELECT cn.u, cn.v, cn.n_common,
+         |  da.deg + db.deg - cn.n_common AS n_union,
+         |  ROUND(CAST(cn.n_common AS DOUBLE)
+         |    / CAST(da.deg + db.deg - cn.n_common AS DOUBLE), 4) AS jaccard
+         |FROM cn JOIN deg da ON cn.u = da.u JOIN deg db ON cn.v = db.u
+         |ORDER BY jaccard DESC, cn.u, cn.v LIMIT 20""".stripMargin
+    Q("graph_jaccard_links", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
-      modularityQuery, harmonicQuery)
+      modularityQuery, harmonicQuery, jaccardLinksQuery)
 }

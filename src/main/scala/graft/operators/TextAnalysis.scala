@@ -804,6 +804,75 @@ object TextAnalysis {
              |    AS intercept,
              |  ROUND(((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
              |    ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Normalized exact dedup (the CCNet device): documents that differ
+    // only in case, punctuation, or whitespace runs collapse to one
+    // canonical key — catches the re-crawl/re-encode duplicates plain
+    // md5(text) misses while staying strictly linear (one normalize
+    // projection + one hash aggregate + one keep-min join; the same
+    // 100-TB shape as llm_exact_dedup, with normalization as the only
+    // added per-row cost). Reports each doc's family, whether it is
+    // the keeper (min doc_id), and the family size. On THIS fixture
+    // every family is a singleton (no case/punct re-encodes by
+    // construction) — the all-clear is the audit's valid answer; the
+    // collapse semantics are proven on synthetic variants in
+    // ApiSpec ([[graft.api.Dedup.normalizedFamilies]]).
+    Q("dedup_normalized",
+      (s, d) => graft.api.Dedup
+        .normalizedFamilies(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH keyed AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck
+             |  FROM documents),
+             |fams AS (
+             |  SELECT ck, COUNT(*) AS family_size, MIN(doc_id) AS keeper
+             |  FROM keyed GROUP BY ck)
+             |SELECT doc_id, family_size, doc_id = keeper AS is_keeper
+             |FROM keyed JOIN fams USING (ck)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID confusion matrix — the EVAL of text_lang_id, the
+    // table a curation team actually reads before trusting the
+    // classifier's routing: per (true lang, predicted lang) doc
+    // counts plus per-truth recall. One aggregate over the classifier
+    // output (classifier cost dominates; this adds a 25-cell rollup).
+    Q("text_langid_confusion",
+      (s, d) => {
+        val pred = graft.api.TextMetrics
+          .langId(Tables.documents(s, d), "doc_id", "text", "lang",
+            profileSize = 20)
+        val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_true"))
+        pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .join(tot, "lang")
+          .select(col("lang"), col("lang_pred"), col("n"),
+            round(col("n").cast("double") / col("n_true").cast("double"), 4)
+              .as("share_of_truth"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(s"""WITH docTok AS (
+              |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token FROM documents),
+              |profile AS (
+              |  SELECT p_lang, token FROM (
+              |    SELECT lang AS p_lang, token, COUNT(*) AS cnt,
+              |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rn
+              |    FROM docTok GROUP BY lang, token) t WHERE rn <= 20),
+              |overlap AS (
+              |  SELECT doc_id, lang, p_lang, COUNT(*) AS overlap
+              |  FROM (SELECT DISTINCT doc_id, lang, token FROM docTok) dt
+              |  JOIN profile USING (token)
+              |  GROUP BY doc_id, lang, p_lang),
+              |pred AS (
+              |  SELECT doc_id, lang, p_lang AS lang_pred
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rn
+              |        FROM overlap) t WHERE rn = 1),
+              |tot AS (SELECT lang, COUNT(*) AS n_true FROM pred GROUP BY lang)
+              |SELECT lang, lang_pred, COUNT(*) AS n,
+              |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE), 4)
+              |    AS share_of_truth
+              |FROM pred JOIN tot USING (lang)
+              |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin))
   )
 }

@@ -1241,6 +1241,95 @@ object Windows {
              |   AND b.hr > a.hr AND b.hr <= a.hr + 24)
              |SELECT event_type, COUNT(*) AS n_slopes,
              |  ROUND(quantile_cont(slope, 0.5), 4) AS theil_sen_slope
-             |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Single-frequency periodogram at the two calendar periods (24 h
+    // daily, 168 h weekly): spectral power share = (Sc²+Ss²)/SS_tot
+    // where Sc = Σ(c_t−c̄)·cos(2πt/P), the targeted version of an FFT a
+    // distributed engine actually runs (project onto the few periods
+    // that matter; never materialize the full spectrum). Cross-engine
+    // float discipline: cos/sin weights are PRE-ROUNDED DECIMAL(14,12)
+    // LITERALS generated once in Scala and embedded in BOTH the Spark
+    // plan and the oracle SQL, so Σ c·w and Σ w accumulate as exact
+    // decimals (counts are integers) — associative at any
+    // partitioning; the mean-correction and the final ratio are a few
+    // double ops on those exact sums, ROUND(…,4). Per period: one
+    // phase-indexed projection inside the same hash aggregate — cost
+    // identical to a plain group count at any scale.
+    Q("ts_periodogram", {
+      val PERIODS = Seq(24, 168)
+      def w(f: Int => Double, p: Int): IndexedSeq[java.math.BigDecimal] =
+        (0 until p).map(k => new java.math.BigDecimal(f(k))
+          .setScale(12, java.math.RoundingMode.HALF_EVEN))
+      def cosT(p: Int) = w(k => math.cos(2 * math.Pi * k / p), p)
+      def sinT(p: Int) = w(k => math.sin(2 * math.Pi * k / p), p)
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+              .cast("long").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val perPeriod = PERIODS.map { p =>
+          val ct = cosT(p).map(x => s"${x.toPlainString}BD").mkString(",")
+          val st = sinT(p).map(x => s"${x.toPlainString}BD").mkString(",")
+          hourly
+            .withColumn("ph", pmod(col("hr"), lit(p.toLong)).cast("int"))
+            .withColumn("cw", expr(s"element_at(array($ct), ph + 1)"))
+            .withColumn("sw", expr(s"element_at(array($st), ph + 1)"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+              sum(col("c") * col("c")).as("sc2"),
+              sum(col("c") * col("cw")).as("pc"),
+              sum(col("c") * col("sw")).as("ps"),
+              sum(col("cw")).as("wc"), sum(col("sw")).as("ws"))
+            .select(col("event_type"), lit(p.toLong).as("period"),
+              col("n"), col("sc").as("total_events"),
+              round({
+                val mean = col("sc").cast("double") / col("n").cast("double")
+                val a = col("pc").cast("double") - mean * col("wc").cast("double")
+                val b = col("ps").cast("double") - mean * col("ws").cast("double")
+                val sst = col("sc2").cast("double") -
+                  col("n").cast("double") * mean * mean
+                (a * a + b * b) / (col("n").cast("double") * sst)
+              }, 4).as("power_share"))
+        }
+        perPeriod.reduce(_ unionByName _).orderBy("event_type", "period")
+      }
+    },
+      Some {
+        val PERIODS = Seq(24, 168)
+        def tab(f: Int => Double, p: Int): String =
+          (0 until p).map(k =>
+            s"CAST(${new java.math.BigDecimal(f(k))
+              .setScale(12, java.math.RoundingMode.HALF_EVEN).toPlainString} AS DECIMAL(14,12))")
+            .mkString("[", ", ", "]")
+        val arms = PERIODS.map { p =>
+          s"""SELECT event_type, CAST($p AS BIGINT) AS period,
+             |    COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS total_events,
+             |    SUM(c * c) AS sc2,
+             |    SUM(c * cw) AS pc, SUM(c * sw) AS ps,
+             |    SUM(cw) AS wc, SUM(sw) AS ws
+             |  FROM (SELECT event_type, c,
+             |      ${tab(k => math.cos(2 * math.Pi * k / p), p)}[(hr % $p) + 1] AS cw,
+             |      ${tab(k => math.sin(2 * math.Pi * k / p), p)}[(hr % $p) + 1] AS sw
+             |    FROM hourly)
+             |  GROUP BY event_type""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH hourly AS (
+           |  SELECT event_type,
+           |    CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+           |    COUNT(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  $arms)
+           |SELECT event_type, period, n, total_events,
+           |  ROUND(((CAST(pc AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(wc AS DOUBLE))
+           |      * (CAST(pc AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(wc AS DOUBLE))
+           |    + (CAST(ps AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(ws AS DOUBLE))
+           |      * (CAST(ps AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(ws AS DOUBLE)))
+           |    / (n * (CAST(sc2 AS DOUBLE) - n * (CAST(total_events AS DOUBLE) / n)
+           |      * (CAST(total_events AS DOUBLE) / n))), 4) AS power_share
+           |FROM m ORDER BY event_type, period""".stripMargin
+      })
   )
 }

@@ -249,4 +249,62 @@ class AggEdgeSpec extends AnyFunSuite {
       assert(math.abs(slope - m) < 5e-4, s"$et: $slope vs brute $m")
     }
   }
+
+  test("stat_anova_f matches the brute-force one-way ANOVA") {
+    val row = SparkEntry.queries("stat_anova_f")(spark, TestSpark.sf0001).head()
+    val (k, n, f) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val groups = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).values.map(_.map(_._2)).toSeq
+    assert(k == groups.length.toLong)
+    assert(n == groups.map(_.length).sum.toLong)
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length
+      g.map(x => math.pow(x - m, 2)).sum }).sum
+    val brute = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - brute) < 1e-3 * math.max(1.0, brute.abs),
+      s"$f vs brute $brute")
+  }
+
+  test("ts_periodogram matches a brute-force spectral projection") {
+    // the events fixture has UNIFORM arrivals (no planted cycle), so
+    // shares are small at both periods — the meaningful check is that
+    // the decimal-literal projection equals a plain double recompute
+    val rows = SparkEntry.queries("ts_periodogram")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(rows.nonEmpty && rows.size % 2 == 0)
+    rows.values.foreach(p => assert(p >= -1e-9 && p <= 1.0 + 1e-9,
+      s"power share out of [0,1]: $p"))
+    val hourly = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (((et, p), share) <- rows) {
+      val series = hourly.filter(_._1 == et).map(t => (t._2, t._3.toDouble))
+      val n = series.length.toDouble
+      val mean = series.map(_._2).sum / n
+      val a = series.map { case (hr, c) =>
+        (c - mean) * math.cos(2 * math.Pi * (hr % p) / p) }.sum
+      val b = series.map { case (hr, c) =>
+        (c - mean) * math.sin(2 * math.Pi * (hr % p) / p) }.sum
+      val sst = series.map { case (_, c) => (c - mean) * (c - mean) }.sum
+      val brute = (a * a + b * b) / (n * sst)
+      assert(math.abs(share - brute) < 5e-4, s"$et/$p: $share vs $brute")
+    }
+  }
+
+  test("text_langid_confusion rows reconcile with text_lang_id output") {
+    val pred = SparkEntry.queries("text_lang_id")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val expected = pred.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("text_langid_confusion")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }

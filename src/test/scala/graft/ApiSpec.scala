@@ -321,4 +321,21 @@ class ApiSpec extends AnyFunSuite {
     assert(out(13L)._3 && out(14L)._3 &&
       out(13L)._1 == 13L && out(14L)._1 == 14L)
   }
+
+  test("normalizedFamilies collapses case/punct/whitespace variants only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "hello worlds"), // different token — own family
+      (5L, "an unrelated document")
+    ).toDF("id", "body")
+    val out = graft.api.Dedup.normalizedFamilies(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (3L, true)) // min id keeps
+    assert(out(2L) == (3L, false) && out(3L) == (3L, false))
+    assert(out(4L) == (1L, true) && out(5L) == (1L, true))
+  }
 }

@@ -149,4 +149,24 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getAs[Long]("hc6") >= 2L * r.getAs[Long]("n_ball"))
     }
   }
+
+  test("graph_jaccard_links: bounded scores, common counts agree with Adamic-Adar") {
+    val jac = graft.SparkEntry.queries("graph_jaccard_links")(spark, TestSpark.sf0001)
+      .collect()
+    assert(jac.nonEmpty)
+    jac.foreach { r =>
+      val (nc, nu, j) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nc >= 1 && nu >= nc + 2,
+        "union includes both endpoints beyond the common set")
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - nc.toDouble / nu) < 1e-4)
+    }
+    // same pair ⇒ same common-neighbor count as the AA query computes
+    val aa = graft.SparkEntry.queries("graph_adamic_adar")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val jm = jac.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shared = jm.keySet.intersect(aa.keySet)
+    assert(shared.nonEmpty, "top-20 lists share no pair — suspicious")
+    shared.foreach(k => assert(jm(k) == aa(k), s"common count differs at $k"))
+  }
 }

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // round 9 continuation
       "stat_spearman", "llm_rouge2_pairs", "graph_harmonic",
       "join_spatial_grid", "stat_kendall", "agg_dp_noisy", "ts_theil_sen",
-      "mm_clip_filter")
+      "mm_clip_filter", "stat_anova_f", "graph_jaccard_links",
+      "dedup_normalized", "text_langid_confusion", "ts_periodogram")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
