@@ -1556,6 +1556,139 @@ object Aggs {
              |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
              |    / ((CAST(s2 AS DOUBLE) - sqn)
              |      / CAST(n - k AS DOUBLE)), 4) AS f_stat
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Mutual information between event_type and a user cohort — the
+    // feature-selection / leakage-detection primitive. Everything up to
+    // the last step is integer counts (joint + both marginals + grand
+    // total), so the only float work is ~|X|·|Y| log terms summed once;
+    // at ROUND(…,4) the merge-order exposure is ~1e-15, far below the
+    // rounding grain (the stat_entropy precedent). Three hash
+    // aggregates over one scan-shaped input; the two marginals and the
+    // 1-row total broadcast into the joint table — no second shuffle of
+    // the fact stream at any scale.
+    Q("stat_mutual_info",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), (col("user_id") % 8).as("cohort"))
+        val joint = ev.groupBy("event_type", "cohort")
+          .agg(count(lit(1)).as("cxy"))
+        val mx = ev.groupBy("event_type").agg(count(lit(1)).as("cx"))
+        val my = ev.groupBy("cohort").agg(count(lit(1)).as("cy"))
+        val tot = joint.agg(sum("cxy").as("n"))
+        val mi = joint
+          .join(broadcast(mx), "event_type")
+          .join(broadcast(my), "cohort")
+          .crossJoin(broadcast(tot))
+          .select(((col("cxy").cast("double") / col("n").cast("double")) *
+            log2(col("cxy").cast("double") * col("n").cast("double") /
+              (col("cx").cast("double") * col("cy").cast("double"))))
+            .as("term"))
+          .agg(count(lit(1)).as("n_cells"), sum("term").as("mi"))
+        val hx = mx.crossJoin(broadcast(tot))
+          .agg((-sum((col("cx").cast("double") / col("n").cast("double")) *
+            log2(col("cx").cast("double") / col("n").cast("double"))))
+            .as("hx"))
+        val hy = my.crossJoin(broadcast(tot))
+          .agg((-sum((col("cy").cast("double") / col("n").cast("double")) *
+            log2(col("cy").cast("double") / col("n").cast("double"))))
+            .as("hy"))
+        mi.crossJoin(hx).crossJoin(hy)
+          .select(col("n_cells"),
+            round(col("mi"), 4).as("mi_bits"),
+            round(col("hx"), 4).as("h_type_bits"),
+            round(col("hy"), 4).as("h_cohort_bits"),
+            round(col("mi") / sqrt(col("hx") * col("hy")), 4).as("nmi"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, user_id % 8 AS cohort FROM events),
+             |joint AS (
+             |  SELECT event_type, cohort, COUNT(*) AS cxy
+             |  FROM ev GROUP BY 1, 2),
+             |mx AS (SELECT event_type, COUNT(*) AS cx FROM ev GROUP BY 1),
+             |my AS (SELECT cohort, COUNT(*) AS cy FROM ev GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM joint),
+             |mi AS (
+             |  SELECT COUNT(*) AS n_cells,
+             |    SUM((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * log2(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+             |        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS mi
+             |  FROM joint
+             |  JOIN mx USING (event_type) JOIN my USING (cohort), tot),
+             |hx AS (
+             |  SELECT -SUM((CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * log2(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))) AS hx
+             |  FROM mx, tot),
+             |hy AS (
+             |  SELECT -SUM((CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * log2(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))) AS hy
+             |  FROM my, tot)
+             |SELECT n_cells, ROUND(mi, 4) AS mi_bits,
+             |  ROUND(hx, 4) AS h_type_bits, ROUND(hy, 4) AS h_cohort_bits,
+             |  ROUND(mi / sqrt(hx * hy), 4) AS nmi
+             |FROM mi, hx, hy""".stripMargin)),
+
+    // Population Stability Index — the standard training/serving drift
+    // monitor. Fixed-width bins (not quantiles) so the bin edges are a
+    // constant of the query, not of the data: at 100 TB each side is
+    // one partial-aggregate scan producing ≤10 rows, and the spine
+    // (spark.range / generate_series) guarantees empty bins surface
+    // with their Laplace-smoothed floor instead of silently dropping
+    // out of the Σ. All counts integer; the 10 log terms only combine
+    // in the final 10-row window sum.
+    Q("dq_psi_drift",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(least(floor(col("o_totalprice") / 50000).cast("long"),
+            lit(9L)).as("bin"),
+            (col("o_orderdate") < lit("1995-01-01")).as("is_ref"))
+        val counts = o.groupBy("bin")
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+        val spine = s.range(0, 10).toDF("bin")
+        val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+        val filled = spine.join(counts, Seq("bin"), "left")
+          .na.fill(0L, Seq("n_ref", "n_cur"))
+          .crossJoin(broadcast(tot))
+          .withColumn("p_ref", (col("n_ref").cast("double") + 0.5) /
+            (col("tr").cast("double") + 5.0))
+          .withColumn("p_cur", (col("n_cur").cast("double") + 0.5) /
+            (col("tc").cast("double") + 5.0))
+          .withColumn("psi_term",
+            (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        filled.select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_term"), 6).as("psi_term"),
+            round(sum(col("psi_term")).over(Window.partitionBy()), 6)
+              .as("psi_total"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (
+             |  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+             |    o_orderdate < '1995-01-01' AS is_ref
+             |  FROM orders),
+             |c AS (
+             |  SELECT bin,
+             |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+             |  FROM o GROUP BY bin),
+             |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM c),
+             |f AS (
+             |  SELECT s.bin, COALESCE(c.n_ref, 0) AS n_ref,
+             |    COALESCE(c.n_cur, 0) AS n_cur,
+             |    (CAST(COALESCE(c.n_ref, 0) AS DOUBLE) + 0.5)
+             |      / (CAST(tr AS DOUBLE) + 5.0) AS p_ref,
+             |    (CAST(COALESCE(c.n_cur, 0) AS DOUBLE) + 0.5)
+             |      / (CAST(tc AS DOUBLE) + 5.0) AS p_cur
+             |  FROM (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin) s
+             |  LEFT JOIN c USING (bin), t)
+             |SELECT bin, n_ref, n_cur,
+             |  ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+             |  ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+             |  ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+             |    AS psi_total
+             |FROM f ORDER BY bin""".stripMargin))
   )
 }

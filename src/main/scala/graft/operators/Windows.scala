@@ -1330,6 +1330,113 @@ object Windows {
            |    / (n * (CAST(sc2 AS DOUBLE) - n * (CAST(total_events AS DOUBLE) / n)
            |      * (CAST(total_events AS DOUBLE) / n))), 4) AS power_share
            |FROM m ORDER BY event_type, period""".stripMargin
-      })
+      }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral-model / next-event-prediction
+    // primitive. One shuffle on user_id, one within-partition sort on
+    // the unique (ts, event_id) order for the lead(), then a tiny
+    // |types|² aggregate; the row-count probability only divides two
+    // integer counts, so the matrix is exact at any partitioning.
+    Q("ts_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = trans.groupBy("from_type").agg(sum("n").as("nf"))
+        trans.join(broadcast(fromTot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("nf").cast("double"), 4)
+              .as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n
+             |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS nf
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, n,
+             |  ROUND(CAST(n AS DOUBLE) / CAST(nf AS DOUBLE), 4) AS p
+             |FROM c JOIN f USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Gaps-and-islands interval coalescing: each event opens a 30-min
+    // activity window; overlapping windows per user merge into islands
+    // (running max-of-previous-ends detects island starts, a running
+    // sum numbers them). All arithmetic is integer microseconds —
+    // exact. One shuffle on user_id + one in-partition sort serves
+    // BOTH window functions and the island groupBy; the per-user
+    // rollup is a second tiny aggregate. The classic sessionize
+    // generalization: unlike win_sessionize_batch's fixed gap since
+    // the LAST event, islands merge on interval OVERLAP, so a burst
+    // of overlapping half-open windows collapses exactly.
+    Q("ts_interval_merge",
+      (s, d) => {
+        val spanUs = 1800L * 1000000L
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val iv = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("s_us", unix_micros(col("ts")))
+          .withColumn("e_us", col("s_us") + spanUs)
+        val islands = iv
+          .withColumn("prev_max_e", max("e_us")
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_e").isNull ||
+              col("s_us") > col("prev_max_e"), 1L).otherwise(0L))
+          .withColumn("island", sum("new_island")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("n_events"),
+            min("s_us").as("i_start"), max("e_us").as("i_end"))
+        islands.groupBy("user_id")
+          .agg(sum("n_events").as("n_events"),
+            count(lit(1)).as("n_islands"),
+            (sum(col("i_end") - col("i_start")) / 1000000L)
+              .cast("long").as("busy_secs"),
+            (max(col("i_end") - col("i_start")) / 1000000L)
+              .cast("long").as("max_island_secs"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             |    epoch_us(ts) + 1800000000 AS e_us, ts
+             |  FROM events),
+             |mk AS (
+             |  SELECT user_id, s_us, e_us,
+             |    CASE WHEN max(e_us) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      IS NULL OR s_us > max(e_us) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS new_island, ts, event_id
+             |  FROM iv),
+             |num AS (
+             |  SELECT user_id, s_us, e_us,
+             |    SUM(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM mk),
+             |isl AS (
+             |  SELECT user_id, island, COUNT(*) AS n_events,
+             |    MIN(s_us) AS i_start, MAX(e_us) AS i_end
+             |  FROM num GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(n_events) AS BIGINT) AS n_events,
+             |  COUNT(*) AS n_islands,
+             |  CAST(SUM(i_end - i_start) // 1000000 AS BIGINT) AS busy_secs,
+             |  CAST(MAX(i_end - i_start) // 1000000 AS BIGINT)
+             |    AS max_island_secs
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
