@@ -651,6 +651,152 @@ object Llm {
               |LEFT JOIN ov o ON p.doc_a = o.doc_a AND p.doc_b = o.doc_b
               |JOIN totals ta ON ta.doc_id = p.doc_a
               |JOIN totals tb ON tb.doc_id = p.doc_b
-              |ORDER BY p.doc_a, p.doc_b""".stripMargin))
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // Inverted index construction — the search-engine/retrieval
+    // primitive: token → (df, total tf, head of the sorted posting
+    // list). The posting-list HEAD is computed scale-safely: a
+    // row_number window over the per-(token, doc) table keeps only the
+    // 10 smallest doc_ids per token BEFORE any list materializes, so
+    // per-group state is bounded even for stopword-grade tokens whose
+    // full posting lists are corpus-sized (the classic inverted-index
+    // hot-key). df ≥ 5 prunes hapax noise. Serialized as a CSV string
+    // (the round-2 array-hashability device).
+    Q("llm_inverted_index",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val pd = tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        val stats = pd.groupBy("token")
+          .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        val w = Window.partitionBy("token").orderBy("doc_id")
+        val head = pd.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("token")
+          .agg(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings_head"))
+        stats.join(head, "token")
+          .filter(col("df") >= 5)
+          .select(col("token"), col("df"), col("total_tf"),
+            col("postings_head"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |pd AS (
+              |  SELECT token, doc_id, COUNT(*) AS tf
+              |  FROM tok GROUP BY 1, 2)
+              |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+              |  array_to_string(list_transform(list_sort(list(doc_id))[1:10],
+              |    e -> CAST(e AS VARCHAR)), ',') AS postings_head
+              |FROM pd GROUP BY token HAVING COUNT(*) >= 5
+              |ORDER BY token""".stripMargin)),
+
+    // BM25 ranking (k1=1.2, b=0.75) of a fixed 3-term query — the
+    // retrieval scorer the inverted index exists to serve. Every input
+    // to the closed form is an integer aggregate (tf, df, dl, N, Σdl);
+    // the per-(doc, term) score is pure scalar double math and the
+    // per-doc Σ has ≤3 terms (the stat_entropy adjudication), ranked
+    // by the ROUNDED score with doc_id tie-break (the tfidf device) so
+    // ulp noise can't reorder the top-20. Scale shape: term postings
+    // are corpus-linear ONLY for the queried terms (the filter comes
+    // before the groupBy), dl/stats are one linear pass, the final
+    // top-k is TakeOrdered — no global sort.
+    Q("llm_bm25_topk",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+        val tf = tok.filter(col("token").isin("spark", "query", "window"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("term_s",
+            log((col("n").cast("double") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                  col("n") / col("sumdl"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum("term_s"), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+              |  FROM dl),
+              |tf AS (
+              |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+              |  WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+              |sc AS (
+              |  SELECT tf.doc_id, COUNT(*) AS n_terms,
+              |    SUM(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+              |      * (CAST(tf AS DOUBLE) * 2.2)
+              |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+              |        + 0.75 * CAST(dl.dl AS DOUBLE) * n / sumdl))) AS s
+              |  FROM tf JOIN df USING (token)
+              |  JOIN dl ON tf.doc_id = dl.doc_id, st
+              |  GROUP BY tf.doc_id)
+              |SELECT doc_id, n_terms, ROUND(s, 4) AS bm25 FROM sc
+              |ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Per-source KL divergence from the corpus token distribution —
+    // the domain-shift / source-mix drift monitor (which feed's
+    // language has wandered from the blend). The grid is
+    // vocabulary × sources, NOT corpus-sized: after two linear count
+    // passes the whole computation lives on |V|·|S| rows (the
+    // dq_psi_drift spine idea at vocabulary granularity), with
+    // Laplace smoothing on the source side so absent tokens
+    // contribute their penalty instead of vanishing. Corpus marginal
+    // Q is unsmoothed (every token has c ≥ 1 by construction).
+    Q("llm_kl_divergence",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val ct = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        val nv = ct.agg(sum("c").as("n"), count(lit(1)).as("v"))
+        val ns = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+        val stc = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+        ns.crossJoin(broadcast(ct))
+          .join(stc, Seq("source", "token"), "left")
+          .na.fill(0L, Seq("cs"))
+          .crossJoin(broadcast(nv))
+          .withColumn("p", (col("cs").cast("double") + 0.5) /
+            (col("ns").cast("double") + lit(0.5) * col("v")))
+          .withColumn("q", col("c").cast("double") / col("n").cast("double"))
+          .groupBy("source")
+          .agg(max("ns").as("n_tokens"),
+            sum(when(col("cs") > 0, 1L).otherwise(0L)).as("vocab_used"),
+            round(sum(col("p") * log2(col("p") / col("q"))), 4).as("kl_bits"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT source, unnest($SQL_TOKENIZE) AS token FROM documents),
+              |ct AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+              |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM ct),
+              |ns AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY 1),
+              |stc AS (SELECT source, token, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+              |grid AS (
+              |  SELECT source, ns, token, c, COALESCE(cs, 0) AS cs, n, v
+              |  FROM ns CROSS JOIN ct LEFT JOIN stc USING (source, token), nv)
+              |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS vocab_used,
+              |  ROUND(SUM(((CAST(cs AS DOUBLE) + 0.5)
+              |      / (CAST(ns AS DOUBLE) + 0.5 * v))
+              |    * log2(((CAST(cs AS DOUBLE) + 0.5)
+              |        / (CAST(ns AS DOUBLE) + 0.5 * v))
+              |      / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS kl_bits
+              |FROM grid GROUP BY source ORDER BY source""".stripMargin))
   )
 }

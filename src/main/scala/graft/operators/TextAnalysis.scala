@@ -873,6 +873,43 @@ object TextAnalysis {
               |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_true) AS DOUBLE), 4)
               |    AS share_of_truth
               |FROM pred JOIN tot USING (lang)
-              |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin))
+              |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)),
+
+    // Record linkage with BLOCKING — the entity-resolution shape: never
+    // all-pairs; candidate pairs exist only inside (brand, first-name-
+    // token) blocks, so the quadratic term is Σ|block|² with the block
+    // key as the skew dial (the LSH-band / spatial-grid analogy on a
+    // dimension table). The match predicate is edit distance ≤ 2 —
+    // exact integer, bit-identical across engines. key_a < key_b
+    // canonicalizes pairs; everything downstream of the block join is
+    // a filter, no dedup stage.
+    Q("dedup_blocked_linkage",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            split(col("p_name"), " ").getItem(0).as("blk"))
+        val a = p.select(col("p_brand"), col("blk"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("blk"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand", "blk"))
+          .filter(col("key_a") < col("key_b"))
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("p_brand"), col("key_a"), col("key_b"),
+            col("name_a"), col("name_b"), col("dist"))
+          .orderBy("p_brand", "key_a", "key_b")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_brand, p_name,
+             |    string_split(p_name, ' ')[1] AS blk FROM part)
+             |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |  a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY a.p_brand, key_a, key_b""".stripMargin))
   )
 }
