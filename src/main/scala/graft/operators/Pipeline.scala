@@ -970,7 +970,35 @@ object Pipeline {
               |  GREATEST(CAST(MAX(span_id) + 1 AS BIGINT), 0) AS n_spans,
               |  string_agg(in_tok, ' ' ORDER BY pos) AS corrupted,
               |  string_agg(tg_tok, ' ' ORDER BY pos) AS target
-              |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // each doc draws u from the deterministic hash coin and competes on
+    // key = ln(u)/w (equivalent to u^(1/w); w = n_chars, so long docs
+    // are proportionally favored). Top-k by key IS the weighted sample
+    // — one per-row expression pass + a TakeOrdered, no global sort, no
+    // RNG, identical sample on re-runs and re-crawled shards. Ranking
+    // uses the ROUNDED key with doc_id tie-break (the tfidf device) so
+    // ln() ulp noise can't reorder the cut.
+    Q("llm_sample_weighted",
+      (s, d) => {
+        val hex = conv(substring(md5(concat(lit("wsamp:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        Tables.documents(s, d)
+          .withColumn("u",
+            (hex.cast("double") + 0.5) / lit(1.152921504606847e18))
+          .withColumn("key",
+            round(log(col("u")) / col("n_chars").cast("double"), 8))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some(s"""SELECT doc_id, lang, n_chars,
+              |  ROUND(ln((CAST(${SQL_HEX15("md5('wsamp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) + 0.5)
+              |      / 1.152921504606847e18)
+              |    / CAST(n_chars AS DOUBLE), 8) AS key
+              |FROM documents
+              |ORDER BY key DESC, doc_id LIMIT 25""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

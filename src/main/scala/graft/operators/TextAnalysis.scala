@@ -910,6 +910,99 @@ object TextAnalysis {
              |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
              |  AND a.p_partkey < b.p_partkey
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
-             |ORDER BY a.p_brand, key_a, key_b""".stripMargin))
+             |ORDER BY a.p_brand, key_a, key_b""".stripMargin)),
+
+    // Multinomial Naive Bayes trained AND applied in-engine — the
+    // classic distributed text classifier (predict lang from tokens;
+    // hash split 80/20 by doc_id). Cross-engine float doctrine: each
+    // per-token log-likelihood is ROUNDED TO 10 dp AND CAST TO
+    // DECIMAL(20,10) before summation (the periodogram pre-rounded-
+    // weight device), so the per-(doc, class) score accumulates as an
+    // EXACT decimal — associative at any partitioning — and the argmax
+    // is deterministic without score-rounding hacks; only the emitted
+    // log_score drops to double. Scale shape: the likelihood table is
+    // |V|·|L| (broadcastable), the scoring grid is test-tokens × L
+    // (linear), priors are an |L|-row aggregate; argmax is a
+    // row_number window per doc.
+    Q("text_nb_langid",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val train = toks.filter(col("doc_id") % 5 =!= 0)
+        val test = toks.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang").as("true_lang"), col("token"))
+        val classTok = train.groupBy(col("lang").as("cls"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val classTot = train.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).as("nl"))
+        val vc = train.agg(countDistinct("token").as("v"))
+        val priors = train.groupBy(col("lang").as("cls"))
+          .agg(countDistinct("doc_id").as("nd"))
+        val ptot = priors.agg(sum("nd").as("ndocs"))
+        val pri = priors.crossJoin(broadcast(ptot))
+          .select(col("cls"),
+            round(log(col("nd").cast("double") / col("ndocs").cast("double")),
+              10).cast("decimal(20,10)").as("prior"))
+        val grid = test
+          .crossJoin(broadcast(classTot))
+          .join(broadcast(classTok), Seq("cls", "token"), "left")
+          .na.fill(0L, Seq("c"))
+          .crossJoin(broadcast(vc))
+          .withColumn("term",
+            round(log((col("c") + 1).cast("double") /
+              (col("nl") + col("v")).cast("double")), 10)
+              .cast("decimal(20,10)"))
+        val scores = grid.groupBy("doc_id", "true_lang", "cls")
+          .agg(sum("term").as("sumterm"))
+          .join(broadcast(pri), "cls")
+          .withColumn("score", col("sumterm") + col("prior"))
+        val wBest = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cls").asc)
+        scores.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("true_lang"),
+            col("cls").as("pred_lang"),
+            (col("true_lang") === col("cls")).as("correct"),
+            round(col("score").cast("double"), 4).as("log_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token
+              |  FROM documents),
+              |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+              |test AS (SELECT doc_id, lang AS true_lang, token
+              |  FROM toks WHERE doc_id % 5 = 0),
+              |ct AS (SELECT lang AS cls, token, COUNT(*) AS c
+              |  FROM train GROUP BY 1, 2),
+              |nlt AS (SELECT lang AS cls, COUNT(*) AS nl
+              |  FROM train GROUP BY 1),
+              |vc AS (SELECT COUNT(DISTINCT token) AS v FROM train),
+              |pd AS (SELECT lang AS cls, COUNT(DISTINCT doc_id) AS nd
+              |  FROM train GROUP BY 1),
+              |pt AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndocs FROM pd),
+              |pri AS (SELECT cls,
+              |  CAST(ROUND(ln(CAST(nd AS DOUBLE) / CAST(ndocs AS DOUBLE)), 10)
+              |    AS DECIMAL(20,10)) AS prior FROM pd, pt),
+              |grid AS (
+              |  SELECT t.doc_id, t.true_lang, nlt.cls, nlt.nl,
+              |    COALESCE(ct.c, 0) AS c, v
+              |  FROM test t CROSS JOIN nlt
+              |  LEFT JOIN ct ON ct.cls = nlt.cls AND ct.token = t.token, vc),
+              |sc AS (
+              |  SELECT doc_id, true_lang, cls,
+              |    SUM(CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)
+              |      / CAST(nl + v AS DOUBLE)), 10) AS DECIMAL(20,10)))
+              |      AS sumterm
+              |  FROM grid GROUP BY 1, 2, 3),
+              |fin AS (
+              |  SELECT doc_id, true_lang, cls, sumterm + prior AS score
+              |  FROM sc JOIN pri USING (cls))
+              |SELECT doc_id, true_lang, cls AS pred_lang,
+              |  true_lang = cls AS correct,
+              |  ROUND(CAST(score AS DOUBLE), 4) AS log_score
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, cls) AS rn FROM fin) x
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }

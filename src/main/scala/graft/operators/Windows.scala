@@ -1437,6 +1437,89 @@ object Windows {
              |  CAST(SUM(i_end - i_start) // 1000000 AS BIGINT) AS busy_secs,
              |  CAST(MAX(i_end - i_start) // 1000000 AS BIGINT)
              |    AS max_island_secs
-             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // First-touch / last-touch attribution: every purchase is credited
+    // to the user's earliest and latest click/view inside a 24 h
+    // lookback; purchases with no touch surface as ('none','none')
+    // instead of dropping out (LEFT join with the band predicate IN
+    // the join condition — a post-filter would silently turn it
+    // inner). Shuffle shape: one user-keyed join (per-user fan-in
+    // bounded by the 24 h band), two row_number windows partitioned by
+    // purchase id, then a ≤|types|² aggregate. Lookback stats are
+    // exact integer µs sums until one final double division.
+    Q("ts_attribution_touch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+            col("ts").as("t_ts"), col("event_type").as("t_type"))
+        val cond = purchases("user_id") === touches("t_user") &&
+          touches("t_ts") <= purchases("p_ts") &&
+          unix_micros(purchases("p_ts")) - unix_micros(touches("t_ts")) <=
+            86400000000L
+        val base = purchases.join(touches, cond, "left")
+          .select(col("p_id"), col("p_ts"), col("t_id"), col("t_ts"),
+            col("t_type"))
+        val wA = Window.partitionBy("p_id")
+          .orderBy(col("t_ts").asc_nulls_first, col("t_id").asc_nulls_first)
+        val wD = Window.partitionBy("p_id")
+          .orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)
+        val first = base.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("p_id"), col("p_ts"),
+            coalesce(col("t_type"), lit("none")).as("first_type"),
+            (unix_micros(col("p_ts")) - unix_micros(col("t_ts")))
+              .as("lookback_us"))
+        val last = base.withColumn("rn", row_number().over(wD))
+          .filter(col("rn") === 1)
+          .select(col("p_id"),
+            coalesce(col("t_type"), lit("none")).as("last_type"))
+        val m = first.join(last, "p_id")
+        m.groupBy("first_type", "last_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum("lookback_us").cast("double") /
+              count(col("lookback_us")) / 60000000.0, 4)
+              .as("avg_first_lookback_min"))
+          .withColumn("share", round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy()), 4))
+          .orderBy("first_type", "last_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+             |    event_type AS t_type
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |base AS (
+             |  SELECT p.p_id, p.p_ts, t.t_id, t.t_ts, t.t_type
+             |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+             |    AND t.t_ts <= p.p_ts
+             |    AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 86400000000),
+             |f AS (
+             |  SELECT p_id, p_ts, COALESCE(t_type, 'none') AS first_type,
+             |    epoch_us(p_ts) - epoch_us(t_ts) AS lookback_us
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+             |      ORDER BY t_ts ASC NULLS FIRST, t_id ASC NULLS FIRST) AS rn
+             |    FROM base) x WHERE rn = 1),
+             |l AS (
+             |  SELECT p_id, COALESCE(t_type, 'none') AS last_type
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+             |      ORDER BY t_ts DESC NULLS LAST, t_id DESC NULLS LAST) AS rn
+             |    FROM base) x WHERE rn = 1),
+             |g AS (
+             |  SELECT first_type, last_type, COUNT(*) AS n,
+             |    ROUND(CAST(SUM(lookback_us) AS DOUBLE)
+             |      / COUNT(lookback_us) / 60000000.0, 4)
+             |      AS avg_first_lookback_min
+             |  FROM f JOIN l USING (p_id)
+             |  GROUP BY 1, 2)
+             |SELECT first_type, last_type, n, avg_first_lookback_min,
+             |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS share
+             |FROM g ORDER BY first_type, last_type""".stripMargin))
   )
 }

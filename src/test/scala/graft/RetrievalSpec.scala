@@ -51,6 +51,50 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_sample_weighted: 25 rows, keys non-increasing, rerun-identical") {
+    val q = SparkEntry.queries("llm_sample_weighted")
+    val a = q(spark, TestSpark.sf0001).collect()
+    assert(a.length == 25)
+    val keys = a.map(_.getDouble(3))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y })
+    assert(keys.forall(_ < 0), "ln(u)/w is strictly negative")
+    val b = q(spark, TestSpark.sf0001).collect()
+    assert(a.map(_.toString) sameElements b.map(_.toString),
+      "hash-based sampling must be rerun-identical")
+  }
+
+  test("ts_attribution_touch: counts cover every purchase, shares sum to 1") {
+    val rows = SparkEntry.queries("ts_attribution_touch")(spark, TestSpark.sf0001)
+      .collect()
+    val nPurchases = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum == nPurchases)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val mins = r.getDouble(3)
+        assert(mins >= 0 && mins <= 24 * 60, s"lookback $mins out of band")
+      } else assert(r.getString(0) == "none")
+    }
+  }
+
+  test("text_nb_langid: exactly the held-out docs, valid classes, scores negative") {
+    val rows = SparkEntry.queries("text_nb_langid")(spark, TestSpark.sf0001)
+      .collect()
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val heldOut = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(rows.length == heldOut, "one prediction per held-out doc")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 == 0)
+      assert(langs.contains(r.getString(2)))
+      assert(r.getBoolean(3) == (r.getString(1) == r.getString(2)))
+      assert(r.getDouble(4) < 0, "log posterior mass is negative")
+    }
+  }
+
   test("dedup_blocked_linkage: pairs canonical, same block, dist bound holds") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
