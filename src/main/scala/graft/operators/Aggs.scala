@@ -1641,7 +1641,7 @@ object Aggs {
         val o = Tables.orders(s, d)
           .select(least(floor(col("o_totalprice") / 50000).cast("long"),
             lit(9L)).as("bin"),
-            (col("o_orderdate") < lit("1995-01-01")).as("is_ref"))
+            (col("o_orderdate") < lit("1998-07-01")).as("is_ref"))
         val counts = o.groupBy("bin")
           .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
@@ -1666,7 +1666,7 @@ object Aggs {
       },
       Some("""WITH o AS (
              |  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
-             |    o_orderdate < '1995-01-01' AS is_ref
+             |    o_orderdate < '1998-07-01' AS is_ref
              |  FROM orders),
              |c AS (
              |  SELECT bin,
@@ -1689,6 +1689,72 @@ object Aggs {
              |  ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
              |  ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
              |    AS psi_total
-             |FROM f ORDER BY bin""".stripMargin))
+             |FROM f ORDER BY bin""".stripMargin)),
+
+    // Wilcoxon signed-rank test — the PAIRED nonparametric companion to
+    // stat_mannwhitney: per part, mean price before vs after the mid-1998
+    // pivot; the pair differences are ranked by |d| and W+ = Σ ranks of
+    // positive differences. The per-pair means come from exact decimal
+    // sums (identical doubles both engines), so the rank order —
+    // row_number over (|d|, partkey) — is bit-reproducible; rank sums
+    // are exact integers and only the closed-form z drops to double.
+    // The global rank runs on the PART-AGGREGATED set (|parts|, not
+    // |rows|); at a scale where even that sort hurts, the spearman
+    // frequency-rank device (cum-count over distinct values) replaces
+    // the row_number without changing W. Zero differences are excluded
+    // (the standard Wilcoxon treatment); |d| ties get sequential ranks
+    // with the partkey tie-break, mirrored exactly in the oracle.
+    Q("stat_wilcoxon",
+      (s, d) => {
+        val pre = col("l_shipdate") < "1998-07-01"
+        val g = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(when(pre, col("l_extendedprice").cast("decimal(18,2)")))
+            .as("sx"),
+            count(when(pre, 1)).as("nx"),
+            sum(when(!pre, col("l_extendedprice").cast("decimal(18,2)")))
+              .as("sy"),
+            count(when(!pre, 1)).as("ny"))
+          .filter(col("nx") > 0 && col("ny") > 0)
+          .withColumn("dd", col("sx").cast("double") / col("nx") -
+            col("sy").cast("double") / col("ny"))
+          .filter(col("dd") =!= 0.0)
+        val w = Window.orderBy(abs(col("dd")), col("l_partkey"))
+        g.withColumn("rnk", row_number().over(w))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dd") > 0, col("rnk"))).as("w_plus"),
+            sum(when(col("dd") < 0, col("rnk"))).as("w_minus"))
+          .select(col("n"), col("w_plus"), col("w_minus"),
+            round((col("w_plus").cast("double") -
+              col("n") * (col("n") + 1) / 4.0) /
+              sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24.0),
+              4).as("z"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_partkey,
+             |    SUM(CASE WHEN l_shipdate < '1998-07-01'
+             |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sx,
+             |    COUNT(CASE WHEN l_shipdate < '1998-07-01' THEN 1 END) AS nx,
+             |    SUM(CASE WHEN l_shipdate >= '1998-07-01'
+             |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sy,
+             |    COUNT(CASE WHEN l_shipdate >= '1998-07-01' THEN 1 END) AS ny
+             |  FROM lineitem GROUP BY 1),
+             |dd AS (
+             |  SELECT l_partkey,
+             |    CAST(sx AS DOUBLE) / nx - CAST(sy AS DOUBLE) / ny AS dd
+             |  FROM g WHERE nx > 0 AND ny > 0),
+             |r AS (
+             |  SELECT dd, ROW_NUMBER() OVER (ORDER BY abs(dd), l_partkey)
+             |    AS rnk
+             |  FROM dd WHERE dd <> 0),
+             |a AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN dd > 0 THEN rnk END) AS BIGINT) AS w_plus,
+             |    CAST(SUM(CASE WHEN dd < 0 THEN rnk END) AS BIGINT) AS w_minus
+             |  FROM r)
+             |SELECT n, w_plus, w_minus,
+             |  ROUND((CAST(w_plus AS DOUBLE) - n * (n + 1) / 4.0)
+             |    / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 4) AS z
+             |FROM a""".stripMargin))
   )
 }

@@ -727,8 +727,57 @@ object Graphs {
     Q("graph_jaccard_links", fn, Some(sql))
   }
 
+  /** Multi-source WEIGHTED shortest paths (Bellman–Ford, H=4 relaxation
+    * rounds) — the weighted upgrade of graph_hop_distance. Edge weights
+    * are a deterministic integer function of the endpoints
+    * (1 + (u+v) mod 5), so every distance is exact BIGINT arithmetic;
+    * sources are the user_id % 97 == 0 nodes (multi-source = one extra
+    * min, no per-source state blowup). Each round is one adjacency
+    * join + one min-aggregate — the textbook distributed relaxation:
+    * per-round cost |frontier ∪ settled| · avg-degree, H bounds the
+    * horizon honestly (nodes further than 4 weighted hops from every
+    * source simply don't appear, which IS the truncated contract).
+    * Oracle unrolls the same 4 rounds with MATERIALIZED dist tables.
+    */
+  private def ssspQuery: Q = {
+    val H = 4
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+        .withColumn("w", lit(1L) + (col("u") + col("v")) % 5)
+      var dist = e.select(col("u").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+        .withColumn("dist", lit(0L))
+      for (_ <- 1 to H) {
+        val relax = dist.join(e, dist("node") === e("u"))
+          .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min("dist").as("dist"))
+      }
+      dist.select(col("node").as("user_id"), col("dist"))
+        .orderBy("user_id")
+    }
+    def round(r: Int): String =
+      s"""sd$r AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM sd${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, p.dist + e.w AS dist
+         |    FROM sd${r - 1} p JOIN ew e ON p.node = e.u)
+         |  GROUP BY node)""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |ew AS MATERIALIZED (
+         |  SELECT u, v, 1 + (u + v) % 5 AS w FROM edges),
+         |sd0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM ew WHERE u % 97 = 0),
+         |${(1 to H).map(round).mkString(",\n")}
+         |SELECT node AS user_id, dist FROM sd$H ORDER BY user_id""".stripMargin
+    Q("graph_sssp_weighted", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
-      modularityQuery, harmonicQuery, jaccardLinksQuery)
+      modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery)
 }

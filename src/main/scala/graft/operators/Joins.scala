@@ -622,7 +622,45 @@ object Joins {
            |FROM probes p JOIN sc USING (cx, cy)
            |WHERE abs(x - sx) <= 96 AND abs(y - sy) <= 96
            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
-      })
+      }),
+
+    // Bloom-filter SEMI-JOIN REDUCTION — the 100-TB join-IO saver: when
+    // a selective dimension filter survives only ~1% of keys, build a
+    // Bloom filter over the surviving keys (a few hundred KB regardless
+    // of fact size), broadcast it, and pre-filter the FACT SIDE before
+    // it ever reaches the join shuffle — the fact rows that would die
+    // in the join die at the scan instead. Bloom false positives only
+    // admit extra rows into the exact equi-join, which drops them, so
+    // the RESULT is exactly the plain join (the oracle). This is the
+    // manual form of what AQE's InjectRuntimeFilter emits; building it
+    // explicitly makes the reduction available to any writer. The
+    // bloomFilter aggregate itself is distributed (one pass over the
+    // dimension side); only the finished ~1 MB sketch touches the
+    // driver for broadcast.
+    Q("join_bloom_prefilter",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val bf = sel.stat.bloomFilter("o_orderkey", 20000, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val might = udf((k: Long) => bfB.value.mightContain(k))
+        val pre = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .filter(might(col("l_orderkey")))
+        pre.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(count(lit(1)).as("n_items"),
+            dsumExact(revenueDec(col("l_extendedprice"), col("l_discount")))
+              .as("revenue"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderdate, COUNT(*) AS n_items,
+              |  ${SQL_DSUM_EXACT(SQL_REV_DEC)} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderkey % 101 = 0
+              |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Per-JVM home for join_bucketed_colocated's bucketed tables. */

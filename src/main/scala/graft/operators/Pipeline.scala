@@ -998,7 +998,58 @@ object Pipeline {
               |      / 1.152921504606847e18)
               |    / CAST(n_chars AS DOUBLE), 8) AS key
               |FROM documents
-              |ORDER BY key DESC, doc_id LIMIT 25""".stripMargin))
+              |ORDER BY key DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // Blocklist content filter — the safety/quality gating stage every
+    // curation pipeline runs before a doc enters the mix: a tiny
+    // (term, severity) blocklist broadcast onto the token stream, one
+    // aggregate computing total tokens + per-severity hit counts, and
+    // a declarative keep rule (bounded severe hits AND bounded mild
+    // RATIO — ratio, not count, so long docs aren't penalized for
+    // length). LEFT join on the blocklist keeps the total-token count
+    // in the same single aggregate pass; strictly linear, the
+    // blocklist is the broadcast side at any corpus size.
+    Q("llm_content_filter",
+      (s, d) => {
+        import s.implicits._
+        val block = Seq(("dup", "severe"), ("slow", "mild"),
+          ("big", "mild")).toDF("token", "severity")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        toks.join(broadcast(block), Seq("token"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("severity") === "mild", 1L).otherwise(0L))
+              .as("n_mild"),
+            sum(when(col("severity") === "severe", 1L).otherwise(0L))
+              .as("n_severe"))
+          .withColumn("mild_ratio", round(col("n_mild").cast("double") /
+            col("n_tokens").cast("double"), 4))
+          .withColumn("keep", col("n_severe") <= 2 &&
+            col("n_mild").cast("double") / col("n_tokens").cast("double")
+              <= 0.2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH block(token, severity) AS (
+              |  VALUES ('dup', 'severe'), ('slow', 'mild'), ('big', 'mild')),
+              |toks AS (
+              |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token
+              |  FROM documents),
+              |h AS (
+              |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+              |    CAST(SUM(CASE WHEN severity = 'mild' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_mild,
+              |    CAST(SUM(CASE WHEN severity = 'severe' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_severe
+              |  FROM toks LEFT JOIN block USING (token)
+              |  GROUP BY doc_id, lang)
+              |SELECT doc_id, lang, n_tokens, n_mild, n_severe,
+              |  ROUND(CAST(n_mild AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+              |    AS mild_ratio,
+              |  n_severe <= 2 AND CAST(n_mild AS DOUBLE)
+              |    / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
+              |FROM h ORDER BY doc_id""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

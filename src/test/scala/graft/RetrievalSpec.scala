@@ -95,6 +95,58 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_prefilter: result identical to the plain join; bloom prunes the fact scan") {
+    val got = SparkEntry.queries("join_bloom_prefilter")(spark, TestSpark.sf0001)
+      .collect().map(_.toString)
+    val sel = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val want = Tables.lineitem(spark, TestSpark.sf0001)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Ops.revenueDec(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderkey").collect().map(_.toString)
+    assert(got sameElements want, "bloom false positives must not change the result")
+    // the bloom actually prunes: surviving fact rows << total fact rows
+    val bf = sel.stat.bloomFilter("o_orderkey", 20000, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfB.value.mightContain(k))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val kept = li.filter(might(col("l_orderkey"))).count()
+    assert(kept < li.count() / 10, s"bloom kept $kept of ${li.count()}")
+  }
+
+  test("graph_sssp_weighted: sources at 0, relaxation bound holds") {
+    val rows = SparkEntry.queries("graph_sssp_weighted")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uid, dist) = (r.getLong(0), r.getLong(1))
+      if (uid % 97 == 0) assert(dist == 0, s"source $uid must be 0")
+      else assert(dist >= 1 && dist <= 4 * 5, s"$uid dist=$dist out of 4-hop bound")
+    }
+  }
+
+  test("stat_wilcoxon: rank sums partition n(n+1)/2") {
+    val r = SparkEntry.queries("stat_wilcoxon")(spark, TestSpark.sf0001).head()
+    val (n, wp, wm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(wp + wm == n * (n + 1) / 2, s"n=$n w+=$wp w-=$wm")
+  }
+
+  test("llm_content_filter: hit counts bounded by tokens, keep rule consistent") {
+    val rows = SparkEntry.queries("llm_content_filter")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nm, ns) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nm + ns <= nt)
+      val keepWant = ns <= 2 && nm.toDouble / nt <= 0.2
+      assert(r.getBoolean(6) == keepWant)
+    }
+  }
+
   test("dedup_blocked_linkage: pairs canonical, same block, dist bound holds") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
