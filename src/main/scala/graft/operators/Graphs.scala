@@ -731,12 +731,17 @@ object Graphs {
     * rounds) — the weighted upgrade of graph_hop_distance. Edge weights
     * are a deterministic integer function of the endpoints
     * (1 + (u+v) mod 5), so every distance is exact BIGINT arithmetic;
-    * sources are the user_id % 97 == 0 nodes (multi-source = one extra
-    * min, no per-source state blowup). Each round is one adjacency
-    * join + one min-aggregate — the textbook distributed relaxation:
-    * per-round cost |frontier ∪ settled| · avg-degree, H bounds the
-    * horizon honestly (nodes further than 4 weighted hops from every
-    * source simply don't appear, which IS the truncated contract).
+    * sources are the 3 SMALLEST node ids — data-adaptive, so the
+    * source set is non-empty at every scale factor (a fixed id-modulus
+    * rule went empty at sf0.1, where the cell cap leaves a 12-node
+    * graph). Each round is one adjacency join + one min-aggregate —
+    * the textbook distributed relaxation; per-round cost
+    * |frontier ∪ settled| · avg-degree, H bounds the horizon honestly.
+    * Both the weighted edge list and each round's dist table are
+    * localCheckpoint'd: the naive unrolled plan references dist_{r-1}
+    * twice per round (union + relax), doubling the logical subtree
+    * every round — 2^H copies of the edge derivation by round H (the
+    * graph_components lineage lesson applied to a fixed unroll).
     * Oracle unrolls the same 4 rounds with MATERIALIZED dist tables.
     */
   private def ssspQuery: Q = {
@@ -744,14 +749,17 @@ object Graphs {
     def fn(s: SparkSession, d: String): DataFrame = {
       val e = edges(s, d)
         .withColumn("w", lit(1L) + (col("u") + col("v")) % 5)
+        .localCheckpoint()
       var dist = e.select(col("u").as("node")).distinct()
-        .filter(col("node") % 97 === 0)
+        .orderBy("node").limit(3)
         .withColumn("dist", lit(0L))
+        .localCheckpoint()
       for (_ <- 1 to H) {
         val relax = dist.join(e, dist("node") === e("u"))
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
         dist = dist.unionByName(relax)
           .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
       }
       dist.select(col("node").as("user_id"), col("dist"))
         .orderBy("user_id")
@@ -769,8 +777,8 @@ object Graphs {
          |ew AS MATERIALIZED (
          |  SELECT u, v, 1 + (u + v) % 5 AS w FROM edges),
          |sd0 AS MATERIALIZED (
-         |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
-         |  FROM ew WHERE u % 97 = 0),
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+         |    SELECT DISTINCT u AS node FROM ew ORDER BY node LIMIT 3)),
          |${(1 to H).map(round).mkString(",\n")}
          |SELECT node AS user_id, dist FROM sd$H ORDER BY user_id""".stripMargin
     Q("graph_sssp_weighted", fn, Some(sql))

@@ -879,38 +879,65 @@ object TextAnalysis {
     // all-pairs; candidate pairs exist only inside (brand, first-name-
     // token) blocks, so the quadratic term is Σ|block|² with the block
     // key as the skew dial (the LSH-band / spatial-grid analogy on a
-    // dimension table). The match predicate is edit distance ≤ 2 —
-    // exact integer, bit-identical across engines. key_a < key_b
-    // canonicalizes pairs; everything downstream of the block join is
-    // a filter, no dedup stage.
+    // dimension table). The match predicate is exact integer edit
+    // distance, bit-identical across engines; key_a < key_b
+    // canonicalizes pairs. Output is the per-BLOCK linkage report
+    // (block size, exact-dup pairs, fuzzy d∈[1,3] pairs, min nonzero
+    // distance) — a first cut that emitted the matched PAIRS was
+    // output-quadratic (125k rows at sf0.1: identical-name clusters of
+    // k parts emit C(k,2) rows), the classic linkage-result blowup;
+    // the block rollup is bounded by the number of blocks at any scale.
     Q("dedup_blocked_linkage",
       (s, d) => {
         val p = Tables.part(s, d)
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
             split(col("p_name"), " ").getItem(0).as("blk"))
+        val sizes = p.groupBy("p_brand", "blk")
+          .agg(count(lit(1)).as("n_parts"))
+          .filter(col("n_parts") >= 2)
         val a = p.select(col("p_brand"), col("blk"),
           col("p_partkey").as("key_a"), col("p_name").as("name_a"))
         val b = p.select(col("p_brand"), col("blk"),
           col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-        a.join(b, Seq("p_brand", "blk"))
+        val pairs = a.join(b, Seq("p_brand", "blk"))
           .filter(col("key_a") < col("key_b"))
           .withColumn("dist",
             levenshtein(col("name_a"), col("name_b")).cast("long"))
-          .filter(col("dist") <= 2)
-          .select(col("p_brand"), col("key_a"), col("key_b"),
-            col("name_a"), col("name_b"), col("dist"))
-          .orderBy("p_brand", "key_a", "key_b")
+          .groupBy("p_brand", "blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") === 0, 1L).otherwise(0L))
+              .as("n_exact_dup_pairs"),
+            sum(when(col("dist").between(1, 3), 1L).otherwise(0L))
+              .as("n_fuzzy_pairs"),
+            min(when(col("dist") >= 1, col("dist")))
+              .as("min_fuzzy_dist"))
+        sizes.join(pairs, Seq("p_brand", "blk"))
+          .orderBy("p_brand", "blk")
       },
       Some("""WITH p AS (
              |  SELECT p_partkey, p_brand, p_name,
-             |    string_split(p_name, ' ')[1] AS blk FROM part)
-             |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
-             |  a.p_name AS name_a, b.p_name AS name_b,
-             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-             |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
-             |  AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) <= 2
-             |ORDER BY a.p_brand, key_a, key_b""".stripMargin)),
+             |    string_split(p_name, ' ')[1] AS blk FROM part),
+             |sizes AS (
+             |  SELECT p_brand, blk, COUNT(*) AS n_parts
+             |  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |pr AS (
+             |  SELECT a.p_brand, a.blk,
+             |    levenshtein(a.p_name, b.p_name) AS dist
+             |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
+             |    AND a.p_partkey < b.p_partkey),
+             |agg AS (
+             |  SELECT p_brand, blk, COUNT(*) AS n_pairs,
+             |    CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_exact_dup_pairs,
+             |    CAST(SUM(CASE WHEN dist BETWEEN 1 AND 3 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_fuzzy_pairs,
+             |    CAST(MIN(CASE WHEN dist >= 1 THEN dist END) AS BIGINT)
+             |      AS min_fuzzy_dist
+             |  FROM pr GROUP BY 1, 2)
+             |SELECT s.p_brand, s.blk, s.n_parts, a.n_pairs,
+             |  a.n_exact_dup_pairs, a.n_fuzzy_pairs, a.min_fuzzy_dist
+             |FROM sizes s JOIN agg a USING (p_brand, blk)
+             |ORDER BY p_brand, blk""".stripMargin)),
 
     // Multinomial Naive Bayes trained AND applied in-engine — the
     // classic distributed text classifier (predict lang from tokens;
@@ -926,16 +953,26 @@ object TextAnalysis {
     // row_number window per doc.
     Q("text_nb_langid",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        // ONE tokenize/explode pass, materialized as the per-(doc,
+        // token) count table (|docs|·|vocab-per-doc| rows — far smaller
+        // than the token stream); train-side model tables, the vocab
+        // count, priors, AND the test grid all derive from it, so the
+        // corpus text is scanned once regardless of how many model
+        // statistics the classifier needs.
+        val docTok = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
-        val train = toks.filter(col("doc_id") % 5 =!= 0)
-        val test = toks.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("lang").as("true_lang"), col("token"))
+          .groupBy("doc_id", "lang", "token")
+          .agg(count(lit(1)).as("c_dt"))
+          .localCheckpoint()
+        val train = docTok.filter(col("doc_id") % 5 =!= 0)
+        val test = docTok.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang").as("true_lang"), col("token"),
+            col("c_dt"))
         val classTok = train.groupBy(col("lang").as("cls"), col("token"))
-          .agg(count(lit(1)).as("c"))
+          .agg(sum("c_dt").as("c"))
         val classTot = train.groupBy(col("lang").as("cls"))
-          .agg(count(lit(1)).as("nl"))
+          .agg(sum("c_dt").as("nl"))
         val vc = train.agg(countDistinct("token").as("v"))
         val priors = train.groupBy(col("lang").as("cls"))
           .agg(countDistinct("doc_id").as("nd"))
@@ -949,7 +986,13 @@ object TextAnalysis {
           .join(broadcast(classTok), Seq("cls", "token"), "left")
           .na.fill(0L, Seq("c"))
           .crossJoin(broadcast(vc))
-          .withColumn("term",
+          // c_dt narrowed to DECIMAL(6,0): a raw BIGINT operand makes
+          // the product precision 20+20+1 > 38, and Spark resolves the
+          // overflow by TRIMMING SCALE (a silent sub-ulp rounding that
+          // DuckDB, promoting BIGINT to DECIMAL(18,0) → precision 38,
+          // does not perform) — measured as a 1e-4 mismatch on 2/100
+          // docs. 6+20+1 = 27 digits keeps both engines exact.
+          .withColumn("term", col("c_dt").cast("decimal(6,0)") *
             round(log((col("c") + 1).cast("double") /
               (col("nl") + col("v")).cast("double")), 10)
               .cast("decimal(20,10)"))
@@ -970,12 +1013,15 @@ object TextAnalysis {
       Some(s"""WITH toks AS (
               |  SELECT doc_id, lang, unnest($SQL_TOKENIZE) AS token
               |  FROM documents),
-              |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
-              |test AS (SELECT doc_id, lang AS true_lang, token
-              |  FROM toks WHERE doc_id % 5 = 0),
-              |ct AS (SELECT lang AS cls, token, COUNT(*) AS c
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id, lang, token, COUNT(*) AS c_dt
+              |  FROM toks GROUP BY 1, 2, 3),
+              |train AS (SELECT * FROM dt WHERE doc_id % 5 <> 0),
+              |test AS (SELECT doc_id, lang AS true_lang, token, c_dt
+              |  FROM dt WHERE doc_id % 5 = 0),
+              |ct AS (SELECT lang AS cls, token, CAST(SUM(c_dt) AS BIGINT) AS c
               |  FROM train GROUP BY 1, 2),
-              |nlt AS (SELECT lang AS cls, COUNT(*) AS nl
+              |nlt AS (SELECT lang AS cls, CAST(SUM(c_dt) AS BIGINT) AS nl
               |  FROM train GROUP BY 1),
               |vc AS (SELECT COUNT(DISTINCT token) AS v FROM train),
               |pd AS (SELECT lang AS cls, COUNT(DISTINCT doc_id) AS nd
@@ -985,13 +1031,14 @@ object TextAnalysis {
               |  CAST(ROUND(ln(CAST(nd AS DOUBLE) / CAST(ndocs AS DOUBLE)), 10)
               |    AS DECIMAL(20,10)) AS prior FROM pd, pt),
               |grid AS (
-              |  SELECT t.doc_id, t.true_lang, nlt.cls, nlt.nl,
+              |  SELECT t.doc_id, t.true_lang, t.c_dt, nlt.cls, nlt.nl,
               |    COALESCE(ct.c, 0) AS c, v
               |  FROM test t CROSS JOIN nlt
               |  LEFT JOIN ct ON ct.cls = nlt.cls AND ct.token = t.token, vc),
               |sc AS (
               |  SELECT doc_id, true_lang, cls,
-              |    SUM(CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)
+              |    SUM(CAST(c_dt AS DECIMAL(6,0))
+              |      * CAST(ROUND(ln(CAST(c + 1 AS DOUBLE)
               |      / CAST(nl + v AS DOUBLE)), 10) AS DECIMAL(20,10)))
               |      AS sumterm
               |  FROM grid GROUP BY 1, 2, 3),
