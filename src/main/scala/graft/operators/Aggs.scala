@@ -1755,6 +1755,47 @@ object Aggs {
              |SELECT n, w_plus, w_minus,
              |  ROUND((CAST(w_plus AS DOUBLE) - n * (n + 1) / 4.0)
              |    / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 4) AS z
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Two-sample Poisson rate test per event type — the ops/abuse
+    // monitor's "did the arrival rate shift?" check. The fixture spans
+    // exactly Jan 2024, so the two exposure windows are equal fixed
+    // constants (15 days each side of Jan 16) and the conditional test
+    // reduces to z = (n1 − n2)/√(n1 + n2) — every input an integer
+    // count from ONE grouped aggregate scan; the closed form is two
+    // IEEE ops per 5-row group.
+    Q("stat_poisson_rate",
+      (s, d) => {
+        val pre = col("ts") < lit("2024-01-16")
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(sum(when(pre, 1L).otherwise(0L)).as("n_pre"),
+            sum(when(!pre, 1L).otherwise(0L)).as("n_post"))
+          .withColumn("rate_pre_hr",
+            round(col("n_pre").cast("double") / 360.0, 4))
+          .withColumn("rate_post_hr",
+            round(col("n_post").cast("double") / 360.0, 4))
+          .withColumn("z_raw", (col("n_pre") - col("n_post")).cast("double")
+            / sqrt((col("n_pre") + col("n_post")).cast("double")))
+          .withColumn("z", round(col("z_raw"), 4))
+          .withColumn("significant", abs(col("z_raw")) > 1.96)
+          .drop("z_raw")
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN ts < '2024-01-16' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_pre,
+             |    CAST(SUM(CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_post
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, n_pre, n_post,
+             |  ROUND(CAST(n_pre AS DOUBLE) / 360.0, 4) AS rate_pre_hr,
+             |  ROUND(CAST(n_post AS DOUBLE) / 360.0, 4) AS rate_post_hr,
+             |  ROUND(CAST(n_pre - n_post AS DOUBLE)
+             |    / sqrt(CAST(n_pre + n_post AS DOUBLE)), 4) AS z,
+             |  abs(CAST(n_pre - n_post AS DOUBLE)
+             |    / sqrt(CAST(n_pre + n_post AS DOUBLE))) > 1.96 AS significant
+             |FROM c ORDER BY event_type""".stripMargin))
   )
 }

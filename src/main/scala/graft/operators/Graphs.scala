@@ -784,8 +784,78 @@ object Graphs {
     Q("graph_sssp_weighted", fn, Some(sql))
   }
 
+  /** First-15-hex-nibbles md5 polynomial (the portable hash-coin
+    * device; local mirror of Pipeline's SQL_HEX15).
+    */
+  private def SQL_HEX15(h: String): String =
+    (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+      .mkString("(", " + ", ")")
+
+  /** DETERMINISTIC random walks (3 steps from every node) — the
+    * node2vec/DeepWalk sampling stage that feeds graph embeddings. The
+    * "random" neighbor choice is the hash coin over (step, current
+    * node): rank = h mod degree picks one edge from the rank-numbered
+    * adjacency list, so walks are identical across runs, engines, and
+    * partitionings (the Pipeline sampling doctrine applied to graph
+    * traversal — a production walker swaps the coin for a seeded RNG,
+    * one expression). Each step is ONE equi-join against the
+    * checkpointed adjacency (every walker matches exactly one row);
+    * walk state is (start, cur, path) — O(nodes) rows at every step,
+    * never a frontier explosion. Oracle unrolls the steps with the
+    * same md5 polynomial and rank arithmetic.
+    */
+  private def randomWalkQuery: Q = {
+    val STEPS = 3
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val wAdj = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy("v")
+      val wDeg = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val adj = edges(s, d)
+        .withColumn("rn", row_number().over(wAdj).cast("long"))
+        .withColumn("deg", count(lit(1)).over(wDeg))
+        .localCheckpoint()
+      var walk = adj.select(col("u").as("start")).distinct()
+        .withColumn("cur", col("start"))
+        .withColumn("path", col("start").cast("string"))
+      for (step <- 1 to STEPS) {
+        val h = conv(substring(md5(concat(lit(s"walk$step:"),
+          col("cur").cast("string"))), 1, 15), 16, 10).cast("long")
+        walk = walk.join(adj, walk("cur") === adj("u") &&
+            adj("rn") === h % adj("deg") + lit(1L))
+          .select(col("start"), col("v").as("cur"),
+            concat(col("path"), lit("->"), col("v").cast("string"))
+              .as("path"))
+          .localCheckpoint()
+      }
+      walk.select(col("start"), col("cur").as("end_node"), col("path"))
+        .orderBy("start")
+    }
+    def step(r: Int): String = {
+      val coin = SQL_HEX15(s"md5('walk$r:' || CAST(w.cur AS VARCHAR))")
+      s"""w$r AS MATERIALIZED (
+         |  SELECT w.start, a.v AS cur,
+         |    w.path || '->' || CAST(a.v AS VARCHAR) AS path
+         |  FROM w${r - 1} w JOIN adj a ON w.cur = a.u
+         |    AND a.rn = $coin % a.deg + 1)""".stripMargin
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |adj AS MATERIALIZED (
+         |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY u) AS deg
+         |  FROM edges),
+         |w0 AS (SELECT DISTINCT u AS start, u AS cur,
+         |  CAST(u AS VARCHAR) AS path FROM adj),
+         |${(1 to STEPS).map(step).mkString(",\n")}
+         |SELECT start, cur AS end_node, path FROM w$STEPS
+         |ORDER BY start""".stripMargin
+    Q("graph_random_walk", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
-      modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery)
+      modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
+      randomWalkQuery)
 }

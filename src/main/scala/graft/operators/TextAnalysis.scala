@@ -1050,6 +1050,63 @@ object TextAnalysis {
               |  ROUND(CAST(score AS DOUBLE), 4) AS log_score
               |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
               |    ORDER BY score DESC, cls) AS rn FROM fin) x
-              |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Preference-pair construction (the DPO/RLHF data shape): within
+    // each (lang, hash bucket) cell, the highest-quality doc becomes
+    // `chosen` and the lowest `rejected`, with the margin as the
+    // pair's training weight. The quality signal is the library's own
+    // floor-rounded score (already cross-engine exact), so the
+    // selection order (quality, doc_id) is deterministic; ONE window
+    // spec serves both ends of each cell (the ts_attribution_touch
+    // device). |langs|·|buckets| output rows at any corpus size; the
+    // only corpus-sized work is the quality projection itself.
+    Q("llm_preference_pairs",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+          .select(col("doc_id"), col("lang"), col("quality"),
+            (col("doc_id") % 5).as("bucket"))
+        val wq = Window.partitionBy("lang", "bucket")
+          .orderBy(col("quality").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        q.withColumn("rejected_doc", first("doc_id").over(wq))
+          .withColumn("rejected_q", first("quality").over(wq))
+          .withColumn("chosen_doc", last("doc_id").over(wq))
+          .withColumn("chosen_q", last("quality").over(wq))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_candidates"),
+            max("chosen_doc").as("chosen_doc"),
+            max("chosen_q").as("chosen_q"),
+            max("rejected_doc").as("rejected_doc"),
+            max("rejected_q").as("rejected_q"))
+          .withColumn("margin",
+            round(col("chosen_q") - col("rejected_q"), 4))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, lang, doc_id % 5 AS bucket,
+              |    floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+              |  FROM (SELECT doc_id, lang, $SQL_TOKENIZE AS t,
+              |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |        FROM documents) x),
+              |w AS (
+              |  SELECT lang, bucket,
+              |    first_value(doc_id) OVER win AS rejected_doc,
+              |    first_value(quality) OVER win AS rejected_q,
+              |    last_value(doc_id) OVER win AS chosen_doc,
+              |    last_value(quality) OVER win AS chosen_q
+              |  FROM q
+              |  WINDOW win AS (PARTITION BY lang, bucket
+              |    ORDER BY quality ASC, doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              |SELECT lang, bucket, COUNT(*) AS n_candidates,
+              |  MAX(chosen_doc) AS chosen_doc, MAX(chosen_q) AS chosen_q,
+              |  MAX(rejected_doc) AS rejected_doc,
+              |  MAX(rejected_q) AS rejected_q,
+              |  ROUND(MAX(chosen_q) - MAX(rejected_q), 4) AS margin
+              |FROM w GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
   )
 }
