@@ -1796,6 +1796,63 @@ object Aggs {
              |    / sqrt(CAST(n_pre + n_post AS DOUBLE)), 4) AS z,
              |  abs(CAST(n_pre - n_post AS DOUBLE)
              |    / sqrt(CAST(n_pre + n_post AS DOUBLE))) > 1.96 AS significant
-             |FROM c ORDER BY event_type""".stripMargin))
+             |FROM c ORDER BY event_type""".stripMargin)),
+
+    // Levene's test in its robust Brown–Forsythe form: are the price
+    // VARIANCES equal across return flags? (stat_anova_f asks about
+    // means; this is its dispersion sibling and the assumption check
+    // before pooling.) z = |x − group median| — the median is the
+    // exact interpolating percentile (half-cent grid at worst), so z
+    // is an exact multiple of 0.005 and goes through DECIMAL(18,3)
+    // sums (z² through its exact square) — associative at any
+    // partitioning; the F ratio of exact moments is the only double
+    // math. Two aggregate passes (medians, then moments through a
+    // broadcast of the 3-row median table).
+    Q("stat_levene",
+      (s, d) => {
+        val med = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        val g = Tables.lineitem(s, d)
+          .join(broadcast(med), "l_returnflag")
+          .withColumn("z", abs(col("l_extendedprice") - col("med"))
+            .cast("decimal(18,3)"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("ng"), sum(col("z")).as("sz"),
+            sum(col("z") * col("z")).as("sz2"))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum(col("sz")).as("s"), sum(col("sz2")).as("s2"),
+            sum(col("sz").cast("double") * col("sz").cast("double") /
+              col("ng").cast("double")).as("sqn"))
+          .select(col("k"), col("n"),
+            round(((col("sqn") - col("s").cast("double") *
+              col("s").cast("double") / col("n").cast("double")) /
+              (col("k") - 1).cast("double")) /
+              ((col("s2").cast("double") - col("sqn")) /
+                (col("n") - col("k")).cast("double")), 4).as("f_stat"))
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+             |  FROM lineitem GROUP BY l_returnflag),
+             |zt AS (
+             |  SELECT l.l_returnflag,
+             |    CAST(abs(l.l_extendedprice - m.med) AS DECIMAL(18,3)) AS z
+             |  FROM lineitem l JOIN med m USING (l_returnflag)),
+             |g AS (
+             |  SELECT l_returnflag, COUNT(*) AS ng, SUM(z) AS sz,
+             |    SUM(z * z) AS sz2
+             |  FROM zt GROUP BY l_returnflag),
+             |m AS (
+             |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             |    SUM(sz) AS s, SUM(sz2) AS s2,
+             |    SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+             |      / CAST(ng AS DOUBLE)) AS sqn
+             |  FROM g)
+             |SELECT k, n,
+             |  ROUND(((sqn - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             |    / ((CAST(s2 AS DOUBLE) - sqn)
+             |      / CAST(n - k AS DOUBLE)), 4) AS f_stat
+             |FROM m""".stripMargin))
   )
 }

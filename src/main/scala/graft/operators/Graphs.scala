@@ -853,9 +853,59 @@ object Graphs {
     Q("graph_random_walk", fn, Some(sql))
   }
 
+  /** Per-node local clustering coefficient — the node-level refinement
+    * of graph_triangles' global count: cc(v) = T(v)/C(deg v, 2), the
+    * "how clique-like is my neighborhood" feature that feeds community
+    * and spam models. Wedges at v come from one self-join of the
+    * adjacency on the center (a < b orients each wedge once); closing
+    * edges check against the u<v pair list. Everything is integers
+    * until the final ratio; the cell cap bounds neighborhoods, so the
+    * wedge stream is Σ C(deg,2) with deg ≤ cells·11 — never quadratic
+    * in nodes.
+    */
+  private def localClusteringQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val p = pairs(s, d).localCheckpoint()
+      val e = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val wedges = e.as("x").join(e.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("c"), col("x.v").as("a"), col("y.v").as("b"))
+      val closed = wedges.join(p,
+          wedges("a") === p("u") && wedges("b") === p("v"), "left_semi")
+        .groupBy("c").agg(count(lit(1)).as("tri"))
+      deg.join(closed, deg("u") === closed("c"), "left")
+        .select(col("u").as("user_id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("n_triangles"),
+          round(coalesce(col("tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1) / lit(2)).cast("double"), 4)
+            .as("clustering"))
+        .filter(col("deg") >= 2)
+        .orderBy("user_id")
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+         |wedges AS (
+         |  SELECT x.u AS c, x.v AS a, y.v AS b
+         |  FROM edges x JOIN edges y ON x.u = y.u AND x.v < y.v),
+         |closed AS (
+         |  SELECT c, COUNT(*) AS tri FROM wedges w
+         |  WHERE EXISTS (SELECT 1 FROM e0 p
+         |    WHERE p.u = w.a AND p.v = w.b)
+         |  GROUP BY c)
+         |SELECT d.u AS user_id, d.deg,
+         |  COALESCE(cl.tri, 0) AS n_triangles,
+         |  ROUND(CAST(COALESCE(cl.tri, 0) AS DOUBLE)
+         |    / CAST(d.deg * (d.deg - 1) // 2 AS DOUBLE), 4) AS clustering
+         |FROM deg d LEFT JOIN closed cl ON d.u = cl.c
+         |WHERE d.deg >= 2 ORDER BY user_id""".stripMargin
+    Q("graph_local_clustering", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
-      randomWalkQuery)
+      randomWalkQuery, localClusteringQuery)
 }

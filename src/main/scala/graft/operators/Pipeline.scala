@@ -1049,7 +1049,66 @@ object Pipeline {
               |    AS mild_ratio,
               |  n_severe <= 2 AND CAST(n_mild AS DOUBLE)
               |    / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
-              |FROM h ORDER BY doc_id""".stripMargin))
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Cross-SOURCE 8-gram overlap matrix — llm_decontaminate turned
+    // inward: which feeds are re-crawls/mirrors of each other? One
+    // distinct (source, gram-hash) projection (corpus-linear), then a
+    // gram-keyed self-join that emits at most C(|sources|,2) pairs PER
+    // GRAM — cost is bounded by grams · sources², never corpus². The
+    // per-source gram counts broadcast into the 190-row pair table for
+    // the Jaccard. The feed-provenance audit before a mixing run
+    // double-counts the same crawl.
+    Q("llm_source_ngram_overlap",
+      (s, d) => {
+        val sg = Tables.documents(s, d)
+          .withColumn("t", TextUdfs.tokenizeCol(col("text")))
+          .filter(size(col("t")) >= 8)
+          .select(col("source"), explode(grams8(col("t"))).as("g"))
+          .select(col("source"), md5(col("g")).as("gh"))
+          .distinct()
+          .localCheckpoint()
+        val per = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val shared = sg.as("a").join(sg.as("b"),
+            col("a.gh") === col("b.gh") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(broadcast(per.select(col("source").as("source_a"),
+            col("n_grams").as("na"))), "source_a")
+          .join(broadcast(per.select(col("source").as("source_b"),
+            col("n_grams").as("nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("na") + col("nb") - col("n_shared")).cast("double"), 4)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sg AS (
+              |  SELECT DISTINCT source, md5(g) AS gh FROM (
+              |    SELECT source, unnest(list_transform(
+              |      generate_series(1, len(t) - 7),
+              |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+              |        t[i+4], t[i+5], t[i+6], t[i+7]))) AS g
+              |    FROM (SELECT source, $SQL_TOKENIZE AS t FROM documents)
+              |    WHERE len(t) >= 8) x),
+              |per AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+              |sh AS (
+              |  SELECT a.source AS source_a, b.source AS source_b,
+              |    COUNT(*) AS n_shared
+              |  FROM sg a JOIN sg b
+              |    ON a.gh = b.gh AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, n_shared,
+              |  ROUND(CAST(n_shared AS DOUBLE)
+              |    / CAST(pa.n_grams + pb.n_grams - n_shared AS DOUBLE), 4)
+              |    AS jaccard
+              |FROM sh
+              |JOIN per pa ON pa.source = sh.source_a
+              |JOIN per pb ON pb.source = sh.source_b
+              |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

@@ -192,6 +192,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(edgeSet.forall { case (a, b) => a != b }, "no self-loops in the walk")
   }
 
+  test("graph_local_clustering: coefficients in [0,1], triangle count bounded by wedges") {
+    val rows = SparkEntry.queries("graph_local_clustering")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2, "T(v) cannot exceed wedge count")
+      assert(cc >= 0 && cc <= 1 + 1e-9)
+    }
+  }
+
+  test("stat_levene: F non-negative, groups and sample size match ANOVA's") {
+    val lv = SparkEntry.queries("stat_levene")(spark, TestSpark.sf0001).head()
+    val an = SparkEntry.queries("stat_anova_f")(spark, TestSpark.sf0001).head()
+    assert(lv.getLong(0) == an.getLong(0) && lv.getLong(1) == an.getLong(1))
+    assert(lv.getDouble(2) >= 0)
+  }
+
+  test("llm_source_ngram_overlap: canonical pairs, jaccard consistent with counts") {
+    val rows = SparkEntry.queries("llm_source_ngram_overlap")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val j = r.getDouble(3)
+      assert(j > 0 && j <= 1, s"jaccard $j out of range")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
   test("dedup_blocked_linkage: per-block report is pair-consistent") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
