@@ -1853,6 +1853,76 @@ object Aggs {
              |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
              |    / ((CAST(s2 AS DOUBLE) - sqn)
              |      / CAST(n - k AS DOUBLE)), 4) AS f_stat
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Jarque–Bera normality test per group — the decision layer on top
+    // of stat_skew_kurtosis' exact integer-moment machinery:
+    // JB = n/6 · (S² + K²/4), rejected against the χ²(2) 5% critical
+    // value. Quantities are integers, so s1..s4 are exact BIGINT sums;
+    // S, K and JB are closed-form doubles on exact inputs (identical
+    // IEEE both engines); the reject flag is decided on the RAW JB.
+    Q("stat_jarque_bera",
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        val m = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+            sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+            sum(q * q * q * q).as("s4"))
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("m2",
+            col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+          .withColumn("m3",
+            col("s3").cast("double") / col("n")
+              - lit(3.0) * col("mean") * (col("s2").cast("double") / col("n"))
+              + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4",
+            col("s4").cast("double") / col("n")
+              - lit(4.0) * col("mean") * (col("s3").cast("double") / col("n"))
+              + lit(6.0) * col("mean") * col("mean") *
+                (col("s2").cast("double") / col("n"))
+              - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .withColumn("sk", col("m3") / (col("m2") * sqrt(col("m2"))))
+          .withColumn("ku", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .withColumn("jb", col("n").cast("double") / 6.0 *
+            (col("sk") * col("sk") + col("ku") * col("ku") / 4.0))
+        m.select(col("l_returnflag"), col("n"),
+            round(col("sk"), 4).as("skewness"),
+            round(col("ku"), 4).as("kurtosis_excess"),
+            round(col("jb"), 4).as("jb_stat"),
+            (col("jb") > 5.991).as("reject_normal"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n,
+             |  ROUND(sk, 4) AS skewness, ROUND(ku, 4) AS kurtosis_excess,
+             |  ROUND(CAST(n AS DOUBLE) / 6.0e0
+             |    * (sk * sk + ku * ku / 4.0e0), 4) AS jb_stat,
+             |  CAST(n AS DOUBLE) / 6.0e0 * (sk * sk + ku * ku / 4.0e0)
+             |    > 5.991e0 AS reject_normal
+             |FROM (
+             |  SELECT l_returnflag, n,
+             |    m3 / (m2 * sqrt(m2)) AS sk,
+             |    m4 / (m2 * m2) - 3.0e0 AS ku
+             |  FROM (
+             |    SELECT l_returnflag, n, mean,
+             |      CAST(s2 AS DOUBLE) / n - mean * mean AS m2,
+             |      CAST(s3 AS DOUBLE) / n
+             |        - 3.0e0 * mean * (CAST(s2 AS DOUBLE) / n)
+             |        + 2.0e0 * mean * mean * mean AS m3,
+             |      CAST(s4 AS DOUBLE) / n
+             |        - 4.0e0 * mean * (CAST(s3 AS DOUBLE) / n)
+             |        + 6.0e0 * mean * mean * (CAST(s2 AS DOUBLE) / n)
+             |        - 3.0e0 * mean * mean * mean * mean AS m4
+             |    FROM (
+             |      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(q) AS BIGINT) AS s1,
+             |        CAST(SUM(q * q) AS BIGINT) AS s2,
+             |        CAST(SUM(q * q * q) AS BIGINT) AS s3,
+             |        CAST(SUM(q * q * q * q) AS BIGINT) AS s4,
+             |        CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean
+             |      FROM (SELECT l_returnflag,
+             |          CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
+             |      GROUP BY l_returnflag) mom) ms) fin
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

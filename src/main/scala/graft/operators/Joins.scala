@@ -660,7 +660,46 @@ object Joins {
               |  ${SQL_DSUM_EXACT(SQL_REV_DEC)} AS revenue
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |WHERE o_orderkey % 101 = 0
-              |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin)),
+
+    // DYNAMIC PARTITION PRUNING: a partition-keyed fact joined to a
+    // selectively-filtered dimension — the optimizer injects the dim's
+    // surviving keys as a runtime partition filter, so only the
+    // matching fact DIRECTORIES are read (PlanAuditSpec asserts the
+    // dynamicpruning subquery in PartitionFilters). The 100-TB shape
+    // this proves: star joins on the partition key scan the pruned
+    // slice, not the table — static pruning's runtime twin, next to
+    // scan_partition_pruned (static) and join_bloom_prefilter (row-
+    // level semi-join reduction). Both sides staged once,
+    // fingerprint-keyed.
+    Q("join_dpp_prune",
+      (s, d) => {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val factTmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
+        if (!new java.io.File(s"$factTmp/_SUCCESS").exists()) {
+          Tables.orders(s, d).write.mode("overwrite")
+            .partitionBy("o_orderstatus").parquet(factTmp)
+        }
+        val dimTmp = s"${sys.props("java.io.tmpdir")}/graft_dim_status_$key"
+        if (!new java.io.File(s"$dimTmp/_SUCCESS").exists()) {
+          import s.implicits._
+          Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+            .toDF("o_orderstatus", "label")
+            .coalesce(1).write.mode("overwrite").parquet(dimTmp)
+        }
+        val fact = s.read.parquet(factTmp)
+        val dim = s.read.parquet(dimTmp).filter(col("label") === "closed")
+        fact.join(dim, "o_orderstatus")
+          .groupBy("o_orderstatus", "label")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, 'closed' AS label,
+              |  COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderstatus = 'F'
+              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
   )
 
   /** Per-JVM home for join_bucketed_colocated's bucketed tables. */

@@ -584,6 +584,77 @@ object Scans {
              |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              |  SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
              |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-             |ORDER BY rule_id""".stripMargin))
+             |ORDER BY rule_id""".stripMargin)),
+
+    // The `binaryFile` SOURCE — Spark's raw-bytes reader, the entry
+    // point for every multimodal ingest (images/audio land as opaque
+    // blobs + path metadata before any decode). Stages 8 deterministic
+    // .bin files once (fingerprint-keyed like every other staged
+    // source), reads them back as (path, length, content), and reports
+    // name/size/md5 — the blob manifest a media pipeline builds first.
+    // DuckDB mirrors with read_blob over the same files. At scale
+    // binaryFile parallelizes per-file; maxPartitionBytes governs
+    // packing of small blobs into tasks.
+    Q("scan_binary_files",
+      (s, d) => {
+        val src = new java.io.File(s"$d/documents.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = new java.io.File(
+          s"${sys.props("java.io.tmpdir")}/graft_bin_$key")
+        if (!new java.io.File(tmp, "_STAGED").exists()) {
+          tmp.mkdirs()
+          Tables.documents(s, d).filter(col("doc_id") < 8)
+            .select("doc_id", "text").collect().foreach { r =>
+              java.nio.file.Files.write(
+                tmp.toPath.resolve(f"doc_${r.getLong(0)}%03d.bin"),
+                r.getString(1).getBytes("UTF-8"))
+            }
+          new java.io.File(tmp, "_STAGED").createNewFile()
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(tmp.toString)
+          .select(
+            regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+            col("length"), md5(col("content")).as("content_md5"))
+          .orderBy("file_name")
+      },
+      // Oracle never touches the staged files: the blobs ARE the utf-8
+      // bytes of docs 0-7, so name/size/md5 are all derivable from the
+      // documents table itself — the round-trip is the assertion.
+      Some("""SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 3, '0')
+             |    || '.bin' AS file_name,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+             |  md5(text) AS content_md5
+             |FROM documents WHERE doc_id < 8
+             |ORDER BY file_name""".stripMargin)),
+
+    // Freshness lag monitor — the ingest-health DQ check next to
+    // dq_rule_report's value rules: per event type, how far behind the
+    // most recent arrival is this feed? One grouped max + a broadcast
+    // of the 1-row global max; lag stays integer microseconds until
+    // the final minute floor-division, so the staleness flag is exact.
+    Q("dq_freshness_lag",
+      (s, d) => {
+        val m = Tables.events(s, d)
+          .groupBy("event_type").agg(max("ts").as("max_ts"))
+        val g = m.agg(max("max_ts").as("global_max"))
+        m.crossJoin(broadcast(g))
+          .withColumn("lag_min",
+            ((unix_micros(col("global_max")) - unix_micros(col("max_ts")))
+              / 60000000L).cast("long"))
+          .select(col("event_type"), col("max_ts"), col("lag_min"),
+            (col("lag_min") > 60).as("stale"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, MAX(ts) AS max_ts FROM events GROUP BY 1),
+             |g AS (SELECT MAX(max_ts) AS global_max FROM m)
+             |SELECT event_type, max_ts,
+             |  CAST((epoch_us(global_max) - epoch_us(max_ts)) // 60000000
+             |    AS BIGINT) AS lag_min,
+             |  (epoch_us(global_max) - epoch_us(max_ts)) // 60000000 > 60
+             |    AS stale
+             |FROM m, g ORDER BY event_type""".stripMargin))
   )
 }

@@ -54,4 +54,24 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$n plans a cartesian product:\n$p")
     }
   }
+
+  test("join_dpp_prune: the fact scan carries a dynamic-pruning partition filter") {
+    val qe = SparkEntry.queries("join_dpp_prune")(spark, TestSpark.sf0001)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$plan")
+  }
+
+  test("join_bloom_prefilter: the fact side is filtered BEFORE the join") {
+    val plan = SparkEntry.queries("join_bloom_prefilter")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the UDF bloom filter must sit under the join, not above it
+    // (prints as `UDF(knownnotnull(l_orderkey#...))` inside the Filter
+    // directly over the lineitem FileScan)
+    val joinIdx = plan.indexOf("Join")
+    val filterIdx = plan.indexOf("UDF(knownnotnull(l_orderkey")
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"bloom pre-filter must be below the join in:\n$plan")
+  }
 }
