@@ -1923,6 +1923,72 @@ object Aggs {
              |      FROM (SELECT l_returnflag,
              |          CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
              |      GROUP BY l_returnflag) mom) ms) fin
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Trimmed and winsorized means — the robust-location estimators a
+    // metrics pipeline swaps in when stat_outlier_tukey says the tails
+    // are dirty. Bounds are exact interpolating percentiles (p10/p90,
+    // broadcast per group); the TRIMMED mean sums only interior
+    // cent-clean values through DECIMAL (exact at any partitioning);
+    // the WINSORIZED mean never sums clamped doubles row-wise —
+    // interior decimal sum + n_low·p10 + n_high·p90 in closed form, so
+    // the only float ops are two products on exact counts.
+    Q("stat_trimmed_mean",
+      (s, d) => {
+        val b = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.1)").as("p10"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"))
+        Tables.orders(s, d)
+          .join(broadcast(b), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") >= col("p10") &&
+              col("o_totalprice") <= col("p90"), 1L).otherwise(0L))
+              .as("n_interior"),
+            sum(when(col("o_totalprice") < col("p10"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("o_totalprice") > col("p90"), 1L).otherwise(0L))
+              .as("n_high"),
+            sum(when(col("o_totalprice") >= col("p10") &&
+              col("o_totalprice") <= col("p90"),
+              col("o_totalprice").cast("decimal(18,2)"))).as("s_int"),
+            max("p10").as("p10"), max("p90").as("p90"))
+          .select(col("o_orderpriority"), col("n"), col("n_interior"),
+            round(col("s_int").cast("double") /
+              col("n_interior").cast("double"), 4).as("trimmed_mean"),
+            round((col("s_int").cast("double") +
+              col("n_low").cast("double") * col("p10") +
+              col("n_high").cast("double") * col("p90")) /
+              col("n").cast("double"), 4).as("winsorized_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.1) AS p10,
+             |    quantile_cont(o_totalprice, 0.9) AS p90
+             |  FROM orders GROUP BY 1),
+             |g AS (
+             |  SELECT o.o_orderpriority, COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN o_totalprice >= p10
+             |      AND o_totalprice <= p90 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_interior,
+             |    CAST(SUM(CASE WHEN o_totalprice < p10 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_low,
+             |    CAST(SUM(CASE WHEN o_totalprice > p90 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_high,
+             |    SUM(CASE WHEN o_totalprice >= p10 AND o_totalprice <= p90
+             |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_int,
+             |    MAX(p10) AS p10, MAX(p90) AS p90
+             |  FROM orders o JOIN b USING (o_orderpriority)
+             |  GROUP BY 1)
+             |SELECT o_orderpriority, n, n_interior,
+             |  ROUND(CAST(s_int AS DOUBLE) / CAST(n_interior AS DOUBLE), 4)
+             |    AS trimmed_mean,
+             |  ROUND((CAST(s_int AS DOUBLE)
+             |      + CAST(n_low AS DOUBLE) * p10
+             |      + CAST(n_high AS DOUBLE) * p90)
+             |    / CAST(n AS DOUBLE), 4) AS winsorized_mean
+             |FROM g ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -797,6 +797,79 @@ object Llm {
               |    * log2(((CAST(cs AS DOUBLE) + 0.5)
               |        / (CAST(ns AS DOUBLE) + 0.5 * v))
               |      / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS kl_bits
-              |FROM grid GROUP BY source ORDER BY source""".stripMargin))
+              |FROM grid GROUP BY source ORDER BY source""".stripMargin)),
+
+    // GREEDY DECODING from the corpus bigram LM — the engine closes
+    // the loop from counting n-grams (llm_bigram_stats) to actually
+    // GENERATING with them: per-token argmax successor table
+    // (row_number over count DESC, token ASC — fully deterministic),
+    // then an 8-step unrolled chain of 1-row joins against the
+    // checkpointed argmax table. Scale shape: the successor table is
+    // |V| rows (broadcastable), the decode itself is constant work —
+    // exactly how a distributed engine serves "most likely
+    // continuation" probes. Seed token 'the'.
+    Q("llm_greedy_decode",
+      (s, d) => {
+        val STEPS = 8
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextUdfs.tokenizeCol(col("text")))
+              .as(Seq("pos", "token")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val big = tok
+          .withColumn("nxt", lead("token", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("token", "nxt").agg(count(lit(1)).as("c"))
+        val wBest = Window.partitionBy("token")
+          .orderBy(col("c").desc, col("nxt").asc)
+        val best = big.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("token"), col("nxt"), col("c"))
+          .localCheckpoint()
+        var chain = best.filter(col("token") === "the")
+          .select(lit(1L).as("step"), col("token").as("from_token"),
+            col("nxt").as("to_token"), col("c").as("n_bigram"))
+          .localCheckpoint()
+        var frontier = chain
+        for (step <- 2 to STEPS) {
+          frontier = frontier
+            .join(best, frontier("to_token") === best("token"))
+            .select(lit(step.toLong).as("step"),
+              best("token").as("from_token"),
+              best("nxt").as("to_token"), best("c").as("n_bigram"))
+            .localCheckpoint()
+          chain = chain.unionByName(frontier)
+        }
+        chain.orderBy("step")
+      },
+      Some {
+        val STEPS = 8
+        def stepCte(r: Int): String =
+          s"""g$r AS (
+             |  SELECT CAST($r AS BIGINT) AS step, b.token AS from_token,
+             |    b.nxt AS to_token, b.c AS n_bigram
+             |  FROM g${r - 1} p JOIN best b ON p.to_token = b.token)""".stripMargin
+        s"""WITH bigr AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i + 1])) AS g
+           |  FROM (SELECT $SQL_TOKENIZE AS t FROM documents)
+           |  WHERE len(t) >= 2),
+           |big AS (
+           |  SELECT string_split(g, ' ')[1] AS token,
+           |    string_split(g, ' ')[2] AS nxt, COUNT(*) AS c
+           |  FROM bigr GROUP BY 1, 2),
+           |best AS MATERIALIZED (
+           |  SELECT token, nxt, c FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+           |      ORDER BY c DESC, nxt ASC) AS rn FROM big) x
+           |  WHERE rn = 1),
+           |g1 AS (
+           |  SELECT CAST(1 AS BIGINT) AS step, token AS from_token,
+           |    nxt AS to_token, c AS n_bigram
+           |  FROM best WHERE token = 'the'),
+           |${(2 to STEPS).map(stepCte).mkString(",\n")}
+           |${(1 to STEPS).map(r => s"SELECT * FROM g$r").mkString("\nUNION ALL ")}
+           |ORDER BY step""".stripMargin
+      })
   )
 }

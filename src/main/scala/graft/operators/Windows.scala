@@ -1527,6 +1527,97 @@ object Windows {
              |  FROM m GROUP BY 1, 2)
              |SELECT first_type, last_type, n, avg_first_lookback_min,
              |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS share
-             |FROM g ORDER BY first_type, last_type""".stripMargin))
+             |FROM g ORDER BY first_type, last_type""".stripMargin)),
+
+    // Ljung–Box portmanteau test on the hourly arrival series — the
+    // "is there ANY autocorrelation structure?" gate run before
+    // trusting ts_autocorrelation's per-lag values. The textbook
+    // fixed-mean ACF is computed as a ratio of EXACT integers by
+    // scaling through n²: ρ_k = (n²Σxy − nS(Σhead+Σtail) + (n−k)S²)
+    // / (n(nΣx² − S²)) — every term a BIGINT from two aggregate
+    // passes (per-lag pair sums via the stack device + per-series
+    // totals broadcast in), so each ρ is one identical IEEE division;
+    // Q = n(n+2)Σρ²/(n−k) combines m=6 floats behind ROUND. Reject
+    // decided on raw Q vs the χ²(6) 5% critical value.
+    Q("ts_ljung_box", {
+      val LAGS = 1 to 6
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val tot = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sx"),
+            sum(col("c") * col("c")).as("sxx"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val lagged = LAGS.foldLeft(hourly) { (df, l) =>
+          df.withColumn(s"x$l", lag(col("c"), l).over(w))
+        }
+        val stackExpr = LAGS.map(l => s"${l}L, x$l").mkString(", ")
+        val perLag = lagged
+          .selectExpr("event_type", "c",
+            s"stack(${LAGS.size}, $stackExpr) AS (lag, xl)")
+          .filter(col("xl").isNotNull)
+          .groupBy("event_type", "lag")
+          .agg(sum(col("c") * col("xl")).as("sxy"),
+            sum("c").as("st"), sum("xl").as("sh"))
+        val rho = perLag.join(broadcast(tot), "event_type")
+          .withColumn("rho",
+            (col("n") * col("n") * col("sxy") -
+              col("n") * col("sx") * (col("st") + col("sh")) +
+              (col("n") - col("lag")) * col("sx") * col("sx"))
+              .cast("double") /
+              (col("n") * (col("n") * col("sxx") -
+                col("sx") * col("sx"))).cast("double"))
+        rho.groupBy("event_type")
+          .agg(max("n").as("n"),
+            sum(col("rho") * col("rho") /
+              (col("n") - col("lag")).cast("double")).as("ssum"))
+          .withColumn("q_raw",
+            col("n").cast("double") * (col("n") + 2).cast("double") *
+              col("ssum"))
+          .select(col("event_type"), col("n"),
+            round(col("q_raw"), 4).as("q_stat"),
+            (col("q_raw") > 12.592).as("reject_white_noise"))
+          .orderBy("event_type")
+      }
+    }, Some {
+      val LAGS = 1 to 6
+      val lagCols = LAGS.map(l => s"LAG(c, $l) OVER w AS x$l").mkString(", ")
+      val arms = LAGS.map(l =>
+        s"SELECT event_type, CAST($l AS BIGINT) AS lag, c, x$l AS xl FROM lagged")
+        .mkString("\n  UNION ALL ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sx,
+         |    CAST(SUM(c * c) AS BIGINT) AS sxx
+         |  FROM hourly GROUP BY 1),
+         |lagged AS (
+         |  SELECT event_type, c, $lagCols
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |pairs AS (
+         |  $arms),
+         |perlag AS (
+         |  SELECT event_type, lag, CAST(SUM(c * xl) AS BIGINT) AS sxy,
+         |    CAST(SUM(c) AS BIGINT) AS st, CAST(SUM(xl) AS BIGINT) AS sh
+         |  FROM pairs WHERE xl IS NOT NULL GROUP BY 1, 2),
+         |rho AS (
+         |  SELECT p.event_type, p.lag, t.n,
+         |    CAST(t.n * t.n * p.sxy - t.n * t.sx * (p.st + p.sh)
+         |        + (t.n - p.lag) * t.sx * t.sx AS DOUBLE)
+         |      / CAST(t.n * (t.n * t.sxx - t.sx * t.sx) AS DOUBLE) AS rho
+         |  FROM perlag p JOIN tot t USING (event_type)),
+         |q AS (
+         |  SELECT event_type, MAX(n) AS n,
+         |    CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
+         |      * SUM(rho * rho / CAST(n - lag AS DOUBLE)) AS q_raw
+         |  FROM rho GROUP BY event_type)
+         |SELECT event_type, n, ROUND(q_raw, 4) AS q_stat,
+         |  q_raw > 12.592 AS reject_white_noise
+         |FROM q ORDER BY event_type""".stripMargin
+    })
   )
 }

@@ -223,6 +223,44 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_ljung_box: Q non-negative, one row per event type") {
+    val rows = SparkEntry.queries("ts_ljung_box")(spark, TestSpark.sf0001)
+      .collect()
+    val types = Tables.events(spark, TestSpark.sf0001)
+      .select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0, s"${r.getString(0)}: Q=${r.getDouble(2)}")
+      assert(r.getBoolean(3) == (r.getDouble(2) > 12.592) ||
+        math.abs(r.getDouble(2) - 12.592) < 1e-3)
+    }
+  }
+
+  test("stat_trimmed_mean: robust means sit inside the group envelope") {
+    val rows = SparkEntry.queries("stat_trimmed_mean")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nInt, tm, wm) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nInt <= n && nInt >= (n * 0.7).toLong, "~80% interior expected")
+      // winsorized pulls toward the trimmed mean; both finite and positive
+      assert(tm > 0 && wm > 0)
+      assert(math.abs(wm - tm) < tm * 0.5)
+    }
+  }
+
+  test("llm_greedy_decode: chain is connected and each hop is the argmax") {
+    val rows = SparkEntry.queries("llm_greedy_decode")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.head.getString(1) == "the")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getString(2) == b.getString(1), "chain must be connected")
+    }
+    rows.foreach(r => assert(r.getLong(3) >= 1))
+  }
+
   test("dedup_blocked_linkage: per-block report is pair-consistent") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
