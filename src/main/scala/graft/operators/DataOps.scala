@@ -1106,7 +1106,8 @@ object DataOps {
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery,
-      annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery)
+      annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
+      matryoshkaQuery)
 
   /** Topic-balance audit: k-means topic cells over the embeddings
     * (SHARED memoized codebook — the ann_ivf_* training runs once per
@@ -1361,5 +1362,51 @@ object DataOps {
          |  WHERE a.vec_id % 97 = 0) t
          |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     Q("ann_index_persisted", fn, Some(sql))
+  }
+
+  /** Matryoshka (MRL) truncation-quality audit: for each dimension
+    * budget k, the cosine between a vector and its zero-padded k-dim
+    * truncation collapses to the RETAINED-NORM fraction ‖v[..k]‖/‖v‖ —
+    * per-row scalar math on identical doubles, so the per-budget
+    * rollup sticks to cross-engine-safe aggregates (min of identical
+    * doubles; exact count shares from a raw-double threshold) and
+    * never row-sums floats. The "can I serve 8-dim prefixes of my
+    * 64-dim embeddings?" dial before an MRL deployment.
+    */
+  private def matryoshkaQuery: Q = {
+    val budgets = Seq(8, 16, 32, 64)
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val v = Tables.embeddings(s, d)
+        .withColumn("budget", explode(array(budgets.map(lit): _*)))
+        .withColumn("full_ss", aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x))
+        .withColumn("part_ss", aggregate(
+          transform(slice(col("embedding"), lit(1), col("budget")),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x))
+        .withColumn("retained", sqrt(col("part_ss")) / sqrt(col("full_ss")))
+      v.groupBy("budget")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("retained"), 4).as("min_retained"),
+          round(sum(when(col("retained") >= 0.9, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("share_ge_090"))
+        .orderBy("budget")
+    }
+    val sql =
+      s"""WITH b AS (SELECT unnest(ARRAY[${budgets.mkString(", ")}]) AS budget),
+         |r AS (
+         |  SELECT budget,
+         |    sqrt(list_sum(list_transform(v[1:budget],
+         |        x -> x * x)))
+         |      / sqrt(list_sum(list_transform(v, x -> x * x))) AS retained
+         |  FROM (SELECT list_transform(embedding,
+         |    e -> CAST(e AS DOUBLE)) AS v FROM embeddings), b)
+         |SELECT CAST(budget AS INT) AS budget, COUNT(*) AS n_vecs,
+         |  ROUND(MIN(retained), 4) AS min_retained,
+         |  ROUND(CAST(SUM(CASE WHEN retained >= 0.9 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 4) AS share_ge_090
+         |FROM r GROUP BY budget ORDER BY budget""".stripMargin
+    Q("mm_matryoshka_quality", fn, Some(sql))
   }
 }

@@ -1051,6 +1051,47 @@ object Pipeline {
               |    / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
               |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic round-robin source interleave — the data-loader
+    // ORDER a multi-source training run consumes: doc j of source i
+    // lands at global position (j−1)·|S| + idx(i), so sources
+    // alternate 1-1-1 regardless of their sizes and a re-run (or a
+    // re-crawled shard) yields the identical schedule. Window ranks
+    // are per-source (shuffle on source); the source-index table is
+    // |S| rows broadcast in. First 40 schedule slots shown.
+    Q("llm_dataset_interleave",
+      (s, d) => {
+        val srcIdx = Tables.documents(s, d)
+          .select("source").distinct()
+          .withColumn("src_idx", row_number()
+            .over(Window.orderBy("source")).cast("long"))
+        val n = srcIdx.agg(count(lit(1)).as("n_sources"))
+        val ranked = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .cast("long"))
+        ranked.join(broadcast(srcIdx), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("position",
+            (col("rn") - 1) * col("n_sources") + col("src_idx"))
+          .select(col("position"), col("source"), col("doc_id"))
+          .orderBy("position")
+          .limit(40)
+      },
+      Some("""WITH si AS (
+             |  SELECT source, ROW_NUMBER() OVER (ORDER BY source)
+             |    AS src_idx
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |n AS (SELECT COUNT(*) AS n_sources FROM si),
+             |r AS (
+             |  SELECT doc_id, source, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT (rn - 1) * n_sources + src_idx AS position,
+             |  r.source, doc_id
+             |FROM r JOIN si USING (source), n
+             |ORDER BY position LIMIT 40""".stripMargin)),
+
     // Cross-SOURCE 8-gram overlap matrix — llm_decontaminate turned
     // inward: which feeds are re-crawls/mirrors of each other? One
     // distinct (source, gram-hash) projection (corpus-linear), then a

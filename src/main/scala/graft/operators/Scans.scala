@@ -655,6 +655,60 @@ object Scans {
              |    AS BIGINT) AS lag_min,
              |  (epoch_us(global_max) - epoch_us(max_ts)) // 60000000 > 60
              |    AS stale
-             |FROM m, g ORDER BY event_type""".stripMargin))
+             |FROM m, g ORDER BY event_type""".stripMargin)),
+
+    // Cross-table financial reconciliation — the books-balance DQ
+    // check: per order, header total vs the decimal-exact recomputed
+    // charge Σ price·(1−disc)·(1+tax); orders band by RELATIVE
+    // deviation, headerless/itemless orders surface as their own band
+    // instead of vanishing (LEFT join). Every sum is decimal; the
+    // banding ratio is one double division on exact inputs. One
+    // order-keyed aggregate + one broadcastable band rollup at any
+    // scale.
+    Q("dq_reconciliation",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(chargeDec(col("l_extendedprice"), col("l_discount"),
+            col("l_tax"))).as("actual"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+          .withColumn("rel", (col("actual").cast("double") -
+            col("o_totalprice")) / col("o_totalprice"))
+          .withColumn("band",
+            when(col("actual").isNull, "0_no_items")
+              .when(col("rel") < -0.5, "1_under_50pct")
+              .when(col("rel") < -0.1, "2_under_10pct")
+              .when(col("rel") <= 0.1, "3_within_10pct")
+              .when(col("rel") <= 0.5, "4_over_10pct")
+              .otherwise("5_over_50pct"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("header_total"),
+            dsumExact(col("actual")).as("recomputed_total"))
+          .orderBy("band")
+      },
+      Some(s"""WITH it AS (
+              |  SELECT l_orderkey, SUM($SQL_CHARGE_DEC) AS actual
+              |  FROM lineitem GROUP BY 1),
+              |j AS (
+              |  SELECT o.o_orderkey, o.o_totalprice, it.actual,
+              |    (CAST(it.actual AS DOUBLE) - o.o_totalprice)
+              |      / o.o_totalprice AS rel
+              |  FROM orders o LEFT JOIN it ON o.o_orderkey = it.l_orderkey),
+              |b AS (
+              |  SELECT CASE WHEN actual IS NULL THEN '0_no_items'
+              |    WHEN rel < -0.5 THEN '1_under_50pct'
+              |    WHEN rel < -0.1 THEN '2_under_10pct'
+              |    WHEN rel <= 0.1 THEN '3_within_10pct'
+              |    WHEN rel <= 0.5 THEN '4_over_10pct'
+              |    ELSE '5_over_50pct' END AS band,
+              |    o_totalprice, actual
+              |  FROM j)
+              |SELECT band, COUNT(*) AS n_orders,
+              |  ${SQL_DSUM("o_totalprice")} AS header_total,
+              |  ${SQL_DSUM_EXACT("actual")} AS recomputed_total
+              |FROM b GROUP BY band ORDER BY band""".stripMargin))
   )
 }

@@ -261,6 +261,37 @@ class RetrievalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 1))
   }
 
+  test("mm_matryoshka_quality: retained norm grows with budget, hits 1.0 at full dim") {
+    val rows = SparkEntry.queries("mm_matryoshka_quality")(spark, TestSpark.sf0001)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32, 64))
+    val mins = rows.map(_.getDouble(2))
+    assert(mins.zip(mins.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "min retained norm must be monotone in the budget")
+    assert(math.abs(mins.last - 1.0) < 1e-9, "full budget retains everything")
+    assert(rows.last.getDouble(3) == 1.0)
+  }
+
+  test("llm_dataset_interleave: positions dense from 1, sources alternate round-robin") {
+    val rows = SparkEntry.queries("llm_dataset_interleave")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 40L))
+    val nSources = Tables.documents(spark, TestSpark.sf0001)
+      .select("source").distinct().count().toInt
+    // within the first full cycle every source appears exactly once
+    val firstCycle = rows.take(nSources).map(_.getString(1))
+    assert(firstCycle.distinct.length == firstCycle.length)
+  }
+
+  test("dq_reconciliation: bands partition the orders table") {
+    val rows = SparkEntry.queries("dq_reconciliation")(spark, TestSpark.sf0001)
+      .collect()
+    val nOrders = Tables.orders(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("dedup_blocked_linkage: per-block report is pair-consistent") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
