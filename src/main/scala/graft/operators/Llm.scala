@@ -870,6 +870,154 @@ object Llm {
            |${(2 to STEPS).map(stepCte).mkString(",\n")}
            |${(1 to STEPS).map(r => s"SELECT * FROM g$r").mkString("\nUNION ALL ")}
            |ORDER BY step""".stripMargin
+      }),
+
+    // CONTAINMENT scoring of the LSH candidate pairs — the asymmetric
+    // companion to llm_jaccard_verify: C(A⊂B) = |A∩B|/|A| separates
+    // "B quotes most of A" (containment high one way) from "A and B
+    // are siblings" (Jaccard high both ways) — the distinction that
+    // decides KEEP-LONGEST vs KEEP-ONE in a dedup policy. Exact
+    // integer set sizes over the shared 60-bit shingle-hash stream;
+    // the pair⋈hash⋈hash join is candidate-bounded (pairs come from
+    // banded LSH — the all-pairs stage never exists).
+    Q("llm_containment_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = graft.api.Dedup.shingleHashRows(docs, "doc_id", "text")
+          .distinct().localCheckpoint()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = graft.api.Dedup
+          .lshCandidatePairs(docs, "doc_id", "text", K, BANDS)
+        val ov = pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+            Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(ov, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .join(broadcast(sz.select(col("doc_id").as("doc_a"),
+            col("n").as("n_a"))), "doc_a")
+          .join(broadcast(sz.select(col("doc_id").as("doc_b"),
+            col("n").as("n_b"))), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+            col("n_shared"),
+            round(col("n_shared").cast("double") /
+              col("n_a").cast("double"), 4).as("cont_a_in_b"),
+            round(col("n_shared").cast("double") /
+              col("n_b").cast("double"), 4).as("cont_b_in_a"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT doc_id, h FROM ($SQL_SHINGLE_HASHES)),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              |pairs AS ($SQL_PAIRS),
+              |ov AS (
+              |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+              |  FROM pairs p
+              |  JOIN sh a ON a.doc_id = p.doc_a
+              |  JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
+              |  GROUP BY 1, 2)
+              |SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b,
+              |  COALESCE(ov.n_shared, 0) AS n_shared,
+              |  ROUND(CAST(COALESCE(ov.n_shared, 0) AS DOUBLE)
+              |    / CAST(sa.n AS DOUBLE), 4) AS cont_a_in_b,
+              |  ROUND(CAST(COALESCE(ov.n_shared, 0) AS DOUBLE)
+              |    / CAST(sb.n AS DOUBLE), 4) AS cont_b_in_a
+              |FROM pairs p
+              |LEFT JOIN ov ON p.doc_a = ov.doc_a AND p.doc_b = ov.doc_b
+              |JOIN sz sa ON sa.doc_id = p.doc_a
+              |JOIN sz sb ON sb.doc_id = p.doc_b
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // BEAM-SEARCH decoding (width 2) over the bigram LM — the search
+    // upgrade of llm_greedy_decode, and the determinism showcase for
+    // float scoring: every edge log-probability is pre-rounded to
+    // 10 dp and cast DECIMAL(20,10) (the text_nb_langid device), so
+    // beam scores accumulate EXACTLY and the top-2 cut per step —
+    // (score DESC, sequence ASC) — can never flip on ulp noise. Each
+    // step is one join of ≤2 beams against the checkpointed successor
+    // table + a 2-row window cut; the LM table is |V|·branching rows,
+    // broadcastable at any corpus size.
+    Q("llm_beam_decode",
+      (s, d) => {
+        val STEPS = 5
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextUdfs.tokenizeCol(col("text")))
+              .as(Seq("pos", "token")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val big = tok
+          .withColumn("nxt", lead("token", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("token", "nxt").agg(count(lit(1)).as("c"))
+        val ctot = big.groupBy("token").agg(sum("c").as("ct"))
+        val edges = big.join(broadcast(ctot), "token")
+          .withColumn("logp",
+            round(log(col("c").cast("double") / col("ct").cast("double")),
+              10).cast("decimal(20,10)"))
+          .select("token", "nxt", "logp")
+          .localCheckpoint()
+        val wTop = Window.orderBy(col("score").desc, col("seq").asc)
+        var beams = s.range(1)
+          .select(lit("the").as("seq"), lit("the").as("cur"),
+            lit(0).cast("decimal(20,10)").as("score"))
+          .localCheckpoint()
+        var acc = beams.select(lit(0L).as("step"),
+          row_number().over(wTop).cast("long").as("rank"),
+          col("seq"), round(col("score").cast("double"), 4).as("log_score"))
+        for (step <- 1 to STEPS) {
+          beams = beams.join(edges, beams("cur") === edges("token"))
+            .select(concat(col("seq"), lit(" "), col("nxt")).as("seq"),
+              col("nxt").as("cur"),
+              (col("score") + col("logp")).cast("decimal(20,10)")
+                .as("score"))
+            .withColumn("rn", row_number().over(wTop))
+            .filter(col("rn") <= 2).drop("rn")
+            .localCheckpoint()
+          acc = acc.unionByName(beams.select(lit(step.toLong).as("step"),
+            row_number().over(wTop).cast("long").as("rank"), col("seq"),
+            round(col("score").cast("double"), 4).as("log_score")))
+        }
+        acc.orderBy("step", "rank")
+      },
+      Some {
+        val STEPS = 5
+        def stepCte(r: Int): String =
+          s"""b$r AS MATERIALIZED (
+             |  SELECT seq, cur, score FROM (
+             |    SELECT p.seq || ' ' || e.nxt AS seq, e.nxt AS cur,
+             |      CAST(p.score + e.logp AS DECIMAL(20,10)) AS score,
+             |      ROW_NUMBER() OVER (ORDER BY p.score + e.logp DESC,
+             |        p.seq || ' ' || e.nxt ASC) AS rn
+             |    FROM b${r - 1} p JOIN edges e ON p.cur = e.token) x
+             |  WHERE rn <= 2)""".stripMargin
+        val outs = (0 to STEPS).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS step,
+             |  ROW_NUMBER() OVER (ORDER BY score DESC, seq ASC) AS rank,
+             |  seq, ROUND(CAST(score AS DOUBLE), 4) AS log_score
+             |FROM b$r""".stripMargin).mkString("\nUNION ALL ")
+        s"""WITH bigr AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i + 1])) AS g
+           |  FROM (SELECT $SQL_TOKENIZE AS t FROM documents)
+           |  WHERE len(t) >= 2),
+           |big AS (
+           |  SELECT string_split(g, ' ')[1] AS token,
+           |    string_split(g, ' ')[2] AS nxt, COUNT(*) AS c
+           |  FROM bigr GROUP BY 1, 2),
+           |ctot AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct
+           |  FROM big GROUP BY 1),
+           |edges AS MATERIALIZED (
+           |  SELECT b.token, b.nxt,
+           |    CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(ct AS DOUBLE)), 10)
+           |      AS DECIMAL(20,10)) AS logp
+           |  FROM big b JOIN ctot USING (token)),
+           |b0 AS (SELECT 'the' AS seq, 'the' AS cur,
+           |  CAST(0 AS DECIMAL(20,10)) AS score),
+           |${(1 to STEPS).map(stepCte).mkString(",\n")}
+           |$outs
+           |ORDER BY step, rank""".stripMargin
       })
   )
 }

@@ -1618,6 +1618,41 @@ object Windows {
          |SELECT event_type, n, ROUND(q_raw, 4) AS q_stat,
          |  q_raw > 12.592 AS reject_white_noise
          |FROM q ORDER BY event_type""".stripMargin
-    })
+    }),
+
+    // Day-of-week × hour-of-day traffic profile — the capacity-
+    // planning / anomaly-baseline matrix every ops dashboard carries.
+    // One grouped count + a per-dow window total; the lift column
+    // (observed vs the dow's uniform hourly rate) is one double ratio
+    // of exact counts. Monday-based dow on BOTH engines (Spark
+    // weekday() ↔ DuckDB isodow()−1 — the cross-engine calendar trap
+    // is the operator's whole subtlety).
+    Q("ts_dow_hod_profile",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .groupBy(expr("weekday(ts)").cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("n"))
+        val wD = Window.partitionBy("dow")
+        g.withColumn("dow_total", sum("n").over(wD))
+          .select(col("dow"), col("hod"), col("n"),
+            round(col("n").cast("double") / col("dow_total").cast("double"),
+              4).as("share_of_dow"),
+            round(col("n").cast("double") /
+              (col("dow_total").cast("double") / 24.0), 4).as("lift"))
+          .orderBy("dow", "hod")
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT dow, hod, n,
+             |  ROUND(CAST(n AS DOUBLE)
+             |    / CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE), 4)
+             |    AS share_of_dow,
+             |  ROUND(CAST(n AS DOUBLE)
+             |    / (CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE) / 24.0), 4)
+             |    AS lift
+             |FROM g ORDER BY dow, hod""".stripMargin))
   )
 }

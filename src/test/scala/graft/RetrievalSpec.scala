@@ -292,6 +292,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("llm_containment_pairs: containment bounds and symmetry relations hold") {
+    val rows = SparkEntry.queries("llm_containment_pairs")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh <= math.min(na, nb), "intersection bounded by both sets")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+    }
+  }
+
+  test("llm_beam_decode: beam 1 dominates beam 2, scores monotone down the chain") {
+    val rows = SparkEntry.queries("llm_beam_decode")(spark, TestSpark.sf0001)
+      .collect()
+    val bySt = rows.groupBy(_.getLong(0))
+    assert(bySt(0L).length == 1 && bySt(0L).head.getString(2) == "the")
+    bySt.filter(_._1 > 0).foreach { case (_, bs) =>
+      assert(bs.length <= 2)
+      val sorted = bs.sortBy(_.getLong(1))
+      if (sorted.length == 2)
+        assert(sorted(0).getDouble(3) >= sorted(1).getDouble(3))
+    }
+    // top beam score is non-increasing with depth (log probs <= 0)
+    val tops = bySt.toSeq.sortBy(_._1).map(_._2.minBy(_.getLong(1)).getDouble(3))
+    assert(tops.zip(tops.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("ts_dow_hod_profile: shares sum to 1 per dow, full 168-cell coverage expected") {
+    val rows = SparkEntry.queries("ts_dow_hod_profile")(spark, TestSpark.sf0001)
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (dow, rs) =>
+      assert(dow >= 0 && dow <= 6)
+      val share = rs.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 0.01, s"dow $dow: Σshare=$share")
+    }
+  }
+
   test("dedup_blocked_linkage: per-block report is pair-consistent") {
     val rows = SparkEntry.queries("dedup_blocked_linkage")(spark, TestSpark.sf0001)
       .collect()
