@@ -639,6 +639,12 @@ object TextAnalysis {
         val win = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(0, W - 1)
         val nw = Window.partitionBy("doc_id")
+        // sel is consumed three times below; an explicit
+        // localCheckpoint was MEASURED (3.07 s → 3.3 s at sf0.1) to
+        // not help — AQE's exchange reuse already shares the gram
+        // pipeline across the three consumers, and the eager
+        // materialization only adds overhead. The cost floor is the
+        // per-gram md5 itself.
         val sel = grams
           .withColumn("n_grams", count(lit(1)).over(nw))
           .filter(col("pos") <= col("n_grams") - (W - 1))
