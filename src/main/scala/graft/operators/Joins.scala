@@ -297,6 +297,11 @@ object Joins {
     // predicate verifies survivors. A point's cell is unique, so no
     // pair dedup is needed. Promo-window semantics: ~1% of orders
     // open a 7-day window; count lineitem shipments falling inside.
+    // Oracle cell id uses epoch()/604800 rather than date_diff()//7:
+    // date_diff's return type changed across DuckDB versions (newer
+    // releases bind it as INTERVAL, breaking `// 7`), while epoch()
+    // is a number everywhere; the fixture timestamps are midnight-
+    // aligned so the two cell formulas are identical.
     Q("join_interval_bucketed",
       (s, d) => {
         val GRID = 7
@@ -328,11 +333,11 @@ object Joins {
              |wc AS (
              |  SELECT o_orderkey, w_start, w_end, c AS cell
              |  FROM w, unnest(generate_series(
-             |    CAST(date_diff('day', DATE '1970-01-01', CAST(w_start AS DATE)) // 7 AS BIGINT),
-             |    CAST(date_diff('day', DATE '1970-01-01', CAST(w_end AS DATE)) // 7 AS BIGINT))) t(c)),
+             |    CAST(floor(epoch(w_start) / 604800.0) AS BIGINT),
+             |    CAST(floor(epoch(w_end) / 604800.0) AS BIGINT))) t(c)),
              |p AS (
              |  SELECT l_shipdate,
-             |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS cell
+             |    CAST(floor(epoch(l_shipdate) / 604800.0) AS BIGINT) AS cell
              |  FROM lineitem)
              |SELECT wc.o_orderkey,
              |  CAST(SUM(CASE WHEN p.l_shipdate IS NOT NULL
