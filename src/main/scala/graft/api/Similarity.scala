@@ -592,4 +592,70 @@ object Similarity {
       .filter(col("rn") <= topK)
       .withColumnRenamed("__id_a", idCol)
   }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+    * per label, take the `pool` most-relevant candidates (cosine to the
+    * label's seed = its min-id vector) and greedily pick `k` of them,
+    * each round scoring score = λ·rel − (1−λ)·max_sim_to_selected — the
+    * standard diversity rerank a retrieval pipeline runs on its top
+    * pool before serving.
+    *
+    * Scale shape: relevance is ONE broadcast join of the corpus against
+    * the model-sized seed set plus a per-label top-`pool` window — the
+    * only corpus-wide work. The greedy loop then runs on the pooled
+    * candidates (labels × pool rows, checkpointed once), so each of the
+    * k−1 rounds is a broadcast join over a model-sized frame: pairwise
+    * similarity cost is labels·pool·k, never corpus². Determinism: all
+    * similarities and MMR scores are rounded to 4 dp before any ordering
+    * or max, with the candidate id as the total-order tie-break.
+    */
+  def mmrRerank(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, pool: Int = 8, k: Int = 4,
+      lambda: Double = 0.7): DataFrame = {
+    val e = prepare(embs, idCol, vecCol)
+    val wSeed = Window.partitionBy(labelCol).orderBy(idCol)
+    val seeds = e
+      .withColumn("__srn", row_number().over(wSeed))
+      .filter(col("__srn") === 1)
+      .select(col(labelCol), col(idCol).as("__seed_id"),
+        col("__v").as("__sv"))
+    val wPool = Window.partitionBy(labelCol)
+      .orderBy(col("rel").desc, col(idCol))
+    val cand = e.join(broadcast(seeds), labelCol)
+      .filter(col(idCol) =!= col("__seed_id"))
+      .withColumn("rel", round(expr("cosine_sim(__v, __sv)"), 4))
+      .withColumn("__rn", row_number().over(wPool))
+      .filter(col("__rn") <= pool)
+      .select(col(labelCol), col(idCol), col("__v"), col("rel"),
+        col("__rn"))
+      .localCheckpoint()
+    var sel = cand.filter(col("__rn") === 1)
+      .select(col(labelCol), col(idCol), col("__v"), col("rel"),
+        col("rel").as("score"), lit(1).as("pick"))
+    for (r <- 2 to k) {
+      val remaining = cand
+        .join(sel.select(col(labelCol), col(idCol)),
+          Seq(labelCol, idCol), "left_anti")
+      val picked = remaining
+        .join(broadcast(sel.select(col(labelCol), col("__v").as("__pv"))),
+          labelCol)
+        .groupBy(col(labelCol), col(idCol), col("rel"))
+        .agg(max(round(expr("cosine_sim(__v, __pv)"), 4)).as("msim"))
+        .withColumn("score",
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("msim"), 4))
+        .withColumn("__prn", row_number().over(Window.partitionBy(labelCol)
+          .orderBy(col("score").desc, col(idCol))))
+        .filter(col("__prn") === 1)
+        .select(col(labelCol), col(idCol), col("rel"), col("score"),
+          lit(r).as("pick"))
+      val pickedFull = picked
+        .join(cand.select(col(labelCol), col(idCol), col("__v")),
+          Seq(labelCol, idCol))
+        .select(col(labelCol), col(idCol), col("__v"), col("rel"),
+          col("score"), col("pick"))
+      sel = sel.unionByName(pickedFull).localCheckpoint()
+    }
+    sel.select(col(labelCol), col("pick").cast("long").as("pick"),
+      col(idCol), col("rel"), col("score"))
+  }
 }

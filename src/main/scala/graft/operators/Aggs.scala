@@ -1989,6 +1989,94 @@ object Aggs {
              |      + CAST(n_low AS DOUBLE) * p10
              |      + CAST(n_high AS DOUBLE) * p90)
              |    / CAST(n AS DOUBLE), 4) AS winsorized_mean
-             |FROM g ORDER BY o_orderpriority""".stripMargin))
+             |FROM g ORDER BY o_orderpriority""".stripMargin)),
+
+    // Kruskal–Wallis H (one-way rank ANOVA): does document length
+    // differ across the 5 languages? Rank-based sibling of stat_anova_f
+    // (no normality assumption) and the k-group extension of
+    // stat_mannwhitney — same DISTINCT-VALUE-AGGREGATE shape: one
+    // groupBy(n_chars) collapses the corpus to its value histogram,
+    // one global window yields each value's preceding cumulative count,
+    // and every group's DOUBLED rank-sum Σ c_g·(2·prev + cnt + 1) stays
+    // BIGINT-exact (average rank of a tie block is (2·prev+cnt+1)/2).
+    // The five per-lang terms R²/(4n) are folded in the WRITTEN lang
+    // order (ewma device) so both engines add identical doubles; the
+    // tie correction Σ(t³−t)/(N³−N) is pure integer arithmetic. At
+    // 100 TB the value histogram (distinct doc lengths) is the only
+    // shuffled stream — model-sized next to the corpus.
+    Q("stat_kruskal_wallis", {
+      val LANGS = Seq("en", "es", "zh", "de", "fr")
+      (s, d) => {
+        val histCols = LANGS.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")) :+
+          count(lit(1)).as("cnt")
+        val hist = Tables.documents(s, d)
+          .groupBy("n_chars")
+          .agg(histCols.head, histCols.tail: _*)
+        val wPrev = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = hist.withColumn("prev",
+          coalesce(sum("cnt").over(wPrev), lit(0L)))
+        val aggCols = LANGS.flatMap(l => Seq(
+          sum(col(s"c_$l") * (lit(2L) * col("prev") + col("cnt") + lit(1L)))
+            .as(s"r2_$l"),
+          sum(col(s"c_$l")).as(s"n_$l"))) :+
+          sum("cnt").as("n") :+
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties")
+        val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+        val nD = col("n").cast("double")
+        val terms = LANGS.map { l =>
+          when(col(s"n_$l") > 0,
+            (col(s"r2_$l") * col(s"r2_$l")).cast("double") /
+              (lit(4.0) * col(s"n_$l").cast("double"))).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        val h = lit(12.0) / (nD * (nD + 1.0)) * terms - lit(3.0) * (nD + 1.0)
+        val c = lit(1.0) -
+          col("ties").cast("double") / (nD * nD * nD - nD)
+        agg.select(col("n"),
+          lit(LANGS.size - 1).cast("long").as("df"),
+          round(h, 4).as("h_stat"),
+          round(c, 6).as("tie_correction"),
+          round(h / c, 4).as("h_adjusted"))
+      }
+    },
+      Some {
+        val LANGS = Seq("en", "es", "zh", "de", "fr")
+        val condCols = LANGS.map(l =>
+          s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l")
+          .mkString(", ")
+        val aggCols = LANGS.map(l =>
+          s"SUM(c_$l * (2 * prev + cnt + 1)) AS r2_$l, SUM(c_$l) AS n_$l")
+          .mkString(",\n             |    ")
+        val terms = LANGS.map(l =>
+          s"CASE WHEN n_$l > 0 THEN CAST(r2_$l * r2_$l AS DOUBLE) / (4.0 * CAST(n_$l AS DOUBLE)) ELSE 0.0 END")
+          .mkString("\n             |      + ")
+        s"""WITH hist AS (
+           |  SELECT n_chars, $condCols, COUNT(*) AS cnt
+           |  FROM documents GROUP BY n_chars),
+           |ranked AS (
+           |  SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           |  FROM hist),
+           |agg AS (
+           |  SELECT $aggCols,
+           |    CAST(SUM(cnt) AS BIGINT) AS n,
+           |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+           |  FROM ranked)
+           |SELECT n, CAST(${LANGS.size - 1} AS BIGINT) AS df,
+           |  ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           |    * ($terms)
+           |    - 3.0 * (CAST(n AS DOUBLE) + 1.0), 4) AS h_stat,
+           |  ROUND(1.0 - CAST(ties AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |       - CAST(n AS DOUBLE)), 6) AS tie_correction,
+           |  ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           |    * ($terms)
+           |    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+           |    / (1.0 - CAST(ties AS DOUBLE)
+           |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |         - CAST(n AS DOUBLE))), 4) AS h_adjusted
+           |FROM agg""".stripMargin
+      })
   )
 }

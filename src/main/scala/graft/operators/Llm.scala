@@ -1018,6 +1018,74 @@ object Llm {
            |${(1 to STEPS).map(stepCte).mkString(",\n")}
            |$outs
            |ORDER BY step, rank""".stripMargin
+      }),
+
+    // MMR diversity rerank over each label's relevance pool — see
+    // [[graft.api.Similarity.mmrRerank]] for the scale contract (one
+    // corpus-wide broadcast-join + top-pool window; the k−1 greedy
+    // rounds run on the checkpointed labels×pool frame only). The
+    // oracle UNROLLS the greedy recursion: one (max-sim, argmax-pick,
+    // selected-union) CTE triple per round, pairwise similarity by the
+    // same ordered-fold SQL_DOT device, every score rounded to 4 dp
+    // before its ORDER BY with vec_id as the total tie-break.
+    Q("ann_mmr_rerank", {
+      val POOL = 8; val K = 4
+      (s, d) => graft.api.Similarity
+        .mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", pool = POOL, k = K, lambda = 0.7)
+        .orderBy("label", "pick")
+    },
+      Some {
+        val POOL = 8; val K = 4
+        // Emit the EXACT Scala doubles (1.0 − 0.7 is 0.30000000000000004,
+        // not the double nearest 0.3) so both engines multiply by
+        // bit-identical weights.
+        val LAM = s"${0.7}"; val OML = s"${1.0 - 0.7}"
+        def simc(a: String, b: String) =
+          s"ROUND(${SQL_DOT(s"$a.v", s"$b.v")} / ($a.nrm * $b.nrm), 4)"
+        val rounds = (2 to K).map { r =>
+          val prev = s"sel${r - 1}"
+          s"""m$r AS (
+             |  SELECT c.label, c.vec_id, c.rel, MAX(${simc("c", "p")}) AS msim
+             |  FROM candp c JOIN $prev p ON c.label = p.label
+             |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+             |    WHERE x.label = c.label AND x.vec_id = c.vec_id)
+             |  GROUP BY c.label, c.vec_id, c.rel),
+             |p$r AS (
+             |  SELECT label, vec_id, rel,
+             |    ROUND($LAM * rel - $OML * msim, 4) AS score, $r AS pick
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             |      ORDER BY ROUND($LAM * rel - $OML * msim, 4) DESC, vec_id)
+             |      AS prn FROM m$r) t
+             |  WHERE prn = 1),
+             |sel$r AS (
+             |  SELECT * FROM $prev
+             |  UNION ALL
+             |  SELECT c.label, c.vec_id, c.v, c.nrm, p.rel, p.score, p.pick
+             |  FROM p$r p JOIN candp c
+             |    ON p.label = c.label AND p.vec_id = c.vec_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH vecs AS ($SQL_VECS),
+           |seeds AS (
+           |  SELECT label, vec_id AS seed_id, v AS sv, nrm AS snrm
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+           |      ORDER BY vec_id) AS srn FROM vecs) t
+           |  WHERE srn = 1),
+           |cand AS (
+           |  SELECT label, vec_id, v, nrm, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY label
+           |      ORDER BY rel DESC, vec_id) AS rn
+           |  FROM (SELECT a.label, a.vec_id, a.v, a.nrm,
+           |      ROUND(${SQL_DOT("a.v", "s.sv")} / (a.nrm * s.snrm), 4) AS rel
+           |    FROM vecs a JOIN seeds s
+           |      ON a.label = s.label AND a.vec_id <> s.seed_id) b),
+           |candp AS (SELECT * FROM cand WHERE rn <= $POOL),
+           |sel1 AS (
+           |  SELECT label, vec_id, v, nrm, rel, rel AS score, 1 AS pick
+           |  FROM candp WHERE rn = 1),
+           |$rounds
+           |SELECT label, CAST(pick AS BIGINT) AS pick, vec_id, rel, score
+           |FROM sel$K ORDER BY label, pick""".stripMargin
       })
   )
 }

@@ -1113,6 +1113,80 @@ object TextAnalysis {
               |  MAX(rejected_doc) AS rejected_doc,
               |  MAX(rejected_q) AS rejected_q,
               |  ROUND(MAX(chosen_q) - MAX(rejected_q), 4) AS margin
-              |FROM w GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+              |FROM w GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin)),
+
+    // Calibration report for the heuristic quality score: treat quality
+    // as the classifier's keep-confidence, the corpus-funnel gate
+    // (length bounds + first-occurrence dedup + quality ≥ 0.75) as the
+    // realized keep label, and bin by confidence decile — the
+    // reliability-diagram table plus Expected Calibration Error that
+    // any production quality-filter audit ships. Determinism is pure
+    // integer bookkeeping: quality is floor-rounded to y/10000, the
+    // decile id is recovered from the INTEGER y (never from the float),
+    // per-bin confidence is Σy/(10000·n), and the ECE numerator
+    // Σ_b |Σy_b − 10000·kept_b| stays BIGINT until one final division.
+    // One corpus pass + a content-hash window; the reliability table
+    // itself is ≤10 rows, so the ECE window is model-sized.
+    Q("llm_calibration_bins",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+        val wDup = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val wAll = Window.partitionBy()
+        q.withColumn("dup_rn", row_number().over(wDup))
+          .withColumn("kept",
+            col("n_words") >= 25 && col("n_words") <= 90 &&
+              col("dup_rn") === 1 && col("quality") >= 0.75)
+          .withColumn("y",
+            floor(col("quality") * 10000.0 + 0.5).cast("long"))
+          .groupBy(least(floor(col("y") / lit(1000L)), lit(9L))
+            .cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("y").as("sy"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("confidence",
+            round(col("sy").cast("double") /
+              (lit(10000.0) * col("n_docs").cast("double")), 4))
+          .withColumn("keep_rate",
+            round(col("n_kept").cast("double") /
+              col("n_docs").cast("double"), 4))
+          .withColumn("ece",
+            round(sum(abs(col("sy") - lit(10000L) * col("n_kept")))
+              .over(wAll).cast("double") /
+              (lit(10000.0) * sum("n_docs").over(wAll).cast("double")), 4))
+          .select(col("bin"), col("n_docs"), col("confidence"),
+            col("keep_rate"), col("ece"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_words,
+              |    floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+              |  FROM (SELECT doc_id, text, $SQL_TOKENIZE AS t,
+              |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |        FROM documents) x),
+              |lab AS (
+              |  SELECT doc_id,
+              |    CAST(floor(quality * 10000.0 + 0.5) AS BIGINT) AS y,
+              |    (n_words >= 25 AND n_words <= 90
+              |      AND ROW_NUMBER() OVER (PARTITION BY md5(text)
+              |            ORDER BY doc_id) = 1
+              |      AND quality >= 0.75) AS kept
+              |  FROM q),
+              |bins AS (
+              |  SELECT LEAST(y // 1000, 9) AS bin,
+              |    COUNT(*) AS n_docs, SUM(y) AS sy,
+              |    SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+              |  FROM lab GROUP BY 1)
+              |SELECT CAST(bin AS BIGINT) AS bin,
+              |  CAST(n_docs AS BIGINT) AS n_docs,
+              |  ROUND(CAST(sy AS DOUBLE)
+              |    / (10000.0 * CAST(n_docs AS DOUBLE)), 4) AS confidence,
+              |  ROUND(CAST(n_kept AS DOUBLE)
+              |    / CAST(n_docs AS DOUBLE), 4) AS keep_rate,
+              |  ROUND(CAST(SUM(ABS(sy - 10000 * n_kept)) OVER () AS DOUBLE)
+              |    / (10000.0 * CAST(SUM(n_docs) OVER () AS DOUBLE)), 4) AS ece
+              |FROM bins ORDER BY bin""".stripMargin))
   )
 }

@@ -1653,6 +1653,99 @@ object Windows {
              |  ROUND(CAST(n AS DOUBLE)
              |    / (CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE) / 24.0), 4)
              |    AS lift
-             |FROM g ORDER BY dow, hod""".stripMargin))
+             |FROM g ORDER BY dow, hod""".stripMargin)),
+
+    // Two-sided CUSUM drift detection on daily per-type totals — the
+    // classic SPC change detector (Page 1954). The recursion
+    // S⁺_t = max(0, S⁺_{t−1} + z_t − k) is not a window aggregate, but
+    // its closed form IS: S⁺_t = Y_t − min(0, min_{j≤t} Y_j) with
+    // Y_t = Σ_{i≤t}(z_i − k) — one running sum + one running min per
+    // side. Determinism is INTEGER-DOMAIN end to end: daily totals are
+    // exact cents (DECIMAL), the standardization uses the identity
+    // n·Σ(c−μ)² = Σ(n·c − S)² so variance needs no float mean, and the
+    // z-scores enter the running sums as ROUNDED MILLI-UNITS (BIGINT),
+    // so the cumulative Y/min are order-proof integers — no reliance on
+    // either engine's window-accumulation order (DuckDB segment-trees
+    // sliding frames; a float fold there would not match Spark's
+    // sequential accumulation). Scale: the only corpus-wide pass is the
+    // (type, day) pre-aggregate; everything after runs on ~30 rows per
+    // type, and a year×10⁶-series workload is still one shuffle plus
+    // tiny per-key windows.
+    Q("ts_cusum", {
+      val K_MILLI = 2500L  // drift allowance k = 0.25 in z units
+      val H_MILLI = 20000L // alarm threshold h = 2.0 in z units
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+        val wAll = Window.partitionBy("event_type")
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = (col("n") * col("cents") - col("s")).cast("decimal(19,0)")
+        val z = dev.cast("double") /
+          sqrt((sum((dev * dev).cast("decimal(38,0)")).over(wAll))
+            .cast("double") / (col("n") - 1).cast("double"))
+        val scored = daily
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("s", sum("cents").over(wAll))
+          .withColumn("zmilli",
+            floor(z * 10000.0 + 0.5).cast("long"))
+        val up = col("y_up") - least(lit(0L), min("y_up").over(wRun))
+        val dn = col("y_dn") - least(lit(0L), min("y_dn").over(wRun))
+        scored
+          .withColumn("y_up", sum(col("zmilli") - K_MILLI).over(wRun))
+          .withColumn("y_dn", sum(-col("zmilli") - K_MILLI).over(wRun))
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            (col("zmilli").cast("double") / 10000.0).as("z"),
+            (up.cast("double") / 10000.0).as("cusum_pos"),
+            (dn.cast("double") / 10000.0).as("cusum_neg"),
+            (up > H_MILLI || dn > H_MILLI).as("alarm"))
+          .orderBy("event_type", "day")
+      }
+    },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, day, cents,
+             |    COUNT(*) OVER tw AS n, SUM(cents) OVER tw AS s
+             |  FROM daily WINDOW tw AS (PARTITION BY event_type)),
+             |devs AS (
+             |  SELECT event_type, day, n,
+             |    CAST(n * cents - s AS DECIMAL(19,0)) AS dev
+             |  FROM stats),
+             |sd AS (
+             |  SELECT *, SUM(CAST(dev * dev AS DECIMAL(38,0)))
+             |      OVER (PARTITION BY event_type) AS sd2
+             |  FROM devs),
+             |scored AS (
+             |  SELECT event_type, day,
+             |    CAST(floor(CAST(dev AS DOUBLE)
+             |      / sqrt(CAST(sd2 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             |      * 10000.0 + 0.5) AS BIGINT) AS zmilli
+             |  FROM sd),
+             |ys AS (
+             |  SELECT event_type, day, zmilli,
+             |    SUM(zmilli - 2500) OVER rw AS y_up,
+             |    SUM(-zmilli - 2500) OVER rw AS y_dn
+             |  FROM scored
+             |  WINDOW rw AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |runs AS (
+             |  SELECT event_type, day, zmilli, y_up, y_dn,
+             |    MIN(y_up) OVER rw AS m_up, MIN(y_dn) OVER rw AS m_dn
+             |  FROM ys
+             |  WINDOW rw AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, CAST(day AS VARCHAR) AS day,
+             |  CAST(zmilli AS DOUBLE) / 10000.0 AS z,
+             |  CAST(y_up - LEAST(0, m_up) AS DOUBLE) / 10000.0 AS cusum_pos,
+             |  CAST(y_dn - LEAST(0, m_dn) AS DOUBLE) / 10000.0 AS cusum_neg,
+             |  (y_up - LEAST(0, m_up) > 20000
+             |    OR y_dn - LEAST(0, m_dn) > 20000) AS alarm
+             |FROM runs ORDER BY event_type, day""".stripMargin))
   )
 }
