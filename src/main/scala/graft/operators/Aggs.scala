@@ -2077,6 +2077,87 @@ object Aggs {
            |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
            |         - CAST(n AS DOUBLE))), 4) AS h_adjusted
            |FROM agg""".stripMargin
+      }),
+
+    // Fisher's EXACT test on the 2×2 (lang='en') × (source='src0')
+    // contingency table — the small-margin independence test chi²
+    // approximations get wrong. The corpus contributes ONE aggregate
+    // (four conditional counts); everything after is expression work on
+    // a single row: log-binomials ln C(m,j) = Σ ln((m−i+1)/i) as
+    // in-row ordered folds (no lgamma in either engine's portable
+    // surface), the hypergeometric enumeration over the margin-feasible
+    // a-range as one transform+fold (margin-sized, never data-sized),
+    // and the two-sided p as the fold-ordered sum of tables no more
+    // likely than the observed one (standard 1e-7 fp tolerance). ln and
+    // exp are the already-trusted libm pair (round(6) on output); every
+    // fold runs in written index order on both engines.
+    Q("stat_fisher_exact", {
+      // ln C(m, j) with a guard for j<=0; Spark-SQL and DuckDB spell
+      // the identical fold differently (aggregate vs list_sum).
+      def lncS(m: String, j: String) =
+        s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
+           |aggregate(transform(sequence(1, CAST($j AS INT)),
+           |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i)),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END""".stripMargin
+      (s, d) => {
+        val cnts = Tables.documents(s, d).agg(
+          sum(when(col("lang") === "en" && col("source") === "src0", 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("r1"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+          count(lit(1)).as("n"))
+        cnts
+          .withColumn("r2", col("n") - col("r1"))
+          .withColumn("lnc_n_c1", expr(lncS("n", "c1")))
+          .withColumn("q_obs",
+            expr(lncS("r1", "a")) + expr(lncS("r2", "c1 - a")))
+          .withColumn("lo", greatest(lit(0L), col("r1") + col("c1") - col("n")))
+          .withColumn("hi", least(col("r1"), col("c1")))
+          .withColumn("p_two", expr(
+            s"""aggregate(transform(sequence(CAST(lo AS INT), CAST(hi AS INT)),
+               |  t -> ${lncS("r1", "t")} + ${lncS("r2", "c1 - t")}),
+               |  CAST(0.0 AS DOUBLE),
+               |  (acc, qa) -> acc + CASE WHEN qa <= q_obs + 1e-7
+               |    THEN exp(qa - lnc_n_c1) ELSE 0.0 END)""".stripMargin))
+          .select(col("a"), col("r1"), col("c1"), col("n"),
+            round((col("a") * (col("n") - col("r1") - col("c1") + col("a")))
+              .cast("double") /
+              ((col("r1") - col("a")) * (col("c1") - col("a"))).cast("double"),
+              4).as("odds_ratio"),
+            round(exp(col("q_obs") - col("lnc_n_c1")), 6).as("p_observed_table"),
+            round(col("p_two"), 6).as("p_two_sided"))
+      }
+    },
+      Some {
+        def lncD(m: String, j: String) =
+          s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
+             |list_sum(list_transform(generate_series(1, CAST($j AS INT)),
+             |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i))) END""".stripMargin
+        s"""WITH cnts AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN lang = 'en' AND source = 'src0'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    COUNT(*) AS n
+           |  FROM documents),
+           |prep AS (
+           |  SELECT a, r1, c1, n, n - r1 AS r2,
+           |    ${lncD("n", "c1")} AS lnc_n_c1,
+           |    ${lncD("r1", "a")} + ${lncD("n - r1", "c1 - a")} AS q_obs,
+           |    GREATEST(0, r1 + c1 - n) AS lo, LEAST(r1, c1) AS hi
+           |  FROM cnts)
+           |SELECT a, r1, c1, n,
+           |  ROUND(CAST(a * (n - r1 - c1 + a) AS DOUBLE)
+           |    / CAST((r1 - a) * (c1 - a) AS DOUBLE), 4) AS odds_ratio,
+           |  ROUND(exp(q_obs - lnc_n_c1), 6) AS p_observed_table,
+           |  ROUND(list_sum(list_transform(
+           |      generate_series(CAST(lo AS INT), CAST(hi AS INT)),
+           |      t -> CASE WHEN ${lncD("r1", "t")} + ${lncD("r2", "c1 - t")}
+           |          <= q_obs + 1e-7
+           |        THEN exp(${lncD("r1", "t")} + ${lncD("r2", "c1 - t")}
+           |          - lnc_n_c1) ELSE 0.0 END)), 6) AS p_two_sided
+           |FROM prep""".stripMargin
       })
   )
 }

@@ -709,6 +709,50 @@ object Scans {
               |SELECT band, COUNT(*) AS n_orders,
               |  ${SQL_DSUM("o_totalprice")} AS header_total,
               |  ${SQL_DSUM_EXACT("actual")} AS recomputed_total
-              |FROM b GROUP BY band ORDER BY band""".stripMargin))
+              |FROM b GROUP BY band ORDER BY band""".stripMargin)),
+
+    // Recursive directory discovery with a glob gate: a data-lake
+    // landing zone is never a clean flat directory — data files sit in
+    // nested subdirs next to manifests, READMEs and sidecar junk. Stage
+    // events as a hive-partitioned tree (fingerprint-keyed like every
+    // staged source), drop decoy .txt/.json files at both the root and
+    // inside a partition dir, then read with recursiveFileLookup=true
+    // (which deliberately DISABLES partition-column inference — the
+    // files' own schema is the contract) + pathGlobFilter='*.parquet'
+    // so only data files are touched. At 100 TB the glob gate runs in
+    // the driver's file index, not the executors: junk files cost
+    // zero tasks. The oracle aggregates the original table — the
+    // roundtrip must lose nothing.
+    Q("scan_glob_options",
+      (s, d) => {
+        val src = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_glob_events_$key"
+        if (!new java.io.File(s"$tmp/_STAGED").exists()) {
+          Tables.events(s, d).write.mode("overwrite")
+            .partitionBy("event_type").parquet(tmp)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$tmp/README.txt"), "decoy\n")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$tmp/event_type=click/notes.json"),
+            "{\"decoy\": true}\n")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$tmp/_STAGED"), "ok\n")
+        }
+        s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(tmp)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("day")
+      },
+      Some(s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              |  COUNT(*) AS n_events,
+              |  COUNT(DISTINCT user_id) AS n_users,
+              |  ${SQL_DSUM("value")} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
   )
 }

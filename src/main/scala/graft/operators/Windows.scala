@@ -1746,6 +1746,82 @@ object Windows {
              |  CAST(y_dn - LEAST(0, m_dn) AS DOUBLE) / 10000.0 AS cusum_neg,
              |  (y_up - LEAST(0, m_up) > 20000
              |    OR y_dn - LEAST(0, m_dn) > 20000) AS alarm
-             |FROM runs ORDER BY event_type, day""".stripMargin))
+             |FROM runs ORDER BY event_type, day""".stripMargin)),
+
+    // Hampel filter: the robust despiking pass a sensor/metrics
+    // pipeline runs before modeling — each point compared to its
+    // CENTERED ±3-row window median, flagged and repaired when it sits
+    // more than 3·1.4826·MAD away (1.4826 ≈ the Gaussian MAD→σ
+    // consistency constant). Both the median and the MAD are EXACT
+    // within-row array math over ONE collected frame (sorted picks and
+    // one (a+b)/2 for even frames, a transform for |x−med| — no
+    // accumulation, so nothing to round): the same device as
+    // ts_rolling_median, extended by a second in-row sort for the MAD.
+    // One user-keyed shuffle; the frame is 7 rows regardless of
+    // history; the threshold multiplier is emitted as the exact Scala
+    // double so both engines compare identical products.
+    Q("ts_hampel", {
+      val THRESH = s"${3.0 * 1.4826}"
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ep", "event_id").rowsBetween(-3, 3)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts) div 1000000"))
+          .withColumn("arr", sort_array(collect_list("value").over(w)))
+          .withColumn("n", size(col("arr")))
+          .withColumn("med",
+            expr("""CASE WHEN n % 2 = 1 THEN element_at(arr, CAST((n + 1) div 2 AS INT))
+              ELSE (element_at(arr, CAST(n div 2 AS INT))
+                  + element_at(arr, CAST(n div 2 + 1 AS INT))) / 2.0
+              END"""))
+          .withColumn("devs",
+            expr("array_sort(transform(arr, v -> abs(v - med)))"))
+          .withColumn("mad",
+            expr("""CASE WHEN n % 2 = 1 THEN element_at(devs, CAST((n + 1) div 2 AS INT))
+              ELSE (element_at(devs, CAST(n div 2 AS INT))
+                  + element_at(devs, CAST(n div 2 + 1 AS INT))) / 2.0
+              END"""))
+          .withColumn("is_outlier",
+            abs(col("value") - col("med")) > expr(THRESH) * col("mad"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("med"), col("mad"),
+            when(col("is_outlier"), col("med")).otherwise(col("value"))
+              .as("repaired"),
+            col("is_outlier"))
+          .orderBy("event_id")
+      }
+    },
+      Some {
+        val THRESH = s"${3.0 * 1.4826}"
+        s"""SELECT event_id, user_id, value, med, mad,
+           |  CASE WHEN abs(value - med) > $THRESH * mad
+           |    THEN med ELSE value END AS repaired,
+           |  abs(value - med) > $THRESH * mad AS is_outlier
+           |FROM (
+           |  SELECT event_id, user_id, value, med, n,
+           |    CASE WHEN n % 2 = 1 THEN devs[CAST((n + 1) // 2 AS INT)]
+           |      ELSE (devs[CAST(n // 2 AS INT)]
+           |          + devs[CAST(n // 2 + 1 AS INT)]) / 2.0
+           |    END AS mad
+           |  FROM (
+           |    SELECT event_id, user_id, value, med, n,
+           |      list_sort(list_transform(arr, v -> abs(v - med))) AS devs
+           |    FROM (
+           |      SELECT event_id, user_id, value, arr, n,
+           |        CASE WHEN n % 2 = 1 THEN arr[CAST((n + 1) // 2 AS INT)]
+           |          ELSE (arr[CAST(n // 2 AS INT)]
+           |              + arr[CAST(n // 2 + 1 AS INT)]) / 2.0
+           |        END AS med
+           |      FROM (
+           |        SELECT event_id, user_id, value,
+           |          list_sort(list(value) OVER w) AS arr,
+           |          CAST(COUNT(*) OVER w AS INT) AS n
+           |        FROM events
+           |        WINDOW w AS (PARTITION BY user_id
+           |                     ORDER BY epoch_us(ts) // 1000000, event_id
+           |                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) t1
+           |      ) t2) t3) t4
+           |ORDER BY event_id""".stripMargin
+      })
   )
 }
