@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
 object Aggs {
   import Ops._
 
+  /** ln C(m, j) as an in-row ORDERED fold Σ_{i=1..j} ln((m−i+1)/i) with
+    * a j<1 guard — the portable log-binomial both exact tests
+    * (stat_fisher_exact, stat_bh_fdr) build their hypergeometric
+    * probabilities from; neither engine exposes lgamma in the
+    * dialect-shared surface. `lncS` is the Spark-SQL spelling, `lncD`
+    * the DuckDB one; both fold in written index order.
+    */
+  private def lncS(m: String, j: String) =
+    s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
+       |aggregate(transform(sequence(1, CAST($j AS INT)),
+       |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i)),
+       |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END""".stripMargin
+  private def lncD(m: String, j: String) =
+    s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
+       |list_sum(list_transform(generate_series(1, CAST($j AS INT)),
+       |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i))) END""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("agg_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
@@ -2092,13 +2109,6 @@ object Aggs {
     // exp are the already-trusted libm pair (round(6) on output); every
     // fold runs in written index order on both engines.
     Q("stat_fisher_exact", {
-      // ln C(m, j) with a guard for j<=0; Spark-SQL and DuckDB spell
-      // the identical fold differently (aggregate vs list_sum).
-      def lncS(m: String, j: String) =
-        s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
-           |aggregate(transform(sequence(1, CAST($j AS INT)),
-           |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i)),
-           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END""".stripMargin
       (s, d) => {
         val cnts = Tables.documents(s, d).agg(
           sum(when(col("lang") === "en" && col("source") === "src0", 1L)
@@ -2129,10 +2139,6 @@ object Aggs {
       }
     },
       Some {
-        def lncD(m: String, j: String) =
-          s"""CASE WHEN ($j) < 1 THEN 0.0 ELSE
-             |list_sum(list_transform(generate_series(1, CAST($j AS INT)),
-             |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i))) END""".stripMargin
         s"""WITH cnts AS (
            |  SELECT
            |    CAST(SUM(CASE WHEN lang = 'en' AND source = 'src0'
@@ -2158,6 +2164,93 @@ object Aggs {
            |        THEN exp(${lncD("r1", "t")} + ${lncD("r2", "c1 - t")}
            |          - lnc_n_c1) ELSE 0.0 END)), 6) AS p_two_sided
            |FROM prep""".stripMargin
-      })
+      }),
+
+    // Benjamini–Hochberg step-up FDR over a FAMILY of exact tests: every
+    // source is tested for lang='en' enrichment (the same per-row
+    // hypergeometric machinery as stat_fisher_exact, margins from two
+    // integer windows over the 20-row source aggregate), then the
+    // family-wise discovery set is cut at the LARGEST rank i with
+    // p_(i) ≤ i·α/m — the step-up rule a naive per-row threshold gets
+    // wrong. The corpus contributes one aggregate; the test family and
+    // both BH windows are sources-sized. Ranks order by the raw p
+    // (bit-identical across engines — same folds) with the source name
+    // as total tie-break; α/m thresholds are exact binary fractions
+    // times the rank, compared unrounded.
+    Q("stat_bh_fdr",
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        val wRank = Window.orderBy(col("p_two"), col("source"))
+        val perSrc = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+            count(lit(1)).as("c1"))
+          .withColumn("r1", sum("a").over(wAll))
+          .withColumn("n", sum("c1").over(wAll))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .withColumn("r2", col("n") - col("r1"))
+          .withColumn("lnc_n_c1", expr(lncS("n", "c1")))
+          .withColumn("q_obs",
+            expr(lncS("r1", "a")) + expr(lncS("r2", "c1 - a")))
+          .withColumn("lo",
+            greatest(lit(0L), col("r1") + col("c1") - col("n")))
+          .withColumn("hi", least(col("r1"), col("c1")))
+          .withColumn("p_two", expr(
+            s"""aggregate(transform(sequence(CAST(lo AS INT), CAST(hi AS INT)),
+               |  t -> ${lncS("r1", "t")} + ${lncS("r2", "c1 - t")}),
+               |  CAST(0.0 AS DOUBLE),
+               |  (acc, qa) -> acc + CASE WHEN qa <= q_obs + 1e-7
+               |    THEN exp(qa - lnc_n_c1) ELSE 0.0 END)""".stripMargin))
+        perSrc
+          .withColumn("i", row_number().over(wRank).cast("long"))
+          .withColumn("flag_i",
+            when(col("p_two") <= col("i").cast("double") * lit(0.1) /
+              col("m").cast("double"), col("i")).otherwise(lit(0L)))
+          .withColumn("k", max("flag_i").over(wAll))
+          .select(col("source"), col("a"), col("c1"),
+            col("i"), round(col("p_two"), 6).as("p_two"),
+            round(col("i").cast("double") * lit(0.1) /
+              col("m").cast("double"), 6).as("bh_threshold"),
+            (col("i") <= col("k")).as("discovery"))
+          .orderBy("i")
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source,
+              |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |    COUNT(*) AS c1
+              |  FROM documents GROUP BY source),
+              |marg AS (
+              |  SELECT source, a, c1,
+              |    SUM(a) OVER () AS r1, SUM(c1) OVER () AS n,
+              |    COUNT(*) OVER () AS m
+              |  FROM per),
+              |prep AS (
+              |  SELECT source, a, c1, r1, n, m, n - r1 AS r2,
+              |    ${lncD("n", "c1")} AS lnc_n_c1,
+              |    ${lncD("r1", "a")} + ${lncD("n - r1", "c1 - a")} AS q_obs,
+              |    GREATEST(0, r1 + c1 - n) AS lo, LEAST(r1, c1) AS hi
+              |  FROM marg),
+              |tests AS (
+              |  SELECT source, a, c1, m,
+              |    list_sum(list_transform(
+              |      generate_series(CAST(lo AS INT), CAST(hi AS INT)),
+              |      t -> CASE WHEN ${lncD("r1", "t")} + ${lncD("r2", "c1 - t")}
+              |          <= q_obs + 1e-7
+              |        THEN exp(${lncD("r1", "t")} + ${lncD("r2", "c1 - t")}
+              |          - lnc_n_c1) ELSE 0.0 END)) AS p_two
+              |  FROM prep),
+              |ranked AS (
+              |  SELECT source, a, c1, m, p_two,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY p_two, source) AS BIGINT) AS i
+              |  FROM tests),
+              |cut AS (
+              |  SELECT *, MAX(CASE WHEN p_two <= CAST(i AS DOUBLE) * 0.1
+              |      / CAST(m AS DOUBLE) THEN i ELSE 0 END) OVER () AS k
+              |  FROM ranked)
+              |SELECT source, a, c1, i, ROUND(p_two, 6) AS p_two,
+              |  ROUND(CAST(i AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6)
+              |    AS bh_threshold,
+              |  i <= k AS discovery
+              |FROM cut ORDER BY i""".stripMargin))
   )
 }

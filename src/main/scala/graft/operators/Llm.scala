@@ -1086,6 +1086,92 @@ object Llm {
            |$rounds
            |SELECT label, CAST(pick AS BIGINT) AS pick, vec_id, rel, score
            |FROM sel$K ORDER BY label, pick""".stripMargin
+      }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by the hashed-unigram log-likelihood ratio between a TARGET
+    // distribution (here: the lang='en' slice) and the RAW corpus —
+    // the published recipe for tilting a web crawl toward a target
+    // domain before pretraining. Two linear passes: one exploded-token
+    // aggregate builds the 64-bucket hashed counts (buckets from 2 md5
+    // nibbles — the portable-hash device), which collapse to ONE
+    // broadcast row of two dense count arrays; then each doc folds its
+    // OWN token array against those arrays in token order, so the
+    // add-1-smoothed Σ ln ratios accumulate identically on both
+    // engines with no orderless float sum anywhere. At 100 TB the
+    // model is 64 integers per side regardless of corpus size and the
+    // scoring pass is embarrassingly parallel.
+    Q("llm_dsir_weights", {
+      val B = 64
+      val bucketS = (t: String) =>
+        s"CAST(conv(substring(md5($t), 1, 2), 16, 10) AS BIGINT) % $B"
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+          .withColumn("bucket", expr(bucketS("token")))
+        val cnt = toks.groupBy("bucket")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+            count(lit(1)).as("rc"))
+        val grid = cnt.sparkSession.range(0, B).toDF("bucket")
+          .join(cnt, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
+            coalesce(col("rc"), lit(0L)).as("rc"))
+        val model = grid.agg(
+          expr("transform(array_sort(collect_list(struct(bucket, tc))), x -> x.tc)")
+            .as("tca"),
+          expr("transform(array_sort(collect_list(struct(bucket, rc))), x -> x.rc)")
+            .as("rca"),
+          sum("tc").as("tt"), sum("rc").as("rt"))
+        Tables.documents(s, d)
+          .crossJoin(broadcast(model))
+          .withColumn("t", TextUdfs.tokenizeCol(col("text")))
+          .select(col("doc_id"), col("lang"),
+            size(col("t")).cast("long").as("n_tokens"),
+            round(expr(
+              s"""aggregate(t, CAST(0.0 AS DOUBLE), (acc, tk) ->
+                 |  acc + (ln((element_at(tca, CAST(${bucketS("tk")} AS INT) + 1) + 1.0)
+                 |           / (tt + $B.0))
+                 |       - ln((element_at(rca, CAST(${bucketS("tk")} AS INT) + 1) + 1.0)
+                 |           / (rt + $B.0))))""".stripMargin), 4)
+              .as("dsir_weight"))
+          .orderBy("doc_id")
+      }
+    },
+      Some {
+        val B = 64
+        val bucketD = (t: String) =>
+          s"""((strpos('0123456789abcdef', substr(md5($t), 1, 1)) - 1) * 16
+             | + (strpos('0123456789abcdef', substr(md5($t), 2, 1)) - 1)) % $B"""
+            .stripMargin
+        s"""WITH toks AS (
+           |  SELECT lang, ${bucketD("token")} AS bucket
+           |  FROM (SELECT lang, unnest($SQL_TOKENIZE) AS token
+           |        FROM documents) x),
+           |cnt AS (
+           |  SELECT bucket,
+           |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+           |    COUNT(*) AS rc
+           |  FROM toks GROUP BY bucket),
+           |grid AS (
+           |  SELECT g.b AS bucket, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+           |  FROM (SELECT unnest(generate_series(0, ${B - 1})) AS b) g
+           |  LEFT JOIN cnt ON g.b = cnt.bucket),
+           |model AS (
+           |  SELECT list(tc ORDER BY bucket) AS tca,
+           |    list(rc ORDER BY bucket) AS rca,
+           |    SUM(tc) AS tt, SUM(rc) AS rt
+           |  FROM grid)
+           |SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  ROUND(list_sum(list_transform(t, tk ->
+           |    ln((tca[CAST(${bucketD("tk")} AS INT) + 1] + 1.0)
+           |      / (tt + $B.0))
+           |    - ln((rca[CAST(${bucketD("tk")} AS INT) + 1] + 1.0)
+           |      / (rt + $B.0)))), 4) AS dsir_weight
+           |FROM (SELECT doc_id, lang, $SQL_TOKENIZE AS t FROM documents) dx,
+           |  model
+           |ORDER BY doc_id""".stripMargin
       })
   )
 }
