@@ -2251,6 +2251,99 @@ object Aggs {
               |  ROUND(CAST(i AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6)
               |    AS bh_threshold,
               |  i <= k AS discovery
-              |FROM cut ORDER BY i""".stripMargin))
+              |FROM cut ORDER BY i""".stripMargin)),
+
+    // Permutation test for the click-vs-view mean-value difference —
+    // the distribution-free significance test that needs NO parametric
+    // z at all. Each of B=100 "shuffles" is a DETERMINISTIC hashed
+    // relabeling (md5(event_id, b) parity — the portable-hash device),
+    // so both engines materialize the identical permutation family with
+    // zero RNG state. The explode-by-B fan-out is the textbook
+    // map-side-combine shape: partial aggregation collapses each
+    // partition to B×2 running (cents, n) pairs before the shuffle, so
+    // the wire cost is B, not B×rows — the same plan at 100 TB. Group
+    // sums stay exact DECIMAL cents; each permutation's mean gap and
+    // the observed gap are divisions of exact integers, compared
+    // unrounded; the p-value is the add-one integer ratio.
+    Q("stat_permutation_test", {
+      val B = 100
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"), col("event_type"),
+            col("value").cast("decimal(18,2)").as("cents"))
+        val obs = base.agg(
+          sum(when(col("event_type") === "click", col("cents"))).as("s1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "view", col("cents"))).as("s0"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n0"))
+          .select((col("s1").cast("double") / col("n1").cast("double") -
+            col("s0").cast("double") / col("n0").cast("double")).as("t_obs"),
+            col("n1"), col("n0"))
+        val perms = base
+          .withColumn("b", explode(expr(s"sequence(1, $B)")))
+          .withColumn("g",
+            expr("CAST(conv(substring(md5(concat_ws('_', event_id, b)), 1, 2), 16, 10) AS BIGINT) % 2"))
+          .groupBy("b")
+          .agg(sum(when(col("g") === 1, col("cents"))).as("s1"),
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("g") === 0, col("cents"))).as("s0"),
+            sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"))
+          .select(col("b"),
+            (col("s1").cast("double") / col("n1").cast("double") -
+              col("s0").cast("double") / col("n0").cast("double")).as("t_b"))
+        perms.crossJoin(broadcast(obs))
+          .agg(max("n1").as("n_click"), max("n0").as("n_view"),
+            round(max("t_obs"), 4).as("t_obs"),
+            count(lit(1)).as("n_perms"),
+            sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L).otherwise(0L))
+              .as("n_extreme"))
+          .withColumn("p_value",
+            round((col("n_extreme") + 1).cast("double") /
+              (col("n_perms") + 1).cast("double"), 4))
+      }
+    },
+      Some {
+        val B = 100
+        s"""WITH base AS (
+           |  SELECT event_id, event_type,
+           |    CAST(value AS DECIMAL(18,2)) AS cents
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |obs AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN event_type = 'click' THEN cents END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+           |    - CAST(SUM(CASE WHEN event_type = 'view' THEN cents END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+           |      AS t_obs,
+           |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n0
+           |  FROM base),
+           |perms AS (
+           |  SELECT b,
+           |    CAST(SUM(CASE WHEN g = 1 THEN cents END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    - CAST(SUM(CASE WHEN g = 0 THEN cents END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           |      AS t_b
+           |  FROM (
+           |    SELECT b,
+           |      ((strpos('0123456789abcdef',
+           |          substr(md5(concat_ws('_', event_id, b)), 1, 1)) - 1) * 16
+           |       + (strpos('0123456789abcdef',
+           |          substr(md5(concat_ws('_', event_id, b)), 2, 1)) - 1)) % 2 AS g,
+           |      cents
+           |    FROM base, unnest(generate_series(1, $B)) t(b)) x
+           |  GROUP BY b)
+           |SELECT MAX(n1) AS n_click, MAX(n0) AS n_view,
+           |  ROUND(MAX(t_obs), 4) AS t_obs,
+           |  COUNT(*) AS n_perms,
+           |  CAST(SUM(CASE WHEN abs(t_b) >= abs(t_obs) THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_extreme,
+           |  ROUND(CAST(CAST(SUM(CASE WHEN abs(t_b) >= abs(t_obs)
+           |        THEN 1 ELSE 0 END) AS BIGINT) + 1 AS DOUBLE)
+           |    / CAST(COUNT(*) + 1 AS DOUBLE), 4) AS p_value
+           |FROM perms, obs""".stripMargin
+      })
   )
 }

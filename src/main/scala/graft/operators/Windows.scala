@@ -1822,6 +1822,124 @@ object Windows {
            |                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) t1
            |      ) t2) t3) t4
            |ORDER BY event_id""".stripMargin
+      }),
+
+    // Partial autocorrelation (lags 1–4) via the Durbin–Levinson
+    // recursion — the AR-order diagnostic ts_autocorrelation's plain
+    // ACF can't give (PACF removes the shorter-lag pass-through). The
+    // autocovariances are ALL-INTEGER: with D_t = n·c_t − S (the
+    // no-float-mean identity from ts_cusum), Σ D_t·D_{t+k} and Σ D²
+    // are exact DECIMALs, so ρ_k is one division of exact integers and
+    // the whole D-L triangle is scalar double arithmetic on a 5-row
+    // frame. The recursion steps are generated ONCE as dialect-neutral
+    // arithmetic strings and emitted verbatim into both engines
+    // (withColumn chain ↔ chained CTEs), so the two sides cannot
+    // drift. Corpus cost: one (type, day) aggregate + tiny per-type
+    // lag windows; the recursion itself is per-group O(k²) scalars.
+    Q("ts_pacf_durbin", {
+      // (name, expr) pairs in dependency order; pure arithmetic on
+      // rho1..rho4, legal verbatim in Spark SQL and DuckDB.
+      val DL: Seq[(String, String)] = Seq(
+        "phi11" -> "rho1",
+        "den2" -> "1.0 - phi11 * rho1",
+        "phi22" -> "(rho2 - phi11 * rho1) / den2",
+        "phi21" -> "phi11 - phi22 * phi11",
+        "den3" -> "1.0 - phi21 * rho1 - phi22 * rho2",
+        "phi33" -> "(rho3 - phi21 * rho2 - phi22 * rho1) / den3",
+        "phi31" -> "phi21 - phi33 * phi22",
+        "phi32" -> "phi22 - phi33 * phi21",
+        "den4" -> "1.0 - phi31 * rho1 - phi32 * rho2 - phi33 * rho3",
+        "phi44" -> "(rho4 - phi31 * rho3 - phi32 * rho2 - phi33 * rho1) / den4")
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+        val wAll = Window.partitionBy("event_type")
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val devs = daily
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("s", sum("cents").over(wAll))
+          .withColumn("dev",
+            (col("n") * col("cents") - col("s")).cast("decimal(19,0)"))
+        val lagged = (1 to 4).foldLeft(devs) { (df, k) =>
+          df.withColumn(s"dev$k", lead("dev", k).over(wOrd))
+        }
+        val sumCols = sum((col("dev") * col("dev")).cast("decimal(38,0)"))
+          .as("s0") +:
+          (1 to 4).map(k =>
+            sum((col("dev") * col(s"dev$k")).cast("decimal(38,0)"))
+              .as(s"s$k")) :+ count(lit(1)).as("n_days")
+        val rhos = lagged.groupBy("event_type")
+          .agg(sumCols.head, sumCols.tail: _*)
+        val withRho = (1 to 4).foldLeft(rhos) { (df, k) =>
+          df.withColumn(s"rho$k",
+            col(s"s$k").cast("double") / col("s0").cast("double"))
+        }
+        val solved = DL.foldLeft(withRho) { case (df, (name, e)) =>
+          df.withColumn(name, expr(e))
+        }
+        solved.select(col("event_type"), col("n_days"),
+          round(col("phi11"), 4).as("pacf1"),
+          round(col("phi22"), 4).as("pacf2"),
+          round(col("phi33"), 4).as("pacf3"),
+          round(col("phi44"), 4).as("pacf4"))
+          .orderBy("event_type")
+      }
+    },
+      Some {
+        val DL: Seq[(String, String)] = Seq(
+          "phi11" -> "rho1",
+          "den2" -> "1.0 - phi11 * rho1",
+          "phi22" -> "(rho2 - phi11 * rho1) / den2",
+          "phi21" -> "phi11 - phi22 * phi11",
+          "den3" -> "1.0 - phi21 * rho1 - phi22 * rho2",
+          "phi33" -> "(rho3 - phi21 * rho2 - phi22 * rho1) / den3",
+          "phi31" -> "phi21 - phi33 * phi22",
+          "phi32" -> "phi22 - phi33 * phi21",
+          "den4" -> "1.0 - phi31 * rho1 - phi32 * rho2 - phi33 * rho3",
+          "phi44" -> "(rho4 - phi31 * rho3 - phi32 * rho2 - phi33 * rho1) / den4")
+        val (lastCte, ctes) = DL.zipWithIndex.foldLeft(("rhos",
+          Seq.empty[String])) { case ((prev, acc), ((name, e), i)) =>
+          val cte = s"dl$i"
+          (cte, acc :+ s"$cte AS (SELECT *, $e AS $name FROM $prev)")
+        }
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+           |      AS DECIMAL(20,0)) AS cents
+           |  FROM events GROUP BY 1, 2),
+           |devs AS (
+           |  SELECT event_type, day,
+           |    CAST(n * cents - s AS DECIMAL(19,0)) AS dev
+           |  FROM (SELECT event_type, day, cents,
+           |      COUNT(*) OVER tw AS n, SUM(cents) OVER tw AS s
+           |    FROM daily WINDOW tw AS (PARTITION BY event_type)) t),
+           |lagged AS (
+           |  SELECT event_type, dev,
+           |    ${(1 to 4).map(k =>
+                  s"LEAD(dev, $k) OVER ow AS dev$k").mkString(",\n           |    ")}
+           |  FROM devs
+           |  WINDOW ow AS (PARTITION BY event_type ORDER BY day)),
+           |sums AS (
+           |  SELECT event_type,
+           |    SUM(CAST(dev * dev AS DECIMAL(38,0))) AS s0,
+           |    ${(1 to 4).map(k =>
+                  s"SUM(CAST(dev * dev$k AS DECIMAL(38,0))) AS s$k")
+                  .mkString(",\n           |    ")},
+           |    COUNT(*) AS n_days
+           |  FROM lagged GROUP BY event_type),
+           |rhos AS (
+           |  SELECT event_type, n_days,
+           |    ${(1 to 4).map(k =>
+                  s"CAST(s$k AS DOUBLE) / CAST(s0 AS DOUBLE) AS rho$k")
+                  .mkString(",\n           |    ")}
+           |  FROM sums),
+           |${ctes.mkString(",\n")}
+           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           |  ROUND(phi11, 4) AS pacf1, ROUND(phi22, 4) AS pacf2,
+           |  ROUND(phi33, 4) AS pacf3, ROUND(phi44, 4) AS pacf4
+           |FROM $lastCte ORDER BY event_type""".stripMargin
       })
   )
 }
