@@ -1187,6 +1187,53 @@ object TextAnalysis {
               |    / CAST(n_docs AS DOUBLE), 4) AS keep_rate,
               |  ROUND(CAST(SUM(ABS(sy - 10000 * n_kept)) OVER () AS DOUBLE)
               |    / (10000.0 * CAST(SUM(n_docs) OVER () AS DOUBLE)), 4) AS ece
-              |FROM bins ORDER BY bin""".stripMargin))
+              |FROM bins ORDER BY bin""".stripMargin)),
+
+    // Per-document CHARACTER entropy — the gibberish/boilerplate gate
+    // that catches what token-level stats miss (base64 blobs score
+    // high-entropy, repeated-char padding scores near zero). Entirely
+    // in-row: the char array, its distinct alphabet, and the −Σ p·ln p
+    // fold over the SORTED alphabet all happen inside one projection —
+    // no explode, no shuffle, embarrassingly parallel at any corpus
+    // size. Counts are integers, each p is one exact division, the
+    // fold runs in sorted-alphabet order on both engines, ln is the
+    // trusted libm pair, round(4) on top; the low-entropy flag
+    // compares the ROUNDED value so the flagged set is stable.
+    Q("text_char_entropy",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("chars", expr("regexp_extract_all(text, '.', 0)"))
+        .withColumn("n", size(col("chars")).cast("long"))
+        .withColumn("alphabet", expr("array_sort(array_distinct(chars))"))
+        .withColumn("entropy", round(expr(
+          """-aggregate(alphabet, CAST(0.0 AS DOUBLE), (acc, c) ->
+            |  acc + ((CAST(size(filter(chars, x -> x = c)) AS DOUBLE)
+            |          / CAST(n AS DOUBLE))
+            |       * ln(CAST(size(filter(chars, x -> x = c)) AS DOUBLE)
+            |          / CAST(n AS DOUBLE))))""".stripMargin), 4))
+        .select(col("doc_id"), col("lang"), col("n").as("n_chars_m"),
+          size(col("alphabet")).cast("long").as("n_unique"),
+          col("entropy"),
+          (col("entropy") < 2.5).as("low_entropy"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n AS n_chars_m,
+             |  CAST(len(alphabet) AS BIGINT) AS n_unique,
+             |  ROUND(-list_sum(list_transform(alphabet, c ->
+             |    (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+             |       / CAST(n AS DOUBLE))
+             |    * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+             |       / CAST(n AS DOUBLE)))), 4) AS entropy,
+             |  ROUND(-list_sum(list_transform(alphabet, c ->
+             |    (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+             |       / CAST(n AS DOUBLE))
+             |    * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+             |       / CAST(n AS DOUBLE)))), 4) < 2.5 AS low_entropy
+             |FROM (
+             |  SELECT doc_id, lang, chars,
+             |    CAST(len(chars) AS BIGINT) AS n,
+             |    list_sort(list_distinct(chars)) AS alphabet
+             |  FROM (SELECT doc_id, lang,
+             |      regexp_extract_all(text, '.') AS chars
+             |    FROM documents) t1) t2
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -101,7 +101,45 @@ object TypedOps {
              |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
              |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
-             |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin))
+             |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // reduceGroups — the third typed-aggregation entry point (after
+    // mapGroups and Aggregator): a commutative+associative object
+    // merge, which Spark DOES partially aggregate on the map side
+    // (ReduceAggregator under the hood), unlike mapGroups. The reduce
+    // keeps the priciest order per priority with the orderkey as the
+    // deterministic tie-break; comparisons only, no float accumulation,
+    // so the lambda is exactly the SQL argmax twin.
+    Q("ds_typed_reduce",
+      (s, d) => {
+        implicit val rowEnc = Encoders.product[OrderRow]
+        implicit val keyEnc = Encoders.STRING
+        implicit val tupEnc = Encoders.tuple(Encoders.STRING,
+          Encoders.product[OrderRow])
+        implicit val outEnc = Encoders.tuple(Encoders.STRING,
+          Encoders.scalaLong, Encoders.scalaDouble)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[OrderRow]
+          .groupByKey(_.o_orderstatus)
+          .reduceGroups { (a: OrderRow, b: OrderRow) =>
+            if (a.o_totalprice > b.o_totalprice ||
+              (a.o_totalprice == b.o_totalprice &&
+                a.o_orderkey < b.o_orderkey)) a else b
+          }
+          .map { case (status, top) =>
+            (status, top.o_orderkey, top.o_totalprice)
+          }
+          .toDF("o_orderstatus", "top_orderkey", "top_price")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, top_orderkey, top_price FROM (
+             |  SELECT o_orderstatus, o_orderkey AS top_orderkey,
+             |    o_totalprice AS top_price,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
   )
 
   case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)

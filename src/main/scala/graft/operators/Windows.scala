@@ -1940,6 +1940,93 @@ object Windows {
            |  ROUND(phi11, 4) AS pacf1, ROUND(phi22, 4) AS pacf2,
            |  ROUND(phi33, 4) AS pacf3, ROUND(phi44, 4) AS pacf4
            |FROM $lastCte ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // Mann–Kendall trend test per event type — the nonparametric
+    // "is this series drifting?" significance test that complements
+    // ts_theil_sen's slope estimate (same S statistic family). S and
+    // the tie-corrected variance are PURE INTEGERS: sign comparisons
+    // on exact decimal daily cents, n(n−1)(2n+5) and Σ t(t−1)(2t+5)
+    // in BIGINT, one /18.0 and one sqrt at the end; the z is rounded
+    // before the trend-label comparison so the labels are cross-engine
+    // stable. The pairwise term runs on the DAILY aggregate (days² per
+    // type, never events²) — at 100 TB the corpus contributes one
+    // (type, day) shuffle and the quadratic stays calendar-sized.
+    Q("ts_mann_kendall",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+          .localCheckpoint()
+        val sStat = daily.as("a")
+          .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.cents") > col("a.cents"), 1L)
+            .when(col("b.cents") < col("a.cents"), -1L)
+            .otherwise(0L)).as("s_stat"))
+        val ties = daily.groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_term"), count(lit(1)).as("n_vals"))
+        val ns = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - col("tie_term")).cast("double") / lit(18.0)
+        val z = when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0))
+        sStat.join(ties, "event_type").join(ns, "event_type")
+          .select(col("event_type"), col("n"), col("s_stat"),
+            round(varS, 4).as("var_s"), round(z, 4).as("z"))
+          .withColumn("trend",
+            when(col("z") > 1.96, "increasing")
+              .when(col("z") < -1.96, "decreasing")
+              .otherwise("no_trend"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |s AS (
+             |  SELECT a.event_type,
+             |    CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+             |      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+             |      AS s_stat
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day
+             |  GROUP BY a.event_type),
+             |ties AS (
+             |  SELECT event_type,
+             |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+             |  FROM (SELECT event_type, cents, COUNT(*) AS t
+             |    FROM daily GROUP BY 1, 2) x
+             |  GROUP BY event_type),
+             |ns AS (SELECT event_type, COUNT(*) AS n
+             |  FROM daily GROUP BY event_type),
+             |j AS (
+             |  SELECT s.event_type, n, s_stat,
+             |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+             |      AS var_s
+             |  FROM s JOIN ties ON s.event_type = ties.event_type
+             |  JOIN ns ON s.event_type = ns.event_type),
+             |zz AS (
+             |  SELECT event_type, n, s_stat, var_s,
+             |    ROUND(CASE WHEN s_stat > 0
+             |        THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             |      WHEN s_stat < 0
+             |        THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             |      ELSE 0.0 END, 4) AS z
+             |  FROM j)
+             |SELECT event_type, n, s_stat, ROUND(var_s, 4) AS var_s, z,
+             |  CASE WHEN z > 1.96 THEN 'increasing'
+             |    WHEN z < -1.96 THEN 'decreasing'
+             |    ELSE 'no_trend' END AS trend
+             |FROM zz ORDER BY event_type""".stripMargin))
   )
 }
