@@ -344,6 +344,27 @@ object Similarity {
       Bridge.column(graft.functions.NearestCells(
         UnresolvedAttribute("__v"), codebook, probes)))
 
+  /** Per-vector cell assignment + squared-L2 distance to the assigned
+    * centroid, over the shared memoized [[kmeansCodebook]] — the raw
+    * material for index-health reporting (cell balance, inertia). The
+    * codebook joins on as a broadcast k-row frame; the distance is the
+    * native index-order [[graft.functions.SqL2]] fold, so it matches
+    * the oracle's list-fold bit for bit.
+    */
+  def cellAssignments(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5): DataFrame = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val e = prepare(embs, idCol, vecCol)
+    val s = embs.sparkSession
+    import s.implicits._
+    val cbDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("c_id", "cb_v")
+    assignCells(e, codebook)
+      .join(broadcast(cbDf), col("__cell") === col("c_id"))
+      .select(col(idCol), col("__cell").cast("long").as("cell"),
+        expr("sq_l2(__v, cb_v)").as("dist"))
+  }
+
   /** IVF ANN over a TRAINED codebook: k-means cells from
     * [[kmeansCodebook]], then top-k cosine neighbors searched in each
     * query's `probes` nearest cells — same cell-blocked dataflow as

@@ -2344,6 +2344,99 @@ object Aggs {
            |        THEN 1 ELSE 0 END) AS BIGINT) + 1 AS DOUBLE)
            |    / CAST(COUNT(*) + 1 AS DOUBLE), 4) AS p_value
            |FROM perms, obs""".stripMargin
+      }),
+
+    // Bayesian A/B: P(p_urgent > p_high) for order-fulfillment rates
+    // under Beta(1,1) priors — the closed-form Miller sum
+    // Σ_{i<aA} exp(lnB(aB+i, bA+bB) − ln(bA+i) − lnB(1+i, bA)
+    // − lnB(aB, bB)). Every Beta argument is an INTEGER count, so
+    // lnΓ(n) = Σ_{i<n} ln i is the same portable ordered fold as the
+    // exact tests' log-binomials — no lgamma dependency — and the
+    // outer sum folds in i order. The %199 cohort keeps the
+    // enumeration (aA terms × O(n) folds) model-sized; the dial is the
+    // modulus, the corpus contributes one 4-count aggregate either
+    // way. exp/ln are the trusted libm pair; round(4) on the posterior
+    // means, round(6) on the probability.
+    Q("stat_bayes_ab", {
+      def lgiS(n: String) =
+        s"""CASE WHEN ($n) < 2 THEN 0.0 ELSE
+           |aggregate(transform(sequence(1, CAST(($n) - 1 AS INT)),
+           |  i -> ln(CAST(i AS DOUBLE))),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END""".stripMargin
+      def lnbS(x: String, y: String) =
+        s"(${lgiS(x)} + ${lgiS(y)} - ${lgiS(s"($x) + ($y)")})"
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 199 === 0 &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        val cnts = base.agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F", 1L).otherwise(0L)).as("sa"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("o_orderpriority") === "2-HIGH" &&
+            col("o_orderstatus") === "F", 1L).otherwise(0L)).as("sb"),
+          sum(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("nb"))
+        cnts
+          .withColumn("aa", col("sa") + 1).withColumn("ba",
+            col("na") - col("sa") + 1)
+          .withColumn("ab", col("sb") + 1).withColumn("bb",
+            col("nb") - col("sb") + 1)
+          .withColumn("prob_a_beats_b", round(expr(
+            s"""aggregate(transform(sequence(0, CAST(aa - 1 AS INT)),
+               |  i -> exp(${lnbS("ab + i", "ba + bb")}
+               |         - ln(CAST(ba + i AS DOUBLE))
+               |         - ${lnbS("1 + i", "ba")}
+               |         - ${lnbS("ab", "bb")})),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6))
+          .select(col("sa"), col("na"), col("sb"), col("nb"),
+            round(col("aa").cast("double") /
+              (col("aa") + col("ba")).cast("double"), 4).as("post_mean_a"),
+            round(col("ab").cast("double") /
+              (col("ab") + col("bb")).cast("double"), 4).as("post_mean_b"),
+            col("prob_a_beats_b"))
+      }
+    },
+      Some {
+        def lgiD(n: String) =
+          s"""CASE WHEN ($n) < 2 THEN 0.0 ELSE
+             |list_sum(list_transform(generate_series(1, CAST(($n) - 1 AS INT)),
+             |  i -> ln(CAST(i AS DOUBLE)))) END""".stripMargin
+        def lnbD(x: String, y: String) =
+          s"(${lgiD(x)} + ${lgiD(y)} - ${lgiD(s"($x) + ($y)")})"
+        s"""WITH base AS (
+           |  SELECT * FROM orders
+           |  WHERE o_orderkey % 199 = 0
+           |    AND o_orderpriority IN ('1-URGENT', '2-HIGH')),
+           |cnts AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+           |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+           |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
+           |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           |  FROM base),
+           |prep AS (
+           |  SELECT sa, na, sb, nb,
+           |    sa + 1 AS aa, na - sa + 1 AS ba,
+           |    sb + 1 AS ab, nb - sb + 1 AS bb
+           |  FROM cnts)
+           |SELECT sa, na, sb, nb,
+           |  ROUND(CAST(aa AS DOUBLE) / CAST(aa + ba AS DOUBLE), 4)
+           |    AS post_mean_a,
+           |  ROUND(CAST(ab AS DOUBLE) / CAST(ab + bb AS DOUBLE), 4)
+           |    AS post_mean_b,
+           |  ROUND(list_sum(list_transform(
+           |      generate_series(0, CAST(aa - 1 AS INT)),
+           |      i -> exp(${lnbD("ab + i", "ba + bb")}
+           |             - ln(CAST(ba + i AS DOUBLE))
+           |             - ${lnbD("1 + i", "ba")}
+           |             - ${lnbD("ab", "bb")}))), 6) AS prob_a_beats_b
+           |FROM prep""".stripMargin
       })
   )
 }

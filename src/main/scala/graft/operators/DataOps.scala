@@ -1094,6 +1094,66 @@ object DataOps {
     Q("mm_clip_filter", fn, Some(sql))
   }
 
+  /** IVF index-health report: per-cell population, share, and mean
+    * squared-L2 inertia over the SHARED memoized codebook (the same
+    * training the ann_ivf_* family reuses — zero extra Lloyd rounds),
+    * plus the max/mean imbalance factor the serving planner actually
+    * cares about (a hot cell is a hot probe). Per-row distances come
+    * from the native index-order SqL2 fold and enter the aggregate as
+    * ROUNDED TEN-THOUSANDTHS (BIGINT), so the per-cell means are
+    * order-proof integers until two final divisions; the imbalance
+    * ratio is max·cells/total — all integers. The oracle unrolls the
+    * shared k-means chain and re-derives the assignment WITH its
+    * distance.
+    */
+  private val clusterBalanceQuery: Q = {
+    val K = 16; val ITERS = 5
+    def fn(s: SparkSession, d: String) = {
+      val wAll = Window.partitionBy()
+      graft.api.Similarity
+        .cellAssignments(Tables.embeddings(s, d), "vec_id", "embedding",
+          K, ITERS)
+        .withColumn("dmilli",
+          floor(col("dist") * 10000.0 + 0.5).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), sum("dmilli").as("sd"))
+        .withColumn("total", sum("n_vectors").over(wAll))
+        .withColumn("mx", max("n_vectors").over(wAll))
+        .withColumn("n_cells", count(lit(1)).over(wAll))
+        .select(col("cell"), col("n_vectors"),
+          round(col("n_vectors").cast("double") /
+            col("total").cast("double"), 4).as("share"),
+          round(col("sd").cast("double") / 10000.0 /
+            col("n_vectors").cast("double"), 4).as("avg_sq_l2"),
+          round((col("mx") * col("n_cells")).cast("double") /
+            col("total").cast("double"), 4).as("imbalance"))
+        .orderBy("cell")
+    }
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |ad AS (
+         |  SELECT vec_id, cell,
+         |    CAST(floor(dist * 10000.0 + 0.5) AS BIGINT) AS dmilli
+         |  FROM (
+         |    SELECT b.vec_id, c.c_id AS cell, ${kmL2("b.v", "c.v")} AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${kmL2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM base b, cb$ITERS c) t WHERE rn = 1),
+         |per AS (
+         |  SELECT cell, COUNT(*) AS n_vectors,
+         |    CAST(SUM(dmilli) AS BIGINT) AS sd
+         |  FROM ad GROUP BY cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+         |  ROUND(CAST(n_vectors AS DOUBLE)
+         |    / CAST(SUM(n_vectors) OVER () AS DOUBLE), 4) AS share,
+         |  ROUND(CAST(sd AS DOUBLE) / 10000.0
+         |    / CAST(n_vectors AS DOUBLE), 4) AS avg_sq_l2,
+         |  ROUND(CAST(MAX(n_vectors) OVER () * COUNT(*) OVER () AS DOUBLE)
+         |    / CAST(SUM(n_vectors) OVER () AS DOUBLE), 4) AS imbalance
+         |FROM per ORDER BY cell""".stripMargin
+    Q("ann_cluster_balance", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmFrameDedup, clipFilterQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
@@ -1105,7 +1165,8 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery, semDedupQuery, topicBalanceQuery,
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery, clusterBalanceQuery,
+      topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery)
 
