@@ -52,6 +52,13 @@ object Bench {
     val stat = if (repeat > 1) s""","stat":"median_of_$repeat"""" else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$stat}"""
     println(line)
+    // The full line above is ~10 kB at 300+ queries, so a harness that
+    // keeps only a stdout TAIL truncates its head (including "value")
+    // and json.loads fails (BENCH_r07/r08 both recorded parsed: null).
+    // Emit a compact headline as the LAST line too: it always fits any
+    // tail window and parses standalone; per-query numbers stay in the
+    // full line and in the persisted PERF_data/bench_last.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$stat,"n_queries":${results.size},"full":"PERF_data/bench_last.json"}""")
     // The driver keeps only a ~2 kB tail of stdout, which truncates the
     // per-query map past ~60 queries — persist the complete line so the
     // full history is committable every round (VERDICT r4 item 5).

@@ -2027,6 +2027,254 @@ object Windows {
              |  CASE WHEN z > 1.96 THEN 'increasing'
              |    WHEN z < -1.96 THEN 'decreasing'
              |    ELSE 'no_trend' END AS trend
-             |FROM zz ORDER BY event_type""".stripMargin))
+             |FROM zz ORDER BY event_type""".stripMargin)),
+
+    // Rolling OLS slope — the trailing-regression trend each metrics
+    // dashboard overlays. Every frame moment is EXACT: x is the
+    // sequence position (BIGINT via row_number, frame-invariant), y is
+    // decimal cents, so Σx, Σx², Σy, Σxy are integer/decimal window
+    // sums immune to either engine's frame-accumulation order (the
+    // float hazard ts_cusum documents — DuckDB segment-trees its
+    // frames). The textbook (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) never touches
+    // a float until the LAST step: the 4-decimal rounding is done as
+    // exact half-away-from-zero BIGINT-rational arithmetic
+    // (k = (200·|num| + den) div (2·den), den > 0 for n ≥ 5), then one
+    // identical IEEE division k/10⁴ in both engines — double-ROUND at
+    // a .00005 boundary diverged across engines at sf0.01 (row 1800).
+    // One user-keyed shuffle; the 21-row frame bounds state at any
+    // history length.
+    Q("win_slope_rolling",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ep", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+          .rowsBetween(-20, 0)
+        Tables.events(s, d)
+          .withColumn("ep", expr("unix_micros(ts) div 1000000"))
+          .withColumn("x", row_number().over(wOrd).cast("long"))
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("decimal(20,0)"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("x").over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("sy", sum("cents").over(w).cast("long"))
+          .withColumn("sxy", sum((col("x").cast("decimal(20,0)") *
+            col("cents")).cast("decimal(38,0)")).over(w).cast("long"))
+          .filter(col("n") >= 5)
+          .withColumn("num100",
+            (col("n") * col("sxy") - col("sx") * col("sy")) * 100L)
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("k", when(col("num100") >= 0,
+              expr("(2 * num100 + den) div (2 * den)"))
+            .otherwise(-expr("(2 * (-num100) + den) div (2 * den)")))
+          .select(col("event_id"), col("user_id"), col("n"),
+            (col("k").cast("double") / lit(10000.0)).as("slope_per_step"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, n,
+             |  CAST(CASE WHEN num100 >= 0
+             |      THEN (2 * num100 + den) // (2 * den)
+             |      ELSE -((2 * (-num100) + den) // (2 * den)) END
+             |    AS DOUBLE) / 10000.0 AS slope_per_step
+             |FROM (
+             |  SELECT event_id, user_id, n,
+             |    (n * CAST(sxy AS BIGINT) - sx * CAST(sy AS BIGINT)) * 100
+             |      AS num100,
+             |    n * sxx - sx * sx AS den
+             |  FROM (
+             |    SELECT event_id, user_id,
+             |      COUNT(*) OVER w AS n,
+             |      SUM(x) OVER w AS sx,
+             |      SUM(x * x) OVER w AS sxx,
+             |      SUM(cents) OVER w AS sy,
+             |      SUM(CAST(CAST(x AS DECIMAL(20,0)) * cents
+             |        AS DECIMAL(38,0))) OVER w AS sxy
+             |    FROM (
+             |      SELECT event_id, user_id,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id
+             |          ORDER BY epoch_us(ts) // 1000000, event_id) AS x,
+             |        CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |          AS DECIMAL(20,0)) AS cents
+             |      FROM events) b
+             |    WINDOW w AS (PARTITION BY user_id
+             |                 ORDER BY x
+             |                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) t
+             |  WHERE n >= 5) m
+             |ORDER BY event_id""".stripMargin)),
+
+    // Gaps-and-islands — consecutive-active-day runs per user, the
+    // classic streak/retention shape (login streaks, SLA uptime runs).
+    // The island key is the constant-on-a-run `day_number − row_number`
+    // difference: one distinct-project of the fact (map-side combine),
+    // one user-keyed window rank, two bounded aggregates. All island
+    // arithmetic is integer (date-diff days, BIGINT ranks); the
+    // longest-island pick is an exact max_by on the composite
+    // (len DESC, start ASC) order, so no float enters at all. Scale:
+    // state per user is its distinct-day count — calendar-bounded, not
+    // event-bounded — and every stage shuffles once on user_id.
+    Q("win_islands_activity",
+      (s, d) => {
+        val wDay = Window.partitionBy("user_id").orderBy("day")
+        val islands = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01")).cast("long") -
+              row_number().over(wDay))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("island_start"), count(lit(1)).as("len"))
+        islands.groupBy("user_id")
+          .agg(sum("len").as("n_active_days"),
+            count(lit(1)).as("n_islands"),
+            max("len").as("longest_len"),
+            expr("min_by(island_start, struct(-len, island_start))")
+              .as("longest_start"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |isl AS (
+             |  SELECT user_id, MIN(day) AS island_start,
+             |    CAST(COUNT(*) AS BIGINT) AS len
+             |  FROM (
+             |    SELECT user_id, day,
+             |      (day - DATE '1970-01-01')
+             |        - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+             |        AS grp
+             |    FROM days) t
+             |  GROUP BY user_id, grp)
+             |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |  MAX(len) AS longest_len,
+             |  FIRST(island_start ORDER BY len DESC, island_start)
+             |    AS longest_start
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Classical seasonal decomposition by moving averages (the
+    // decompose() textbook method, STL's ancestor): hourly event
+    // counts → TREND = centered 2×24 MA (even period, so the standard
+    // half-weight endpoints: (c₋₁₂ + 2Σ₋₁₁..₊₁₁ + c₊₁₂)/48), SEASONAL
+    // = per-hour-of-day mean of the detrended series, REMAINDER
+    // variance per hod. The integer device: detrended×48 (d48 = 48c −
+    // N) and remainder×48n_h (n_h·d48 − Σd48) stay EXACT BIGINTs, so
+    // Σd48 and Σ(n_h·d48 − S)² are order-proof integer aggregates and
+    // each output is one mirrored double division at the very end (at
+    // petabyte counts the squared term would need doubles — the
+    // integer form is the oracle-portability device, the plan shape is
+    // what scales). Scale shape: the fact collapses to a
+    // calendar-bounded hourly series FIRST (one map-side-combined agg);
+    // the unpartitioned window then runs over ~720 rows, not the
+    // corpus — "window over the tiny aggregate", never the raw fact.
+    Q("ts_decompose_ma",
+      (s, d) => {
+        val wOrd = Window.orderBy("h")
+        val wMa = Window.orderBy("h").rowsBetween(-11, 11)
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val full = hourly
+          .withColumn("idx", row_number().over(wOrd))
+          .withColumn("n_tot", count(lit(1)).over(
+            Window.orderBy("h").rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("nma",
+            lit(2L) * sum("c").over(wMa) +
+              lag("c", 12).over(wOrd) + lead("c", 12).over(wOrd))
+          .filter(col("idx") >= 13 && col("idx") <= col("n_tot") - 12)
+          .withColumn("d48", lit(48L) * col("c") - col("nma"))
+        val byHod = full
+          .groupBy(hour(col("h")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("n"), sum("d48").as("s48"))
+        full.join(byHod, hour(col("h")).cast("long") === byHod("hod"))
+          .withColumn("remnum",
+            col("n") * col("d48") - col("s48"))
+          .groupBy(col("hod"), col("n"), col("s48"))
+          .agg(sum(col("remnum") * col("remnum")).as("rss"))
+          .select(col("hod"), col("n"),
+            (col("s48").cast("double") /
+              (lit(48L) * col("n")).cast("double")).as("seasonal"),
+            (col("rss").cast("double") /
+              ((lit(48L) * col("n")).cast("double") *
+                (lit(48L) * col("n")).cast("double")) /
+              col("n").cast("double")).as("remainder_ms"))
+          .orderBy("hod")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |ma AS (
+             |  SELECT h, c,
+             |    ROW_NUMBER() OVER (ORDER BY h) AS idx,
+             |    COUNT(*) OVER () AS n_tot,
+             |    2 * SUM(c) OVER (ORDER BY h
+             |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+             |      + LAG(c, 12) OVER (ORDER BY h)
+             |      + LEAD(c, 12) OVER (ORDER BY h) AS nma
+             |  FROM hourly),
+             |full_ AS (
+             |  SELECT h, c, 48 * c - nma AS d48
+             |  FROM ma WHERE idx >= 13 AND idx <= n_tot - 12),
+             |byhod AS (
+             |  SELECT CAST(hour(h) AS BIGINT) AS hod,
+             |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d48) AS BIGINT) AS s48
+             |  FROM full_ GROUP BY 1),
+             |rem AS (
+             |  SELECT b.hod, b.n, b.s48,
+             |    CAST(SUM((b.n * f.d48 - b.s48) * (b.n * f.d48 - b.s48))
+             |      AS BIGINT) AS rss
+             |  FROM full_ f JOIN byhod b ON CAST(hour(f.h) AS BIGINT) = b.hod
+             |  GROUP BY b.hod, b.n, b.s48)
+             |SELECT hod, n,
+             |  CAST(s48 AS DOUBLE) / CAST(48 * n AS DOUBLE) AS seasonal,
+             |  CAST(rss AS DOUBLE)
+             |    / (CAST(48 * n AS DOUBLE) * CAST(48 * n AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS remainder_ms
+             |FROM rem ORDER BY hod""".stripMargin)),
+
+    // Sweep-line interval concurrency — "how many orders are open on
+    // each day": every interval drops a +1 at its start and a −1 one
+    // past its end, one running sum over the DAY-level delta series
+    // reconstructs the exact active count everywhere — the classic
+    // O(n log n) alternative to the quadratic day×interval stabbing
+    // join, and the shape behind concurrent-sessions, license-seat, and
+    // inventory-level analytics. All integer; the unpartitioned window
+    // runs over the calendar-bounded day aggregate (the fact is
+    // collapsed FIRST with map-side combine), so the single-task stage
+    // is a few-thousand-row prefix sum at any corpus size.
+    Q("ts_concurrency_sweep",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val deltas = orders
+          .select(col("o_orderdate").as("day"), lit(1L).as("delta"))
+          .union(orders.select(date_add(col("o_orderdate"), 7).as("day"),
+            lit(-1L).as("delta")))
+        deltas.groupBy("day")
+          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_opened"),
+            sum(when(col("delta") === -1L, 1L).otherwise(0L))
+              .as("n_closed"),
+            sum("delta").as("net"))
+          .withColumn("active", sum("net").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("n_opened"), col("n_closed"),
+            col("active"))
+          .orderBy("day")
+      },
+      Some("""WITH deltas AS (
+             |  SELECT o_orderdate AS day, 1 AS delta FROM orders
+             |  UNION ALL
+             |  SELECT o_orderdate + 7 AS day, -1 AS delta FROM orders),
+             |byday AS (
+             |  SELECT day,
+             |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_opened,
+             |    CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_closed,
+             |    CAST(SUM(delta) AS BIGINT) AS net
+             |  FROM deltas GROUP BY day)
+             |SELECT day, n_opened, n_closed,
+             |  CAST(SUM(net) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS active
+             |FROM byday ORDER BY day""".stripMargin))
   )
 }

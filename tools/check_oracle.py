@@ -34,13 +34,15 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         sql = oracles[name]
         # Skip (don't fail) queries with no Spark dump: Verify --only
         # writes a subset, and evaluating every DuckDB oracle anyway
@@ -102,4 +104,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    if len(sys.argv) >= 5 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
