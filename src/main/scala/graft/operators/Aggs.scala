@@ -2437,6 +2437,198 @@ object Aggs {
            |             - ${lnbD("1 + i", "ba")}
            |             - ${lnbD("ab", "bb")}))), 6) AS prob_a_beats_b
            |FROM prep""".stripMargin
-      })
+      }),
+
+    // Welch's unequal-variance t-test (click vs purchase values) — the
+    // default two-sample mean test when variances differ. Per-group
+    // moments n, Σc, Σc² are EXACT BIGINTs in the 2-dp cents domain
+    // (one map-side-combined aggregate over the fact, the only
+    // corpus-proportional stage); t and the Satterthwaite df then run
+    // entirely in mirrored double expressions over those exact inputs —
+    // every multiply/divide/sqrt is one correctly-rounded IEEE op in
+    // the SAME tree shape on both engines, so the raw unrounded doubles
+    // hash-match (the stat_ab_test z precedent). t is scale-invariant,
+    // so the cents domain needs no un-scaling; only the reported means
+    // divide by 100. Scale: a 2-row summary after one partial-agg pass.
+    Q("stat_welch_ttest",
+      (s, d) => {
+        val m = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+            sum(col("cents") * col("cents")).as("qc"))
+        val a = m.filter(col("event_type") === "click")
+          .select(col("n").as("n_a"), col("sc").as("s_a"), col("qc").as("q_a"))
+        val b = m.filter(col("event_type") === "purchase")
+          .select(col("n").as("n_b"), col("sc").as("s_b"), col("qc").as("q_b"))
+        def se2(n: String, sc: String, qc: String) =
+          (col(n).cast("double") * col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double")) /
+            (col(n).cast("double") * (col(n) - 1).cast("double")) /
+            col(n).cast("double")
+        a.crossJoin(b) // 1×1 summary join
+          .withColumn("se2_a", se2("n_a", "s_a", "q_a"))
+          .withColumn("se2_b", se2("n_b", "s_b", "q_b"))
+          .withColumn("t_stat",
+            (col("s_a").cast("double") / col("n_a") -
+              col("s_b").cast("double") / col("n_b")) /
+              sqrt(col("se2_a") + col("se2_b")))
+          .withColumn("df_welch",
+            (col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b")) /
+              (col("se2_a") * col("se2_a") / (col("n_a") - 1).cast("double") +
+                col("se2_b") * col("se2_b") / (col("n_b") - 1).cast("double")))
+          .select(col("n_a").as("n_click"), col("n_b").as("n_purchase"),
+            (col("s_a").cast("double") / col("n_a") / lit(100.0))
+              .as("mean_click"),
+            (col("s_b").cast("double") / col("n_b") / lit(100.0))
+              .as("mean_purchase"),
+            col("t_stat"), col("df_welch"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s,
+             |    CAST(SUM(cents * cents) AS BIGINT) AS q
+             |  FROM (
+             |    SELECT event_type,
+             |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |    FROM events WHERE event_type IN ('click', 'purchase')) x
+             |  GROUP BY event_type),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM m WHERE event_type = 'click') AS n_a,
+             |    (SELECT s FROM m WHERE event_type = 'click') AS s_a,
+             |    (SELECT q FROM m WHERE event_type = 'click') AS q_a,
+             |    (SELECT n FROM m WHERE event_type = 'purchase') AS n_b,
+             |    (SELECT s FROM m WHERE event_type = 'purchase') AS s_b,
+             |    (SELECT q FROM m WHERE event_type = 'purchase') AS q_b),
+             |se AS (
+             |  SELECT *,
+             |    (CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+             |      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+             |      / CAST(n_a AS DOUBLE) AS se2_a,
+             |    (CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+             |      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+             |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+             |      / CAST(n_b AS DOUBLE) AS se2_b
+             |  FROM ab)
+             |SELECT n_a AS n_click, n_b AS n_purchase,
+             |  CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_click,
+             |  CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_purchase,
+             |  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             |    / sqrt(se2_a + se2_b) AS t_stat,
+             |  (se2_a + se2_b) * (se2_a + se2_b)
+             |    / (se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)
+             |      + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE)) AS df_welch
+             |FROM se""".stripMargin)),
+
+    // Cochran–Armitage trend test — "is the purchase share drifting
+    // across ordered day cohorts?", the categorical twin of
+    // ts_mann_kendall and the standard dose-response / cohort-drift
+    // monitor. Day index is the score; per-day trials nᵢ and successes
+    // sᵢ come from ONE map-side-combined aggregate. The statistic is
+    // assembled from two exact BIGINT forms — A = N·Σxᵢsᵢ − S·Σxᵢnᵢ
+    // (N× the centered trend numerator) and B = N·Σnᵢxᵢ² − (Σnᵢxᵢ)²
+    // (N× the score variance) — so z = A / sqrt(S·(N−S)·B / N) touches
+    // doubles only in the final mirrored divide/sqrt (identical IEEE
+    // tree both engines, the stat_ab_test precedent). Scale: the
+    // calendar-bounded day summary is tiny; the fact is read once.
+    Q("stat_trend_armitage",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .groupBy(dayofmonth(col("ts")).cast("long").as("x"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("s"))
+        byDay.agg(
+            count(lit(1)).as("n_days"),
+            sum("n").as("n_total"), sum("s").as("n_success"),
+            sum(col("x") * col("s")).as("xs"),
+            sum(col("x") * col("n")).as("xn"),
+            sum(col("x") * col("x") * col("n")).as("xxn"))
+          .withColumn("a_num",
+            col("n_total") * col("xs") - col("n_success") * col("xn"))
+          .withColumn("b_var",
+            col("n_total") * col("xxn") - col("xn") * col("xn"))
+          .select(col("n_days"), col("n_total"), col("n_success"),
+            (col("a_num").cast("double") /
+              sqrt(col("n_success").cast("double") *
+                (col("n_total") - col("n_success")).cast("double") *
+                col("b_var").cast("double") /
+                col("n_total").cast("double"))).as("z_trend"))
+      },
+      Some("""WITH byday AS (
+             |  SELECT CAST(dayofmonth(ts) AS BIGINT) AS x,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS s
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             |    CAST(SUM(n) AS BIGINT) AS n_total,
+             |    CAST(SUM(s) AS BIGINT) AS n_success,
+             |    CAST(SUM(x * s) AS BIGINT) AS xs,
+             |    CAST(SUM(x * n) AS BIGINT) AS xn,
+             |    CAST(SUM(x * x * n) AS BIGINT) AS xxn
+             |  FROM byday)
+             |SELECT n_days, n_total, n_success,
+             |  CAST(n_total * xs - n_success * xn AS DOUBLE)
+             |    / sqrt(CAST(n_success AS DOUBLE)
+             |      * CAST(n_total - n_success AS DOUBLE)
+             |      * CAST(n_total * xxn - xn * xn AS DOUBLE)
+             |      / CAST(n_total AS DOUBLE)) AS z_trend
+             |FROM m""".stripMargin)),
+
+    // Capture-recapture population estimate (Chapman's bias-corrected
+    // Lincoln–Petersen) — "how many users exist, given two overlapping
+    // sightings?": the estimator behind dedup-scale and coverage
+    // audits when the full population can't be enumerated (how many
+    // distinct entities does the corpus REALLY contain, estimated from
+    // two independent capture channels). Captures = clicked vs viewed
+    // user sets; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its variance, both
+    // from three exact BIGINT counts out of ONE user-level aggregate
+    // (two bool_or flags, map-side combined — no self-join of the two
+    // capture sets). The estimate is served as an exact BIGINT-rational
+    // floor division; only the variance is a mirrored double.
+    Q("stat_capture_recapture",
+      (s, d) => {
+        val caps = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+            max(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("c2"))
+        caps.agg(
+            sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(col("c1") * col("c2")).as("m"),
+            count(lit(1)).as("n_users_true"))
+          .select(col("n1"), col("n2"), col("m"), col("n_users_true"),
+            (expr("((n1 + 1) * (n2 + 1)) div (m + 1)") - 1).as("n_hat"),
+            (((col("n1") + 1) * (col("n2") + 1)).cast("double") *
+              (col("n1") - col("m")).cast("double") *
+              (col("n2") - col("m")).cast("double") /
+              ((col("m") + 1).cast("double") * (col("m") + 1).cast("double") *
+                (col("m") + 2).cast("double"))).as("var_hat"))
+      },
+      Some("""WITH caps AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |    CAST(SUM(c2) AS BIGINT) AS n2,
+             |    CAST(SUM(c1 * c2) AS BIGINT) AS m,
+             |    CAST(COUNT(*) AS BIGINT) AS n_users_true
+             |  FROM caps)
+             |SELECT n1, n2, m, n_users_true,
+             |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
+             |  CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+             |    * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+             |    / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+             |      * CAST(m + 2 AS DOUBLE)) AS var_hat
+             |FROM m""".stripMargin))
   )
 }

@@ -134,6 +134,60 @@ object DataOps {
                 |ORDER BY doc_id, frame_idx""".stripMargin))
     }
 
+  /** 2-D tile decomposition — the image twin of [[mmFrameSample]]'s
+    * 1-D frame split: every image row fans out to its ceil(W/T)×
+    * ceil(H/T) tile grid with pixel offsets and EDGE-CLIPPED tile
+    * extents, the unit of work for patch embedding (ViT), tiled
+    * decode, and region dedup. Dims are derived deterministically from
+    * the stub payload size (same stubbed-decoder convention as the
+    * whole mm family — a real deployment reads them from the image
+    * header in the same plan shape); everything downstream of the dims
+    * is REAL plumbing: 2-D explode, row-major tile ids, clip
+    * arithmetic, all integer. Output-proportional row growth bounded
+    * by the 1-in-20 doc sample; at scale the explode is map-local
+    * (zero shuffle before the final order).
+    */
+  private val mmTileGrid: Q = {
+    val T = 32
+    Q("mm_tile_grid",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+        .withColumn("img_w", lit(64L) + col("n_bytes") % 193)
+        .withColumn("img_h", lit(64L) + col("n_bytes") % 157)
+        .withColumn("tiles_x", expr(s"(img_w + ${T - 1}) div $T"))
+        .withColumn("tiles_y", expr(s"(img_h + ${T - 1}) div $T"))
+        .withColumn("ty", explode(expr("sequence(0L, tiles_y - 1)")))
+        .withColumn("tx", explode(expr("sequence(0L, tiles_x - 1)")))
+        .select(col("doc_id"), col("img_w"), col("img_h"),
+          (col("ty") * col("tiles_x") + col("tx")).as("tile_id"),
+          (col("tx") * T).as("px_x"), (col("ty") * T).as("px_y"),
+          least(lit(T.toLong), col("img_w") - col("tx") * T).as("tile_w"),
+          least(lit(T.toLong), col("img_h") - col("ty") * T).as("tile_h"))
+        .orderBy("doc_id", "tile_id"),
+      Some(s"""WITH dims AS (
+              |  SELECT doc_id,
+              |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 193 AS img_w,
+              |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 157 AS img_h
+              |  FROM documents WHERE doc_id % 20 = 0),
+              |grid AS (
+              |  SELECT doc_id, img_w, img_h,
+              |    (img_w + ${T - 1}) // $T AS tiles_x,
+              |    (img_h + ${T - 1}) // $T AS tiles_y
+              |  FROM dims)
+              |SELECT doc_id, img_w, img_h,
+              |  CAST(ty * tiles_x + tx AS BIGINT) AS tile_id,
+              |  CAST(tx * $T AS BIGINT) AS px_x,
+              |  CAST(ty * $T AS BIGINT) AS px_y,
+              |  LEAST($T, img_w - tx * $T) AS tile_w,
+              |  LEAST($T, img_h - ty * $T) AS tile_h
+              |FROM grid,
+              |  unnest(generate_series(0, tiles_y - 1)) AS uy(ty),
+              |  unnest(generate_series(0, tiles_x - 1)) AS ux(tx)
+              |ORDER BY doc_id, tile_id""".stripMargin))
+  }
+
   /** Frame-level cross-video dedup — the video-curation stage after
     * [[mmFrameSample]]'s sampling: hash each sampled frame's content
     * and drop/flag frames appearing in ≥2 distinct media objects
@@ -1155,7 +1209,7 @@ object DataOps {
   }
 
   val queries: Seq[Q] =
-    Seq(mmBinaryFeatures, mmFrameSample, mmFrameDedup, clipFilterQuery,
+    Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),

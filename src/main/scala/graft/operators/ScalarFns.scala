@@ -516,6 +516,51 @@ object ScalarFns {
              |  ROUND(1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
              |    / greatest(length(a.n_name), length(b.n_name)), 4) AS sim
              |FROM nation a JOIN nation b ON a.n_name < b.n_name
-             |ORDER BY name_a, name_b""".stripMargin))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // Spark 4 COLLATION surface — case-insensitive equality/grouping
+    // via `collate(…, 'UTF8_LCASE')`, the engine-native way to make a
+    // whole join/group case-insensitive without rewriting every
+    // predicate through lower() (and, unlike lower(), collation-aware
+    // comparisons keep Catalyst statistics and pushdown intact). The
+    // fixture mangles nation names into 3 case variants (UPPER / lower
+    // / initcap), then groups under the LCASE collation: 75 variants
+    // collapse back to 25 groups. The oracle mirrors with lower() —
+    // for ASCII the two fold identically; the operator's value is the
+    // API surface, pinned by the variant/distinct counts per region.
+    Q("fn_collate_compare",
+      (s, d) => {
+        val variants = Tables.nation(s, d)
+          .select(col("n_regionkey"),
+            explode(array(upper(col("n_name")), lower(col("n_name")),
+              initcap(lower(col("n_name"))))).as("v"))
+        val ci = variants
+          .groupBy(col("n_regionkey"),
+            expr("collate(v, 'UTF8_LCASE')").as("name_ci"))
+          .agg(count(lit(1)).as("nv"))
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_names_ci"), sum("nv").as("n_variants"))
+        val bin = variants.groupBy("n_regionkey")
+          .agg(count_distinct(expr("collate(v, 'UTF8_BINARY')"))
+            .as("n_variants_binary"))
+        ci.join(bin, Seq("n_regionkey"))
+          .select(col("n_regionkey"), col("n_names_ci"), col("n_variants"),
+            col("n_variants_binary"))
+          .orderBy("n_regionkey")
+      },
+      Some("""WITH variants AS (
+             |  SELECT n_regionkey, v FROM nation,
+             |    unnest([upper(n_name), lower(n_name),
+             |      upper(n_name[1]) || lower(n_name[2:])]) t(v)),
+             |ci AS (
+             |  SELECT n_regionkey, lower(v) AS name_ci,
+             |    CAST(COUNT(*) AS BIGINT) AS n_variants
+             |  FROM variants GROUP BY 1, 2)
+             |SELECT c.n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_names_ci,
+             |  CAST(SUM(c.n_variants) AS BIGINT) AS n_variants,
+             |  (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM variants x
+             |   WHERE x.n_regionkey = c.n_regionkey) AS n_variants_binary
+             |FROM ci c GROUP BY c.n_regionkey
+             |ORDER BY c.n_regionkey""".stripMargin))
   )
 }

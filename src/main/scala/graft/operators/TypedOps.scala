@@ -139,7 +139,58 @@ object TypedOps {
              |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) t
-             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // cogroup — the fourth typed entry point: both Datasets grouped on
+    // the SAME key, one lambda sees the two iterators side by side (the
+    // typed twin of a full-outer join + per-key merge, and the shape
+    // that expresses per-key reconciliation logic joins can't — here a
+    // customer with zero orders still emits a row, and the order stream
+    // is folded in O(1) state without materializing the pair fan-out).
+    // Same honesty note as the rest of §2.L: cogroup shuffles both
+    // sides whole (no partial agg, opaque to Catalyst); the columnar
+    // twin is the left join + groupBy the oracle uses. Output bounded
+    // to customers with ≥0 orders in BUILDING segment, exact decimal
+    // cents folding (the ds_typed_agg precedent).
+    Q("ds_typed_cogroup",
+      (s, d) => {
+        implicit val ordEnc = Encoders.product[OrderRow]
+        implicit val custEnc = Encoders.product[CustRow]
+        implicit val keyEnc = Encoders.scalaLong
+        implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
+          Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[OrderRow]
+          .groupByKey(_.o_custkey)
+        val custs = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .as[CustRow]
+          .filter(c => c.c_mktsegment == "BUILDING")
+          .groupByKey(_.c_custkey)
+        custs.cogroup(orders) { (key, cs, os) =>
+          cs.toSeq.headOption.toSeq.map { c =>
+            var n = 0L
+            var sum = BigDecimal(0)
+            os.foreach { o =>
+              n += 1
+              sum += BigDecimal.decimal(o.o_totalprice)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            }
+            (key, c.c_name, n, sum.toDouble)
+          }.iterator
+        }
+          .toDF("c_custkey", "c_name", "n_orders", "total_spend")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, c.c_name,
+             |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+             |    AS DOUBLE) AS total_spend
+             |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |GROUP BY c.c_custkey, c.c_name
+             |ORDER BY c.c_custkey""".stripMargin))
   )
 
   case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)

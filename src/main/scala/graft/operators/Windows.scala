@@ -2243,9 +2243,10 @@ object Windows {
     Q("ts_concurrency_sweep",
       (s, d) => {
         val orders = Tables.orders(s, d)
+          .select(to_date(col("o_orderdate")).as("od"))
         val deltas = orders
-          .select(col("o_orderdate").as("day"), lit(1L).as("delta"))
-          .union(orders.select(date_add(col("o_orderdate"), 7).as("day"),
+          .select(col("od").as("day"), lit(1L).as("delta"))
+          .union(orders.select(date_add(col("od"), 7).as("day"),
             lit(-1L).as("delta")))
         deltas.groupBy("day")
           .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
@@ -2260,9 +2261,11 @@ object Windows {
           .orderBy("day")
       },
       Some("""WITH deltas AS (
-             |  SELECT o_orderdate AS day, 1 AS delta FROM orders
+             |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta
+             |  FROM orders
              |  UNION ALL
-             |  SELECT o_orderdate + 7 AS day, -1 AS delta FROM orders),
+             |  SELECT CAST(o_orderdate AS DATE) + 7 AS day, -1 AS delta
+             |  FROM orders),
              |byday AS (
              |  SELECT day,
              |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
