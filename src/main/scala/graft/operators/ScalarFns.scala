@@ -561,6 +561,31 @@ object ScalarFns {
              |  (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM variants x
              |   WHERE x.n_regionkey = c.n_regionkey) AS n_variants_binary
              |FROM ci c GROUP BY c.n_regionkey
-             |ORDER BY c.n_regionkey""".stripMargin))
+             |ORDER BY c.n_regionkey""".stripMargin)),
+
+    // aes_encrypt / aes_decrypt — the column-level-encryption surface
+    // (PII columns at rest, key-scoped sharing). ECB+PKCS is chosen
+    // BECAUSE it is deterministic: the roundtrip and the ciphertext
+    // length ((n div 16 + 1)·16, PKCS always pads) are oracle-derivable
+    // without DuckDB having AES at all — GCM's random IV would make
+    // even the length check flaky. The scaladoc caveat a real
+    // deployment needs: ECB leaks equal-block structure; use GCM in
+    // production where ciphertexts need semantic security, at the cost
+    // of bench-style determinism.
+    Q("fn_aes_roundtrip",
+      (s, d) => Tables.nation(s, d)
+        .select(col("n_name"),
+          expr("aes_encrypt(n_name, '0123456789abcdef', 'ECB', 'PKCS')")
+            .as("ct"))
+        .select(col("n_name"),
+          length(col("ct")).cast("long").as("cipher_len"),
+          expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB', 'PKCS') " +
+            "as string)").as("decrypted"))
+        .withColumn("roundtrip_ok", col("decrypted") === col("n_name"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  (length(n_name) // 16 + 1) * 16 AS cipher_len,
+             |  n_name AS decrypted, TRUE AS roundtrip_ok
+             |FROM nation ORDER BY n_name""".stripMargin))
   )
 }

@@ -753,6 +753,58 @@ object Scans {
               |  COUNT(*) AS n_events,
               |  COUNT(DISTINCT user_id) AS n_users,
               |  ${SQL_DSUM("value")} AS sum_value
-              |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Dataset.observe() — metrics PIGGYBACKED on a real job: the gate
+    // aggregates ride the same scan/codegen pass as the (here
+    // discarded) downstream aggregation, so the DQ circuit-breaker
+    // costs zero extra reads — the Spark-native alternative to
+    // dq_rule_report's dedicated pass, and the API a 100 TB ingest
+    // uses to cut the pipeline BEFORE a bad batch lands (observe
+    // forbids distinct aggregates; everything here is a plain
+    // map-side-combinable sum/count/min/max). The observed Row is
+    // lifted back into a 1-row DataFrame with exact-integer gate
+    // arithmetic (cents domain, floor-div span hours).
+    Q("dq_observe_gate",
+      (s, d) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation("ingest_gate")
+        val observed = Tables.events(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value").isNull, 1L).otherwise(0L))
+              .as("n_null_value"),
+            sum("cents").as("cents_sum"),
+            min(expr("unix_micros(ts)")).as("min_us"),
+            max(expr("unix_micros(ts)")).as("max_us"))
+        // the "real" job the metrics ride on; its result is not the
+        // query output, the observed metrics row is
+        observed.groupBy("event_type").agg(count(lit(1))).collect()
+        val m = obs.get // blocks until the riding job has delivered
+        def getL(name: String): Long = m(name).asInstanceOf[Long]
+        val nRows = getL("n_rows")
+        val nNull = getL("n_null_value")
+        val cents = getL("cents_sum")
+        val spanH = (getL("max_us") - getL("min_us")) / 3600000000L
+        Seq((nRows, nNull, cents.toDouble / 100.0, spanH,
+          nRows >= 1000L && nNull == 0L && spanH >= 24L))
+          .toDF("n_rows", "n_null_value", "sum_value", "span_hours",
+            "gate_pass")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null_value,
+             |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value,
+             |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+             |    AS span_hours,
+             |  COUNT(*) >= 1000
+             |    AND SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+             |    AND (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+             |      // 3600000000 >= 24
+             |    AS gate_pass
+             |FROM events""".stripMargin))
   )
 }

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-9 fourth-wave operators. Each test checks a
+  * property that must hold on ANY input (conservation laws, closed
+  * forms, algebraic identities), so they catch logic drift rather than
+  * pinning fixture constants; the inference statistics are additionally
+  * re-derived driver-side from the raw fixture.
+  */
+class WaveFourSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("win_slope_rolling: matches a driver-side OLS on one user's frames") {
+    val rows = q("win_slope_rolling").collect()
+    assert(rows.nonEmpty)
+    // re-derive the (ep, event_id)-ordered series for the first user
+    val uid = rows.head.getLong(1)
+    val series = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("user_id") === uid)
+      .select(expr("unix_micros(ts) div 1000000").as("ep"), col("event_id"),
+        col("value"))
+      .orderBy("ep", "event_id").collect()
+      .map(r => BigDecimal(r.getDouble(2)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100)
+    val byId = rows.filter(_.getLong(1) == uid)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ids = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("user_id") === uid)
+      .orderBy(expr("unix_micros(ts) div 1000000"), col("event_id"))
+      .select("event_id").collect().map(_.getLong(0))
+    var checked = 0
+    for (i <- series.indices if i >= 4) { // n >= 5 after frame fill
+      val lo = math.max(0, i - 20)
+      val xs = (lo to i).map(j => BigInt(j + 1))
+      val ys = (lo to i).map(j => series(j).toBigInt)
+      val n = BigInt(xs.size)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val num100 = (n * sxy - sx * sy) * 100
+      val den = n * sxx - sx * sx
+      val k =
+        if (num100 >= 0) (2 * num100 + den) / (2 * den)
+        else -((2 * -num100 + den) / (2 * den))
+      val expected = k.toDouble / 10000.0
+      byId.get(ids(i)).foreach { case (nOut, slope) =>
+        assert(nOut == xs.size.toLong)
+        assert(slope == expected,
+          s"row $i: slope $slope != recomputed $expected")
+        checked += 1
+      }
+    }
+    assert(checked >= 5, s"only $checked frames cross-checked")
+  }
+
+  test("win_islands_activity: islands conserve active days; longest is max") {
+    val rows = q("win_islands_activity").collect()
+    assert(rows.nonEmpty)
+    val truth = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (uid, nActive, nIsl, longest) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nActive == truth(uid), s"user $uid active-day conservation")
+      assert(nIsl >= 1 && nIsl <= nActive)
+      assert(longest >= (nActive + nIsl - 1) / nIsl && longest <= nActive,
+        s"user $uid longest=$longest outside pigeonhole bounds")
+    }
+  }
+
+  test("ts_decompose_ma: 24 hods, trimmed-row conservation, remainder >= 0") {
+    val rows = q("ts_decompose_ma").collect()
+    assert(rows.length == 24)
+    val nHours = Tables.events(spark, TestSpark.sf0001)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nHours - 24,
+      "centered 2x24 MA trims exactly 12 rows per side")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, "remainder MS >= 0"))
+  }
+
+  test("ts_concurrency_sweep: balanced sweep, non-negative active, ends at 0") {
+    val rows = q("ts_concurrency_sweep").orderBy("day").collect()
+    val nOrders = Tables.orders(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    assert(rows.map(_.getLong(2)).sum == nOrders)
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"negative active on ${r.get(0)}"))
+    assert(rows.last.getLong(3) == 0, "every interval must close")
+    // running-sum identity: active(last) == sum(net) == 0 checked above;
+    // spot-check the recursion at each step
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(1) - r.getLong(2)
+      assert(run == r.getLong(3))
+    }
+  }
+
+  test("stat_welch_ttest: t and df match a driver-side recomputation") {
+    val r = q("stat_welch_ttest").head()
+    val vals = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(x =>
+        (BigDecimal(x.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong) }
+    def mom(k: String) = {
+      val xs = vals(k)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, sa, qa) = mom("click"); val (nb, sb, qb) = mom("purchase")
+    def se2(n: Long, s: Long, q2: Long) =
+      (n.toDouble * q2.toDouble - s.toDouble * s.toDouble) /
+        (n.toDouble * (n - 1).toDouble) / n.toDouble
+    val (sea, seb) = (se2(na, sa, qa), se2(nb, sb, qb))
+    val t = (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1).toDouble + seb * seb / (nb - 1).toDouble)
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(math.abs(r.getDouble(4) - t) < 1e-12, s"t ${r.getDouble(4)} vs $t")
+    assert(math.abs(r.getDouble(5) - df) < 1e-9)
+    assert(df >= math.min(na - 1, nb - 1).toDouble - 1e-9 &&
+      df <= (na + nb - 2).toDouble + 1e-9, "Satterthwaite df bounds")
+  }
+
+  test("stat_trend_armitage: z matches driver-side exact-integer recomputation") {
+    val r = q("stat_trend_armitage").head()
+    val byDay = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(dayofmonth(col("ts")).cast("long").as("x"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s"))
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    val bigN = byDay.map(_._2).sum; val bigS = byDay.map(_._3).sum
+    val xs = byDay.map(t => t._1 * t._3).sum
+    val xn = byDay.map(t => t._1 * t._2).sum
+    val xxn = byDay.map(t => t._1 * t._1 * t._2).sum
+    val a = bigN * xs - bigS * xn
+    val b = bigN * xxn - xn * xn
+    val z = a.toDouble / math.sqrt(
+      bigS.toDouble * (bigN - bigS).toDouble * b.toDouble / bigN.toDouble)
+    assert(r.getLong(1) == bigN && r.getLong(2) == bigS)
+    assert(math.abs(r.getDouble(3) - z) < 1e-12)
+  }
+
+  test("stat_capture_recapture: Chapman bounds and exact floor division") {
+    val r = q("stat_capture_recapture").head()
+    val (n1, n2, m, nTrue, nHat) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m <= math.min(n1, n2), "overlap bounded by both captures")
+    assert(n1 <= nTrue && n2 <= nTrue)
+    assert(nHat == (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(nHat >= math.max(n1, n2) - 1, "estimate covers either capture")
+    assert(r.getDouble(5) >= 0.0, "variance non-negative")
+  }
+
+  test("mm_tile_grid: tiles partition each image exactly") {
+    val rows = q("mm_tile_grid").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, ts) =>
+      val w = ts.head.getLong(1); val h = ts.head.getLong(2)
+      val area = ts.map(r => r.getLong(6) * r.getLong(7)).sum
+      assert(area == w * h, s"doc $doc: tile areas $area != $w*$h")
+      val ids = ts.map(_.getLong(3)).sorted
+      assert(ids.sameElements(0L until ids.length.toLong),
+        "row-major ids dense")
+      ts.foreach { r =>
+        assert(r.getLong(6) >= 1 && r.getLong(6) <= 32)
+        assert(r.getLong(7) >= 1 && r.getLong(7) <= 32)
+      }
+    }
+  }
+
+  test("ds_typed_cogroup: zero-order customers kept, totals match a join") {
+    val rows = q("ds_typed_cogroup").collect()
+    val nBuilding = Tables.customer(spark, TestSpark.sf0001)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(rows.length.toLong == nBuilding,
+      "cogroup must keep customers with zero orders")
+    val direct = Tables.customer(spark, TestSpark.sf0001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, TestSpark.sf0001),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0))))
+  }
+
+  test("fn_collate_compare: 3 case variants fold to 1 name under LCASE") {
+    val rows = q("fn_collate_compare").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3 * r.getLong(1),
+        "each case-folded name carries exactly its 3 variants")
+      assert(r.getLong(3) >= r.getLong(1) && r.getLong(3) <= r.getLong(2),
+        "binary distinct between folded and total")
+    }
+  }
+
+  test("fn_aes_roundtrip: decrypt inverts encrypt, PKCS length law") {
+    val rows = q("fn_aes_roundtrip").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} failed roundtrip")
+      assert(r.getString(2) == r.getString(0))
+      val len = r.getLong(1)
+      assert(len % 16 == 0 && len == (r.getString(0).length / 16 + 1) * 16)
+    }
+  }
+
+  test("dq_observe_gate: gate boolean consistent with its own metrics row") {
+    val r = q("dq_observe_gate").head()
+    val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
+      r.getLong(3) >= 24
+    assert(r.getBoolean(4) == expected)
+    assert(r.getDouble(2) > 0.0)
+  }
+}
