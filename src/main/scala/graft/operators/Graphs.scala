@@ -903,9 +903,102 @@ object Graphs {
     Q("graph_local_clustering", fn, Some(sql))
   }
 
+  /** HITS hubs & authorities (Kleinberg) — 3 unrolled mutual-
+    * reinforcement rounds over the DIRECTED half of the co-activity
+    * graph (u→v, u<v: each pair once, so hub and authority roles are
+    * asymmetric and the two scores genuinely differ). Two cross-engine
+    * determinism devices: per-node sums go through the same hub-safe
+    * [[graft.api.Graph.orderedChunkedSum]] two-level fold as PageRank
+    * (bounded per-row state, bit-identical summation tree), and the
+    * per-round normalization divides by the global MAX — an order-FREE
+    * reduction — instead of the textbook L2 norm, whose Σx² would be
+    * one more order-sensitive float fold for zero ranking difference
+    * (max-normalized HITS converges to the same fixed point). Nodes
+    * with no in-edges (resp. out-edges) hold score 0 via left joins.
+    * Scale shape per round: two edges⋈scores equi-joins + two keyed
+    * chunked aggregates + two 1-row max reductions (broadcast back),
+    * the edge set cached once across all rounds.
+    */
+  private def hitsQuery: Q = {
+    val ITERS = 3
+    val CHUNK = 8
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = pairs(s, d).cache()
+      val nodes = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+      nodes.count() // materialization barrier: rounds read the cached e
+      var hub = nodes.withColumn("h", lit(1.0))
+      var auth: DataFrame = nodes.withColumn("a", lit(1.0))
+      for (_ <- 1 to ITERS) {
+        val aContrib = e.join(hub, e("u") === hub("node"))
+          .select(col("v"), col("u"), col("h").as("c"))
+        val aSums = graft.api.Graph
+          .orderedChunkedSum(aContrib, "v", "u", "c", "sc", CHUNK)
+        val aRaw = nodes.join(aSums, nodes("node") === aSums("v"), "left")
+          .select(col("node"), coalesce(col("sc"), lit(0.0)).as("ar"))
+        auth = aRaw.crossJoin(aRaw.agg(max("ar").as("am")))
+          .select(col("node"), (col("ar") / col("am")).as("a"))
+        val hContrib = e.join(auth, e("v") === auth("node"))
+          .select(col("u"), col("v"), col("a").as("c"))
+        val hSums = graft.api.Graph
+          .orderedChunkedSum(hContrib, "u", "v", "c", "sc", CHUNK)
+        val hRaw = nodes.join(hSums, nodes("node") === hSums("u"), "left")
+          .select(col("node"), coalesce(col("sc"), lit(0.0)).as("hr"))
+        hub = hRaw.crossJoin(hRaw.agg(max("hr").as("hm")))
+          .select(col("node"), (col("hr") / col("hm")).as("h"))
+      }
+      hub.join(auth, Seq("node"))
+        .select(col("node").as("user_id"), col("h").as("hub"),
+          col("a").as("authority"))
+        .orderBy("user_id")
+    }
+    // mirrors orderedChunkedSum round by round (the pagerank device);
+    // normalization is a scalar-subquery MAX — order-free both engines
+    def round(k: Int): String =
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(s.sc, 0e0) AS ar
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT node, list_sum(list(partial ORDER BY chunk)) AS sc
+         |    FROM (
+         |      SELECT node, chunk, list_sum(list(c ORDER BY u)) AS partial
+         |      FROM (
+         |        SELECT e.v AS node, e.u AS u, h.h AS c,
+         |          (ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY e.u) - 1)
+         |            // $CHUNK AS chunk
+         |        FROM e0 e JOIN h${k - 1} h ON e.u = h.node)
+         |      GROUP BY node, chunk)
+         |    GROUP BY node) s ON n.node = s.node),
+         |a$k AS MATERIALIZED (SELECT node, ar / (SELECT MAX(ar) FROM ar$k) AS a
+         |        FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(s.sc, 0e0) AS hr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT node, list_sum(list(partial ORDER BY chunk)) AS sc
+         |    FROM (
+         |      SELECT node, chunk, list_sum(list(c ORDER BY v)) AS partial
+         |      FROM (
+         |        SELECT e.u AS node, e.v AS v, a.a AS c,
+         |          (ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY e.v) - 1)
+         |            // $CHUNK AS chunk
+         |        FROM e0 e JOIN a$k a ON e.v = a.node)
+         |      GROUP BY node, chunk)
+         |    GROUP BY node) s ON n.node = s.node),
+         |h$k AS MATERIALIZED (SELECT node, hr / (SELECT MAX(hr) FROM hr$k) AS h
+         |        FROM hr$k)""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |nodes AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0),
+         |h0 AS (SELECT node, 1e0 AS h FROM nodes),
+         |${(1 to ITERS).map(round).mkString(",\n")}
+         |SELECT h.node AS user_id, h.h AS hub, a.a AS authority
+         |FROM h$ITERS h JOIN a$ITERS a ON h.node = a.node
+         |ORDER BY user_id""".stripMargin
+    Q("graph_hits", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
-      randomWalkQuery, localClusteringQuery)
+      randomWalkQuery, localClusteringQuery, hitsQuery)
 }

@@ -211,6 +211,22 @@ class WaveFourSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_hits: scores in [0,1], both maxima attained, mutual support") {
+    val rows = q("graph_hits").collect()
+    assert(rows.nonEmpty)
+    val hubs = rows.map(_.getDouble(1)); val auths = rows.map(_.getDouble(2))
+    assert(hubs.forall(h => h >= 0.0 && h <= 1.0))
+    assert(auths.forall(a => a >= 0.0 && a <= 1.0))
+    assert(hubs.max == 1.0, "max-normalized hub score must attain 1")
+    assert(auths.max == 1.0, "max-normalized authority score must attain 1")
+    // u→v with u<v: the smallest node id can never be an authority,
+    // the largest can never be a hub
+    val minNode = rows.map(_.getLong(0)).min
+    val maxNode = rows.map(_.getLong(0)).max
+    assert(rows.find(_.getLong(0) == minNode).get.getDouble(2) == 0.0)
+    assert(rows.find(_.getLong(0) == maxNode).get.getDouble(1) == 0.0)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
