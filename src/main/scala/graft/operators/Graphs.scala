@@ -929,6 +929,13 @@ object Graphs {
       nodes.count() // materialization barrier: rounds read the cached e
       var hub = nodes.withColumn("h", lit(1.0))
       var auth: DataFrame = nodes.withColumn("a", lit(1.0))
+      // Each round's raw-score table is localCheckpoint'ed (O(V) rows,
+      // eager): it is referenced TWICE (value side + its own max), so
+      // without lineage truncation every round re-derives the whole
+      // previous chain down both branches — the same exponential
+      // re-expansion the oracle needed MATERIALIZED for, measured at
+      // 198 s vs 2 s at sf0.1. Iterative graph state must break
+      // lineage each round at any scale (the GraphX checkpoint rule).
       for (_ <- 1 to ITERS) {
         val aContrib = e.join(hub, e("u") === hub("node"))
           .select(col("v"), col("u"), col("h").as("c"))
@@ -936,6 +943,7 @@ object Graphs {
           .orderedChunkedSum(aContrib, "v", "u", "c", "sc", CHUNK)
         val aRaw = nodes.join(aSums, nodes("node") === aSums("v"), "left")
           .select(col("node"), coalesce(col("sc"), lit(0.0)).as("ar"))
+          .localCheckpoint()
         auth = aRaw.crossJoin(aRaw.agg(max("ar").as("am")))
           .select(col("node"), (col("ar") / col("am")).as("a"))
         val hContrib = e.join(auth, e("v") === auth("node"))
@@ -944,6 +952,7 @@ object Graphs {
           .orderedChunkedSum(hContrib, "u", "v", "c", "sc", CHUNK)
         val hRaw = nodes.join(hSums, nodes("node") === hSums("u"), "left")
           .select(col("node"), coalesce(col("sc"), lit(0.0)).as("hr"))
+          .localCheckpoint()
         hub = hRaw.crossJoin(hRaw.agg(max("hr").as("hm")))
           .select(col("node"), (col("hr") / col("hm")).as("h"))
       }
