@@ -2629,6 +2629,74 @@ object Aggs {
              |    * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
              |    / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
              |      * CAST(m + 2 AS DOUBLE)) AS var_hat
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Wald–Wolfowitz runs test — "is the daily purchase volume
+    // RANDOM around its center, or does it streak?": the
+    // distribution-free serial-dependence check that complements
+    // ts_ljung_box (which needs a numeric ACF) with a pure sign
+    // argument. Signs vs the exact integer MEDIAN-of-counts (type-1,
+    // both engines' percentile_disc semantics agree on BIGINTs; ties
+    // ON the median are dropped — the standard treatment), runs
+    // counted with one lag over the day order, then z from the exact
+    // closed forms E[R] = 1 + 2ab/n, Var = 2ab(2ab−n)/(n²(n−1)) — all
+    // BIGINT until the final mirrored divide/sqrt. Scale: one
+    // calendar-bounded day aggregate; the lag window rides the tiny
+    // series.
+    Q("stat_runs_test",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val med = byDay.agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").as("md"))
+        val signs = byDay.crossJoin(med)
+          .filter(col("c") =!= col("md"))
+          .withColumn("sgn", when(col("c") > col("md"), 1L).otherwise(0L))
+        val runs = signs
+          .withColumn("prev",
+            lag("sgn", 1).over(Window.orderBy("day")))
+          .agg(count(lit(1)).as("n"),
+            sum("sgn").as("n_above"),
+            sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+              .otherwise(0L)).as("n_runs"))
+        runs
+          .withColumn("n_below", col("n") - col("n_above"))
+          .withColumn("tw", lit(2L) * col("n_above") * col("n_below"))
+          .select(col("n"), col("n_above"), col("n_below"), col("n_runs"),
+            ((col("n_runs").cast("double") -
+              (lit(1.0) + col("tw").cast("double") / col("n").cast("double"))) /
+              sqrt(col("tw").cast("double") *
+                (col("tw") - col("n")).cast("double") /
+                (col("n").cast("double") * col("n").cast("double") *
+                  (col("n") - 1).cast("double")))).as("z_runs"))
+      },
+      Some("""WITH byday AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |med AS (SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS md
+             |        FROM byday),
+             |signs AS (
+             |  SELECT day, CASE WHEN c > md THEN 1 ELSE 0 END AS sgn
+             |  FROM byday, med WHERE c <> md),
+             |runs AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(sgn) AS BIGINT) AS n_above,
+             |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+             |  FROM (SELECT sgn, LAG(sgn, 1) OVER (ORDER BY day) AS prev
+             |        FROM signs) t),
+             |ext AS (
+             |  SELECT n, n_above, n - n_above AS n_below, n_runs,
+             |    2 * n_above * (n - n_above) AS tw
+             |  FROM runs)
+             |SELECT n, n_above, n_below, n_runs,
+             |  (CAST(n_runs AS DOUBLE)
+             |    - (1.0 + CAST(tw AS DOUBLE) / CAST(n AS DOUBLE)))
+             |  / sqrt(CAST(tw AS DOUBLE) * CAST(tw - n AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             |      * CAST(n - 1 AS DOUBLE))) AS z_runs
+             |FROM ext""".stripMargin))
   )
 }

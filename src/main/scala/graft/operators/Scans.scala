@@ -805,6 +805,27 @@ object Scans {
              |    AND (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
              |      // 3600000000 >= 24
              |    AS gate_pass
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // The hidden `_metadata` struct — per-row file provenance (name,
+    // size, modification time) the reader exposes WITHOUT any column
+    // in the data: the lineage/debugging surface of every multi-file
+    // lake table ("which input file produced this bad row?"), and the
+    // partition-file skew profile when aggregated. Grouping on
+    // _metadata.file_name costs nothing extra — it is a constant per
+    // split. Only layout-independent outputs are declared (file name,
+    // per-file row count, size>0 flag): row-group split boundaries may
+    // vary with reader config, so per-file row counts are the stable
+    // contract, byte sizes are asserted positive rather than pinned.
+    Q("scan_file_metadata",
+      (s, d) => Tables.events(s, d)
+        .select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.file_size").as("fs"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"), (min("fs") > 0L).as("nonempty"))
+        .orderBy("file_name"),
+      Some("""SELECT 'events.parquet' AS file_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS nonempty
+             |FROM events ORDER BY file_name""".stripMargin))
   )
 }
