@@ -32,6 +32,15 @@ object Aggs {
        |list_sum(list_transform(generate_series(1, CAST($j AS INT)),
        |  i -> ln((CAST($m AS DOUBLE) - i + 1.0) / i))) END""".stripMargin
 
+  /** First-15-hex-nibbles→BIGINT polynomial — mirrors Spark's
+    * conv(substr(md5(..),1,15),16,10) exactly (the Pipeline/Llm
+    * SQL_HEX15 device, local copy for this module's oracles).
+    */
+  private def SQL_HEX15_AGGS(h: String): String =
+    (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+      .mkString("(", " + ", ")")
+
   val queries: Seq[Q] = Seq(
     Q("agg_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
@@ -286,6 +295,56 @@ object Aggs {
           .orderBy("event_type")
       },
       None),
+
+    // Portable Count-Min: the same sketch as agg_count_min but built
+    // from first principles as relational ops — d=4 md5-derived hash
+    // rows × w=256 counters via one map-side-combined (row, bucket)
+    // aggregate — so the full estimate table IS oracle-checkable
+    // (Spark's builtin count_min_sketch stays declared above as the
+    // engine surface; its layout is engine-private hashing, hence
+    // no-oracle). The probe side joins the ≤1024-cell sketch
+    // (auto-broadcast) and takes the row-wise MIN; the CMS guarantee
+    // (never underestimates) ships as an output column instead of a
+    // spec-only assert. Scale: sketch state is O(d·w) regardless of
+    // corpus — the point of CMS at 100 TB — and the build is one pass.
+    Q("agg_cms_portable",
+      (s, d) => {
+        val D = 4; val W = 256
+        val ev = Tables.events(s, d).select(col("user_id"))
+        def bucketOf(j: Column, id: Column) =
+          conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"),
+            id.cast("string"))), 1, 15), 16, 10).cast("long") % W
+        val hb = ev.withColumn("j", explode(expr(s"sequence(0, ${D - 1})")))
+          .withColumn("bucket", bucketOf(col("j"), col("user_id")))
+        val sketch = hb.groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+        val keys = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        keys.withColumn("j", explode(expr(s"sequence(0, ${D - 1})")))
+          .withColumn("bucket", bucketOf(col("j"), col("user_id")))
+          .join(sketch, Seq("j", "bucket"))
+          .groupBy("user_id", "exact_n")
+          .agg(min("cnt").as("cms_estimate"))
+          .select(col("user_id"), col("exact_n"), col("cms_estimate"),
+            (col("cms_estimate") >= col("exact_n")).as("never_underestimates"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH hb AS (
+              |  SELECT user_id,
+              |    j, ${SQL_HEX15_AGGS("md5('cms' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")} % 256 AS bucket
+              |  FROM events, unnest(generate_series(0, 3)) t(j)),
+              |sketch AS (
+              |  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM hb GROUP BY 1, 2),
+              |keys_ AS (
+              |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+              |  FROM events GROUP BY 1),
+              |probes AS (SELECT DISTINCT user_id, j, bucket FROM hb)
+              |SELECT k.user_id, k.exact_n,
+              |  MIN(s.cnt) AS cms_estimate,
+              |  MIN(s.cnt) >= k.exact_n AS never_underestimates
+              |FROM keys_ k JOIN probes p ON k.user_id = p.user_id
+              |JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+              |GROUP BY k.user_id, k.exact_n
+              |ORDER BY k.user_id""".stripMargin)),
 
     Q("agg_grouping_sets",
       (s, d) => Tables.customer(s, d)
