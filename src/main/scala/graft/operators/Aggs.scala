@@ -2756,6 +2756,56 @@ object Aggs {
              |  / sqrt(CAST(tw AS DOUBLE) * CAST(tw - n AS DOUBLE)
              |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
              |      * CAST(n - 1 AS DOUBLE))) AS z_runs
-             |FROM ext""".stripMargin))
+             |FROM ext""".stripMargin)),
+
+    // Cohen's kappa — chance-corrected agreement between two raters,
+    // THE consistency metric for LLM-judge / heuristic-labeler audits
+    // ("do the cheap rule and the expensive judge agree beyond
+    // chance?"). Raters here are two deterministic quality gates
+    // (char-length vs word-count) over documents; the 2×2 table comes
+    // from ONE map-side-combined pass. κ = (n·agree − Σ margins) /
+    // (n² − Σ margins) stays an exact BIGINT rational — the classic
+    // po/pe formulation multiplied through by n² — served as a single
+    // mirrored double division. Scale: O(1) state after one scan.
+    Q("stat_cohens_kappa",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ra", (col("n_chars") >= 200).cast("long"))
+          .withColumn("rb",
+            (size(split(col("text"), " ")) >= 40).cast("long"))
+        t.agg(count(lit(1)).as("n"),
+            sum(col("ra") * col("rb")).as("n11"),
+            sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+            sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+            sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+          .withColumn("chance",
+            (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            ((col("n") * (col("n11") + col("n00")) - col("chance"))
+              .cast("double") /
+              (col("n") * col("n") - col("chance")).cast("double"))
+              .as("kappa"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+             |    CASE WHEN len(string_split(text, ' ')) >= 40
+             |      THEN 1 ELSE 0 END AS rb
+             |  FROM documents),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(ra * rb) AS BIGINT) AS n11,
+             |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+             |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+             |  FROM r),
+             |e AS (
+             |  SELECT *, (n11 + n10) * (n11 + n01)
+             |    + (n01 + n00) * (n10 + n00) AS chance
+             |  FROM c)
+             |SELECT n, n11, n10, n01, n00,
+             |  CAST(n * (n11 + n00) - chance AS DOUBLE)
+             |    / CAST(n * n - chance AS DOUBLE) AS kappa
+             |FROM e""".stripMargin))
   )
 }

@@ -586,6 +586,29 @@ object ScalarFns {
       Some("""SELECT n_name,
              |  (length(n_name) // 16 + 1) * 16 AS cipher_len,
              |  n_name AS decrypted, TRUE AS roundtrip_ok
-             |FROM nation ORDER BY n_name""".stripMargin))
+             |FROM nation ORDER BY n_name""".stripMargin)),
+
+    // xpath_* — the XML-extraction scalar family (config payloads,
+    // legacy feeds, SOAP-era partners): a per-nation XML document is
+    // BUILT from columns, then fields are recovered with xpath_int /
+    // xpath (node-set) — so the oracle needs no XML engine at all, it
+    // mirrors the recovered values straight from the base columns
+    // (scan_xml_roundtrip's file-level sibling at expression level).
+    // All string ops, codegen-resident, zero shuffle before the sort.
+    Q("fn_xpath_extract",
+      (s, d) => Tables.nation(s, d)
+        .withColumn("xml", concat(lit("<r><k>"), col("n_nationkey"),
+          lit("</k>"), expr("""concat_ws('', transform(split(n_name, ' '),
+            x -> concat('<w>', x, '</w>')))"""), lit("</r>")))
+        .select(
+          expr("xpath_int(xml, '/r/k/text()')").cast("long").as("key_back"),
+          expr("size(xpath(xml, '/r/w/text()'))").cast("long")
+            .as("n_words"),
+          expr("xpath_string(xml, '/r/w[1]/text()')").as("first_word"))
+        .orderBy("key_back"),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key_back,
+             |  CAST(len(string_split(n_name, ' ')) AS BIGINT) AS n_words,
+             |  string_split(n_name, ' ')[1] AS first_word
+             |FROM nation ORDER BY key_back""".stripMargin))
   )
 }
