@@ -2278,6 +2278,84 @@ object Windows {
              |  CAST(SUM(net) OVER (ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS active
-             |FROM byday ORDER BY day""".stripMargin))
+             |FROM byday ORDER BY day""".stripMargin)),
+
+    // Dynamic time warping between the daily click and purchase count
+    // series — the elastic-alignment distance (phase-shifted seasonal
+    // patterns, speed-varying user journeys) a plain Euclidean
+    // comparison can't express. Scale split follows the k-means
+    // codebook precedent: the CORPUS-proportional work (two day-level
+    // aggregates) is distributed; the O(n·m) DP then runs on the
+    // calendar-bounded series as a driver-side model computation —
+    // all-integer costs (|Δcount|), so the table is exactly
+    // reproducible anywhere. The oracle runs the SAME DP inside
+    // DuckDB as a single-self-reference recursive CTE: each step
+    // carries diagonal s forward and emits min-folded contributions to
+    // diagonal s+1 through a 3-row (δi,δj) fan-out, so the standard
+    // one-reference restriction on recursive CTEs is respected while
+    // three predecessors still reach every cell.
+    Q("ts_dtw_distance",
+      (s, d) => {
+        import s.implicits._
+        def series(t: String): Array[Long] = Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy("day").select("c").collect().map(_.getLong(0))
+        val a = series("click"); val b = series("purchase")
+        val n = a.length; val m = b.length
+        val big = Long.MaxValue / 4
+        val dp = Array.fill(n + 1, m + 1)(big)
+        for (i <- 1 to n; j <- 1 to m) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          val best =
+            if (i == 1 && j == 1) 0L
+            else math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+          dp(i)(j) = c + best
+        }
+        Seq((n.toLong, m.toLong, dp(n)(m),
+          dp(n)(m).toDouble / (n + m).toDouble))
+          .toDF("n_a", "n_b", "dtw_cost", "dtw_per_step")
+      },
+      Some("""WITH RECURSIVE
+             |sa AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+             |    CAST(c AS BIGINT) AS c
+             |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |        FROM events WHERE event_type = 'click' GROUP BY 1) t),
+             |sb AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS j,
+             |    CAST(c AS BIGINT) AS c
+             |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |        FROM events WHERE event_type = 'purchase' GROUP BY 1) t),
+             |nn AS (SELECT (SELECT MAX(i) FROM sa) AS n,
+             |              (SELECT MAX(j) FROM sb) AS m),
+             |dp AS (
+             |  SELECT 2 AS s, CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+             |    abs(sa.c - sb.c) AS cost
+             |  FROM sa, sb WHERE sa.i = 1 AND sb.j = 1
+             |  UNION ALL
+             |  SELECT s, i, j, MIN(cost) AS cost FROM (
+             |    SELECT p.s + 1 AS s, p.i + f.di AS i, p.j + f.dj AS j,
+             |      CASE WHEN f.di = 0 AND f.dj = 0 THEN p.cost
+             |           ELSE p.cost + abs(sa.c - sb.c) END AS cost
+             |    FROM dp p
+             |    CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+             |      f(di, dj)
+             |    JOIN nn ON TRUE
+             |    LEFT JOIN sa ON sa.i = p.i + f.di
+             |    LEFT JOIN sb ON sb.j = p.j + f.dj
+             |    WHERE p.s < nn.n + nn.m
+             |      AND p.i + f.di <= nn.n AND p.j + f.dj <= nn.m
+             |      AND ((f.di = 0 AND f.dj = 0 AND p.i + p.j = p.s)
+             |        OR (NOT (f.di = 0 AND f.dj = 0)
+             |            AND p.i + f.di + p.j + f.dj = p.s + 1))) g
+             |  GROUP BY s, i, j)
+             |SELECT nn.n AS n_a, nn.m AS n_b, dp.cost AS dtw_cost,
+             |  CAST(dp.cost AS DOUBLE) / CAST(nn.n + nn.m AS DOUBLE)
+             |    AS dtw_per_step
+             |FROM dp, nn
+             |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
+             |""".stripMargin))
   )
 }

@@ -227,6 +227,38 @@ class WaveFourSpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == maxNode).get.getDouble(1) == 0.0)
   }
 
+  test("ts_dtw_distance: matches an independent rolling-array DP; bounds hold") {
+    val r = q("ts_dtw_distance").head()
+    def series(t: String): Array[Long] =
+      Tables.events(spark, TestSpark.sf0001)
+        .filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("day").select("c").collect().map(_.getLong(0))
+    val a = series("click"); val b = series("purchase")
+    // independent formulation: 1-D rolling array instead of the full grid
+    val big = Long.MaxValue / 4
+    var prev = Array.fill(b.length + 1)(big)
+    for (i <- 1 to a.length) {
+      val cur = Array.fill(b.length + 1)(big)
+      for (j <- 1 to b.length) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        val best =
+          if (i == 1 && j == 1) 0L
+          else math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = c + best
+      }
+      prev = cur
+    }
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(r.getLong(2) == prev(b.length), "DP formulations must agree")
+    // lower bound: no alignment can beat the total-mass gap
+    assert(r.getLong(2) >= math.abs(a.sum - b.sum) / math.max(a.length, b.length))
+    // upper bound (n == m here): the no-warp diagonal path is feasible
+    if (a.length == b.length)
+      assert(r.getLong(2) <= a.zip(b).map { case (x, y) => math.abs(x - y) }.sum)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
