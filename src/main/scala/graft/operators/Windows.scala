@@ -2356,6 +2356,116 @@ object Windows {
              |    AS dtw_per_step
              |FROM dp, nn
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
-             |""".stripMargin))
+             |""".stripMargin)),
+
+    // Viterbi decoding of a 2-state HMM (quiet/busy regimes) over the
+    // daily purchase-volume sign sequence — probabilistic sequence
+    // models are the step past ts_markov_transitions' raw counts, and
+    // Viterbi is THE decoder (regime detection, session labeling).
+    // Model parameters are fixed literals; their LOGS are computed
+    // ONCE in Scala and the same shortest-roundtrip double literals
+    // are spliced into both engines, so no cross-engine libm ln() is
+    // ever called — every DP value is then identical IEEE adds/compares
+    // (ties break to state 0, explicitly). The oracle's forward pass
+    // is a recursive CTE carrying the WHOLE 2-state frontier as one
+    // row (v0,v1 + per-step backpointers), which sidesteps both the
+    // single-reference rule and any argmax-tie ambiguity; the
+    // backtrace is a second recursion walking the stored pointers.
+    // Scale split: day aggregation distributed; the O(T·S²) DP is a
+    // calendar-bounded driver-side model computation (codebook
+    // precedent).
+    ViterbiQ.q
   )
+}
+
+private object ViterbiQ {
+  import org.apache.spark.sql.functions._
+  // ln-parameters shared verbatim by both engines (2 states: 0=quiet,
+  // 1=busy; obs: 1 = day above the mean daily purchase count)
+  private val lt = Array(Array(math.log(0.8), math.log(0.2)),
+    Array(math.log(0.3), math.log(0.7)))
+  private val le = Array(Array(math.log(0.7), math.log(0.3)),
+    Array(math.log(0.2), math.log(0.8)))
+  private val lp0 = math.log(0.5)
+
+  /** DOUBLE-typed SQL literal: DuckDB binds bare decimal literals as
+    * DECIMAL (which overflowed on the first log-prob addition); the
+    * string-cast round-trips the shortest repr to the identical bits.
+    */
+  private def L(x: Double) = s"CAST('$x' AS DOUBLE)"
+
+  val q: Q = Q("ts_hmm_viterbi",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("day").select("c").collect().map(_.getLong(0))
+      val n = counts.length
+      // obs vs the exact mean: c * n > sum * 1 keeps it integer
+      val total = counts.sum
+      val obs = counts.map(c => if (c * n > total) 1 else 0)
+      val v = Array.fill(n, 2)(0.0)
+      val bp = Array.fill(n, 2)(0)
+      for (st <- 0 to 1) v(0)(st) = lp0 + le(st)(obs(0))
+      for (t <- 1 until n; st <- 0 to 1) {
+        val c0 = v(t - 1)(0) + lt(0)(st)
+        val c1 = v(t - 1)(1) + lt(1)(st)
+        if (c0 >= c1) { v(t)(st) = c0 + le(st)(obs(t)); bp(t)(st) = 0 }
+        else { v(t)(st) = c1 + le(st)(obs(t)); bp(t)(st) = 1 }
+      }
+      val path = new Array[Int](n)
+      path(n - 1) = if (v(n - 1)(0) >= v(n - 1)(1)) 0 else 1
+      for (t <- n - 2 to 0 by -1) path(t) = bp(t + 1)(path(t + 1))
+      (1 to n).map(t => (t.toLong, obs(t - 1).toLong, path(t - 1).toLong))
+        .toDF("t", "obs_hi", "state_busy")
+        .orderBy("t")
+    },
+    Some(s"""WITH RECURSIVE
+            |byday AS (
+            |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+            |    CAST(c AS BIGINT) AS c
+            |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+            |        FROM events WHERE event_type = 'purchase'
+            |        GROUP BY 1) x),
+            |nn AS (SELECT MAX(t) AS n, CAST(SUM(c) AS BIGINT) AS total
+            |       FROM byday),
+            |obs AS (SELECT t, CASE WHEN c * (SELECT n FROM nn)
+            |    > (SELECT total FROM nn) THEN 1 ELSE 0 END AS o
+            |  FROM byday),
+            |fwd AS (
+            |  SELECT CAST(1 AS BIGINT) AS t,
+            |    ${L(lp0)} + CASE WHEN o = 1 THEN ${L(le(0)(1))} ELSE ${L(le(0)(0))} END
+            |      AS v0,
+            |    ${L(lp0)} + CASE WHEN o = 1 THEN ${L(le(1)(1))} ELSE ${L(le(1)(0))} END
+            |      AS v1,
+            |    0 AS bp0, 0 AS bp1
+            |  FROM obs WHERE t = 1
+            |  UNION ALL
+            |  SELECT o.t,
+            |    CASE WHEN p.v0 + ${L(lt(0)(0))} >= p.v1 + ${L(lt(1)(0))}
+            |         THEN p.v0 + ${L(lt(0)(0))} ELSE p.v1 + ${L(lt(1)(0))} END
+            |      + CASE WHEN o.o = 1 THEN ${L(le(0)(1))} ELSE ${L(le(0)(0))} END
+            |      AS v0,
+            |    CASE WHEN p.v0 + ${L(lt(0)(1))} >= p.v1 + ${L(lt(1)(1))}
+            |         THEN p.v0 + ${L(lt(0)(1))} ELSE p.v1 + ${L(lt(1)(1))} END
+            |      + CASE WHEN o.o = 1 THEN ${L(le(1)(1))} ELSE ${L(le(1)(0))} END
+            |      AS v1,
+            |    CASE WHEN p.v0 + ${L(lt(0)(0))} >= p.v1 + ${L(lt(1)(0))}
+            |         THEN 0 ELSE 1 END AS bp0,
+            |    CASE WHEN p.v0 + ${L(lt(0)(1))} >= p.v1 + ${L(lt(1)(1))}
+            |         THEN 0 ELSE 1 END AS bp1
+            |  FROM fwd p JOIN obs o ON o.t = p.t + 1),
+            |back AS (
+            |  SELECT f.t, CASE WHEN f.v0 >= f.v1 THEN 0 ELSE 1 END AS st
+            |  FROM fwd f, nn WHERE f.t = nn.n
+            |  UNION ALL
+            |  SELECT b.t - 1,
+            |    CASE WHEN b.st = 0 THEN f.bp0 ELSE f.bp1 END AS st
+            |  FROM back b JOIN fwd f ON f.t = b.t WHERE b.t > 1)
+            |SELECT o.t, CAST(o.o AS BIGINT) AS obs_hi,
+            |  CAST(b.st AS BIGINT) AS state_busy
+            |FROM obs o JOIN back b ON o.t = b.t
+            |ORDER BY o.t""".stripMargin))
 }

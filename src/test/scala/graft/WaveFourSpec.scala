@@ -259,6 +259,35 @@ class WaveFourSpec extends AnyFunSuite {
       assert(r.getLong(2) <= a.zip(b).map { case (x, y) => math.abs(x - y) }.sum)
   }
 
+  test("ts_hmm_viterbi: decoded path beats any constant path; obs matches data") {
+    val rows = q("ts_hmm_viterbi").orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val obs = rows.map(_.getLong(1).toInt)
+    val path = rows.map(_.getLong(2).toInt)
+    val lt = Array(Array(math.log(0.8), math.log(0.2)),
+      Array(math.log(0.3), math.log(0.7)))
+    val le = Array(Array(math.log(0.7), math.log(0.3)),
+      Array(math.log(0.2), math.log(0.8)))
+    def ll(p: Array[Int]): Double = {
+      var s = math.log(0.5) + le(p(0))(obs(0))
+      for (t <- 1 until p.length) s += lt(p(t - 1))(p(t)) + le(p(t))(obs(t))
+      s
+    }
+    val decoded = ll(path)
+    assert(decoded >= ll(Array.fill(path.length)(0)) - 1e-12)
+    assert(decoded >= ll(Array.fill(path.length)(1)) - 1e-12)
+    // greedy per-day emission-only labels as a third challenger
+    assert(decoded >= ll(obs) - 1e-12,
+      "Viterbi must not lose to the emission-greedy path")
+    // obs column really is the above-mean indicator of the fixture
+    val counts = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .orderBy("day").select("c").collect().map(_.getLong(0))
+    val n = counts.length; val tot = counts.sum
+    assert(obs.toSeq == counts.map(c => if (c * n > tot) 1 else 0).toSeq)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
