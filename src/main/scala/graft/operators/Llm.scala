@@ -1172,6 +1172,58 @@ object Llm {
            |FROM (SELECT doc_id, lang, $SQL_TOKENIZE AS t FROM documents) dx,
            |  model
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Budgeted corpus selection — the knapsack-greedy every
+    // fixed-token-budget training run ends with: rank docs by lexical
+    // richness per token (distinct/total, held as an EXACT integer
+    // key ·10⁶ so the greedy order is float-free), take the prefix
+    // whose cumulative tokens fit budget = corpus/4, report the cut
+    // per source. The prefix-sum selection is exact greedy; its one
+    // global-ordered cumsum is the honest cost (fine to ~10⁸ docs —
+    // beyond that production swaps in the two-pass threshold-refine
+    // variant, same ordering key, no semantic change).
+    Q("llm_budget_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextUdfs.tokenizeCol(col("text")).as("t"))
+          .withColumn("tok", size(col("t")).cast("long"))
+          .withColumn("dw", size(array_distinct(col("t"))).cast("long"))
+          .filter(col("tok") > 0)
+          .withColumn("rkey", expr("(dw * 1000000L) div tok"))
+          .drop("t")
+        val tot = docs.agg(expr("sum(tok) div 4").as("budget"))
+        val w = Window.orderBy(col("rkey").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.crossJoin(tot)
+          .withColumn("cum", sum("tok").over(w))
+          .withColumn("sel", (col("cum") <= col("budget")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("sel").as("n_selected"),
+            sum(col("sel") * col("tok")).as("tokens_selected"))
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(t) AS BIGINT) AS tok,
+              |    CAST(len(list_distinct(t)) AS BIGINT) AS dw
+              |  FROM (SELECT doc_id, source, $SQL_TOKENIZE AS t
+              |        FROM documents) x
+              |  WHERE len(t) > 0),
+              |rk AS (SELECT *, (dw * 1000000) // tok AS rkey FROM docs),
+              |bud AS (SELECT CAST(SUM(tok) // 4 AS BIGINT) AS budget
+              |        FROM docs),
+              |sel AS (
+              |  SELECT source, tok,
+              |    CASE WHEN SUM(tok) OVER (ORDER BY rkey DESC, doc_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      <= (SELECT budget FROM bud) THEN 1 ELSE 0 END AS s
+              |  FROM rk)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(s) AS BIGINT) AS n_selected,
+              |  CAST(SUM(s * tok) AS BIGINT) AS tokens_selected
+              |FROM sel GROUP BY source ORDER BY source""".stripMargin))
   )
 }

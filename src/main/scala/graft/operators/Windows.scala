@@ -2358,6 +2358,97 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Kaplan–Meier time-to-first-error survival: per user, the event
+    // is the FIRST error day after their first activity; users who
+    // never error are right-CENSORED at their last observed day — a
+    // genuine mixed-censoring population at every fixture scale (a
+    // last-active-day variant censored 100% of users and returned an
+    // empty — hence vacuous — result). The survival product is kept
+    // EXACT-INTEGER: S is carried in nano-units and each death time
+    // applies S ← (S·(n−d)) div n — a deterministic BIGINT recursion
+    // with no ln/exp and no float product, so both engines agree to
+    // the bit (the win_slope_rolling rational-rounding family). The
+    // sequential fold runs over the CALENDAR-BOUNDED lifetime table:
+    // distributed user aggregation first, ≤|days| fold as a model
+    // computation (codebook split); the oracle replays it as a
+    // row-by-row recursive CTE.
+    Q("ts_kaplan_meier",
+      (s, d) => {
+        import s.implicits._
+        val users = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("dn"),
+            col("event_type"))
+          .groupBy("user_id")
+          .agg(min("dn").as("f"), max("dn").as("l"),
+            min(when(col("event_type") === "error", col("dn"))).as("e"))
+        val byT = users
+          .withColumn("cens", col("e").isNull.cast("long"))
+          .withColumn("lt",
+            when(col("e").isNull, col("l") - col("f"))
+              .otherwise(col("e") - col("f")))
+          .groupBy("lt")
+          .agg(sum(lit(1L) - col("cens")).as("d"), sum("cens").as("c"),
+            count(lit(1)).as("leaving"))
+          .orderBy("lt")
+          .collect()
+        var risk = byT.map(_.getLong(3)).sum
+        var surv = 1000000000L
+        val out = byT.flatMap { r =>
+          val (lt, dd, cc, leaving) =
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          val row = if (dd > 0) {
+            surv = surv * (risk - dd) / risk
+            Some((lt, risk, dd, cc, surv.toDouble / 1e9))
+          } else None
+          risk -= leaving
+          row
+        }
+        out.toSeq.toDF("t", "n_risk", "n_deaths", "n_censored", "survival")
+          .orderBy("t")
+      },
+      Some("""WITH RECURSIVE
+             |ud AS (
+             |  SELECT user_id, MIN(dn) AS f, MAX(dn) AS l,
+             |    MIN(CASE WHEN event_type = 'error' THEN dn END) AS e
+             |  FROM (SELECT user_id, event_type,
+             |          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |            AS dn
+             |        FROM events) x GROUP BY user_id),
+             |u2 AS (SELECT
+             |    CASE WHEN e IS NULL THEN l - f ELSE e - f END AS lt,
+             |    CASE WHEN e IS NULL THEN 1 ELSE 0 END AS cens
+             |  FROM ud),
+             |byt AS (
+             |  SELECT lt, CAST(SUM(1 - cens) AS BIGINT) AS d,
+             |    CAST(SUM(cens) AS BIGINT) AS c,
+             |    CAST(COUNT(*) AS BIGINT) AS leaving
+             |  FROM u2 GROUP BY lt),
+             |ord AS (
+             |  SELECT lt, d, c,
+             |    ROW_NUMBER() OVER (ORDER BY lt) AS r,
+             |    CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
+             |      - CAST(COALESCE(SUM(leaving) OVER (ORDER BY lt
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS BIGINT) AS n_risk
+             |  FROM byt),
+             |km AS (
+             |  SELECT r, lt, d, c, n_risk,
+             |    CASE WHEN d > 0
+             |      THEN (1000000000 * (n_risk - d)) // n_risk
+             |      ELSE CAST(1000000000 AS BIGINT) END AS surv
+             |  FROM ord WHERE r = 1
+             |  UNION ALL
+             |  SELECT o.r, o.lt, o.d, o.c, o.n_risk,
+             |    CASE WHEN o.d > 0
+             |      THEN (p.surv * (o.n_risk - o.d)) // o.n_risk
+             |      ELSE p.surv END AS surv
+             |  FROM km p JOIN ord o ON o.r = p.r + 1)
+             |SELECT lt AS t, n_risk, d AS n_deaths, c AS n_censored,
+             |  CAST(surv AS DOUBLE) / 1e9 AS survival
+             |FROM km WHERE d > 0 ORDER BY t""".stripMargin)),
+
     // Viterbi decoding of a 2-state HMM (quiet/busy regimes) over the
     // daily purchase-volume sign sequence — probabilistic sequence
     // models are the step past ts_markov_transitions' raw counts, and

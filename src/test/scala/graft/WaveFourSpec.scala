@@ -288,6 +288,42 @@ class WaveFourSpec extends AnyFunSuite {
     assert(obs.toSeq == counts.map(c => if (c * n > tot) 1 else 0).toSeq)
   }
 
+  test("llm_budget_select: selection fits the budget and never exceeds counts") {
+    val rows = q("llm_budget_select").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "selected <= docs per source")
+      assert(r.getLong(3) >= 0)
+    }
+    val totalTokens = Tables.documents(spark, TestSpark.sf0001)
+      .select(functions.TextUdfs.tokenizeCol(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .agg(sum(size(col("t")).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum <= totalTokens / 4,
+      "greedy prefix must respect the token budget")
+    assert(rows.map(_.getLong(2)).sum > 0, "budget must admit some docs")
+  }
+
+  test("ts_kaplan_meier: survival monotone, risk set shrinking, bounded") {
+    val rows = q("ts_kaplan_meier").orderBy("t").collect()
+    assert(rows.nonEmpty, "fixture must yield uncensored error events")
+    var lastS = 1.0 + 1e-12
+    var lastRisk = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1, "emitted rows are death times")
+      assert(r.getLong(1) < lastRisk, "risk set strictly shrinks")
+      lastRisk = r.getLong(1)
+      val sv = r.getDouble(4)
+      // S hits exactly 0 when the largest observed time is a death
+      assert(sv >= 0.0 && sv <= lastS,
+        s"survival must be non-increasing: $sv")
+      lastS = sv
+    }
+    val nUsers = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) <= nUsers)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
