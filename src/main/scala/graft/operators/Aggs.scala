@@ -2806,6 +2806,106 @@ object Aggs {
              |SELECT n, n11, n10, n01, n00,
              |  CAST(n * (n11 + n00) - chance AS DOUBLE)
              |    / CAST(n * n - chance AS DOUBLE) AS kappa
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Log-rank test — "do the two cohorts' survival curves differ?",
+    // the standard companion to ts_kaplan_meier (A/B of
+    // time-to-first-error between even/odd user cohorts, censoring
+    // respected). Per pooled death time, at-risk counts and deaths are
+    // EXACT integers (the at-risk join fans the user table over the
+    // ≤|days| death-time list — broadcast-sized; at corpus scale the
+    // same numbers come from a per-lifetime suffix sum, no semantic
+    // change); the O−E and hypergeometric-variance terms are then
+    // folded in strict t order on both engines (index-order-fold /
+    // SQL_DOT device), so z ships as an unrounded identical double.
+    Q("stat_logrank_test",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("dn"),
+            col("event_type"))
+          .groupBy("user_id")
+          .agg(min("dn").as("f"), max("dn").as("l"),
+            min(when(col("event_type") === "error", col("dn"))).as("e"))
+          .withColumn("g", (col("user_id") % 2).cast("long"))
+          .withColumn("death", col("e").isNotNull.cast("long"))
+          .withColumn("lt",
+            when(col("e").isNull, col("l") - col("f"))
+              .otherwise(col("e") - col("f")))
+          .select("g", "death", "lt")
+        val dtimes = users.filter(col("death") === 1L)
+          .select(col("lt").as("t")).distinct()
+        val atRisk = dtimes.join(users, col("lt") >= col("t"))
+          .groupBy("t")
+          .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("g") === 0L && col("death") === 1L &&
+              col("lt") === col("t"), 1L).otherwise(0L)).as("d1"),
+            sum(when(col("death") === 1L && col("lt") === col("t"), 1L)
+              .otherwise(0L)).as("dt"))
+        atRisk
+          .agg(count(lit(1)).as("n_death_times"),
+            sort_array(collect_list(struct(col("t"), col("n1"), col("n2"),
+              col("d1"), col("dt")))).as("cs"))
+          .select(col("n_death_times"),
+            expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) ->
+              acc + (CAST(x.d1 AS DOUBLE)
+                - CAST(x.dt AS DOUBLE) * CAST(x.n1 AS DOUBLE)
+                  / CAST(x.n1 + x.n2 AS DOUBLE)))""").as("o_minus_e"),
+            expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) ->
+              acc + (CASE WHEN x.n1 + x.n2 > 1
+                THEN CAST(x.dt AS DOUBLE) * CAST(x.n1 AS DOUBLE)
+                  * CAST(x.n2 AS DOUBLE)
+                  * CAST(x.n1 + x.n2 - x.dt AS DOUBLE)
+                  / (CAST(x.n1 + x.n2 AS DOUBLE)
+                    * CAST(x.n1 + x.n2 AS DOUBLE)
+                    * CAST(x.n1 + x.n2 - 1 AS DOUBLE))
+                ELSE CAST(0.0 AS DOUBLE) END))""").as("var_sum"))
+          .withColumn("z_logrank", col("o_minus_e") / sqrt(col("var_sum")))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id % 2 AS g,
+             |    CASE WHEN e IS NULL THEN 0 ELSE 1 END AS death,
+             |    CASE WHEN e IS NULL THEN l - f ELSE e - f END AS lt
+             |  FROM (
+             |    SELECT user_id, MIN(dn) AS f, MAX(dn) AS l,
+             |      MIN(CASE WHEN event_type = 'error' THEN dn END) AS e
+             |    FROM (SELECT user_id, event_type,
+             |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |          AS dn FROM events) x
+             |    GROUP BY user_id) u),
+             |dtimes AS (SELECT DISTINCT lt AS t FROM users WHERE death = 1),
+             |ar AS (
+             |  SELECT t,
+             |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN g = 0 AND death = 1 AND lt = t
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(SUM(CASE WHEN death = 1 AND lt = t
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS dt
+             |  FROM dtimes JOIN users ON lt >= t GROUP BY t),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_death_times,
+             |    list(list_value(CAST(n1 AS DOUBLE), CAST(n2 AS DOUBLE),
+             |      CAST(d1 AS DOUBLE), CAST(dt AS DOUBLE)) ORDER BY t)
+             |      AS cs
+             |  FROM ar)
+             |SELECT n_death_times,
+             |  list_sum(list_transform(cs, x ->
+             |    x[3] - x[4] * x[1] / (x[1] + x[2]))) AS o_minus_e,
+             |  list_sum(list_transform(cs, x ->
+             |    CASE WHEN x[1] + x[2] > 1
+             |      THEN x[4] * x[1] * x[2] * (x[1] + x[2] - x[4])
+             |        / ((x[1] + x[2]) * (x[1] + x[2]) * (x[1] + x[2] - 1))
+             |      ELSE 0.0 END)) AS var_sum,
+             |  list_sum(list_transform(cs, x ->
+             |    x[3] - x[4] * x[1] / (x[1] + x[2])))
+             |  / sqrt(list_sum(list_transform(cs, x ->
+             |    CASE WHEN x[1] + x[2] > 1
+             |      THEN x[4] * x[1] * x[2] * (x[1] + x[2] - x[4])
+             |        / ((x[1] + x[2]) * (x[1] + x[2]) * (x[1] + x[2] - 1))
+             |      ELSE 0.0 END))) AS z_logrank
+             |FROM agg""".stripMargin))
   )
 }

@@ -1234,6 +1234,140 @@ object TextAnalysis {
              |  FROM (SELECT doc_id, lang,
              |      regexp_extract_all(text, '.') AS chars
              |    FROM documents) t1) t2
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Bradley–Terry preference-strength fitting (the model under
+    // RLHF reward aggregation, chess Elo's closed-form cousin) over
+    // source-vs-source quality duels: in every (lang, doc_id%7) cell,
+    // source A beats B when its mean quality·10⁴ is higher — compared
+    // by EXACT integer cross-multiplication (ΣqA·nB vs ΣqB·nA), so
+    // the game table is float-free. The MM fixed-point iterations
+    // (Hunter 2004) w ← W / Σ n/(wᵢ+wⱼ) then run on the MODEL-SIZED
+    // pair matrix driver-side (codebook split; ≤190 pairs whatever the
+    // corpus), with Laplace half-wins keeping every player positive,
+    // opponent folds in ascending-name order, and per-round
+    // max-normalization (order-free). The oracle unrolls the same 8
+    // rounds as MATERIALIZED CTEs with list(… ORDER BY j) folds — the
+    // pagerank device at model scale.
+    Q("llm_bradley_terry",
+      (s, d) => {
+        import s.implicits._
+        val ITERS = 8
+        val q10k = floor((lit(0.4) *
+          least(size(col("t")).cast("double") / 50.0, lit(1.0)) +
+          lit(0.4) * (lit(1.0) -
+            size(filter(col("t"), x => x.isInCollection(STOP)))
+              .cast("double") / size(col("t"))) +
+          lit(0.2) * least((col("nl").cast("double") / size(col("t"))) / 8.0,
+            lit(1.0))) * 10000.0 + 0.5).cast("long")
+        val cells = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            TextUdfs.tokenizeCol(col("text")).as("t"),
+            length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .as("nl"))
+          .withColumn("q", q10k)
+          .groupBy(col("lang"), (col("doc_id") % 7).as("bucket"),
+            col("source"))
+          .agg(sum("q").as("qs"), count(lit(1)).as("nq"))
+        val duels = cells.as("a").join(cells.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.source") < col("b.source"))
+          .select(col("a.source").as("i"), col("b.source").as("j"),
+            (col("a.qs") * col("b.nq")).as("xa"),
+            (col("b.qs") * col("a.nq")).as("xb"))
+          .withColumn("wa", when(col("xa") > col("xb"), 1L).otherwise(0L))
+          .withColumn("wb", when(col("xb") > col("xa"), 1L).otherwise(0L))
+          .filter(col("wa") + col("wb") > 0)
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"), sum("wa").as("wi"), sum("wb").as("wj"))
+          .collect()
+        // model-sized MM fixed point (driver-side, exact mirror of the
+        // oracle's unrolled rounds)
+        val dir = duels.flatMap { r =>
+          val (i, j, n, wi, wj) = (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))
+          Seq((i, j, n, wi), (j, i, n, wj))
+        }
+        val players = dir.map(_._1).distinct.sorted
+        val opp = dir.groupBy(_._1).map { case (p, rs) =>
+          p -> rs.sortBy(_._2).map(t => (t._2, (t._3 + 1).toDouble))
+        }
+        val wTot = dir.groupBy(_._1).map { case (p, rs) =>
+          p -> (rs.map(_._4).sum.toDouble + 0.5 * rs.length)
+        }
+        val rawG = dir.groupBy(_._1).map { case (p, rs) =>
+          p -> rs.map(_._3).sum
+        }
+        val rawW = dir.groupBy(_._1).map { case (p, rs) =>
+          p -> rs.map(_._4).sum
+        }
+        var rating = players.map(_ -> 1.0).toMap
+        for (_ <- 1 to ITERS) {
+          val raw = players.map { p =>
+            val den = opp(p).foldLeft(0.0) { case (acc, (o, nD)) =>
+              acc + nD / (rating(p) + rating(o))
+            }
+            p -> wTot(p) / den
+          }.toMap
+          val m = raw.values.max
+          rating = raw.map { case (p, v) => p -> v / m }
+        }
+        players.map(p => (p, rawG(p), rawW(p), rating(p)))
+          .toSeq.toDF("source", "n_games", "n_wins", "bt_rating")
+          .orderBy("source")
+      }, {
+        def iter(k: Int): String =
+          s"""d$k AS MATERIALIZED (
+             |  SELECT g.player,
+             |    list_sum(list(g.nd / (ri.r + rj.r) ORDER BY g.opp)) AS den
+             |  FROM games2 g
+             |  JOIN r${k - 1} ri ON ri.player = g.player
+             |  JOIN r${k - 1} rj ON rj.player = g.opp
+             |  GROUP BY g.player),
+             |r$k AS MATERIALIZED (
+             |  SELECT w.player,
+             |    (w.wsm / d.den) / (SELECT MAX(w2.wsm / d2.den)
+             |      FROM wtot w2 JOIN d$k d2 ON d2.player = w2.player) AS r
+             |  FROM wtot w JOIN d$k d ON d.player = w.player)""".stripMargin
+        Some(s"""WITH cells AS (
+             |  SELECT lang, doc_id % 7 AS bucket, source,
+             |    CAST(SUM(CAST(floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+             |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+             |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs,
+             |    CAST(COUNT(*) AS BIGINT) AS nq
+             |  FROM (SELECT doc_id, lang, source, $SQL_TOKENIZE AS t,
+             |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+             |        FROM documents) x
+             |  GROUP BY 1, 2, 3),
+             |duels AS (
+             |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(wa) AS BIGINT) AS wi, CAST(SUM(wb) AS BIGINT) AS wj
+             |  FROM (
+             |    SELECT a.source AS i, b.source AS j,
+             |      CASE WHEN a.qs * b.nq > b.qs * a.nq THEN 1 ELSE 0 END AS wa,
+             |      CASE WHEN b.qs * a.nq > a.qs * b.nq THEN 1 ELSE 0 END AS wb
+             |    FROM cells a JOIN cells b
+             |      ON a.lang = b.lang AND a.bucket = b.bucket
+             |     AND a.source < b.source) p
+             |  WHERE wa + wb > 0 GROUP BY i, j),
+             |games2 AS (
+             |  SELECT i AS player, j AS opp, CAST(n + 1 AS DOUBLE) AS nd,
+             |    n, wi AS w FROM duels
+             |  UNION ALL
+             |  SELECT j AS player, i AS opp, CAST(n + 1 AS DOUBLE) AS nd,
+             |    n, wj AS w FROM duels),
+             |wtot AS (
+             |  SELECT player, CAST(SUM(w) AS DOUBLE) + 0.5 * COUNT(*) AS wsm,
+             |    CAST(SUM(n) AS BIGINT) AS n_games,
+             |    CAST(SUM(w) AS BIGINT) AS n_wins
+             |  FROM games2 GROUP BY player),
+             |r0 AS (SELECT player, 1e0 AS r FROM wtot),
+             |${(1 to 8).map(iter).mkString(",\n")}
+             |SELECT w.player AS source, w.n_games, w.n_wins,
+             |  r.r AS bt_rating
+             |FROM wtot w JOIN r8 r ON r.player = w.player
+             |ORDER BY source""".stripMargin)
+      })
   )
 }

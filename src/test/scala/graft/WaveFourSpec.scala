@@ -324,6 +324,29 @@ class WaveFourSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) <= nUsers)
   }
 
+  test("stat_logrank_test: variance positive, |z| finite, counts bounded") {
+    val r = q("stat_logrank_test").head()
+    assert(r.getLong(0) >= 1)
+    assert(r.getDouble(2) > 0.0, "pooled hypergeometric variance positive")
+    assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    assert(math.abs(r.getDouble(3) - r.getDouble(1) /
+      math.sqrt(r.getDouble(2))) < 1e-12, "z = (O-E)/sqrt(V) identity")
+  }
+
+  test("llm_bradley_terry: ratings in (0,1], max attained, deterministic") {
+    val rows = q("llm_bradley_terry").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "wins <= games")
+      assert(r.getLong(1) >= 1)
+    }
+    assert(rows.map(_.getDouble(3)).max == 1.0, "max-normalized fixed point")
+    val again = q("llm_bradley_terry").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "MM fixed point must be run-to-run deterministic")
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
