@@ -2906,6 +2906,129 @@ object Aggs {
              |      THEN x[4] * x[1] * x[2] * (x[1] + x[2] - x[4])
              |        / ((x[1] + x[2]) * (x[1] + x[2]) * (x[1] + x[2] - 1))
              |      ELSE 0.0 END))) AS z_logrank
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // McNemar's test — the PAIRED complement to stat_cohens_kappa:
+    // same two quality gates, but asking "do they disagree
+    // SYMMETRICALLY?" (a one-sided disagreement means one gate is
+    // systematically stricter — the drift check when a cheap filter
+    // replaces an expensive one). Only the discordant cells enter:
+    // χ² = (n10−n01)²/(n10+n01), an exact BIGINT rational served with
+    // one mirrored division, plus the continuity-corrected variant.
+    // One corpus pass, 1-row output.
+    Q("stat_mcnemar",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ra", (col("n_chars") >= 200).cast("long"))
+          .withColumn("rb",
+            (size(split(col("text"), " ")) >= 40).cast("long"))
+        t.agg(
+            sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+            sum((lit(1L) - col("ra")) * col("rb")).as("n01"))
+          .select(col("n10"), col("n01"),
+            (((col("n10") - col("n01")) * (col("n10") - col("n01")))
+              .cast("double") / (col("n10") + col("n01")).cast("double"))
+              .as("chi2"),
+            ((abs(col("n10") - col("n01")) - 1) *
+              (abs(col("n10") - col("n01")) - 1)).cast("double")
+              ./((col("n10") + col("n01")).cast("double"))
+              .as("chi2_corrected"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+             |    CASE WHEN len(string_split(text, ' ')) >= 40
+             |      THEN 1 ELSE 0 END AS rb
+             |  FROM documents),
+             |c AS (
+             |  SELECT CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01
+             |  FROM r)
+             |SELECT n10, n01,
+             |  CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             |    / CAST(n10 + n01 AS DOUBLE) AS chi2,
+             |  CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+             |    / CAST(n10 + n01 AS DOUBLE) AS chi2_corrected
+             |FROM c""".stripMargin)),
+
+    // Two-proportion power analysis — "how many users per arm does the
+    // NEXT experiment need?": the sample-size calculator every
+    // experimentation platform runs before stat_ab_test runs after.
+    // Baseline conversion is measured from the corpus (exact integer
+    // counts); α=.05 two-sided and power=.80 enter as the standard
+    // normal quantiles — spliced as identical literal doubles, never a
+    // cross-engine quantile call — and n per arm follows the classic
+    // (z_α√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/Δ² closed form for relative
+    // MDEs of 2/5/10%, ceil'd to integers via floor(x)+1-on-fraction
+    // (both engines lack a shared ceil-on-double-to-BIGINT idiom, so
+    // the mirrored floor arithmetic is explicit). One corpus pass,
+    // 3-row output.
+    Q("stat_power_twoprop",
+      (s, d) => {
+        val za = 1.9599639845400545 // Phi^-1(0.975)
+        val zb = 0.8416212335729143 // Phi^-1(0.80)
+        // heavy-purchaser conversion (>=14 purchase events, the
+        // stat_ab_test definition): has-any-purchase is degenerate
+        // p~1 in this fixture, which pushes p2 = p1*(1+MDE) past 1
+        val base = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        val mdes = Seq(0.02, 0.05, 0.10)
+        mdes.map { m =>
+          base.select(lit(m).as("mde_rel"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users")).as("p1"))
+            .withColumn("p2", col("p1") * (1.0 + m))
+            .withColumn("pbar", (col("p1") + col("p2")) / 2.0)
+            .withColumn("nf",
+              (lit(za) * sqrt(lit(2.0) * col("pbar") *
+                (lit(1.0) - col("pbar"))) +
+                lit(zb) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+                  col("p2") * (lit(1.0) - col("p2")))) *
+                (lit(za) * sqrt(lit(2.0) * col("pbar") *
+                  (lit(1.0) - col("pbar"))) +
+                  lit(zb) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+                    col("p2") * (lit(1.0) - col("p2")))) /
+                ((col("p2") - col("p1")) * (col("p2") - col("p1"))))
+            .select(col("mde_rel"), col("n_users"), col("n_conv"), col("p1"),
+              (floor(col("nf")).cast("long") +
+                when(col("nf") > floor(col("nf")), 1L).otherwise(0L))
+                .as("n_per_arm"))
+        }.reduce(_.unionByName(_)).orderBy("mde_rel")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+              |    CAST(SUM(conv) AS BIGINT) AS n_conv
+              |  FROM (SELECT user_id,
+              |      CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+              |          THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+              |    FROM events GROUP BY user_id) u),
+              |m AS (SELECT * FROM (VALUES (CAST(0.02 AS DOUBLE)),
+              |    (CAST(0.05 AS DOUBLE)), (CAST(0.10 AS DOUBLE)))
+              |  t(mde_rel)),
+              |p AS (
+              |  SELECT m.mde_rel, b.n_users, b.n_conv,
+              |    CAST(b.n_conv AS DOUBLE) / b.n_users AS p1
+              |  FROM m, base b),
+              |e AS (
+              |  SELECT *, p1 * (1.0 + mde_rel) AS p2,
+              |    (p1 + p1 * (1.0 + mde_rel)) / 2.0 AS pbar
+              |  FROM p),
+              |f AS (
+              |  SELECT mde_rel, n_users, n_conv, p1,
+              |    (CAST('1.9599639845400545' AS DOUBLE)
+              |        * sqrt(2.0 * pbar * (1.0 - pbar))
+              |      + CAST('0.8416212335729143' AS DOUBLE)
+              |        * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              |    * (CAST('1.9599639845400545' AS DOUBLE)
+              |        * sqrt(2.0 * pbar * (1.0 - pbar))
+              |      + CAST('0.8416212335729143' AS DOUBLE)
+              |        * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              |    / ((p2 - p1) * (p2 - p1)) AS nf
+              |  FROM e)
+              |SELECT mde_rel, n_users, n_conv, p1,
+              |  CAST(floor(nf) AS BIGINT)
+              |    + CASE WHEN nf > floor(nf) THEN 1 ELSE 0 END AS n_per_arm
+              |FROM f ORDER BY mde_rel""".stripMargin))
   )
 }

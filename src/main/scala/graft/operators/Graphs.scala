@@ -1005,9 +1005,159 @@ object Graphs {
     Q("graph_hits", fn, Some(sql))
   }
 
+  /** Borůvka maximum-affinity spanning forest — each round every
+    * component claims its best incident cross-edge (max shared-cell
+    * affinity, i.e. min cost = −shared) and the claimed edges contract
+    * components; components at least halve per round, so ROUNDS=12
+    * covers ≥4096 initial components and later rounds are provable
+    * no-ops. Determinism needs NO distinct-weight assumption: the
+    * claim order is the STRICT total order (cost, u, v), under which
+    * the greedy forest is unique — so Spark's `min(struct(cost,u,v))`
+    * and the oracle's `first(… ORDER BY cost,u,v)` provably pick the
+    * same edges, and the classic no-cycle argument goes through
+    * verbatim. Per round, contraction = connected components of the
+    * MODEL-SIZED claimed-edge graph (≤ one edge per component) via the
+    * lineage-truncating [[graft.api.Graph.connectedComponents]]; a
+    * 1-row existence probe exits early once no cross-edge remains (a
+    * bounded driver check, not a data collect). The oracle unrolls
+    * every round: claim (MATERIALIZED), contract (a recursive
+    * walk per round — the graph_components device), relabel.
+    */
+  private def mstQuery: Q = {
+    val ROUNDS = 12
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val a = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("h")).distinct()
+      val ok = a.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
+        .drop("k")
+      val af = a.join(ok, Seq("event_type", "h"))
+      val ew = af.as("a").join(af.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.h") === col("b.h") &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("cost", -col("shared"))
+        .localCheckpoint()
+      val nodes = ew.select(col("u").as("node"))
+        .unionByName(ew.select(col("v").as("node"))).distinct()
+      var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+      var mst = ew.filter(lit(false))
+        .select(col("u"), col("v"), col("shared"))
+      var live = true
+      for (_ <- 1 to ROUNDS if live) {
+        val cross = ew
+          .join(labels.select(col("node").as("nu"), col("comp").as("cu")),
+            col("u") === col("nu"))
+          .join(labels.select(col("node").as("nv"), col("comp").as("cv")),
+            col("v") === col("nv"))
+          .filter(col("cu") =!= col("cv"))
+          .select(col("cu"), col("cv"), col("u"), col("v"), col("cost"),
+            col("shared"))
+          .localCheckpoint()
+        if (cross.limit(1).count() == 0) { live = false }
+        else {
+          val inc = cross.select(col("cu").as("comp"), col("cost"),
+              col("u"), col("v"), col("shared"))
+            .unionByName(cross.select(col("cv").as("comp"), col("cost"),
+              col("u"), col("v"), col("shared")))
+          val sel = inc.groupBy("comp")
+            .agg(min(struct(col("cost"), col("u"), col("v"),
+              col("shared"))).as("m"))
+            .select(col("m.u").as("u"), col("m.v").as("v"),
+              col("m.shared").as("shared"))
+            .distinct()
+            .localCheckpoint()
+          mst = mst.unionByName(sel).localCheckpoint()
+          val ce0 = sel
+            .join(labels.select(col("node").as("nu"), col("comp").as("x")),
+              col("u") === col("nu"))
+            .join(labels.select(col("node").as("nv"), col("comp").as("y")),
+              col("v") === col("nv"))
+            .select(col("x"), col("y"))
+          val ce = ce0.unionByName(ce0.select(col("y").as("x"),
+            col("x").as("y"))).distinct()
+          val cc = graft.api.Graph.connectedComponents(ce, "x", "y")
+          labels = labels.as("l")
+            .join(cc, col("l.comp") === cc("node"), "left")
+            .select(col("l.node").as("node"),
+              coalesce(cc("component"), col("l.comp")).as("comp"))
+            .localCheckpoint()
+        }
+      }
+      mst.orderBy("u", "v")
+    }
+    def round(k: Int): String =
+      s"""cross$k AS MATERIALIZED (
+         |  SELECT lu.comp AS cu, lv.comp AS cv, e.u, e.v, e.cost, e.shared
+         |  FROM ew e
+         |  JOIN lab${k - 1} lu ON lu.node = e.u
+         |  JOIN lab${k - 1} lv ON lv.node = e.v
+         |  WHERE lu.comp <> lv.comp),
+         |sel$k AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, shared FROM (
+         |    SELECT comp,
+         |      FIRST(u ORDER BY cost, u, v) AS u,
+         |      FIRST(v ORDER BY cost, u, v) AS v,
+         |      FIRST(shared ORDER BY cost, u, v) AS shared
+         |    FROM (
+         |      SELECT cu AS comp, u, v, cost, shared FROM cross$k
+         |      UNION ALL
+         |      SELECT cv AS comp, u, v, cost, shared FROM cross$k) i
+         |    GROUP BY comp) t),
+         |ce$k AS MATERIALIZED (
+         |  SELECT x, y FROM (
+         |    SELECT lu.comp AS x, lv.comp AS y
+         |    FROM sel$k s
+         |    JOIN lab${k - 1} lu ON lu.node = s.u
+         |    JOIN lab${k - 1} lv ON lv.node = s.v
+         |    UNION
+         |    SELECT lv.comp AS x, lu.comp AS y
+         |    FROM sel$k s
+         |    JOIN lab${k - 1} lu ON lu.node = s.u
+         |    JOIN lab${k - 1} lv ON lv.node = s.v) b),
+         |walk$k AS (
+         |  SELECT x AS node, x AS label FROM (SELECT DISTINCT x FROM ce$k) n
+         |  UNION
+         |  SELECT e.x AS node, w.label
+         |  FROM ce$k e JOIN walk$k w ON e.y = w.node),
+         |cc$k AS (SELECT node, MIN(label) AS component
+         |         FROM walk$k GROUP BY node),
+         |lab$k AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(c.component, l.comp) AS comp
+         |  FROM lab${k - 1} l LEFT JOIN cc$k c ON c.node = l.comp)"""
+        .stripMargin
+    val sql =
+      s"""WITH RECURSIVE
+         |ae0 AS (SELECT DISTINCT user_id, event_type,
+         |          date_trunc('hour', ts) AS h FROM events),
+         |okc AS (SELECT event_type, h FROM ae0
+         |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
+         |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
+         |ew AS MATERIALIZED (
+         |  SELECT a.user_id AS u, b.user_id AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS shared,
+         |    -CAST(COUNT(*) AS BIGINT) AS cost
+         |  FROM ae a JOIN ae b
+         |    ON a.event_type = b.event_type AND a.h = b.h
+         |   AND a.user_id < b.user_id
+         |  GROUP BY 1, 2),
+         |lab0 AS MATERIALIZED (
+         |  SELECT node, node AS comp FROM (
+         |    SELECT u AS node FROM ew UNION SELECT v AS node FROM ew) n),
+         |${(1 to ROUNDS).map(round).mkString(",\n")}
+         |SELECT DISTINCT u, v, shared FROM (
+         |${(1 to ROUNDS).map(k => s"  SELECT u, v, shared FROM sel$k")
+           .mkString("\n  UNION ALL\n")})
+         |ORDER BY u, v""".stripMargin
+    Q("graph_mst_boruvka", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
-      randomWalkQuery, localClusteringQuery, hitsQuery)
+      randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery)
 }

@@ -190,7 +190,50 @@ object TypedOps {
              |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
              |WHERE c.c_mktsegment = 'BUILDING'
              |GROUP BY c.c_custkey, c.c_name
-             |ORDER BY c.c_custkey""".stripMargin))
+             |ORDER BY c.c_custkey""".stripMargin)),
+
+    // flatMapGroups — the variable-arity typed entry point (mapGroups
+    // emits exactly one row per key; flatMapGroups emits any number):
+    // top-2 orders per status via a bounded 2-slot insertion pass, so
+    // group state stays O(1) however large the group — the pattern for
+    // typed per-key top-k emission. Exact total order (price DESC,
+    // orderkey ASC), comparisons only.
+    Q("ds_typed_flatmap",
+      (s, d) => {
+        implicit val rowEnc = Encoders.product[OrderRow]
+        implicit val keyEnc = Encoders.STRING
+        implicit val outEnc = Encoders.tuple(Encoders.STRING,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .as[OrderRow]
+          .groupByKey(_.o_orderstatus)
+          .flatMapGroups { (status, rows) =>
+            var b1: OrderRow = null; var b2: OrderRow = null
+            def better(a: OrderRow, b: OrderRow): Boolean =
+              b == null || a.o_totalprice > b.o_totalprice ||
+                (a.o_totalprice == b.o_totalprice &&
+                  a.o_orderkey < b.o_orderkey)
+            rows.foreach { r =>
+              if (better(r, b1)) { b2 = b1; b1 = r }
+              else if (better(r, b2)) b2 = r
+            }
+            Seq(b1, b2).filter(_ != null).zipWithIndex.map {
+              case (r, i) => (status, (i + 1).toLong, r.o_orderkey,
+                r.o_totalprice)
+            }.iterator
+          }
+          .toDF("o_orderstatus", "rank", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderstatus", "rank")
+      },
+      Some("""SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank,
+             |  o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 2 ORDER BY o_orderstatus, rank""".stripMargin))
   )
 
   case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)

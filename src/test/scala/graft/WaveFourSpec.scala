@@ -347,6 +347,81 @@ class WaveFourSpec extends AnyFunSuite {
       "MM fixed point must be run-to-run deterministic")
   }
 
+  test("graph_mst_boruvka: equals a driver-side Kruskal under the same order") {
+    val got = q("graph_mst_boruvka").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent reference: Kruskal with union-find on the collected
+    // weighted edge list, same strict (cost, u, v) order
+    val ew = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).distinct()
+    val ok = ew.groupBy("event_type", "h").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= 12).drop("k")
+    val af = ew.join(ok, Seq("event_type", "h"))
+    val edges = af.as("a").join(af.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("shared")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = scala.collection.mutable.Set[(Long, Long, Long)]()
+    edges.sortBy { case (u, v, sh) => (-sh, u, v) }.foreach {
+      case (u, v, sh) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(ru) = rv; kruskal += ((u, v, sh)) }
+    }
+    assert(got == kruskal.toSet,
+      s"Boruvka forest (${got.size} edges) must equal Kruskal " +
+        s"(${kruskal.size} edges) under the shared total order")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.size <= nodes.length - 1, "forest bound")
+  }
+
+  test("stat_mcnemar and stat_power_twoprop: closed forms hold") {
+    val m = q("stat_mcnemar").head()
+    val (n10, n01) = (m.getLong(0), m.getLong(1))
+    assert(m.getDouble(2) ==
+      ((n10 - n01) * (n10 - n01)).toDouble / (n10 + n01))
+    assert(m.getDouble(3) <= m.getDouble(2) + 1e-12,
+      "continuity correction cannot increase chi2")
+    val p = q("stat_power_twoprop").orderBy("mde_rel").collect()
+    assert(p.length == 3)
+    // larger MDE -> smaller required n, strictly
+    assert(p(0).getLong(4) > p(1).getLong(4))
+    assert(p(1).getLong(4) > p(2).getLong(4))
+    p.foreach(r => assert(r.getLong(4) >= 1))
+  }
+
+  test("ds_typed_flatmap: per-status top-2 matches the columnar window") {
+    val rows = q("ds_typed_flatmap").collect()
+    val byStatus = rows.groupBy(_.getString(0))
+    byStatus.foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      if (rs.length == 2) {
+        val Array(a, b) = rs.sortBy(_.getLong(1))
+        assert(a.getDouble(3) > b.getDouble(3) ||
+          (a.getDouble(3) == b.getDouble(3) &&
+            a.getLong(2) < b.getLong(2)), "rank order respects total order")
+      }
+    }
+    val direct = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 2)
+      .select("o_orderstatus", "rn", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(rows.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
