@@ -2908,6 +2908,70 @@ object Aggs {
              |      ELSE 0.0 END))) AS z_logrank
              |FROM agg""".stripMargin)),
 
+    // Anderson–Darling uniformity audit of the md5 sampling coin — the
+    // DQ test for the HASH INFRASTRUCTURE itself: every sampling /
+    // splitting / sketching operator in this library trusts
+    // hex15(md5(id))/2⁶⁰ to be U(0,1), and A² is the standard
+    // tail-sensitive way to check it. The classic statistic needs a
+    // data-length ordered float sum; here each (2i−1)(ln uᵢ +
+    // ln(1−u_{n+1−i})) term is rounded to MICRO-unit BIGINTs first
+    // (the ts_cusum device: a 1-ulp cross-engine ln wobble is 10⁻⁷ of
+    // the rounding grid), so the global reduction is a plain exact
+    // integer SUM — map-side combined, NO ordering device at any
+    // scale. The one global row_number is the honest cost (range-sort;
+    // zonal rank offsets at 100 TB, same semantics).
+    Q("stat_anderson_darling",
+      (s, d) => {
+        val wOrd = Window.orderBy("u", "doc_id")
+        val u = Tables.documents(s, d)
+          .select(col("doc_id"),
+            ((conv(substring(md5(concat(lit("ad:"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").cast("double") + 0.5) /
+              lit(1152921504606846976.0)).as("u"))
+        val r = u.withColumn("i", row_number().over(wOrd).cast("long"))
+        val n = r.agg(count(lit(1)).as("n"))
+        val paired = r.as("a").crossJoin(n)
+          .join(r.as("b").select(col("b.i").as("j"), col("b.u").as("u2")),
+            col("j") === col("n") + 1 - col("a.i"))
+          .select(col("a.i"), col("n"),
+            ((lit(2L) * col("a.i") - 1).cast("double") *
+              (log(col("a.u")) + log(lit(1.0) - col("u2")))).as("term"))
+          .select(col("n"), round(col("term") * 1e6).cast("long").as("t6"))
+        paired.groupBy("n").agg(sum("t6").as("s6"))
+          .select(col("n"),
+            round(-col("n").cast("double") -
+              col("s6").cast("double") / 1e6 / col("n").cast("double"), 4)
+              .as("a2"),
+            (round(-col("n").cast("double") -
+              col("s6").cast("double") / 1e6 / col("n").cast("double"), 4)
+              > 2.492).as("reject_uniform_5pct"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id,
+              |    (CAST(${SQL_HEX15_AGGS("md5('ad:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) + 0.5)
+              |      / CAST(1152921504606846976 AS DOUBLE) AS u
+              |  FROM documents),
+              |r AS (SELECT doc_id, u,
+              |    ROW_NUMBER() OVER (ORDER BY u, doc_id) AS i
+              |  FROM u),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+              |paired AS (
+              |  SELECT nn.n,
+              |    CAST(round(CAST(2 * a.i - 1 AS DOUBLE)
+              |      * (ln(a.u) + ln(1.0 - b.u)) * 1000000.0) AS BIGINT)
+              |      AS t6
+              |  FROM r a JOIN nn ON TRUE
+              |  JOIN r b ON b.i = nn.n + 1 - a.i)
+              |SELECT n,
+              |  round(-CAST(n AS DOUBLE)
+              |    - CAST(SUM(t6) AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE),
+              |    4) AS a2,
+              |  round(-CAST(n AS DOUBLE)
+              |    - CAST(SUM(t6) AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE),
+              |    4) > 2.492 AS reject_uniform_5pct
+              |FROM paired GROUP BY n""".stripMargin)),
+
     // McNemar's test — the PAIRED complement to stat_cohens_kappa:
     // same two quality gates, but asking "do they disagree
     // SYMMETRICALLY?" (a one-sided disagreement means one gate is

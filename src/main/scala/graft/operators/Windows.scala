@@ -2358,6 +2358,54 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Peak detection over the hourly event-count series: a peak is a
+    // STRICT local maximum (beats both neighbors) that also clears the
+    // exact 75th-percentile load (type-1 discrete quantile on BIGINTs —
+    // percentile_disc / quantile_disc agree, the stat_runs_test
+    // device), the alert-worthy-spike definition of every traffic
+    // monitor. All integer comparisons, two lag/lead kernels over the
+    // calendar-bounded hourly aggregate (fact collapsed first), plus
+    // each peak's prominence-lite context (rise from the lower
+    // neighbor). Zero float anywhere.
+    Q("ts_peak_detection",
+      (s, d) => {
+        val wOrd = Window.orderBy("h")
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val q75 = hourly.agg(
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("q"))
+        hourly.crossJoin(q75)
+          .withColumn("prev", lag("c", 1).over(wOrd))
+          .withColumn("next", lead("c", 1).over(wOrd))
+          .filter(col("prev").isNotNull && col("next").isNotNull &&
+            col("c") > col("prev") && col("c") > col("next") &&
+            col("c") >= col("q"))
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("c"), col("prev"), col("next"), col("q").as("q75"),
+            (col("c") - greatest(col("prev"), col("next"))).as("rise"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |q AS (SELECT CAST(quantile_disc(c, 0.75) AS BIGINT) AS q75
+             |      FROM hourly),
+             |k AS (
+             |  SELECT h, c,
+             |    LAG(c, 1) OVER (ORDER BY h) AS prev,
+             |    LEAD(c, 1) OVER (ORDER BY h) AS next
+             |  FROM hourly)
+             |SELECT strftime(k.h, '%Y-%m-%d %H:%M:%S') AS hour,
+             |  k.c, k.prev, k.next, q.q75,
+             |  k.c - GREATEST(k.prev, k.next) AS rise
+             |FROM k, q
+             |WHERE k.prev IS NOT NULL AND k.next IS NOT NULL
+             |  AND k.c > k.prev AND k.c > k.next AND k.c >= q.q75
+             |ORDER BY hour""".stripMargin)),
+
     // Kaplan–Meier time-to-first-error survival: per user, the event
     // is the FIRST error day after their first activity; users who
     // never error are right-CENSORED at their last observed day — a
