@@ -55,6 +55,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-9 third-session queries have no scan-all/nested-loop surprises") {
+    val names = Seq("win_slope_rolling", "stat_welch_ttest",
+      "stat_trend_armitage", "stat_capture_recapture",
+      "win_islands_activity", "ts_decompose_ma", "ts_concurrency_sweep",
+      "ds_typed_cogroup", "fn_collate_compare", "mm_tile_grid",
+      "dq_observe_gate", "fn_aes_roundtrip", "stat_runs_test",
+      "scan_file_metadata", "agg_cms_portable", "stat_cohens_kappa",
+      "fn_xpath_extract", "ts_dtw_distance", "ts_hmm_viterbi",
+      "llm_budget_select", "ts_kaplan_meier", "stat_logrank_test",
+      "llm_bradley_terry", "stat_mcnemar", "stat_power_twoprop",
+      "ds_typed_flatmap", "graph_mst_boruvka", "graph_hits",
+      "ts_peak_detection", "stat_anderson_darling")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("agg_cms_portable: the probe joins the sketch via broadcast") {
+    val p = SparkEntry.queries("agg_cms_portable")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe should broadcast the <=1024-cell sketch:\n$p")
+  }
+
   test("join_dpp_prune: the fact scan carries a dynamic-pruning partition filter") {
     val qe = SparkEntry.queries("join_dpp_prune")(spark, TestSpark.sf0001)
       .queryExecution
