@@ -609,6 +609,71 @@ object ScalarFns {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS key_back,
              |  CAST(len(string_split(n_name, ' ')) AS BIGINT) AS n_words,
              |  string_split(n_name, ' ')[1] AS first_word
-             |FROM nation ORDER BY key_back""".stripMargin))
+             |FROM nation ORDER BY key_back""".stripMargin)),
+
+    // Geohash encoding — the prefix-shardable spatial key (neighbor
+    // lookups = shared prefixes, the standard geo-bucketing device
+    // join_spatial_grid's integer grid approximates). Implemented from
+    // the bit definition with PORTABLE arithmetic only: quantize
+    // lon/lat to 20-bit integers (one identical double multiply +
+    // floor each), interleave via a 20-term fold of (bit·4ⁱ) sums —
+    // no bitwise builtins, so both engines compute the identical
+    // 40-bit code — then 8 base-32 chars by repeated div/mod indexing
+    // into the standard alphabet. Per-row scalar math, zero shuffle
+    // before the final sort.
+    Q("fn_geohash_encode",
+      (s, d) => {
+        val ghAlpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val c = Tables.customer(s, d)
+          .filter(col("c_custkey") % 10 === 0)
+          .withColumn("lat",
+            (col("c_custkey") % 17000).cast("double") / 100.0 - 85.0)
+          .withColumn("lon",
+            (col("c_custkey") * 7 % 36000).cast("double") / 100.0 - 180.0)
+          .withColumn("x", least(floor((col("lon") + 180.0) / 360.0 *
+            1048576.0).cast("long"), lit(1048575L)))
+          .withColumn("y", least(floor((col("lat") + 90.0) / 180.0 *
+            1048576.0).cast("long"), lit(1048575L)))
+          .withColumn("inter", expr(
+            """aggregate(sequence(0, 19), 0L, (acc, i) ->
+              |  acc + ((x div CAST(pow(2, i) AS BIGINT)) % 2)
+              |          * CAST(pow(2, 2 * i + 1) AS BIGINT)
+              |      + ((y div CAST(pow(2, i) AS BIGINT)) % 2)
+              |          * CAST(pow(2, 2 * i) AS BIGINT))""".stripMargin))
+          .withColumn("geohash8", expr(
+            s"""concat_ws('', transform(sequence(0, 7), k ->
+               |  substring('$ghAlpha',
+               |    CAST((inter div CAST(pow(2, 35 - 5 * k) AS BIGINT)) % 32
+               |      AS INT) + 1, 1)))""".stripMargin))
+        c.select(col("c_custkey"), col("lat"), col("lon"), col("inter"),
+          col("geohash8"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey,
+             |    CAST(c_custkey % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+             |    CAST(c_custkey * 7 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+             |  FROM customer WHERE c_custkey % 10 = 0),
+             |q AS (
+             |  SELECT c_custkey, lat, lon,
+             |    LEAST(CAST(floor((lon + 180.0) / 360.0 * 1048576.0)
+             |      AS BIGINT), 1048575) AS x,
+             |    LEAST(CAST(floor((lat + 90.0) / 180.0 * 1048576.0)
+             |      AS BIGINT), 1048575) AS y
+             |  FROM c),
+             |iv AS (
+             |  SELECT c_custkey, lat, lon,
+             |    CAST(list_sum(list_transform(generate_series(0, 19), i ->
+             |      ((x // CAST(pow(2, i) AS BIGINT)) % 2)
+             |        * CAST(pow(2, 2 * i + 1) AS BIGINT)
+             |      + ((y // CAST(pow(2, i) AS BIGINT)) % 2)
+             |        * CAST(pow(2, 2 * i) AS BIGINT))) AS BIGINT) AS inter
+             |  FROM q)
+             |SELECT c_custkey, lat, lon, inter,
+             |  list_aggregate(list_transform(generate_series(0, 7), k ->
+             |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |      CAST((inter // CAST(pow(2, 35 - 5 * k) AS BIGINT)) % 32
+             |        AS INT) + 1, 1)), 'string_agg', '') AS geohash8
+             |FROM iv ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -422,6 +422,40 @@ class WaveFourSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
   }
 
+  test("fn_geohash_encode: matches the classic alternating-bisection encoder") {
+    val rows = q("fn_geohash_encode").collect()
+    assert(rows.nonEmpty)
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // independent reference: textbook alternating interval bisection
+    def ref(lat: Double, lon: Double): String = {
+      var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+      var even = true
+      val bits = (0 until 40).map { _ =>
+        val b = if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { lonLo = mid; 1 } else { lonHi = mid; 0 }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { latLo = mid; 1 } else { latHi = mid; 0 }
+        }
+        even = !even
+        b
+      }
+      bits.grouped(5).map(g =>
+        alpha(g.foldLeft(0)((a, b) => a * 2 + b))).mkString
+    }
+    var checked = 0
+    rows.foreach { r =>
+      val (lat, lon, gh) = (r.getDouble(1), r.getDouble(2), r.getString(4))
+      // quantization floor and bisection agree except exactly on cell
+      // boundaries; fixture coords are 0.01-degree grid points, never
+      // within double-eps of a 2^-20 cell edge
+      assert(gh == ref(lat, lon), s"($lat,$lon): $gh != ${ref(lat, lon)}")
+      checked += 1
+    }
+    assert(checked == rows.length)
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
