@@ -1155,9 +1155,44 @@ object Graphs {
     Q("graph_mst_boruvka", fn, Some(sql))
   }
 
+  /** Freeman degree centralization — "is this graph a star or a
+    * mesh?" in one number: Σ(d_max − dᵢ) over the star-graph maximum
+    * (n−1)(n−2), the standard macro-structure health check next to
+    * assortativity's micro view. Every term exact integer from the one
+    * degree aggregate; a single mirrored division at the end.
+    */
+  private def centralizationQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val deg = edges(s, d).groupBy("u").agg(count(lit(1)).as("deg"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          (sum("deg") / 2).cast("long").as("n_edges"),
+          max("deg").as("max_degree"), sum("deg").as("sdeg"))
+        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+          ((col("n_nodes") * col("max_degree") - col("sdeg")).cast("double") /
+            ((col("n_nodes") - 1) * (col("n_nodes") - 2)).cast("double"))
+            .as("centralization"))
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY u),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+         |    MAX(deg) AS max_degree, CAST(SUM(deg) AS BIGINT) AS sdeg
+         |  FROM deg)
+         |SELECT n_nodes, n_edges, max_degree,
+         |  CAST(n_nodes * max_degree - sdeg AS DOUBLE)
+         |    / CAST((n_nodes - 1) * (n_nodes - 2) AS DOUBLE)
+         |    AS centralization
+         |FROM m""".stripMargin
+    Q("graph_centralization", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
-      randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery)
+      randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
+      centralizationQuery)
 }

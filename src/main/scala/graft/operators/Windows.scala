@@ -2358,6 +2358,74 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Cross-correlation function — "does click volume LEAD purchase
+    // volume, and by how many hours?": the lead/lag discovery step
+    // before any transfer-function model, and ts_autocorrelation's
+    // two-series sibling. For each lag in −6..+6, the overlapping
+    // hourly pairs (self-join of the calendar-bounded series on
+    // h = h + lag) produce exact BIGINT moments (n, Σx, Σy, Σxy, Σx²,
+    // Σy²), and Pearson r per lag is one mirrored double expression
+    // over them — no float accumulates anywhere. Output also flags the
+    // argmax |r| lag via an exact window rank.
+    Q("ts_cross_correlation",
+      (s, d) => {
+        def hourly(t: String) = Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val a = hourly("click").select(col("h"), col("c").as("x"))
+        val b = hourly("purchase").select(col("h").as("hb"),
+          col("c").as("y"))
+        val lags = (-6 to 6).map(l => a
+          .join(b, expr(s"hb = h + INTERVAL $l HOURS"))
+          .agg(lit(l.toLong).as("lag"), count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy")))
+        val r = lags.reduce(_.unionByName(_))
+          .withColumn("ccf",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))
+        val w = Window.orderBy(abs(col("ccf")).desc, col("lag"))
+        r.withColumn("is_peak_lag", (row_number().over(w) === 1))
+          .select(col("lag"), col("n"), col("ccf"), col("is_peak_lag"))
+          .orderBy("lag")
+      },
+      Some("""WITH ha AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |hb AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |lags AS (SELECT CAST(l AS BIGINT) AS lag
+             |  FROM unnest(generate_series(-6, 6)) t(l)),
+             |m AS (
+             |  SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(a.x) AS BIGINT) AS sx,
+             |    CAST(SUM(b.y) AS BIGINT) AS sy,
+             |    CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+             |    CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             |    CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+             |  FROM lags lg JOIN ha a ON TRUE
+             |  JOIN hb b ON b.h = a.h + to_hours(lg.lag)
+             |  GROUP BY lg.lag),
+             |r AS (
+             |  SELECT lag, n,
+             |    CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)) AS ccf
+             |  FROM m)
+             |SELECT lag, n, ccf,
+             |  ROW_NUMBER() OVER (ORDER BY abs(ccf) DESC, lag) = 1
+             |    AS is_peak_lag
+             |FROM r ORDER BY lag""".stripMargin)),
+
     // Peak detection over the hourly event-count series: a peak is a
     // STRICT local maximum (beats both neighbors) that also clears the
     // exact 75th-percentile load (type-1 discrete quantile on BIGINTs —
