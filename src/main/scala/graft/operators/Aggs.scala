@@ -2972,6 +2972,62 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Wilson score interval — the proportion CI that behaves at the
+    // extremes (near-0/near-1 rates, small n) where the naive Wald
+    // interval collapses: the per-segment conversion-rate error bars a
+    // dashboard should actually draw. One user-level pass fixes each
+    // event type's participation share (exact integers); the interval
+    // is the closed form (p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²))/(1+z²/n)
+    // with the z literal spliced identically into both engines —
+    // mirrored doubles, no quantile call, bounds clamped to [0,1] by
+    // construction.
+    Q("stat_wilson_ci",
+      (s, d) => {
+        val z = 1.9599639845400545
+        val users = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n")).select(col("n"))
+        val perType = Tables.events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("k"))
+        perType.crossJoin(users)
+          .withColumn("p", col("k").cast("double") / col("n"))
+          .withColumn("zz", lit(z * z))
+          .withColumn("den", lit(1.0) + col("zz") / col("n"))
+          .withColumn("ctr",
+            (col("p") + col("zz") / (lit(2.0) * col("n"))) / col("den"))
+          .withColumn("half",
+            lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              col("zz") / (lit(4.0) * col("n") * col("n"))) / col("den"))
+          .select(col("event_type"), col("k"), col("n"), col("p"),
+            (col("ctr") - col("half")).as("ci_lo"),
+            (col("ctr") + col("half")).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH users AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM (SELECT user_id FROM events GROUP BY user_id) u),
+             |pt AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+             |  GROUP BY event_type),
+             |e AS (
+             |  SELECT pt.event_type, pt.k, u.n,
+             |    CAST(pt.k AS DOUBLE) / u.n AS p,
+             |    CAST('1.9599639845400545' AS DOUBLE)
+             |      * CAST('1.9599639845400545' AS DOUBLE) AS zz
+             |  FROM pt, users u),
+             |f AS (
+             |  SELECT *, 1.0 + zz / n AS den,
+             |    (p + zz / (2.0 * n)) / (1.0 + zz / n) AS ctr,
+             |    CAST('1.9599639845400545' AS DOUBLE)
+             |      * sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+             |      / (1.0 + zz / n) AS half
+             |  FROM e)
+             |SELECT event_type, k, n, p,
+             |  ctr - half AS ci_lo, ctr + half AS ci_hi
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     // McNemar's test — the PAIRED complement to stat_cohens_kappa:
     // same two quality gates, but asking "do they disagree
     // SYMMETRICALLY?" (a one-sided disagreement means one gate is
