@@ -1189,10 +1189,61 @@ object Graphs {
     Q("graph_centralization", fn, Some(sql))
   }
 
+  /** Rich-club coefficient at degree thresholds {2,4,8}: among nodes
+    * of degree ≥ k, what fraction of possible links exist? φ(k) → 1
+    * means the hubs form their own clique (elite cores in social /
+    * citation graphs). One degree aggregate + one endpoint-filtered
+    * edge count per threshold; every term exact integer, one division.
+    */
+  private def richClubQuery: Q = {
+    val KS = Seq(2L, 4L, 8L)
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val p = pairs(s, d)
+      val deg = p.select(col("u").as("x"))
+        .unionByName(p.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val rows = KS.map { k =>
+        val rich = deg.filter(col("dg") >= k).select(col("x"))
+        val nk = rich.agg(count(lit(1)).as("n_rich"))
+        val ek = p.join(rich.select(col("x").as("u")), Seq("u"))
+          .join(rich.select(col("x").as("v")), Seq("v"))
+          .agg(count(lit(1)).as("e_rich"))
+        nk.crossJoin(ek).select(lit(k).as("k"), col("n_rich"),
+          col("e_rich"),
+          (lit(2L) * col("e_rich")).cast("double")
+            ./((col("n_rich") * (col("n_rich") - 1)).cast("double"))
+            .as("phi"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("k")
+    }
+    def one(k: Long): String =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE dg >= $k)
+         |    AS n_rich,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0 e
+         |   JOIN deg a ON a.x = e.u JOIN deg b ON b.x = e.v
+         |   WHERE a.dg >= $k AND b.dg >= $k) AS e_rich,
+         |  CAST(2 * (SELECT COUNT(*) FROM e0 e
+         |     JOIN deg a ON a.x = e.u JOIN deg b ON b.x = e.v
+         |     WHERE a.dg >= $k AND b.dg >= $k) AS DOUBLE)
+         |  / CAST((SELECT COUNT(*) FROM deg WHERE dg >= $k)
+         |     * ((SELECT COUNT(*) FROM deg WHERE dg >= $k) - 1) AS DOUBLE)
+         |    AS phi""".stripMargin
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |deg AS (
+         |  SELECT x, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) t
+         |  GROUP BY x)
+         |${KS.map(one).mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin
+    Q("graph_rich_club", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
-      centralizationQuery)
+      centralizationQuery, richClubQuery)
 }

@@ -611,6 +611,100 @@ object ScalarFns {
              |  string_split(n_name, ' ')[1] AS first_word
              |FROM nation ORDER BY key_back""".stripMargin)),
 
+    // Luhn checksum — the mod-10 validity test behind card/IMEI/
+    // account identifiers, i.e. the VERIFICATION half of PII detection
+    // (text_pii_redact's regex finds candidates; Luhn separates real
+    // numbers from noise, cutting false positives). A 12-digit
+    // candidate is derived per customer, its check digit computed by
+    // the double-every-second-digit fold — expressed as a digit-index
+    // transform+sum over the string, portable to the digit in both
+    // engines — and a deliberately corrupted variant shows the test
+    // rejecting. Pure scalar arithmetic, zero shuffle.
+    Q("fn_luhn_check",
+      (s, d) => {
+        // 11 payload digits from the key; digits indexed 1..11 left
+        // to right, doubling positions counted from the RIGHTMOST
+        // payload digit (position 11) inclusive of the check slot
+        val payload = lpad((col("c_custkey") % 100000000000L).cast("string"),
+          11, "0")
+        Tables.customer(s, d)
+          .filter(col("c_custkey") % 25 === 0)
+          .withColumn("payload", payload)
+          .withColumn("lsum", expr(
+            """aggregate(sequence(1, 11), 0L, (acc, i) ->
+              |  acc + CAST(CASE WHEN (11 - i) % 2 = 0
+              |    THEN CASE WHEN 2 * CAST(substring(payload, i, 1) AS INT) > 9
+              |         THEN 2 * CAST(substring(payload, i, 1) AS INT) - 9
+              |         ELSE 2 * CAST(substring(payload, i, 1) AS INT) END
+              |    ELSE CAST(substring(payload, i, 1) AS INT) END AS BIGINT))"""
+              .stripMargin))
+          .withColumn("check_digit", (lit(10L) - col("lsum") % 10L) % 10L)
+          .withColumn("card", concat(col("payload"),
+            col("check_digit").cast("string")))
+          .withColumn("corrupted", concat(col("payload"),
+            ((col("check_digit") + 1) % 10).cast("string")))
+          // validation is the REAL full-card checksum (positions from
+          // the right, check digit not doubled), not an echo of the
+          // construction — the corrupted twin proves rejection
+          .withColumn("valid", expr(
+            """aggregate(sequence(1, 12), 0L, (acc, i) ->
+              |  acc + CAST(CASE WHEN (12 - i) % 2 = 1
+              |    THEN CASE WHEN 2 * CAST(substring(card, i, 1) AS INT) > 9
+              |         THEN 2 * CAST(substring(card, i, 1) AS INT) - 9
+              |         ELSE 2 * CAST(substring(card, i, 1) AS INT) END
+              |    ELSE CAST(substring(card, i, 1) AS INT) END AS BIGINT))"""
+              .stripMargin) % 10 === 0)
+          .withColumn("corrupted_valid", expr(
+            """aggregate(sequence(1, 12), 0L, (acc, i) ->
+              |  acc + CAST(CASE WHEN (12 - i) % 2 = 1
+              |    THEN CASE WHEN 2 * CAST(substring(corrupted, i, 1) AS INT) > 9
+              |         THEN 2 * CAST(substring(corrupted, i, 1) AS INT) - 9
+              |         ELSE 2 * CAST(substring(corrupted, i, 1) AS INT) END
+              |    ELSE CAST(substring(corrupted, i, 1) AS INT) END AS BIGINT))"""
+              .stripMargin) % 10 === 0)
+          .select(col("c_custkey"), col("card"), col("valid"),
+            col("corrupted"), col("corrupted_valid"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    lpad(CAST(c_custkey % 100000000000 AS VARCHAR), 11, '0')
+             |      AS payload
+             |  FROM customer WHERE c_custkey % 25 = 0),
+             |s AS (
+             |  SELECT c_custkey, payload,
+             |    CAST(list_sum(list_transform(generate_series(1, 11), i ->
+             |      CASE WHEN (11 - i) % 2 = 0
+             |        THEN CASE WHEN 2 * CAST(substr(payload, i, 1) AS INT) > 9
+             |             THEN 2 * CAST(substr(payload, i, 1) AS INT) - 9
+             |             ELSE 2 * CAST(substr(payload, i, 1) AS INT) END
+             |        ELSE CAST(substr(payload, i, 1) AS INT) END))
+             |      AS BIGINT) AS lsum
+             |  FROM base),
+             |cards AS (
+             |  SELECT c_custkey,
+             |    payload || CAST((10 - lsum % 10) % 10 AS VARCHAR) AS card,
+             |    payload || CAST(((10 - lsum % 10) % 10 + 1) % 10 AS VARCHAR)
+             |      AS corrupted
+             |  FROM s)
+             |SELECT c_custkey, card,
+             |  CAST(list_sum(list_transform(generate_series(1, 12), i ->
+             |    CASE WHEN (12 - i) % 2 = 1
+             |      THEN CASE WHEN 2 * CAST(substr(card, i, 1) AS INT) > 9
+             |           THEN 2 * CAST(substr(card, i, 1) AS INT) - 9
+             |           ELSE 2 * CAST(substr(card, i, 1) AS INT) END
+             |      ELSE CAST(substr(card, i, 1) AS INT) END)) AS BIGINT)
+             |    % 10 = 0 AS valid,
+             |  corrupted,
+             |  CAST(list_sum(list_transform(generate_series(1, 12), i ->
+             |    CASE WHEN (12 - i) % 2 = 1
+             |      THEN CASE WHEN 2 * CAST(substr(corrupted, i, 1) AS INT) > 9
+             |           THEN 2 * CAST(substr(corrupted, i, 1) AS INT) - 9
+             |           ELSE 2 * CAST(substr(corrupted, i, 1) AS INT) END
+             |      ELSE CAST(substr(corrupted, i, 1) AS INT) END)) AS BIGINT)
+             |    % 10 = 0 AS corrupted_valid
+             |FROM cards ORDER BY c_custkey""".stripMargin)),
+
     // Geohash encoding — the prefix-shardable spatial key (neighbor
     // lookups = shared prefixes, the standard geo-bucketing device
     // join_spatial_grid's integer grid approximates). Implemented from
