@@ -2972,6 +2972,60 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Odds ratio with Woolf logit CI — THE effect-size number for 2×2
+    // outcomes (stat_ab_test's z says "is there an effect", OR says
+    // "how big"): heavy-purchaser conversion odds between the parity
+    // arms. OR = ad/bc is served as one division of exact BIGINT
+    // products; the CI needs ln/exp, so both bounds ship behind
+    // ROUND(…,6) (the established ulp-absorption device). One
+    // user-level pass, 1-row output.
+    Q("stat_odds_ratio",
+      (s, d) => {
+        val z = 1.9599639845400545
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+          .withColumn("arm_a", (col("user_id") % 2 === 0).cast("long"))
+        val cells = users.agg(
+          sum(col("arm_a") * col("conv")).as("a"),
+          sum(col("arm_a") * (lit(1L) - col("conv"))).as("b"),
+          sum((lit(1L) - col("arm_a")) * col("conv")).as("c"),
+          sum((lit(1L) - col("arm_a")) * (lit(1L) - col("conv"))).as("dd"))
+        cells
+          .withColumn("or_", (col("a") * col("dd")).cast("double") /
+            (col("b") * col("c")).cast("double"))
+          .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("dd")))
+          .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+            col("or_").as("odds_ratio"),
+            round(exp(log(col("or_")) - lit(z) * col("se")), 6).as("ci_lo"),
+            round(exp(log(col("or_")) + lit(z) * col("se")), 6).as("ci_hi"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm_a
+             |  FROM events GROUP BY user_id),
+             |cells AS (
+             |  SELECT CAST(SUM(arm_a * conv) AS BIGINT) AS a,
+             |    CAST(SUM(arm_a * (1 - conv)) AS BIGINT) AS b,
+             |    CAST(SUM((1 - arm_a) * conv) AS BIGINT) AS c,
+             |    CAST(SUM((1 - arm_a) * (1 - conv)) AS BIGINT) AS dd
+             |  FROM u),
+             |e AS (
+             |  SELECT *,
+             |    CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE) AS or_,
+             |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd) AS se
+             |  FROM cells)
+             |SELECT a, b, c, dd AS d, or_ AS odds_ratio,
+             |  ROUND(exp(ln(or_) - CAST('1.9599639845400545' AS DOUBLE)
+             |    * se), 6) AS ci_lo,
+             |  ROUND(exp(ln(or_) + CAST('1.9599639845400545' AS DOUBLE)
+             |    * se), 6) AS ci_hi
+             |FROM e""".stripMargin)),
+
     // Wilson score interval — the proportion CI that behaves at the
     // extremes (near-0/near-1 rates, small n) where the naive Wald
     // interval collapses: the per-segment conversion-rate error bars a

@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object ScalarFns {
 
+  /** First-10-hex-nibbles→BIGINT polynomial — 40-bit variant of the
+    * Pipeline/Llm SQL_HEX15 device, mirrors conv(h,16,10) exactly.
+    */
+  private def SQL_HEX10(h: String): String =
+    (1 to 10).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (10 - p))}")
+      .mkString("(", " + ", ")")
+
+  /** Crockford base-32 encoding of an n-char-wide BIGINT by div/mod
+    * digit indexing — the DuckDB mirror of fn_ulid_sortable's Spark
+    * transform.
+    */
+  private def SQL_B32(src: String, nchars: Int): String = {
+    val digits = (0 until nchars).map { k =>
+      s"""substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ',
+         |      CAST(($src // CAST(${1L << (5 * (nchars - 1 - k))} AS BIGINT))
+         |        % 32 AS INT) + 1, 1)""".stripMargin
+    }
+    digits.mkString("(", " || ", ")")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("fn_string_suite",
       (s, d) => Tables.part(s, d)
@@ -610,6 +631,50 @@ object ScalarFns {
              |  CAST(len(string_split(n_name, ' ')) AS BIGINT) AS n_words,
              |  string_split(n_name, ' ')[1] AS first_word
              |FROM nation ORDER BY key_back""".stripMargin)),
+
+    // Deterministic ULID — the sortable distributed identifier
+    // (48-bit ms timestamp + 80 content-hash bits, 26 Crockford
+    // base-32 chars): ids that SORT in event order collate writes into
+    // time-contiguous ranges, the key property for LSM/object-store
+    // layouts. The "randomness" half is md5-derived (content-hashed,
+    // so the id is reproducible — the right variant for idempotent
+    // pipelines), and every base-32 digit comes from the same portable
+    // div/mod indexing as fn_geohash_encode: both engines emit the
+    // identical string. Lexicographic(ulid) ≡ (ts, md5) order by
+    // construction — spec-checked.
+    Q("fn_ulid_sortable",
+      (s, d) => {
+        val alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        def b32(src: String, nchars: Int) = expr(
+          s"""concat_ws('', transform(sequence(0, ${nchars - 1}), k ->
+             |  substring('$alpha',
+             |    CAST(($src div CAST(pow(2, ${5 * (nchars - 1)} - 5 * k)
+             |      AS BIGINT)) % 32 AS INT) + 1, 1)))""".stripMargin)
+        Tables.events(s, d)
+          .filter(col("event_id") % 50 === 0)
+          .withColumn("ms", expr("unix_millis(ts)"))
+          .withColumn("r1",
+            conv(substring(md5(concat(lit("ulid:"),
+              col("event_id").cast("string"))), 1, 10), 16, 10)
+              .cast("long"))
+          .withColumn("r2",
+            conv(substring(md5(concat(lit("ulid:"),
+              col("event_id").cast("string"))), 11, 10), 16, 10)
+              .cast("long"))
+          .withColumn("ulid", concat(b32("ms", 10), b32("r1", 8),
+            b32("r2", 8)))
+          .select(col("event_id"), col("ms"), col("ulid"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT event_id, epoch_ms(ts) AS ms,
+              |    ${SQL_HEX10("substr(md5('ulid:' || CAST(event_id AS VARCHAR)), 1, 10)")} AS r1,
+              |    ${SQL_HEX10("substr(md5('ulid:' || CAST(event_id AS VARCHAR)), 11, 10)")} AS r2
+              |  FROM events WHERE event_id % 50 = 0)
+              |SELECT event_id, ms,
+              |  ${SQL_B32("ms", 10)} || ${SQL_B32("r1", 8)}
+              |    || ${SQL_B32("r2", 8)} AS ulid
+              |FROM b ORDER BY event_id""".stripMargin)),
 
     // Luhn checksum — the mod-10 validity test behind card/IMEI/
     // account identifiers, i.e. the VERIFICATION half of PII detection

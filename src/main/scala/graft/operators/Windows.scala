@@ -2358,6 +2358,75 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // DAU growth accounting — the new/retained/resurrected/churned
+    // decomposition every product dashboard leads with, and the
+    // audit identity that keeps it honest: DAU(d) = new + retained +
+    // resurrected, and DAU(d) − DAU(d−1) = new + resurrected −
+    // churned. Built from ONE distinct (user, day) activity table:
+    // per-user day lags classify each active day (first-ever, seen
+    // yesterday, gap-return), churn comes from the same lag read
+    // one day forward — two window passes on the user-keyed shuffle,
+    // then a calendar-bounded day rollup. All exact integers.
+    Q("ts_growth_accounting",
+      (s, d) => {
+        val wU = Window.partitionBy("user_id").orderBy("day")
+        val act = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("prev_day", lag("day", 1).over(wU))
+          .withColumn("next_day", lead("day", 1).over(wU))
+        val states = act.select(col("day"),
+          when(col("prev_day").isNull, 1L).otherwise(0L).as("is_new"),
+          when(col("prev_day") === date_sub(col("day"), 1), 1L)
+            .otherwise(0L).as("is_retained"),
+          when(col("prev_day").isNotNull &&
+            col("prev_day") < date_sub(col("day"), 1), 1L)
+            .otherwise(0L).as("is_resurrected"))
+        val churn = act
+          .filter(col("next_day").isNull ||
+            col("next_day") > date_add(col("day"), 1))
+          .groupBy(date_add(col("day"), 1).as("day"))
+          .agg(count(lit(1)).as("churned"))
+        val daily = states.groupBy("day")
+          .agg(count(lit(1)).as("dau"), sum("is_new").as("new_users"),
+            sum("is_retained").as("retained"),
+            sum("is_resurrected").as("resurrected"))
+        daily.join(churn, Seq("day"), "left")
+          .select(col("day"), col("dau"), col("new_users"),
+            col("retained"), col("resurrected"),
+            coalesce(col("churned"), lit(0L)).as("churned"))
+          .orderBy("day")
+      },
+      Some("""WITH act AS (
+             |  SELECT user_id, day,
+             |    LAG(day, 1) OVER w AS prev_day,
+             |    LEAD(day, 1) OVER w AS next_day
+             |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |        FROM events) x
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+             |states AS (
+             |  SELECT day,
+             |    CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END AS is_new,
+             |    CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END
+             |      AS is_retained,
+             |    CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+             |      THEN 1 ELSE 0 END AS is_resurrected
+             |  FROM act),
+             |churn AS (
+             |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churned
+             |  FROM act
+             |  WHERE next_day IS NULL OR next_day > day + 1
+             |  GROUP BY day + 1),
+             |daily AS (
+             |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+             |    CAST(SUM(is_new) AS BIGINT) AS new_users,
+             |    CAST(SUM(is_retained) AS BIGINT) AS retained,
+             |    CAST(SUM(is_resurrected) AS BIGINT) AS resurrected
+             |  FROM states GROUP BY day)
+             |SELECT d.day, d.dau, d.new_users, d.retained, d.resurrected,
+             |  COALESCE(c.churned, 0) AS churned
+             |FROM daily d LEFT JOIN churn c ON c.day = d.day
+             |ORDER BY d.day""".stripMargin)),
+
     // Cross-correlation function — "does click volume LEAD purchase
     // volume, and by how many hours?": the lead/lag discovery step
     // before any transfer-function model, and ts_autocorrelation's

@@ -456,6 +456,47 @@ class WaveFourSpec extends AnyFunSuite {
     assert(checked == rows.length)
   }
 
+  test("ts_growth_accounting: both accounting identities hold exactly") {
+    val rows = q("ts_growth_accounting").orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.get(0)}: DAU = new + retained + resurrected")
+    }
+    rows.sliding(2).foreach {
+      case Array(p, c)
+        if c.getDate(0).toLocalDate == p.getDate(0).toLocalDate.plusDays(1) =>
+        assert(c.getLong(1) - p.getLong(1) ==
+          c.getLong(2) + c.getLong(4) - c.getLong(5),
+          s"${c.get(0)}: dDAU = new + resurrected - churned")
+      case _ => ()
+    }
+  }
+
+  test("fn_ulid_sortable: lexicographic id order preserves time order") {
+    val rows = q("fn_ulid_sortable").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(2).length == 26))
+    val byUlid = rows.sortBy(_.getString(2)).map(_.getLong(1))
+    byUlid.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b,
+        "sorting by ULID must sort by timestamp")
+      case _ => ()
+    }
+    // reproducible: same inputs, same ids
+    val again = q("fn_ulid_sortable").collect().map(_.getString(2)).toSeq
+    assert(again == rows.map(_.getString(2)).toSeq)
+  }
+
+  test("stat_odds_ratio: OR consistent with cells and CI brackets it") {
+    val r = q("stat_odds_ratio").head()
+    val (a, b, c, d) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getDouble(4) == (a * d).toDouble / (b * c))
+    assert(r.getDouble(5) <= r.getDouble(4) &&
+      r.getDouble(4) <= r.getDouble(6), "CI must bracket the estimate")
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
