@@ -2972,6 +2972,64 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Lorenz curve — the decile-level inequality profile behind
+    // stat_gini's single number ("the top decile holds X% of spend"),
+    // the concentration view every marketplace/revenue dashboard
+    // draws. Users are ranked by exact cents spend with a unique
+    // (spend, id) total order, cut into exact NTILE deciles, and each
+    // decile reports its population, its spend share, and the
+    // CUMULATIVE share — all integer sums with one final mirrored
+    // division per output cell. The user-level rollup is the only
+    // corpus-proportional stage.
+    Q("stat_lorenz_curve",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("user_id").agg(sum("cents").as("spend"))
+        val ranked = users.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("spend"), col("user_id")))
+            .cast("long"))
+        val byDec = ranked.groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("spend").as("dec_spend"))
+        val tot = byDec.agg(sum("dec_spend").as("total"))
+        byDec.crossJoin(tot)
+          .withColumn("cum_spend", sum("dec_spend").over(
+            Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile"), col("n_users"),
+            (col("dec_spend").cast("double") / col("total").cast("double"))
+              .as("share"),
+            (col("cum_spend").cast("double") / col("total").cast("double"))
+              .as("cum_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, CAST(SUM(cents) AS BIGINT) AS spend
+             |  FROM (SELECT user_id,
+             |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |        AS cents
+             |    FROM events) x
+             |  GROUP BY user_id),
+             |ranked AS (
+             |  SELECT spend, CAST(NTILE(10) OVER (ORDER BY spend, user_id)
+             |    AS BIGINT) AS decile
+             |  FROM users),
+             |bydec AS (
+             |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(spend) AS BIGINT) AS dec_spend
+             |  FROM ranked GROUP BY decile),
+             |tot AS (SELECT CAST(SUM(dec_spend) AS BIGINT) AS total
+             |        FROM bydec)
+             |SELECT b.decile, b.n_users,
+             |  CAST(b.dec_spend AS DOUBLE) / CAST(t.total AS DOUBLE)
+             |    AS share,
+             |  CAST(SUM(b.dec_spend) OVER (ORDER BY b.decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+             |FROM bydec b, tot t ORDER BY b.decile""".stripMargin))
+
+    ,
     // Hodges–Lehmann estimator — the robust location the Wilcoxon
     // test implies (median of all Walsh pairwise averages): ~86%
     // Gaussian efficiency with a 29% breakdown point, the right

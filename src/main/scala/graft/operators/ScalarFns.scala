@@ -632,6 +632,56 @@ object ScalarFns {
              |  string_split(n_name, ' ')[1] AS first_word
              |FROM nation ORDER BY key_back""".stripMargin)),
 
+    // IPv4 + CIDR arithmetic — the access-log enrichment primitives
+    // (parse dotted-quad → u32, subnet containment, network/broadcast
+    // bounds) nothing builtin covers portably: all div/mod on the
+    // 32-bit integer form, so a /14 test is one integer
+    // div-by-2^(32-14) equality, mirrored digit-for-digit in both
+    // engines. Addresses derive deterministically from user ids (two
+    // octet folds), membership tested against two disjoint blocks.
+    Q("fn_ipv4_cidr",
+      (s, d) => {
+        val ip = lit(10L) * 16777216L +
+          (col("user_id") % 64) * 65536L +
+          ((col("user_id") * 7) % 256) * 256L +
+          ((col("user_id") * 13) % 256)
+        // 10.8.0.0/14 spans 10.8.0.0–10.11.255.255
+        val net14: Long = (10L * 16777216L + 8L * 65536L) / 262144L
+        Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .withColumn("ip_u32", ip)
+          .withColumn("ip_str", concat_ws(".",
+            expr("ip_u32 div 16777216"),
+            expr("(ip_u32 div 65536) % 256"),
+            expr("(ip_u32 div 256) % 256"),
+            expr("ip_u32 % 256")))
+          .withColumn("in_10_8_0_0_14",
+            expr("ip_u32 div 262144") === lit(net14))
+          .withColumn("subnet_24", expr("ip_u32 div 256") * 256L)
+          .withColumn("broadcast_24", col("subnet_24") + 255L)
+          .select(col("user_id"), col("ip_str"), col("ip_u32"),
+            col("in_10_8_0_0_14"), col("subnet_24"), col("broadcast_24"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |ip AS (
+             |  SELECT user_id,
+             |    10 * 16777216 + (user_id % 64) * 65536
+             |      + ((user_id * 7) % 256) * 256
+             |      + ((user_id * 13) % 256) AS ip_u32
+             |  FROM u)
+             |SELECT user_id,
+             |  CAST(ip_u32 // 16777216 AS VARCHAR) || '.' ||
+             |  CAST((ip_u32 // 65536) % 256 AS VARCHAR) || '.' ||
+             |  CAST((ip_u32 // 256) % 256 AS VARCHAR) || '.' ||
+             |  CAST(ip_u32 % 256 AS VARCHAR) AS ip_str,
+             |  CAST(ip_u32 AS BIGINT) AS ip_u32,
+             |  ip_u32 // 262144 = (10 * 16777216 + 8 * 65536) // 262144
+             |    AS in_10_8_0_0_14,
+             |  CAST((ip_u32 // 256) * 256 AS BIGINT) AS subnet_24,
+             |  CAST((ip_u32 // 256) * 256 + 255 AS BIGINT) AS broadcast_24
+             |FROM ip ORDER BY user_id""".stripMargin)),
+
     // Deterministic ULID — the sortable distributed identifier
     // (48-bit ms timestamp + 80 content-hash bits, 26 Crockford
     // base-32 chars): ids that SORT in event order collate writes into
