@@ -497,6 +497,28 @@ class WaveFourSpec extends AnyFunSuite {
       r.getDouble(4) <= r.getDouble(6), "CI must bracket the estimate")
   }
 
+  test("llm_quality_auc: equals the brute-force pairwise probability") {
+    val r = q("llm_quality_auc").head()
+    val (n1, n0, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force on the fixture: P(q_pos > q_neg) + 0.5 P(tie)
+    val docs = graft.api.TextMetrics
+      .quality(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text",
+        Seq("the", "a", "of", "and", "to", "in"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("quality") * 10000).cast("long").as("qd"), col("quality"))
+      .collect()
+      .map(x => (math.round(x.getDouble(3) * 10000), x.getLong(1) >= 200))
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == n1 && neg.length.toLong == n0)
+    var wins2 = 0L // doubled: win=2, tie=1
+    for (p <- pos; n <- neg)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val brute = wins2.toDouble / (2.0 * n1 * n0)
+    assert(math.abs(auc - brute) < 1e-12, s"AUC $auc vs brute $brute")
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
