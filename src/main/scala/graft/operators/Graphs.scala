@@ -1240,10 +1240,66 @@ object Graphs {
     Q("graph_rich_club", fn, Some(sql))
   }
 
+  /** Bipartite projection — the user×event-type two-mode graph
+    * projected onto event types by shared audiences: overlap count,
+    * Jaccard, and the cosine-style overlap/√(d₁d₂) per type pair.
+    * This is the OTHER standard way co-occurrence graphs are built
+    * (pairs() projects onto USERS via shared cells; this projects onto
+    * the small side via shared users — one user-type distinct, one
+    * user-keyed self-join bounded by 5 types/user). All integers, two
+    * mirrored divisions per pair.
+    */
+  private def bipartiteQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val deg = ut.groupBy("event_type").agg(count(lit(1)).as("aud"))
+      val ov = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"),
+          col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("overlap"))
+      ov.join(deg.select(col("event_type").as("t1"), col("aud").as("d1")),
+          Seq("t1"))
+        .join(deg.select(col("event_type").as("t2"), col("aud").as("d2")),
+          Seq("t2"))
+        .select(col("t1"), col("t2"), col("overlap"), col("d1"), col("d2"),
+          (col("overlap").cast("double") /
+            (col("d1") + col("d2") - col("overlap")).cast("double"))
+            .as("jaccard"),
+          (col("overlap").cast("double") /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")))
+            .as("cosine"))
+        .orderBy("t1", "t2")
+    }
+    val sql =
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |deg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS aud
+        |        FROM ut GROUP BY event_type),
+        |ov AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(COUNT(*) AS BIGINT) AS overlap
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT o.t1, o.t2, o.overlap,
+        |  d1.aud AS d1, d2.aud AS d2,
+        |  CAST(o.overlap AS DOUBLE)
+        |    / CAST(d1.aud + d2.aud - o.overlap AS DOUBLE) AS jaccard,
+        |  CAST(o.overlap AS DOUBLE)
+        |    / sqrt(CAST(d1.aud AS DOUBLE) * CAST(d2.aud AS DOUBLE))
+        |    AS cosine
+        |FROM ov o JOIN deg d1 ON d1.event_type = o.t1
+        |JOIN deg d2 ON d2.event_type = o.t2
+        |ORDER BY t1, t2""".stripMargin
+    Q("graph_bipartite_project", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
-      centralizationQuery, richClubQuery)
+      centralizationQuery, richClubQuery, bipartiteQuery)
 }
