@@ -1236,6 +1236,76 @@ object TextAnalysis {
              |    FROM documents) t1) t2
              |ORDER BY doc_id""".stripMargin)),
 
+    // Greedy submodular max-coverage — pick K docs that together
+    // cover the most distinct vocabulary: the facility-location
+    // selection behind coreset construction and eval-set seeding
+    // (diminishing returns make the greedy 1−1/e-optimal). Greedy is
+    // inherently sequential, so the loop is K distributed argmax
+    // passes (gain DESC, doc_id ASC — exact tie order), with the
+    // covered set carried as a driver-held literal bounded by VOCAB
+    // size, not corpus size (31 tokens here; the same bound at any
+    // doc count is what makes the pattern shippable). The oracle
+    // unrolls the K rounds as MATERIALIZED winner/covered CTE pairs.
+    Q("llm_submodular_coverage",
+      (s, d) => {
+        import s.implicits._
+        val K = 5
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextUdfs.tokenizeCol(col("text"))).as("tk"))
+          .localCheckpoint()
+        var covered = Seq.empty[String]
+        var selected = Seq.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        for (r <- 1 to K) {
+          val gainCol =
+            if (covered.isEmpty) size(col("tk")).cast("long")
+            else size(array_except(col("tk"),
+              lit(covered.toArray))).cast("long")
+          val w = toks
+            .filter(if (selected.isEmpty) lit(true)
+              else !col("doc_id").isin(selected: _*))
+            .withColumn("gain", gainCol)
+            .orderBy(col("gain").desc, col("doc_id"))
+            .limit(1).select("doc_id", "gain", "tk").head()
+          selected = selected :+ w.getLong(0)
+          covered = (covered ++ w.getSeq[String](2)).distinct.sorted
+          out += ((r.toLong, w.getLong(0), w.getLong(1),
+            covered.length.toLong))
+        }
+        out.toSeq.toDF("round", "doc_id", "gain", "n_covered")
+          .orderBy("round")
+      },
+      {
+        def round(r: Int): String =
+          s"""w$r AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(tk,
+             |      x -> NOT list_contains(cov, x))) AS BIGINT) AS gain,
+             |    tk
+             |  FROM toks, c${r - 1}
+             |  ${if (r == 1) "" else "WHERE doc_id NOT IN (" +
+                 (1 until r).map(k => s"SELECT doc_id FROM w$k")
+                   .mkString(" UNION ALL ") + ")"}
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c$r AS MATERIALIZED (
+             |  SELECT list_sort(list_distinct(
+             |    (SELECT cov FROM c${r - 1}) || (SELECT tk FROM w$r)))
+             |    AS cov)""".stripMargin
+        Some(s"""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct($SQL_TOKENIZE) AS tk
+             |  FROM documents),
+             |c0 AS (SELECT CAST([] AS VARCHAR[]) AS cov),
+             |${(1 to 5).map(round).mkString(",\n")}
+             |${(1 to 5).map(r =>
+               s"""SELECT CAST($r AS BIGINT) AS round, doc_id, gain,
+                  |  (SELECT CAST(len(cov) AS BIGINT) FROM c$r)
+                  |    AS n_covered FROM w$r""".stripMargin)
+               .mkString("\nUNION ALL\n")}
+             |ORDER BY round""".stripMargin)
+      }),
+
     // Exact ROC-AUC of the quality score against the length gate —
     // the ONE number for "does this filter's score actually rank
     // keepers above droppers?", the evaluation every learned/heuristic

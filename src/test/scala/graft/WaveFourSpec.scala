@@ -519,6 +519,24 @@ class WaveFourSpec extends AnyFunSuite {
     assert(math.abs(auc - brute) < 1e-12, s"AUC $auc vs brute $brute")
   }
 
+  test("llm_submodular_coverage: gains non-increasing, coverage conserved") {
+    val rows = q("llm_submodular_coverage").orderBy("round").collect()
+    assert(rows.length == 5)
+    val gains = rows.map(_.getLong(2))
+    gains.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b,
+        "greedy marginal gains must be non-increasing (submodularity)")
+      case _ => ()
+    }
+    // covered-count telescopes to the sum of gains
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) == gains.take(i + 1).sum,
+        s"round ${i + 1}: coverage must equal the gain telescope")
+    }
+    assert(rows.map(_.getLong(1)).distinct.length == 5,
+      "five distinct documents selected")
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
