@@ -2972,6 +2972,86 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Partial correlation — "are clicks and purchases correlated
+    // BEYOND what overall traffic (views) explains?": the
+    // confounder-controlled r(xy·z) every naive correlation dashboard
+    // needs next to it. The three daily series produce exact BIGINT
+    // moments in ONE pivoted pass over the calendar-bounded day
+    // aggregate; the three pairwise r's and the partial formula
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) are mirrored doubles.
+    Q("stat_partial_corr",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase", "view"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("z"))
+        val m = byDay.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"))
+        def r(sab: String, sa: String, sb: String, saa: String,
+            sbb: String) =
+          (col("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+            sqrt((col("n") * col(saa) - col(sa) * col(sa)).cast("double") *
+              (col("n") * col(sbb) - col(sb) * col(sb)).cast("double"))
+        m.withColumn("rxy", r("sxy", "sx", "sy", "sxx", "syy"))
+          .withColumn("rxz", r("sxz", "sx", "sz", "sxx", "szz"))
+          .withColumn("ryz", r("syz", "sy", "sz", "syy", "szz"))
+          .select(col("n").as("n_days"), col("rxy"), col("rxz"), col("ryz"),
+            ((col("rxy") - col("rxz") * col("ryz")) /
+              sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+                (lit(1.0) - col("ryz") * col("ryz"))))
+              .as("partial_rxy_given_z"))
+      },
+      Some("""WITH byday AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS z
+             |  FROM events
+             |  WHERE event_type IN ('click', 'purchase', 'view')
+             |  GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(z) AS BIGINT) AS sz,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * z) AS BIGINT) AS sxz,
+             |    CAST(SUM(y * z) AS BIGINT) AS syz,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy,
+             |    CAST(SUM(z * z) AS BIGINT) AS szz
+             |  FROM byday),
+             |r AS (
+             |  SELECT n,
+             |    CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+             |    CAST(n * sxz - sx * sz AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+             |    CAST(n * syz - sy * sz AS DOUBLE)
+             |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+             |        * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+             |  FROM m)
+             |SELECT n AS n_days, rxy, rxz, ryz,
+             |  (rxy - rxz * ryz)
+             |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+             |    AS partial_rxy_given_z
+             |FROM r""".stripMargin)),
+
     // Lorenz curve — the decile-level inequality profile behind
     // stat_gini's single number ("the top decile holds X% of spend"),
     // the concentration view every marketplace/revenue dashboard
