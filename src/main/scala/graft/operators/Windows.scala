@@ -2358,6 +2358,106 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Difference-in-differences — the workhorse causal estimator when
+    // only one arm gets treated mid-stream: DiD = (Ā_post − Ā_pre) −
+    // (B̄_post − B̄_pre) nets out both the arm baseline and the shared
+    // time shock. Arms are the user-id parity, the "intervention" is
+    // the fixture mid-month; the four cell means come from ONE pass of
+    // exact cents/count integers, the estimate and its pooled SE
+    // (4-cell variance sum, each from exact n·Σx²−(Σx)² forms) are
+    // mirrored doubles. Scale: O(1) state after one map-side-combined
+    // aggregate.
+    Q("ts_diff_in_diff",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("arm_a", (col("user_id") % 2 === 0).cast("long"))
+          .withColumn("post", (dayofmonth(col("ts")) > 15).cast("long"))
+          .groupBy("arm_a", "post")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+            sum(col("cents") * col("cents")).as("q"))
+        def cell(a: Int, p: Int, c: String) =
+          max(when(col("arm_a") === a && col("post") === p, col(c)))
+        val wide = cells.agg(
+          cell(1, 0, "n").as("n_a0"), cell(1, 0, "s").as("s_a0"),
+          cell(1, 0, "q").as("q_a0"),
+          cell(1, 1, "n").as("n_a1"), cell(1, 1, "s").as("s_a1"),
+          cell(1, 1, "q").as("q_a1"),
+          cell(0, 0, "n").as("n_b0"), cell(0, 0, "s").as("s_b0"),
+          cell(0, 0, "q").as("q_b0"),
+          cell(0, 1, "n").as("n_b1"), cell(0, 1, "s").as("s_b1"),
+          cell(0, 1, "q").as("q_b1"))
+        def mean(nc: String, sc: String) =
+          col(sc).cast("double") / col(nc) / 100.0
+        def varOverN(nc: String, sc: String, qc: String) =
+          (col(nc).cast("double") * col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double")) /
+            (col(nc).cast("double") * (col(nc) - 1).cast("double")) /
+            col(nc).cast("double") / 10000.0
+        wide.select(
+          (mean("n_a1", "s_a1") - mean("n_a0", "s_a0")).as("delta_a"),
+          (mean("n_b1", "s_b1") - mean("n_b0", "s_b0")).as("delta_b"),
+          ((mean("n_a1", "s_a1") - mean("n_a0", "s_a0")) -
+            (mean("n_b1", "s_b1") - mean("n_b0", "s_b0"))).as("did"),
+          sqrt(varOverN("n_a1", "s_a1", "q_a1") +
+            varOverN("n_a0", "s_a0", "q_a0") +
+            varOverN("n_b1", "s_b1", "q_b1") +
+            varOverN("n_b0", "s_b0", "q_b0")).as("se"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm_a,
+             |    CASE WHEN dayofmonth(ts) > 15 THEN 1 ELSE 0 END AS post,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s,
+             |    CAST(SUM(cents * cents) AS BIGINT) AS q
+             |  FROM (SELECT user_id, ts,
+             |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |        AS cents FROM events) x
+             |  GROUP BY 1, 2),
+             |w AS (
+             |  SELECT
+             |    MAX(CASE WHEN arm_a = 1 AND post = 0 THEN n END) AS n_a0,
+             |    MAX(CASE WHEN arm_a = 1 AND post = 0 THEN s END) AS s_a0,
+             |    MAX(CASE WHEN arm_a = 1 AND post = 0 THEN q END) AS q_a0,
+             |    MAX(CASE WHEN arm_a = 1 AND post = 1 THEN n END) AS n_a1,
+             |    MAX(CASE WHEN arm_a = 1 AND post = 1 THEN s END) AS s_a1,
+             |    MAX(CASE WHEN arm_a = 1 AND post = 1 THEN q END) AS q_a1,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 0 THEN n END) AS n_b0,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 0 THEN s END) AS s_b0,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 0 THEN q END) AS q_b0,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 1 THEN n END) AS n_b1,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 1 THEN s END) AS s_b1,
+             |    MAX(CASE WHEN arm_a = 0 AND post = 1 THEN q END) AS q_b1
+             |  FROM cells)
+             |SELECT
+             |  (CAST(s_a1 AS DOUBLE) / n_a1 / 100.0
+             |    - CAST(s_a0 AS DOUBLE) / n_a0 / 100.0) AS delta_a,
+             |  (CAST(s_b1 AS DOUBLE) / n_b1 / 100.0
+             |    - CAST(s_b0 AS DOUBLE) / n_b0 / 100.0) AS delta_b,
+             |  ((CAST(s_a1 AS DOUBLE) / n_a1 / 100.0
+             |    - CAST(s_a0 AS DOUBLE) / n_a0 / 100.0)
+             |   - (CAST(s_b1 AS DOUBLE) / n_b1 / 100.0
+             |    - CAST(s_b0 AS DOUBLE) / n_b0 / 100.0)) AS did,
+             |  sqrt(
+             |    (CAST(n_a1 AS DOUBLE) * CAST(q_a1 AS DOUBLE)
+             |      - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE))
+             |      / (CAST(n_a1 AS DOUBLE) * CAST(n_a1 - 1 AS DOUBLE))
+             |      / CAST(n_a1 AS DOUBLE) / 10000.0
+             |  + (CAST(n_a0 AS DOUBLE) * CAST(q_a0 AS DOUBLE)
+             |      - CAST(s_a0 AS DOUBLE) * CAST(s_a0 AS DOUBLE))
+             |      / (CAST(n_a0 AS DOUBLE) * CAST(n_a0 - 1 AS DOUBLE))
+             |      / CAST(n_a0 AS DOUBLE) / 10000.0
+             |  + (CAST(n_b1 AS DOUBLE) * CAST(q_b1 AS DOUBLE)
+             |      - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE))
+             |      / (CAST(n_b1 AS DOUBLE) * CAST(n_b1 - 1 AS DOUBLE))
+             |      / CAST(n_b1 AS DOUBLE) / 10000.0
+             |  + (CAST(n_b0 AS DOUBLE) * CAST(q_b0 AS DOUBLE)
+             |      - CAST(s_b0 AS DOUBLE) * CAST(s_b0 AS DOUBLE))
+             |      / (CAST(n_b0 AS DOUBLE) * CAST(n_b0 - 1 AS DOUBLE))
+             |      / CAST(n_b0 AS DOUBLE) / 10000.0) AS se
+             |FROM w""".stripMargin)),
+
     // DAU growth accounting — the new/retained/resurrected/churned
     // decomposition every product dashboard leads with, and the
     // audit identity that keeps it honest: DAU(d) = new + retained +
