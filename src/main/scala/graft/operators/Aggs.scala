@@ -2972,6 +2972,39 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Herfindahl–Hirschman concentration of the corpus over sources —
+    // the antitrust number repurposed as the dataset-diversity gate
+    // ("is the mix dominated by one crawler?"): HHI = Σ shareᵢ², kept
+    // exact as Σnᵢ²/N² (integer numerator, one division), with the
+    // effective-source count 1/HHI — the same number
+    // llm_dataset_card's entropy view approximates from the other
+    // side. One map-side-combined aggregate.
+    Q("llm_hhi_concentration",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        bySrc.agg(count(lit(1)).as("n_sources"),
+            sum("n").as("n_docs"), sum(col("n") * col("n")).as("sq"))
+          .select(col("n_sources"), col("n_docs"),
+            (col("sq").cast("double") /
+              (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+            ((col("n_docs") * col("n_docs")).cast("double") /
+              col("sq").cast("double")).as("effective_sources"))
+      },
+      Some("""WITH s AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             |    CAST(SUM(n) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n * n) AS BIGINT) AS sq
+             |  FROM s)
+             |SELECT n_sources, n_docs,
+             |  CAST(sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
+             |  CAST(n_docs * n_docs AS DOUBLE) / CAST(sq AS DOUBLE)
+             |    AS effective_sources
+             |FROM m""".stripMargin)),
+
     // Partial correlation — "are clicks and purchases correlated
     // BEYOND what overall traffic (views) explains?": the
     // confounder-controlled r(xy·z) every naive correlation dashboard

@@ -2358,6 +2358,70 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Sequential probability ratio test (Wald SPRT) — the
+    // always-valid sequential monitor that decides AS DATA ARRIVES
+    // ("is the purchase share 21% rather than 19%?"), the streaming
+    // alternative to fixed-horizon stat_ab_test. Per-day binomial
+    // log-likelihood ratios use ln factors computed ONCE and spliced
+    // as identical literals (the Viterbi device); each day's LLR is
+    // then rounded to MICRO-unit BIGINTs (the ts_cusum device) so the
+    // running sum is an exact integer cumsum — order-proof — and the
+    // ±ln(19) (α=β=0.05) decision boundaries compare integers.
+    Q("ts_sprt_trace",
+      (s, d) => {
+        val p0 = 0.19; val p1 = 0.21
+        val l1 = math.log(p1 / p0)
+        val l2 = math.log((1.0 - p1) / (1.0 - p0))
+        val thr6 = math.round(math.log(19.0) * 1e6)
+        val byDay = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"), count(lit(1)).as("n"))
+        byDay
+          .withColumn("t6", round(
+            (col("c").cast("double") * lit(l1) +
+              (col("n") - col("c")).cast("double") * lit(l2)) * 1e6)
+            .cast("long"))
+          .withColumn("cum6", sum("t6").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day"), col("c"), col("n"),
+            (col("cum6").cast("double") / 1e6).as("cum_llr"),
+            when(col("cum6") >= thr6, "accept_h1")
+              .when(col("cum6") <= -thr6, "accept_h0")
+              .otherwise("continue").as("state"))
+          .orderBy("day")
+      }, {
+        val p0 = 0.19; val p1 = 0.21
+        val l1 = math.log(p1 / p0)
+        val l2 = math.log((1.0 - p1) / (1.0 - p0))
+        val thr6 = math.round(math.log(19.0) * 1e6)
+        Some(s"""WITH byday AS (
+                |  SELECT CAST(ts AS DATE) AS day,
+                |    CAST(SUM(CASE WHEN event_type = 'purchase'
+                |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                |    CAST(COUNT(*) AS BIGINT) AS n
+                |  FROM events GROUP BY 1),
+                |t AS (
+                |  SELECT day, c, n,
+                |    CAST(round((CAST(c AS DOUBLE)
+                |        * CAST('$l1' AS DOUBLE)
+                |      + CAST(n - c AS DOUBLE) * CAST('$l2' AS DOUBLE))
+                |      * 1000000.0) AS BIGINT) AS t6
+                |  FROM byday),
+                |cum AS (
+                |  SELECT day, c, n,
+                |    CAST(SUM(t6) OVER (ORDER BY day
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                |      AS BIGINT) AS cum6
+                |  FROM t)
+                |SELECT day, c, n,
+                |  CAST(cum6 AS DOUBLE) / 1000000.0 AS cum_llr,
+                |  CASE WHEN cum6 >= $thr6 THEN 'accept_h1'
+                |       WHEN cum6 <= -$thr6 THEN 'accept_h0'
+                |       ELSE 'continue' END AS state
+                |FROM cum ORDER BY day""".stripMargin)
+      }),
+
     // Difference-in-differences — the workhorse causal estimator when
     // only one arm gets treated mid-stream: DiD = (Ā_post − Ā_pre) −
     // (B̄_post − B̄_pre) nets out both the arm baseline and the shared
