@@ -2358,6 +2358,47 @@ object Windows {
              |WHERE dp.i = nn.n AND dp.j = nn.m AND dp.s = nn.n + nn.m
              |""".stripMargin)),
 
+    // Skyline / Pareto frontier — the multi-objective dominance
+    // operator (classic SKYLINE queries): which days are undominated
+    // on (maximize purchases, minimize errors)? A day falls iff some
+    // other day is at least as good on BOTH axes and strictly better
+    // on one — an anti-join against the dominance self-join, all
+    // integer comparisons, bounded by the calendar-sized day table
+    // (at corpus scale the same shape runs after the day rollup; the
+    // classic block-nested-loop refinements only matter when the
+    // FRONTIER table itself is data-sized). Ties on both axes don't
+    // dominate, so duplicate profiles co-survive — stated contract.
+    Q("ts_pareto_days",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("errors"))
+        val dominated = byDay.as("a").join(byDay.as("b"),
+            col("b.purchases") >= col("a.purchases") &&
+              col("b.errors") <= col("a.errors") &&
+              (col("b.purchases") > col("a.purchases") ||
+                col("b.errors") < col("a.errors")))
+          .select(col("a.day").as("day")).distinct()
+        byDay.join(dominated, Seq("day"), "left_anti")
+          .orderBy("day")
+      },
+      Some("""WITH byday AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             |    CAST(SUM(CASE WHEN event_type = 'error'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS errors
+             |  FROM events GROUP BY 1)
+             |SELECT day, purchases, errors FROM byday a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM byday b
+             |  WHERE b.purchases >= a.purchases AND b.errors <= a.errors
+             |    AND (b.purchases > a.purchases OR b.errors < a.errors))
+             |ORDER BY day""".stripMargin)),
+
     // Sequential probability ratio test (Wald SPRT) — the
     // always-valid sequential monitor that decides AS DATA ARRIVES
     // ("is the purchase share 21% rather than 19%?"), the streaming

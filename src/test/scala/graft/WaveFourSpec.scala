@@ -537,6 +537,27 @@ class WaveFourSpec extends AnyFunSuite {
       "five distinct documents selected")
   }
 
+  test("ts_pareto_days: frontier is mutually undominated and covers the rest") {
+    val front = q("ts_pareto_days").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(front.nonEmpty)
+    val all = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("p"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def dom(b: (Long, Long), a: (Long, Long)) =
+      b._1 >= a._1 && b._2 <= a._2 && (b._1 > a._1 || b._2 < a._2)
+    for (a <- front; b <- front)
+      assert(!dom(b, a), s"frontier member $a dominated by $b")
+    val frontSet = front.toSet
+    all.filterNot(frontSet.contains).foreach { a =>
+      assert(front.exists(f => dom(f, a)),
+        s"non-frontier day $a must be dominated by a frontier day")
+    }
+  }
+
   test("dq_observe_gate: gate boolean consistent with its own metrics row") {
     val r = q("dq_observe_gate").head()
     val expected = r.getLong(0) >= 1000 && r.getLong(1) == 0 &&
