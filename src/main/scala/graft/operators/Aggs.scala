@@ -2972,6 +2972,46 @@ object Aggs {
               |    4) > 2.492 AS reject_uniform_5pct
               |FROM paired GROUP BY n""".stripMargin)),
 
+    // Sample-ratio-mismatch guardrail — the FIRST check any
+    // experiment readout must pass (a biased assignment invalidates
+    // every downstream stat): for a 50/50 split, χ²(1df) collapses to
+    // the exact rational (n_a−n_b)²/(n_a+n_b) — one integer numerator,
+    // one division — flagged at the conventional SRM threshold
+    // χ² > 10.83 (p < 0.001, the industry alarm level, deliberately
+    // stricter than 0.05 because SRM fires on infrastructure bugs,
+    // not noise). One user-level aggregate.
+    Q("stat_srm_check",
+      (s, d) => {
+        val arms = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .groupBy((col("user_id") % 2 === 0).cast("long").as("arm_a"))
+          .agg(count(lit(1)).as("n"))
+        arms.agg(
+            sum(when(col("arm_a") === 1L, col("n"))).as("n_a"),
+            sum(when(col("arm_a") === 0L, col("n"))).as("n_b"))
+          .select(col("n_a"), col("n_b"),
+            (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+              .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+              .as("chi2"),
+            ((((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+              .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+              > 10.83).as("srm_alarm"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |m AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_b
+             |  FROM u)
+             |SELECT n_a, n_b,
+             |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+             |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / CAST(n_a + n_b AS DOUBLE) > 10.83 AS srm_alarm
+             |FROM m""".stripMargin)),
+
     // Herfindahl–Hirschman concentration of the corpus over sources —
     // the antitrust number repurposed as the dataset-diversity gate
     // ("is the mix dominated by one crawler?"): HHI = Σ shareᵢ², kept

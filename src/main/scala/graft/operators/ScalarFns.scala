@@ -632,6 +632,85 @@ object ScalarFns {
              |  string_split(n_name, ' ')[1] AS first_word
              |FROM nation ORDER BY key_back""".stripMargin)),
 
+    // Phone normalization to E.164 — the PII-normalization sibling of
+    // fn_luhn_check: messy display formats ("(415) 283-0094",
+    // "415.283.0094", "+1 415 283 0094") must collapse to ONE
+    // canonical +1XXXXXXXXXX key before dedup/linkage can match them.
+    // Each user gets a deterministic 10-digit number rendered in a
+    // user-dependent messy format; normalization strips to digits,
+    // drops the redundant country prefix, and re-keys — all portable
+    // string/regexp ops, and the round-trip equality ships as a
+    // checked column.
+    Q("fn_phone_normalize",
+      (s, d) => {
+        val area = (col("user_id") % 800) + 200
+        val mid = (col("user_id") * 7) % 1000
+        val last = (col("user_id") * 13) % 10000
+        Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .filter(col("user_id") % 10 === 0)
+          .withColumn("digits", concat(
+            lpad(area.cast("string"), 3, "0"),
+            lpad(mid.cast("string"), 3, "0"),
+            lpad(last.cast("string"), 4, "0")))
+          .withColumn("messy",
+            when(col("user_id") % 3 === 0, concat(lit("("),
+              substring(col("digits"), 1, 3), lit(") "),
+              substring(col("digits"), 4, 3), lit("-"),
+              substring(col("digits"), 7, 4)))
+              .when(col("user_id") % 3 === 1, concat(
+                substring(col("digits"), 1, 3), lit("."),
+                substring(col("digits"), 4, 3), lit("."),
+                substring(col("digits"), 7, 4)))
+              .otherwise(concat(lit("+1 "),
+                substring(col("digits"), 1, 3), lit(" "),
+                substring(col("digits"), 4, 3), lit(" "),
+                substring(col("digits"), 7, 4))))
+          .withColumn("stripped",
+            regexp_replace(col("messy"), "[^0-9]", ""))
+          .withColumn("e164", concat(lit("+1"),
+            when(length(col("stripped")) === 11,
+              substring(col("stripped"), 2, 10))
+              .otherwise(col("stripped"))))
+          .select(col("user_id"), col("messy"), col("e164"),
+            (col("e164") === concat(lit("+1"), col("digits")))
+              .as("normalized_ok"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE user_id % 10 = 0),
+             |p AS (
+             |  SELECT user_id,
+             |    lpad(CAST(user_id % 800 + 200 AS VARCHAR), 3, '0')
+             |      || lpad(CAST((user_id * 7) % 1000 AS VARCHAR), 3, '0')
+             |      || lpad(CAST((user_id * 13) % 10000 AS VARCHAR), 4, '0')
+             |      AS digits
+             |  FROM u),
+             |m AS (
+             |  SELECT user_id, digits,
+             |    CASE WHEN user_id % 3 = 0
+             |      THEN '(' || substr(digits, 1, 3) || ') '
+             |        || substr(digits, 4, 3) || '-' || substr(digits, 7, 4)
+             |    WHEN user_id % 3 = 1
+             |      THEN substr(digits, 1, 3) || '.' || substr(digits, 4, 3)
+             |        || '.' || substr(digits, 7, 4)
+             |    ELSE '+1 ' || substr(digits, 1, 3) || ' '
+             |      || substr(digits, 4, 3) || ' ' || substr(digits, 7, 4)
+             |    END AS messy
+             |  FROM p),
+             |n AS (
+             |  SELECT user_id, digits, messy,
+             |    regexp_replace(messy, '[^0-9]', '', 'g') AS stripped
+             |  FROM m)
+             |SELECT user_id, messy,
+             |  '+1' || CASE WHEN length(stripped) = 11
+             |    THEN substr(stripped, 2, 10) ELSE stripped END AS e164,
+             |  '+1' || CASE WHEN length(stripped) = 11
+             |    THEN substr(stripped, 2, 10) ELSE stripped END
+             |    = '+1' || digits AS normalized_ok
+             |FROM n ORDER BY user_id""".stripMargin)),
+
     // IPv4 + CIDR arithmetic — the access-log enrichment primitives
     // (parse dotted-quad → u32, subnet containment, network/broadcast
     // bounds) nothing builtin covers portably: all div/mod on the
