@@ -66,7 +66,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_budget_select", "ts_kaplan_meier", "stat_logrank_test",
       "llm_bradley_terry", "stat_mcnemar", "stat_power_twoprop",
       "ds_typed_flatmap", "graph_mst_boruvka", "graph_hits",
-      "ts_peak_detection", "stat_anderson_darling")
+      "ts_peak_detection", "stat_anderson_darling",
+      "stat_hodges_lehmann", "stat_logrank_test", "llm_bradley_terry",
+      "fn_geohash_encode", "fn_luhn_check", "graph_rich_club",
+      "graph_centralization", "graph_bipartite_project",
+      "ts_cross_correlation", "ts_growth_accounting", "stat_odds_ratio",
+      "fn_ulid_sortable", "fn_ipv4_cidr", "stat_lorenz_curve",
+      "llm_quality_auc", "llm_budget_select", "ts_kaplan_meier",
+      "ts_dtw_distance", "ts_hmm_viterbi", "stat_wilson_ci",
+      "llm_submodular_coverage", "stat_partial_corr", "ts_diff_in_diff",
+      "llm_hhi_concentration", "ts_sprt_trace", "ts_pareto_days",
+      "stat_srm_check", "fn_phone_normalize")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
