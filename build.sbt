@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to stdout WITHOUT sbt's
+// "[info] " logger prefix: the driver json.loads Bench's final line,
+// and the prefix made every line unparseable (BENCH_r07-r09 all
+// recorded parsed: null despite a valid JSON tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2188,10 +2188,19 @@ object Aggs {
                |  CAST(0.0 AS DOUBLE),
                |  (acc, qa) -> acc + CASE WHEN qa <= q_obs + 1e-7
                |    THEN exp(qa - lnc_n_c1) ELSE 0.0 END)""".stripMargin))
+          // Haldane–Anscombe +0.5 on all four cells when any is 0
+          // (r10, ADVICE): pins the degenerate-table OR to a defined
+          // value instead of engine-dependent NULL-vs-Infinity on x/0.
+          .withColumn("h", when(
+            col("a") === 0 || col("r1") - col("a") === 0 ||
+              col("c1") - col("a") === 0 ||
+              col("n") - col("r1") - col("c1") + col("a") === 0,
+            lit(0.5)).otherwise(lit(0.0)))
           .select(col("a"), col("r1"), col("c1"), col("n"),
-            round((col("a") * (col("n") - col("r1") - col("c1") + col("a")))
-              .cast("double") /
-              ((col("r1") - col("a")) * (col("c1") - col("a"))).cast("double"),
+            round((col("a") + col("h")) *
+              ((col("n") - col("r1") - col("c1") + col("a")) + col("h")) /
+              (((col("r1") - col("a")) + col("h")) *
+                ((col("c1") - col("a")) + col("h"))),
               4).as("odds_ratio"),
             round(exp(col("q_obs") - col("lnc_n_c1")), 6).as("p_observed_table"),
             round(col("p_two"), 6).as("p_two_sided"))
@@ -2208,13 +2217,16 @@ object Aggs {
            |  FROM documents),
            |prep AS (
            |  SELECT a, r1, c1, n, n - r1 AS r2,
+           |    CASE WHEN a = 0 OR r1 - a = 0 OR c1 - a = 0
+           |        OR n - r1 - c1 + a = 0
+           |      THEN 0.5 ELSE 0.0 END AS h,
            |    ${lncD("n", "c1")} AS lnc_n_c1,
            |    ${lncD("r1", "a")} + ${lncD("n - r1", "c1 - a")} AS q_obs,
            |    GREATEST(0, r1 + c1 - n) AS lo, LEAST(r1, c1) AS hi
            |  FROM cnts)
            |SELECT a, r1, c1, n,
-           |  ROUND(CAST(a * (n - r1 - c1 + a) AS DOUBLE)
-           |    / CAST((r1 - a) * (c1 - a) AS DOUBLE), 4) AS odds_ratio,
+           |  ROUND((a + h) * ((n - r1 - c1 + a) + h)
+           |    / (((r1 - a) + h) * ((c1 - a) + h)), 4) AS odds_ratio,
            |  ROUND(exp(q_obs - lnc_n_c1), 6) AS p_observed_table,
            |  ROUND(list_sum(list_transform(
            |      generate_series(CAST(lo AS INT), CAST(hi AS INT)),
@@ -3230,8 +3242,14 @@ object Aggs {
     // "how big"): heavy-purchaser conversion odds between the parity
     // arms. OR = ad/bc is served as one division of exact BIGINT
     // products; the CI needs ln/exp, so both bounds ship behind
-    // ROUND(…,6) (the established ulp-absorption device). One
-    // user-level pass, 1-row output.
+    // ROUND(…,6) (the established ulp-absorption device). Degenerate
+    // 2×2 cells are pinned (r10, ADVICE): if ANY cell is 0, all four
+    // cells take the Haldane–Anscombe +0.5 correction before the
+    // ratio/SE — otherwise Spark (non-ANSI) would return NULL for x/0
+    // where DuckDB returns ±Infinity, an engine-dependent divergence
+    // instead of a defined statistic. The correction is mirrored as
+    // the same CASE in both engines. One user-level pass, 1-row
+    // output.
     Q("stat_odds_ratio",
       (s, d) => {
         val z = 1.9599639845400545
@@ -3245,13 +3263,18 @@ object Aggs {
           sum(col("arm_a") * (lit(1L) - col("conv"))).as("b"),
           sum((lit(1L) - col("arm_a")) * col("conv")).as("c"),
           sum((lit(1L) - col("arm_a")) * (lit(1L) - col("conv"))).as("dd"))
+        val hasZero = col("a") === 0 || col("b") === 0 ||
+          col("c") === 0 || col("dd") === 0
+        def adj(c0: Column): Column =
+          when(hasZero, c0.cast("double") + 0.5).otherwise(c0.cast("double"))
         cells
-          .withColumn("or_", (col("a") * col("dd")).cast("double") /
-            (col("b") * col("c")).cast("double"))
-          .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
-            lit(1.0) / col("c") + lit(1.0) / col("dd")))
+          .withColumn("aa", adj(col("a"))).withColumn("bb", adj(col("b")))
+          .withColumn("cc", adj(col("c"))).withColumn("dd2", adj(col("dd")))
+          .withColumn("or_", col("aa") * col("dd2") / (col("bb") * col("cc")))
+          .withColumn("se", sqrt(lit(1.0) / col("aa") + lit(1.0) / col("bb") +
+            lit(1.0) / col("cc") + lit(1.0) / col("dd2")))
           .select(col("a"), col("b"), col("c"), col("dd").as("d"),
-            col("or_").as("odds_ratio"),
+            round(col("or_"), 6).as("odds_ratio"),
             round(exp(log(col("or_")) - lit(z) * col("se")), 6).as("ci_lo"),
             round(exp(log(col("or_")) + lit(z) * col("se")), 6).as("ci_hi"))
       },
@@ -3267,12 +3290,18 @@ object Aggs {
              |    CAST(SUM((1 - arm_a) * conv) AS BIGINT) AS c,
              |    CAST(SUM((1 - arm_a) * (1 - conv)) AS BIGINT) AS dd
              |  FROM u),
-             |e AS (
+             |adj AS (
              |  SELECT *,
-             |    CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE) AS or_,
-             |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd) AS se
-             |  FROM cells)
-             |SELECT a, b, c, dd AS d, or_ AS odds_ratio,
+             |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0
+             |      THEN 0.5 ELSE 0.0 END AS h
+             |  FROM cells),
+             |e AS (
+             |  SELECT a, b, c, dd,
+             |    (a + h) * (dd + h) / ((b + h) * (c + h)) AS or_,
+             |    sqrt(1.0 / (a + h) + 1.0 / (b + h)
+             |       + 1.0 / (c + h) + 1.0 / (dd + h)) AS se
+             |  FROM adj)
+             |SELECT a, b, c, dd AS d, ROUND(or_, 6) AS odds_ratio,
              |  ROUND(exp(ln(or_) - CAST('1.9599639845400545' AS DOUBLE)
              |    * se), 6) AS ci_lo,
              |  ROUND(exp(ln(or_) + CAST('1.9599639845400545' AS DOUBLE)
@@ -3342,23 +3371,32 @@ object Aggs {
     // replaces an expensive one). Only the discordant cells enter:
     // χ² = (n10−n01)²/(n10+n01), an exact BIGINT rational served with
     // one mirrored division, plus the continuity-corrected variant.
-    // One corpus pass, 1-row output.
+    // Boundary semantics are pinned explicitly (r10): the corrected
+    // numerator clamps at 0 via greatest(|n10−n01|−1, 0) — Edwards'
+    // correction is max(…, 0)², not a bare square, else n10==n01
+    // yields a spurious 1/(n10+n01) — and when n10+n01 = 0 (zero
+    // discordant pairs) the test is undefined, so BOTH chi2 columns
+    // emit NULL via a mirrored CASE instead of an engine-dependent
+    // 0/0. One corpus pass, 1-row output.
     Q("stat_mcnemar",
       (s, d) => {
         val t = Tables.documents(s, d)
           .withColumn("ra", (col("n_chars") >= 200).cast("long"))
           .withColumn("rb",
             (size(split(col("text"), " ")) >= 40).cast("long"))
+        val corrNum = greatest(abs(col("n10") - col("n01")) - 1, lit(0L))
         t.agg(
             sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
             sum((lit(1L) - col("ra")) * col("rb")).as("n01"))
           .select(col("n10"), col("n01"),
-            (((col("n10") - col("n01")) * (col("n10") - col("n01")))
-              .cast("double") / (col("n10") + col("n01")).cast("double"))
+            when(col("n10") + col("n01") === 0, lit(null).cast("double"))
+              .otherwise(((col("n10") - col("n01")) *
+                (col("n10") - col("n01"))).cast("double") /
+                (col("n10") + col("n01")).cast("double"))
               .as("chi2"),
-            ((abs(col("n10") - col("n01")) - 1) *
-              (abs(col("n10") - col("n01")) - 1)).cast("double")
-              ./((col("n10") + col("n01")).cast("double"))
+            when(col("n10") + col("n01") === 0, lit(null).cast("double"))
+              .otherwise((corrNum * corrNum).cast("double") /
+                (col("n10") + col("n01")).cast("double"))
               .as("chi2_corrected"))
       },
       Some("""WITH r AS (
@@ -3371,10 +3409,13 @@ object Aggs {
              |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01
              |  FROM r)
              |SELECT n10, n01,
-             |  CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
-             |    / CAST(n10 + n01 AS DOUBLE) AS chi2,
-             |  CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
-             |    / CAST(n10 + n01 AS DOUBLE) AS chi2_corrected
+             |  CASE WHEN n10 + n01 = 0 THEN NULL
+             |    ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             |      / CAST(n10 + n01 AS DOUBLE) END AS chi2,
+             |  CASE WHEN n10 + n01 = 0 THEN NULL
+             |    ELSE CAST(greatest(abs(n10 - n01) - 1, 0)
+             |        * greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+             |      / CAST(n10 + n01 AS DOUBLE) END AS chi2_corrected
              |FROM c""".stripMargin)),
 
     // Two-proportion power analysis — "how many users per arm does the

@@ -2572,6 +2572,11 @@ object Windows {
     // yesterday, gap-return), churn comes from the same lag read
     // one day forward — two window passes on the user-keyed shuffle,
     // then a calendar-bounded day rollup. All exact integers.
+    // Churn attaches via FULL OUTER join (r10, ADVICE): a day can
+    // carry churn but zero DAU (e.g. the day after the last active
+    // day), and a left join silently dropped those rows — breaking
+    // the dDAU = new + resurrected − churned audit identity across
+    // gap days. Zero-DAU churn days now emit explicit dau=0 rows.
     Q("ts_growth_accounting",
       (s, d) => {
         val wU = Window.partitionBy("user_id").orderBy("day")
@@ -2595,9 +2600,12 @@ object Windows {
           .agg(count(lit(1)).as("dau"), sum("is_new").as("new_users"),
             sum("is_retained").as("retained"),
             sum("is_resurrected").as("resurrected"))
-        daily.join(churn, Seq("day"), "left")
-          .select(col("day"), col("dau"), col("new_users"),
-            col("retained"), col("resurrected"),
+        daily.join(churn, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("dau"), lit(0L)).as("dau"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"),
+            coalesce(col("retained"), lit(0L)).as("retained"),
+            coalesce(col("resurrected"), lit(0L)).as("resurrected"),
             coalesce(col("churned"), lit(0L)).as("churned"))
           .orderBy("day")
       },
@@ -2627,10 +2635,14 @@ object Windows {
              |    CAST(SUM(is_retained) AS BIGINT) AS retained,
              |    CAST(SUM(is_resurrected) AS BIGINT) AS resurrected
              |  FROM states GROUP BY day)
-             |SELECT d.day, d.dau, d.new_users, d.retained, d.resurrected,
+             |SELECT COALESCE(d.day, c.day) AS day,
+             |  COALESCE(d.dau, 0) AS dau,
+             |  COALESCE(d.new_users, 0) AS new_users,
+             |  COALESCE(d.retained, 0) AS retained,
+             |  COALESCE(d.resurrected, 0) AS resurrected,
              |  COALESCE(c.churned, 0) AS churned
-             |FROM daily d LEFT JOIN churn c ON c.day = d.day
-             |ORDER BY d.day""".stripMargin)),
+             |FROM daily d FULL JOIN churn c ON c.day = d.day
+             |ORDER BY 1""".stripMargin)),
 
     // Cross-correlation function — "does click volume LEAD purchase
     // volume, and by how many hours?": the lead/lag discovery step

@@ -76,7 +76,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_dtw_distance", "ts_hmm_viterbi", "stat_wilson_ci",
       "llm_submodular_coverage", "stat_partial_corr", "ts_diff_in_diff",
       "llm_hhi_concentration", "ts_sprt_trace", "ts_pareto_days",
-      "stat_srm_check", "fn_phone_normalize")
+      "stat_srm_check", "fn_phone_normalize").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString

@@ -463,14 +463,24 @@ class WaveFourSpec extends AnyFunSuite {
       assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
         s"${r.get(0)}: DAU = new + retained + resurrected")
     }
+    // r10: the FULL OUTER churn join guarantees day coverage is
+    // gap-free (every day after an active day has activity or churn),
+    // so the delta identity is asserted over EVERY adjacent pair —
+    // no non-consecutive-day escape hatch.
     rows.sliding(2).foreach {
-      case Array(p, c)
-        if c.getDate(0).toLocalDate == p.getDate(0).toLocalDate.plusDays(1) =>
+      case Array(p, c) =>
+        assert(c.getDate(0).toLocalDate ==
+          p.getDate(0).toLocalDate.plusDays(1),
+          s"${c.get(0)}: output days must be consecutive")
         assert(c.getLong(1) - p.getLong(1) ==
           c.getLong(2) + c.getLong(4) - c.getLong(5),
           s"${c.get(0)}: dDAU = new + resurrected - churned")
       case _ => ()
     }
+    // the final row is the day after the last active day: pure churn
+    val last = rows.last
+    assert(last.getLong(1) == 0 && last.getLong(5) > 0,
+      "trailing row must be the zero-DAU churn-out day")
   }
 
   test("fn_ulid_sortable: lexicographic id order preserves time order") {
@@ -492,7 +502,8 @@ class WaveFourSpec extends AnyFunSuite {
     val r = q("stat_odds_ratio").head()
     val (a, b, c, d) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    assert(r.getDouble(4) == (a * d).toDouble / (b * c))
+    // odds_ratio ships ROUND(·,6) since r10 (Haldane-guarded path)
+    assert(math.abs(r.getDouble(4) - (a * d).toDouble / (b * c)) <= 5e-7)
     assert(r.getDouble(5) <= r.getDouble(4) &&
       r.getDouble(4) <= r.getDouble(6), "CI must bracket the estimate")
   }
