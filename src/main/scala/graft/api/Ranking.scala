@@ -209,6 +209,68 @@ object Ranking {
       .drop("__pid", "__lrn", "__opid", "__off").drop(gRenamed: _*)
   }
 
+  /** `df` plus `outCol` = exact EXCLUSIVE prefix sum of `weight`
+    * under `sortCols` WITHIN each `groupCols` group — the scale-safe
+    * form of `SUM(w) OVER (PARTITION BY g ORDER BY … ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` when there are FEW, LARGE
+    * groups (3 return flags over 100 TB = 3 single-task sorts for the
+    * plain window). [[withGroupedRowNumber]] is the weight ≡ 1 special
+    * case (rn = psum + 1); the shape is identical: per-group range
+    * boundaries from one `approx_percentile` aggregate, a local
+    * exclusive prefix sum within each (group, bucket) partition, and
+    * per-(group, bucket) weight totals prefix-summed into offsets —
+    * a groups × p aggregate, never the input.
+    *
+    * `weight` must be integral or decimal for the sum to be
+    * merge-order exact; `sortCols` must be a total order within a
+    * group; `bucketBy` numeric + ascending-monotonic + null-free
+    * (defaults to `sortCols.head`).
+    */
+  def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], weight: Column, outCol: String = "__psum",
+      partitions: Int = 0, bucketBy: Column = null): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val firstD = Option(bucketBy).getOrElse(sortCols.head).cast("double")
+    val probs = (1 until p).map(i => i.toDouble / p)
+    val wdf = df.withColumn("__w", weight)
+    val bounds = wdf.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(firstD, array(probs.map(lit): _*), lit(10000))
+        .as("__bounds"))
+    // same null-safe-join + rename machinery as withGroupedRowNumber:
+    // NULL group keys are regular partitions, a plain equi-join drops
+    // them
+    def renamedG(t: DataFrame, keep: Seq[Column]): DataFrame =
+      t.select(groupCols.map(g => col(g).as(s"__g_$g")) ++ keep: _*)
+    def gMatch(right: DataFrame): Column =
+      groupCols.map(g => col(g) <=> right(s"__g_$g")).reduce(_ && _)
+    val gRenamed = groupCols.map(g => s"__g_$g")
+    val boundsR = renamedG(bounds, Seq(col("__bounds")))
+    val binned = wdf.join(broadcast(boundsR), gMatch(boundsR))
+      .withColumn("__pid",
+        aggregate(coalesce(col("__bounds"), array()), lit(0),
+          (acc, b) => acc + when(firstD >= b, 1).otherwise(0)))
+      .drop("__bounds").drop(gRenamed: _*)
+    val gCols = groupCols.map(col)
+    val wLocal = Window.partitionBy(gCols :+ col("__pid"): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = binned.withColumn("__lps",
+      coalesce(sum(col("__w")).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(gCols: _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(gCols :+ col("__pid"): _*)
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off", coalesce(sum("__bw").over(wOff), lit(0L)))
+    val offsetsR = renamedG(offsets,
+      Seq(col("__pid").as("__opid"), col("__off")))
+    local.join(broadcast(offsetsR),
+        gMatch(offsetsR) && col("__pid") === col("__opid"))
+      .withColumn(outCol, col("__lps") + col("__off"))
+      .drop("__pid", "__lps", "__opid", "__off", "__w").drop(gRenamed: _*)
+  }
+
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
       tileCol: String = "__ntile", bucketBy: Column = null): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")

@@ -1380,26 +1380,30 @@ object Aggs {
     // Spearman rank correlation (tie-corrected: Pearson on average
     // ranks) between quantity and price per return flag. The ranks are
     // NOT computed by a per-row window sort: average rank of value v is
-    // derived from the per-(group, value) frequency table — cum_before
-    // via one window over DISTINCT VALUES (50 quantities / ~cents
-    // prices per group, orders of magnitude smaller than the row
-    // stream), joined back to rows. Doubled average rank
-    // 2·r̄ = 2·cum_before + cnt + 1 stays an exact BIGINT (no .5
-    // halves), the Pearson moments accumulate as DECIMAL(38,0) —
-    // associative-exact at any partitioning (the stat_corr_matrix
-    // device) — and only the final closed-form ratio drops to double
-    // behind ROUND(…,4). At 100 TB: two small-table windows, two
-    // broadcastable rank joins, one hash aggregate.
+    // derived from the per-(group, value) frequency table, and the
+    // cum_before prefix sum over that table runs through
+    // Ranking.withGroupedPrefixSum (r10, VERDICT next #1), NOT a
+    // window partitioned by the 3-value flag key — distinct prices
+    // approach the row count at scale, so a per-flag window would be
+    // 3 single-task sorts over ~n rows; the grouped device splits
+    // every flag across all range buckets and prefix-sums only
+    // (groups × buckets) weight totals (the stat_gini shape with
+    // weight = cnt). Doubled average rank 2·r̄ = 2·cum_before + cnt + 1
+    // stays an exact BIGINT (no .5 halves), the Pearson moments
+    // accumulate as DECIMAL — associative-exact at any partitioning
+    // (the stat_corr_matrix device) — and only the final closed-form
+    // ratio drops to double behind ROUND(…,4). At 100 TB: two
+    // bucketed frequency-table prefix sums, two rank joins, one hash
+    // aggregate.
     Q("stat_spearman",
       (s, d) => {
         def ranks2(v: String): org.apache.spark.sql.DataFrame = {
-          val w = Window.partitionBy("l_returnflag").orderBy(col(v))
-          Tables.lineitem(s, d)
+          val freq = Tables.lineitem(s, d)
             .groupBy(col("l_returnflag"), col(v))
             .agg(count(lit(1)).as("cnt"))
-            .withColumn("cumb",
-              coalesce(sum("cnt").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          graft.api.Ranking.withGroupedPrefixSum(freq,
+              Seq("l_returnflag"), Seq(col(v)), col("cnt"),
+              outCol = "cumb")
             .select(col("l_returnflag"), col(v),
               (col("cumb") * 2 + col("cnt") + 1).as(s"r2_$v"))
         }

@@ -89,6 +89,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("stat_spearman: no single-partition-per-group window in the executed plan") {
+    // r10 (VERDICT next #1): the cum_before prefix sums must run
+    // through the range-bucketed device — every window in the plan
+    // must involve the __pid bucket id (either partitioned by
+    // (group, __pid) for the local sums, or ordered by __pid over the
+    // groups × p offsets aggregate). A windowspec that mentions the
+    // flag key but no __pid would be the 3-single-task-sort shape
+    // this round removed.
+    val p = SparkEntry.queries("stat_spearman")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "expected window specs in the spearman plan")
+    specs.foreach { l =>
+      assert(l.contains("__pid"),
+        s"window not bucket-scoped (single partition per group):\n$l")
+    }
+  }
+
   test("agg_cms_portable: the probe joins the sketch via broadcast") {
     val p = SparkEntry.queries("agg_cms_portable")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString

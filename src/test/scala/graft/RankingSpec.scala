@@ -91,6 +91,30 @@ class RankingSpec extends AnyFunSuite {
     expect.foreach { case (k, rn) => assert(got(k) == rn, s"o_orderkey=$k") }
   }
 
+  test("withGroupedPrefixSum matches the exclusive per-group SUM window exactly") {
+    // the stat_spearman shape: frequency table (group, value, cnt),
+    // cum_before = exclusive prefix sum of cnt ordered by value
+    val freq = Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val got = graft.api.Ranking
+      .withGroupedPrefixSum(freq, Seq("l_returnflag"),
+        Seq(col("l_extendedprice")), col("cnt"), outCol = "cumb",
+        partitions = 7)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("cumb"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> r.getLong(2)).toMap
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = freq
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        coalesce(sum("cnt").over(w), lit(0L)).as("cumb"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> r.getLong(2)).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) => assert(got(k) == v, s"key=$k") }
+  }
+
   test("withGlobalRowNumber rejects a non-numeric bucket column loudly") {
     val ex = intercept[IllegalArgumentException] {
       graft.api.Ranking.withGlobalRowNumber(
