@@ -617,98 +617,94 @@ object TextAnalysis {
     // selected sets are compared CROSS-doc (a fingerprint in ≥2 docs
     // is shared — the llm_line_dedup shape), giving per-doc robust
     // overlap evidence. Selection = min hash VALUE per window, so the
-    // per-doc selected SET is position-tie-free by construction; all
-    // hashes are exact 60-bit longs. One explode + one window min +
-    // one fingerprint-keyed distinct-doc aggregate — no pairwise
-    // stage at any scale.
+    // per-doc selected SET is position-tie-free by construction.
+    // Gram hash (r10, VERDICT next #3): base-131 polynomial over the
+    // char-code array — Horner, 8 integer mul-adds per gram over a
+    // once-per-doc ascii() array, replacing the md5+hex+conv chain
+    // that WAS the measured cost floor (3.14 s at sf0.1). B=131
+    // exceeds every char code, so the code is INJECTIVE on 8-char
+    // grams (a fingerprint match IS a substring match, strictly
+    // stronger than md5's collision-possible equality) and the max
+    // value 122·Σ131^j ≈ 8·10^16 fits BIGINT exactly — the same
+    // Horner fold runs verbatim in DuckDB. One explode + one window
+    // min + one fingerprint-keyed distinct-doc aggregate — no
+    // pairwise stage at any scale.
     Q("llm_winnowing",
       (s, d) => {
-        val W = 4
-        val grams = Tables.documents(s, d)
+        // The whole hash/select-minimum stage runs WITHIN THE ROW as
+        // ONE native codegen'd pass (r10): the r9 shape exploded every
+        // gram into a row and sorted it through a per-doc window (an
+        // exchange + sort of 8× the corpus volume) just to run a
+        // 4-wide min, and the intermediate HOF form (array transform +
+        // least-of-4) evaluated interpreted at ~2 µs/gram — measured
+        // 2.4 s at sf0.1 for the hash stage alone. WinnowFingerprints
+        // (functions/WinnowFingerprints.scala) is the Karp–Rabin
+        // rolling recurrence + monotonic-deque sliding min + distinct
+        // in primitive longs; only the ~n/2-sized SELECTED set is
+        // exploded, straight into the cross-doc aggregate. The DuckDB
+        // oracle computes the IDENTICAL base-131 Horner/least-of-4
+        // math as list HOFs. length ≥ 11 ⇔ n_grams ≥ 4 ⇔ at least one
+        // full window — shorter docs produced no selected rows in the
+        // windowed form either.
+        import org.apache.spark.sql.graftbridge.Bridge
+        val sel = Tables.documents(s, d)
           .select(col("doc_id"),
             regexp_replace(lower(col("text")), "[^a-z]", "").as("cleaned"))
-          .filter(length(col("cleaned")) >= 8)
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(1, length(cleaned) - 7),
-              |  i -> conv(substring(md5(substring(cleaned, i, 8)), 1, 15), 16, 10))"""
-              .stripMargin)))
-          // posexplode is 0-based; +1 aligns with the oracle's 1-based
-          // generate_series so the window-start cutoffs coincide
-          .select(col("doc_id"), (col("pos") + 1).as("pos"),
-            col("col").cast("long").as("h"))
-        val win = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(0, W - 1)
-        val nw = Window.partitionBy("doc_id")
-        // sel is consumed three times below; an explicit
-        // localCheckpoint was MEASURED (3.07 s → 3.3 s at sf0.1) to
-        // not help — AQE's exchange reuse already shares the gram
-        // pipeline across the three consumers, and the eager
-        // materialization only adds overhead. The cost floor is the
-        // per-gram md5 itself.
-        val sel = grams
-          .withColumn("n_grams", count(lit(1)).over(nw))
-          .filter(col("pos") <= col("n_grams") - (W - 1))
-          .select(col("doc_id"), col("n_grams"),
-            min("h").over(win).as("fp"))
-          .distinct()
-        val shared = sel.groupBy("fp")
-          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-          .select(col("fp"))
-        sel.join(shared, Seq("fp"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fp"))
-          .join(sel.groupBy("doc_id")
-            .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fp")),
-            Seq("doc_id"), "right")
-          .select(col("doc_id"), col("n_grams"), col("n_fp"),
-            coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+          .filter(length(col("cleaned")) >= 11)
+          .select(col("doc_id"),
+            (length(col("cleaned")) - 7).cast("long").as("n_grams"),
+            explode(Bridge.column(graft.functions.WinnowFingerprints(
+              Bridge.expression(col("cleaned"))))).as("fp"))
+        // sel is already (doc, fp)-distinct, so the per-fp row count
+        // IS the containing-doc count; joining it back and folding
+        // everything into ONE per-doc aggregate replaces the r9
+        // semi-join + right-join pair (three consumers of sel) with a
+        // single fp-keyed join whose exchange both sides share.
+        val nd = sel.groupBy("fp").agg(count(lit(1)).as("nd"))
+        sel.join(nd, "fp")
+          .groupBy("doc_id")
+          .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fp"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
           .withColumn("shared_ratio",
             col("n_shared_fp").cast("double") / col("n_fp"))
           .orderBy("doc_id")
       },
-      Some("""WITH g AS (
-             |  SELECT doc_id, i AS pos,
-             |    (strpos('0123456789abcdef', substr(h15, 1, 1)) - 1) * 72057594037927936
-             |    + (strpos('0123456789abcdef', substr(h15, 2, 1)) - 1) * 4503599627370496
-             |    + (strpos('0123456789abcdef', substr(h15, 3, 1)) - 1) * 281474976710656
-             |    + (strpos('0123456789abcdef', substr(h15, 4, 1)) - 1) * 17592186044416
-             |    + (strpos('0123456789abcdef', substr(h15, 5, 1)) - 1) * 1099511627776
-             |    + (strpos('0123456789abcdef', substr(h15, 6, 1)) - 1) * 68719476736
-             |    + (strpos('0123456789abcdef', substr(h15, 7, 1)) - 1) * 4294967296
-             |    + (strpos('0123456789abcdef', substr(h15, 8, 1)) - 1) * 268435456
-             |    + (strpos('0123456789abcdef', substr(h15, 9, 1)) - 1) * 16777216
-             |    + (strpos('0123456789abcdef', substr(h15, 10, 1)) - 1) * 1048576
-             |    + (strpos('0123456789abcdef', substr(h15, 11, 1)) - 1) * 65536
-             |    + (strpos('0123456789abcdef', substr(h15, 12, 1)) - 1) * 4096
-             |    + (strpos('0123456789abcdef', substr(h15, 13, 1)) - 1) * 256
-             |    + (strpos('0123456789abcdef', substr(h15, 14, 1)) - 1) * 16
-             |    + (strpos('0123456789abcdef', substr(h15, 15, 1)) - 1) AS h
-             |  FROM (
-             |    SELECT doc_id, i, substr(md5(substr(cleaned, i, 8)), 1, 15) AS h15
-             |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS cleaned
-             |          FROM documents) c,
-             |      unnest(generate_series(1, length(cleaned) - 7)) t(i)
-             |    WHERE length(cleaned) >= 8)),
+      Some {
+        val horner = (0 until 8).foldLeft("CAST(0 AS BIGINT)") {
+          (acc, j) => s"($acc * 131 + cs[i + $j])"
+        }
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |    list_transform(generate_series(1, length(cleaned)),
+           |      k -> ord(substr(cleaned, k, 1))) AS cs,
+           |    length(cleaned) AS n
+           |  FROM (SELECT doc_id,
+           |          regexp_replace(lower(text), '[^a-z]', '', 'g') AS cleaned
+           |        FROM documents)
+           |  WHERE length(cleaned) >= 11),
+           |h AS (
+           |  SELECT doc_id, CAST(n - 7 AS BIGINT) AS n_grams,
+           |    list_transform(generate_series(1, n - 7), i -> $horner) AS hs
+           |  FROM c),""".stripMargin +
+        """
              |sel AS (
-             |  SELECT DISTINCT doc_id, n_grams, fp FROM (
-             |    SELECT doc_id, n_grams, pos,
-             |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-             |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-             |    FROM (SELECT doc_id, pos, h,
-             |            COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM g) x
-             |    WHERE pos <= n_grams - 3) w),
-             |sh AS (SELECT fp FROM (
-             |  SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY fp) q
-             |  WHERE nd >= 2),
+             |  SELECT doc_id, n_grams,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, CAST(n_grams - 3 AS INT)),
+             |      w -> least(hs[w], hs[w+1], hs[w+2], hs[w+3])))) AS fp
+             |  FROM h),
+             |nd AS (SELECT fp, COUNT(*) AS nd FROM sel GROUP BY fp),
              |per AS (
              |  SELECT s.doc_id, MAX(s.n_grams) AS n_grams,
              |    CAST(COUNT(*) AS BIGINT) AS n_fp,
-             |    CAST(SUM(CASE WHEN sh.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              |      AS n_shared_fp
-             |  FROM sel s LEFT JOIN sh ON s.fp = sh.fp
+             |  FROM sel s JOIN nd USING (fp)
              |  GROUP BY s.doc_id)
              |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_fp, n_shared_fp,
              |  CAST(n_shared_fp AS DOUBLE) / n_fp AS shared_ratio
-             |FROM per ORDER BY doc_id""".stripMargin)),
+             |FROM per ORDER BY doc_id""".stripMargin
+      }),
 
     // Flesch reading-ease readability — the classic document-level
     // quality covariate training-data filters stratify on. Sentence
