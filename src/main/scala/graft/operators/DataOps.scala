@@ -689,20 +689,35 @@ object DataOps {
     * τ, so the op demonstrably drops rows). The oracle unrolls the
     * shared k-means chain and mirrors the earlier-id drop rule.
     */
-  private val semDedupQuery: Q = {
+  private def semDedupQ(name: String, probes: Int): Q = {
     val K = 16; val ITERS = 5; val TAU = 0.4
     def fn(s: SparkSession, d: String) =
       graft.api.Similarity
-        .semDedup(Tables.embeddings(s, d), "vec_id", "embedding", K, ITERS, TAU)
+        .semDedup(Tables.embeddings(s, d), "vec_id", "embedding", K, ITERS,
+          TAU, probes)
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("kept"), col("dup_of"), col("max_sim"))
         .orderBy("vec_id")
+    // probes=2 (the boundary-recall dial, promoted to a declared query
+    // in r10 — VERDICT next #6): both pair sides come from `aprobe`
+    // (every vector in its `probes` nearest final cells, the
+    // ann_ivf_multiprobe CTE device), so a boundary pair is recovered
+    // when EITHER vector probes a cell containing the other. A pair
+    // matching in several shared cells collapses in the MIN/MAX
+    // aggregate — same absorption as the Scala path. The τ=0.4 margin
+    // argument (nearest pair ≥1.3e-4 from the cut, measured on the
+    // GLOBAL pairwise distribution) covers any candidate subset, so
+    // the probe2 verdict set is float-stable too. Home cell / kept
+    // verdicts still read from `afinal`.
+    val pairSrc = if (probes <= 1) "afinal" else "aprobe"
+    val probeCte =
+      if (probes <= 1) "" else s",\n${kmAssign(s"cb$ITERS", "aprobe", probes)}"
     val sql =
-      s"""WITH ${kmChain(K.toString, ITERS)},
+      s"""WITH ${kmChain(K.toString, ITERS)}$probeCte,
          |sims AS (
          |  SELECT a.vec_id AS id, b.vec_id AS nbr,
          |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
-         |  FROM afinal a JOIN afinal b
+         |  FROM $pairSrc a JOIN $pairSrc b
          |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
          |dups AS (
          |  SELECT id, MIN(nbr) AS dup_of, MAX(sim) AS max_sim
@@ -710,8 +725,10 @@ object DataOps {
          |SELECT f.vec_id, f.cell, d.id IS NULL AS kept, d.dup_of, d.max_sim
          |FROM afinal f LEFT JOIN dups d ON f.vec_id = d.id
          |ORDER BY f.vec_id""".stripMargin
-    Q("llm_semdedup", fn, Some(sql))
+    Q(name, fn, Some(sql))
   }
+  private val semDedupQuery: Q = semDedupQ("llm_semdedup", 1)
+  private val semDedupProbe2Query: Q = semDedupQ("llm_semdedup_probe2", 2)
 
   /** Product quantization with asymmetric-distance (ADC) search: the
     * memory-compression end of the ANN spectrum. The 64-dim vector is
@@ -1219,7 +1236,7 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery, semDedupQuery, clusterBalanceQuery,
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery)

@@ -826,6 +826,110 @@ object Scans {
         .orderBy("file_name"),
       Some("""SELECT 'events.parquet' AS file_name,
              |  CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS nonempty
-             |FROM events ORDER BY file_name""".stripMargin))
+             |FROM events ORDER BY file_name""".stripMargin)),
+
+    // JDBC source roundtrip — the metadata-collector's literal ingest
+    // path (a collector reads the metastore's own relational DB over
+    // JDBC): write supplier through Spark's JDBC sink into embedded
+    // Derby (the same in-process engine the Hive-metastore tests
+    // boot), read it back as a PARTITIONED JDBC scan, aggregate per
+    // nation; the oracle aggregates the same rows from parquet — the
+    // ORC/Avro/XML roundtrip contract. The read goes through the
+    // jdbc(url, table, partitionColumn, lo, hi, numPartitions, props)
+    // overload — the device that makes a large JDBC ingest parallel
+    // (each task pulls one key range over its own connection) instead
+    // of a single-connection stream; bounds come from one min/max
+    // aggregate on the source, the standard two-query ingest pattern.
+    // Write memoized per (JVM, fixture) like every staged-artifact
+    // query; embedded Derby is single-JVM, so the db path lives under
+    // this JVM's tmpdir.
+    Q("scan_jdbc_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/supplier.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        val db = s"${sys.props("java.io.tmpdir")}/graft_derby_$key"
+        val url = s"jdbc:derby:$db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val table = s"supplier_$key"
+        staged.computeIfAbsent(table, _ => {
+          Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+              col("s_acctbal"))
+            .write.mode("overwrite").jdbc(url, table, props)
+          table
+        })
+        val b = Tables.supplier(s, d)
+          .agg(min(col("s_suppkey").cast("long")),
+            max(col("s_suppkey").cast("long"))).head()
+        s.read.jdbc(url, table, "s_suppkey",
+            b.getLong(0), b.getLong(1) + 1, 4, props)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            dsum(col("s_acctbal")).as("sum_acctbal"),
+            min("s_name").as("first_name"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+              |${SQL_DSUM("s_acctbal")} AS sum_acctbal,
+              |MIN(s_name) AS first_name
+              |FROM supplier GROUP BY s_nationkey
+              |ORDER BY s_nationkey""".stripMargin)),
+
+    // Metastore statistics depth — the metadata collector's CORE
+    // surface, computed rather than mocked: CREATE TABLE into the
+    // session catalog (Hive/Derby-backed in the test JVM, in-memory in
+    // Verify — the code path is identical `spark.catalog` SQL either
+    // way), ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS, then read
+    // the recorded numRows + per-column NDVs back out of DESCRIBE
+    // EXTENDED into a DataFrame. The oracle recomputes num_rows /
+    // COUNT(DISTINCT …) from the same parquet — valid because
+    // Spark's ANALYZE NDV (HyperLogLog++) is exact at nation-table
+    // cardinalities (sparse mode is exact into the thousands); the
+    // oracle pins exactly the stats columns, not Spark-private
+    // sizeInBytes. At 100 TB ANALYZE is one distributed aggregate per
+    // table; the DESCRIBE readback is catalog-metadata-only.
+    Q("catalog_hive_stats",
+      (s, d) => {
+        val src = new java.io.File(s"$d/nation.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        val tbl = s"nation_stats_$key"
+        val statCols = Seq("n_name", "n_nationkey", "n_regionkey")
+        staged.computeIfAbsent(s"stats_$tbl", _ => {
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_stats")
+          Tables.nation(s, d).write.mode("overwrite")
+            .saveAsTable(s"graft_stats.$tbl")
+          s.sql(s"ANALYZE TABLE graft_stats.$tbl COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${statCols.mkString(", ")}")
+          tbl
+        })
+        // "Statistics" row reads "<bytes> bytes, <n> rows"
+        val statLine = s.sql(s"DESCRIBE EXTENDED graft_stats.$tbl")
+          .filter(col("col_name") === "Statistics")
+          .select(col("data_type")).head().getString(0)
+        val numRows = statLine.split(",")(1).trim.split("\\s+")(0).toLong
+        statCols.map { c =>
+            s.sql(s"DESCRIBE EXTENDED graft_stats.$tbl $c")
+              .filter(col("info_name") === "distinct_count")
+              .select(lit(c).as("column_name"),
+                col("info_value").cast("long").as("ndv"))
+          }.reduce(_.unionByName(_))
+          .withColumn("num_rows", lit(numRows))
+          .select(col("column_name"), col("num_rows"), col("ndv"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT 'n_name' AS column_name,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS num_rows,
+             |  CAST(COUNT(DISTINCT n_name) AS BIGINT) AS ndv FROM nation
+             |UNION ALL SELECT 'n_nationkey',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+             |  CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation
+             |UNION ALL SELECT 'n_regionkey',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+             |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+             |ORDER BY column_name""".stripMargin))
   )
+
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

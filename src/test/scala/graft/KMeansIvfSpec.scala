@@ -162,4 +162,22 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(recalls.last._2 > recalls.head._2,
       s"probing 4 cells should strictly improve recall@1 at this scale: $recalls")
   }
+
+  test("semDedup probes=2 recovers strictly more duplicates than probes=1") {
+    // the boundary-miss recall gap the probe dial exists to close
+    // (r10, VERDICT next #6): every probes=1 drop must also be found
+    // at probes=2 (superset), and the fixture must demonstrate at
+    // least one recovered boundary pair
+    def dropped(p: Int): Set[Long] = graft.api.Similarity
+      .semDedup(embs, "vec_id", "embedding", probes = p)
+      .filter(!org.apache.spark.sql.functions.col("kept"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val d1 = dropped(1)
+    val d2 = dropped(2)
+    info(s"probes=1 drops ${d1.size}, probes=2 drops ${d2.size}")
+    assert(d1.subsetOf(d2),
+      s"probes=2 must recover every home-cell duplicate: missing ${d1 -- d2}")
+    assert(d2.size > d1.size,
+      "probes=2 should recover at least one boundary pair on the fixture")
+  }
 }

@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream_stream_join equals the batch interval join exactly") {
+    // r10 (VERDICT next #7): the no-oracle inner stream-stream join
+    // gets its batch twin pinned in-test — inner interval-join rows
+    // emit eagerly on match and exactly once, so the drained streamed
+    // result must be row-identical to the batch join of the same
+    // fixture, with no watermark carve-out.
+    val streamed = SparkEntry.queries("stream_stream_join")(spark, TestSpark.sf0001)
+      .select("p_id", "c_id", "p_user")
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id", "p_user")
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed rows not in the batch join")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch join rows missing from the stream")
+    assert(batch.count() > 0, "vacuous interval join")
+  }
+
   test("stream_stream_outer: matched = batch inner; fallout is watermark-evicted") {
     val streamed = SparkEntry.queries("stream_stream_outer")(spark, TestSpark.sf0001)
     val ev = Tables.events(spark, TestSpark.sf0001)
