@@ -130,7 +130,10 @@ object Ranking {
       .select(col("__pid"), col("__off"), col(nCol))
     local.join(broadcast(offsets), "__pid")
       .withColumn(rnCol, col("__lrn") + col("__off"))
-      .drop("__pid", "__lrn")
+      // __off must not leak: a second ranking call on this output
+      // (e.g. ts_rfm_segmentation's chained ntileExact scores) would
+      // hit AMBIGUOUS_REFERENCE on its own __off
+      .drop("__pid", "__lrn", "__off")
   }
 
   /** `df` plus `tileCol` = exact `NTILE(tiles)` under `sortCols`

@@ -3501,6 +3501,353 @@ object Aggs {
               |SELECT mde_rel, n_users, n_conv, p1,
               |  CAST(floor(nf) AS BIGINT)
               |    + CASE WHEN nf > floor(nf) THEN 1 ELSE 0 END AS n_per_arm
-              |FROM f ORDER BY mde_rel""".stripMargin))
+              |FROM f ORDER BY mde_rel""".stripMargin)),
+
+    // ---- round-10 stats wave ----
+
+    // Cochran's Q — McNemar generalized to k=3 matched binary
+    // treatments: do the three quality gates (length, word count,
+    // lang) pass the SAME documents, or is one systematically
+    // stricter? Q = (k−1)·(k·ΣG_j² − T²)/(k·T − ΣL_i²) over exact
+    // BIGINT row/column totals from ONE corpus pass; the degenerate
+    // denominator (every doc passes all or none) emits NULL via the
+    // mirrored CASE (the stat_mcnemar boundary device). 1-row output.
+    Q("stat_cochran_q",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ra", (col("n_chars") >= 200).cast("long"))
+          .withColumn("rb",
+            (size(split(col("text"), " ")) >= 40).cast("long"))
+          .withColumn("rc", (col("lang") === "en").cast("long"))
+          .withColumn("l", col("ra") + col("rb") + col("rc"))
+        t.agg(count(lit(1)).as("n"), sum("ra").as("ga"),
+            sum("rb").as("gb"), sum("rc").as("gc"),
+            sum(col("l") * col("l")).as("sl2"))
+          .withColumn("tt", col("ga") + col("gb") + col("gc"))
+          .select(col("n"), col("ga"), col("gb"), col("gc"),
+            when(lit(3L) * col("tt") - col("sl2") === 0,
+              lit(null).cast("double"))
+              .otherwise((lit(2L) * (lit(3L) * (col("ga") * col("ga") +
+                col("gb") * col("gb") + col("gc") * col("gc")) -
+                col("tt") * col("tt"))).cast("double") /
+                (lit(3L) * col("tt") - col("sl2")).cast("double"))
+              .as("q_stat"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+             |    CASE WHEN len(string_split(text, ' ')) >= 40
+             |      THEN 1 ELSE 0 END AS rb,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rc
+             |  FROM documents),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(ra) AS BIGINT) AS ga,
+             |    CAST(SUM(rb) AS BIGINT) AS gb,
+             |    CAST(SUM(rc) AS BIGINT) AS gc,
+             |    CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS BIGINT) AS sl2
+             |  FROM r),
+             |e AS (SELECT *, ga + gb + gc AS tt FROM c)
+             |SELECT n, ga, gb, gc,
+             |  CASE WHEN 3 * tt - sl2 = 0 THEN NULL
+             |    ELSE CAST(2 * (3 * (ga * ga + gb * gb + gc * gc)
+             |        - tt * tt) AS DOUBLE)
+             |      / CAST(3 * tt - sl2 AS DOUBLE) END AS q_stat
+             |FROM e""".stripMargin)),
+
+    // Fleiss' κ — inter-rater agreement for MORE than two raters
+    // (stat_cohens_kappa's k=2 form caps at pairs): the three binary
+    // gates as three annotators over every document. P̄ from the exact
+    // integer Σ[s² + (3−s)²] (s = passes per doc), chance agreement
+    // from the pooled category rates — one corpus pass, closed-form
+    // doubles at the end, 1-row output.
+    Q("stat_fleiss_kappa",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("sgn",
+            (col("n_chars") >= 200).cast("long") +
+              (size(split(col("text"), " ")) >= 40).cast("long") +
+              (col("lang") === "en").cast("long"))
+        t.agg(count(lit(1)).as("n"), sum("sgn").as("ss"),
+            sum(col("sgn") * col("sgn") +
+              (lit(3L) - col("sgn")) * (lit(3L) - col("sgn"))).as("sq"))
+          .withColumn("pbar",
+            (col("sq") - lit(3L) * col("n")).cast("double") /
+              (lit(6L) * col("n")).cast("double"))
+          .withColumn("p1",
+            col("ss").cast("double") / (lit(3L) * col("n")).cast("double"))
+          .withColumn("pe",
+            col("p1") * col("p1") +
+              (lit(1.0) - col("p1")) * (lit(1.0) - col("p1")))
+          .select(col("n"), col("ss").as("total_passes"),
+            round(col("pbar"), 6).as("p_observed"),
+            round(col("pe"), 6).as("p_chance"),
+            round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)
+              .as("fleiss_kappa"))
+      },
+      Some("""WITH r AS (
+             |  SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN len(string_split(text, ' ')) >= 40
+             |        THEN 1 ELSE 0 END)
+             |    + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sgn
+             |  FROM documents),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(sgn) AS BIGINT) AS ss,
+             |    CAST(SUM(sgn * sgn + (3 - sgn) * (3 - sgn)) AS BIGINT) AS sq
+             |  FROM r),
+             |e AS (
+             |  SELECT n, ss,
+             |    CAST(sq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE) AS pbar,
+             |    CAST(ss AS DOUBLE) / CAST(3 * n AS DOUBLE) AS p1
+             |  FROM c),
+             |f AS (
+             |  SELECT n, ss, pbar,
+             |    p1 * p1 + (1.0 - p1) * (1.0 - p1) AS pe
+             |  FROM e)
+             |SELECT n, ss AS total_passes, ROUND(pbar, 6) AS p_observed,
+             |  ROUND(pe, 6) AS p_chance,
+             |  ROUND((pbar - pe) / (1.0 - pe), 6) AS fleiss_kappa
+             |FROM f""".stripMargin)),
+
+    // Cochran–Mantel–Haenszel — the STRATIFIED 2×2 association test
+    // (does source src0 predict long documents, controlling for
+    // language?): the confounder-adjusted complement to
+    // stat_fisher_exact's single-table question. Per-stratum cells
+    // are exact BIGINTs; E_k and V_k are per-stratum double rationals
+    // folded IN LANG ORDER on both engines (sort_array + aggregate
+    // HOF ↔ list_sum over list(... ORDER BY lang) — the
+    // index-order-fold device), so the continuity-corrected statistic
+    // ships as an unrounded identical double. Strata count (5 langs)
+    // is the only non-aggregate dimension — model-sized forever.
+    Q("stat_cmh_test",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .withColumn("x", (col("source") === "src0").cast("long"))
+          .withColumn("y", (col("n_chars") >= 200).cast("long"))
+          .groupBy("lang")
+          .agg(sum(col("x") * col("y")).as("a"),
+            sum("x").as("r1"), sum("y").as("c1"), count(lit(1)).as("nk"))
+          .withColumn("ek",
+            (col("r1") * col("c1")).cast("double") / col("nk").cast("double"))
+          .withColumn("vk",
+            (col("r1") * (col("nk") - col("r1")) * col("c1") *
+              (col("nk") - col("c1"))).cast("double") /
+              (col("nk").cast("double") * col("nk").cast("double") *
+                (col("nk") - 1).cast("double")))
+        cells.agg(sum("a").as("sum_a"),
+            expr("""aggregate(transform(sort_array(collect_list(
+                 |    struct(lang, ek))), p -> p.ek),
+                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+              .as("sum_e"),
+            expr("""aggregate(transform(sort_array(collect_list(
+                 |    struct(lang, vk))), p -> p.vk),
+                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+              .as("sum_v"),
+            count(lit(1)).as("n_strata"))
+          .select(col("n_strata"), col("sum_a"), col("sum_e"), col("sum_v"),
+            (greatest(abs(col("sum_a").cast("double") - col("sum_e")) -
+              lit(0.5), lit(0.0)) *
+              greatest(abs(col("sum_a").cast("double") - col("sum_e")) -
+                lit(0.5), lit(0.0)) / col("sum_v")).as("cmh_chi2"))
+      },
+      Some("""WITH k AS (
+             |  SELECT lang,
+             |    CAST(SUM(x * y) AS BIGINT) AS a,
+             |    CAST(SUM(x) AS BIGINT) AS r1,
+             |    CAST(SUM(y) AS BIGINT) AS c1,
+             |    CAST(COUNT(*) AS BIGINT) AS nk
+             |  FROM (SELECT lang,
+             |      CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS x,
+             |      CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+             |    FROM documents) t
+             |  GROUP BY lang),
+             |e AS (
+             |  SELECT lang, a,
+             |    CAST(r1 * c1 AS DOUBLE) / nk AS ek,
+             |    CAST(r1 * (nk - r1) * c1 * (nk - c1) AS DOUBLE)
+             |      / (CAST(nk AS DOUBLE) * nk * (nk - 1)) AS vk
+             |  FROM k),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             |    CAST(SUM(a) AS BIGINT) AS sum_a,
+             |    list_sum(list(ek ORDER BY lang)) AS sum_e,
+             |    list_sum(list(vk ORDER BY lang)) AS sum_v
+             |  FROM e)
+             |SELECT n_strata, sum_a, sum_e, sum_v,
+             |  greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0)
+             |    * greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0)
+             |    / sum_v AS cmh_chi2
+             |FROM s""".stripMargin)),
+
+    // Theil's U (uncertainty coefficient) — the ASYMMETRIC categorical
+    // association stat_mutual_info deliberately is not: U(lang|source)
+    // = I(lang; source)/H(lang) answers "how much does knowing the
+    // source REDUCE language uncertainty" (direction matters — a
+    // source→lang router cares about this one, not the symmetric MI).
+    // All probabilities from exact integer counts on a langs×sources
+    // grid; the entropy sums have ≤ 5·20 terms (the stat_entropy
+    // too-few-terms-to-drift argument) behind ROUND(…,4).
+    Q("stat_theil_u",
+      (s, d) => {
+        val n = Tables.documents(s, d).count()
+        val joint = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        val langH = joint.groupBy("lang").agg(sum("c").as("cl"))
+          .agg((-sum((col("cl").cast("double") / n) *
+            log2(col("cl").cast("double") / n))).as("h_lang"))
+        val condH = joint
+          .withColumn("cs", sum("c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .agg((-sum((col("c").cast("double") / n) *
+            log2(col("c").cast("double") / col("cs")))).as("h_cond"))
+        langH.crossJoin(condH)
+          .select(round(col("h_lang"), 4).as("h_lang"),
+            round(col("h_cond"), 4).as("h_lang_given_source"),
+            round((col("h_lang") - col("h_cond")) / col("h_lang"), 4)
+              .as("theil_u"))
+      },
+      Some("""WITH j AS (
+             |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+             |hl AS (
+             |  SELECT -SUM((CAST(cl AS DOUBLE) / n)
+             |    * log2(CAST(cl AS DOUBLE) / n)) AS h_lang
+             |  FROM (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl
+             |        FROM j GROUP BY lang) l, n),
+             |hc AS (
+             |  SELECT -SUM((CAST(c AS DOUBLE) / n)
+             |    * log2(CAST(c AS DOUBLE) / cs)) AS h_cond
+             |  FROM (SELECT *, SUM(c) OVER (PARTITION BY source) AS cs
+             |        FROM j) x, n)
+             |SELECT ROUND(h_lang, 4) AS h_lang,
+             |  ROUND(h_cond, 4) AS h_lang_given_source,
+             |  ROUND((h_lang - h_cond) / h_lang, 4) AS theil_u
+             |FROM hl, hc""".stripMargin)),
+
+    // Grubbs' test — the single-most-extreme-outlier screen on the
+    // daily purchase-count series (ts_anomaly_zscore flags EVERY
+    // |z|>3 day; Grubbs asks the sharper "is the WORST day
+    // statistically surprising"). G = max|c−x̄|/s from exact integer
+    // day counts; the argmax day is ranked by |n·c − Σc| — an exact
+    // INTEGER comparator equivalent to |c−x̄| ordering, so the flagged
+    // day never depends on double tie behavior. Calendar-bounded
+    // series: every term model-sized at any corpus scale.
+    Q("stat_grubbs",
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val m = byDay.agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("qc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("c") * col("n") - col("sc")).desc, col("day"))
+        byDay.crossJoin(broadcast(m))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .withColumn("mean", col("sc").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            (col("n").cast("double") * col("qc").cast("double") -
+              col("sc").cast("double") * col("sc").cast("double")) /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .select(col("n").as("n_days"), col("day").as("flagged_day"),
+            col("c").as("flagged_count"), round(col("mean"), 4).as("mean"),
+            round(col("sd"), 4).as("sd"),
+            round(abs(col("c").cast("double") - col("mean")) / col("sd"), 4)
+              .as("g_stat"))
+      },
+      Some("""WITH byday AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS sc,
+             |    CAST(SUM(c * c) AS BIGINT) AS qc
+             |  FROM byday),
+             |r AS (
+             |  SELECT day, c, n, sc, qc,
+             |    ROW_NUMBER() OVER (ORDER BY abs(c * n - sc) DESC, day)
+             |      AS rk
+             |  FROM byday, m),
+             |f AS (
+             |  SELECT n, day, c,
+             |    CAST(sc AS DOUBLE) / n AS mean,
+             |    sqrt((CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)
+             |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+             |  FROM r WHERE rk = 1)
+             |SELECT n AS n_days, day AS flagged_day, c AS flagged_count,
+             |  ROUND(mean, 4) AS mean, ROUND(sd, 4) AS sd,
+             |  ROUND(abs(CAST(c AS DOUBLE) - mean) / sd, 4) AS g_stat
+             |FROM f""".stripMargin)),
+
+    // Cohen's d + Hedges' g — the EFFECT SIZE stat_welch_ttest's t
+    // deliberately is not ("significant" ≠ "large"): standardized
+    // click-vs-purchase mean difference over the pooled SD, with the
+    // small-sample J correction. Same exact BIGINT cents moments as
+    // the t-test, one closed-form double expression at the end.
+    Q("stat_cohens_d",
+      (s, d) => {
+        val m = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+            sum(col("cents") * col("cents")).as("qc"))
+        val a = m.filter(col("event_type") === "click")
+          .select(col("n").as("n_a"), col("sc").as("s_a"), col("qc").as("q_a"))
+        val b = m.filter(col("event_type") === "purchase")
+          .select(col("n").as("n_b"), col("sc").as("s_b"), col("qc").as("q_b"))
+        def ss(n: String, sc: String, qc: String) =
+          col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double") /
+              col(n).cast("double")
+        a.crossJoin(b)
+          .withColumn("sp", sqrt(
+            (ss("n_a", "s_a", "q_a") + ss("n_b", "s_b", "q_b")) /
+              (col("n_a") + col("n_b") - 2).cast("double")))
+          .withColumn("dd",
+            (col("s_a").cast("double") / col("n_a") -
+              col("s_b").cast("double") / col("n_b")) / col("sp"))
+          .withColumn("j",
+            lit(1.0) - lit(3.0) /
+              (lit(4.0) * (col("n_a") + col("n_b") - 2).cast("double") -
+                lit(1.0)))
+          .select(col("n_a").as("n_click"), col("n_b").as("n_purchase"),
+            round(col("sp") / 100.0, 4).as("pooled_sd"),
+            round(col("dd"), 6).as("cohens_d"),
+            round(col("dd") * col("j"), 6).as("hedges_g"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s,
+             |    CAST(SUM(cents * cents) AS BIGINT) AS q
+             |  FROM (
+             |    SELECT event_type,
+             |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |    FROM events WHERE event_type IN ('click', 'purchase')) x
+             |  GROUP BY event_type),
+             |ab AS (
+             |  SELECT a.n AS n_a, a.s AS s_a, a.q AS q_a,
+             |    b.n AS n_b, b.s AS s_b, b.q AS q_b
+             |  FROM (SELECT * FROM m WHERE event_type = 'click') a,
+             |    (SELECT * FROM m WHERE event_type = 'purchase') b),
+             |e AS (
+             |  SELECT n_a, n_b,
+             |    sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+             |      + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+             |      / CAST(n_a + n_b - 2 AS DOUBLE)) AS sp,
+             |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b
+             |      AS diff,
+             |    1.0 - 3.0 / (4.0 * CAST(n_a + n_b - 2 AS DOUBLE) - 1.0)
+             |      AS j
+             |  FROM ab)
+             |SELECT n_a AS n_click, n_b AS n_purchase,
+             |  ROUND(sp / 100.0, 4) AS pooled_sd,
+             |  ROUND(diff / sp, 6) AS cohens_d,
+             |  ROUND(diff / sp * j, 6) AS hedges_g
+             |FROM e""".stripMargin))
   )
 }

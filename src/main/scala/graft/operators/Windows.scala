@@ -2867,7 +2867,177 @@ object Windows {
     // Scale split: day aggregation distributed; the O(T·S²) DP is a
     // calendar-bounded driver-side model computation (codebook
     // precedent).
-    ViterbiQ.q
+    ViterbiQ.q,
+
+    // ---- round-10 TS wave ----
+
+    // RFM segmentation — the classic customer-value quintile grid
+    // (recency / frequency / monetary), served through the SCALE-SAFE
+    // ntile: each of the three scores is Ranking.ntileExact (the
+    // range-bucketed two-pass NTILE, bit-identical to the window
+    // function — RankingSpec), NOT a global NTILE window that funnels
+    // every user through one sort task. Descending scores pass the
+    // negated bucketBy (the win_ntile_buckets precedent). Recency is
+    // measured against the corpus max day, so the query is
+    // reference-date-free; monetary stays exact cents until the final
+    // dollar division. Output is the 5×5×5 segment grid (≤125 rows at
+    // any scale).
+    Q("ts_rfm_segmentation",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val maxDay = ev.agg(max(to_date(col("ts"))).as("mx"))
+        val users = ev
+          .withColumn("cents",
+            when(col("event_type") === "purchase",
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("freq"), sum("cents").as("cents"))
+          .crossJoin(broadcast(maxDay))
+          .withColumn("recency", datediff(col("mx"), col("last_day")).cast("long"))
+        val r = graft.api.Ranking.ntileExact(users, 5,
+          Seq(col("recency"), col("user_id")), tileCol = "r_score")
+        val rf = graft.api.Ranking.ntileExact(r, 5,
+          Seq(col("freq").desc, col("user_id")), tileCol = "f_score",
+          bucketBy = -col("freq"))
+        val rfm = graft.api.Ranking.ntileExact(rf, 5,
+          Seq(col("cents").desc, col("user_id")), tileCol = "m_score",
+          bucketBy = -col("cents"))
+        rfm.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"),
+            (sum("cents").cast("double") / 100.0).as("revenue"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH mx AS (
+             |  SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+             |u AS (
+             |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+             |    CAST(COUNT(*) AS BIGINT) AS freq,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS cents
+             |  FROM events GROUP BY user_id),
+             |scored AS (
+             |  SELECT user_id, cents,
+             |    CAST(NTILE(5) OVER (ORDER BY datediff('day', last_day,
+             |      (SELECT mx FROM mx)), user_id) AS BIGINT) AS r_score,
+             |    CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id)
+             |      AS BIGINT) AS f_score,
+             |    CAST(NTILE(5) OVER (ORDER BY cents DESC, user_id)
+             |      AS BIGINT) AS m_score
+             |  FROM u)
+             |SELECT r_score, f_score, m_score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+             |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Cohort LTV triangle — cumulative revenue per acquisition cohort
+    // by age: the "week-N value of a week-W user" table every growth
+    // model calibrates on. Cohort = ISO week of the user's FIRST
+    // purchase; ages in whole weeks; revenue exact cents until the
+    // final per-user division. Two user-keyed aggregates + one window
+    // over the cohorts×ages grid (calendar-bounded — never
+    // input-sized). LTV divides by the FIXED cohort size, so the
+    // curve is monotone non-decreasing by construction.
+    Q("ts_cohort_ltv",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val firstp = p.groupBy("user_id")
+          .agg(date_trunc("week", min(col("day"))).cast("date").as("cohort"))
+        val sizes = firstp.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        val rev = p.join(firstp, "user_id")
+          .withColumn("age_weeks",
+            floor(datediff(col("day"), col("cohort")) / 7).cast("long"))
+          .groupBy("cohort", "age_weeks").agg(sum("cents").as("cents"))
+        val w = Window.partitionBy("cohort").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.withColumn("cum_cents", sum("cents").over(w))
+          .join(broadcast(sizes), "cohort")
+          .select(col("cohort"), col("age_weeks"), col("cohort_users"),
+            (col("cum_cents").cast("double") / 100.0).as("cum_revenue"),
+            round(col("cum_cents").cast("double") / 100.0 /
+              col("cohort_users"), 4).as("ltv_per_user"))
+          .orderBy("cohort", "age_weeks")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |firstp AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', MIN(day)) AS DATE) AS cohort
+             |  FROM p GROUP BY user_id),
+             |sizes AS (
+             |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+             |  FROM firstp GROUP BY cohort),
+             |rev AS (
+             |  SELECT cohort,
+             |    CAST(floor(datediff('day', cohort, day) / 7) AS BIGINT)
+             |      AS age_weeks,
+             |    CAST(SUM(cents) AS BIGINT) AS cents
+             |  FROM p JOIN firstp USING (user_id)
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cohort, age_weeks,
+             |    SUM(cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_cents
+             |  FROM rev)
+             |SELECT c.cohort, c.age_weeks, s.cohort_users,
+             |  CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+             |  ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0 / s.cohort_users, 4)
+             |    AS ltv_per_user
+             |FROM cum c JOIN sizes s USING (cohort)
+             |ORDER BY c.cohort, c.age_weeks""".stripMargin)),
+
+    // Point-in-time trailing features — the feature-store shape: for
+    // every purchase event, the user's trailing 1-hour activity count
+    // and trailing 24-hour spend, AS OF that event (no leakage — the
+    // window ends at the row). RANGE frames over epoch MICROSECONDS
+    // on both engines (casting to seconds would silently move
+    // sub-second neighbors across the boundary); counts and cents are
+    // exact integers. One user-keyed shuffle carries both frames; at
+    // 100 TB this is the standard sessionized-features pass — state
+    // per user bounded by the 24 h horizon.
+    Q("ts_trailing_features",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        val w1 = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600000000L, 0)
+        val w24 = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-86400000000L, 0)
+        ev.withColumn("n_events_1h", count(lit(1)).over(w1))
+          .withColumn("cents_24h", sum("cents").over(w24))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("n_events_1h"),
+            (col("cents_24h").cast("double") / 100.0).as("spend_24h"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+             |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_events_1h,
+             |    CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY us
+             |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cents_24h
+             |  FROM ev)
+             |SELECT event_id, user_id, n_events_1h,
+             |  CAST(cents_24h AS DOUBLE) / 100.0 AS spend_24h
+             |FROM f WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin))
   )
 }
 
