@@ -730,6 +730,79 @@ object DataOps {
   private val semDedupQuery: Q = semDedupQ("llm_semdedup", 1)
   private val semDedupProbe2Query: Q = semDedupQ("llm_semdedup_probe2", 2)
 
+  /** MMR reranking promoted to a declared query (r10): per label, the
+    * pool-8 most-relevant candidates (cosine to the label's min-id
+    * seed) greedily reranked k=4 deep at λ=0.7 — see
+    * [[graft.api.Similarity.mmrRerank]] for the scale shape (corpus
+    * touches one broadcast join + one per-label window; the greedy
+    * loop runs on the labels×pool pooled frame). The oracle unrolls
+    * all four greedy rounds as CTEs with the library's exact
+    * determinism devices: every similarity and score ROUND(…,4)
+    * BEFORE ordering, candidate id as the total-order tie-break, and
+    * (1.0 − 0.7) spliced as the same IEEE expression both sides
+    * instead of a 0.3 literal (1 ulp apart in binary64).
+    */
+  private val mmrRerankQuery: Q = {
+    val POOL = 8; val K = 4; val LAMBDA = 0.7
+    def fn(s: SparkSession, d: String): DataFrame =
+      graft.api.Similarity
+        .mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", POOL, K, LAMBDA)
+        .select(col("label").cast("long").as("label"), col("pick"),
+          col("vec_id"), col("rel"), col("score"))
+        .orderBy("label", "pick")
+    val rounds = (2 to K).map { r =>
+      s"""rem$r AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN acc${r - 1} a
+         |    ON a.label = c.label AND a.vec_id = c.vec_id
+         |  WHERE a.vec_id IS NULL),
+         |ms$r AS (
+         |  SELECT r.label, r.vec_id, r.rel, r.v, r.nrm,
+         |    MAX(ROUND(${SQL_DOT("r.v", "a.v")} / (r.nrm * a.nrm), 4)) AS mx
+         |  FROM rem$r r JOIN acc${r - 1} a ON a.label = r.label
+         |  GROUP BY r.label, r.vec_id, r.rel, r.v, r.nrm),
+         |sel$r AS (
+         |  SELECT label, vec_id, v, nrm, rel, score, $r AS pick FROM (
+         |    SELECT *, ROUND($LAMBDA * rel - (1.0 - $LAMBDA) * mx, 4)
+         |        AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY label
+         |        ORDER BY ROUND($LAMBDA * rel - (1.0 - $LAMBDA) * mx, 4)
+         |          DESC, vec_id) AS prn
+         |    FROM ms$r) t WHERE prn = 1),
+         |acc$r AS (SELECT * FROM acc${r - 1}
+         |  UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH nv AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, v,
+         |    sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |      list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |    FROM embeddings) b),
+         |seeds AS (
+         |  SELECT label, vec_id AS seed_id, v AS sv, nrm AS snrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY vec_id) AS srn FROM nv) t WHERE srn = 1),
+         |cand AS (
+         |  SELECT label, vec_id, v, nrm, rel, rn FROM (
+         |    SELECT n.label, n.vec_id, n.v, n.nrm,
+         |      ROUND(${SQL_DOT("n.v", "s.sv")} / (n.nrm * s.snrm), 4) AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY n.label
+         |        ORDER BY ROUND(${SQL_DOT("n.v", "s.sv")}
+         |          / (n.nrm * s.snrm), 4) DESC, n.vec_id) AS rn
+         |    FROM nv n JOIN seeds s ON s.label = n.label
+         |    WHERE n.vec_id <> s.seed_id) t
+         |  WHERE rn <= $POOL),
+         |acc1 AS (
+         |  SELECT label, vec_id, v, nrm, rel, rel AS score, 1 AS pick
+         |  FROM cand WHERE rn = 1),
+         |$rounds
+         |SELECT label, CAST(pick AS BIGINT) AS pick, vec_id, rel, score
+         |FROM acc$K ORDER BY label, pick""".stripMargin
+    Q("llm_mmr_rerank", fn, Some(sql))
+  }
+
   /** Product quantization with asymmetric-distance (ADC) search: the
     * memory-compression end of the ANN spectrum. The 64-dim vector is
     * split into M=4 16-dim subspaces, each quantized against its own
@@ -1236,7 +1309,7 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
-      annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, clusterBalanceQuery,
+      annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery)

@@ -749,6 +749,105 @@ object Llm {
               |SELECT doc_id, n_terms, ROUND(s, 4) AS bm25 FROM sc
               |ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Reciprocal-rank fusion — the standard HYBRID retrieval merge
+    // (Cormack/Clarke/Büttcher 2009): the lexical bm25 top-20 (same
+    // scoring chain and term set as llm_bm25_topk) fused with the
+    // dense cosine top-20 against query vector 0 (llm_cosine_topk's
+    // retriever), RRF = Σ 1/(60 + rank) over the lists containing the
+    // doc. Both rank lists are distributed top-k (TakeOrdered — no
+    // global window over the corpus; the 20-row rank stamping windows
+    // run post-limit on model-sized frames), ranks break ties on the
+    // ROUNDED score + id, and each RRF term is a single mirrored
+    // division — one add, bit-exact, ROUND(…,6). The list-merge shape
+    // every RAG stack runs between its two retrievers.
+    Q("llm_rrf_fusion",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+        val tf = tok.filter(col("token").isin("spark", "query", "window"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfk = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val bm = tf.join(broadcast(dfk), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("term_s",
+            log((col("n").cast("double") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                  col("n") / col("sumdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum("term_s"), 4).as("bm25"))
+        val bmTop = bm.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .withColumn("bm25_rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id").as("id"), col("bm25_rank"))
+        val cosTop = graft.api.Similarity
+          .bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+            queryId = 0, topK = 20)
+          .withColumn("cos_rank", row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("cos_rank"))
+        bmTop.join(cosTop, Seq("id"), "full_outer")
+          .withColumn("rrf_score", round(
+            coalesce(lit(1.0) / (col("bm25_rank") + 60), lit(0.0)) +
+              coalesce(lit(1.0) / (col("cos_rank") + 60), lit(0.0)), 6))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(10)
+          .select(col("id").as("doc_id"), col("bm25_rank"),
+            col("cos_rank"), col("rrf_score"))
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+              |  FROM dl),
+              |tf AS (
+              |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+              |  WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+              |bm AS (
+              |  SELECT tf.doc_id,
+              |    ROUND(SUM(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)
+              |        + 1.0)
+              |      * (CAST(tf AS DOUBLE) * 2.2)
+              |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+              |        + 0.75 * CAST(dl.dl AS DOUBLE) * n / sumdl))), 4)
+              |      AS bm25
+              |  FROM tf JOIN df USING (token)
+              |  JOIN dl ON tf.doc_id = dl.doc_id, st
+              |  GROUP BY tf.doc_id),
+              |bmr AS (
+              |  SELECT doc_id AS id,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+              |      AS BIGINT) AS bm25_rank
+              |  FROM bm),
+              |bmtop AS (SELECT * FROM bmr WHERE bm25_rank <= 20),
+              |cosr AS (
+              |  SELECT vec_id AS id,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY sim_raw DESC, vec_id)
+              |      AS BIGINT) AS cos_rank
+              |  FROM (
+              |    SELECT a.vec_id,
+              |      ${SQL_DOT("a.v", "b.qv")} / (a.nrm * b.qnrm) AS sim_raw
+              |    FROM (SELECT vec_id, v, nrm FROM ($SQL_VECS)
+              |          WHERE vec_id <> 0) a,
+              |         (SELECT v AS qv, nrm AS qnrm FROM ($SQL_VECS)
+              |          WHERE vec_id = 0) b) t),
+              |costop AS (SELECT * FROM cosr WHERE cos_rank <= 20),
+              |fused AS (
+              |  SELECT COALESCE(b.id, c.id) AS doc_id,
+              |    b.bm25_rank, c.cos_rank,
+              |    ROUND(COALESCE(1.0 / (b.bm25_rank + 60), 0.0)
+              |      + COALESCE(1.0 / (c.cos_rank + 60), 0.0), 6)
+              |      AS rrf_score
+              |  FROM bmtop b FULL JOIN costop c ON b.id = c.id)
+              |SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM fused
+              |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Per-source KL divergence from the corpus token distribution —
     // the domain-shift / source-mix drift monitor (which feed's
     // language has wandered from the blend). The grid is

@@ -962,6 +962,115 @@ object ScalarFns {
              |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
              |      CAST((inter // CAST(pow(2, 35 - 5 * k) AS BIGINT)) % 32
              |        AS INT) + 1, 1)), 'string_agg', '') AS geohash8
-             |FROM iv ORDER BY c_custkey""".stripMargin))
+             |FROM iv ORDER BY c_custkey""".stripMargin)),
+
+    // Semantic-version ordering — the dependency-catalog sort every
+    // artifact registry needs and naive string ordering gets wrong
+    // ("0.10.2" < "0.9.1" lexicographically): versions synthesized
+    // deterministically from the nation table with two-digit
+    // components present, split into numeric (major, minor, patch),
+    // ranked both ways, and the rank shift exposed. Version catalogs
+    // are model-sized at any corpus scale (the windows here run over
+    // 25 rows); at 100 TB the semver KEY (the numeric triple) is what
+    // a join or sort would use, computed per row with zero shuffles.
+    Q("fn_semver_compare",
+      (s, d) => {
+        val v = Tables.nation(s, d)
+          .select(concat(
+            (col("n_nationkey") % 3).cast("string"), lit("."),
+            ((col("n_nationkey") * 7) % 20).cast("string"), lit("."),
+            ((col("n_nationkey") * 13) % 15).cast("string")).as("version"))
+          .withColumn("parts", split(col("version"), "\\."))
+          .select(col("version"),
+            element_at(col("parts"), 1).cast("long").as("major"),
+            element_at(col("parts"), 2).cast("long").as("minor"),
+            element_at(col("parts"), 3).cast("long").as("patch"))
+        import org.apache.spark.sql.expressions.Window
+        val wSem = Window.orderBy(col("major"), col("minor"), col("patch"),
+          col("version"))
+        val wLex = Window.orderBy(col("version"))
+        v.withColumn("semver_rank", row_number().over(wSem).cast("long"))
+          .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+          .withColumn("rank_shift", col("lex_rank") - col("semver_rank"))
+          .orderBy("semver_rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(n_nationkey % 3 AS VARCHAR) || '.'
+             |    || CAST((n_nationkey * 7) % 20 AS VARCHAR) || '.'
+             |    || CAST((n_nationkey * 13) % 15 AS VARCHAR) AS version
+             |  FROM nation),
+             |p AS (
+             |  SELECT version,
+             |    CAST(string_split(version, '.')[1] AS BIGINT) AS major,
+             |    CAST(string_split(version, '.')[2] AS BIGINT) AS minor,
+             |    CAST(string_split(version, '.')[3] AS BIGINT) AS patch
+             |  FROM v)
+             |SELECT version, major, minor, patch,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY major, minor, patch,
+             |    version) AS BIGINT) AS semver_rank,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY version) AS BIGINT)
+             |    AS lex_rank,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY version) AS BIGINT)
+             |    - CAST(ROW_NUMBER() OVER (ORDER BY major, minor, patch,
+             |      version) AS BIGINT) AS rank_shift
+             |FROM p ORDER BY semver_rank""".stripMargin)),
+
+    // Unsecured-JWT claim extraction — the auth-log analytics shape:
+    // a JWT (header.payload.signature, base64url segments) is built
+    // per customer from exactly-controlled JSON text, then the PARSE
+    // side — split on '.', base64-decode the payload, extract typed
+    // claims — runs in the same engine and feeds a per-segment
+    // aggregate. Construct-and-parse in one query means the oracle
+    // match proves the decode path, not cross-engine base64 equality;
+    // all claim values are exact integers/strings. Pure per-row
+    // expression work + one hash aggregate at any scale.
+    Q("fn_jwt_claims",
+      (s, d) => {
+        val payload = concat(lit("""{"sub":"""), col("c_custkey"),
+          lit(""","seg":""""), col("c_mktsegment"),
+          lit("""","iat":"""), (lit(1700000000L) + col("c_custkey")),
+          lit("}"))
+        val jwt = concat(
+          base64(to_binary(lit("""{"alg":"none","typ":"JWT"}"""),
+            lit("utf-8"))),
+          lit("."), base64(to_binary(payload, lit("utf-8"))), lit("."))
+        val parsed = Tables.customer(s, d)
+          .select(jwt.as("token"))
+          .withColumn("payload_json",
+            decode(unbase64(element_at(split(col("token"), "\\."), 2)),
+              "utf-8"))
+          .select(
+            get_json_object(col("payload_json"), "$.sub").cast("long")
+              .as("sub"),
+            get_json_object(col("payload_json"), "$.seg").as("seg"),
+            get_json_object(col("payload_json"), "$.iat").cast("long")
+              .as("iat"))
+        parsed.groupBy("seg")
+          .agg(count(lit(1)).as("n_tokens"), min("sub").as("min_sub"),
+            max("iat").as("max_iat"))
+          .orderBy("seg")
+      },
+      Some("""WITH j AS (
+             |  SELECT base64(encode('{"alg":"none","typ":"JWT"}')) || '.'
+             |    || base64(encode('{"sub":' || c_custkey
+             |      || ',"seg":"' || c_mktsegment
+             |      || '","iat":' || (1700000000 + c_custkey) || '}'))
+             |    || '.' AS token
+             |  FROM customer),
+             |p AS (
+             |  SELECT decode(from_base64(string_split(token, '.')[2]))
+             |    AS payload_json
+             |  FROM j),
+             |c AS (
+             |  SELECT
+             |    CAST(json_extract_string(payload_json, '$.sub') AS BIGINT)
+             |      AS sub,
+             |    json_extract_string(payload_json, '$.seg') AS seg,
+             |    CAST(json_extract_string(payload_json, '$.iat') AS BIGINT)
+             |      AS iat
+             |  FROM p)
+             |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  MIN(sub) AS min_sub, MAX(iat) AS max_iat
+             |FROM c GROUP BY seg ORDER BY seg""".stripMargin))
   )
 }
