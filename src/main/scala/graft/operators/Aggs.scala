@@ -3848,6 +3848,114 @@ object Aggs {
              |  ROUND(sp / 100.0, 4) AS pooled_sd,
              |  ROUND(diff / sp, 6) AS cohens_d,
              |  ROUND(diff / sp * j, 6) AS hedges_g
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // GROUPING()/GROUPING_ID() — the subtotal-row DISAMBIGUATOR
+    // agg_grouping_sets' COALESCE trick cannot provide (a NULL-valued
+    // key is indistinguishable from a rollup row without it): CUBE
+    // over (segment, nation) with the bitmask and per-column flags.
+    // Bit order is the standard first-column-MSB in both engines.
+    // One hash aggregate at any scale.
+    Q("agg_grouping_id",
+      (s, d) => Tables.customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(grouping_id().cast("long").as("gid"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"),
+          count(lit(1)).as("n_cust"))
+        .select(col("gid"), col("g_seg"), col("g_nat"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nat"),
+          col("n_cust"))
+        .orderBy("gid", "seg", "nat"),
+      Some("""SELECT CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT)
+             |    AS gid,
+             |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+             |  CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+             |  COALESCE(c_mktsegment, 'ALL') AS seg,
+             |  COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nat,
+             |  CAST(COUNT(*) AS BIGINT) AS n_cust
+             |FROM customer
+             |GROUP BY CUBE (c_mktsegment, c_nationkey)
+             |ORDER BY gid, seg, nat""".stripMargin)),
+
+    // Interrupted time series (segmented regression) — the
+    // quasi-experimental readout when there is no control arm
+    // (ts_diff_in_diff's sibling): daily purchase counts split at the
+    // midpoint "intervention", an exact-integer-moment OLS per
+    // segment (the stat_linreg device — t and y are both integers, so
+    // slope/intercept are single divisions of exact BIGINTs), and the
+    // effect read as the level jump and slope change AT the cut.
+    // Calendar-bounded: both regressions run over ≤ thousands of day
+    // rows at any corpus scale.
+    Q("ts_intervention_its",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val byday = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(w).cast("long"))
+        val n = byday.agg(max("t")).head().getLong(0)
+        val t0 = n / 2 + 1
+        val seg = byday.withColumn("post", (col("t") >= t0).cast("long"))
+          .groupBy("post")
+          .agg(count(lit(1)).as("m"), sum("t").as("st"),
+            sum("y").as("sy"), sum(col("t") * col("y")).as("sty"),
+            sum(col("t") * col("t")).as("stt"))
+          .withColumn("slope",
+            (col("m") * col("sty") - col("st") * col("sy")).cast("double") /
+              (col("m") * col("stt") - col("st") * col("st")).cast("double"))
+          .withColumn("icept",
+            (col("sy").cast("double") - col("slope") * col("st")) /
+              col("m").cast("double"))
+        val pre = seg.filter(col("post") === 0)
+          .select(col("slope").as("pre_slope"), col("icept").as("pre_icept"))
+        val post = seg.filter(col("post") === 1)
+          .select(col("slope").as("post_slope"),
+            col("icept").as("post_icept"))
+        pre.crossJoin(post)
+          .select(lit(n).as("n_days"), lit(t0).as("t_cut"),
+            round(col("pre_slope"), 6).as("pre_slope"),
+            round(col("post_slope"), 6).as("post_slope"),
+            round(col("post_slope") - col("pre_slope"), 6)
+              .as("slope_change"),
+            round((col("post_icept") + col("post_slope") * t0) -
+              (col("pre_icept") + col("pre_slope") * t0), 6)
+              .as("level_change"))
+      },
+      Some("""WITH byday AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+             |    CAST(c AS BIGINT) AS y
+             |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |        FROM events WHERE event_type = 'purchase'
+             |        GROUP BY 1) x),
+             |nn AS (SELECT MAX(t) AS n, MAX(t) // 2 + 1 AS t0 FROM byday),
+             |seg AS (
+             |  SELECT CASE WHEN t >= (SELECT t0 FROM nn) THEN 1 ELSE 0 END
+             |      AS post,
+             |    CAST(COUNT(*) AS BIGINT) AS m,
+             |    CAST(SUM(t) AS BIGINT) AS st,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(t * y) AS BIGINT) AS sty,
+             |    CAST(SUM(t * t) AS BIGINT) AS stt
+             |  FROM byday GROUP BY 1),
+             |f AS (
+             |  SELECT post,
+             |    CAST(m * sty - st * sy AS DOUBLE)
+             |      / CAST(m * stt - st * st AS DOUBLE) AS slope,
+             |    (CAST(sy AS DOUBLE) - CAST(m * sty - st * sy AS DOUBLE)
+             |      / CAST(m * stt - st * st AS DOUBLE) * st) / m AS icept
+             |  FROM seg)
+             |SELECT (SELECT n FROM nn) AS n_days,
+             |  (SELECT t0 FROM nn) AS t_cut,
+             |  ROUND(pre.slope, 6) AS pre_slope,
+             |  ROUND(post.slope, 6) AS post_slope,
+             |  ROUND(post.slope - pre.slope, 6) AS slope_change,
+             |  ROUND((post.icept + post.slope * (SELECT t0 FROM nn))
+             |    - (pre.icept + pre.slope * (SELECT t0 FROM nn)), 6)
+             |    AS level_change
+             |FROM (SELECT * FROM f WHERE post = 0) pre,
+             |     (SELECT * FROM f WHERE post = 1) post""".stripMargin))
   )
 }

@@ -153,6 +153,65 @@ object Subqueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY ALL
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    // SQL PIVOT syntax (r10) — the parser surface agg_pivot's
+    // DataFrame API does not exercise: two aggregates fanned across
+    // the explicit status list with value aliases. Spark leaves a
+    // pivot cell NULL when no rows land in it (even for COUNT), so
+    // the count columns are COALESCE'd to 0 on BOTH sides (the
+    // agg_pivot na.fill device); the revenue columns stay NULL-able
+    // and exact (DECIMAL sum cast once to double). Same single hash
+    // aggregate as any pivot at scale.
+    Q("sql_pivot",
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderpriority,
+          |  COALESCE(st_o_n, 0) AS st_o_n, st_o_rev,
+          |  COALESCE(st_f_n, 0) AS st_f_n, st_f_rev,
+          |  COALESCE(st_p_n, 0) AS st_p_n, st_p_rev
+          |FROM (
+          |  SELECT * FROM (
+          |    SELECT o_orderpriority, o_orderstatus, o_totalprice
+          |    FROM orders)
+          |  PIVOT (
+          |    COUNT(*) AS n,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS rev
+          |    FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f,
+          |      'P' AS st_p)))
+          |ORDER BY o_orderpriority""".stripMargin) },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_o_n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS st_o_rev,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_f_n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS st_f_rev,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_p_n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS st_p_rev
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // SQL UNPIVOT syntax (r10) — agg_unpivot's parser twin: wide
+    // metric columns to long (metric, val) rows through the
+    // ANSI-style UNPIVOT clause; the oracle is the UNION ALL
+    // expansion. Values pre-cast to one double type (UNPIVOT requires
+    // a common value type). Row-multiplying projection, no shuffle.
+    Q("sql_unpivot",
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderkey, metric, val FROM (
+          |  SELECT o_orderkey,
+          |    CAST(o_totalprice AS DOUBLE) AS price,
+          |    CAST(o_custkey AS DOUBLE) AS cust
+          |  FROM orders)
+          |UNPIVOT (val FOR metric IN (price, cust))
+          |ORDER BY o_orderkey, metric""".stripMargin) },
+      Some("""SELECT o_orderkey, 'price' AS metric,
+             |  CAST(o_totalprice AS DOUBLE) AS val FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE)
+             |FROM orders
+             |ORDER BY o_orderkey, metric""".stripMargin))
   )
 }

@@ -1499,6 +1499,139 @@ object TextAnalysis {
              |  r.r AS bt_rating
              |FROM wtot w JOIN r8 r ON r.player = w.player
              |ORDER BY source""".stripMargin)
-      })
+      }),
+
+    // URL canonicalization dedup — the crawl-dedup step BEFORE any
+    // content hashing: the same resource arrives as mixed-case
+    // scheme/host, an explicit :443, a trailing slash, shuffled query
+    // params, utm_* tracking junk, and a #fragment. Canonical key =
+    // lowercase host, default port stripped, trailing slash trimmed,
+    // fragment dropped, non-tracking params SORTED — all per-row
+    // regex/array expressions, mirrored textually (sort_array ↔
+    // list_sort on plain ascii param strings). Four noise variants
+    // are synthesized per doc and the path key is doc_id % 250, so
+    // genuine collisions exist and the keep-min rule is exercised.
+    // One canonical-keyed aggregate at any scale.
+    Q("dedup_url_canonical",
+      (s, d) => {
+        val k = (col("doc_id") % 250).cast("string")
+        val base = lit("www.example.com")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://"), upper(base), lit(":443/doc/"), k,
+              lit("?utm_source=x&id="), k, lit("&ref=a#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://"), base, lit("/doc/"), k,
+              lit("?id="), k, lit("&ref=a")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("HTTPS://"), base, lit("/doc/"), k,
+              lit("/?ref=a&id="), k, lit("&utm_campaign=y")))
+          .otherwise(
+            concat(lit("https://"), base, lit(":443/doc/"), k,
+              lit("?ref=a&utm_medium=z&id="), k))
+        val noFrag = regexp_replace(col("url"), "#.*$", "")
+        val canon = Tables.documents(s, d)
+          .withColumn("url", url)
+          .withColumn("nf", noFrag)
+          .withColumn("host", lower(
+            regexp_replace(regexp_extract(col("nf"),
+              "^[a-zA-Z]+://([^/?]+)", 1), ":443$", "")))
+          .withColumn("path", regexp_replace(
+            regexp_extract(col("nf"), "^[a-zA-Z]+://[^/?]+([^?]*)", 1),
+            "/$", ""))
+          .withColumn("params", array_join(sort_array(
+            filter(split(regexp_extract(col("nf"), "\\?(.*)$", 1), "&"),
+              p => !p.startsWith("utm_"))), "&"))
+          .withColumn("canonical",
+            concat(lit("https://"), col("host"), col("path"),
+              lit("?"), col("params")))
+        canon.groupBy("canonical")
+          .agg(count(lit(1)).as("n_urls"),
+            min("doc_id").as("keep_doc_id"),
+            countDistinct("url").as("n_variants"))
+          .filter(col("n_urls") >= 2)
+          .orderBy("canonical")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'https://' || upper('www.example.com')
+             |        || ':443/doc/' || CAST(doc_id % 250 AS VARCHAR)
+             |        || '?utm_source=x&id=' || CAST(doc_id % 250 AS VARCHAR)
+             |        || '&ref=a#frag'
+             |      WHEN 1 THEN 'https://' || 'www.example.com' || '/doc/'
+             |        || CAST(doc_id % 250 AS VARCHAR) || '?id='
+             |        || CAST(doc_id % 250 AS VARCHAR) || '&ref=a'
+             |      WHEN 2 THEN 'HTTPS://' || 'www.example.com' || '/doc/'
+             |        || CAST(doc_id % 250 AS VARCHAR) || '/?ref=a&id='
+             |        || CAST(doc_id % 250 AS VARCHAR) || '&utm_campaign=y'
+             |      ELSE 'https://' || 'www.example.com' || ':443/doc/'
+             |        || CAST(doc_id % 250 AS VARCHAR)
+             |        || '?ref=a&utm_medium=z&id='
+             |        || CAST(doc_id % 250 AS VARCHAR)
+             |    END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, url,
+             |    'https://'
+             |    || regexp_replace(lower(regexp_extract(nf,
+             |        '^[a-zA-Z]+://([^/?]+)', 1)), ':443$', '')
+             |    || regexp_replace(regexp_extract(nf,
+             |        '^[a-zA-Z]+://[^/?]+([^?]*)', 1), '/$', '')
+             |    || '?'
+             |    || array_to_string(list_sort(list_filter(
+             |        string_split(regexp_extract(nf, '\?(.*)$', 1), '&'),
+             |        p -> NOT starts_with(p, 'utm_'))), '&') AS canonical
+             |  FROM (SELECT doc_id, url,
+             |          regexp_replace(url, '#.*$', '') AS nf FROM u) x)
+             |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls,
+             |  MIN(doc_id) AS keep_doc_id,
+             |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+             |FROM c GROUP BY canonical HAVING COUNT(*) >= 2
+             |ORDER BY canonical""".stripMargin)),
+
+    // Code-content detection — the classifier that routes a crawl
+    // between the prose and code pipelines (the Stack-style corpus
+    // split): per doc, code-symbol density ([{}();=<>] chars over all
+    // chars), code-keyword hits (def/class/return/import/function),
+    // and the verdict symbol_ratio > 0.02 OR any keyword. Pure
+    // per-row regex counts (exact integers; the ratio is one mirrored
+    // division) rolled up per lang — zero shuffles before the final
+    // 5-row aggregate.
+    Q("text_code_detect",
+      (s, d) => {
+        val syms = size(expr(
+          "regexp_extract_all(text, '[{}();=<>]', 0)")).cast("long")
+        val kw = size(expr(
+          "regexp_extract_all(text, '\\\\b(def|class|return|import|function)\\\\b', 0)"))
+          .cast("long")
+        Tables.documents(s, d)
+          .withColumn("n_sym", syms).withColumn("n_kw", kw)
+          .withColumn("ratio",
+            col("n_sym").cast("double") / col("n_chars").cast("double"))
+          .withColumn("looks_code",
+            col("ratio") > 0.02 || col("n_kw") > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("looks_code").cast("long")).as("n_code_docs"),
+            round(avg("ratio"), 6).as("avg_symbol_ratio"),
+            sum("n_kw").as("total_kw_hits"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang,
+             |    CAST(len(regexp_extract_all(text, '[{}();=<>]'))
+             |      AS BIGINT) AS n_sym,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\b(def|class|return|import|function)\b'))
+             |      AS BIGINT) AS n_kw,
+             |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS DOUBLE)
+             |      / n_chars AS ratio
+             |  FROM documents)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN ratio > 0.02 OR n_kw > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_code_docs,
+             |  ROUND(AVG(ratio), 6) AS avg_symbol_ratio,
+             |  CAST(SUM(n_kw) AS BIGINT) AS total_kw_hits
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

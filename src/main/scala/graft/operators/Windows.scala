@@ -2868,6 +2868,7 @@ object Windows {
     // calendar-bounded driver-side model computation (codebook
     // precedent).
     ViterbiQ.q,
+    HoltWintersQ.q,
 
     // ---- round-10 TS wave ----
 
@@ -3131,4 +3132,94 @@ private object ViterbiQ {
             |  CAST(b.st AS BIGINT) AS state_busy
             |FROM obs o JOIN back b ON o.t = b.t
             |ORDER BY o.t""".stripMargin))
+}
+
+/** Holt–Winters additive triple exponential smoothing (weekly season,
+  * m=7) over the daily purchase-count series — the seasonal upgrade of
+  * `ts_holt_linear` (level+trend only) and the classical forecasting
+  * staple. Standard init: level = mean of week 1, trend = (mean of
+  * week 2 − mean of week 1)/7, seasonals = week-1 deviations; then the
+  * textbook recurrence at α=.3 β=.1 γ=.2 (literals spliced through the
+  * ViterbiQ L() double-cast device so both engines fold the identical
+  * IEEE constants in the identical op order). Output: the 7-day-ahead
+  * forecast fan (h=1..7) plus final level/trend.
+  *
+  * Scale split (the ts_hmm_viterbi precedent): the day aggregation is
+  * distributed; the O(T) recurrence runs on the collected
+  * calendar-bounded series (≤ a few thousand doubles at ANY corpus
+  * size — model-parameter work, like the k-means codebooks). The
+  * oracle replays the same recurrence as a DuckDB recursive CTE whose
+  * state row carries the rolling 7-seasonal window as a LIST column.
+  */
+private object HoltWintersQ {
+  import org.apache.spark.sql.functions._
+  private val A = 0.3; private val B = 0.1; private val G = 0.2
+  private val NA = 1.0 - A; private val NB = 1.0 - B; private val NG = 1.0 - G
+  private def L(x: Double) = s"CAST('$x' AS DOUBLE)"
+
+  val q: Q = Q("ts_holt_winters",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("day").select("c").collect().map(_.getLong(0))
+      val n = counts.length
+      require(n >= 15, s"holt-winters needs >= 2 weeks + 1 day, got $n")
+      var l = counts.take(7).sum / 7.0
+      var b = (counts.slice(7, 14).sum / 7.0 - counts.take(7).sum / 7.0) / 7.0
+      // rolling seasonal window, oldest first: sl(0) is S_{t-6}.. sl(6)=S_t
+      var sl = counts.take(7).map(c => c - counts.take(7).sum / 7.0)
+      var t = 7
+      while (t < n) {
+        val c = counts(t).toDouble
+        val sUsed = sl(0)
+        val lNew = A * (c - sUsed) + NA * (l + b)
+        val bNew = B * (lNew - l) + NB * b
+        val sNew = G * (c - lNew) + NG * sUsed
+        l = lNew; b = bNew
+        sl = sl.drop(1) :+ sNew
+        t += 1
+      }
+      (1 to 7).map(h => (h.toLong, l + h * b + sl(h - 1), l, b))
+        .toDF("h", "fraw", "lraw", "braw")
+        .select(col("h"), round(col("fraw"), 6).as("forecast"),
+          round(col("lraw"), 6).as("level"), round(col("braw"), 6).as("trend"))
+        .orderBy("h")
+    },
+    Some(s"""WITH RECURSIVE
+            |byday AS (
+            |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+            |    CAST(c AS BIGINT) AS c
+            |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+            |        FROM events WHERE event_type = 'purchase'
+            |        GROUP BY 1) x),
+            |nn AS (SELECT MAX(t) AS n FROM byday),
+            |cl AS (SELECT list(c ORDER BY t) AS cs FROM byday),
+            |init AS (
+            |  SELECT CAST(7 AS BIGINT) AS t,
+            |    list_sum(cs[1:7]) / 7.0 AS l,
+            |    (list_sum(cs[8:14]) / 7.0 - list_sum(cs[1:7]) / 7.0) / 7.0
+            |      AS b,
+            |    list_transform(cs[1:7],
+            |      x -> x - list_sum(cs[1:7]) / 7.0) AS sl
+            |  FROM cl),
+            |rec AS (
+            |  SELECT * FROM init
+            |  UNION ALL
+            |  SELECT r.t + 1,
+            |    ${L(A)} * (bd.c - r.sl[1]) + ${L(NA)} * (r.l + r.b),
+            |    ${L(B)} * ((${L(A)} * (bd.c - r.sl[1])
+            |        + ${L(NA)} * (r.l + r.b)) - r.l) + ${L(NB)} * r.b,
+            |    r.sl[2:7] || [${L(G)} * (bd.c
+            |        - (${L(A)} * (bd.c - r.sl[1]) + ${L(NA)} * (r.l + r.b)))
+            |      + ${L(NG)} * r.sl[1]]
+            |  FROM rec r JOIN byday bd ON bd.t = r.t + 1),
+            |fin AS (SELECT * FROM rec WHERE t = (SELECT n FROM nn))
+            |SELECT CAST(h AS BIGINT) AS h,
+            |  ROUND(l + h * b + sl[h], 6) AS forecast,
+            |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+            |FROM fin, unnest(generate_series(1, 7)) t(h)
+            |ORDER BY h""".stripMargin))
 }
