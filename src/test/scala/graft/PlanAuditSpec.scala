@@ -89,6 +89,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-10 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("scan_jdbc_roundtrip", "catalog_hive_stats",
+      "llm_semdedup_probe2", "stat_cochran_q", "stat_fleiss_kappa",
+      "stat_cmh_test", "stat_theil_u", "stat_grubbs", "stat_cohens_d",
+      "ts_rfm_segmentation", "ts_cohort_ltv", "ts_trailing_features",
+      "ts_holt_winters", "ts_intervention_its", "llm_rrf_fusion",
+      "llm_mmr_rerank", "fn_semver_compare", "fn_jwt_claims",
+      "dedup_url_canonical", "text_code_detect", "sql_pivot",
+      "sql_unpivot", "agg_grouping_id", "llm_winnowing").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("stat_spearman: no single-partition-per-group window in the executed plan") {
     // r10 (VERDICT next #1): the cum_before prefix sums must run
     // through the range-bucketed device — every window in the plan
