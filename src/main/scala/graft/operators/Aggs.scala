@@ -3956,6 +3956,94 @@ object Aggs {
              |    - (pre.icept + pre.slope * (SELECT t0 FROM nn)), 6)
              |    AS level_change
              |FROM (SELECT * FROM f WHERE post = 0) pre,
-             |     (SELECT * FROM f WHERE post = 1) post""".stripMargin))
+             |     (SELECT * FROM f WHERE post = 1) post""".stripMargin)),
+
+    // Empirical-Bayes rate shrinkage — the smoothed-CTR estimator
+    // every ranking/reporting pipeline needs for small-sample arms:
+    // 64 user cohorts' heavy-purchaser conversion rates, a
+    // method-of-moments Beta(α,β) fit on the rate distribution, and
+    // each cohort's rate shrunk to (k+α)/(n+α+β) — small cohorts move
+    // toward the prior mean, large ones barely. The Beta-fit moments
+    // are 64-term double sums folded IN COHORT ORDER on both engines
+    // (the stat_cmh_test index-order-fold device); per-cohort k, n
+    // stay exact BIGINTs; every emitted double is one mirrored
+    // closed form behind ROUND(…,6). One user-level pass + a
+    // 64-row model computation at any scale.
+    Q("stat_eb_shrinkage",
+      (s, d) => {
+        val cohorts = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+          .groupBy((col("user_id") % 64).as("cohort"))
+          .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+          .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+        val fit = cohorts.agg(count(lit(1)).as("g"),
+            expr("""aggregate(transform(sort_array(collect_list(
+                 |    struct(cohort, p))), x -> x.p),
+                 |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              .as("sp"),
+            expr("""aggregate(transform(sort_array(collect_list(
+                 |    struct(cohort, p))), x -> x.p * x.p),
+                 |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              .as("sp2"))
+          .withColumn("m", col("sp") / col("g"))
+          .withColumn("v",
+            (col("sp2") - col("sp") * col("sp") / col("g")) /
+              (col("g") - 1).cast("double"))
+          .withColumn("c", col("m") * (lit(1.0) - col("m")) / col("v") -
+            lit(1.0))
+          // v ≥ m(1−m) (overdispersed — rates piled at the extremes)
+          // makes the moment fit improper (α,β ≤ 0); the pinned
+          // fallback is the uniform Beta(1,1) prior, mirrored as the
+          // same CASE in both engines
+          .select(
+            when(col("c") > 0, col("m") * col("c")).otherwise(lit(1.0))
+              .as("alpha"),
+            when(col("c") > 0, (lit(1.0) - col("m")) * col("c"))
+              .otherwise(lit(1.0)).as("beta"))
+        cohorts.crossJoin(broadcast(fit))
+          .select(col("cohort"), col("n"), col("k"),
+            round(col("p"), 6).as("raw_rate"),
+            round(col("alpha"), 6).as("alpha"),
+            round(col("beta"), 6).as("beta"),
+            round((col("k").cast("double") + col("alpha")) /
+              (col("n").cast("double") + col("alpha") + col("beta")), 6)
+              .as("shrunk_rate"))
+          .orderBy("cohort")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+             |  FROM events GROUP BY user_id),
+             |c AS (
+             |  SELECT user_id % 64 AS cohort,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(conv) AS BIGINT) AS k,
+             |    CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p
+             |  FROM u GROUP BY 1),
+             |f AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             |    list_sum(list(p ORDER BY cohort)) AS sp,
+             |    list_sum(list(p * p ORDER BY cohort)) AS sp2
+             |  FROM c),
+             |e AS (
+             |  SELECT g, sp / g AS m,
+             |    (sp2 - sp * sp / g) / CAST(g - 1 AS DOUBLE) AS v
+             |  FROM f),
+             |ab AS (
+             |  SELECT
+             |    CASE WHEN m * (1.0 - m) / v - 1.0 > 0
+             |      THEN m * (m * (1.0 - m) / v - 1.0) ELSE 1.0 END AS alpha,
+             |    CASE WHEN m * (1.0 - m) / v - 1.0 > 0
+             |      THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0)
+             |      ELSE 1.0 END AS beta
+             |  FROM e)
+             |SELECT cohort, n, k, ROUND(p, 6) AS raw_rate,
+             |  ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta,
+             |  ROUND((CAST(k AS DOUBLE) + alpha)
+             |    / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+             |FROM c, ab ORDER BY cohort""".stripMargin))
   )
 }

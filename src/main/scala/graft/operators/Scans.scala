@@ -928,8 +928,40 @@ object Scans {
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
              |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
              |ORDER BY column_name""".stripMargin))
-  )
+  ) :+ viewChainQuery
 
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Appended via `queries ++ extra` below to keep the main Seq under
+    * the compiler's method-size comfort zone.
+    */
+  private lazy val viewChainQuery: Q =
+    // Catalog view surface — a metadata collector must see THROUGH
+    // views: a two-level temporary-view chain (filter view → aggregate
+    // view) created in the session catalog and queried by name, so
+    // Spark's view resolution + nested-plan inlining is what executes
+    // (the plan under the names is the same filtered aggregate
+    // Catalyst would build directly — views cost nothing at any
+    // scale). The oracle computes the chain inline. CatalogApiSpec
+    // asserts the views are actually listed in the catalog.
+    Q("catalog_view_chain",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_v_orders")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_v_big AS
+                |SELECT * FROM graft_v_orders
+                |WHERE o_totalprice > 150000""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_v_agg AS
+                |SELECT o_orderpriority, COUNT(*) AS n_big,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                |    AS revenue
+                |FROM graft_v_big GROUP BY o_orderpriority""".stripMargin)
+        s.sql("SELECT * FROM graft_v_agg ORDER BY o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_big,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders WHERE o_totalprice > 150000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
 }

@@ -196,6 +196,39 @@ class Wave10Spec extends AnyFunSuite {
     assert(viaJdbc == direct)
   }
 
+  test("stat_eb_shrinkage: every cohort moves toward the prior mean") {
+    val rows = q("stat_eb_shrinkage").collect()
+    // sf0.001 has fewer users than cohorts; all present users covered
+    val users = Tables.events(spark, TestSpark.sf0001)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == users)
+    val alpha = rows.head.getDouble(4)
+    val beta = rows.head.getDouble(5)
+    assert(alpha > 0 && beta > 0, "beta fit must be a proper prior")
+    val prior = alpha / (alpha + beta)
+    rows.foreach { r =>
+      val raw = r.getDouble(3); val shrunk = r.getDouble(6)
+      // shrunk lies between raw and the prior mean (within rounding)
+      assert(shrunk >= math.min(raw, prior) - 1e-6 &&
+        shrunk <= math.max(raw, prior) + 1e-6,
+        s"cohort ${r.getLong(0)}: $raw -> $shrunk not toward $prior")
+    }
+  }
+
+  test("catalog_view_chain: views resolve and are listed in the catalog") {
+    val rows = q("catalog_view_chain").collect()
+    assert(rows.nonEmpty)
+    val listed = spark.catalog.listTables().collect().map(_.name).toSet
+    Seq("graft_v_orders", "graft_v_big", "graft_v_agg")
+      .foreach(v => assert(listed.contains(v), s"view $v not listed"))
+    // the chain computes the same numbers as the direct plan
+    val direct = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_totalprice") > 150000)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(direct(r.getString(0)) == r.getLong(1)))
+  }
+
   test("catalog_hive_stats NDVs equal exact distinct counts") {
     val got = q("catalog_hive_stats").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
