@@ -896,7 +896,12 @@ object Scans {
         val tbl = s"nation_stats_$key"
         val statCols = Seq("n_name", "n_nationkey", "n_regionkey")
         staged.computeIfAbsent(s"stats_$tbl", _ => {
-          s.sql("CREATE DATABASE IF NOT EXISTS graft_stats")
+          // per-JVM db LOCATION (the join_bucketed_colocated device):
+          // the default warehouse dir persists across JVMs, and a
+          // fresh catalog refuses to create a table over a leftover
+          // location (LOCATION_ALREADY_EXISTS)
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_stats " +
+            s"LOCATION '$statsDbLocation'")
           Tables.nation(s, d).write.mode("overwrite")
             .saveAsTable(s"graft_stats.$tbl")
           s.sql(s"ANALYZE TABLE graft_stats.$tbl COMPUTE STATISTICS " +
@@ -932,6 +937,8 @@ object Scans {
 
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val statsDbLocation =
+    java.nio.file.Files.createTempDirectory("graft_stats").toString
 
   /** Appended via `queries ++ extra` below to keep the main Seq under
     * the compiler's method-size comfort zone.

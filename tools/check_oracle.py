@@ -34,16 +34,27 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir, only=None):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir, only=None):
+    # One FRESH connection per query: a single connection across the
+    # full 400-query sweep accumulates allocator state until DuckDB
+    # dies with spurious "Out of Memory Error: Failed to allocate
+    # block of 16384 bytes" failures late in the run (r10: 36 such
+    # phantoms after ~350 queries on an otherwise idle 128 GiB box).
+    # Views are re-created per query — microseconds against parquet.
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only is not None and name not in only:
             continue
         sql = oracles[name]
+        con = fresh_con(sf_dir)
         # Skip (don't fail) queries with no Spark dump: Verify --only
         # writes a subset, and evaluating every DuckDB oracle anyway
         # (some unrolled-CTE oracles take minutes) made the fast path slow.
