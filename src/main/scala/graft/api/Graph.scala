@@ -109,6 +109,53 @@ object Graph {
     dist
   }
 
+  /** Shortest-path COUNTS from one source (σ in Brandes' betweenness
+    * notation): level-synchronous BFS where each new level's node
+    * accumulates Σ σ(parent) over its frontier in-edges — the path
+    * multiplicity the plain [[hopDistances]] relaxation discards, and
+    * the first phase of any betweenness/stress centrality. Counts are
+    * exact BIGINTs (path counts through small-world graphs stay far
+    * below 2^63 at bounded depth).
+    *
+    * Scale shape: one edges⋈frontier equi-join + one dst-keyed SUM +
+    * one anti-join against the visited set per level; rounds =
+    * eccentricity of the source (≤ ~log n on small-world graphs).
+    * Each level is localCheckpoint'd (the Borůvka lineage-cap
+    * device); the driver sees only per-level counts.
+    */
+  def spCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxIters: Int = 64): DataFrame = {
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    var frontier = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(1L).as("paths"))
+      .localCheckpoint()
+    var acc = frontier.select(col("node"), lit(0L).as("d"), col("paths"))
+      .localCheckpoint()
+    var level = 0L
+    var more = true
+    while (more) {
+      if (level >= maxIters)
+        throw new IllegalStateException(
+          s"spCounts did not converge in $maxIters rounds")
+      level += 1
+      val next = e.join(frontier, e("__u") === frontier("node"))
+        .groupBy(col("__v").as("node"))
+        .agg(sum("paths").as("paths"))
+        .join(acc.select(col("node").as("__seen")),
+          col("node") === col("__seen"), "left_anti")
+        .localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) {
+        acc = acc.unionByName(
+          next.select(col("node"), lit(level).as("d"), col("paths")))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    acc
+  }
+
   /** k-core: the maximal subgraph where every node has degree ≥ k,
     * computed by iterative peeling — drop nodes under degree k,
     * recompute, repeat until stable (driver-checked edge count).

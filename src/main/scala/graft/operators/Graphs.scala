@@ -342,6 +342,49 @@ object Graphs {
     Q("graph_hop_distance", fn, Some(sql))
   }
 
+  /** Shortest-path counting from the min-id source — Brandes phase
+    * one ([[graft.api.Graph.spCounts]]): hop distance PLUS the number
+    * of distinct shortest paths reaching each node, the σ every
+    * betweenness/stress centrality needs and `graph_hop_distance`'s
+    * relaxation discards. Exact BIGINT multiplicities. The oracle
+    * unrolls 16 BFS levels as CTEs (level-synchronous aggregation
+    * cannot live in a recursive CTE's recursive term; a UNION ALL
+    * path walk would enumerate paths combinatorially): 16 dominates
+    * the fixture eccentricity, and levels past convergence are empty
+    * — contributing nothing, exactly like the Spark loop's
+    * terminated state.
+    */
+  private def spCountQuery: Q = {
+    val L = 16
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val src = e.agg(min("u")).head().getLong(0)
+      graft.api.Graph.spCounts(e, "u", "v", src)
+        .select(col("node").as("user_id"), col("d").as("hops"),
+          col("paths").as("n_shortest_paths"))
+        .orderBy("user_id")
+    }
+    val lvls = (1 to L).map { k =>
+      s"""lvl$k AS MATERIALIZED (
+         |  SELECT e.v AS node, CAST(SUM(l.paths) AS BIGINT) AS paths
+         |  FROM edges e JOIN lvl${k - 1} l ON e.u = l.node
+         |  WHERE e.v NOT IN (SELECT node FROM vis${k - 1})
+         |  GROUP BY e.v),
+         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1}
+         |  UNION ALL SELECT node, CAST($k AS BIGINT), paths
+         |  FROM lvl$k)""".stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |src AS (SELECT MIN(u) AS s FROM edges),
+         |lvl0 AS (SELECT s AS node, CAST(1 AS BIGINT) AS paths FROM src),
+         |vis0 AS (SELECT node, CAST(0 AS BIGINT) AS d, paths FROM lvl0),
+         |$lvls
+         |SELECT node AS user_id, d AS hops, paths AS n_shortest_paths
+         |FROM vis$L ORDER BY user_id""".stripMargin
+    Q("graph_sp_count", fn, Some(sql))
+  }
+
   /** 3-core of the co-activity graph by iterative peeling
     * ([[graft.api.Graph.kcore]]): the densest-cohesion community
     * skeleton (every member has ≥3 in-core partners). The Spark side
@@ -1298,7 +1341,7 @@ object Graphs {
 
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
-      hopDistanceQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
+      hopDistanceQuery, spCountQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery)
