@@ -4064,6 +4064,306 @@ object Aggs {
              |  ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta,
              |  ROUND((CAST(k AS DOUBLE) + alpha)
              |    / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
-             |FROM c, ab ORDER BY cohort""".stripMargin))
+             |FROM c, ab ORDER BY cohort""".stripMargin)),
+
+    // Goodman-Kruskal gamma + Somers' D (both directions) between
+    // quantity and discount per return flag — the full ordinal-
+    // association family sharing stat_kendall's contingency-cell
+    // machinery: concordant/discordant mass is Σ n_a·n_b over ordered
+    // cell pairs, so the pair stage is |cells|² (≈550 cells ⇒ ~150k
+    // pairs) REGARDLESS of row count. gamma = (C−D)/(C+D) (ties
+    // dropped); Somers' D_dc|q = 2(C−D)/(N0−N1) conditions on pairs
+    // untied in the predictor q, D_q|dc on pairs untied in dc — all
+    // exact DECIMAL until the three final ratios drop to double
+    // behind ROUND(…,4). At 100 TB: one hash aggregate to the cell
+    // table, one cell self-join, nothing row-quadratic.
+    Q("stat_ordinal_assoc",
+      (s, d) => {
+        def dec(c: Column) = c.cast("decimal(18,0)")
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+            col("l_discount").as("dc"))
+          .agg(count(lit(1)).as("n"))
+        val cd = cells.as("a").join(cells.as("b"),
+            col("a.f") === col("b.f") && col("a.q") < col("b.q"))
+          .groupBy(col("a.f").as("f"))
+          .agg(
+            sum(when(col("a.dc") < col("b.dc"),
+              dec(col("a.n")) * dec(col("b.n"))).otherwise(lit(0))).as("cc"),
+            sum(when(col("a.dc") > col("b.dc"),
+              dec(col("a.n")) * dec(col("b.n"))).otherwise(lit(0))).as("dd"))
+        val nq = cells.groupBy("f", "q").agg(sum("n").as("nq"))
+          .groupBy("f").agg(sum(dec(col("nq")) * dec(col("nq") - 1)).as("n1"))
+        val nd = cells.groupBy("f", "dc").agg(sum("n").as("nd"))
+          .groupBy("f").agg(sum(dec(col("nd")) * dec(col("nd") - 1)).as("n2"))
+        val tot = cells.groupBy("f")
+          .agg(sum("n").as("n"))
+          .select(col("f"), col("n"),
+            (dec(col("n")) * dec(col("n") - 1)).as("n0"))
+        cd.join(nq, "f").join(nd, "f").join(tot, "f")
+          .select(col("f").as("l_returnflag"), col("n"),
+            round((col("cc") - col("dd")).cast("double") /
+              (col("cc") + col("dd")).cast("double"), 4).as("gk_gamma"),
+            round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
+              (col("n0") - col("n1")).cast("double"), 4)
+              .as("somers_d_dc_given_q"),
+            round(lit(2.0) * (col("cc") - col("dd")).cast("double") /
+              (col("n0") - col("n2")).cast("double"), 4)
+              .as("somers_d_q_given_dc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag AS f, l_quantity AS q, l_discount AS dc,
+             |    COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2, 3),
+             |cd AS (
+             |  SELECT a.f,
+             |    SUM(CASE WHEN a.dc < b.dc THEN CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0)) ELSE 0 END) AS cc,
+             |    SUM(CASE WHEN a.dc > b.dc THEN CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0)) ELSE 0 END) AS dd
+             |  FROM cells a JOIN cells b ON a.f = b.f AND a.q < b.q
+             |  GROUP BY a.f),
+             |n1t AS (
+             |  SELECT f, SUM(CAST(nq AS DECIMAL(18,0))
+             |    * CAST(nq - 1 AS DECIMAL(18,0))) AS n1
+             |  FROM (SELECT f, q, SUM(n) AS nq FROM cells GROUP BY f, q)
+             |  GROUP BY f),
+             |n2t AS (
+             |  SELECT f, SUM(CAST(nd AS DECIMAL(18,0))
+             |    * CAST(nd - 1 AS DECIMAL(18,0))) AS n2
+             |  FROM (SELECT f, dc, SUM(n) AS nd FROM cells GROUP BY f, dc)
+             |  GROUP BY f),
+             |tt AS (
+             |  SELECT f, CAST(SUM(n) AS BIGINT) AS n,
+             |    CAST(SUM(n) AS DECIMAL(18,0))
+             |      * CAST(SUM(n) - 1 AS DECIMAL(18,0)) AS n0
+             |  FROM cells GROUP BY f)
+             |SELECT tt.f AS l_returnflag, tt.n,
+             |  ROUND(CAST(cd.cc - cd.dd AS DOUBLE)
+             |    / CAST(cd.cc + cd.dd AS DOUBLE), 4) AS gk_gamma,
+             |  ROUND(2.0 * CAST(cd.cc - cd.dd AS DOUBLE)
+             |    / CAST(tt.n0 - n1t.n1 AS DOUBLE), 4) AS somers_d_dc_given_q,
+             |  ROUND(2.0 * CAST(cd.cc - cd.dd AS DOUBLE)
+             |    / CAST(tt.n0 - n2t.n2 AS DOUBLE), 4) AS somers_d_q_given_dc
+             |FROM tt JOIN cd USING (f) JOIN n1t USING (f) JOIN n2t USING (f)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Jonckheere–Terpstra ordered-alternative trend test: does
+    // l_quantity stochastically increase across return-flag groups in
+    // their lexicographic order (A < N < R)? J = Σ_{i<j} U_ij with the
+    // ½-tie convention, carried DOUBLED (2J = Σ 2·n_a·n_b[v_a<v_b] +
+    // n_a·n_b[v_a=v_b]) so it stays an exact DECIMAL. The pairwise
+    // stage runs on per-(group, value) frequency tables — groups are
+    // 3, distinct quantities ≤ ~50, so the "quadratic" term is ≤
+    // (3·50)² cells, row-count-independent. z uses the tie-uncorrected
+    // null moments E[J] = (n²−Σn_i²)/4, Var[J] = (n²(2n+3) −
+    // Σn_i²(2n_i+3))/72 (documented approximation; discount ties
+    // inflate Var slightly, z is conservative). One row out.
+    Q("stat_jonckheere",
+      (s, d) => {
+        def dec(c: Column) = c.cast("decimal(18,0)")
+        val freq = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("q"))
+          .agg(count(lit(1)).as("n"))
+        val j2 = freq.as("a").join(freq.as("b"),
+            col("a.f") < col("b.f"))
+          .agg(sum(
+            when(col("a.q") < col("b.q"),
+              lit(2) * dec(col("a.n")) * dec(col("b.n")))
+            .when(col("a.q") === col("b.q"),
+              dec(col("a.n")) * dec(col("b.n")))
+            .otherwise(lit(0))).as("j2"))
+        val gs = freq.groupBy("f").agg(sum("n").as("ni"))
+          .agg(sum("ni").as("n"),
+            sum(dec(col("ni")) * dec(col("ni"))).as("sni2"),
+            sum(dec(col("ni")) * dec(col("ni")) *
+              (lit(2) * dec(col("ni")) + lit(3))).as("sni23"))
+        j2.crossJoin(gs)
+          .select(col("n"),
+            (col("j2") / 2).cast("double").as("j_stat"),
+            round(((col("j2").cast("double") -
+              (dec(col("n")) * dec(col("n")) - col("sni2"))
+                .cast("double") / 2.0) / 2.0) /
+              sqrt(((dec(col("n")) * dec(col("n")) *
+                (lit(2) * dec(col("n")) + lit(3))).cast("double") -
+                col("sni23").cast("double")) / 72.0), 4).as("z"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT l_returnflag AS f, l_quantity AS q, COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2),
+             |jj AS (
+             |  SELECT SUM(CASE
+             |    WHEN a.q < b.q THEN 2 * CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0))
+             |    WHEN a.q = b.q THEN CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0))
+             |    ELSE 0 END) AS j2
+             |  FROM freq a JOIN freq b ON a.f < b.f),
+             |gs AS (
+             |  SELECT CAST(SUM(ni) AS BIGINT) AS n,
+             |    SUM(CAST(ni AS DECIMAL(18,0)) * CAST(ni AS DECIMAL(18,0)))
+             |      AS sni2,
+             |    SUM(CAST(ni AS DECIMAL(18,0)) * CAST(ni AS DECIMAL(18,0))
+             |      * (2 * CAST(ni AS DECIMAL(18,0)) + 3)) AS sni23
+             |  FROM (SELECT f, SUM(n) AS ni FROM freq GROUP BY f))
+             |SELECT gs.n,
+             |  CAST(jj.j2 / 2 AS DOUBLE) AS j_stat,
+             |  ROUND(((CAST(jj.j2 AS DOUBLE)
+             |      - CAST(CAST(gs.n AS DECIMAL(18,0))
+             |        * CAST(gs.n AS DECIMAL(18,0)) - gs.sni2 AS DOUBLE)
+             |        / 2.0) / 2.0)
+             |    / sqrt((CAST(CAST(gs.n AS DECIMAL(18,0))
+             |        * CAST(gs.n AS DECIMAL(18,0))
+             |        * (2 * CAST(gs.n AS DECIMAL(18,0)) + 3) AS DOUBLE)
+             |      - CAST(gs.sni23 AS DOUBLE)) / 72.0), 4) AS z
+             |FROM jj, gs""".stripMargin)),
+
+    // Friedman rank test over (week-block × day-of-week-treatment)
+    // daily revenue: are some weekdays systematically stronger, with
+    // weeks as repeated-measure blocks? Blocks/treatments derive from
+    // pure epoch-day arithmetic (wk = floor(epoch/7), dow = epoch%7 —
+    // identical in both engines, no locale/WEEKSTART dependence); only
+    // COMPLETE weeks (all 7 dows present) enter. Daily revenue is the
+    // exact DECIMAL o_totalprice sum, so within-block ranks order
+    // exact values; the tie-break (revenue, dow) is pinned in BOTH
+    // engines (decimal daily sums make real ties vanishingly rare but
+    // the order must be total regardless). The rank windows partition
+    // by WEEK — thousands of 7-row partitions, the many-small-groups
+    // shape where a plain window is already parallel (the inverse of
+    // the stat_spearman case). χ²_F = 12/(b·k(k+1))·ΣR_j² − 3b(k+1),
+    // k = 7; rank sums are exact integers, one double division at the
+    // end. df = k−1 = 6.
+    Q("stat_friedman",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .withColumn("__epoch",
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long"))
+          .groupBy((col("__epoch") / 7).cast("long").as("wk"),
+            pmod(col("__epoch"), lit(7)).as("dow"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val complete = daily.groupBy("wk")
+          .agg(count(lit(1)).as("k")).filter(col("k") === 7).select("wk")
+        val ranked = daily.join(complete, "wk")
+          .withColumn("r", row_number().over(
+            Window.partitionBy("wk").orderBy(col("rev"), col("dow"))))
+        val rsum = ranked.groupBy("dow")
+          .agg(sum(col("r").cast("long")).as("rj"),
+            count(lit(1)).as("b"))
+        rsum.agg(max("b").cast("long").as("b"),
+            sum(col("rj") * col("rj")).as("sr2"))
+          .select(col("b"),
+            round(lit(12.0) * col("sr2").cast("double") /
+              (col("b").cast("double") * 7.0 * 8.0) -
+              lit(3.0) * col("b").cast("double") * 8.0, 4).as("chi2_f"),
+            lit(6L).as("df"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(FLOOR(CAST(date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS DOUBLE) / 7) AS BIGINT)
+             |      AS wk,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) % 7 AS dow,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |complete AS (
+             |  SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7),
+             |ranked AS (
+             |  SELECT d.wk, d.dow,
+             |    ROW_NUMBER() OVER (PARTITION BY d.wk
+             |      ORDER BY d.rev, d.dow) AS r
+             |  FROM daily d JOIN complete USING (wk)),
+             |rsum AS (
+             |  SELECT dow, CAST(SUM(r) AS BIGINT) AS rj,
+             |    COUNT(*) AS b
+             |  FROM ranked GROUP BY dow)
+             |SELECT CAST(MAX(b) AS BIGINT) AS b,
+             |  ROUND(12.0 * CAST(SUM(rj * rj) AS DOUBLE)
+             |      / (CAST(MAX(b) AS DOUBLE) * 7.0 * 8.0)
+             |    - 3.0 * CAST(MAX(b) AS DOUBLE) * 8.0, 4) AS chi2_f,
+             |  CAST(6 AS BIGINT) AS df
+             |FROM rsum""".stripMargin)),
+
+    // Cronbach's alpha over the four lineitem "scale items" (quantity,
+    // extendedprice, discount, tax) per return flag — the internal-
+    // consistency reliability coefficient α = k/(k−1)·(1 − Σσ²_i/σ²_t)
+    // with σ²_t the variance of the per-row item SUM. All first and
+    // second moments accumulate as exact DECIMALs (base columns are
+    // clean 2-dp doubles, the Ops.scala money rule, so the decimal
+    // casts agree across engines); sample (n−1) variances materialize
+    // only inside the final double expression behind ROUND(…,6). One
+    // hash aggregate over the fact table — fully map-side-combinable,
+    // nothing beyond a groups-sized reduce at any scale.
+    Q("stat_cronbach",
+      (s, d) => {
+        def d2(c: Column) = c.cast("decimal(12,2)")
+        val items = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val tot = items.map(i => d2(col(i))).reduce(_ + _)
+        val base = Tables.lineitem(s, d)
+        val aggs =
+          items.flatMap(i => Seq(
+            sum(d2(col(i))).as(s"s_$i"),
+            sum(d2(col(i)) * d2(col(i))).as(s"s2_$i"))) ++ Seq(
+            sum(tot.cast("decimal(14,2)")).as("st"),
+            sum(tot.cast("decimal(14,2)") * tot.cast("decimal(14,2)"))
+              .as("st2"),
+            count(lit(1)).as("n"))
+        def svar(sc: Column, s2c: Column): Column = {
+          val nD = col("n").cast("double")
+          (s2c.cast("double") - sc.cast("double") * sc.cast("double") / nD) /
+            (nD - 1.0)
+        }
+        base.groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag"), col("n"),
+            round(lit(4.0 / 3.0) * (lit(1.0) -
+              items.map(i => svar(col(s"s_$i"), col(s"s2_$i")))
+                .reduce(_ + _) / svar(col("st"), col("st2"))), 6)
+              .as("cronbach_alpha"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             |    SUM(CAST(l_quantity AS DECIMAL(12,2))
+             |      * CAST(l_quantity AS DECIMAL(12,2))) AS sq2,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS sp2,
+             |    SUM(CAST(l_discount AS DECIMAL(12,2))) AS sd,
+             |    SUM(CAST(l_discount AS DECIMAL(12,2))
+             |      * CAST(l_discount AS DECIMAL(12,2))) AS sd2,
+             |    SUM(CAST(l_tax AS DECIMAL(12,2))) AS sx,
+             |    SUM(CAST(l_tax AS DECIMAL(12,2))
+             |      * CAST(l_tax AS DECIMAL(12,2))) AS sx2,
+             |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+             |      + CAST(l_extendedprice AS DECIMAL(12,2))
+             |      + CAST(l_discount AS DECIMAL(12,2))
+             |      + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2))) AS st,
+             |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+             |      + CAST(l_extendedprice AS DECIMAL(12,2))
+             |      + CAST(l_discount AS DECIMAL(12,2))
+             |      + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2))
+             |      * CAST(CAST(l_quantity AS DECIMAL(12,2))
+             |      + CAST(l_extendedprice AS DECIMAL(12,2))
+             |      + CAST(l_discount AS DECIMAL(12,2))
+             |      + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(14,2))) AS st2
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  ROUND((4.0 / 3.0) * (1.0 - (
+             |      ((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
+             |        * CAST(sq AS DOUBLE) / n) / (n - 1.0))
+             |    + ((CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE)
+             |        * CAST(sp AS DOUBLE) / n) / (n - 1.0))
+             |    + ((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+             |        * CAST(sd AS DOUBLE) / n) / (n - 1.0))
+             |    + ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE) / n) / (n - 1.0)))
+             |    / ((CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE)
+             |        * CAST(st AS DOUBLE) / n) / (n - 1.0))), 6)
+             |    AS cronbach_alpha
+             |FROM m ORDER BY l_returnflag""".stripMargin))
   )
 }
