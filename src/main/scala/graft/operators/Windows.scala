@@ -3038,7 +3038,254 @@ object Windows {
              |SELECT event_id, user_id, n_events_1h,
              |  CAST(cents_24h AS DOUBLE) / 100.0 AS spend_24h
              |FROM f WHERE event_type = 'purchase'
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Maximum drawdown per event_type over the cumulative daily value
+    // series — the classic "how far below the running peak did we
+    // fall" risk statistic. Everything stays in exact integer CENTS:
+    // cumulative sum, running peak (window max), drawdown = peak −
+    // cum; the per-type answer is the max drawdown with its FIRST day
+    // (min-day tie-break, pinned in both engines via the (dd DESC,
+    // day) struct-max). Windows partition by event_type over the
+    // DAILY aggregate — date-cardinality rows per partition at any
+    // scale (the calendar-bounded window class, not the per-row one).
+    Q("ts_drawdown",
+      (s, d) => {
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+        daily
+          .withColumn("cum", sum("cents").over(wRun))
+          .withColumn("peak", max(col("cum")).over(wRun))
+          .withColumn("dd", col("peak") - col("cum"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("days"),
+            max(struct(col("dd"), col("day").cast("string").as("day")))
+              .as("m"))
+          .select(col("event_type"), col("days"),
+            (col("m.dd").cast("double") / 100.0).as("max_drawdown"),
+            col("m.day").as("trough_day"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |runs AS (
+             |  SELECT event_type, day,
+             |    MAX(cum) OVER rw - cum AS dd
+             |  FROM (SELECT event_type, day,
+             |          SUM(cents) OVER rw AS cum
+             |        FROM daily
+             |        WINDOW rw AS (PARTITION BY event_type ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |  WINDOW rw AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |mx AS (
+             |  SELECT event_type, COUNT(*) AS days,
+             |    MAX({'dd': dd, 'day': CAST(day AS VARCHAR)}) AS m
+             |  FROM runs GROUP BY event_type)
+             |SELECT event_type, days,
+             |  CAST(m.dd AS DOUBLE) / 100.0 AS max_drawdown,
+             |  m.day AS trough_day
+             |FROM mx ORDER BY event_type""".stripMargin)),
+
+    // Bollinger bands: 7-day rolling mean ± 2σ envelope on daily
+    // value per event_type, with breakout flags — the volatility-
+    // normalized envelope a metrics monitor draws. Rolling Σ and Σ²
+    // accumulate in exact CENTS decimals over ROWS BETWEEN 6
+    // PRECEDING (full windows only, rn ≥ 7); mean and the population
+    // σ = √((Σx² − (Σx)²/7)/7) materialize once per row in double
+    // with the identical expression in both engines. Date-cardinality
+    // windows per type; one daily aggregate shuffle at any scale.
+    Q("ts_bollinger",
+      (s, d) => {
+        val wSeq = Window.partitionBy("event_type").orderBy("day")
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+        val mid = col("s7").cast("double") / 7.0
+        val sd = sqrt((col("s72").cast("double") -
+          col("s7").cast("double") * col("s7").cast("double") / 7.0) / 7.0)
+        daily
+          .withColumn("rn", row_number().over(wSeq))
+          .withColumn("s7", sum("cents").over(w7))
+          .withColumn("s72",
+            sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+              .over(w7))
+          .filter(col("rn") >= 7)
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            (col("cents").cast("double") / 100.0).as("value"),
+            round(mid / 100.0, 4).as("mid"),
+            round((mid + lit(2.0) * sd) / 100.0, 4).as("upper"),
+            round((mid - lit(2.0) * sd) / 100.0, 4).as("lower"),
+            (col("cents").cast("double") > mid + lit(2.0) * sd).as("break_up"),
+            (col("cents").cast("double") < mid - lit(2.0) * sd).as("break_dn"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |roll AS (
+             |  SELECT event_type, day, cents,
+             |    ROW_NUMBER() OVER sw AS rn,
+             |    SUM(cents) OVER w7 AS s7,
+             |    SUM(CAST(cents * cents AS DECIMAL(38,0))) OVER w7 AS s72
+             |  FROM daily
+             |  WINDOW sw AS (PARTITION BY event_type ORDER BY day),
+             |    w7 AS (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, CAST(day AS VARCHAR) AS day,
+             |  CAST(cents AS DOUBLE) / 100.0 AS value,
+             |  ROUND((CAST(s7 AS DOUBLE) / 7.0) / 100.0, 4) AS mid,
+             |  ROUND((CAST(s7 AS DOUBLE) / 7.0
+             |    + 2.0 * sqrt((CAST(s72 AS DOUBLE) - CAST(s7 AS DOUBLE)
+             |        * CAST(s7 AS DOUBLE) / 7.0) / 7.0)) / 100.0, 4)
+             |    AS upper,
+             |  ROUND((CAST(s7 AS DOUBLE) / 7.0
+             |    - 2.0 * sqrt((CAST(s72 AS DOUBLE) - CAST(s7 AS DOUBLE)
+             |        * CAST(s7 AS DOUBLE) / 7.0) / 7.0)) / 100.0, 4)
+             |    AS lower,
+             |  CAST(cents AS DOUBLE) > CAST(s7 AS DOUBLE) / 7.0
+             |    + 2.0 * sqrt((CAST(s72 AS DOUBLE) - CAST(s7 AS DOUBLE)
+             |        * CAST(s7 AS DOUBLE) / 7.0) / 7.0) AS break_up,
+             |  CAST(cents AS DOUBLE) < CAST(s7 AS DOUBLE) / 7.0
+             |    - 2.0 * sqrt((CAST(s72 AS DOUBLE) - CAST(s7 AS DOUBLE)
+             |        * CAST(s7 AS DOUBLE) / 7.0) / 7.0) AS break_dn
+             |FROM roll WHERE rn >= 7
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // Granger causality (lag-1): do yesterday's PURCHASE totals help
+    // predict today's ERROR count beyond errors' own lag? Restricted
+    // model y_t ~ 1 + y_{t−1}; unrestricted adds x_{t−1}. Both R²
+    // come from the Frisch–Waugh two-regressor closed form R²_u =
+    // (r₁² + r₂² − 2r₁r₂r₁₂)/(1 − r₁₂²), R²_r = r₁², with every
+    // correlation built from EXACT integer moment sums (cents / event
+    // counts) over the lag-aligned day series; F = (R²_u − R²_r)·
+    // (T−3)/(1 − R²_u). The series is a DATE-CARDINALITY aggregate
+    // (zero-filled full-outer day join), so the single lag window
+    // rides a calendar-bounded table — never the event stream.
+    Q("ts_granger",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val px = ev.filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("x"))
+        val ey = ev.filter(col("event_type") === "error")
+          .groupBy(to_date(col("ts")).as("dayy"))
+          .agg(count(lit(1)).cast("decimal(20,0)").as("y"))
+        val w = Window.orderBy("day")
+        val ser = px.join(ey, col("day") === col("dayy"), "full_outer")
+          .select(coalesce(col("day"), col("dayy")).as("day"),
+            coalesce(col("x"), lit(0)).cast("decimal(20,0)").as("x"),
+            coalesce(col("y"), lit(0)).cast("decimal(20,0)").as("y"))
+          .withColumn("y1", lag("y", 1).over(w))
+          .withColumn("x1", lag("x", 1).over(w))
+          .filter(col("y1").isNotNull && col("x1").isNotNull)
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val m = ser.agg(count(lit(1)).as("t"),
+          sum("y").as("sy"), sum(d38(col("y") * col("y"))).as("syy"),
+          sum("y1").as("sy1"), sum(d38(col("y1") * col("y1"))).as("sy1y1"),
+          sum("x1").as("sx1"), sum(d38(col("x1") * col("x1"))).as("sx1x1"),
+          sum(d38(col("y") * col("y1"))).as("syy1"),
+          sum(d38(col("y") * col("x1"))).as("syx1"),
+          sum(d38(col("y1") * col("x1"))).as("sy1x1"))
+        def corr(sab: org.apache.spark.sql.Column,
+            sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+            saa: org.apache.spark.sql.Column,
+            sbb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val t = col("t").cast("double")
+          (sab.cast("double") - sa.cast("double") * sb.cast("double") / t) /
+            (sqrt(saa.cast("double") -
+              sa.cast("double") * sa.cast("double") / t) *
+             sqrt(sbb.cast("double") -
+              sb.cast("double") * sb.cast("double") / t))
+        }
+        val r1 = corr(col("syy1"), col("sy"), col("sy1"),
+          col("syy"), col("sy1y1"))
+        val r2 = corr(col("syx1"), col("sy"), col("sx1"),
+          col("syy"), col("sx1x1"))
+        val r12 = corr(col("sy1x1"), col("sy1"), col("sx1"),
+          col("sy1y1"), col("sx1x1"))
+        val r2u = (r1 * r1 + r2 * r2 - lit(2.0) * r1 * r2 * r12) /
+          (lit(1.0) - r12 * r12)
+        m.select(col("t").cast("long").as("t_obs"),
+          round(r1 * r1, 6).as("r2_restricted"),
+          round(r2u, 6).as("r2_unrestricted"),
+          round((r2u - r1 * r1) * (col("t").cast("double") - 3.0) /
+            (lit(1.0) - r2u), 4).as("f_stat"))
+      },
+      Some("""WITH px AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS x
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |ey AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS DECIMAL(20,0)) AS y
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |ser AS (
+             |  SELECT COALESCE(px.day, ey.day) AS day,
+             |    COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+             |  FROM px FULL OUTER JOIN ey USING (day)),
+             |lagd AS (
+             |  SELECT y,
+             |    LAG(y) OVER (ORDER BY day) AS y1,
+             |    LAG(x) OVER (ORDER BY day) AS x1
+             |  FROM ser),
+             |m AS (
+             |  SELECT COUNT(*) AS t,
+             |    SUM(y) AS sy, SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             |    SUM(y1) AS sy1,
+             |    SUM(CAST(y1 * y1 AS DECIMAL(38,0))) AS sy1y1,
+             |    SUM(x1) AS sx1,
+             |    SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS sx1x1,
+             |    SUM(CAST(y * y1 AS DECIMAL(38,0))) AS syy1,
+             |    SUM(CAST(y * x1 AS DECIMAL(38,0))) AS syx1,
+             |    SUM(CAST(y1 * x1 AS DECIMAL(38,0))) AS sy1x1
+             |  FROM lagd WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+             |rr AS (
+             |  SELECT t,
+             |    (CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sy1 AS DOUBLE) / t)
+             |      / (sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |          * CAST(sy AS DOUBLE) / t)
+             |        * sqrt(CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+             |          * CAST(sy1 AS DOUBLE) / t)) AS r1,
+             |    (CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE)
+             |        * CAST(sx1 AS DOUBLE) / t)
+             |      / (sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |          * CAST(sy AS DOUBLE) / t)
+             |        * sqrt(CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+             |          * CAST(sx1 AS DOUBLE) / t)) AS r2,
+             |    (CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+             |        * CAST(sx1 AS DOUBLE) / t)
+             |      / (sqrt(CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+             |          * CAST(sy1 AS DOUBLE) / t)
+             |        * sqrt(CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+             |          * CAST(sx1 AS DOUBLE) / t)) AS r12
+             |  FROM m),
+             |ru AS (
+             |  SELECT t, r1,
+             |    (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+             |      / (1.0 - r12 * r12) AS r2u
+             |  FROM rr)
+             |SELECT CAST(t AS BIGINT) AS t_obs,
+             |  ROUND(r1 * r1, 6) AS r2_restricted,
+             |  ROUND(r2u, 6) AS r2_unrestricted,
+             |  ROUND((r2u - r1 * r1) * (t - 3.0) / (1.0 - r2u), 4)
+             |    AS f_stat
+             |FROM ru""".stripMargin))
   )
 }
 
