@@ -156,6 +156,137 @@ object Graph {
     acc
   }
 
+  /** Single-source STRESS centrality — the integer-exact member of the
+    * Brandes family: stress(v) = σ(s,v) · τ(v), where σ comes from
+    * [[spCounts]] and τ(v) = Σ_{w ∈ DAG-succ(v)} (1 + τ(w)) counts the
+    * shortest-path CONTINUATIONS out of v (the number of shortest s→t
+    * path suffixes starting at v, over all t). Unlike betweenness'
+    * δ-accumulation, the recurrence is pure BIGINT — no float
+    * fractions to accumulate, so the result is deterministic at any
+    * partitioning and oracle-portable.
+    *
+    * Shape: one BFS forward pass (spCounts), one level-keyed DAG edge
+    * materialization, then ONE join + SUM per level walking BACKWARD
+    * from the deepest level — 2·eccentricity bounded rounds total,
+    * each round an equi-join on node ids plus a keyed aggregate. The
+    * driver sees only the max-depth scalar (a model parameter).
+    * Returns (node, d, paths, stress); stress = 0 for s's BFS leaves.
+    */
+  def stressCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxIters: Int = 64): DataFrame = {
+    val acc = spCounts(edges, srcCol, dstCol, source, maxIters)
+      .localCheckpoint()
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    val dag = e
+      .join(acc.select(col("node").as("__ua"), col("d").as("__da")),
+        col("__u") === col("__ua"))
+      .join(acc.select(col("node").as("__vb"), col("d").as("__db")),
+        col("__v") === col("__vb"))
+      .filter(col("__db") === col("__da") + 1)
+      .select(col("__u"), col("__v"), col("__da"))
+      .localCheckpoint()
+    val maxd = acc.agg(max("d")).head().getLong(0)
+    // τ backward sweep: τ at the deepest level is 0 (no continuations);
+    // childless nodes at shallower levels get 0 via the left join.
+    var tauPrev = acc.filter(col("d") === maxd)
+      .select(col("node"), lit(0L).as("tau"))
+    var tauAll = tauPrev
+    var lev = maxd - 1
+    while (lev >= 0) {
+      val t = dag.filter(col("__da") === lev)
+        .join(tauPrev.select(col("node").as("__tn"), col("tau").as("__tv")),
+          col("__v") === col("__tn"), "left")
+        .groupBy(col("__u").as("node"))
+        .agg(sum(lit(1L) + coalesce(col("__tv"), lit(0L))).as("tau"))
+        .localCheckpoint()
+      // nodes at this level with no DAG out-edges (BFS leaves mid-depth)
+      val leaves = acc.filter(col("d") === lev)
+        .join(t.select(col("node").as("__hn")),
+          col("node") === col("__hn"), "left_anti")
+        .select(col("node"), lit(0L).as("tau"))
+      tauPrev = t.unionByName(leaves).localCheckpoint()
+      tauAll = tauAll.unionByName(tauPrev)
+      lev -= 1
+    }
+    acc.join(tauAll, "node")
+      .select(col("node"), col("d"), col("paths"),
+        (col("paths") * col("tau")).as("stress"))
+  }
+
+  /** k-truss: the maximal subgraph where every EDGE participates in at
+    * least (k−2) triangles — the cohesion filter one notch stronger
+    * than k-core (it prunes bridge/hub edges a degree test keeps).
+    * Input is the canonical one-direction edge set (u < v); peeling
+    * recomputes per-edge triangle support (one wedge join over the
+    * doubled adjacency — Σ deg² bounded, the graph_triangles shape)
+    * and drops under-supported edges until stable. `maxRounds` is an
+    * honesty bound: hitting it throws rather than returning a
+    * half-peeled set. Returns surviving (u, v, support).
+    */
+  def ktruss(pairs: DataFrame, uCol: String, vCol: String, k: Int,
+      maxRounds: Int = 16): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var es = pairs.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    var rounds = 0
+    var stable = false
+    var lastSup: DataFrame = null
+    while (!stable) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"ktruss did not converge in $maxRounds rounds")
+      rounds += 1
+      val before = es.count()
+      // ordered-triangle enumeration (a<b<c, the graph_triangles
+      // shape): each triangle found once on the canonical set — ~4×
+      // fewer wedges than the doubled-adjacency join — then exploded
+      // to its three edges for the per-edge support count.
+      //
+      // Join-side dial: localCheckpoint erases size stats, so Spark
+      // would pick sort-merge and AQE would coalesce the exchange by
+      // INPUT bytes even though the wedge OUTPUT explodes ~100× (19M
+      // rows from 207k edges at sf0.1 — the expansion then serializes
+      // on ~3 tasks). Below the dial the edge list is broadcast-sized
+      // (2M edges ≈ 32 MB): both probe sides broadcast, the whole
+      // wedge+probe+explode pipeline fuses into the checkpointed
+      // edge partitions map-side (evenly spread — no hash(v) hub
+      // skew), and only the 3-role support aggregate shuffles.
+      // Above it, the sort-merge plan is the correct scale shape.
+      val side = if (before <= 2000000L) broadcast(es) else es
+      // round-robin repartition of the probe side: the checkpointed
+      // edge list carries the AQE-coalesced partitioning of the
+      // upstream distinct (~3 partitions), which would serialize the
+      // fused map-side expansion; an explicit repartition is exempt
+      // from AQE coalescing and spreads wedges evenly (no key skew).
+      val p = es.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt
+      val tri = es.repartition(p).as("e1")
+        .join(side.as("e2"), col("e1.v") === col("e2.u"))
+        .join(side.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c"))
+      // explode, NOT a 3-way union: broadcast joins leave no exchange
+      // for reuse, so three union branches would recompute the whole
+      // triangle enumeration three times (measured — the 96-task
+      // stage); one explode over an inline 3-struct array keeps one
+      // enumeration and is codegen-friendly.
+      val sup = tri.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("c").as("v")),
+          struct(col("a").as("u"), col("c").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint()
+      val after = sup.count()
+      stable = after == before
+      lastSup = sup
+      es = sup.select("u", "v").localCheckpoint()
+    }
+    lastSup
+  }
+
   /** k-core: the maximal subgraph where every node has degree ≥ k,
     * computed by iterative peeling — drop nodes under degree k,
     * recompute, repeat until stable (driver-checked edge count).

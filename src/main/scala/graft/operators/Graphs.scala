@@ -385,6 +385,196 @@ object Graphs {
     Q("graph_sp_count", fn, Some(sql))
   }
 
+  /** Single-source stress centrality ([[graft.api.Graph.stressCentrality]]):
+    * σ(s,v)·τ(v), the number of shortest s→t paths PASSING THROUGH v —
+    * the Brandes-family centrality whose backward sweep stays pure
+    * BIGINT (betweenness' δ fractions would accumulate floats, the
+    * class this repo bans). Oracle reuses graph_sp_count's 16
+    * MATERIALIZED forward levels, materializes the level-keyed DAG
+    * edge set, then unrolls the τ recurrence BACKWARD t15…t0 (levels
+    * past the fixture eccentricity are empty no-ops, matching the
+    * Spark loop's termination); childless mid-depth leaves default to
+    * τ=0 through the LEFT JOINs on both sides.
+    */
+  private def stressQuery: Q = {
+    val L = 16
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val src = e.agg(min("u")).head().getLong(0)
+      graft.api.Graph.stressCentrality(e, "u", "v", src)
+        .select(col("node").as("user_id"), col("d").as("hops"),
+          col("paths").as("n_shortest_paths"), col("stress"))
+        .orderBy("user_id")
+    }
+    val lvls = (1 to L).map { k =>
+      s"""lvl$k AS MATERIALIZED (
+         |  SELECT e.v AS node, CAST(SUM(l.paths) AS BIGINT) AS paths
+         |  FROM edges e JOIN lvl${k - 1} l ON e.u = l.node
+         |  WHERE e.v NOT IN (SELECT node FROM vis${k - 1})
+         |  GROUP BY e.v),
+         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1}
+         |  UNION ALL SELECT node, CAST($k AS BIGINT), paths
+         |  FROM lvl$k)""".stripMargin
+    }.mkString(",\n")
+    val taus = (L - 1 to 0 by -1).map { k =>
+      s"""t$k AS MATERIALIZED (
+         |  SELECT de.u AS node,
+         |    CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
+         |  FROM de LEFT JOIN t${k + 1} t ON de.v = t.node
+         |  WHERE de.da = $k GROUP BY de.u)""".stripMargin
+    }.mkString(",\n")
+    val tall = (0 to L).map(k => s"SELECT * FROM t$k").mkString("\n  UNION ALL ")
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |src AS (SELECT MIN(u) AS s FROM edges),
+         |lvl0 AS (SELECT s AS node, CAST(1 AS BIGINT) AS paths FROM src),
+         |vis0 AS (SELECT node, CAST(0 AS BIGINT) AS d, paths FROM lvl0),
+         |$lvls,
+         |de AS MATERIALIZED (
+         |  SELECT e.u, e.v, a.d AS da
+         |  FROM edges e JOIN vis$L a ON e.u = a.node
+         |  JOIN vis$L b ON e.v = b.node
+         |  WHERE b.d = a.d + 1),
+         |t$L AS MATERIALIZED (
+         |  SELECT node, CAST(0 AS BIGINT) AS tau FROM vis$L WHERE d = $L),
+         |$taus,
+         |tall AS ($tall)
+         |SELECT a.node AS user_id, a.d AS hops,
+         |  a.paths AS n_shortest_paths,
+         |  CAST(a.paths * COALESCE(tl.tau, 0) AS BIGINT) AS stress
+         |FROM vis$L a LEFT JOIN tall tl ON a.node = tl.node
+         |ORDER BY user_id""".stripMargin
+    Q("graph_stress", fn, Some(sql))
+  }
+
+  /** 4-truss of the co-activity graph ([[graft.api.Graph.ktruss]]):
+    * every surviving edge sits in ≥ 2 triangles WITHIN the truss —
+    * the edge-cohesion filter that prunes the bridge/hub edges k-core
+    * keeps. Peeling recomputes per-edge wedge-join support each round
+    * (Σ deg² bounded, the graph_triangles shape — never n²); the
+    * Spark side peels to convergence with an 8-round honesty throw,
+    * the oracle unrolls exactly 8 MATERIALIZED rounds (idempotent
+    * after stability, the kcore argument). Zero-support edges drop
+    * out of the inner wedge join on both sides by construction.
+    */
+  private def ktrussQuery: Q = {
+    val K = 4; val ROUNDS = 8
+    // The hour-cell co-activity graph saturates at sf≥0.01 (every
+    // edge sits in ≥10 triangles — a union of ≤12-cliques), so the
+    // truss there is the identity; this query builds its pairs on
+    // 10-MINUTE cells (tz-free unix_micros bucketing), where the
+    // fixture peels 2037 → 1956 edges over 4 cascading rounds at the
+    // driver's sf0.01 gate. Same cap-12 cell bound ⇒ pair stage stays
+    // linear in cells at any scale.
+    def pairs10(s: SparkSession, d: String): DataFrame = {
+      val a = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 600000000").as("h"))
+        .distinct()
+      val ok = a.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
+        .drop("k")
+      val af = a.join(ok, Seq("event_type", "h"))
+      af.as("a").join(af.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.h") === col("b.h") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .distinct()
+    }
+    def fn(s: SparkSession, d: String): DataFrame =
+      graft.api.Graph.ktruss(pairs10(s, d), "u", "v", K, ROUNDS)
+        .select(col("u").as("user_a"), col("v").as("user_b"),
+          col("support"))
+        .orderBy("user_a", "user_b")
+    def round(r: Int): String =
+      s"""tr$r AS MATERIALIZED (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ke${r - 1} e1 JOIN ke${r - 1} e2 ON e1.v = e2.u
+         |  JOIN ke${r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |ks$r AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS support FROM (
+         |    SELECT a AS u, b AS v FROM tr$r
+         |    UNION ALL SELECT b AS u, c AS v FROM tr$r
+         |    UNION ALL SELECT a AS u, c AS v FROM tr$r)
+         |  GROUP BY u, v HAVING COUNT(*) >= ${K - 2}),
+         |ke$r AS MATERIALIZED (SELECT u, v FROM ks$r)""".stripMargin
+    val sql =
+      s"""WITH ae0 AS (
+         |  SELECT DISTINCT user_id, event_type,
+         |    epoch_us(ts) // 600000000 AS h
+         |  FROM events),
+         |okc AS (SELECT event_type, h FROM ae0
+         |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
+         |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
+         |ke0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+         |  FROM ae a JOIN ae b
+         |    ON a.event_type = b.event_type AND a.h = b.h
+         |   AND a.user_id < b.user_id),
+         |${(1 to ROUNDS).map(round).mkString(",\n")}
+         |SELECT u AS user_a, v AS user_b, CAST(support AS BIGINT) AS support
+         |FROM ks$ROUNDS ORDER BY user_a, user_b""".stripMargin
+    Q("graph_ktruss", fn, Some(sql))
+  }
+
+  /** Multi-source eccentricity: BATCHED BFS from the 4 smallest node
+    * ids in ONE frontier keyed by (source, node) — s sources cost one
+    * traversal whose per-round join is still a single edges⋈frontier
+    * equi-join (state ≤ s·n, frontier-bounded in practice); per-source
+    * eccentricity = max hop, plus reached-node count. The oracle is
+    * the graph_hop_distance depth-bounded recursive walk with the
+    * source id carried through the UNION dedup (states ≤ s·n·depth).
+    */
+  private def eccentricityQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).localCheckpoint()
+      val srcs = e.select(col("u")).distinct().orderBy("u").limit(4)
+        .collect().map(_.getLong(0))  // 4 ids — a model-sized scalar set
+      var frontier = e.sparkSession
+        .createDataFrame(srcs.toSeq.map(Tuple1(_)))
+        .toDF("src")
+        .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+        .localCheckpoint()
+      var acc = frontier
+      var lev = 0L
+      var more = true
+      while (more) {
+        if (lev >= 64)
+          throw new IllegalStateException("eccentricity: depth > 64")
+        lev += 1
+        val next = e.join(frontier, e("u") === frontier("node"))
+          .select(frontier("src"), e("v").as("node"), lit(lev).as("d"))
+          .distinct()
+          .join(acc.select(col("src").as("__s"), col("node").as("__n")),
+            col("src") === col("__s") && col("node") === col("__n"),
+            "left_anti")
+          .localCheckpoint()
+        more = next.limit(1).count() > 0
+        if (more) { acc = acc.unionByName(next).localCheckpoint(); frontier = next }
+      }
+      acc.groupBy(col("src").as("source"))
+        .agg(max("d").as("eccentricity"),
+          (count(lit(1)) - 1).as("n_reached"))
+        .orderBy("source")
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |srcs AS (SELECT DISTINCT u AS s FROM edges ORDER BY u LIMIT 4),
+         |walk AS (
+         |  SELECT s AS src, s AS node, CAST(0 AS BIGINT) AS d FROM srcs
+         |  UNION
+         |  SELECT w.src, e.v AS node, w.d + 1 AS d
+         |  FROM edges e JOIN walk w ON e.u = w.node
+         |  WHERE w.d < 64)
+         |SELECT src AS source, MAX(hops) AS eccentricity,
+         |  COUNT(*) - 1 AS n_reached
+         |FROM (SELECT src, node, MIN(d) AS hops
+         |      FROM walk GROUP BY src, node)
+         |GROUP BY src ORDER BY source""".stripMargin
+    Q("graph_eccentricity", fn, Some(sql))
+  }
+
   /** 3-core of the co-activity graph by iterative peeling
     * ([[graft.api.Graph.kcore]]): the densest-cohesion community
     * skeleton (every member has ≥3 in-core partners). The Spark side
@@ -1341,7 +1531,7 @@ object Graphs {
 
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
-      hopDistanceQuery, spCountQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
+      hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery)
