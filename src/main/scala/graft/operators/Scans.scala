@@ -932,7 +932,221 @@ object Scans {
              |UNION ALL SELECT 'n_regionkey',
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
              |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
-             |ORDER BY column_name""".stripMargin))
+             |ORDER BY column_name""".stripMargin)),
+
+    // Referential-integrity orphan audit across the schema's six FK
+    // edges — the DQ check a warehouse loader runs after every batch:
+    // child rows whose (non-null) foreign key has no parent. Each
+    // relationship is one LEFT ANTI join on the key — hash-partitioned,
+    // row-linear, no row ever widens — and the six audits union into
+    // one report. NULL keys are NOT violations (SQL FK semantics),
+    // pinned by the IS NOT NULL guard in both engines.
+    Q("dq_orphan_check",
+      (s, d) => {
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+            ck: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String): org.apache.spark.sql.DataFrame = {
+          val orphans = child.filter(col(ck).isNotNull)
+            .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+            .select(lit(rel).as("relationship"), col("n_child"),
+              col("n_orphans"),
+              round(col("n_orphans").cast("double") /
+                col("n_child").cast("double"), 6).as("orphan_rate"))
+        }
+        Seq(
+          audit("customer.c_nationkey->nation", Tables.customer(s, d),
+            "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+          audit("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+            "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+          audit("lineitem.l_partkey->part", Tables.lineitem(s, d),
+            "l_partkey", Tables.part(s, d), "p_partkey"),
+          audit("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+            "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+          audit("orders.o_custkey->customer", Tables.orders(s, d),
+            "o_custkey", Tables.customer(s, d), "c_custkey"),
+          audit("supplier.s_nationkey->nation", Tables.supplier(s, d),
+            "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+          .reduce(_.unionByName(_)).orderBy("relationship")
+      },
+      Some {
+        def one(rel: String, ct: String, ck: String, pt: String,
+            pk: String): String =
+          s"""SELECT '$rel' AS relationship,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct) AS n_child,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct c
+             |   WHERE c.$ck IS NOT NULL AND NOT EXISTS
+             |     (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS n_orphans,
+             |  ROUND(CAST((SELECT COUNT(*) FROM $ct c
+             |     WHERE c.$ck IS NOT NULL AND NOT EXISTS
+             |       (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS DOUBLE)
+             |    / CAST((SELECT COUNT(*) FROM $ct) AS DOUBLE), 6)
+             |    AS orphan_rate""".stripMargin
+        Seq(
+          one("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          one("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY relationship")
+      }),
+
+    // Inclusion-dependency (foreign-key) INFERENCE — the metadata
+    // collector's schema-discovery move: for each candidate (child
+    // column → parent column) pair, measure what fraction of the
+    // child's DISTINCT values exist in the parent and declare an FK
+    // at ratio 1. The candidate list mixes the six true FK edges with
+    // two decoys (o_custkey→s_suppkey partially contains; n_regionkey
+    // →r_regionkey is a true edge) so the inference discriminates.
+    // Per pair: one distinct-project per side + one LEFT SEMI join on
+    // the distinct sets — key-cardinality-sized, never row² — and the
+    // verdict unions are a fixed 8-row report.
+    Q("catalog_fk_infer",
+      (s, d) => {
+        def infer(cn: String, pn: String,
+            child: org.apache.spark.sql.DataFrame, ck: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String)
+            : org.apache.spark.sql.DataFrame = {
+          val cd = child.select(col(ck).as("__v"))
+            .filter(col("__v").isNotNull).distinct()
+          val pd = parent.select(col(pk).as("__p")).distinct()
+          val contained = cd.join(pd, col("__v") === col("__p"),
+            "left_semi").agg(count(lit(1)).as("n_contained"))
+          cd.agg(count(lit(1)).as("n_child_distinct"))
+            .crossJoin(contained)
+            .select(lit(cn).as("child_col"), lit(pn).as("parent_col"),
+              col("n_child_distinct"), col("n_contained"),
+              round(col("n_contained").cast("double") /
+                col("n_child_distinct").cast("double"), 6)
+                .as("inclusion_ratio"),
+              (col("n_contained") === col("n_child_distinct"))
+                .as("is_fk"))
+        }
+        Seq(
+          infer("customer.c_nationkey", "nation.n_nationkey",
+            Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"),
+          infer("lineitem.l_orderkey", "orders.o_orderkey",
+            Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          infer("lineitem.l_partkey", "part.p_partkey",
+            Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"),
+          infer("lineitem.l_suppkey", "supplier.s_suppkey",
+            Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"),
+          infer("nation.n_regionkey", "region.r_regionkey",
+            Tables.nation(s, d), "n_regionkey",
+            Tables.region(s, d), "r_regionkey"),
+          infer("orders.o_custkey", "customer.c_custkey",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+          infer("orders.o_custkey", "supplier.s_suppkey",
+            Tables.orders(s, d), "o_custkey",
+            Tables.supplier(s, d), "s_suppkey"),
+          infer("supplier.s_nationkey", "nation.n_nationkey",
+            Tables.supplier(s, d), "s_nationkey",
+            Tables.nation(s, d), "n_nationkey"))
+          .reduce(_.unionByName(_)).orderBy("child_col", "parent_col")
+      },
+      Some {
+        def one(cn: String, pn: String, ct: String, ck: String,
+            pt: String, pk: String): String =
+          s"""SELECT '$cn' AS child_col, '$pn' AS parent_col,
+             |  (SELECT CAST(COUNT(DISTINCT $ck) AS BIGINT) FROM $ct
+             |   WHERE $ck IS NOT NULL) AS n_child_distinct,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |    (SELECT DISTINCT $ck AS v FROM $ct WHERE $ck IS NOT NULL)
+             |   WHERE v IN (SELECT $pk FROM $pt)) AS n_contained,
+             |  ROUND(CAST((SELECT COUNT(*) FROM
+             |      (SELECT DISTINCT $ck AS v FROM $ct WHERE $ck IS NOT NULL)
+             |     WHERE v IN (SELECT $pk FROM $pt)) AS DOUBLE)
+             |    / CAST((SELECT COUNT(DISTINCT $ck) FROM $ct
+             |       WHERE $ck IS NOT NULL) AS DOUBLE), 6)
+             |    AS inclusion_ratio,
+             |  (SELECT COUNT(*) FROM
+             |    (SELECT DISTINCT $ck AS v FROM $ct WHERE $ck IS NOT NULL)
+             |   WHERE v IN (SELECT $pk FROM $pt))
+             |  = (SELECT COUNT(DISTINCT $ck) FROM $ct
+             |     WHERE $ck IS NOT NULL) AS is_fk""".stripMargin
+        Seq(
+          one("customer.c_nationkey", "nation.n_nationkey", "customer",
+            "c_nationkey", "nation", "n_nationkey"),
+          one("lineitem.l_orderkey", "orders.o_orderkey", "lineitem",
+            "l_orderkey", "orders", "o_orderkey"),
+          one("lineitem.l_partkey", "part.p_partkey", "lineitem",
+            "l_partkey", "part", "p_partkey"),
+          one("lineitem.l_suppkey", "supplier.s_suppkey", "lineitem",
+            "l_suppkey", "supplier", "s_suppkey"),
+          one("nation.n_regionkey", "region.r_regionkey", "nation",
+            "n_regionkey", "region", "r_regionkey"),
+          one("orders.o_custkey", "customer.c_custkey", "orders",
+            "o_custkey", "customer", "c_custkey"),
+          one("orders.o_custkey", "supplier.s_suppkey", "orders",
+            "o_custkey", "supplier", "s_suppkey"),
+          one("supplier.s_nationkey", "nation.n_nationkey", "supplier",
+            "s_nationkey", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL ",
+            "\nORDER BY child_col, parent_col")
+      }),
+
+    // Candidate-key discovery across the whole schema — the other
+    // half of catalog_fk_infer's inference pair: per (table, column),
+    // row count, NDV, null count, and the is-unique-key verdict
+    // (ndv == rows AND zero nulls). One count-distinct aggregate per
+    // column, each map-side-combinable; the report is schema-sized.
+    Q("catalog_key_candidates",
+      (s, d) => {
+        def probe(t: String, c: String,
+            df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(c)).as("ndv"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
+            .select(lit(t).as("table_name"), lit(c).as("column_name"),
+              col("n_rows"), col("ndv"), col("n_nulls"),
+              (col("ndv") === col("n_rows") && col("n_nulls") === 0)
+                .as("is_unique_key"))
+        Seq(
+          probe("customer", "c_custkey", Tables.customer(s, d)),
+          probe("documents", "doc_id", Tables.documents(s, d)),
+          probe("embeddings", "vec_id", Tables.embeddings(s, d)),
+          probe("events", "event_id", Tables.events(s, d)),
+          probe("lineitem", "l_orderkey", Tables.lineitem(s, d)),
+          probe("nation", "n_nationkey", Tables.nation(s, d)),
+          probe("orders", "o_orderkey", Tables.orders(s, d)),
+          probe("part", "p_partkey", Tables.part(s, d)),
+          probe("region", "r_regionkey", Tables.region(s, d)),
+          probe("supplier", "s_suppkey", Tables.supplier(s, d)))
+          .reduce(_.unionByName(_)).orderBy("table_name", "column_name")
+      },
+      Some {
+        def one(t: String, c: String): String =
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  COUNT(DISTINCT $c) = COUNT(*)
+             |    AND SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0
+             |    AS is_unique_key
+             |FROM $t""".stripMargin
+        Seq(one("customer", "c_custkey"), one("documents", "doc_id"),
+          one("embeddings", "vec_id"), one("events", "event_id"),
+          one("lineitem", "l_orderkey"), one("nation", "n_nationkey"),
+          one("orders", "o_orderkey"), one("part", "p_partkey"),
+          one("region", "r_regionkey"), one("supplier", "s_suppkey"))
+          .mkString("", "\nUNION ALL ",
+            "\nORDER BY table_name, column_name")
+      })
   ) :+ viewChainQuery
 
   private val staged =
