@@ -1632,6 +1632,192 @@ object TextAnalysis {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_code_docs,
              |  ROUND(AVG(ratio), 6) AS avg_symbol_ratio,
              |  CAST(SUM(n_kw) AS BIGINT) AS total_kw_hits
-             |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // RAKE keyword scores (Rose et al. 2010): phrases are maximal
+    // stopword-free token runs; a word's degree sums the lengths of
+    // every phrase containing it, and score = degree/freq rewards
+    // words that travel in long phrases. The phrase id is an
+    // INCLUSIVE stopword prefix-count per doc — a per-doc window over
+    // token positions (millions of small partitions, the parallel-
+    // safe shape); everything after is vocab-bounded. score is ONE
+    // division per word (no float accumulation); the top-20 order is
+    // pinned by (score DESC, word) where score ties break exactly.
+    Q("llm_rake_keywords",
+      (s, d) => {
+        val stops = Seq("a", "the")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextUdfs.tokenizeCol(col("text"))))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+          .filter(col("tok") =!= "")
+        val wPhr = Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = toks.withColumn("phr",
+          sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L))
+            .over(wPhr))
+        val words = seg.filter(!col("tok").isin(stops: _*))
+        val plen = words.groupBy("doc_id", "phr")
+          .agg(count(lit(1)).as("plen"))
+        words.join(plen, Seq("doc_id", "phr"))
+          .groupBy(col("tok").as("word"))
+          .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+          .select(col("word"), col("freq"),
+            col("degree").cast("long").as("degree"),
+            round(col("degree").cast("double") /
+              col("freq").cast("double"), 4).as("rake_score"))
+          .orderBy(col("rake_score").desc, col("word"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, t[u.i] AS tok, u.i AS p
+             |  FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t
+             |        FROM documents),
+             |    unnest(generate_series(1, len(t))) AS u(i)
+             |  WHERE t[u.i] <> ''),
+             |seg AS (
+             |  SELECT doc_id, tok, p,
+             |    SUM(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY p
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS phr
+             |  FROM toks),
+             |words AS (SELECT * FROM seg WHERE tok NOT IN ('a', 'the')),
+             |plen AS (
+             |  SELECT doc_id, phr, COUNT(*) AS plen
+             |  FROM words GROUP BY doc_id, phr)
+             |SELECT w.tok AS word, COUNT(*) AS freq,
+             |  CAST(SUM(plen) AS BIGINT) AS degree,
+             |  ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 4) AS rake_score
+             |FROM words w JOIN plen USING (doc_id, phr)
+             |GROUP BY w.tok
+             |ORDER BY rake_score DESC, word LIMIT 20""".stripMargin)),
+
+    // Windowed PMI co-occurrence: pointwise mutual information of
+    // unordered content-word pairs within a ±2 token window — the
+    // collocation signal TF-IDF misses (it sees words, not company).
+    // Pair extraction is TWO shifted equi-joins on (doc, pos+k) —
+    // corpus-linear, never a doc-level cross join; the aggregate is
+    // vocab²-bounded. PMI = ln(p(a,b)/(p(a)p(b))) is one ln per pair
+    // from exact counts; the top-15 order is count-pinned (n_pair
+    // DESC, then the pair), never float-ordered.
+    Q("llm_pmi_cooccur",
+      (s, d) => {
+        val stops = Seq("a", "the")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextUdfs.tokenizeCol(col("text"))))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+          .filter(col("tok") =!= "" && !col("tok").isin(stops: _*))
+        val t2 = toks.select(col("doc_id").as("d2"), col("p").as("q"),
+          col("tok").as("tok2"))
+        val pairsK = Seq(1, 2).map { k =>
+          toks.join(t2, col("doc_id") === col("d2") &&
+            col("q") === col("p") + k)
+            .select(least(col("tok"), col("tok2")).as("w1"),
+              greatest(col("tok"), col("tok2")).as("w2"))
+        }.reduce(_.unionByName(_))
+        val np = pairsK.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        val nw = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+        val totals = toks.agg(count(lit(1)).as("n_tok"))
+          .crossJoin(pairsK.agg(count(lit(1)).as("n_pairs")))
+        np.join(nw.select(col("tok").as("w1"), col("n_w").as("n_w1")), "w1")
+          .join(nw.select(col("tok").as("w2"), col("n_w").as("n_w2")), "w2")
+          .crossJoin(totals)
+          .select(col("w1"), col("w2"), col("n_pair"),
+            round(log((col("n_pair").cast("double") /
+                col("n_pairs").cast("double")) /
+              ((col("n_w1").cast("double") / col("n_tok").cast("double")) *
+               (col("n_w2").cast("double") / col("n_tok").cast("double")))),
+              4).as("pmi"))
+          .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+          .limit(15)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, t[u.i] AS tok, u.i AS p
+             |  FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t
+             |        FROM documents),
+             |    unnest(generate_series(1, len(t))) AS u(i)
+             |  WHERE t[u.i] <> '' AND t[u.i] NOT IN ('a', 'the')),
+             |prs AS (
+             |  SELECT LEAST(a.tok, b.tok) AS w1,
+             |    GREATEST(a.tok, b.tok) AS w2
+             |  FROM toks a JOIN toks b
+             |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+             |  UNION ALL
+             |  SELECT LEAST(a.tok, b.tok), GREATEST(a.tok, b.tok)
+             |  FROM toks a JOIN toks b
+             |    ON a.doc_id = b.doc_id AND b.p = a.p + 2),
+             |np AS (SELECT w1, w2, COUNT(*) AS n_pair
+             |       FROM prs GROUP BY w1, w2),
+             |nw AS (SELECT tok, COUNT(*) AS n_w FROM toks GROUP BY tok),
+             |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_tok,
+             |               (SELECT COUNT(*) FROM prs) AS n_pairs)
+             |SELECT np.w1, np.w2, np.n_pair,
+             |  ROUND(ln((CAST(n_pair AS DOUBLE) / n_pairs)
+             |    / ((CAST(a.n_w AS DOUBLE) / n_tok)
+             |      * (CAST(b.n_w AS DOUBLE) / n_tok))), 4) AS pmi
+             |FROM np JOIN nw a ON np.w1 = a.tok
+             |JOIN nw b ON np.w2 = b.tok, tot
+             |ORDER BY n_pair DESC, w1, w2 LIMIT 15""".stripMargin)),
+
+    // Heaps-law vocabulary growth: cumulative token count vs
+    // cumulative DISTINCT vocabulary at ten doc_id-decile
+    // checkpoints. The running-distinct trap (a global ordered
+    // window over every token) is avoided entirely: vocab at
+    // checkpoint t is the count of words whose FIRST containing doc
+    // (one min aggregate per word) falls at or below t, and both
+    // cumulative axes reduce to TEN conditional sums in one pass —
+    // no window anywhere, everything map-side-combinable integers;
+    // the type-token ratio is the only double.
+    Q("text_vocab_growth",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.TextUdfs.tokenizeCol(col("text")))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+        val docToks = toks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"))
+        val mx = Tables.documents(s, d)
+          .agg(max("doc_id").as("mx"))
+        val cum = (1 to 10).map { k =>
+          val thr = (col("mx") * k / 10).cast("long")
+          docToks.crossJoin(mx)
+            .agg(sum(when(col("doc_id") <= thr, col("n_tok"))
+              .otherwise(0L)).cast("long").as("cum_tokens"))
+            .crossJoin(
+              firstDoc.crossJoin(mx)
+                .agg(sum(when(col("fd") <= thr, 1L).otherwise(0L))
+                  .cast("long").as("cum_vocab")))
+            .select(lit(k.toLong).as("decile"), col("cum_tokens"),
+              col("cum_vocab"),
+              round(col("cum_vocab").cast("double") /
+                col("cum_tokens").cast("double"), 6).as("type_token_ratio"))
+        }.reduce(_.unionByName(_))
+        cum.orderBy("decile")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, u.tok
+             |  FROM (SELECT doc_id, ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t
+             |        FROM documents), UNNEST(t) AS u(tok)
+             |  WHERE u.tok <> ''),
+             |fd AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+             |dt AS (SELECT doc_id, COUNT(*) AS n_tok
+             |       FROM toks GROUP BY doc_id),
+             |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |ks AS (SELECT k FROM unnest(generate_series(1, 10)) t(k))
+             |SELECT CAST(k AS BIGINT) AS decile,
+             |  (SELECT CAST(SUM(CASE WHEN doc_id <= mx * k // 10
+             |     THEN n_tok ELSE 0 END) AS BIGINT) FROM dt) AS cum_tokens,
+             |  (SELECT CAST(SUM(CASE WHEN fd <= mx * k // 10
+             |     THEN 1 ELSE 0 END) AS BIGINT) FROM fd) AS cum_vocab,
+             |  ROUND(CAST((SELECT SUM(CASE WHEN fd <= mx * k // 10
+             |       THEN 1 ELSE 0 END) FROM fd) AS DOUBLE)
+             |    / CAST((SELECT SUM(CASE WHEN doc_id <= mx * k // 10
+             |       THEN n_tok ELSE 0 END) FROM dt) AS DOUBLE), 6)
+             |    AS type_token_ratio
+             |FROM ks, mx ORDER BY decile""".stripMargin))
   )
 }
