@@ -1149,7 +1149,67 @@ object Pipeline {
               |FROM sh
               |JOIN per pa ON pa.source = sh.source_a
               |JOIN per pb ON pb.source = sh.source_b
-              |ORDER BY source_a, source_b""".stripMargin))
+              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Dataset snapshot diff — the data-versioning audit between two
+    // corpus revisions: added / removed / changed / unchanged doc
+    // counts plus the churn rate. Snapshot B is a DETERMINISTIC
+    // synthetic revision of the fixture (every 17th doc dropped,
+    // every 13th rewritten, every 19th re-added under a shifted id),
+    // so both engines derive the identical pair. The compare joins on
+    // doc_id and equates md5 CONTENT HASHES, not text — the full
+    // outer join shuffles two narrow (id, hash) columns at any
+    // corpus size; classification is a pure CASE.
+    Q("llm_snapshot_diff",
+      (s, d) => {
+        val a = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val mx = Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
+        val base = Tables.documents(s, d)
+        val b = base.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+              .as("h"))
+          .unionByName(base.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + lit(mx)).as("doc_id"),
+              md5(col("text")).as("h")))
+        val cls = a.select(col("doc_id"), col("h").as("ha"))
+          .join(b.select(col("doc_id"), col("h").as("hb")),
+            Seq("doc_id"), "full_outer")
+          .select(when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("change_class"))
+        val tot = cls.agg(count(lit(1)).as("n_total"))
+        cls.groupBy("change_class").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(tot)
+          .select(col("change_class"), col("n_docs"),
+            round(col("n_docs").cast("double") /
+              col("n_total").cast("double"), 6).as("share"))
+          .orderBy("change_class")
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+             |a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+             |        ELSE text END) AS hb
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + (SELECT m FROM mx), md5(text)
+             |  FROM documents WHERE doc_id % 19 = 0),
+             |cls AS (
+             |  SELECT CASE WHEN ha IS NULL THEN 'added'
+             |    WHEN hb IS NULL THEN 'removed'
+             |    WHEN ha <> hb THEN 'changed'
+             |    ELSE 'unchanged' END AS change_class
+             |  FROM a FULL OUTER JOIN b USING (doc_id))
+             |SELECT change_class, COUNT(*) AS n_docs,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE)
+             |    / (SELECT COUNT(*) FROM cls), 6) AS share
+             |FROM cls GROUP BY change_class
+             |ORDER BY change_class""".stripMargin))
   )
 
   /** Whitespace split that KEEPS empty tokens — DuckDB `string_split`

@@ -1071,6 +1071,38 @@ object ScalarFns {
              |  FROM p)
              |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  MIN(sub) AS min_sub, MAX(iat) AS max_iat
-             |FROM c GROUP BY seg ORDER BY seg""".stripMargin))
+             |FROM c GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // Dedicated regexp surface beyond filter_like_regexp's predicates:
+    // group extraction, extract-ALL (match count via list length —
+    // DuckDB has no regexp_count, so both engines pin the same
+    // len(extract_all) spelling), backreference replacement (Spark's
+    // $1 ↔ DuckDB's \1 — same substitution semantics, different
+    // sigil), and a case-insensitive match flag. All per-row codegen
+    // expressions on a 50-event slice; row-linear at any scale.
+    Q("fn_regexp_suite",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") < 50)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\\\"k\\\":\\s*(\\d+)", 1)
+            .cast("long").as("k_value"),
+          size(expr("regexp_extract_all(event_type, '[aeiou]', 0)"))
+            .cast("long").as("n_vowels"),
+          regexp_replace(col("event_type"), "^(.)(.*)$", "$2$1")
+            .as("rotated"),
+          col("event_type").rlike("(?i)^(CLICK|VIEW)$").as("is_impression"),
+          regexp_extract(col("props"), "(\\d)(\\d*)", 2).as("k_tail"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+             |    AS k_value,
+             |  CAST(len(regexp_extract_all(event_type, '[aeiou]', 0))
+             |    AS BIGINT) AS n_vowels,
+             |  regexp_replace(event_type, '^(.)(.*)$', '\2\1') AS rotated,
+             |  regexp_matches(event_type, '(?i)^(CLICK|VIEW)$')
+             |    AS is_impression,
+             |  regexp_extract(props, '(\d)(\d*)', 2) AS k_tail
+             |FROM events WHERE event_id < 50
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -3285,7 +3285,63 @@ object Windows {
              |  ROUND(r2u, 6) AS r2_unrestricted,
              |  ROUND((r2u - r1 * r1) * (t - 3.0) / (1.0 - r2u), 4)
              |    AS f_stat
-             |FROM ru""".stripMargin))
+             |FROM ru""".stripMargin)),
+
+    // Markov entropy rate of the per-user event-type chain: H = −Σ_i
+    // π_i Σ_j p_ij·log2 p_ij with π the empirical from-state share —
+    // how predictable is the next action given the current one, in
+    // bits, against the log2(k) i.i.d. ceiling. Transition counts
+    // come from ts_markov_transitions' per-user lead window (millions
+    // of small partitions — parallel-safe); the float sum spans only
+    // the ≤ k² transition cells behind ROUND(…,4), the stat_entropy
+    // precedent. One row out.
+    Q("ts_entropy_rate",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("f"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = trans.groupBy("f").agg(sum("n").as("nf"))
+        val tot = trans.agg(sum("n").as("nt"),
+          countDistinct(col("f")).as("k"))
+        trans.join(broadcast(fromTot), "f").crossJoin(tot)
+          .select(col("k"), col("nt"),
+            ((col("nf").cast("double") / col("nt").cast("double")) *
+              (col("n").cast("double") / col("nf").cast("double")) *
+              log2(col("n").cast("double") / col("nf").cast("double")))
+              .as("term"))
+          .groupBy("k", "nt")
+          .agg(round(-sum(col("term")), 4).as("entropy_rate_bits"))
+          .select(col("k").as("n_states"),
+            col("nt").cast("long").as("n_transitions"),
+            col("entropy_rate_bits"),
+            round(col("entropy_rate_bits") /
+              log2(col("k").cast("double")), 4).as("vs_iid_ceiling"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS f,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |tr AS (
+             |  SELECT f, to_type, COUNT(*) AS n FROM t
+             |  WHERE to_type IS NOT NULL GROUP BY f, to_type),
+             |ft AS (SELECT f, SUM(n) AS nf FROM tr GROUP BY f),
+             |tot AS (SELECT SUM(n) AS nt, COUNT(DISTINCT f) AS k FROM tr)
+             |SELECT CAST(k AS BIGINT) AS n_states,
+             |  CAST(nt AS BIGINT) AS n_transitions,
+             |  ROUND(-SUM((CAST(nf AS DOUBLE) / nt)
+             |    * (CAST(n AS DOUBLE) / nf)
+             |    * log2(CAST(n AS DOUBLE) / nf)), 4) AS entropy_rate_bits,
+             |  ROUND(ROUND(-SUM((CAST(nf AS DOUBLE) / nt)
+             |      * (CAST(n AS DOUBLE) / nf)
+             |      * log2(CAST(n AS DOUBLE) / nf)), 4)
+             |    / log2(CAST(k AS DOUBLE)), 4) AS vs_iid_ceiling
+             |FROM tr JOIN ft USING (f), tot
+             |GROUP BY k, nt""".stripMargin))
   )
 }
 
