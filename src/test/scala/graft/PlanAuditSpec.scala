@@ -110,6 +110,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-10 second-session queries have no scan-all/nested-loop surprises") {
+    val names = Seq("graph_sp_count", "graph_stress", "graph_ktruss",
+      "graph_eccentricity", "stat_ordinal_assoc", "stat_jonckheere",
+      "stat_friedman", "stat_cronbach", "ts_drawdown", "ts_bollinger",
+      "ts_granger", "dq_orphan_check", "catalog_fk_infer",
+      "catalog_key_candidates", "llm_rake_keywords", "llm_pmi_cooccur",
+      "text_vocab_growth", "fn_regexp_suite", "llm_snapshot_diff",
+      "ts_entropy_rate").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("stat_spearman: no single-partition-per-group window in the executed plan") {
     // r10 (VERDICT next #1): the cum_before prefix sums must run
     // through the range-bucketed device — every window in the plan
