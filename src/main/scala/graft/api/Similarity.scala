@@ -397,6 +397,35 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** IVF RANGE search: every neighbor with cosine ≥ `threshold`, not a
+    * fixed top-k — the radius query a dedup or recall-audit pipeline
+    * asks ("all vectors this close"), with the same trained-codebook
+    * cell blocking as [[ivfTrainedNeighbors]]: pairwise work is
+    * Σ probes·bucket², never n², and there is NO per-query window at
+    * all (the result is an unranked filter), so nothing sorts.
+    * APPROXIMATE like all IVF paths: in-range neighbors outside the
+    * probed cells are missed; `probes` is the recall dial.
+    */
+  def ivfRangeNeighbors(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5, threshold: Double = 0.4,
+      probes: Int = 1): DataFrame = {
+    val codebook = kmeansCodebook(embs, idCol, vecCol, k, iters)
+    val base = prepare(embs, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    val assigned = assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+    val queriesSide =
+      if (probes <= 1) assigned
+      else probeCells(base, codebook, probes)
+        .select(col(idCol), col("__v"), col("__nrm"),
+          explode(col("__probe_cells")).as("cell"))
+    queriesSide.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__id_a"), col(s"b.$idCol").as("nbr_id"),
+        expr("cosine_sim(a.__v, b.__v)").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     * semantic deduplication by k-means clustering + within-cluster
     * cosine pruning. Every vector is assigned to its nearest trained

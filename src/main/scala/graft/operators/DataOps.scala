@@ -635,6 +635,121 @@ object DataOps {
     s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
 
   /** Assignment of every vector to its `maxRn` nearest `cb` centroids. */
+  /** IVF RANGE search ([[graft.api.Similarity.ivfRangeNeighbors]]):
+    * every neighbor pair with cosine ≥ 0.4 inside the probed trained
+    * cells (probes=2) — the radius query, unranked, NO per-query
+    * window anywhere. Same memoized codebook as the ann_ivf_* family;
+    * the oracle extends the shared k-means CTE chain with the probe-2
+    * assignment and swaps the rn cut for the threshold filter on the
+    * RAW similarity (both engines compute the identical ordered-fold
+    * dot product, the device every ivf oracle already leans on).
+    */
+  private lazy val annRangeQuery: Q = {
+    val K = 16; val ITERS = 5; val T = 0.4; val PROBES = 2
+    def fn(s: SparkSession, d: String): DataFrame =
+      graft.api.Similarity.ivfRangeNeighbors(Tables.embeddings(s, d),
+          "vec_id", "embedding", K, ITERS, T, PROBES)
+        .select(col("vec_id"), col("nbr_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("vec_id", "nbr_id")
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |${kmAssign(s"cb$ITERS", "aprobe", PROBES)}
+         |SELECT vec_id, nbr_id, ROUND(sim_raw, 4) AS cos_sim FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS sim_raw
+         |  FROM aprobe a JOIN afinal b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         |WHERE sim_raw >= $T ORDER BY vec_id, nbr_id""".stripMargin
+    Q("ann_range_search", fn, Some(sql))
+  }
+
+  /** Embedding-distribution drift between two corpus snapshots (even
+    * vs odd vec_ids — a deterministic split standing in for two
+    * ingestion epochs): per-dimension mean shift plus the cosine
+    * between the two mean vectors. Every per-dimension first moment
+    * accumulates as an EXACT integer (components quantized ×10⁶ and
+    * rounded half-up — double arithmetic on float-exact inputs, bit-
+    * identical in both engines), so the sums are associative at any
+    * partitioning; the top-5 drift order is pinned by the exact
+    * cross-multiplied integer |sa·nb − sb·na|, never a float sort.
+    * One posexplode scan + a (half, dim)-keyed aggregate (2·64 cells)
+    * at any corpus size; the 64-term centroid-cosine float fold runs
+    * once over the tiny cell table behind ROUND(…,4).
+    */
+  private lazy val embeddingDriftQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val comps = Tables.embeddings(s, d)
+        .select((col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")))
+        .select(col("half"), col("pos").as("dim"),
+          floor(col("col").cast("double") * 1000000.0 + 0.5)
+            .cast("long").as("qc"))
+      val cells = comps.groupBy("half", "dim")
+        .agg(sum("qc").as("sq"), count(lit(1)).as("n"))
+      val a = cells.filter(col("half") === 0)
+        .select(col("dim"), col("sq").as("sa"), col("n").as("na"))
+      val b = cells.filter(col("half") === 1)
+        .select(col("dim"), col("sq").as("sb"), col("n").as("nb"))
+      val j = a.join(b, "dim")
+        .select(col("dim"), col("sa"), col("na"), col("sb"), col("nb"),
+          abs(col("sa") * col("nb") - col("sb") * col("na")).as("xd"))
+      val top = j.orderBy(col("xd").desc, col("dim")).limit(5)
+        .select(col("dim").cast("long").as("dim"),
+          round(col("sa").cast("double") / col("na") / 1e6, 6)
+            .as("mean_even"),
+          round(col("sb").cast("double") / col("nb") / 1e6, 6)
+            .as("mean_odd"),
+          round(abs(col("sa").cast("double") / col("na") -
+            col("sb").cast("double") / col("nb")) / 1e6, 6)
+            .as("abs_shift"))
+      val cosRow = j
+        .select(((col("sa").cast("double") / col("na")) *
+            (col("sb").cast("double") / col("nb"))).as("ab"),
+          ((col("sa").cast("double") / col("na")) *
+            (col("sa").cast("double") / col("na"))).as("aa"),
+          ((col("sb").cast("double") / col("nb")) *
+            (col("sb").cast("double") / col("nb"))).as("bb"))
+        .agg(round(sum("ab") / (sqrt(sum("aa")) * sqrt(sum("bb"))), 4)
+          .as("centroid_cosine"))
+      top.crossJoin(cosRow).orderBy(col("abs_shift").desc, col("dim"))
+    }
+    val sql =
+      s"""WITH comps AS (
+         |  SELECT vec_id % 2 AS half, u.i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS qc
+         |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+         |    AS u(i)),
+         |cells AS (
+         |  SELECT half, dim, CAST(SUM(qc) AS BIGINT) AS sq,
+         |    COUNT(*) AS n
+         |  FROM comps GROUP BY half, dim),
+         |j AS (
+         |  SELECT a.dim, a.sq AS sa, a.n AS na, b.sq AS sb, b.n AS nb,
+         |    ABS(a.sq * b.n - b.sq * a.n) AS xd
+         |  FROM (SELECT * FROM cells WHERE half = 0) a
+         |  JOIN (SELECT * FROM cells WHERE half = 1) b USING (dim)),
+         |top5 AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim,
+         |    ROUND(CAST(sa AS DOUBLE) / na / 1e6, 6) AS mean_even,
+         |    ROUND(CAST(sb AS DOUBLE) / nb / 1e6, 6) AS mean_odd,
+         |    ROUND(ABS(CAST(sa AS DOUBLE) / na
+         |      - CAST(sb AS DOUBLE) / nb) / 1e6, 6) AS abs_shift
+         |  FROM j ORDER BY xd DESC, dim LIMIT 5),
+         |cosr AS (
+         |  SELECT ROUND(SUM((CAST(sa AS DOUBLE) / na)
+         |        * (CAST(sb AS DOUBLE) / nb))
+         |    / (sqrt(SUM((CAST(sa AS DOUBLE) / na)
+         |        * (CAST(sa AS DOUBLE) / na)))
+         |      * sqrt(SUM((CAST(sb AS DOUBLE) / nb)
+         |        * (CAST(sb AS DOUBLE) / nb)))), 4) AS centroid_cosine
+         |  FROM j)
+         |SELECT dim, mean_even, mean_odd, abs_shift, centroid_cosine
+         |FROM top5, cosr ORDER BY abs_shift DESC, dim""".stripMargin
+    Q("llm_embedding_drift", fn, Some(sql))
+  }
+
   private def kmAssign(cb: String, name: String, maxRn: Int = 1,
       labSel: String = "", labSelB: String = ""): String =
     s"""$name AS (
@@ -1309,6 +1424,7 @@ object DataOps {
       // flipped — the contrastive-training near-miss sampler
       ivfTrainedQ("llm_hard_negatives", 2, labelCol = Some("label"),
         negLabel = true),
+      annRangeQuery, embeddingDriftQuery,
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,

@@ -395,6 +395,47 @@ object Streams {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Second ORACLED streaming query (stream_availablenow_catchup's
+    // exactly-once argument, applied to stateful dedup): documents
+    // stream through dropDuplicates keyed by (source, md5(text)) under
+    // Trigger.AvailableNow into a persistent parquet sink — catch-up
+    // processes the full backlog exactly once, and dedup state keyed
+    // WITH the source makes the surviving row set batch-order-
+    // independent (same text under two sources survives once per
+    // source; which duplicate row wins within a key doesn't matter
+    // because key collisions share text and n_chars by construction).
+    // The batch twin is therefore a plain DISTINCT — a full DuckDB
+    // oracle, raising the oracled streaming surface to two.
+    Q("stream_dedup_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/documents.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_dedupnow_v1_$key"
+        val q = documentsStream(s, d)
+          .select(col("source"), md5(col("text")).as("h"),
+            col("n_chars"))
+          .dropDuplicates("source", "h")
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_unique"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT source, md5(text) AS h, n_chars
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_unique,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM u GROUP BY source ORDER BY source""".stripMargin)),
+
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
     Q("stream_foreachbatch",
