@@ -4364,6 +4364,376 @@ object Aggs {
              |    / ((CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE)
              |        * CAST(st AS DOUBLE) / n) / (n - 1.0))), 6)
              |    AS cronbach_alpha
-             |FROM m ORDER BY l_returnflag""".stripMargin))
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Mood's median test — are the return-flag populations centered
+    // at the same quantity? The distribution-free two-way twin of
+    // stat_kruskal_wallis that only needs counts above/below the
+    // GRAND median. l_quantity lives on a 50-value integer domain, so
+    // the grand (lower) median comes from a cumulative count over the
+    // ≤50-row value table (value-domain-bounded window, NOT a data
+    // sort — the stat_gini doctrine), and the 2×k table is one more
+    // pass of exact BIGINT counts; rows AT the median drop (classic
+    // Mood). Per-flag χ² terms are per-row closed forms over exact
+    // counts; the global χ² folds the ≤3 terms IN FLAG ORDER (the
+    // stat_eb_shrinkage index-order-fold device). Scale: two linear
+    // fact passes + a 50-row model table at any SF.
+    Q("stat_moods_median",
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"),
+            col("l_quantity").cast("long").as("q"))
+          .agg(count(lit(1)).as("n"))
+        val wq = Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dist = cells.groupBy("q").agg(sum("n").as("nq"))
+        val med = dist.withColumn("cum", sum("nq").over(wq))
+          .crossJoin(broadcast(dist.agg(sum("nq").as("tn"))))
+          .filter(col("cum") * 2 >= col("tn"))
+          .agg(min("q").as("med"))
+        val tab = cells.crossJoin(broadcast(med))
+          .groupBy("f")
+          .agg(max(col("med")).as("med"),
+            sum(when(col("q") > col("med"), col("n")).otherwise(0L))
+              .as("n_above"),
+            sum(when(col("q") < col("med"), col("n")).otherwise(0L))
+              .as("n_below"))
+        val tot = tab.agg(sum("n_above").as("ta"), sum("n_below").as("tb"))
+        val terms = tab.crossJoin(broadcast(tot))
+          .withColumn("t", (col("ta") + col("tb")).cast("double"))
+          .withColumn("ea",
+            (col("n_above") + col("n_below")).cast("double") *
+              col("ta").cast("double") / col("t"))
+          .withColumn("eb",
+            (col("n_above") + col("n_below")).cast("double") *
+              col("tb").cast("double") / col("t"))
+          .withColumn("term",
+            (col("n_above").cast("double") - col("ea")) *
+              (col("n_above").cast("double") - col("ea")) / col("ea") +
+              (col("n_below").cast("double") - col("eb")) *
+                (col("n_below").cast("double") - col("eb")) / col("eb"))
+        val chi2 = terms.agg(
+          expr("""aggregate(transform(sort_array(collect_list(
+               |    struct(f, term))), x -> x.term),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            .as("chi2"),
+          (count(lit(1)) - 1).as("df"))
+        terms.crossJoin(broadcast(chi2))
+          .select(col("f").as("l_returnflag"), col("med").as("grand_median"),
+            col("n_above"), col("n_below"),
+            round(col("ea"), 4).as("exp_above"),
+            round(col("term"), 6).as("chi2_term"),
+            round(col("chi2"), 6).as("chi2"), col("df"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1, 2),
+             |dist AS (
+             |  SELECT q, CAST(SUM(n) AS BIGINT) AS nq FROM cells GROUP BY 1),
+             |med AS (
+             |  SELECT MIN(q) AS med FROM (
+             |    SELECT q, SUM(nq) OVER (ORDER BY q
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |    FROM dist), (SELECT SUM(nq) AS tn FROM dist)
+             |  WHERE cum * 2 >= tn),
+             |tab AS (
+             |  SELECT f, MAX(med) AS med,
+             |    CAST(SUM(CASE WHEN q > med THEN n ELSE 0 END) AS BIGINT)
+             |      AS n_above,
+             |    CAST(SUM(CASE WHEN q < med THEN n ELSE 0 END) AS BIGINT)
+             |      AS n_below
+             |  FROM cells, med GROUP BY f),
+             |tot AS (
+             |  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+             |    CAST(SUM(n_below) AS BIGINT) AS tb FROM tab),
+             |terms AS (
+             |  SELECT f, med, n_above, n_below,
+             |    CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE)
+             |      / CAST(ta + tb AS DOUBLE) AS ea,
+             |    (CAST(n_above AS DOUBLE) - CAST(n_above + n_below AS DOUBLE)
+             |        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+             |      * (CAST(n_above AS DOUBLE)
+             |        - CAST(n_above + n_below AS DOUBLE)
+             |        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+             |      / (CAST(n_above + n_below AS DOUBLE) * CAST(ta AS DOUBLE)
+             |        / CAST(ta + tb AS DOUBLE))
+             |    + (CAST(n_below AS DOUBLE)
+             |        - CAST(n_above + n_below AS DOUBLE)
+             |        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+             |      * (CAST(n_below AS DOUBLE)
+             |        - CAST(n_above + n_below AS DOUBLE)
+             |        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+             |      / (CAST(n_above + n_below AS DOUBLE) * CAST(tb AS DOUBLE)
+             |        / CAST(ta + tb AS DOUBLE)) AS term
+             |  FROM tab, tot),
+             |c2 AS (
+             |  SELECT list_sum(list(term ORDER BY f)) AS chi2,
+             |    CAST(COUNT(*) - 1 AS BIGINT) AS df FROM terms)
+             |SELECT f AS l_returnflag, med AS grand_median, n_above, n_below,
+             |  ROUND(ea, 4) AS exp_above, ROUND(term, 6) AS chi2_term,
+             |  ROUND(chi2, 6) AS chi2, df
+             |FROM terms, c2 ORDER BY l_returnflag""".stripMargin)),
+
+    // Intraclass correlation ICC(1) — how much of order-value variance
+    // is BETWEEN priority classes? The one-way random-effects
+    // reliability coefficient (rater-agreement / cluster-design
+    // workhorse): MSB and MSW from the standard ANOVA identities over
+    // per-group exact moments (n as BIGINT, Σcents and Σcents² as
+    // DECIMAL(38,0)), the unbalanced-design group size n0 =
+    // (N − Σnᵢ²/N)/(g−1), and ICC = (MSB−MSW)/(MSB+(n0−1)·MSW). The
+    // only non-exact reduction — Σ sᵢ²/nᵢ across the 5 groups — folds
+    // IN PRIORITY ORDER on both engines (index-order-fold device);
+    // everything else is exact until the final mirrored double forms.
+    // Scale: one map-side-combined fact pass + a 5-row model table.
+    Q("stat_icc",
+      (s, d) => {
+        val g = Tables.orders(s, d)
+          .withColumn("c", (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(18,0)"))
+          .groupBy(col("o_orderpriority").as("p"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c").cast("decimal(38,0)")).as("sc"),
+            sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"))
+        g.agg(count(lit(1)).as("g"), sum("n").as("nn"),
+            sum(col("sc")).as("ss"), sum(col("qc")).as("qq"),
+            sum(col("n") * col("n")).as("n2"),
+            expr("""aggregate(transform(sort_array(collect_list(struct(p,
+                 |    CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 |      / CAST(n AS DOUBLE) AS t))), x -> x.t),
+                 |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+              .as("sg"))
+          .withColumn("ssb", col("sg") -
+            col("ss").cast("double") * col("ss").cast("double") /
+              col("nn").cast("double"))
+          .withColumn("ssw", col("qq").cast("double") - col("sg"))
+          .withColumn("msb", col("ssb") / (col("g") - 1).cast("double"))
+          .withColumn("msw",
+            col("ssw") / (col("nn") - col("g")).cast("double"))
+          .withColumn("n0",
+            (col("nn").cast("double") - col("n2").cast("double") /
+              col("nn").cast("double")) / (col("g") - 1).cast("double"))
+          .select(col("g").as("n_groups"), col("nn").as("n_total"),
+            round(col("n0"), 4).as("n0"),
+            round(col("msb") / 1e4, 4).as("msb_dollars2"),
+            round(col("msw") / 1e4, 4).as("msw_dollars2"),
+            round((col("msb") - col("msw")) /
+              (col("msb") + (col("n0") - 1) * col("msw")), 6).as("icc1"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             |      AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sc,
+             |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             |      AS DECIMAL(18,0))
+             |      * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             |      AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS qc
+             |  FROM orders GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             |    CAST(SUM(n) AS BIGINT) AS nn, SUM(sc) AS ss, SUM(qc) AS qq,
+             |    CAST(SUM(n * n) AS BIGINT) AS n2,
+             |    list_sum(list(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             |      / CAST(n AS DOUBLE) ORDER BY p)) AS sg
+             |  FROM g),
+             |e AS (
+             |  SELECT g, nn,
+             |    sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) AS ssb,
+             |    CAST(qq AS DOUBLE) - sg AS ssw,
+             |    (CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE)
+             |      / CAST(nn AS DOUBLE)) / CAST(g - 1 AS DOUBLE) AS n0
+             |  FROM m)
+             |SELECT g AS n_groups, nn AS n_total, ROUND(n0, 4) AS n0,
+             |  ROUND(ssb / CAST(g - 1 AS DOUBLE) / 1e4, 4) AS msb_dollars2,
+             |  ROUND(ssw / CAST(nn - g AS DOUBLE) / 1e4, 4) AS msw_dollars2,
+             |  ROUND((ssb / CAST(g - 1 AS DOUBLE)
+             |      - ssw / CAST(nn - g AS DOUBLE))
+             |    / (ssb / CAST(g - 1 AS DOUBLE)
+             |      + (n0 - 1) * (ssw / CAST(nn - g AS DOUBLE))), 6) AS icc1
+             |FROM e""".stripMargin)),
+
+    // Deming regression (λ = 1) of the computed charge on the listed
+    // price per return flag — the errors-in-both-variables line a
+    // measurement-comparison study fits when neither instrument is
+    // noise-free (OLS attenuates the slope; Deming doesn't). The two
+    // "instruments" here are the raw extended price (cents, exact)
+    // and the charge price·(1−disc)·(1+tax) — kept EXACT as
+    // price_cents·(100−disc_cents)·(100+tax_cents) = micro-dollars,
+    // pure integer arithmetic in DECIMAL(38,0) moments. Closed form
+    // on the centered moments in the scaled integer domains: slope =
+    // (Syy − Sxx + √((Syy−Sxx)² + 4·Sxy²)) / (2·Sxy), de-scaled by
+    // 10⁴ (micros per cent) for the dollars-per-dollar slope;
+    // intercept = (ȳ − slope·x̄)/10⁶. One map-side-combined pass,
+    // 3-row output, one mirrored double expression per flag.
+    Q("stat_deming",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("f"),
+            (col("l_extendedprice").cast("decimal(12,2)") * 100)
+              .cast("decimal(12,0)").as("x"),
+            ((col("l_extendedprice").cast("decimal(12,2)") * 100)
+              .cast("decimal(12,0)") *
+              (lit(100) - (col("l_discount").cast("decimal(12,2)") * 100)
+                .cast("decimal(4,0)")) *
+              (lit(100) + (col("l_tax").cast("decimal(12,2)") * 100)
+                .cast("decimal(4,0)"))).cast("decimal(12,0)").as("y"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        def dd(c: String) = col(c).cast("double")
+        val cxx = dd("sxx") - dd("sx") * dd("sx") / dd("n")
+        val cyy = dd("syy") - dd("sy") * dd("sy") / dd("n")
+        val cxy = dd("sxy") - dd("sx") * dd("sy") / dd("n")
+        val slope = (cyy - cxx +
+          sqrt((cyy - cxx) * (cyy - cxx) + lit(4.0) * cxy * cxy)) /
+          (lit(2.0) * cxy)
+        m.select(col("f").as("l_returnflag"), col("n"),
+            round(slope / 1e4, 6).as("slope_charge_per_dollar"),
+            round((dd("sy") / dd("n") - slope * dd("sx") / dd("n")) / 1e6,
+              6).as("intercept_dollars"),
+            round(cxy / sqrt(cxx * cyy), 6).as("pearson_r"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS f,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |      AS DECIMAL(12,0)) AS x,
+             |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |        AS DECIMAL(12,0))
+             |      * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+             |        AS DECIMAL(4,0)))
+             |      * (100 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 100
+             |        AS DECIMAL(4,0))) AS DECIMAL(12,0)) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)))
+             |      AS sxx,
+             |    SUM(CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0)))
+             |      AS syy,
+             |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,0)))
+             |      AS sxy
+             |  FROM b GROUP BY 1),
+             |c AS (
+             |  SELECT f, n,
+             |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+             |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+             |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+             |  FROM m)
+             |SELECT f AS l_returnflag, n,
+             |  ROUND(((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+             |    + 4.0 * cxy * cxy)) / (2.0 * cxy)) / 1e4, 6)
+             |    AS slope_charge_per_dollar,
+             |  ROUND((my - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+             |    + 4.0 * cxy * cxy)) / (2.0 * cxy)) * mx) / 1e6, 6)
+             |    AS intercept_dollars,
+             |  ROUND(cxy / sqrt(cxx * cyy), 6) AS pearson_r
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
+    // TOST equivalence test — are mean discounts for returned (R) vs
+    // accepted (A) lines equivalent WITHIN ±0.001? The two one-sided
+    // Welch tests every bioequivalence / A-A-validation pipeline runs:
+    // t_lower = (Δ + δ)/se must exceed +1.6449 AND t_upper = (Δ − δ)/se
+    // must fall below −1.6449 (both one-sided 5% bounds) to declare
+    // equivalence — absence-of-evidence done right. Discounts live
+    // exactly on a 2-dp grid, so ×100 makes every moment an exact
+    // BIGINT; Δ, se, and the Satterthwaite df are the stat_welch_ttest
+    // mirrored double forms; δ is 0.1 in the same cents scale. Scale:
+    // one map-side-combined pass, 1-row output.
+    Q("stat_tost_equivalence",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .withColumn("c", (col("l_discount").cast("decimal(12,2)") * 100)
+            .cast("long"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("qc"))
+        val a = m.filter(col("l_returnflag") === "A")
+          .select(col("n").as("n_a"), col("sc").as("s_a"),
+            col("qc").as("q_a"))
+        val b = m.filter(col("l_returnflag") === "R")
+          .select(col("n").as("n_b"), col("sc").as("s_b"),
+            col("qc").as("q_b"))
+        def se2(n: String, sc: String, qc: String) =
+          (col(n).cast("double") * col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double")) /
+            (col(n).cast("double") * (col(n) - 1).cast("double")) /
+            col(n).cast("double")
+        a.crossJoin(b) // 1×1 summary join
+          .withColumn("se2_a", se2("n_a", "s_a", "q_a"))
+          .withColumn("se2_b", se2("n_b", "s_b", "q_b"))
+          .withColumn("se", sqrt(col("se2_a") + col("se2_b")))
+          .withColumn("diff",
+            col("s_a").cast("double") / col("n_a") -
+              col("s_b").cast("double") / col("n_b"))
+          .withColumn("t_lower", (col("diff") + lit(0.1)) / col("se"))
+          .withColumn("t_upper", (col("diff") - lit(0.1)) / col("se"))
+          .withColumn("df_welch",
+            (col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b")) /
+              (col("se2_a") * col("se2_a") / (col("n_a") - 1).cast("double") +
+                col("se2_b") * col("se2_b") / (col("n_b") - 1).cast("double")))
+          .select(col("n_a"), col("n_b"),
+            round(col("diff") / 100.0, 6).as("mean_diff"),
+            round(col("t_lower"), 6).as("t_lower"),
+            round(col("t_upper"), 6).as("t_upper"),
+            round(col("df_welch"), 2).as("df_welch"),
+            (col("t_lower") > 1.6449 && col("t_upper") < -1.6449)
+              .as("equivalent"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS s,
+             |    CAST(SUM(c * c) AS BIGINT) AS q
+             |  FROM (
+             |    SELECT l_returnflag,
+             |      CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |        AS c
+             |    FROM lineitem WHERE l_returnflag IN ('A', 'R')) x
+             |  GROUP BY 1),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM m WHERE l_returnflag = 'A') AS n_a,
+             |    (SELECT s FROM m WHERE l_returnflag = 'A') AS s_a,
+             |    (SELECT q FROM m WHERE l_returnflag = 'A') AS q_a,
+             |    (SELECT n FROM m WHERE l_returnflag = 'R') AS n_b,
+             |    (SELECT s FROM m WHERE l_returnflag = 'R') AS s_b,
+             |    (SELECT q FROM m WHERE l_returnflag = 'R') AS q_b),
+             |se AS (
+             |  SELECT *,
+             |    (CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+             |      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+             |      / CAST(n_a AS DOUBLE) AS se2_a,
+             |    (CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+             |      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+             |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+             |      / CAST(n_b AS DOUBLE) AS se2_b,
+             |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b
+             |      AS diff
+             |  FROM ab)
+             |SELECT n_a, n_b, ROUND(diff / 100.0, 6) AS mean_diff,
+             |  ROUND((diff + 0.1) / sqrt(se2_a + se2_b), 6) AS t_lower,
+             |  ROUND((diff - 0.1) / sqrt(se2_a + se2_b), 6) AS t_upper,
+             |  ROUND((se2_a + se2_b) * (se2_a + se2_b)
+             |    / (se2_a * se2_a / CAST(n_a - 1 AS DOUBLE)
+             |      + se2_b * se2_b / CAST(n_b - 1 AS DOUBLE)), 2) AS df_welch,
+             |  (diff + 0.1) / sqrt(se2_a + se2_b) > 1.6449
+             |    AND (diff - 0.1) / sqrt(se2_a + se2_b) < -1.6449
+             |    AS equivalent
+             |FROM se""".stripMargin))
   )
 }

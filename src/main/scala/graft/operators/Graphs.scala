@@ -1529,10 +1529,123 @@ object Graphs {
     Q("graph_bipartite_project", fn, Some(sql))
   }
 
+  /** Directed reciprocity — of the "initiator" edges (u→v when u's
+    * first event in a shared cell precedes v's, ties broken by id),
+    * what fraction are answered by a v→u edge from some other cell?
+    * The standard directedness probe (social graphs ~0.5–0.8, web
+    * ~0.25): r = |E ∩ Eᵀ| / |E| on the DISTINCT directed pair set.
+    * Direction comes from per-(user, cell) min-timestamps — one more
+    * aggregate on the same capped-cell derivation every other graph
+    * query uses — and the reverse-edge test is ONE self equi-join on
+    * the swapped key (hash join on (u,v)); nothing quadratic, no
+    * iteration. Exact integer counts; one final mirrored divide.
+    */
+  private def reciprocityQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val a0 = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(min(col("ts")).as("t0"))
+      val ok = a0.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
+        .drop("k")
+      val af = a0.join(ok, Seq("event_type", "h"))
+      val dir = af.as("a").join(af.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.h") === col("b.h") &&
+            col("a.user_id") =!= col("b.user_id") &&
+            (col("a.t0") < col("b.t0") ||
+              (col("a.t0") === col("b.t0") &&
+                col("a.user_id") < col("b.user_id"))))
+        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .distinct()
+      val rec = dir.as("e").join(dir.as("r"),
+          col("e.u") === col("r.v") && col("e.v") === col("r.u"), "left_semi")
+      dir.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"), 6).as("reciprocity"))
+    }
+    val sql =
+      s"""WITH a0 AS (
+        |  SELECT user_id, event_type, date_trunc('hour', ts) AS h,
+        |    MIN(ts) AS t0
+        |  FROM events GROUP BY 1, 2, 3),
+        |okc AS (SELECT event_type, h FROM a0
+        |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
+        |af AS (SELECT a.* FROM a0 a JOIN okc USING (event_type, h)),
+        |dir AS (
+        |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM af a JOIN af b
+        |    ON a.event_type = b.event_type AND a.h = b.h
+        |   AND a.user_id <> b.user_id
+        |   AND (a.t0 < b.t0 OR (a.t0 = b.t0 AND a.user_id < b.user_id))),
+        |rec AS (
+        |  SELECT e.u, e.v FROM dir e
+        |  WHERE EXISTS (SELECT 1 FROM dir r WHERE r.u = e.v AND r.v = e.u))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dir) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rec) AS n_reciprocal,
+        |  ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM rec)
+        |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM dir), 6)
+        |    AS reciprocity""".stripMargin
+    Q("graph_reciprocity", fn, Some(sql))
+  }
+
+  /** Power-law degree-distribution fit — the continuous-approximation
+    * MLE α̂ = 1 + n /Σᵢ ln(kᵢ/(kmin−½)) of Clauset-Shalizi-Newman over
+    * tail nodes (k ≥ kmin = 2), the standard "is this graph scale-
+    * free?" screen that decides whether hub-safe devices (chunked
+    * folds, skew salting) are needed downstream. Degrees reduce to a
+    * DEGREE-VALUE table (bounded by the cell cap × cells-per-user, a
+    * few dozen distinct values at any SF), so Σ cnt_k·ln(k/1.5) folds
+    * over that tiny table IN DEGREE ORDER (index-order-fold device);
+    * node/tail counts are exact BIGINTs. One aggregate over the edge
+    * list, then model-sized arithmetic.
+    */
+  private def powerlawQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val deg = edges(s, d).groupBy("u").agg(count(lit(1)).as("k"))
+      val dist = deg.groupBy("k").agg(count(lit(1)).as("cnt"))
+      dist.agg(sum("cnt").as("n_nodes"),
+          sum(when(col("k") >= 2, col("cnt")).otherwise(0L)).as("n_tail"),
+          max("k").as("max_degree"),
+          expr("""aggregate(transform(sort_array(collect_list(struct(k,
+               |    CASE WHEN k >= 2 THEN cnt * ln(CAST(k AS DOUBLE) / 1.5)
+               |    ELSE CAST(0.0 AS DOUBLE) END AS t))), x -> x.t),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            .as("slog"))
+        .select(col("n_nodes"), col("n_tail"), col("max_degree"),
+          round(lit(1.0) + col("n_tail").cast("double") / col("slog"), 6)
+            .as("alpha_hat"))
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM edges GROUP BY u),
+        |dist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM deg GROUP BY k),
+        |m AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(CASE WHEN k >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_tail,
+        |    CAST(MAX(k) AS BIGINT) AS max_degree,
+        |    list_sum(list(CASE WHEN k >= 2
+        |      THEN cnt * ln(CAST(k AS DOUBLE) / 1.5)
+        |      ELSE CAST(0.0 AS DOUBLE) END ORDER BY k)) AS slog
+        |  FROM dist)
+        |SELECT n_nodes, n_tail, max_degree,
+        |  ROUND(1.0 + CAST(n_tail AS DOUBLE) / slog, 6) AS alpha_hat
+        |FROM m""".stripMargin
+    Q("graph_degree_powerlaw", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
-      centralizationQuery, richClubQuery, bipartiteQuery)
+      centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
+      powerlawQuery)
 }

@@ -3341,7 +3341,183 @@ object Windows {
              |      * log2(CAST(n AS DOUBLE) / nf)), 4)
              |    / log2(CAST(k AS DOUBLE)), 4) AS vs_iid_ceiling
              |FROM tr JOIN ft USING (f), tot
-             |GROUP BY k, nt""".stripMargin))
+             |GROUP BY k, nt""".stripMargin)),
+
+    // Western Electric control-chart rules on the daily purchase
+    // series — the four classic SPC run rules a metrics monitor fires
+    // pages on: R1 one point beyond 3σ; R2 two of three consecutive
+    // beyond 2σ on the SAME side; R3 four of five beyond 1σ same
+    // side; R4 eight consecutive on one side of center. Center and σ
+    // come from EXACT cents moments over the whole series; each day's
+    // z is one mirrored double form, and every rule is a fixed-width
+    // ROWS window of integer counts over the z-threshold booleans
+    // (identical IEEE compares both engines ⇒ identical flags). The
+    // day series is calendar-bounded, so the unpartitioned sequence
+    // windows are model-sized at any SF (ts_cusum doctrine); the only
+    // corpus-scale stage is the one daily aggregate.
+    Q("ts_spc_rules",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)").as("cents"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sc"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("qc"))
+        val wSeq = Window.orderBy("day")
+        def wLast(k: Int) = Window.orderBy("day")
+          .rowsBetween(-(k - 1), Window.currentRow)
+        val z = (col("cents").cast("double") -
+          col("sc").cast("double") / col("n").cast("double")) /
+          sqrt((col("qc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+        daily.crossJoin(broadcast(m))
+          .withColumn("z", z)
+          .withColumn("rn", row_number().over(wSeq))
+          .withColumn("sgn",
+            when(col("z") > 0, 1L).when(col("z") < 0, -1L).otherwise(0L))
+          .withColumn("r1", abs(col("z")) > 3.0)
+          .withColumn("r2", col("rn") >= 3 &&
+            (sum(when(col("z") > 2.0, 1L).otherwise(0L)).over(wLast(3)) >= 2 ||
+              sum(when(col("z") < -2.0, 1L).otherwise(0L))
+                .over(wLast(3)) >= 2))
+          .withColumn("r3", col("rn") >= 5 &&
+            (sum(when(col("z") > 1.0, 1L).otherwise(0L)).over(wLast(5)) >= 4 ||
+              sum(when(col("z") < -1.0, 1L).otherwise(0L))
+                .over(wLast(5)) >= 4))
+          .withColumn("r4", col("rn") >= 8 &&
+            abs(sum(col("sgn")).over(wLast(8))) === 8)
+          .select(col("day").cast("string").as("day"),
+            (col("cents").cast("double") / 100.0).as("value"),
+            round(col("z"), 4).as("z"),
+            col("r1"), col("r2"), col("r3"), col("r4"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+             |      AS DECIMAL(20,0)) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(cents AS DECIMAL(38,0))) AS sc,
+             |    SUM(CAST(cents * cents AS DECIMAL(38,0))) AS qc
+             |  FROM daily),
+             |zz AS (
+             |  SELECT day, cents,
+             |    (CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE)
+             |      / CAST(n AS DOUBLE))
+             |    / sqrt((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)
+             |      * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(n AS DOUBLE)) AS z,
+             |    ROW_NUMBER() OVER (ORDER BY day) AS rn
+             |  FROM daily, m),
+             |r AS (
+             |  SELECT day, cents, z, rn,
+             |    CASE WHEN z > 0 THEN 1 WHEN z < 0 THEN -1 ELSE 0 END AS sgn,
+             |    SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 AS hi2,
+             |    SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3 AS lo2,
+             |    SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5 AS hi1,
+             |    SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w5 AS lo1
+             |  FROM zz
+             |  WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+             |      AND CURRENT ROW),
+             |    w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING
+             |      AND CURRENT ROW)),
+             |r2 AS (
+             |  SELECT *, SUM(sgn) OVER (ORDER BY day ROWS BETWEEN 7
+             |    PRECEDING AND CURRENT ROW) AS s8
+             |  FROM r)
+             |SELECT CAST(day AS VARCHAR) AS day,
+             |  CAST(cents AS DOUBLE) / 100.0 AS value, ROUND(z, 4) AS z,
+             |  abs(z) > 3.0 AS r1,
+             |  rn >= 3 AND (hi2 >= 2 OR lo2 >= 2) AS r2,
+             |  rn >= 5 AND (hi1 >= 4 OR lo1 >= 4) AS r3,
+             |  rn >= 8 AND abs(s8) = 8 AS r4
+             |FROM r2 ORDER BY day""".stripMargin)),
+
+    // SAX symbolization — each event type's daily-count series
+    // z-normalized, PAA-compressed into 4-day segments, and mapped to
+    // a 4-letter Gaussian-breakpoint alphabet (a<−0.6745≤b<0≤c<
+    // 0.6745≤d): the classic symbolic encoding behind motif discovery
+    // and cheap series indexing. The z-transform is affine, so each
+    // segment's PAA-z comes DIRECTLY from exact integer sums —
+    // (seg_sum/4 − μ)/σ with μ, σ from exact per-type Σ/Σ² — one
+    // mirrored double form per segment, no intermediate double means.
+    // Trailing partial segments drop (len = 4 only). The SAX word
+    // assembles segment symbols IN SEGMENT ORDER (sorted-struct
+    // array-join / string_agg ORDER BY — the index-order device on
+    // strings). Calendar-bounded series per type ⇒ model-sized
+    // windows; one daily aggregate at corpus scale.
+    Q("ts_sax_symbols",
+      (s, d) => {
+        val wSeq = Window.partitionBy("event_type").orderBy("day")
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val segs = daily
+          .withColumn("rn", row_number().over(wSeq))
+          .withColumn("seg", ((col("rn") - 1) / 4).cast("long"))
+          .groupBy("event_type", "seg")
+          .agg(count(lit(1)).as("len"), sum("c").as("sc"))
+          .filter(col("len") === 4)
+        val m = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"),
+            sum(col("c") * col("c")).as("q"))
+        val paa = (col("sc").cast("double") / 4.0 -
+          col("s").cast("double") / col("n").cast("double")) /
+          sqrt((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+        val sym = segs.join(m, "event_type")
+          .withColumn("paa", paa)
+          .withColumn("sym",
+            when(col("paa") < -0.6745, "a").when(col("paa") < 0.0, "b")
+              .when(col("paa") < 0.6745, "c").otherwise("d"))
+        sym.groupBy("event_type")
+          .agg(max(col("n")).as("n_days"), count(lit(1)).as("n_segs"),
+            expr("""array_join(transform(sort_array(collect_list(
+                 |  struct(seg, sym))), x -> x.sym), '')""".stripMargin)
+              .as("sax"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |seq AS (
+             |  SELECT event_type, day, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rn
+             |  FROM daily),
+             |segs AS (
+             |  SELECT event_type, CAST((rn - 1) // 4 AS BIGINT) AS seg,
+             |    CAST(COUNT(*) AS BIGINT) AS len,
+             |    CAST(SUM(c) AS BIGINT) AS sc
+             |  FROM seq GROUP BY 1, 2 HAVING COUNT(*) = 4),
+             |m AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS s,
+             |    CAST(SUM(c * c) AS BIGINT) AS q
+             |  FROM daily GROUP BY 1),
+             |sym AS (
+             |  SELECT event_type, seg, n,
+             |    CASE WHEN p < -0.6745 THEN 'a' WHEN p < 0.0 THEN 'b'
+             |      WHEN p < 0.6745 THEN 'c' ELSE 'd' END AS sym
+             |  FROM (
+             |    SELECT s.event_type, s.seg, m.n,
+             |      (CAST(s.sc AS DOUBLE) / 4.0 - CAST(m.s AS DOUBLE)
+             |        / CAST(m.n AS DOUBLE))
+             |      / sqrt((CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE)
+             |        * CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+             |        / CAST(m.n AS DOUBLE)) AS p
+             |    FROM segs s JOIN m ON s.event_type = m.event_type) x)
+             |SELECT event_type, MAX(n) AS n_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+             |  string_agg(sym, '' ORDER BY seg) AS sax
+             |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
 
