@@ -1413,8 +1413,85 @@ object DataOps {
     Q("ann_cluster_balance", fn, Some(sql))
   }
 
+  /** Aspect-ratio bucketing — the image-training batching device
+    * (SDXL-style): each image lands in the fixed-resolution bucket
+    * whose aspect ratio it distorts least, so batches share shapes
+    * and padding/crop waste is bounded. Synthetic (w, h) come from
+    * the repo's md5 hash coin over doc_id (the multimodal stub
+    * doctrine: the decode is fake, the Spark plumbing is real).
+    * Bucket choice minimizes the LIBM-FREE ratio distortion
+    * max(w·bh, h·bw)/min(w·bh, h·bw) — exact integer cross-products
+    * divided once, so both engines pick identically (bucket_id
+    * tie-breaks inside one struct-min; min/max/count aggregates are
+    * order-free, no double folds anywhere). Scale: 7-row broadcast ×
+    * linear scan, one (bucket)-keyed rollup.
+    */
+  private val aspectBucketQuery: Q = {
+    val BUCKETS = Seq((512, 512), (576, 448), (448, 576), (640, 384),
+      (384, 640), (704, 320), (320, 704))
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val bdf = BUCKETS.zipWithIndex
+        .map { case ((bw, bh), i) => (i.toLong, bw.toLong, bh.toLong) }
+        .toDF("bucket_id", "bw", "bh")
+      def coin(tag: String) =
+        lit(320) + (conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 7) * 64
+      val imgs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("w", coin("w:")).withColumn("h", coin("h:"))
+      val picked = imgs.crossJoin(broadcast(bdf))
+        .withColumn("aa", (col("w") * col("bh")).cast("double"))
+        .withColumn("bb", (col("h") * col("bw")).cast("double"))
+        .withColumn("dist",
+          greatest(col("aa") / col("bb"), col("bb") / col("aa")))
+        .groupBy("doc_id", "w", "h")
+        .agg(min(struct(col("dist"), col("bucket_id"), col("bw"),
+          col("bh"))).as("p"))
+        .select(col("w"), col("h"), col("p.dist").as("dist"),
+          col("p.bucket_id").as("bucket_id"), col("p.bw").as("bw"),
+          col("p.bh").as("bh"))
+      picked
+        .withColumn("waste", lit(1.0) - lit(1.0) / col("dist"))
+        .groupBy("bucket_id", "bw", "bh")
+        .agg(count(lit(1)).as("n_images"),
+          round(min("waste"), 6).as("min_waste"),
+          round(max("waste"), 6).as("max_waste"))
+        .orderBy("bucket_id")
+    }
+    def hex15(h: String): String =
+      (1 to 15).map(p =>
+        s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+        .mkString("(", " + ", ")")
+    val sql =
+      s"""WITH b(bucket_id, bw, bh) AS (VALUES
+         |  ${BUCKETS.zipWithIndex.map { case ((bw, bh), i) =>
+             s"($i, $bw, $bh)" }.mkString(", ")}),
+         |imgs AS (
+         |  SELECT doc_id,
+         |    320 + (${hex15("md5('w:' || CAST(doc_id AS VARCHAR))")} % 7)
+         |      * 64 AS w,
+         |    320 + (${hex15("md5('h:' || CAST(doc_id AS VARCHAR))")} % 7)
+         |      * 64 AS h
+         |  FROM documents),
+         |picked AS (
+         |  SELECT doc_id, w, h,
+         |    MIN({'dist': greatest(CAST(w * bh AS DOUBLE) / (h * bw),
+         |           CAST(h * bw AS DOUBLE) / (w * bh)),
+         |         'bucket_id': bucket_id, 'bw': bw, 'bh': bh}) AS p
+         |  FROM imgs, b GROUP BY 1, 2, 3)
+         |SELECT CAST(p.bucket_id AS BIGINT) AS bucket_id,
+         |  CAST(p.bw AS BIGINT) AS bw, CAST(p.bh AS BIGINT) AS bh,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  ROUND(MIN(1.0 - 1.0 / p.dist), 6) AS min_waste,
+         |  ROUND(MAX(1.0 - 1.0 / p.dist), 6) AS max_waste
+         |FROM picked GROUP BY 1, 2, 3 ORDER BY bucket_id""".stripMargin
+    Q("mm_aspect_bucket", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
+      aspectBucketQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),

@@ -1818,6 +1818,136 @@ object TextAnalysis {
              |    / CAST((SELECT SUM(CASE WHEN doc_id <= mx * k // 10
              |       THEN n_tok ELSE 0 END) FROM dt) AS DOUBLE), 6)
              |    AS type_token_ratio
-             |FROM ks, mx ORDER BY decile""".stripMargin))
+             |FROM ks, mx ORDER BY decile""".stripMargin)),
+
+    // Gopher-style rule filter report — the published heuristic
+    // rule FAMILY (word-count bounds, mean-word-length band, minimum
+    // stopword evidence, single-token domination) with thresholds
+    // tuned to this fixture's synthetic prose so every rule
+    // discriminates (the llm_content_filter doctrine: rule SHAPE is
+    // the operator, constants are config). Every signal is computed
+    // WITHIN-ROW from the token array (docs ≤ ~100 tokens, so the
+    // O(u·n) domination scan is a per-row constant): no explode, no
+    // shuffle except the final per-source rollup of exact BIGINT
+    // fail counters. Independent per-rule counts + all-rules keep
+    // rate per source.
+    Q("llm_gopher_quality",
+      (s, d) => {
+        val t = TextUdfs.tokenizeCol(col("text"))
+        Tables.documents(s, d)
+          .withColumn("t", t)
+          .withColumn("n", size(col("t")).cast("long"))
+          .withColumn("nl",
+            length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .cast("long"))
+          .withColumn("mwl", col("nl").cast("double") / col("n"))
+          .withColumn("nstop", size(expr(
+            s"array_intersect(array_distinct(t), array(${STOP.map(w => s"'$w'").mkString(", ")}))"))
+            .cast("long"))
+          .withColumn("topshare", expr(
+            """array_max(transform(array_distinct(t),
+              |  w -> size(filter(t, x -> x = w))))""".stripMargin)
+            .cast("double") / col("n"))
+          .withColumn("f_len", col("n") < 30 || col("n") > 90)
+          .withColumn("f_mwl", col("mwl") < 4.3 || col("mwl") > 4.7)
+          .withColumn("f_stop", col("nstop") < 2)
+          .withColumn("f_rep", col("topshare") > 0.15)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("f_len"), 1L).otherwise(0L)).as("fail_len"),
+            sum(when(col("f_mwl"), 1L).otherwise(0L)).as("fail_word_len"),
+            sum(when(col("f_stop"), 1L).otherwise(0L)).as("fail_stopword"),
+            sum(when(col("f_rep"), 1L).otherwise(0L)).as("fail_repetition"),
+            sum(when(!col("f_len") && !col("f_mwl") && !col("f_stop") &&
+              !col("f_rep"), 1L).otherwise(0L)).as("n_keep"))
+          .withColumn("keep_rate", round(col("n_keep").cast("double") /
+            col("n_docs").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT source, $SQL_TOKENIZE AS t,
+              |    CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+              |      'g')) AS BIGINT) AS nl
+              |  FROM documents),
+              |f AS (
+              |  SELECT source,
+              |    CAST(len(t) AS BIGINT) AS n,
+              |    CAST(nl AS DOUBLE) / len(t) AS mwl,
+              |    len(list_intersect(list_distinct(t),
+              |      [$SQL_STOP])) AS nstop,
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+              |      / len(t) AS topshare
+              |  FROM b),
+              |r AS (
+              |  SELECT source,
+              |    n < 30 OR n > 90 AS f_len,
+              |    mwl < 4.3 OR mwl > 4.7 AS f_mwl,
+              |    nstop < 2 AS f_stop,
+              |    topshare > 0.15 AS f_rep
+              |  FROM f)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS fail_len,
+              |  CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS fail_word_len,
+              |  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS fail_stopword,
+              |  CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS fail_repetition,
+              |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_mwl AND NOT f_stop
+              |    AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |  ROUND(CAST(SUM(CASE WHEN NOT f_len AND NOT f_mwl
+              |      AND NOT f_stop AND NOT f_rep THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / COUNT(*), 4) AS keep_rate
+              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Segmental type-token ratio (STTR) — the length-robust lexical-
+    // diversity metric (plain TTR falls with doc length, so corpora
+    // can't be compared on it): TTR per consecutive 25-token segment,
+    // averaged. The whole computation is WITHIN-ROW array math —
+    // slice/distinct per segment, then Σ distinct counts as an EXACT
+    // integer so the reported sttr is ONE double division
+    // Σdistinct/(25·n_segs), no per-segment double averaging at all.
+    // Docs shorter than one full segment drop; trailing partials
+    // drop (mirrored len>=… guards). Linear scan, zero shuffles
+    // before the output sort.
+    Q("text_mattr",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("t", TextUdfs.tokenizeCol(col("text")))
+          .withColumn("n", size(col("t")).cast("long"))
+          .withColumn("n_segs", (col("n") / 25).cast("long"))
+          .filter(col("n_segs") >= 1)
+          .withColumn("sum_distinct", expr(
+            """aggregate(transform(sequence(1, cast(n_segs as int)),
+              |  i -> size(array_distinct(slice(t, (i - 1) * 25 + 1, 25)))),
+              |  0, (acc, x) -> acc + x)""".stripMargin).cast("long"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_segs"),
+            round(size(array_distinct(col("t"))).cast("double") / col("n"),
+              4).as("ttr"),
+            round(col("sum_distinct").cast("double") / (col("n_segs") * 25),
+              4).as("sttr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, $SQL_TOKENIZE AS t FROM documents),
+              |s AS (
+              |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+              |    CAST(len(t) // 25 AS BIGINT) AS n_segs
+              |  FROM b WHERE len(t) >= 25),
+              |m AS (
+              |  SELECT doc_id, n, n_segs,
+              |    CAST(list_sum(list_transform(generate_series(1,
+              |      CAST(n_segs AS INT)),
+              |      i -> len(list_distinct(list_slice(t, (i - 1) * 25 + 1,
+              |        i * 25))))) AS BIGINT) AS sum_distinct,
+              |    len(list_distinct(t)) AS u
+              |  FROM s)
+              |SELECT doc_id, n AS n_tokens, n_segs,
+              |  ROUND(CAST(u AS DOUBLE) / n, 4) AS ttr,
+              |  ROUND(CAST(sum_distinct AS DOUBLE) / (n_segs * 25), 4)
+              |    AS sttr
+              |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

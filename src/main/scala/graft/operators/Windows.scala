@@ -3517,8 +3517,114 @@ object Windows {
              |SELECT event_type, MAX(n) AS n_days,
              |  CAST(COUNT(*) AS BIGINT) AS n_segs,
              |  string_agg(sym, '' ORDER BY seg) AS sax
-             |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    HurstQ.q
   )
+}
+
+private object HurstQ {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** Rescaled-range Hurst exponent of the daily purchase-count series
+    * — the long-memory probe (H≈0.5 random walk, H>0.5 trending,
+    * H<0.5 mean-reverting) capacity planners run before trusting a
+    * seasonal forecast. R/S per segment stays EXACT until one final
+    * sqrt: the k-scaled cumulative deviation k·cumⱼ − j·S is a pure
+    * BIGINT (cum from a within-segment window over the calendar-
+    * bounded day series), so R/S = (max−min)/√(k·Σc²−S²) is one
+    * mirrored double form per segment. Segment log₂(R/S) means fold
+    * IN SEGMENT ORDER (index-order-fold device, ≤ n_days/8 terms);
+    * Ĥ = mean₁₆ − mean₈ (the two-point slope over log₂ window sizes
+    * one apart). Zero-variance or partial segments drop on both
+    * engines. Scale: one daily aggregate; everything after is
+    * calendar-bounded.
+    */
+  private val SIZES = Seq(8, 16)
+
+  val q: Q = Q("ts_hurst_rs",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.orderBy("day")))
+      def meanLogRs(k: Int) = {
+        val seg = daily
+          .withColumn("seg", ((col("rn") - 1) / k).cast("long"))
+          .withColumn("j", ((col("rn") - 1) % k + 1).cast("long"))
+        val tot = seg.groupBy("seg")
+          .agg(count(lit(1)).as("len"), sum("c").as("ss"),
+            sum(col("c") * col("c")).as("q2"))
+          .filter(col("len") === k &&
+            lit(k) * col("q2") - col("ss") * col("ss") > 0)
+        val dev = seg.join(tot, "seg")
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("seg").orderBy("day")))
+          .withColumn("dev", lit(k) * col("cum") - col("j") * col("ss"))
+        val rs = dev.groupBy("seg")
+          .agg(max(col("q2")).as("q2"), max(col("ss")).as("ss"),
+            (max("dev") - min("dev")).as("rlen"))
+          .withColumn("rs", col("rlen").cast("double") /
+            sqrt((lit(k) * col("q2") - col("ss") * col("ss"))
+              .cast("double")))
+        rs.agg(count(lit(1)).as(s"n_seg$k"),
+          expr(s"""aggregate(transform(sort_array(collect_list(struct(seg,
+               |    log2(rs) AS t))), x -> x.t),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+               |  / count(1)""".stripMargin).as(s"m$k"))
+      }
+      daily.agg(count(lit(1)).as("n_days"))
+        .crossJoin(meanLogRs(8)).crossJoin(meanLogRs(16))
+        .select(col("n_days"), col("n_seg8"), col("n_seg16"),
+          round(col("m8"), 6).as("mean_log2_rs8"),
+          round(col("m16"), 6).as("mean_log2_rs16"),
+          round(col("m16") - col("m8"), 6).as("hurst"))
+    },
+    Some {
+      def block(k: Int) =
+        s"""seq$k AS (
+           |  SELECT day, c, CAST((rn - 1) // $k AS BIGINT) AS seg,
+           |    CAST((rn - 1) % $k + 1 AS BIGINT) AS j
+           |  FROM seq),
+           |tot$k AS (
+           |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS len,
+           |    CAST(SUM(c) AS BIGINT) AS ss,
+           |    CAST(SUM(c * c) AS BIGINT) AS q2
+           |  FROM seq$k GROUP BY seg
+           |  HAVING COUNT(*) = $k
+           |    AND $k * SUM(c * c) - SUM(c) * SUM(c) > 0),
+           |dev$k AS (
+           |  SELECT s.seg, t.q2, t.ss,
+           |    $k * SUM(s.c) OVER (PARTITION BY s.seg ORDER BY s.day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      - s.j * t.ss AS dev
+           |  FROM seq$k s JOIN tot$k t USING (seg)),
+           |rs$k AS (
+           |  SELECT seg,
+           |    CAST(MAX(dev) - MIN(dev) AS DOUBLE)
+           |      / sqrt(CAST($k * MAX(q2) - MAX(ss) * MAX(ss) AS DOUBLE))
+           |      AS rs
+           |  FROM dev$k GROUP BY seg),
+           |m$k AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_seg$k,
+           |    list_sum(list(log2(rs) ORDER BY seg)) / COUNT(*) AS m$k
+           |  FROM rs$k)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |seq AS (
+         |  SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS rn
+         |  FROM daily),
+         |${SIZES.map(block).mkString(",\n")}
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+         |  n_seg8, n_seg16,
+         |  ROUND(m8, 6) AS mean_log2_rs8,
+         |  ROUND(m16, 6) AS mean_log2_rs16,
+         |  ROUND(m16 - m8, 6) AS hurst
+         |FROM m8, m16""".stripMargin
+    })
 }
 
 private object ViterbiQ {
