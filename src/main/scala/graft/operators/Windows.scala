@@ -3519,8 +3519,334 @@ object Windows {
              |  string_agg(sym, '' ORDER BY seg) AS sax
              |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    HurstQ.q
+    HurstQ.q,
+    CrostonQ.q,
+    DurbinWatsonQ.q,
+    CooksDistanceQ.q
   )
+}
+
+private object CrostonQ {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** Croston's method — the intermittent-demand forecaster (spare
+    * parts, rare-event capacity): separate exponential smoothing of
+    * nonzero demand SIZES and of the INTER-ARRIVAL gaps between
+    * demand days, forecast rate = z/p. Demand is the hash-coin-thinned
+    * error-event series (~1/20 kept — sparse at small SF, the
+    * regime the method exists for). Both smoothers are the ts_ewma
+    * truncated-memory device (J=6, α=0.3, fixed double-literal
+    * weights spliced into BOTH engines) evaluated at the LAST demand
+    * day over the lag window of the nonzero subsequence — no
+    * recursion, no cross-engine pow(). Day spine is zero-filled so
+    * gap days are real. Calendar-bounded everything after the one
+    * fact aggregate; 1-row output.
+    */
+  private val J = 6
+  private val weights: Seq[Double] =
+    (0 until J).map(j => (1 to j).foldLeft(0.3)((a, _) => a * 0.7))
+
+  val q: Q = Q("ts_croston",
+    (s, d) => {
+      val ev = graft.Tables.events(s, d)
+        .filter(col("event_type") === "error" &&
+          conv(substring(md5(concat(lit("croston:"),
+            col("event_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 20 === 0)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("dm"))
+      val spine = graft.Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(ev, Seq("day"), "left")
+        .withColumn("dm", coalesce(col("dm"), lit(0L)))
+      val wSeq = Window.orderBy("day")
+      val nz = daily.filter(col("dm") > 0)
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("gap",
+          datediff(col("day"), lag(col("day"), 1).over(wSeq)).cast("long"))
+      def lagV(c: String, j: Int) =
+        if (j == 0) col(c) else lag(col(c), j).over(Window.orderBy("day"))
+      def ewma(c: String) = {
+        val num = (0 until J).map(j =>
+          coalesce(lagV(c, j).cast("double"), lit(0.0)) * weights(j))
+          .reduce(_ + _)
+        val den = (0 until J).map(j =>
+          when(lagV(c, j).isNotNull, weights(j)).otherwise(0.0))
+          .reduce(_ + _)
+        // the first nonzero row has NO gap lags at all (den = 0) —
+        // guard so ANSI mode doesn't fault on rows the final
+        // rn = nnz filter discards anyway
+        when(den > 0.0, num / den)
+      }
+      val last = nz
+        .withColumn("z", ewma("dm"))
+        .withColumn("p", ewma("gap"))
+        .withColumn("nnz", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rn") === col("nnz"))
+      val tot = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("dm")).as("demand_total"))
+      tot.crossJoin(last.select(col("nnz").as("n_demand_days"),
+          col("z"), col("p")))
+        .select(col("n_days"), col("n_demand_days"), col("demand_total"),
+          round(col("z"), 4).as("z_size"),
+          when(col("n_demand_days") >= 2, round(col("p"), 4))
+            .otherwise(lit(null).cast("double")).as("p_interval"),
+          when(col("n_demand_days") >= 2, round(col("z") / col("p"), 4))
+            .otherwise(lit(null).cast("double")).as("croston_rate"),
+          round(col("demand_total").cast("double") /
+            col("n_days").cast("double"), 4).as("naive_rate"))
+    },
+    Some {
+      def hex15(h: String): String =
+        (1 to 15).map(p =>
+          s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+          .mkString("(", " + ", ")")
+      def wLit(j: Int) = s"CAST('${weights(j)}' AS DOUBLE)"
+      def ewma(c: String) = {
+        def lagV(j: Int) = if (j == 0) c else s"LAG($c, $j) OVER w"
+        val num = (0 until J)
+          .map(j => s"COALESCE(CAST(${lagV(j)} AS DOUBLE), 0.0) * ${wLit(j)}")
+          .mkString(" + ")
+        val den = (0 until J)
+          .map(j =>
+            s"CASE WHEN ${lagV(j)} IS NOT NULL THEN ${wLit(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"($num) / ($den)"
+      }
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS dm
+         |  FROM events
+         |  WHERE event_type = 'error'
+         |    AND ${hex15("md5('croston:' || CAST(event_id AS VARCHAR))")}
+         |      % 20 = 0
+         |  GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+         |    (SELECT MAX(CAST(ts AS DATE)) FROM events),
+         |    INTERVAL 1 DAY)) AS day),
+         |daily AS (
+         |  SELECT CAST(s.day AS DATE) AS day, COALESCE(e.dm, 0) AS dm
+         |  FROM spine s LEFT JOIN ev e ON CAST(s.day AS DATE) = e.day),
+         |nz AS (
+         |  SELECT day, dm,
+         |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         |    CAST(day - LAG(day, 1) OVER (ORDER BY day) AS BIGINT) AS gap
+         |  FROM daily WHERE dm > 0),
+         |last AS (
+         |  SELECT rn AS n_demand_days,
+         |    ${ewma("dm")} AS z, ${ewma("gap")} AS p
+         |  FROM nz
+         |  WINDOW w AS (ORDER BY day)
+         |  QUALIFY rn = (SELECT COUNT(*) FROM nz)),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(dm) AS BIGINT) AS demand_total FROM daily)
+         |SELECT n_days, n_demand_days, demand_total,
+         |  ROUND(z, 4) AS z_size,
+         |  CASE WHEN n_demand_days >= 2 THEN ROUND(p, 4) END AS p_interval,
+         |  CASE WHEN n_demand_days >= 2 THEN ROUND(z / p, 4) END
+         |    AS croston_rate,
+         |  ROUND(CAST(demand_total AS DOUBLE) / n_days, 4) AS naive_rate
+         |FROM tot, last""".stripMargin
+    })
+}
+
+private object DurbinWatsonQ {
+  import org.apache.spark.sql.functions._
+
+  /** Durbin-Watson autocorrelation test on the residuals of the
+    * daily-revenue-vs-time OLS line — the standard "is the trend
+    * model leaving serial structure behind" check run before trusting
+    * regression standard errors. The line fits CLOSED-FORM from exact
+    * BIGINT/DECIMAL moments (t = day rank, y = purchase cents);
+    * residuals are per-row mirrored doubles, and both DW sums — Σ(eₜ
+    * − eₜ₋₁)² and Σeₜ² — fold over the day-ordered residual ARRAY in
+    * index order (the index-order-fold device, calendar-bounded).
+    * DW ≈ 2(1−ρ̂). One fact aggregate; 1-row output.
+    */
+  val q: Q = Q("stat_durbin_watson",
+    (s, d) => {
+      val wSeq = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val byday = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(20,0)").as("y"))
+        .withColumn("t", row_number().over(wSeq).cast("long"))
+      val m = byday.agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("t")).cast("decimal(38,0)")).as("sty"))
+      def dd(c: String) = col(c).cast("double")
+      val b = (dd("n") * dd("sty") - dd("st") * dd("sy")) /
+        (dd("n") * dd("stt") - dd("st") * dd("st"))
+      val a = (dd("sy") - b * dd("st")) / dd("n")
+      byday.crossJoin(broadcast(m))
+        .withColumn("e", dd("y") - a - b * col("t").cast("double"))
+        .agg(max("n").as("n_days"),
+          expr("""aggregate(transform(sort_array(collect_list(
+               |    struct(t, e))), x -> x.e * x.e),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+            .as("den"),
+          expr("""aggregate(transform(sequence(2, cast(max(n) as int)),
+               |    i -> (element_at(transform(sort_array(collect_list(
+               |           struct(t, e))), x -> x.e), i)
+               |        - element_at(transform(sort_array(collect_list(
+               |           struct(t, e))), x -> x.e), i - 1))),
+               |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)""".stripMargin)
+            .as("num"))
+        .select(col("n_days"),
+          round(col("num") / col("den"), 4).as("dw"),
+          round(lit(1.0) - col("num") / col("den") / 2.0, 4).as("rho_hat"))
+    },
+    Some("""WITH byday AS (
+           |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+           |  FROM (SELECT CAST(ts AS DATE) AS day,
+           |          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+           |            AS DECIMAL(20,0)) AS y
+           |        FROM events WHERE event_type = 'purchase'
+           |        GROUP BY 1) x),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(t) AS BIGINT) AS st,
+           |    CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           |    SUM(CAST(y * t AS DECIMAL(38,0))) AS sty
+           |  FROM byday),
+           |res AS (
+           |  SELECT t,
+           |    CAST(y AS DOUBLE)
+           |      - (CAST(sy AS DOUBLE)
+           |         - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+           |             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           |            / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           |               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+           |           * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+           |      - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+           |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           |         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           |            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+           |        * CAST(t AS DOUBLE) AS e
+           |  FROM byday, m),
+           |arr AS (
+           |  SELECT (SELECT MAX(n) FROM m) AS n_days,
+           |    list(e ORDER BY t) AS l
+           |  FROM res)
+           |SELECT n_days,
+           |  ROUND(list_sum(list_transform(generate_series(2,
+           |      CAST(n_days AS INT)),
+           |      i -> (l[i] - l[i - 1]) * (l[i] - l[i - 1])))
+           |    / list_sum(list_transform(l, x -> x * x)), 4) AS dw,
+           |  ROUND(1.0 - list_sum(list_transform(generate_series(2,
+           |      CAST(n_days AS INT)),
+           |      i -> (l[i] - l[i - 1]) * (l[i] - l[i - 1])))
+           |    / list_sum(list_transform(l, x -> x * x)) / 2.0, 4)
+           |    AS rho_hat
+           |FROM arr""".stripMargin))
+}
+
+private object CooksDistanceQ {
+  import org.apache.spark.sql.functions._
+
+  /** Cook's distance influence audit of the same daily regression —
+    * which single days, if dropped, would move the fitted trend most.
+    * Everything is per-row closed form over the exact moment summary
+    * (leverage hₜ = 1/n + (t−t̄)²/Sₜₜᶜ, residual eₜ, s² from the
+    * SSE identity Syyᶜ − b·Sxyᶜ — one more exact Σy² moment), so
+    * there are NO double folds at all; the influential flag compares
+    * Dₜ to the 4/n rule. Calendar-bounded; one fact aggregate.
+    */
+  val q: Q = Q("stat_cooks_distance",
+    (s, d) => {
+      val wSeq = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val byday = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(20,0)").as("y"))
+        .withColumn("t", row_number().over(wSeq).cast("long"))
+      val m = byday.agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("t")).cast("decimal(38,0)")).as("sty"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      def dd(c: String) = col(c).cast("double")
+      val sttC = dd("stt") - dd("st") * dd("st") / dd("n")
+      val styC = dd("sty") - dd("st") * dd("sy") / dd("n")
+      val syyC = dd("syy") - dd("sy") * dd("sy") / dd("n")
+      val b = styC / sttC
+      val a = (dd("sy") - b * dd("st")) / dd("n")
+      val s2 = (syyC - b * styC) / (dd("n") - 2.0)
+      byday.crossJoin(broadcast(m))
+        .withColumn("e", dd("y") - a - b * col("t").cast("double"))
+        .withColumn("h", lit(1.0) / dd("n") +
+          (col("t").cast("double") - dd("st") / dd("n")) *
+            (col("t").cast("double") - dd("st") / dd("n")) / sttC)
+        .withColumn("cooks_d", col("e") * col("e") * col("h") /
+          (lit(2.0) * s2 * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+        .select(col("day").cast("string").as("day"),
+          (dd("y") / 100.0).as("revenue"),
+          round(col("e") / 100.0, 4).as("residual_dollars"),
+          round(col("h"), 6).as("leverage"),
+          round(col("cooks_d"), 6).as("cooks_d"),
+          (col("cooks_d") > lit(4.0) / dd("n")).as("influential"))
+        .orderBy("day")
+    },
+    Some("""WITH byday AS (
+           |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+           |  FROM (SELECT CAST(ts AS DATE) AS day,
+           |          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+           |            AS DECIMAL(20,0)) AS y
+           |        FROM events WHERE event_type = 'purchase'
+           |        GROUP BY 1) x),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(t) AS BIGINT) AS st,
+           |    CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           |    SUM(CAST(y * t AS DECIMAL(38,0))) AS sty,
+           |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+           |  FROM byday),
+           |c AS (
+           |  SELECT n, st, sy,
+           |    CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+           |      / CAST(n AS DOUBLE) AS sttc,
+           |    CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+           |      / CAST(n AS DOUBLE) AS styc,
+           |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           |      / CAST(n AS DOUBLE) AS syyc
+           |  FROM m),
+           |f AS (
+           |  SELECT n, st, sy, sttc, styc / sttc AS b,
+           |    (CAST(sy AS DOUBLE) - (styc / sttc) * CAST(st AS DOUBLE))
+           |      / CAST(n AS DOUBLE) AS a,
+           |    (syyc - (styc / sttc) * styc) / (CAST(n AS DOUBLE) - 2.0)
+           |      AS s2
+           |  FROM c),
+           |r AS (
+           |  SELECT day, y, t,
+           |    CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE) AS e,
+           |    1.0 / CAST(n AS DOUBLE)
+           |      + (CAST(t AS DOUBLE) - CAST(st AS DOUBLE)
+           |         / CAST(n AS DOUBLE))
+           |      * (CAST(t AS DOUBLE) - CAST(st AS DOUBLE)
+             |       / CAST(n AS DOUBLE)) / sttc AS h,
+           |    s2, n
+           |  FROM byday, f)
+           |SELECT CAST(day AS VARCHAR) AS day,
+           |  CAST(y AS DOUBLE) / 100.0 AS revenue,
+           |  ROUND(e / 100.0, 4) AS residual_dollars,
+           |  ROUND(h, 6) AS leverage,
+           |  ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+           |    AS cooks_d,
+           |  e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+           |    > 4.0 / CAST(n AS DOUBLE) AS influential
+           |FROM r ORDER BY day""".stripMargin))
 }
 
 private object HurstQ {
