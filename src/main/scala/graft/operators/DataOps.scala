@@ -1489,9 +1489,79 @@ object DataOps {
     Q("mm_aspect_bucket", fn, Some(sql))
   }
 
+  /** Framewise audio RMS over the stubbed PCM decode — the silence/
+    * level profile a speech-data pipeline computes before VAD
+    * trimming (real codecs aren't in this container; samples are the
+    * byte values of the ascii text — the mm_binary_features stub
+    * doctrine, swap one projection for a real decoder). All math is
+    * WITHIN-ROW: per-64-sample frame Σs² accumulates as an EXACT
+    * BIGINT fold, each frame RMS is one sqrt(ssq/len), and the
+    * min/max frame RMS are order-free array extremes — no double
+    * folds, no explode, no shuffle before the output sort. O(n_chars)
+    * per row; linear scan at any scale.
+    */
+  private val audioRmsQuery: Q = {
+    val FRAME = 64
+    def fn(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("nf", expr(s"(n + ${FRAME - 1}) div $FRAME"))
+        .withColumn("rmsArr", expr(
+          s"""transform(sequence(0L, nf - 1),
+             |  f -> sqrt(cast(aggregate(
+             |         transform(sequence(1L, least(cast($FRAME as bigint),
+             |                                      n - f * $FRAME)),
+             |           i -> cast(ascii(substring(text,
+             |                  cast(f * $FRAME + i as int), 1)) as bigint)),
+             |         cast(0 as bigint), (acc, x) -> acc + x * x)
+             |       as double)
+             |       / cast(least(cast($FRAME as bigint), n - f * $FRAME)
+             |              as double)))""".stripMargin))
+        .withColumn("ssq", expr(
+          """aggregate(transform(sequence(1L, n),
+            |  i -> cast(ascii(substring(text, cast(i as int), 1))
+            |        as bigint)),
+            |  cast(0 as bigint), (acc, x) -> acc + x * x)""".stripMargin))
+        .select(col("doc_id"), col("n").as("n_samples"),
+          col("nf").as("n_frames"),
+          round(sqrt(col("ssq").cast("double") / col("n").cast("double")),
+            4).as("rms_overall"),
+          round(array_min(col("rmsArr")), 4).as("rms_min"),
+          round(array_max(col("rmsArr")), 4).as("rms_max"))
+        .orderBy("doc_id")
+    val sql =
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    (CAST(length(text) AS BIGINT) + ${FRAME - 1}) // $FRAME AS nf
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n, nf,
+         |    list_transform(generate_series(0, CAST(nf - 1 AS INT)),
+         |      f -> sqrt(CAST(list_sum(list_transform(
+         |             generate_series(1, CAST(least($FRAME,
+         |               n - f * $FRAME) AS INT)),
+         |             i -> CAST(ascii(substr(text,
+         |                    CAST(f * $FRAME + i AS INT), 1)) AS BIGINT)
+         |                  * ascii(substr(text,
+         |                    CAST(f * $FRAME + i AS INT), 1))))
+         |           AS DOUBLE)
+         |           / CAST(least($FRAME, n - f * $FRAME) AS DOUBLE)))
+         |      AS rms_arr,
+         |    list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+         |           * ascii(substr(text, i, 1)))) AS ssq
+         |  FROM b)
+         |SELECT doc_id, n AS n_samples, nf AS n_frames,
+         |  ROUND(sqrt(CAST(ssq AS DOUBLE) / n), 4) AS rms_overall,
+         |  ROUND(list_min(rms_arr), 4) AS rms_min,
+         |  ROUND(list_max(rms_arr), 4) AS rms_max
+         |FROM r ORDER BY doc_id""".stripMargin
+    Q("mm_audio_rms", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
-      aspectBucketQuery,
+      aspectBucketQuery, audioRmsQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),

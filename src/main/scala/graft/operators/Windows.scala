@@ -3522,8 +3522,183 @@ object Windows {
     HurstQ.q,
     CrostonQ.q,
     DurbinWatsonQ.q,
-    CooksDistanceQ.q
+    CooksDistanceQ.q,
+    BreuschPaganQ.q,
+    VolumeAnomalyQ.q
   )
+}
+
+private object BreuschPaganQ {
+  import org.apache.spark.sql.functions._
+
+  /** Breusch-Pagan heteroscedasticity test on the daily trend line —
+    * the third leg of the regression-diagnostics family (stat_durbin_
+    * watson: serial correlation; stat_cooks_distance: influence; this:
+    * non-constant variance, the condition that silently breaks OLS
+    * standard errors). LM = n·R²aux of the auxiliary regression of
+    * squared residuals on t. Residuals are the SAME per-row closed
+    * forms over exact moments; the aux moments Σu, Σtu, Σu² (u = e²)
+    * are double sums folded over the day-ordered array (index-order-
+    * fold device, calendar-bounded ≤ n_days terms). One fact
+    * aggregate; 1-row output with the χ²(1) 5% verdict at 3.8415.
+    */
+  val q: Q = Q("stat_breusch_pagan",
+    (s, d) => {
+      val wSeq = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val byday = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(20,0)").as("y"))
+        .withColumn("t", row_number().over(wSeq).cast("long"))
+      val m = byday.agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("y") * col("t")).cast("decimal(38,0)")).as("sty"))
+      def dd(c: String) = col(c).cast("double")
+      val b = (dd("n") * dd("sty") - dd("st") * dd("sy")) /
+        (dd("n") * dd("stt") - dd("st") * dd("st"))
+      val a = (dd("sy") - b * dd("st")) / dd("n")
+      def fold(body: String) =
+        expr(s"""aggregate(transform(sort_array(collect_list(
+             |    struct(t, e))), x -> $body),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      byday.crossJoin(broadcast(m))
+        .withColumn("e", dd("y") - a - b * col("t").cast("double"))
+        .agg(max("n").as("nn"), max("st").as("sst"), max("stt").as("sstt"),
+          fold("x.e * x.e").as("su"),
+          fold("x.t * x.e * x.e").as("stu"),
+          fold("x.e * x.e * x.e * x.e").as("suu"))
+        .withColumn("sttc", col("sstt").cast("double") -
+          col("sst").cast("double") * col("sst").cast("double") /
+            col("nn").cast("double"))
+        .withColumn("stuc", col("stu") -
+          col("sst").cast("double") * col("su") / col("nn").cast("double"))
+        .withColumn("suuc", col("suu") -
+          col("su") * col("su") / col("nn").cast("double"))
+        .withColumn("r2", col("stuc") * col("stuc") /
+          (col("sttc") * col("suuc")))
+        .select(col("nn").as("n_days"),
+          round(col("r2"), 6).as("r2_aux"),
+          round(col("nn").cast("double") * col("r2"), 4).as("bp_lm"),
+          (col("nn").cast("double") * col("r2") > 3.8415)
+            .as("heteroscedastic"))
+    },
+    Some("""WITH byday AS (
+           |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+           |  FROM (SELECT CAST(ts AS DATE) AS day,
+           |          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+           |            AS DECIMAL(20,0)) AS y
+           |        FROM events WHERE event_type = 'purchase'
+           |        GROUP BY 1) x),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(t) AS BIGINT) AS st,
+           |    CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           |    SUM(CAST(y * t AS DECIMAL(38,0))) AS sty
+           |  FROM byday),
+           |res AS (
+           |  SELECT t,
+           |    CAST(y AS DOUBLE)
+           |      - (CAST(sy AS DOUBLE)
+           |         - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+           |             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           |            / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           |               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+           |           * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+           |      - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+           |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           |         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           |            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+           |        * CAST(t AS DOUBLE) AS e
+           |  FROM byday, m),
+           |arr AS (
+           |  SELECT (SELECT MAX(n) FROM m) AS nn,
+           |    (SELECT MAX(st) FROM m) AS sst,
+           |    (SELECT MAX(stt) FROM m) AS sstt,
+           |    list_sum(list(e * e ORDER BY t)) AS su,
+           |    list_sum(list(t * e * e ORDER BY t)) AS stu,
+           |    list_sum(list(e * e * e * e ORDER BY t)) AS suu
+           |  FROM res),
+           |c AS (
+           |  SELECT nn,
+           |    (stu - CAST(sst AS DOUBLE) * su / nn)
+           |      * (stu - CAST(sst AS DOUBLE) * su / nn)
+           |      / ((CAST(sstt AS DOUBLE) - CAST(sst AS DOUBLE)
+           |          * CAST(sst AS DOUBLE) / nn)
+           |         * (suu - su * su / nn)) AS r2
+           |  FROM arr)
+           |SELECT nn AS n_days, ROUND(r2, 6) AS r2_aux,
+           |  ROUND(nn * r2, 4) AS bp_lm,
+           |  nn * r2 > 3.8415 AS heteroscedastic
+           |FROM c""".stripMargin))
+}
+
+private object VolumeAnomalyQ {
+  import org.apache.spark.sql.functions._
+
+  /** Robust daily-volume anomaly audit per event type — the DQ pager
+    * rule for "did yesterday's feed half-arrive": modified z-score
+    * 0.6745·(c − med)/MAD (Iglewicz-Hoaglin, |z| > 3.5 flags) with
+    * med and MAD as LOWER MEDIANS picked by index from the day-
+    * ordered count arrays — exact integer selection, no interpolation
+    * ambiguity, engine-identical (the 30-element per-type array is
+    * calendar-bounded; the corpus-scale work is one daily count
+    * aggregate). MAD degenerate (0) guards to NULL z on both engines.
+    */
+  val q: Q = Q("dq_volume_anomaly",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val med = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("""element_at(array_sort(collect_list(c)),
+               |  cast((count(1) + 1) div 2 as int))""".stripMargin)
+            .as("med"))
+      val mad = daily.join(med, "event_type")
+        .withColumn("ad", abs(col("c") - col("med")))
+        .groupBy("event_type")
+        .agg(expr("""element_at(array_sort(collect_list(ad)),
+               |  cast((count(1) + 1) div 2 as int))""".stripMargin)
+          .as("mad"))
+      daily.join(med, "event_type").join(mad, "event_type")
+        .withColumn("z", when(col("mad") > 0,
+          round(lit(0.6745) * (col("c") - col("med")).cast("double") /
+            col("mad").cast("double"), 4)))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("c").as("n_rows"), col("med").as("median_rows"),
+          col("mad"), col("z"),
+          coalesce(abs(col("z")) > 3.5, lit(false)).as("anomalous"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |med AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |    (list_sort(list(c)))[CAST((COUNT(*) + 1) // 2 AS INT)]
+           |      AS med
+           |  FROM daily GROUP BY 1),
+           |mad AS (
+           |  SELECT d.event_type,
+           |    (list_sort(list(abs(d.c - m.med))))
+           |      [CAST((COUNT(*) + 1) // 2 AS INT)] AS mad
+           |  FROM daily d JOIN med m USING (event_type)
+           |  GROUP BY d.event_type),
+           |z AS (
+           |  SELECT d.event_type, d.day, d.c, m.med, a.mad,
+           |    CASE WHEN a.mad > 0 THEN
+           |      ROUND(0.6745 * CAST(d.c - m.med AS DOUBLE)
+           |        / CAST(a.mad AS DOUBLE), 4) END AS z
+           |  FROM daily d JOIN med m USING (event_type)
+           |    JOIN mad a ON a.event_type = d.event_type)
+           |SELECT event_type, CAST(day AS VARCHAR) AS day, c AS n_rows,
+           |  med AS median_rows, mad, z,
+           |  COALESCE(abs(z) > 3.5, false) AS anomalous
+           |FROM z ORDER BY event_type, day""".stripMargin))
 }
 
 private object CrostonQ {
