@@ -4735,5 +4735,432 @@ object Aggs {
              |    AND (diff - 0.1) / sqrt(se2_a + se2_b) < -1.6449
              |    AS equivalent
              |FROM se""".stripMargin))
+  ) ++ wave16
+
+  /** Round-10 wave 16 — multivariate / tail / diagnostic stats. All
+    * moments come from EXACT decimal (or exactly-representable
+    * half-integer) sums, so the final double expression trees are
+    * bit-identical across engines; every query is 1–2 linear passes
+    * over the fact table with key-sized shuffled state.
+    */
+  private def wave16: Seq[Q] = Seq(
+
+    // Mahalanobis outlier screen — the 2-D generalization of
+    // stat_outlier_tukey: per returnflag, fit the (quantity, price)
+    // mean/covariance from EXACT decimal power sums (one linear
+    // groupBy → 3 tiny models), broadcast the models back, and score
+    // every row's d² = [dx dy] Σ⁻¹ [dx dy]ᵀ with the closed-form 2×2
+    // inverse — a map-side expression, so the only shuffles are the
+    // two key-sized aggregates. Both engines evaluate the identical
+    // double tree on identical exact sums, making the
+    // d² > χ²₀.₉₉(2) = 9.21 cut deterministic. Linear at any scale.
+    Q("stat_mahalanobis",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        val m = li.groupBy("f").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+          .select(col("f"), col("n"),
+            (col("sx").cast("double") / col("n")).as("mx"),
+            (col("sy").cast("double") / col("n")).as("my"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / (col("n") - 1)).as("vxx"),
+            ((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+              / (col("n") - 1)).as("vxy"),
+            ((col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double") / col("n"))
+              / (col("n") - 1)).as("vyy"))
+        li.join(broadcast(m), "f")
+          .withColumn("dx", col("x").cast("double") - col("mx"))
+          .withColumn("dy", col("y").cast("double") - col("my"))
+          .withColumn("d2",
+            (col("vyy") * col("dx") * col("dx")
+              - lit(2.0) * col("vxy") * col("dx") * col("dy")
+              + col("vxx") * col("dy") * col("dy"))
+              / (col("vxx") * col("vyy") - col("vxy") * col("vxy")))
+          .groupBy(col("f").as("l_returnflag"))
+          .agg(max("n").as("n"), round(max("d2"), 4).as("max_d2"),
+            count(when(col("d2") > 9.21, lit(1))).as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS f,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |    SUM(x*y) AS sxy, SUM(y*y) AS syy
+             |  FROM li GROUP BY f),
+             |mm AS (
+             |  SELECT f, n,
+             |    CAST(sx AS DOUBLE) / n AS mx,
+             |    CAST(sy AS DOUBLE) / n AS my,
+             |    (CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+             |      / (n - 1) AS vxx,
+             |    (CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             |      / (n - 1) AS vxy,
+             |    (CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             |      / (n - 1) AS vyy
+             |  FROM m),
+             |r AS (
+             |  SELECT li.f, n,
+             |    (vyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+             |      - 2.0 * vxy * (CAST(x AS DOUBLE) - mx)
+             |            * (CAST(y AS DOUBLE) - my)
+             |      + vxx * (CAST(y AS DOUBLE) - my)
+             |            * (CAST(y AS DOUBLE) - my))
+             |    / (vxx * vyy - vxy * vxy) AS d2
+             |  FROM li JOIN mm ON li.f = mm.f)
+             |SELECT f AS l_returnflag, MAX(n) AS n,
+             |  ROUND(MAX(d2), 4) AS max_d2,
+             |  COUNT(*) FILTER (WHERE d2 > 9.21) AS n_outliers
+             |FROM r GROUP BY f ORDER BY f""".stripMargin)),
+
+    // Hill estimator of the Pareto tail index on order totals — the
+    // heavy-tail diagnostic a mixing pipeline runs before trusting
+    // mean-based budgets (ts_pareto_days asks "how concentrated";
+    // Hill asks "does the mean even converge"). Top-(k+1) order
+    // stats via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, no global sort; k+1 rows to the driver-side stage, a
+    // model-sized set at any corpus scale). Each ln term is rounded
+    // to 9 dp and summed as DECIMAL(18,9), so the k-term sum is
+    // EXACT in both engines regardless of addend order.
+    Q("stat_hill_tail",
+      (s, d) => {
+        val k = 500
+        val top = Tables.orders(s, d)
+          .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .orderBy(col("p").desc).limit(k + 1)
+        top.agg(min("p").as("pmin"),
+          sum(expr("cast(round(ln(cast(p as double)), 9) as decimal(18,9))"))
+            .as("sln"))
+          .withColumn("lnmin",
+            expr("cast(round(ln(cast(pmin as double)), 9) as decimal(18,9))"))
+          .select(lit(k).as("k"),
+            col("pmin").cast("double").as("x_k1"),
+            round(lit(1.0) /
+              ((col("sln") - col("lnmin")).cast("double") / k
+                - col("lnmin").cast("double")), 4).as("hill_alpha"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+             |  FROM orders ORDER BY p DESC LIMIT 501),
+             |a AS (
+             |  SELECT MIN(p) AS pmin,
+             |    SUM(CAST(ROUND(ln(CAST(p AS DOUBLE)), 9)
+             |        AS DECIMAL(18,9))) AS sln
+             |  FROM t),
+             |b AS (
+             |  SELECT pmin, sln,
+             |    CAST(ROUND(ln(CAST(pmin AS DOUBLE)), 9)
+             |        AS DECIMAL(18,9)) AS lnmin
+             |  FROM a)
+             |SELECT 500 AS k, CAST(pmin AS DOUBLE) AS x_k1,
+             |  ROUND(1.0 / (CAST(sln - lnmin AS DOUBLE) / 500
+             |    - CAST(lnmin AS DOUBLE)), 4) AS hill_alpha
+             |FROM b""".stripMargin)),
+
+    // Youden-J optimal threshold — the ROC operating-point pick for a
+    // quality gate (llm_quality_auc ranks the classifier; this picks
+    // the cut). Label = lang·en, score = n_chars bucketed to 10s, so
+    // the sweep domain is VALUE-BOUNDED (≤ ~60 buckets whatever the
+    // corpus size): one linear groupBy to bucket counts, then the
+    // cumulative TPR/FPR window runs over the bounded bucket set —
+    // the single-partition window is over ≤60 rows by construction.
+    // J from exact integer counts → deterministic argmax.
+    Q("stat_youden_threshold",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(expr("(n_chars div 10) * 10").as("t"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .groupBy("t").agg(count(lit(1)).as("c"), sum("pos").as("cp"))
+        val tot = b.agg(sum("c").as("nn"), sum("cp").as("np"))
+        val wCum = Window.orderBy(col("t").desc)
+        b.withColumn("cum_p", sum("cp").over(wCum))
+          .withColumn("cum_n", sum(col("c") - col("cp")).over(wCum))
+          .crossJoin(broadcast(tot))
+          .withColumn("tpr", col("cum_p").cast("double") / col("np"))
+          .withColumn("fpr",
+            col("cum_n").cast("double") / (col("nn") - col("np")))
+          .withColumn("j", col("tpr") - col("fpr"))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("j").desc, col("t"))))
+          .filter(col("rk") === 1)
+          .select(col("t").as("threshold"), round(col("tpr"), 4).as("tpr"),
+            round(col("fpr"), 4).as("fpr"), round(col("j"), 4).as("youden_j"))
+      },
+      Some("""WITH b AS (
+             |  SELECT (n_chars // 10) * 10 AS t, COUNT(*) AS c,
+             |    COUNT(*) FILTER (WHERE lang = 'en') AS cp
+             |  FROM documents GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS nn,
+             |    CAST(SUM(cp) AS BIGINT) AS np FROM b),
+             |c AS (
+             |  SELECT t,
+             |    CAST(SUM(cp) OVER (ORDER BY t DESC) AS BIGINT) AS cum_p,
+             |    CAST(SUM(c - cp) OVER (ORDER BY t DESC) AS BIGINT) AS cum_n
+             |  FROM b),
+             |j AS (
+             |  SELECT t,
+             |    CAST(cum_p AS DOUBLE) / np AS tpr,
+             |    CAST(cum_n AS DOUBLE) / (nn - np) AS fpr,
+             |    CAST(cum_p AS DOUBLE) / np
+             |      - CAST(cum_n AS DOUBLE) / (nn - np) AS j
+             |  FROM c, tot)
+             |SELECT t AS threshold, ROUND(tpr, 4) AS tpr,
+             |  ROUND(fpr, 4) AS fpr, ROUND(j, 4) AS youden_j
+             |FROM j ORDER BY j DESC, t LIMIT 1""".stripMargin)),
+
+    // Variance inflation factors for the 3-regressor design
+    // (quantity, price, discount) — the multicollinearity audit run
+    // before trusting stat_linreg coefficients. The full pairwise
+    // correlation matrix comes from ONE linear pass of exact decimal
+    // power sums; the 3×3 inverse is closed-form in the pairwise r's
+    // (R²_i from the partialled-out formula), all key-sized math.
+    Q("stat_vif",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("decimal(18,2)").as("a"),
+          col("l_extendedprice").cast("decimal(18,2)").as("b"),
+          col("l_discount").cast("decimal(18,6)").as("c"))
+        def rr(sij: Column, si: Column, sj: Column, sii: Column,
+               sjj: Column, n: Column): Column =
+          (n.cast("double") * sij.cast("double")
+            - si.cast("double") * sj.cast("double")) /
+            sqrt((n.cast("double") * sii.cast("double")
+              - si.cast("double") * si.cast("double")) *
+              (n.cast("double") * sjj.cast("double")
+                - sj.cast("double") * sj.cast("double")))
+        li.agg(count(lit(1)).as("n"),
+          sum("a").as("sa"), sum("b").as("sb"), sum("c").as("sc"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("c") * col("c")).as("scc"),
+          sum(col("a") * col("b")).as("sab"),
+          sum(col("a") * col("c")).as("sac"),
+          sum(col("b") * col("c")).as("sbc"))
+          .withColumn("r12", rr(col("sab"), col("sa"), col("sb"),
+            col("saa"), col("sbb"), col("n")))
+          .withColumn("r13", rr(col("sac"), col("sa"), col("sc"),
+            col("saa"), col("scc"), col("n")))
+          .withColumn("r23", rr(col("sbc"), col("sb"), col("sc"),
+            col("sbb"), col("scc"), col("n")))
+          .select(col("n"),
+            round(col("r12"), 4).as("r12"),
+            round(col("r13"), 4).as("r13"),
+            round(col("r23"), 4).as("r23"),
+            round(lit(1.0) / (lit(1.0) -
+              (col("r12") * col("r12") + col("r13") * col("r13")
+                - lit(2.0) * col("r12") * col("r13") * col("r23"))
+                / (lit(1.0) - col("r23") * col("r23"))), 4).as("vif_quantity"),
+            round(lit(1.0) / (lit(1.0) -
+              (col("r12") * col("r12") + col("r23") * col("r23")
+                - lit(2.0) * col("r12") * col("r23") * col("r13"))
+                / (lit(1.0) - col("r13") * col("r13"))), 4).as("vif_price"),
+            round(lit(1.0) / (lit(1.0) -
+              (col("r13") * col("r13") + col("r23") * col("r23")
+                - lit(2.0) * col("r13") * col("r23") * col("r12"))
+                / (lit(1.0) - col("r12") * col("r12"))), 4).as("vif_discount"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+             |    SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+             |    SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+             |  FROM (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS a,
+             |          CAST(l_extendedprice AS DECIMAL(18,2)) AS b,
+             |          CAST(l_discount AS DECIMAL(18,6)) AS c
+             |        FROM lineitem)),
+             |r AS (
+             |  SELECT n,
+             |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+             |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS r12,
+             |    (CAST(n AS DOUBLE) * CAST(sac AS DOUBLE)
+             |      - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+             |        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))) AS r13,
+             |    (CAST(n AS DOUBLE) * CAST(sbc AS DOUBLE)
+             |      - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+             |        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))) AS r23
+             |  FROM s)
+             |SELECT n, ROUND(r12, 4) AS r12, ROUND(r13, 4) AS r13,
+             |  ROUND(r23, 4) AS r23,
+             |  ROUND(1.0 / (1.0 - (r12*r12 + r13*r13 - 2.0*r12*r13*r23)
+             |    / (1.0 - r23*r23)), 4) AS vif_quantity,
+             |  ROUND(1.0 / (1.0 - (r12*r12 + r23*r23 - 2.0*r12*r23*r13)
+             |    / (1.0 - r13*r13)), 4) AS vif_price,
+             |  ROUND(1.0 / (1.0 - (r13*r13 + r23*r23 - 2.0*r13*r23*r12)
+             |    / (1.0 - r12*r12)), 4) AS vif_discount
+             |FROM r""".stripMargin)),
+
+    // Brown-Forsythe — the MEDIAN-centered Levene variant (robust to
+    // the skew that mean-centered stat_levene inherits). Quantity is
+    // integer-valued, so each group median is an integer or exact
+    // half-integer, |q − med| is a multiple of 0.5, and all z-sums
+    // are EXACT doubles in any addend order — no decimal plumbing
+    // needed. Two linear passes (medians, then z-moments), 3-row
+    // model broadcast between them.
+    Q("stat_brown_forsythe",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("f"), col("l_quantity").as("q"))
+        val med = li.groupBy("f").agg(expr("percentile(q, 0.5D)").as("med"))
+        val g = li.join(broadcast(med), "f")
+          .select(col("f"), abs(col("q") - col("med")).as("z"))
+          .groupBy("f").agg(count(lit(1)).as("n"), sum("z").as("sz"),
+            sum(col("z") * col("z")).as("szz"))
+        val t = g.agg(sum("n").as("nn"), count(lit(1)).as("k"),
+          sum("sz").as("tz"))
+        g.crossJoin(broadcast(t))
+          .select(col("k"), col("nn"), col("n"),
+            ((col("sz") / col("n")) - (col("tz") / col("nn"))).as("dev"),
+            (col("szz") - col("sz") * col("sz") / col("n")).as("ssw_i"))
+          .agg(max("k").as("k"), max("nn").as("n_total"),
+            sum(col("n") * col("dev") * col("dev")).as("ssb"),
+            sum("ssw_i").as("ssw"))
+          .select(col("k"), col("n_total"),
+            round((col("ssb") / (col("k") - 1))
+              / (col("ssw") / (col("n_total") - col("k"))), 4).as("f_bf"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS f, l_quantity AS q FROM lineitem),
+             |med AS (
+             |  SELECT f, quantile_cont(q, 0.5) AS med FROM li GROUP BY f),
+             |g AS (
+             |  SELECT li.f, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(abs(q - med)) AS sz,
+             |    SUM(abs(q - med) * abs(q - med)) AS szz
+             |  FROM li JOIN med ON li.f = med.f GROUP BY li.f),
+             |t AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             |    CAST(COUNT(*) AS BIGINT) AS k, SUM(sz) AS tz FROM g),
+             |p AS (
+             |  SELECT k, nn, n, (sz / n) - (tz / nn) AS dev,
+             |    szz - sz * sz / n AS ssw_i
+             |  FROM g, t),
+             |f AS (
+             |  SELECT MAX(k) AS k, MAX(nn) AS n_total,
+             |    SUM(n * dev * dev) AS ssb, SUM(ssw_i) AS ssw
+             |  FROM p)
+             |SELECT k, n_total,
+             |  ROUND((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS f_bf
+             |FROM f""".stripMargin)),
+
+    // Two-sample Hotelling T² — "did the (quantity, price) JOINT mean
+    // shift between returned and non-returned lines": the 2-D twin of
+    // stat_welch_ttest that catches correlated drifts a pair of
+    // univariate t-tests misses. ONE conditional-aggregate pass
+    // (exact decimal power sums per arm), closed-form pooled 2×2
+    // inverse, single-row output. F = T²(n−3)/(2(n−2)), p = 2.
+    Q("stat_hotelling_t2",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select((col("l_returnflag") === "A").as("ga"),
+            col("l_quantity").cast("decimal(18,2)").as("x"),
+            col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        def cs(c: Column, a: Boolean) =
+          sum(when(col("ga") === a, c))
+        val agg = li.agg(
+          count(when(col("ga") === true, lit(1))).as("na"),
+          count(when(col("ga") === false, lit(1))).as("nb"),
+          cs(col("x"), true).as("sxa"), cs(col("y"), true).as("sya"),
+          cs(col("x") * col("x"), true).as("sxxa"),
+          cs(col("x") * col("y"), true).as("sxya"),
+          cs(col("y") * col("y"), true).as("syya"),
+          cs(col("x"), false).as("sxb"), cs(col("y"), false).as("syb"),
+          cs(col("x") * col("x"), false).as("sxxb"),
+          cs(col("x") * col("y"), false).as("sxyb"),
+          cs(col("y") * col("y"), false).as("syyb"))
+        def dd(c: String) = col(c).cast("double")
+        agg
+          .withColumn("vxx",
+            ((dd("sxxa") - dd("sxa") * dd("sxa") / col("na"))
+              + (dd("sxxb") - dd("sxb") * dd("sxb") / col("nb")))
+              / (col("na") + col("nb") - 2))
+          .withColumn("vxy",
+            ((dd("sxya") - dd("sxa") * dd("sya") / col("na"))
+              + (dd("sxyb") - dd("sxb") * dd("syb") / col("nb")))
+              / (col("na") + col("nb") - 2))
+          .withColumn("vyy",
+            ((dd("syya") - dd("sya") * dd("sya") / col("na"))
+              + (dd("syyb") - dd("syb") * dd("syb") / col("nb")))
+              / (col("na") + col("nb") - 2))
+          .withColumn("dx", dd("sxa") / col("na") - dd("sxb") / col("nb"))
+          .withColumn("dy", dd("sya") / col("na") - dd("syb") / col("nb"))
+          .withColumn("t2",
+            (col("na").cast("double") * col("nb") / (col("na") + col("nb")))
+              * (col("vyy") * col("dx") * col("dx")
+                - lit(2.0) * col("vxy") * col("dx") * col("dy")
+                + col("vxx") * col("dy") * col("dy"))
+              / (col("vxx") * col("vyy") - col("vxy") * col("vxy")))
+          .select(col("na"), col("nb"), round(col("t2"), 4).as("t2"),
+            round(col("t2") * (col("na") + col("nb") - 3)
+              / (lit(2.0) * (col("na") + col("nb") - 2)), 4).as("f_stat"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag = 'A' AS ga,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+             |s AS (
+             |  SELECT
+             |    COUNT(*) FILTER (WHERE ga) AS na,
+             |    COUNT(*) FILTER (WHERE NOT ga) AS nb,
+             |    SUM(x) FILTER (WHERE ga) AS sxa,
+             |    SUM(y) FILTER (WHERE ga) AS sya,
+             |    SUM(x*x) FILTER (WHERE ga) AS sxxa,
+             |    SUM(x*y) FILTER (WHERE ga) AS sxya,
+             |    SUM(y*y) FILTER (WHERE ga) AS syya,
+             |    SUM(x) FILTER (WHERE NOT ga) AS sxb,
+             |    SUM(y) FILTER (WHERE NOT ga) AS syb,
+             |    SUM(x*x) FILTER (WHERE NOT ga) AS sxxb,
+             |    SUM(x*y) FILTER (WHERE NOT ga) AS sxyb,
+             |    SUM(y*y) FILTER (WHERE NOT ga) AS syyb
+             |  FROM li),
+             |v AS (
+             |  SELECT na, nb,
+             |    ((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)*CAST(sxa AS DOUBLE)/na)
+             |     + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)*CAST(sxb AS DOUBLE)/nb))
+             |     / (na + nb - 2) AS vxx,
+             |    ((CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE)*CAST(sya AS DOUBLE)/na)
+             |     + (CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE)*CAST(syb AS DOUBLE)/nb))
+             |     / (na + nb - 2) AS vxy,
+             |    ((CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE)*CAST(sya AS DOUBLE)/na)
+             |     + (CAST(syyb AS DOUBLE) - CAST(syb AS DOUBLE)*CAST(syb AS DOUBLE)/nb))
+             |     / (na + nb - 2) AS vyy,
+             |    CAST(sxa AS DOUBLE)/na - CAST(sxb AS DOUBLE)/nb AS dx,
+             |    CAST(sya AS DOUBLE)/na - CAST(syb AS DOUBLE)/nb AS dy
+             |  FROM s),
+             |t AS (
+             |  SELECT na, nb,
+             |    (CAST(na AS DOUBLE) * nb / (na + nb))
+             |      * (vyy*dx*dx - 2.0*vxy*dx*dy + vxx*dy*dy)
+             |      / (vxx*vyy - vxy*vxy) AS t2
+             |  FROM v)
+             |SELECT na, nb, ROUND(t2, 4) AS t2,
+             |  ROUND(t2 * (na + nb - 3) / (2.0 * (na + nb - 2)), 4) AS f_stat
+             |FROM t""".stripMargin))
   )
 }
