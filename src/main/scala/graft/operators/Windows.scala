@@ -3524,7 +3524,12 @@ object Windows {
     DurbinWatsonQ.q,
     CooksDistanceQ.q,
     BreuschPaganQ.q,
-    VolumeAnomalyQ.q
+    VolumeAnomalyQ.q,
+    Wave17Q.adf,
+    Wave17Q.yuleWalker,
+    Wave17Q.neweyWest,
+    Wave17Q.turningPoints,
+    Wave17Q.haarEnergy
   )
 }
 
@@ -4308,4 +4313,365 @@ private object HoltWintersQ {
             |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend
             |FROM fin, unnest(generate_series(1, 7)) t(h)
             |ORDER BY h""".stripMargin))
+}
+
+/** Round-10 wave 17 — classical time-series diagnostics on the
+  * calendar-bounded daily event-count series. Every statistic is a
+  * closed form over EXACT integer moment sums (counts, lag products,
+  * signed block sums), so the final double trees are bit-identical
+  * across engines; the only fact-table work is one linear groupBy to
+  * ≤31 day rows, after which everything is model-sized.
+  */
+private object Wave17Q {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** One linear pass: daily event counts (30-day fixture calendar). */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+
+  private val SQL_DAILY =
+    "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1"
+
+  /** Augmented-Dickey-Fuller (lag-0 DF form): regress Δy_t on y_{t−1}
+    * with intercept; t(γ) vs the −2.86 5% constant-case critical
+    * value answers "is the daily volume series mean-reverting or a
+    * random walk" — the stationarity precondition every ARIMA-ish
+    * forecaster (ts_holt_*, ts_yule_walker_ar2) silently assumes.
+    * γ, SE, t all from exact integer sums of the ≤30-row day series.
+    */
+  val adf: Q = Q("ts_adf_test",
+    (s, d) => {
+      val w = Window.orderBy("day")
+      val p = daily(s, d)
+        .withColumn("x", lag(col("c"), 1).over(w))
+        .filter(col("x").isNotNull)
+        .withColumn("dy", col("c") - col("x"))
+      p.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("dy").as("sy"),
+          sum(col("x") * col("dy")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .withColumn("gamma",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("sse",
+          (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double") / col("n"))
+            - col("gamma") * (col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double") / col("n")))
+        .withColumn("se", sqrt(
+          (col("sse") / (col("n") - 2))
+            / (col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))))
+        .select(col("n"), round(col("gamma"), 6).as("gamma"),
+          round(col("gamma") / col("se"), 4).as("adf_t"),
+          (col("gamma") / col("se") < -2.86).as("stationary_5pct"))
+    },
+    Some(s"""WITH byday AS ($SQL_DAILY),
+            |p AS (
+            |  SELECT c, LAG(c, 1) OVER (ORDER BY day) AS x
+            |  FROM byday),
+            |m AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    CAST(SUM(x) AS BIGINT) AS sx,
+            |    CAST(SUM(c - x) AS BIGINT) AS sy,
+            |    CAST(SUM(x * (c - x)) AS BIGINT) AS sxy,
+            |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+            |    CAST(SUM((c - x) * (c - x)) AS BIGINT) AS syy
+            |  FROM p WHERE x IS NOT NULL),
+            |g AS (
+            |  SELECT n,
+            |    CAST(n * sxy - sx * sy AS DOUBLE)
+            |      / CAST(n * sxx - sx * sx AS DOUBLE) AS gamma,
+            |    sx, sy, sxy, sxx, syy
+            |  FROM m),
+            |e AS (
+            |  SELECT n, gamma,
+            |    (CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+            |      - gamma * (CAST(sxy AS DOUBLE)
+            |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) AS sse,
+            |    CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS ssx
+            |  FROM g)
+            |SELECT n, ROUND(gamma, 6) AS gamma,
+            |  ROUND(gamma / sqrt((sse / (n - 2)) / ssx), 4) AS adf_t,
+            |  gamma / sqrt((sse / (n - 2)) / ssx) < -2.86 AS stationary_5pct
+            |FROM e""".stripMargin))
+
+  /** Yule-Walker AR(2) fit + 1-step forecast: φ₁, φ₂ from the biased
+    * lag-1/2 autocovariances (c_k = Σy_t·y_{t−k} − ȳ(head+tail) +
+    * (n−k)ȳ², every Σ an exact integer), the closed 2×2 solve, and
+    * ŷ_{n+1} anchored at the max_by-selected last two days — the
+    * lightweight AR forecaster between ts_ewma and ts_holt_winters.
+    */
+  val yuleWalker: Q = Q("ts_yule_walker_ar2",
+    (s, d) => {
+      val w = Window.orderBy("day")
+      val p = daily(s, d)
+        .withColumn("x1", lag(col("c"), 1).over(w))
+        .withColumn("x2", lag(col("c"), 2).over(w))
+      val a = p.agg(count(lit(1)).as("n"), sum("c").as("sy"),
+        sum(col("c") * col("c")).as("syy"),
+        sum(col("c") * col("x1")).as("p1"),
+        sum(when(col("x1").isNotNull, col("c"))).as("t1"),
+        sum("x1").as("h1"),
+        sum(col("c") * col("x2")).as("p2"),
+        sum(when(col("x2").isNotNull, col("c"))).as("t2"),
+        sum("x2").as("h2"),
+        max_by(col("c"), col("day")).as("y_last"),
+        max_by(col("x1"), col("day")).as("y_prev"))
+      val withR = a
+        .withColumn("ybar", col("sy").cast("double") / col("n"))
+        .withColumn("c0", col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double") / col("n"))
+        .withColumn("c1", col("p1").cast("double")
+          - col("ybar") * (col("t1") + col("h1")).cast("double")
+          + (col("n") - 1).cast("double") * col("ybar") * col("ybar"))
+        .withColumn("c2", col("p2").cast("double")
+          - col("ybar") * (col("t2") + col("h2")).cast("double")
+          + (col("n") - 2).cast("double") * col("ybar") * col("ybar"))
+        .withColumn("r1", col("c1") / col("c0"))
+        .withColumn("r2", col("c2") / col("c0"))
+        .withColumn("phi1",
+          col("r1") * (lit(1.0) - col("r2"))
+            / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi2",
+          (col("r2") - col("r1") * col("r1"))
+            / (lit(1.0) - col("r1") * col("r1")))
+      withR.select(col("n"),
+        round(col("r1"), 4).as("r1"), round(col("r2"), 4).as("r2"),
+        round(col("phi1"), 4).as("phi1"), round(col("phi2"), 4).as("phi2"),
+        round(col("ybar")
+          + col("phi1") * (col("y_last") - col("ybar"))
+          + col("phi2") * (col("y_prev") - col("ybar")), 4).as("forecast"))
+    },
+    Some(s"""WITH byday AS ($SQL_DAILY),
+            |p AS (
+            |  SELECT day, c,
+            |    LAG(c, 1) OVER (ORDER BY day) AS x1,
+            |    LAG(c, 2) OVER (ORDER BY day) AS x2
+            |  FROM byday),
+            |m AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    CAST(SUM(c) AS BIGINT) AS sy,
+            |    CAST(SUM(c * c) AS BIGINT) AS syy,
+            |    CAST(SUM(c * x1) AS BIGINT) AS p1,
+            |    CAST(SUM(c) FILTER (WHERE x1 IS NOT NULL) AS BIGINT) AS t1,
+            |    CAST(SUM(x1) AS BIGINT) AS h1,
+            |    CAST(SUM(c * x2) AS BIGINT) AS p2,
+            |    CAST(SUM(c) FILTER (WHERE x2 IS NOT NULL) AS BIGINT) AS t2,
+            |    CAST(SUM(x2) AS BIGINT) AS h2,
+            |    max_by(c, day) AS y_last,
+            |    max_by(x1, day) AS y_prev
+            |  FROM p),
+            |r AS (
+            |  SELECT n, y_last, y_prev,
+            |    CAST(sy AS DOUBLE) / n AS ybar,
+            |    CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c0,
+            |    sy, syy, p1, t1, h1, p2, t2, h2
+            |  FROM m),
+            |cc AS (
+            |  SELECT n, y_last, y_prev, ybar, c0,
+            |    CAST(p1 AS DOUBLE) - ybar * CAST(t1 + h1 AS DOUBLE)
+            |      + CAST(n - 1 AS DOUBLE) * ybar * ybar AS c1,
+            |    CAST(p2 AS DOUBLE) - ybar * CAST(t2 + h2 AS DOUBLE)
+            |      + CAST(n - 2 AS DOUBLE) * ybar * ybar AS c2
+            |  FROM r),
+            |ph AS (
+            |  SELECT n, y_last, y_prev, ybar,
+            |    c1 / c0 AS r1, c2 / c0 AS r2,
+            |    (c1 / c0) * (1.0 - c2 / c0)
+            |      / (1.0 - (c1 / c0) * (c1 / c0)) AS phi1,
+            |    (c2 / c0 - (c1 / c0) * (c1 / c0))
+            |      / (1.0 - (c1 / c0) * (c1 / c0)) AS phi2
+            |  FROM cc)
+            |SELECT n, ROUND(r1, 4) AS r1, ROUND(r2, 4) AS r2,
+            |  ROUND(phi1, 4) AS phi1, ROUND(phi2, 4) AS phi2,
+            |  ROUND(ybar + phi1 * (y_last - ybar)
+            |    + phi2 * (y_prev - ybar), 4) AS forecast
+            |FROM ph""".stripMargin))
+
+  /** Newey-West (HAC) long-run variance of the daily count series with
+    * Bartlett weights, L = 5: lrv = c₀/n + 2Σ_{l≤5}(1 − l/6)·c_l/n.
+    * The autocorrelation-robust denominator for any mean-shift test
+    * on serially-correlated dailies (stat_welch_ttest assumes iid;
+    * this is what replaces its s² when rows are days, not users).
+    * The ac_inflation ratio lrv/γ₀ is the effective-sample-size
+    * correction factor. Same exact-integer lag-moment device as the
+    * AR(2) fit, stacked over 5 lags.
+    */
+  val neweyWest: Q = Q("ts_newey_west", {
+    val LAGS = 1 to 5
+    (s, d) => {
+      val w = Window.orderBy("day")
+      val lagged = LAGS.foldLeft(daily(s, d)) { (df, l) =>
+        df.withColumn(s"x$l", lag(col("c"), l).over(w))
+      }
+      val base = lagged.agg(count(lit(1)).as("n"), sum("c").as("sy"),
+        sum(col("c") * col("c")).as("syy"))
+        .withColumn("ybar", col("sy").cast("double") / col("n"))
+        .withColumn("c0", col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double") / col("n"))
+      val stackExpr = LAGS.map(l => s"${l}L, x$l").mkString(", ")
+      val perLag = lagged
+        .selectExpr("c", s"stack(${LAGS.size}, $stackExpr) AS (lag, xl)")
+        .filter(col("xl").isNotNull)
+        .groupBy("lag")
+        .agg(sum(col("c") * col("xl")).as("pl"),
+          sum("c").as("tl"), sum("xl").as("hl"), count(lit(1)).as("npairs"))
+      val cl = perLag.crossJoin(broadcast(base))
+        .withColumn("clag", col("pl").cast("double")
+          - col("ybar") * (col("tl") + col("hl")).cast("double")
+          + col("npairs").cast("double") * col("ybar") * col("ybar"))
+        .agg(sum((lit(1.0) - col("lag") / lit(6.0)) * col("clag")).as("wsum"),
+          max("n").as("n"), max("c0").as("c0"))
+      cl.select(col("n"),
+        round(col("c0") / col("n"), 4).as("gamma0"),
+        round((col("c0") + lit(2.0) * col("wsum")) / col("n"), 4).as("lrv"),
+        round((col("c0") + lit(2.0) * col("wsum")) / col("c0"), 4)
+          .as("ac_inflation"))
+    }
+  },
+    Some {
+      val arms = (1 to 5).map(l =>
+        s"SELECT CAST($l AS BIGINT) AS lag, c, x$l AS xl FROM lagged")
+        .mkString("\n  UNION ALL ")
+      val lagCols = (1 to 5).map(l => s"LAG(c, $l) OVER w AS x$l")
+        .mkString(", ")
+      s"""WITH byday AS ($SQL_DAILY),
+         |lagged AS (
+         |  SELECT c, $lagCols FROM byday
+         |  WINDOW w AS (ORDER BY day)),
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS ybar,
+         |    CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+         |      - CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         |        * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         |        / CAST(COUNT(*) AS BIGINT) AS c0
+         |  FROM byday),
+         |pairs AS ($arms),
+         |perlag AS (
+         |  SELECT lag, CAST(SUM(c * xl) AS BIGINT) AS pl,
+         |    CAST(SUM(c) AS BIGINT) AS tl, CAST(SUM(xl) AS BIGINT) AS hl,
+         |    CAST(COUNT(*) AS BIGINT) AS npairs
+         |  FROM pairs WHERE xl IS NOT NULL GROUP BY lag),
+         |cl AS (
+         |  SELECT SUM((1.0 - lag / 6.0)
+         |      * (CAST(pl AS DOUBLE) - ybar * CAST(tl + hl AS DOUBLE)
+         |        + CAST(npairs AS DOUBLE) * ybar * ybar)) AS wsum,
+         |    MAX(n) AS n, MAX(c0) AS c0
+         |  FROM perlag, base)
+         |SELECT n, ROUND(c0 / n, 4) AS gamma0,
+         |  ROUND((c0 + 2.0 * wsum) / n, 4) AS lrv,
+         |  ROUND((c0 + 2.0 * wsum) / c0, 4) AS ac_inflation
+         |FROM cl""".stripMargin
+    })
+
+  /** Turning-points randomness test: count days that are strict local
+    * extrema of the daily series; under iid-ness T ~ N(2(n−2)/3,
+    * (16n−29)/90). The nonparametric "is there ANY serial structure"
+    * screen that needs no distributional assumptions at all — the
+    * cheapest pre-test before the heavier ADF / Ljung-Box machinery.
+    * Exact integer extrema count; one double z at the end.
+    */
+  val turningPoints: Q = Q("ts_turning_points",
+    (s, d) => {
+      val w = Window.orderBy("day")
+      val p = daily(s, d)
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .withColumn("nxt", lead(col("c"), 1).over(w))
+      p.agg(count(lit(1)).as("n"),
+          count(when(col("prev").isNotNull && col("nxt").isNotNull &&
+            (col("c") - col("prev")) * (col("nxt") - col("c")) < 0,
+            lit(1))).as("t_count"))
+        .withColumn("expected",
+          lit(2.0) * (col("n") - 2).cast("double") / lit(3.0))
+        .withColumn("vr",
+          (lit(16.0) * col("n").cast("double") - lit(29.0)) / lit(90.0))
+        .select(col("n"), col("t_count"),
+          round(col("expected"), 4).as("expected"),
+          round((col("t_count").cast("double") - col("expected"))
+            / sqrt(col("vr")), 4).as("z"))
+    },
+    Some(s"""WITH byday AS ($SQL_DAILY),
+            |p AS (
+            |  SELECT c,
+            |    LAG(c, 1) OVER (ORDER BY day) AS prev,
+            |    LEAD(c, 1) OVER (ORDER BY day) AS nxt
+            |  FROM byday),
+            |m AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    COUNT(*) FILTER (WHERE prev IS NOT NULL
+            |      AND nxt IS NOT NULL
+            |      AND (c - prev) * (nxt - c) < 0) AS t_count
+            |  FROM p),
+            |e AS (
+            |  SELECT n, t_count,
+            |    2.0 * CAST(n - 2 AS DOUBLE) / 3.0 AS expected,
+            |    (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 AS vr
+            |  FROM m)
+            |SELECT n, t_count, ROUND(expected, 4) AS expected,
+            |  ROUND((CAST(t_count AS DOUBLE) - expected) / sqrt(vr), 4) AS z
+            |FROM e""".stripMargin))
+
+  /** Haar wavelet energy by level over the first 16 days of the
+    * purchase series — which time scale (2/4/8/16-day) carries the
+    * variance, the multi-resolution twin of ts_periodogram's
+    * frequency view. Each detail coefficient is an INTEGER signed
+    * block sum D_{j,k} = Σ_first-half c − Σ_second-half c (exact in
+    * both engines); energy_j = Σ_k D²/2^j divides exactly once at
+    * the end. The level×day expansion is 4×16 rows — constant-sized
+    * whatever the corpus, after the one linear day rollup.
+    */
+  val haarEnergy: Q = Q("ts_haar_energy",
+    (s, d) => {
+      val w = Window.orderBy("day")
+      val days = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(w))
+        .filter(col("idx") <= 16)
+      days.select(col("idx"), col("c"),
+          explode(expr("sequence(1, 4)")).as("j"))
+        .withColumn("blk", expr("shiftleft(1, cast(j as int))"))
+        .withColumn("k", expr("(idx - 1) div blk"))
+        .withColumn("sgn",
+          when(expr("(idx - 1) % blk") < col("blk") / 2, lit(1L))
+            .otherwise(lit(-1L)))
+        .groupBy("j", "k").agg(sum(col("sgn") * col("c")).as("dd"),
+          max("blk").as("blk"))
+        .groupBy("j").agg(count(lit(1)).as("n_coeffs"),
+          round(sum(col("dd") * col("dd")).cast("double")
+            / max("blk"), 4).as("energy"))
+        .withColumnRenamed("j", "level")
+        .orderBy("level")
+    },
+    Some("""WITH byday AS (
+           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |idxd AS (
+           |  SELECT c, ROW_NUMBER() OVER (ORDER BY day) AS idx
+           |  FROM byday QUALIFY idx <= 16),
+           |lev AS (
+           |  SELECT idx, c, j, (1 << j) AS blk,
+           |    (idx - 1) // (1 << j) AS k,
+           |    CASE WHEN (idx - 1) % (1 << j) < (1 << j) // 2
+           |      THEN 1 ELSE -1 END AS sgn
+           |  FROM idxd, unnest(generate_series(1, 4)) t(j)),
+           |coeff AS (
+           |  SELECT j, k, CAST(SUM(sgn * c) AS BIGINT) AS dd,
+           |    MAX(blk) AS blk
+           |  FROM lev GROUP BY j, k)
+           |SELECT CAST(j AS INT) AS level,
+           |  CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           |  ROUND(CAST(CAST(SUM(dd * dd) AS BIGINT) AS DOUBLE)
+           |    / MAX(blk), 4) AS energy
+           |FROM coeff GROUP BY j ORDER BY level""".stripMargin))
 }
