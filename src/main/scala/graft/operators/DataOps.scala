@@ -1559,9 +1559,46 @@ object DataOps {
     Q("mm_audio_rms", fn, Some(sql))
   }
 
+  /** Per-language byte-value histogram over the stubbed decode (the
+    * image-histogram shape: real decoders emit pixel intensities;
+    * the container stub emits the text's byte values — swap one
+    * projection for a real decoder, the mm_binary_features doctrine).
+    * One explode to (lang, 16-wide intensity bin) — fact-linear — then
+    * exact integer counts; the per-lang share divides once at the end
+    * over a window whose partitions are value-bounded (≤16 bins × 4
+    * langs), so the window is model-sized at any corpus scale.
+    */
+  private val pixelHistQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables.documents(s, d)
+        .select(col("lang"), explode(expr(
+          """transform(sequence(1, cast(length(text) as int)),
+            |  i -> ascii(substring(text, i, 1)) div 16)""".stripMargin))
+          .as("bin"))
+        .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("share",
+          round(col("cnt").cast("double") / sum("cnt").over(w), 6))
+        .orderBy("lang", "bin")
+    }
+    val sql =
+      """WITH px AS (
+        |  SELECT lang, CAST(ascii(substr(text, i, 1)) // 16 AS BIGINT) AS bin
+        |  FROM documents,
+        |    unnest(generate_series(1, CAST(length(text) AS INT))) t(i)),
+        |c AS (
+        |  SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM px GROUP BY 1, 2)
+        |SELECT lang, bin, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE)
+        |    / CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+        |FROM c ORDER BY lang, bin""".stripMargin
+    Q("mm_pixel_histogram", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
-      aspectBucketQuery, audioRmsQuery,
+      aspectBucketQuery, audioRmsQuery, pixelHistQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),

@@ -1641,11 +1641,110 @@ object Graphs {
     Q("graph_degree_powerlaw", fn, Some(sql))
   }
 
+  /** Bounded-radius closeness centrality (Wasserman-Faust composite):
+    * C(u) = (|ball|/(N−1)) · (|ball|/Σd) over the H=3 ball — the
+    * companion to graph_harmonic that penalizes SUM distance instead
+    * of rewarding reciprocals (harmonic tolerates unreachable nodes;
+    * WF-closeness normalizes by reach fraction, so a node that
+    * reaches few others scores low even if those few are close).
+    * Same H-round frontier-expansion BFS (edge set cached, ball size
+    * bounded by the stop-cell degree cap); |ball|, Σd and N are exact
+    * integers, so the one closing double is deterministic. N comes
+    * from a broadcast scalar aggregate, not a driver collect.
+    */
+  private def closenessQuery: Q = {
+    val H = 3
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).cache()
+      var reach = e.select(col("u").as("root"), col("v").as("node"))
+        .withColumn("d", lit(1L))
+      var frontier = reach
+      for (r <- 2 to H) {
+        val step = e.select(col("u").as("__fu"), col("v").as("__fv"))
+        val nxt = frontier.join(step, frontier("node") === step("__fu"))
+          .select(col("root"), col("__fv").as("node"))
+          .withColumn("d", lit(r.toLong))
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+      }
+      val nN = e.select(col("u")).distinct().agg(count(lit(1)).as("nn"))
+      reach.filter(col("root") =!= col("node"))
+        .groupBy("root", "node").agg(min("d").as("dist"))
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_ball"), sum("dist").as("sum_dist"))
+        .crossJoin(broadcast(nN))
+        .select(col("root").as("user_id"), col("n_ball"), col("sum_dist"),
+          round((col("n_ball").cast("double") / (col("nn") - 1))
+            * (col("n_ball").cast("double") / col("sum_dist")), 6)
+            .as("closeness"))
+        .orderBy("user_id")
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |walk AS (
+         |  SELECT u AS root, v AS node, CAST(1 AS BIGINT) AS d FROM edges
+         |  UNION
+         |  SELECT w.root, e.v AS node, w.d + 1 AS d
+         |  FROM walk w JOIN edges e ON w.node = e.u
+         |  WHERE w.d < $H),
+         |nn AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nn FROM edges),
+         |dist AS (
+         |  SELECT root, node, MIN(d) AS dist FROM walk
+         |  WHERE root <> node GROUP BY root, node),
+         |ball AS (
+         |  SELECT root, CAST(COUNT(*) AS BIGINT) AS n_ball,
+         |    CAST(SUM(dist) AS BIGINT) AS sum_dist
+         |  FROM dist GROUP BY root)
+         |SELECT root AS user_id, n_ball, sum_dist,
+         |  ROUND((CAST(n_ball AS DOUBLE) / (nn - 1))
+         |    * (CAST(n_ball AS DOUBLE) / sum_dist), 6) AS closeness
+         |FROM ball, nn ORDER BY user_id""".stripMargin
+    Q("graph_closeness", fn, Some(sql))
+  }
+
+  /** 4-cycle (rectangle) census: C4 = ½ Σ_{a<b} C(codeg(a,b), 2) —
+    * the square-motif companion to graph_triangles (rectangles are
+    * the signature of bipartite-ish structure: two users co-active
+    * with the same two partners without being linked directly). The
+    * codegree table comes from ONE wedge self-join on the shared
+    * middle vertex (bounded per node by the stop-cell degree cap —
+    * identical shape and cost to the triangle join, never all-pairs);
+    * every count, C(m,2) term, and the halving are exact integers.
+    */
+  private def cycle4Query: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d)
+      val e1 = e.select(col("u").as("w"), col("v").as("a"))
+      val e2 = e.select(col("u").as("w"), col("v").as("b"))
+      val codeg = e1.join(e2, Seq("w"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("m"))
+      codeg.agg(count(lit(1)).as("n_codeg_pairs"),
+          count(when(col("m") >= 2, lit(1))).as("n_pairs_multi"),
+          max("m").as("max_codeg"),
+          sum(expr("m * (m - 1) div 2")).as("s"))
+        .select(col("n_codeg_pairs"), col("n_pairs_multi"), col("max_codeg"),
+          expr("s div 2").as("c4_count"))
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |codeg AS (
+         |  SELECT e1.v AS a, e2.v AS b, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_codeg_pairs,
+         |  COUNT(*) FILTER (WHERE m >= 2) AS n_pairs_multi,
+         |  MAX(m) AS max_codeg,
+         |  CAST(SUM((m * (m - 1)) // 2) AS BIGINT) // 2 AS c4_count
+         |FROM codeg""".stripMargin
+    Q("graph_cycle4", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
-      powerlawQuery)
+      powerlawQuery, closenessQuery, cycle4Query)
 }

@@ -704,7 +704,87 @@ object Joins {
       Some(s"""SELECT o_orderstatus, 'closed' AS label,
               |  COUNT(*) AS n_orders, ${SQL_DSUM("o_totalprice")} AS sum_price
               |FROM orders WHERE o_orderstatus = 'F'
-              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Grid-blocked 1-NN spatial join — join_spatial_grid's radius
+    // search turned into NEAREST-neighbor: each customer probes its
+    // 3×3 cell neighborhood (9× fan-out, never a cross join), takes
+    // the min exact squared-Euclidean distance over the candidates,
+    // and the per-nation rollup averages those minima. A customer
+    // whose neighborhood holds no supplier is reported unmatched —
+    // the honest recall caveat of grid-KNN (production systems re-probe
+    // wider rings; here the miss count IS the output signal). All
+    // distances are exact integers in the 4096² md5-derived space,
+    // so min/avg are deterministic; the shuffle is one (cx, cy)
+    // equi-join + one customer-keyed min — fact-linear at any scale
+    // with cell size as the density dial.
+    Q("join_spatial_knn", {
+      val CELL = 128
+      (s, d) => {
+        def coord(key: String, from: Int) =
+          conv(substring(md5(concat(lit("pt:"), col(key).cast("string"))),
+            from, 5), 16, 10).cast("long") % 4096
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            coord("c_custkey", 1).as("x"), coord("c_custkey", 6).as("y"))
+        val supp = Tables.supplier(s, d)
+          .select(coord("s_suppkey", 1).as("sx"),
+            coord("s_suppkey", 6).as("sy"))
+          .withColumn("cx", expr(s"sx div $CELL"))
+          .withColumn("cy", expr(s"sy div $CELL"))
+        val probes = cust
+          .withColumn("dxy", explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> named_struct('dx', dx, 'dy', dy))))")))
+          .withColumn("cx", expr(s"(x div $CELL) + dxy.dx"))
+          .withColumn("cy", expr(s"(y div $CELL) + dxy.dy"))
+        val nn = probes.join(supp, Seq("cx", "cy"))
+          .withColumn("d2", (col("x") - col("sx")) * (col("x") - col("sx"))
+            + (col("y") - col("sy")) * (col("y") - col("sy")))
+          .groupBy("c_custkey").agg(min("d2").as("min_d2"))
+        cust.join(nn, Seq("c_custkey"), "left")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            count(col("min_d2")).as("n_matched"),
+            round(sum("min_d2").cast("double") / count(col("min_d2")), 4)
+              .as("avg_min_d2"),
+            min("min_d2").as("best_d2"))
+          .orderBy("c_nationkey")
+      }
+    },
+      Some {
+        def hex20(h: String, from: Int): String =
+          (0 until 5).map(i =>
+            s"(strpos('0123456789abcdef', substr($h, ${from + i}, 1)) - 1) * ${1L << (4 * (4 - i))}")
+            .mkString("(", " + ", ")")
+        val ch = "md5('pt:' || CAST(c_custkey AS VARCHAR))"
+        val sh = "md5('pt:' || CAST(s_suppkey AS VARCHAR))"
+        s"""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    ${hex20(ch, 1)} % 4096 AS x, ${hex20(ch, 6)} % 4096 AS y
+           |  FROM customer),
+           |supp AS (
+           |  SELECT ${hex20(sh, 1)} % 4096 AS sx,
+           |    ${hex20(sh, 6)} % 4096 AS sy
+           |  FROM supplier),
+           |sc AS (SELECT *, sx // 128 AS cx, sy // 128 AS cy FROM supp),
+           |probes AS (
+           |  SELECT c.*, (x // 128) + dx.d AS cx, (y // 128) + dy.d AS cy
+           |  FROM cust c, (VALUES (-1), (0), (1)) dx(d),
+           |       (VALUES (-1), (0), (1)) dy(d)),
+           |nn AS (
+           |  SELECT c_custkey,
+           |    CAST(MIN((x - sx) * (x - sx) + (y - sy) * (y - sy))
+           |      AS BIGINT) AS min_d2
+           |  FROM probes p JOIN sc USING (cx, cy)
+           |  GROUP BY c_custkey)
+           |SELECT c_nationkey, COUNT(*) AS n_cust,
+           |  COUNT(min_d2) AS n_matched,
+           |  ROUND(CAST(SUM(min_d2) AS DOUBLE) / COUNT(min_d2), 4)
+           |    AS avg_min_d2,
+           |  MIN(min_d2) AS best_d2
+           |FROM cust LEFT JOIN nn USING (c_custkey)
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+      })
   )
 
   /** Per-JVM home for join_bucketed_colocated's bucketed tables. */

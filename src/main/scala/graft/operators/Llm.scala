@@ -1323,6 +1323,41 @@ object Llm {
               |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(s) AS BIGINT) AS n_selected,
               |  CAST(SUM(s * tok) AS BIGINT) AS tokens_selected
-              |FROM sel GROUP BY source ORDER BY source""".stripMargin))
+              |FROM sel GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Prefix-cache economics: for each candidate prefix length, how
+    // many docs share an identical prefix with an earlier doc — the
+    // KV-cache hit rate an inference server would get serving this
+    // corpus with prefix caching (the fixture plants 20 groups of
+    // shared 60-char prefixes, so the curve bends at L > 60). One
+    // linear groupBy per length on a constant 4-length explode;
+    // hits = Σ(group_size − 1) and the rate are exact integer math.
+    // At 100 TB the prefix key should be a hash of the prefix, not
+    // the prefix string — same plan shape, smaller shuffle rows.
+    Q("llm_prefix_cache",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(expr("array(10, 20, 40, 80)")).as("plen"),
+          col("text"))
+        .select(col("plen"), expr("substring(text, 1, plen)").as("pfx"))
+        .groupBy("plen", "pfx").agg(count(lit(1)).as("c"))
+        .groupBy("plen")
+        .agg(count(lit(1)).as("n_groups"), sum("c").as("n_docs"),
+          sum(col("c") - 1).as("cache_hits"),
+          round(sum(col("c") - 1).cast("double") / sum("c"), 6)
+            .as("hit_rate"))
+        .orderBy("plen"),
+      Some("""WITH p AS (
+             |  SELECT l.plen, substr(text, 1, l.plen) AS pfx
+             |  FROM documents,
+             |    (VALUES (10), (20), (40), (80)) l(plen)),
+             |g AS (
+             |  SELECT plen, pfx, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2)
+             |SELECT plen, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(c) AS BIGINT) AS n_docs,
+             |  CAST(SUM(c - 1) AS BIGINT) AS cache_hits,
+             |  ROUND(CAST(SUM(c - 1) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+             |    AS hit_rate
+             |FROM g GROUP BY plen ORDER BY plen""".stripMargin))
   )
 }
