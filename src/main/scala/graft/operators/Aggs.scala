@@ -5162,5 +5162,110 @@ object Aggs {
              |SELECT na, nb, ROUND(t2, 4) AS t2,
              |  ROUND(t2 * (na + nb - 3) / (2.0 * (na + nb - 2)), 4) AS f_stat
              |FROM t""".stripMargin))
+  ) ++ wave19
+
+  private def wave19: Seq[Q] = Seq(
+
+    // Gaussian-free KDE: kernel density of order totals on a FIXED
+    // 21-point grid with the Epanechnikov kernel 0.75(1−u²) — chosen
+    // over the Gaussian deliberately: it is pure arithmetic (no
+    // exp(), whose last-ulp behavior differs between engines), so
+    // each kernel term is the identical double in both engines; terms
+    // are then rounded to 12 dp and summed as DECIMAL, making the
+    // n-term sum exact in any addend order. The grid explode is a
+    // constant 21× map-side fan-out — fact-linear; at 100 TB you'd
+    // pre-bin values to grid-resolution buckets first (same answer to
+    // grid precision, shuffle shrinks to bucket counts).
+    Q("stat_kde_density", {
+      val STEP = 25000L; val NPTS = 21; val H = 25000.0
+      (s, d) => {
+        val li = Tables.orders(s, d)
+          .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+        val terms = li
+          .select(col("p"), explode(expr(
+            s"transform(sequence(0, ${NPTS - 1}), i -> cast(i as bigint) * $STEP)")).as("g"))
+          .withColumn("u",
+            (col("p").cast("double") - col("g").cast("double")) / lit(H))
+          .withColumn("kern", expr(
+            """cast(round(CASE WHEN abs(u) < 1.0
+              |  THEN 0.75 * (1.0 - u * u) ELSE 0.0 END, 12)
+              |as decimal(18,12))""".stripMargin))
+        val n = li.agg(count(lit(1)).as("n"))
+        terms.groupBy("g")
+          .agg(count(when(abs(col("u")) < 1.0, lit(1))).as("n_in"),
+            sum("kern").as("sk"))
+          .crossJoin(broadcast(n))
+          .select(col("g").as("grid"), col("n_in"),
+            round(col("sk").cast("double") / (col("n") * lit(H)) * 1e6, 6)
+              .as("density_1e6"))
+          .orderBy("grid")
+      }
+    },
+      Some("""WITH g AS (
+             |  SELECT CAST(i AS BIGINT) AS g
+             |  FROM unnest(generate_series(0, 500000, 25000)) t(i)),
+             |li AS (
+             |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+             |terms AS (
+             |  SELECT g.g,
+             |    (CAST(p AS DOUBLE) - CAST(g.g AS DOUBLE)) / 25000.0 AS u
+             |  FROM li, g),
+             |k AS (
+             |  SELECT g,
+             |    CASE WHEN abs(u) < 1.0 THEN 1 ELSE 0 END AS inside,
+             |    CAST(ROUND(CASE WHEN abs(u) < 1.0
+             |      THEN 0.75 * (1.0 - u * u) ELSE 0.0 END, 12)
+             |      AS DECIMAL(18,12)) AS kern
+             |  FROM terms)
+             |SELECT g AS grid,
+             |  COUNT(*) FILTER (WHERE inside = 1) AS n_in,
+             |  ROUND(CAST(SUM(kern) AS DOUBLE) / (n * 25000.0) * 1e6, 6)
+             |    AS density_1e6
+             |FROM k, n GROUP BY g, n ORDER BY grid""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct sketch — the mergeable
+    // cardinality estimator that, unlike HLL (agg_approx_hll's
+    // sanctioned no-oracle), is FULLY deterministic given the hash:
+    // both engines derive the same md5-polynomial 60-bit hashes, so
+    // the k-th minimum and the estimate (k−1)·2⁶⁰/h_k hash-match
+    // exactly — a sketch WITH an oracle. Distinct-then-top-k is one
+    // hash aggregate plus a TakeOrdered of k rows (k = 256 model-sized
+    // at any scale); the exact count rides along to report the error.
+    Q("agg_kmv_distinct", {
+      val K = 256
+      (s, d) => {
+        val h = Tables.orders(s, d)
+          .select(conv(substring(md5(concat(lit("kmv:"),
+            col("o_orderkey").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .distinct()
+        val topk = h.orderBy("h").limit(K)
+          .agg(count(lit(1)).as("k"), max("h").as("hk"))
+        val exact = Tables.orders(s, d)
+          .agg(countDistinct(col("o_orderkey")).as("exact"))
+        topk.crossJoin(broadcast(exact))
+          .select(col("k"), col("hk"), col("exact"),
+            round(lit((K - 1).toDouble) * lit(math.pow(2.0, 60))
+              / col("hk"), 2).as("estimate"),
+            round(lit((K - 1).toDouble) * lit(math.pow(2.0, 60))
+              / col("hk") / col("exact"), 4).as("ratio"))
+      }
+    },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT ${SQL_HEX15_AGGS(
+                   "md5('kmv:' || CAST(o_orderkey AS VARCHAR))")} AS h
+              |  FROM orders),
+              |topk AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |    CAST(MAX(h) AS BIGINT) AS hk
+              |  FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+              |ex AS (
+              |  SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact
+              |  FROM orders)
+              |SELECT k, hk, exact,
+              |  ROUND(255.0 * 1152921504606846976.0 / hk, 2) AS estimate,
+              |  ROUND(255.0 * 1152921504606846976.0 / hk / exact, 4) AS ratio
+              |FROM topk, ex""".stripMargin))
   )
 }

@@ -3529,7 +3529,8 @@ object Windows {
     Wave17Q.yuleWalker,
     Wave17Q.neweyWest,
     Wave17Q.turningPoints,
-    Wave17Q.haarEnergy
+    Wave17Q.haarEnergy,
+    Wave19Q.kalmanLevel
   )
 }
 
@@ -4674,4 +4675,68 @@ private object Wave17Q {
            |  ROUND(CAST(CAST(SUM(dd * dd) AS BIGINT) AS DOUBLE)
            |    / MAX(blk), 4) AS energy
            |FROM coeff GROUP BY j ORDER BY level""".stripMargin))
+}
+
+/** Round-10 wave 19 (Windows leg): recursive state-space smoother. */
+private object Wave19Q {
+  import org.apache.spark.sql.functions._
+
+  /** 1-D local-level Kalman filter over the daily count series
+    * (process var Q=4, observation var R=25, p₀=R, l₁=y₁): the
+    * optimal-gain generalization of ts_ewma whose smoothing weight
+    * ADAPTS as uncertainty converges — the gain sequence k_t is
+    * data-independent and settles to the steady state in ~5 days.
+    * The recursion is day-bounded: ONE linear groupBy to ≤31 day
+    * rows, then a single-row ordered-array fold (`aggregate` over the
+    * day-sorted struct array) — the ts_hmm_viterbi day-series-DP
+    * precedent, pure arithmetic (no exp/pow), so both engines produce
+    * bit-identical doubles; the oracle mirrors it as a bounded
+    * recursive CTE.
+    */
+  val kalmanLevel: Q = Q("ts_kalman_level",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val one = daily.agg(
+        sort_array(collect_list(struct(col("day"), col("c")))).as("ys"))
+      one.withColumn("levels", expr(
+          """aggregate(
+            |  slice(ys, 2, size(ys) - 1),
+            |  named_struct(
+            |    'l', cast(element_at(ys, 1).c as double),
+            |    'p', cast(25.0 as double),
+            |    'out', array(cast(element_at(ys, 1).c as double))),
+            |  (acc, y) -> named_struct(
+            |    'l', acc.l + ((acc.p + 4.0) / (acc.p + 4.0 + 25.0))
+            |           * (cast(y.c as double) - acc.l),
+            |    'p', (1.0 - (acc.p + 4.0) / (acc.p + 4.0 + 25.0))
+            |           * (acc.p + 4.0),
+            |    'out', concat(acc.out, array(
+            |      acc.l + ((acc.p + 4.0) / (acc.p + 4.0 + 25.0))
+            |        * (cast(y.c as double) - acc.l)))),
+            |  acc -> acc.out)""".stripMargin))
+        .select(col("ys"), posexplode(col("levels")).as(Seq("i", "level")))
+        .select(expr("element_at(ys, i + 1).day").as("day"),
+          expr("element_at(ys, i + 1).c").as("c"),
+          round(col("level"), 6).as("level"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE byday AS (
+           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+           |  FROM events GROUP BY 1),
+           |idx AS (
+           |  SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS t
+           |  FROM byday),
+           |rec AS (
+           |  SELECT t, CAST(c AS DOUBLE) AS l, CAST(25.0 AS DOUBLE) AS p
+           |  FROM idx WHERE t = 1
+           |  UNION ALL
+           |  SELECT i.t,
+           |    r.l + ((r.p + 4.0) / (r.p + 4.0 + 25.0))
+           |      * (CAST(i.c AS DOUBLE) - r.l),
+           |    (1.0 - (r.p + 4.0) / (r.p + 4.0 + 25.0)) * (r.p + 4.0)
+           |  FROM rec r JOIN idx i ON i.t = r.t + 1)
+           |SELECT i.day, i.c, ROUND(r.l, 6) AS level
+           |FROM rec r JOIN idx i USING (t) ORDER BY day""".stripMargin))
 }
