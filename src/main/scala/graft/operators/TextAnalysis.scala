@@ -1948,6 +1948,98 @@ object TextAnalysis {
               |  ROUND(CAST(u AS DOUBLE) / n, 4) AS ttr,
               |  ROUND(CAST(sum_distinct AS DOUBLE) / (n_segs * 25), 4)
               |    AS sttr
-              |FROM m ORDER BY doc_id""".stripMargin))
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    textrankQuery
   )
+
+  /** TextRank keyword extraction — weighted PageRank over the word
+    * co-occurrence graph (adjacent-token bigrams, both directions,
+    * weight = corpus count), 3 unrolled damped iterations, top-15
+    * words. This is the unsupervised keyword ranker (RAKE's graph
+    * sibling: llm_rake_keywords scores within-doc, TextRank scores
+    * corpus-wide centrality). Scale shape: the bigram explode is
+    * fact-linear; everything after lives on the VOCAB-bounded edge
+    * set (cached across iterations). Determinism: contribution sums
+    * ride [[graft.api.Graph.orderedChunkedSum]] (chunk 8, ordered by
+    * source word) so both engines fold the identical IEEE tree; the
+    * one count() is the rank initializer 1/N (pagerank precedent).
+    */
+  private def textrankQuery: Q = {
+    val ITERS = 3; val CHUNK = 8
+    def fn(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      val toks = Tables.documents(s, d)
+        .select(TextUdfs.tokenizeCol(col("text")).as("t"))
+      val big = toks
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  transform(sequence(1, size(t) - 1),
+            |    i -> named_struct('a', element_at(t, i),
+            |                      'b', element_at(t, i + 1)))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+      val e = big.unionByName(
+          big.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a").as("u"), col("b").as("v"))
+        .agg(count(lit(1)).as("w")).cache()
+      val nodes = e.groupBy("u").agg(sum("w").as("wdeg"))
+        .select(col("u").as("node"), col("wdeg"))
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
+      for (_ <- 1 to ITERS) {
+        val contrib = e.join(ranks, e("u") === ranks("node"))
+          .select(col("v"), col("u"),
+            (col("rank") * col("w").cast("double")
+              / col("wdeg").cast("double")).as("c"))
+        val sums = graft.api.Graph
+          .orderedChunkedSum(contrib, "v", "u", "c", "sc", CHUNK)
+        ranks = nodes.join(sums, nodes("node") === sums("v"))
+          .select(col("node"), col("wdeg"),
+            (lit(0.15) / lit(n) + lit(0.85) * col("sc")).as("rank"))
+      }
+      ranks.select(col("node").as("word"), col("wdeg"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(15)
+    }
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT d.node, d.wdeg,
+         |    0.15e0 / CAST(n.n AS DOUBLE) + 0.85e0 * s.sc AS rank
+         |  FROM (
+         |    SELECT node, list_sum(list(partial ORDER BY chunk)) AS sc
+         |    FROM (
+         |      SELECT node, chunk, list_sum(list(c ORDER BY u)) AS partial
+         |      FROM (
+         |        SELECT e.v AS node, e.u AS u,
+         |          r.rank * CAST(e.w AS DOUBLE) / CAST(r.wdeg AS DOUBLE) AS c,
+         |          (ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY e.u) - 1)
+         |            // $CHUNK AS chunk
+         |        FROM edges e JOIN r${k - 1} r ON e.u = r.node)
+         |      GROUP BY node, chunk)
+         |    GROUP BY node) s
+         |  JOIN deg d ON s.node = d.node, nn n)""".stripMargin
+    val sql =
+      s"""WITH toks AS (
+         |  SELECT $SQL_TOKENIZE AS t FROM documents),
+         |big AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b
+         |  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+         |  WHERE len(t) >= 2 AND t[i] <> '' AND t[i + 1] <> ''
+         |    AND t[i] <> t[i + 1]),
+         |edges AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT a AS u, b AS v FROM big
+         |    UNION ALL SELECT b AS u, a AS v FROM big)
+         |  GROUP BY u, v),
+         |deg AS (SELECT u AS node, CAST(SUM(w) AS BIGINT) AS wdeg
+         |        FROM edges GROUP BY u),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT node, wdeg, 1e0 / CAST(n.n AS DOUBLE) AS rank
+         |       FROM deg, nn n),
+         |${(1 to ITERS).map(iter).mkString(",\n")}
+         |SELECT node AS word, wdeg, rank FROM r$ITERS
+         |ORDER BY rank DESC, word LIMIT 15""".stripMargin
+    Q("text_textrank", fn, Some(sql))
+  }
 }

@@ -3530,7 +3530,8 @@ object Windows {
     Wave17Q.neweyWest,
     Wave17Q.turningPoints,
     Wave17Q.haarEnergy,
-    Wave19Q.kalmanLevel
+    Wave19Q.kalmanLevel,
+    Wave19Q.seasonalMk
   )
 }
 
@@ -4739,4 +4740,72 @@ private object Wave19Q {
            |  FROM rec r JOIN idx i ON i.t = r.t + 1)
            |SELECT i.day, i.c, ROUND(r.l, 6) AS level
            |FROM rec r JOIN idx i USING (t) ORDER BY day""".stripMargin))
+
+  /** Seasonal Mann-Kendall — ts_mann_kendall restricted to WITHIN-
+    * weekday comparisons (Hirsch-Slack): Mondays compare only to
+    * Mondays, so the day-of-week cycle that inflates the plain MK
+    * variance can't masquerade as trend. S_d, n_d, and the variance
+    * numerator Σn_d(n_d−1)(2n_d+5) are all exact integers (ONE /18
+    * and the z at the end); the within-season pair join is bounded by
+    * the calendar (≤C(5,2) pairs per weekday on the 30-day fixture,
+    * per-season-linear at any horizon).
+    */
+  val seasonalMk: Q = Q("ts_seasonal_mann_kendall",
+    (s, d) => {
+      val dl = graft.Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", dayofweek(col("day")))
+      val pr = dl.as("a").join(dl.as("b"),
+        col("a.dow") === col("b.dow") && col("a.day") < col("b.day"))
+        .agg(sum(when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_total"))
+      val vr = dl.groupBy("dow").agg(count(lit(1)).as("nd"))
+        .agg(count(lit(1)).as("n_seasons"),
+          sum(col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5)).as("vnum"))
+      vr.crossJoin(pr)
+        .withColumn("var_s", col("vnum").cast("double") / 18.0)
+        .select(col("n_seasons"), col("s_total"),
+          round(col("var_s"), 4).as("var_s"),
+          round(
+            when(col("s_total") > 0,
+              (col("s_total") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_total") < 0,
+                (col("s_total") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(0.0)), 4).as("z"),
+          (abs(when(col("s_total") > 0,
+            (col("s_total") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s_total") < 0,
+              (col("s_total") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0))) > 1.96).as("trend_5pct"))
+    },
+    Some("""WITH byday AS (
+           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+           |  FROM events GROUP BY 1),
+           |dl AS (SELECT day, c, dayofweek(day) AS dow FROM byday),
+           |pr AS (
+           |  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+           |    WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_total
+           |  FROM dl a JOIN dl b ON a.dow = b.dow AND a.day < b.day),
+           |vr AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+           |    CAST(SUM(nd * (nd - 1) * (2 * nd + 5)) AS BIGINT) AS vnum
+           |  FROM (SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd
+           |        FROM dl GROUP BY dow)),
+           |z AS (
+           |  SELECT n_seasons, s_total,
+           |    CAST(vnum AS DOUBLE) / 18.0 AS var_s
+           |  FROM vr, pr)
+           |SELECT n_seasons, s_total, ROUND(var_s, 4) AS var_s,
+           |  ROUND(CASE WHEN s_total > 0
+           |      THEN CAST(s_total - 1 AS DOUBLE) / sqrt(var_s)
+           |    WHEN s_total < 0
+           |      THEN CAST(s_total + 1 AS DOUBLE) / sqrt(var_s)
+           |    ELSE 0.0 END, 4) AS z,
+           |  abs(CASE WHEN s_total > 0
+           |      THEN CAST(s_total - 1 AS DOUBLE) / sqrt(var_s)
+           |    WHEN s_total < 0
+           |      THEN CAST(s_total + 1 AS DOUBLE) / sqrt(var_s)
+           |    ELSE 0.0 END) > 1.96 AS trend_5pct
+           |FROM z""".stripMargin))
 }
