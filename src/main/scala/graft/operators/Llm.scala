@@ -171,6 +171,35 @@ object Llm {
         .orderBy("doc_a", "doc_b"),
       Some(s"SELECT doc_a, doc_b FROM ($SQL_PAIRS) ORDER BY doc_a, doc_b")),
 
+    // LSH bucket-size audit — the skew diagnostic run BEFORE committing
+    // to the pair expansion: per band, how many buckets, how many are
+    // singletons (no candidates), the largest bucket, and the exact
+    // ΣC(size,2) pair bound the expansion would produce. This is the
+    // number that decides band/row tuning at 100 TB (a single mega-
+    // bucket turns the "candidate-bounded" story quadratic — the
+    // shingle-vs-unigram lesson in PERF.md was diagnosed with exactly
+    // this view). One groupBy to bucket sizes, one to band rollups —
+    // all exact integers, no pair is ever materialized.
+    Q("llm_lsh_bucket_stats",
+      (s, d) => graft.api.Dedup
+        .lshBanded(Tables.documents(s, d), "doc_id", "text", K, BANDS)
+        .groupBy("band", "bhash").agg(count(lit(1)).as("sz"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          count(when(col("sz") === 1, lit(1))).as("n_singletons"),
+          max("sz").as("max_bucket"),
+          sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"))
+        .orderBy("band"),
+      Some(s"""WITH banded AS ($SQL_BANDED),
+              |bk AS (
+              |  SELECT band, bhash, CAST(COUNT(*) AS BIGINT) AS sz
+              |  FROM banded GROUP BY 1, 2)
+              |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              |  COUNT(*) FILTER (WHERE sz = 1) AS n_singletons,
+              |  MAX(sz) AS max_bucket,
+              |  CAST(SUM((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs
+              |FROM bk GROUP BY band ORDER BY band""".stripMargin)),
+
     // Vocabulary coverage (tokenizer-prep view): top-50 corpus tokens
     // with rank and CUMULATIVE token-mass share — the curve a
     // vocab-size decision reads (how much of the corpus do the first

@@ -3531,7 +3531,8 @@ object Windows {
     Wave17Q.turningPoints,
     Wave17Q.haarEnergy,
     Wave19Q.kalmanLevel,
-    Wave19Q.seasonalMk
+    Wave19Q.seasonalMk,
+    Wave19Q.retentionHalflife
   )
 }
 
@@ -4808,4 +4809,96 @@ private object Wave19Q {
            |      THEN CAST(s_total + 1 AS DOUBLE) / sqrt(var_s)
            |    ELSE 0.0 END) > 1.96 AS trend_5pct
            |FROM z""".stripMargin))
+
+  /** Retention half-life: fit ln r_k = a + b·k over the 28-day-period
+    * retention curve (k = 1..7) of order activity, half-life =
+    * −ln2/b. Cohort = a customer's first order period; r_k = customers
+    * ordering at age exactly k over customers OBSERVABLE at k (cohort
+    * ≤ max_period − k) — the right-censoring correction. Every count
+    * is an exact integer; each ln r_k is rounded to 9 dp and carried
+    * as DECIMAL so the 7-point OLS moments are exact; ln 2 is spliced
+    * as the same double literal into both engines. The synthetic
+    * fixture has no churn (flat curve), so b ≥ 0 is expected and the
+    * half-life is guarded to NULL rather than reporting a division by
+    * ~0 — the guard IS part of the operator contract.
+    */
+  val retentionHalflife: Q = Q("ts_retention_halflife", {
+    val LN2 = "0.6931471805599453"
+    (s, d) => {
+      val o = graft.Tables.orders(s, d)
+        .select(col("o_custkey"), expr(
+          "datediff(cast(o_orderdate as date), DATE '1995-01-01') div 28")
+          .as("p"))
+      val first = o.groupBy("o_custkey").agg(min("p").as("c0"))
+      val maxp = o.agg(max("p").as("mp"))
+      val num = o.join(first, "o_custkey")
+        .select(col("o_custkey"), (col("p") - col("c0")).as("age"))
+        .filter(col("age").between(1, 7))
+        .groupBy("age").agg(countDistinct("o_custkey").as("retained"))
+      val den = first.crossJoin(broadcast(maxp))
+        .select(explode(expr("sequence(1L, 7L)")).as("age"), col("c0"),
+          col("mp"))
+        .filter(col("c0") <= col("mp") - col("age"))
+        .groupBy("age").agg(count(lit(1)).as("observable"))
+      val pts = den.join(num, Seq("age"))
+        .withColumn("y", expr(
+          """cast(round(ln(cast(retained as double)
+            |  / cast(observable as double)), 9) as decimal(18,9))"""
+            .stripMargin))
+      pts.agg(count(lit(1)).as("n"), sum("age").as("sk"),
+          sum(col("age") * col("age")).as("skk"),
+          sum("y").as("sy"), sum(col("age") * col("y")).as("sky"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sky").cast("double")
+            - col("sk").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("skk").cast("double")
+              - col("sk").cast("double") * col("sk").cast("double")))
+        .select(col("n").as("n_points"), round(col("slope"), 6).as("slope"),
+          round(when(col("slope") < 0,
+            lit(-1.0) * expr(LN2) / col("slope")), 4)
+            .as("halflife_periods"))
+    }
+  },
+    Some("""WITH o AS (
+           |  SELECT o_custkey,
+           |    date_diff('day', DATE '1995-01-01',
+           |      CAST(o_orderdate AS DATE)) // 28 AS p
+           |  FROM orders),
+           |first AS (SELECT o_custkey, MIN(p) AS c0 FROM o GROUP BY 1),
+           |mx AS (SELECT MAX(p) AS mp FROM o),
+           |num AS (
+           |  SELECT age, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+           |    AS retained
+           |  FROM (SELECT o.o_custkey, o.p - f.c0 AS age
+           |        FROM o JOIN first f USING (o_custkey))
+           |  WHERE age BETWEEN 1 AND 7 GROUP BY age),
+           |den AS (
+           |  SELECT k.age, CAST(COUNT(*) AS BIGINT) AS observable
+           |  FROM first f, mx,
+           |    (SELECT CAST(i AS BIGINT) AS age
+           |     FROM unnest(generate_series(1, 7)) t(i)) k
+           |  WHERE f.c0 <= mx.mp - k.age GROUP BY k.age),
+           |pts AS (
+           |  SELECT d.age,
+           |    CAST(ROUND(ln(CAST(retained AS DOUBLE)
+           |      / CAST(observable AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+           |  FROM den d JOIN num USING (age)),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(age) AS BIGINT) AS sk,
+           |    CAST(SUM(age * age) AS BIGINT) AS skk,
+           |    SUM(y) AS sy, SUM(age * y) AS sky
+           |  FROM pts),
+           |sl AS (
+           |  SELECT n,
+           |    (CAST(n AS DOUBLE) * CAST(sky AS DOUBLE)
+           |      - CAST(sk AS DOUBLE) * CAST(sy AS DOUBLE))
+           |    / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+           |      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) AS slope
+           |  FROM m)
+           |SELECT n AS n_points, ROUND(slope, 6) AS slope,
+           |  ROUND(CASE WHEN slope < 0
+           |    THEN -1.0 * 0.6931471805599453 / slope END, 4)
+           |    AS halflife_periods
+           |FROM sl""".stripMargin))
 }
