@@ -375,6 +375,96 @@ object DataOps {
     Q("ann_lsh_bucketed", fn, Some(sql))
   }
 
+  /** One NN-descent refinement round over a TWO-TABLE sign-LSH seed
+    * graph — the graph-ANN scale path (HNSW/NN-descent family). A
+    * single LSH table's k-NN graph is bucket-CLOSED (a friend's
+    * friends share my bucket), which makes the neighbor-of-neighbor
+    * hop vacuous; NN-descent's power comes from seeding with edges
+    * that cross partitions, so the seed unions each vector's top-2
+    * under the 8-plane table with its top-2 under the coarser 4-plane
+    * table, then expands to NEIGHBORS-OF-NEIGHBORS and reranks the
+    * ≤ k + (2k)² candidates exactly. Per-vector candidate count is
+    * bounded by k² whatever the corpus size — the property that lets
+    * graph ANN iterate where bucket methods stall. `seed_best` is the
+    * single-table (8-plane) baseline; `improved` = the multi-table
+    * hop found a strictly closer vector than any 8-plane bucket-mate.
+    */
+  private def nnDescentQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val emb = Tables.embeddings(s, d)
+      def seedTbl(planes: Int) = graft.api.Similarity
+        .bucketedNeighbors(emb, "vec_id", "embedding",
+          topK = 2, nPlanes = planes, dims = 64)
+        .select(col("vec_id").as("a"), col("nbr_id").as("b"), col("cos_sim"))
+      val seedA = seedTbl(8)
+      val seedBest = seedA.groupBy("a").agg(max("cos_sim").as("sb"))
+      val seed = seedA.select("a", "b")
+        .unionByName(seedTbl(4).select("a", "b")).distinct()
+      val nofn = seed
+        .join(seed.select(col("a").as("__m"), col("b").as("c")),
+          col("b") === col("__m"))
+        .select(col("a"), col("c").as("b"))
+        .filter(col("a") =!= col("b"))
+      val cands = seed.unionByName(nofn).distinct()
+      val base = graft.api.Similarity.prepare(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("__v"))
+      val refBest = cands
+        .join(base.select(col("vec_id").as("a"), col("__v").as("va")), "a")
+        .join(base.select(col("vec_id").as("b"), col("__v").as("vb")), "b")
+        .withColumn("cs", expr("cosine_sim(va, vb)"))
+        .groupBy("a").agg(max("cs").as("rb"))
+      seedBest.join(refBest, "a")
+        .select(col("a").as("vec_id"), round(col("sb"), 4).as("seed_best"),
+          round(col("rb"), 4).as("refined_best"),
+          (col("rb") > col("sb")).as("improved"))
+        .orderBy("vec_id")
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def planeList(i: Int): String =
+      PLANES(i).map(p => s"$p.0").mkString("[", ", ", "]")
+    def bitExprs(n: Int) = (0 until n)
+      .map(i => s"CASE WHEN ${SQL_DOT("v", planeList(i))} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    def seedSql(name: String, bucketCol: String) =
+      s"""$name AS (
+         |  SELECT a, b, cs FROM (
+         |    SELECT a.vec_id AS a, b.vec_id AS b,
+         |      ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS cs,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rn
+         |    FROM base a JOIN base b
+         |      ON a.$bucketCol = b.$bucketCol AND a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 2)""".stripMargin
+    val sql =
+      s"""WITH base AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm,
+         |    ${bitExprs(8)} AS bucket8, ${bitExprs(4)} AS bucket4
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |${seedSql("seed_a", "bucket8")},
+         |${seedSql("seed_b", "bucket4")},
+         |sb AS (SELECT a, MAX(cs) AS sb FROM seed_a GROUP BY a),
+         |seed AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM seed_a UNION ALL SELECT a, b FROM seed_b)),
+         |cands AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM seed
+         |    UNION ALL
+         |    SELECT s1.a, s2.b FROM seed s1 JOIN seed s2 ON s1.b = s2.a
+         |    WHERE s1.a <> s2.b)),
+         |rb AS (
+         |  SELECT c.a, MAX(${SQL_DOT("va.v", "vb.v")} / (va.nrm * vb.nrm))
+         |    AS rb
+         |  FROM cands c JOIN base va ON c.a = va.vec_id
+         |               JOIN base vb ON c.b = vb.vec_id
+         |  GROUP BY c.a)
+         |SELECT sb.a AS vec_id, ROUND(sb.sb, 4) AS seed_best,
+         |  ROUND(rb.rb, 4) AS refined_best, rb.rb > sb.sb AS improved
+         |FROM sb JOIN rb ON sb.a = rb.a ORDER BY vec_id""".stripMargin
+    Q("ann_nndescent_round", fn, Some(sql))
+  }
+
   /** int8 scalar quantization of the embedding column — the storage/
     * bandwidth move every large vector corpus makes (4 B float → 1 B
     * code, per-vector scale): q_j = floor(v_j/scale + 0.5) with
@@ -1596,10 +1686,72 @@ object DataOps {
     Q("mm_pixel_histogram", fn, Some(sql))
   }
 
+  /** Shot-boundary detection over the stubbed frame stream: frames
+    * are consecutive 64-byte blocks of the decode stub (the
+    * mm_audio_rms doctrine — swap one projection for a real frame
+    * extractor), the per-frame feature is the EXACT integer byte sum,
+    * and a shot boundary fires where the absolute frame-to-frame
+    * feature delta exceeds the threshold — the cheap first pass of
+    * every video curation pipeline (keyframe sampling, scene dedup).
+    * All math is within-row (one array of frame sums, one zipped
+    * diff scan) — embarrassingly parallel, no shuffle before the
+    * output sort.
+    */
+  private val shotDetectQuery: Q = {
+    val FRAME = 64; val THRESH = 300
+    def fn(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("nf", expr(s"(n + ${FRAME - 1}) div $FRAME"))
+        .withColumn("fs", expr(
+          s"""transform(sequence(0L, nf - 1),
+             |  f -> aggregate(
+             |         transform(sequence(1L, least(cast($FRAME as bigint),
+             |                                      n - f * $FRAME)),
+             |           i -> cast(ascii(substring(text,
+             |                  cast(f * $FRAME + i as int), 1)) as bigint)),
+             |         cast(0 as bigint), (acc, x) -> acc + x))""".stripMargin))
+        .withColumn("diffs", expr(
+          "zip_with(slice(fs, 1, cast(nf - 1 as int)), " +
+            "slice(fs, 2, cast(nf - 1 as int)), (a, b) -> abs(b - a))"))
+        .select(col("doc_id"), col("nf").as("n_frames"),
+          (expr(s"size(filter(diffs, x -> x > $THRESH))") + 1).cast("long")
+            .as("n_shots"),
+          coalesce(expr("array_max(diffs)"), lit(0L)).as("max_diff"))
+        .orderBy("doc_id")
+    val sql =
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    (CAST(length(text) AS BIGINT) + ${FRAME - 1}) // $FRAME AS nf
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, nf,
+         |    list_transform(generate_series(0, CAST(nf - 1 AS INT)),
+         |      f -> CAST(list_sum(list_transform(
+         |             generate_series(1, CAST(least($FRAME,
+         |               n - f * $FRAME) AS INT)),
+         |             i -> CAST(ascii(substr(text,
+         |                    CAST(f * $FRAME + i AS INT), 1)) AS BIGINT)))
+         |           AS BIGINT)) AS fs
+         |  FROM b),
+         |dd AS (
+         |  SELECT doc_id, nf,
+         |    list_transform(generate_series(1, CAST(nf - 1 AS INT)),
+         |      i -> abs(fs[i + 1] - fs[i])) AS diffs
+         |  FROM f)
+         |SELECT doc_id, nf AS n_frames,
+         |  CAST(len(list_filter(diffs, x -> x > $THRESH)) + 1 AS BIGINT)
+         |    AS n_shots,
+         |  COALESCE(list_max(diffs), 0) AS max_diff
+         |FROM dd ORDER BY doc_id""".stripMargin
+    Q("mm_shot_detect", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
-      aspectBucketQuery, audioRmsQuery, pixelHistQuery,
+      aspectBucketQuery, audioRmsQuery, pixelHistQuery, shotDetectQuery,
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
+      nnDescentQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
       ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),
