@@ -130,6 +130,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-10 third-session queries have no scan-all/nested-loop surprises") {
+    val names = Seq("stat_mahalanobis", "stat_hill_tail",
+      "stat_youden_threshold", "stat_vif", "stat_brown_forsythe",
+      "stat_hotelling_t2", "ts_adf_test", "ts_yule_walker_ar2",
+      "ts_newey_west", "ts_turning_points", "ts_haar_energy",
+      "graph_closeness", "graph_cycle4", "join_spatial_knn",
+      "mm_pixel_histogram", "llm_prefix_cache", "stat_kde_density",
+      "agg_kmv_distinct", "ts_kalman_level", "text_textrank",
+      "ts_seasonal_mann_kendall", "llm_lsh_bucket_stats",
+      "ts_retention_halflife", "ann_nndescent_round",
+      "mm_shot_detect").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("stat_spearman: no single-partition-per-group window in the executed plan") {
     // r10 (VERDICT next #1): the cum_before prefix sums must run
     // through the range-bucketed device — every window in the plan
