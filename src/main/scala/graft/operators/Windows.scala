@@ -3532,7 +3532,8 @@ object Windows {
     Wave17Q.haarEnergy,
     Wave19Q.kalmanLevel,
     Wave19Q.seasonalMk,
-    Wave19Q.retentionHalflife
+    Wave19Q.retentionHalflife,
+    Wave19Q.rollingWau
   )
 }
 
@@ -4901,4 +4902,42 @@ private object Wave19Q {
            |    THEN -1.0 * 0.6931471805599453 / slope END, 4)
            |    AS halflife_periods
            |FROM sl""".stripMargin))
+
+  /** Trailing 7-day distinct users (rolling WAU) via BITMAP aggregation
+    * — the exact-distinct-over-sliding-windows shape that COUNT
+    * (DISTINCT) cannot window. Each event fans out to the ≤7 windows
+    * it contributes to (a constant 7× map-side explode), then the
+    * agg_bitmap_distinct bucket-bitmap device packs ids into fixed
+    * 4 KB bitmaps per (window, 32k-id bucket): the shuffle carries one
+    * bitmap per bucket instead of every distinct id — exact, mergeable
+    * state bounded by id density, the production rolling-MAU plan at
+    * any scale. Phantom windows past the last observed day are cut by
+    * the day-spine semi-join.
+    */
+  val rollingWau: Q = Q("ts_rolling_wau",
+    (s, d) => {
+      graft.Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .createOrReplaceTempView("__wau_ev")
+      s.sql(
+        """SELECT wday, CAST(SUM(cnt) AS BIGINT) AS wau FROM (
+          |  SELECT wday, bitmap_bucket_number(user_id) AS b,
+          |    bitmap_count(bitmap_construct_agg(
+          |      bitmap_bit_position(user_id))) AS cnt
+          |  FROM (
+          |    SELECT explode(sequence(day, date_add(day, 6))) AS wday,
+          |      user_id
+          |    FROM __wau_ev) x
+          |  JOIN (SELECT DISTINCT day AS spine_day FROM __wau_ev) sp
+          |    ON x.wday = sp.spine_day
+          |  GROUP BY wday, b) t
+          |GROUP BY wday ORDER BY wday""".stripMargin)
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+           |days AS (SELECT DISTINCT day FROM ev)
+           |SELECT d.day AS wday, COUNT(DISTINCT e.user_id) AS wau
+           |FROM days d JOIN ev e
+           |  ON e.day BETWEEN d.day - 6 AND d.day
+           |GROUP BY d.day ORDER BY wday""".stripMargin))
 }
