@@ -105,6 +105,67 @@ object Pipeline {
               |FROM orders GROUP BY o_orderstatus
               |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Time travel over the same minimal transaction log: replay the
+    // log AS OF each version (actions with version ≤ v, last-action-
+    // wins) and aggregate the snapshot each version sees. Version 0
+    // holds P split across two files; version 1 is post-compaction
+    // (one rewritten file) — so n_files differs while the DATA totals
+    // are identical, which is exactly the invariant time travel must
+    // preserve (and the oracle pins: same totals per version, file
+    // counts 4 → 3). The per-version replay is the same metadata-
+    // sized log scan; no data file is read twice.
+    Q("export_txn_time_travel",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_txntt").toString
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Seq("F", "O").foreach { st =>
+          o.filter(col("o_orderstatus") === st)
+            .write.mode("overwrite").parquet(s"$tmp/data/part_$st")
+        }
+        val p = o.filter(col("o_orderstatus") === "P")
+        p.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P_a")
+        p.filter(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P_b")
+        p.coalesce(1).write.mode("overwrite").parquet(s"$tmp/data/part_P2")
+        import s.implicits._
+        val log = Seq(
+          (0L, "add", "part_F"), (0L, "add", "part_O"),
+          (0L, "add", "part_P_a"), (0L, "add", "part_P_b"),
+          (1L, "remove", "part_P_a"), (1L, "remove", "part_P_b"),
+          (1L, "add", "part_P2"))
+        log.toDF("version", "action", "file")
+          .coalesce(1).write.mode("overwrite").json(s"$tmp/_log")
+        val logDf = s.read.json(s"$tmp/_log").cache()
+        val out = Seq(0L, 1L).map { v =>
+          val live = logDf.filter(col("version") <= v)
+            .groupBy("file")
+            .agg(max_by(col("action"), col("version")).as("last"))
+            .filter(col("last") === "add")
+            .select("file").as[String].collect().sorted
+          s.read.parquet(live.map(f => s"$tmp/data/$f").toSeq: _*)
+            .agg(count(lit(1)).as("n_orders"),
+              dsum(col("o_totalprice")).as("sum_price"))
+            .select(lit(v).as("version"),
+              lit(live.length.toLong).as("n_files"),
+              col("n_orders"), col("sum_price"))
+        }.reduce(_ unionByName _)
+          .orderBy("version")
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        out
+      },
+      Some(s"""SELECT CAST(v AS BIGINT) AS version,
+              |  CAST(CASE WHEN v = 0 THEN 4 ELSE 3 END AS BIGINT)
+              |    AS n_files,
+              |  COUNT(*) AS n_orders,
+              |  ${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders, (VALUES (0), (1)) vv(v)
+              |GROUP BY v ORDER BY version""".stripMargin)),
+
     // Benchmark decontamination: flag every corpus doc sharing an
     // 8-token n-gram with the benchmark set (here: doc_id < 20 stands
     // in for an eval suite). The n-gram unit is the industry-standard

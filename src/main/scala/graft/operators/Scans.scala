@@ -512,6 +512,38 @@ object Scans {
     // referential integrity (orphan foreign keys). Scale shape: ALL
     // per-row rules on a table fold into ONE linear aggregate over it
     // (Spark does not share scans across union branches — rules must be
+    // Partition content checksum — the cross-system reconciliation
+    // primitive: per status partition, XOR-fold a 60-bit md5-derived
+    // hash of every row's canonical string form. XOR is commutative/
+    // associative, so the fold is ORDER-FREE exact in any engine, any
+    // partitioning, any merge tree — the one aggregate family where
+    // float-determinism machinery is unnecessary by algebra. Two
+    // systems disagree on a checksum ⇒ a row differs; doubles are
+    // canonicalized through DECIMAL(18,2) so the hashed string is
+    // byte-identical cross-engine. One linear pass, key-sized output.
+    Q("dq_partition_checksum",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("h", conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+              |  bit_xor(${(1 to 15).map(p =>
+                   s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (15 - p))}")
+                   .mkString("(", " + ", ")")}) AS checksum
+              |FROM (
+              |  SELECT o_orderstatus,
+              |    md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+              |      || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              |                AS VARCHAR)) AS h
+              |  FROM orders) t
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // columns of one pass, then unpivot), so lineitem is read exactly
     // three times total: the per-row pass, the key-uniqueness hash
     // aggregate, and the referential probe's join side. At 100 TB this
