@@ -1354,6 +1354,118 @@ object Llm {
               |  CAST(SUM(s * tok) AS BIGINT) AS tokens_selected
               |FROM sel GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Group-relative advantage normalization (the GRPO/RLOO shape):
+    // per prompt group (source stands in for the prompt), z-score each
+    // response's reward against ITS GROUP's mean/std — the variance-
+    // reduction step group-relative RL methods run on every rollout
+    // batch. Reward = n_chars (the stub scalar; swap one column for a
+    // real reward model score). Group moments are exact integer sums
+    // broadcast back; each advantage is one identical double
+    // expression; singleton/zero-variance groups guard to NULL.
+    Q("llm_grpo_advantage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").as("r"))
+        val g = docs.groupBy("source").agg(count(lit(1)).as("n"),
+          sum("r").as("sr"), sum(col("r") * col("r")).as("srr"))
+        docs.join(broadcast(g), "source")
+          .withColumn("mean_g", col("sr").cast("double") / col("n"))
+          .withColumn("var_g",
+            (col("srr").cast("double")
+              - col("sr").cast("double") * col("sr").cast("double") / col("n"))
+              / (col("n") - 1))
+          .select(col("doc_id"), col("source"), col("r").as("reward"),
+            round(when(col("n") > 1 && col("var_g") > 0,
+              (col("r").cast("double") - col("mean_g"))
+                / sqrt(col("var_g"))), 4).as("advantage"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, n_chars AS r FROM documents),
+             |g AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(r) AS BIGINT) AS sr,
+             |    CAST(SUM(r * r) AS BIGINT) AS srr
+             |  FROM docs GROUP BY source),
+             |j AS (
+             |  SELECT doc_id, docs.source, r,
+             |    CAST(sr AS DOUBLE) / n AS mean_g,
+             |    (CAST(srr AS DOUBLE)
+             |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+             |      / (n - 1) AS var_g, n
+             |  FROM docs JOIN g ON docs.source = g.source)
+             |SELECT doc_id, source, r AS reward,
+             |  ROUND(CASE WHEN n > 1 AND var_g > 0
+             |    THEN (CAST(r AS DOUBLE) - mean_g) / sqrt(var_g) END, 4)
+             |    AS advantage
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // Best-of-n rejection sampling: per prompt group keep the top-2
+    // responses by reward (deterministic doc_id tiebreak) — the
+    // SFT-data selection step after candidate generation. Per-group
+    // top-k via the ranking window over prompt-sized partitions
+    // (bounded by rollout width at any corpus scale); acceptance
+    // metadata (group size) rides along for the yield audit.
+    Q("llm_best_of_n",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("reward").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").as("reward"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("group_n",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rk") <= 2)
+          .select(col("source"), col("rk").cast("long").as("rank"),
+            col("doc_id"), col("reward"), col("group_n"))
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, CAST(rk AS BIGINT) AS rank, doc_id,
+             |  n_chars AS reward, group_n
+             |FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS group_n
+             |  FROM documents) t
+             |WHERE rk <= 2 ORDER BY source, rank""".stripMargin)),
+
+    // Chunk-level dedup rate: fixed 200-char chunks (the RAG/packing
+    // unit), exact md5 identity, per-source duplicate share — dedup
+    // measured at the granularity training actually consumes (doc-
+    // level exact dedup misses boilerplate chunks shared across
+    // distinct docs; the fixture's planted shared prefixes surface
+    // here). Chunk explode is fact-linear; the shuffle carries
+    // (source, chunk-hash) keys only.
+    Q("llm_chunk_dedup_rate",
+      (s, d) => {
+        val ch = Tables.documents(s, d)
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, cast((length(text) - 1) div 200 as int)),
+              |  i -> md5(substring(text, i * 200 + 1, 200)))""".stripMargin))
+            .as("h"))
+        ch.groupBy("source", "h").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_distinct"),
+            round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6)
+              .as("dup_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH ch AS (
+             |  SELECT source,
+             |    md5(substr(text, i * 200 + 1, 200)) AS h
+             |  FROM documents,
+             |    unnest(generate_series(0,
+             |      CAST((length(text) - 1) // 200 AS INT))) t(i)),
+             |g AS (
+             |  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ch GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+             |    AS dup_rate
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
     // Prefix-cache economics: for each candidate prefix length, how
     // many docs share an identical prefix with an earlier doc — the
     // KV-cache hit rate an inference server would get serving this
