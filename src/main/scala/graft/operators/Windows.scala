@@ -3533,7 +3533,8 @@ object Windows {
     Wave19Q.kalmanLevel,
     Wave19Q.seasonalMk,
     Wave19Q.retentionHalflife,
-    Wave19Q.rollingWau
+    Wave19Q.rollingWau,
+    Wave19Q.circularHour
   )
 }
 
@@ -4940,4 +4941,68 @@ private object Wave19Q {
            |FROM days d JOIN ev e
            |  ON e.day BETWEEN d.day - 6 AND d.day
            |GROUP BY d.day ORDER BY wday""".stripMargin))
+
+  /** Circular statistics of purchase hour-of-day: mean direction
+    * (peak hour), resultant length R̄ (concentration), and the
+    * Rayleigh z = n·R̄² uniformity test — the RIGHT way to average a
+    * clock (arithmetic mean of {23h, 1h} is noon; circular mean is
+    * midnight). Linear rollup to 24 hour-of-day counts, then
+    * C = Σn_h·cos θ_h, S = Σn_h·sin θ_h with each trig value rounded
+    * to 9 dp and carried as DECIMAL — the 24-term sums are exact in
+    * any order and immune to libm last-ulp differences (the ln-round9
+    * device applied to trig). One atan2 and two doubles at the end.
+    */
+  val circularHour: Q = Q("ts_circular_hour",
+    (s, d) => {
+      val byHour = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      byHour
+        .withColumn("cosd", expr(
+          "cast(round(cos(pi() * h / 12.0), 9) as decimal(12,9))"))
+        .withColumn("sind", expr(
+          "cast(round(sin(pi() * h / 12.0), 9) as decimal(12,9))"))
+        .agg(sum("c").as("n"),
+          sum(col("c") * col("cosd")).as("cc"),
+          sum(col("c") * col("sind")).as("ss"))
+        .withColumn("rbar",
+          sqrt(col("cc").cast("double") * col("cc").cast("double")
+            + col("ss").cast("double") * col("ss").cast("double"))
+            / col("n"))
+        .withColumn("mh", expr(
+          "atan2(cast(ss as double), cast(cc as double)) * 12.0 / pi()"))
+        .select(col("n"),
+          round(when(col("mh") < 0, col("mh") + 24.0).otherwise(col("mh")), 4)
+            .as("mean_hour"),
+          round(col("rbar"), 4).as("resultant_r"),
+          round(col("n") * col("rbar") * col("rbar"), 4).as("rayleigh_z"))
+    },
+    Some("""WITH byhour AS (
+           |  SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS c
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |t AS (
+           |  SELECT h, c,
+           |    CAST(ROUND(cos(pi() * h / 12.0), 9) AS DECIMAL(12,9))
+           |      AS cosd,
+           |    CAST(ROUND(sin(pi() * h / 12.0), 9) AS DECIMAL(12,9))
+           |      AS sind
+           |  FROM byhour),
+           |m AS (
+           |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |    SUM(c * cosd) AS cc, SUM(c * sind) AS ss
+           |  FROM t),
+           |r AS (
+           |  SELECT n,
+           |    sqrt(CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE)
+           |      + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n AS rbar,
+           |    atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))
+           |      * 12.0 / pi() AS mh
+           |  FROM m)
+           |SELECT n,
+           |  ROUND(CASE WHEN mh < 0 THEN mh + 24.0 ELSE mh END, 4)
+           |    AS mean_hour,
+           |  ROUND(rbar, 4) AS resultant_r,
+           |  ROUND(n * rbar * rbar, 4) AS rayleigh_z
+           |FROM r""".stripMargin))
 }

@@ -436,6 +436,49 @@ object Streams {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM u GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Third ORACLED streaming query: STATELESS stream-static broadcast
+    // enrichment under Trigger.AvailableNow — the exactly-once argument
+    // needs no state-finalization caveat at all here (no watermark, no
+    // open windows: every input row maps to exactly one output row the
+    // moment its batch commits), so the sink aggregate equals the batch
+    // join by construction. This is the canonical streaming-ETL
+    // enrichment shape (fact stream ⋈ broadcast dim at ingest); the
+    // dim key derives a nation from user_id since the fixture stream
+    // carries no FK.
+    Q("stream_enrich_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_enrichnow_v1_$key"
+        val dim = graft.Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("nk", (col("user_id") % 25).cast("int"))
+          .join(broadcast(dim), col("nk") === col("n_nationkey"))
+          .select(col("event_id"), col("n_name"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events e JOIN nation n
+             |  ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
     Q("stream_foreachbatch",
