@@ -166,6 +166,68 @@ object Pipeline {
               |FROM orders, (VALUES (0), (1)) vv(v)
               |GROUP BY v ORDER BY version""".stripMargin)),
 
+    // VACUUM planning over the same commit log — the third leg of the
+    // table-format trilogy (snapshot read, time travel, now garbage
+    // collection): diff the physical data directory listing against
+    // the latest snapshot's live-file set; files on disk but not live
+    // are vacuum candidates, and their row count (here: the
+    // pre-compaction P halves) quantifies reclaimable data. The
+    // directory listing is metadata-sized (file names, not data); the
+    // only data read is the orphan row count — which a real VACUUM
+    // wouldn't even do (it unlinks), kept here because it makes the
+    // oracle pin the SEMANTIC content of the orphan set, not just its
+    // cardinality.
+    Q("export_vacuum_orphans",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_vacuum").toString
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Seq("F", "O").foreach { st =>
+          o.filter(col("o_orderstatus") === st)
+            .write.mode("overwrite").parquet(s"$tmp/data/part_$st")
+        }
+        val p = o.filter(col("o_orderstatus") === "P")
+        p.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P_a")
+        p.filter(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P_b")
+        p.coalesce(1).write.mode("overwrite").parquet(s"$tmp/data/part_P2")
+        import s.implicits._
+        Seq((0L, "add", "part_F"), (0L, "add", "part_O"),
+          (0L, "add", "part_P_a"), (0L, "add", "part_P_b"),
+          (1L, "remove", "part_P_a"), (1L, "remove", "part_P_b"),
+          (1L, "add", "part_P2"))
+          .toDF("version", "action", "file")
+          .coalesce(1).write.mode("overwrite").json(s"$tmp/_log")
+        val live = s.read.json(s"$tmp/_log")
+          .groupBy("file")
+          .agg(max_by(col("action"), col("version")).as("last"))
+          .filter(col("last") === "add")
+          .select("file").as[String].collect().toSet
+        val onDisk = new java.io.File(s"$tmp/data").listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted
+        val orphans = onDisk.filterNot(live)
+        val orphanRows =
+          if (orphans.isEmpty) s.emptyDataFrame.selectExpr("0L AS n")
+          else s.read.parquet(orphans.map(f => s"$tmp/data/$f").toSeq: _*)
+            .agg(count(lit(1)).as("n"))
+        val out = orphanRows
+          .select(lit(onDisk.length.toLong).as("n_files_total"),
+            lit(live.size.toLong).as("n_live"),
+            lit(orphans.length.toLong).as("n_orphans"),
+            col("n").as("orphan_rows"))
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        out
+      },
+      Some("""SELECT CAST(5 AS BIGINT) AS n_files_total,
+             |  CAST(3 AS BIGINT) AS n_live,
+             |  CAST(2 AS BIGINT) AS n_orphans,
+             |  COUNT(*) AS orphan_rows
+             |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)),
+
     // Benchmark decontamination: flag every corpus doc sharing an
     // 8-token n-gram with the benchmark set (here: doc_id < 20 stands
     // in for an eval suite). The n-gram unit is the industry-standard

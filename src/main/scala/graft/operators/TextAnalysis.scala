@@ -1950,7 +1950,46 @@ object TextAnalysis {
               |    AS sttr
               |FROM m ORDER BY doc_id""".stripMargin)),
 
-    textrankQuery
+    textrankQuery,
+
+    // HTML boilerplate stripping — the first transform every web-crawl
+    // pretraining pipeline runs. The fixture corpus is plain text, so
+    // the query CONSTRUCTS a deterministic HTML-ish wrapping (tags +
+    // an entity) identically in both engines, then strips tags with
+    // the regexp pass and decodes the entity — and the oracle checks
+    // the round trip recovers the original text exactly (tag_count,
+    // size deltas, roundtrip_ok). Pure per-row regexp/replace chain:
+    // embarrassingly parallel, no shuffle before the output sort.
+    Q("text_html_strip",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("html", concat(lit("<html><p class=\"c\">"),
+          regexp_replace(col("text"), " ", "</p> <p>"),
+          lit("</p> <div>&amp; footer</div></html>")))
+        .withColumn("stripped",
+          regexp_replace(regexp_replace(col("html"), "<[^>]*>", ""),
+            "&amp;", "&"))
+        .select(col("doc_id"),
+          (length(col("html")) - length(col("text"))).cast("long")
+            .as("markup_chars"),
+          expr("size(split(html, '<')) - 1").cast("long").as("n_tags"),
+          (col("stripped") === concat(col("text"), lit(" & footer")))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, text,
+             |    '<html><p class="c">' || replace(text, ' ', '</p> <p>')
+             |      || '</p> <div>&amp; footer</div></html>' AS html
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, text, html,
+             |    replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+             |      '&amp;', '&') AS stripped
+             |  FROM h)
+             |SELECT doc_id,
+             |  CAST(length(html) - length(text) AS BIGINT) AS markup_chars,
+             |  CAST(len(string_split(html, '<')) - 1 AS BIGINT) AS n_tags,
+             |  stripped = text || ' & footer' AS roundtrip_ok
+             |FROM st ORDER BY doc_id""".stripMargin))
   )
 
   /** TextRank keyword extraction — weighted PageRank over the word
