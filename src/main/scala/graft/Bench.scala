@@ -15,6 +15,13 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPEAT=1 to get the old single-pass behavior.
     val repeat = math.max(1, args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT")).map(_.toInt).getOrElse(3))
+    // Dev-only subset filter (comma list of query ids) for re-measuring
+    // flagged queries on an idle machine; the driver sets no env, so the
+    // official run always times the full surface.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,11 +34,11 @@ object Bench {
     // runs first). Timed pass below measures steady state at sfDir.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -90,7 +97,8 @@ object Bench {
     // The driver keeps only a ~2 kB tail of stdout, which truncates the
     // per-query map past ~60 queries — persist the complete line so the
     // full history is committable every round (VERDICT r4 item 5).
-    try {
+    // A subset run must not clobber the full-surface history file.
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "PERF_data/bench_last.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -1404,9 +1404,18 @@ object Aggs {
         // so freq_q is ≤ flags×50 rows at ANY scale — still ranked
         // through the bucketed device (uniform shape, trivial cost on an
         // aggregate-sized input), then BROADCAST into the cell pass.
+        // localCheckpoint at both aggregate-sized seams: the ranking
+        // device references its input in THREE subtrees (bounds, local,
+        // offsets), and exchange reuse does not collapse them when the
+        // input is itself a multi-stage plan — measured 20 lineitem
+        // scans / 60 exchanges and 4.5 s at sf0.1 without the cuts,
+        // 2 fact scans and ~1.2 s with them. Both tables are
+        // aggregate-sized (flags×50 and distinct (flag, price)), so
+        // executor-local storage is trivial at any corpus scale.
         val freqQ = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"), col("l_quantity"))
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val rq = graft.api.Ranking.withGroupedPrefixSum(freqQ,
             Seq("l_returnflag"), Seq(col("l_quantity")), col("cnt"),
             outCol = "cumb")
@@ -1427,6 +1436,7 @@ object Aggs {
           .agg(count(lit(1)).as("cnt"),
             sum(dec(col("r2_q"))).as("sqx"),
             sum(dec(col("r2_q")) * dec(col("r2_q"))).as("sqx2"))
+          .localCheckpoint()
         // Price ranks attach IN PLACE: the device preserves its input
         // rows, so the cell table leaves with cumb attached — no
         // join-back. All five moments reduce from the cell level:
@@ -5267,5 +5277,317 @@ object Aggs {
               |  ROUND(255.0 * 1152921504606846976.0 / hk, 2) AS estimate,
               |  ROUND(255.0 * 1152921504606846976.0 / hk / exact, 4) AS ratio
               |FROM topk, ex""".stripMargin))
+  ) ++ wave28
+
+  private def wave28: Seq[Q] = Seq(
+
+    // Tukey HSD post-hoc — the pairwise follow-up every significant
+    // ANOVA (stat_anova_f, same grouping) demands: which group means
+    // actually differ? Per-pair studentized statistic q_ij =
+    // |m_i − m_j| / sqrt(MSE/2 · (1/n_i + 1/n_j)) against the
+    // studentized-range critical value q(0.95; k=3, df=∞) = 3.314
+    // (df is ~n−k ≈ ∞ at any realistic scale; the literal is
+    // documented, not data-dependent, so the flag is deterministic).
+    // Everything reduces from ONE group-aggregate pass (counts +
+    // decimal sums + decimal squares); the pair stage is a cross join
+    // of the k-row aggregate — k(k−1)/2 rows at any corpus size.
+    Q("stat_tukey_hsd",
+      (s, d) => {
+        val dec2 = col("l_extendedprice").cast("decimal(18,2)")
+        // k-row aggregate; lineage cut so the self-join + MSE branches
+        // read the cached 3-row table, not three fact scans
+        val g = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("ng"), sum(dec2).as("sg"),
+            sum(dec2 * dec2).as("sg2"))
+          .localCheckpoint()
+        val m = g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum(col("sg2")).as("s2"),
+            sum(col("sg").cast("double") * col("sg").cast("double") /
+              col("ng").cast("double")).as("sqn"))
+          .select(col("k"), col("n"),
+            ((col("s2").cast("double") - col("sqn")) /
+              (col("n") - col("k")).cast("double")).as("mse"))
+        g.as("a").join(g.as("b"),
+            col("a.l_returnflag") < col("b.l_returnflag"))
+          .crossJoin(broadcast(m))
+          .select(col("a.l_returnflag").as("g1"),
+            col("b.l_returnflag").as("g2"),
+            round(abs(col("a.sg").cast("double") / col("a.ng").cast("double") -
+              col("b.sg").cast("double") / col("b.ng").cast("double")), 4)
+              .as("mean_diff"),
+            round(abs(col("a.sg").cast("double") / col("a.ng").cast("double") -
+              col("b.sg").cast("double") / col("b.ng").cast("double")) /
+              sqrt(col("mse") / 2.0 *
+                (lit(1.0) / col("a.ng").cast("double") +
+                  lit(1.0) / col("b.ng").cast("double"))), 4).as("q_stat"),
+            (abs(col("a.sg").cast("double") / col("a.ng").cast("double") -
+              col("b.sg").cast("double") / col("b.ng").cast("double")) /
+              sqrt(col("mse") / 2.0 *
+                (lit(1.0) / col("a.ng").cast("double") +
+                  lit(1.0) / col("b.ng").cast("double"))) > 3.314)
+              .as("significant"))
+          .orderBy("g1", "g2")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, COUNT(*) AS ng,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sg,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sg2
+             |  FROM lineitem GROUP BY l_returnflag),
+             |m AS (
+             |  SELECT (CAST(SUM(sg2) AS DOUBLE)
+             |      - SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |            / CAST(ng AS DOUBLE)))
+             |    / CAST(SUM(ng) - COUNT(*) AS DOUBLE) AS mse
+             |  FROM g)
+             |SELECT a.l_returnflag AS g1, b.l_returnflag AS g2,
+             |  ROUND(ABS(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+             |    - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE)), 4)
+             |    AS mean_diff,
+             |  ROUND(ABS(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+             |      - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+             |    / SQRT(m.mse / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+             |        + 1.0 / CAST(b.ng AS DOUBLE))), 4) AS q_stat,
+             |  ABS(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+             |      - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+             |    / SQRT(m.mse / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+             |        + 1.0 / CAST(b.ng AS DOUBLE))) > 3.314 AS significant
+             |FROM g a JOIN g b ON a.l_returnflag < b.l_returnflag, m
+             |ORDER BY g1, g2""".stripMargin)),
+
+    // G-test of independence (likelihood-ratio chi-square) over the
+    // returnflag × linestatus contingency — the additive-decomposable
+    // alternative to Pearson chi2 (stat_chi2): G partitions exactly
+    // across nested table splits, which is why corpus-audit pipelines
+    // prefer it for drilldowns. All counts are integers; each cell's
+    // O·ln(O/E) term is rounded to 9 dp and DECIMAL-summed (the
+    // ln-round9 exactness device — the only float op is one ln per
+    // cell, |cells| ≤ |flags|·|statuses| at any scale). Zero cells
+    // contribute 0 by the O > 0 filter, identically in both engines.
+    Q("stat_g_test",
+      (s, d) => {
+        // cell-count aggregate; lineage cut — the two marginals, the
+        // total, and the df counts all branch off it (five fact scans
+        // otherwise)
+        val cells = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint()
+        val rows = cells.groupBy("l_returnflag").agg(sum("o").as("r"))
+        val cols_ = cells.groupBy("l_linestatus").agg(sum("o").as("c"))
+        val tot = cells.agg(sum("o").as("n"))
+        cells.join(broadcast(rows), "l_returnflag")
+          .join(broadcast(cols_), "l_linestatus")
+          .crossJoin(broadcast(tot))
+          .filter(col("o") > 0)
+          .select(col("o"), col("r"), col("c"), col("n"),
+            round(col("o").cast("double") *
+              log(col("o").cast("double") * col("n").cast("double") /
+                (col("r").cast("double") * col("c").cast("double"))), 9)
+              .as("term"))
+          .agg((sum(col("term").cast("decimal(28,9)")) * 2)
+              .cast("double").as("g_stat_raw"),
+            count(lit(1)).as("n_cells"))
+          .crossJoin(broadcast(
+            rows.agg(count(lit(1)).as("nr"))
+              .crossJoin(cols_.agg(count(lit(1)).as("nc")))))
+          .select(round(col("g_stat_raw"), 4).as("g_stat"),
+            col("n_cells"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("df"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, SUM(o) AS r FROM cells GROUP BY 1),
+             |c AS (SELECT l_linestatus, SUM(o) AS c FROM cells GROUP BY 1),
+             |t AS (SELECT SUM(o) AS n FROM cells),
+             |terms AS (
+             |  SELECT ROUND(CAST(o AS DOUBLE)
+             |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+             |          / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))), 9)
+             |    AS term
+             |  FROM cells JOIN r USING (l_returnflag)
+             |    JOIN c USING (l_linestatus), t
+             |  WHERE o > 0),
+             |agg AS (
+             |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,9))) * 2 AS DOUBLE)
+             |      AS g_stat_raw,
+             |    CAST(COUNT(*) AS BIGINT) AS n_cells
+             |  FROM terms)
+             |SELECT ROUND(g_stat_raw, 4) AS g_stat, n_cells,
+             |  CAST(((SELECT COUNT(*) FROM r) - 1)
+             |    * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS df
+             |FROM agg""".stripMargin))
+  ) ++ wave29
+
+  private def wave29: Seq[Q] = Seq(
+
+    // Standardized effect sizes for the click-vs-view value contrast —
+    // the "is it LARGE, not just significant" companion every A/B
+    // readout needs next to stat_welch_ttest's p-value: Cohen's d
+    // (pooled-SD units), Hedges' g (small-sample bias correction
+    // J = 1 − 3/(4N−9)), Glass's Δ (control-SD units, control = view),
+    // and the ordinal Cliff's δ = (#(x>y) − #(x<y)) / (n1·n2).
+    // Scale shape: d/g/Δ reduce from ONE group aggregate over exact
+    // integer cents (the stat_welch_ttest device — scale-invariant, so
+    // the /100 never happens); Cliff's δ avoids the n1·n2 pair blowup
+    // via the distinct-value prefix trick (stat_mannwhitney's): per
+    // value v, #(click pairs won) = an_v · Σ_{u<v} bn_u, all exact
+    // BIGINT sums, and lt = n1·n2 − gt − eq needs no second window.
+    Q("stat_effect_sizes",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        val m = base.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+            sum(col("cents") * col("cents")).as("qc"))
+        val a = m.filter(col("event_type") === "click")
+          .select(col("n").as("n1"), col("sc").as("s1"), col("qc").as("q1"))
+        val b = m.filter(col("event_type") === "view")
+          .select(col("n").as("n2"), col("sc").as("s2"), col("qc").as("q2"))
+        // distinct-value prefix device (exact integers, no pair join)
+        val pts = base.groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("bn"))
+        val wPrev = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cf = pts
+          .withColumn("prevb", coalesce(sum("bn").over(wPrev), lit(0L)))
+          .agg(sum(col("an") * col("prevb")).as("gt"),
+            sum(col("an") * col("bn")).as("eq"))
+        def svar(n: String, sc: String, qc: String) =
+          (col(n).cast("double") * col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double")) /
+            (col(n).cast("double") * (col(n) - 1).cast("double"))
+        val md = col("s1").cast("double") / col("n1") -
+          col("s2").cast("double") / col("n2")
+        a.crossJoin(b).crossJoin(broadcast(cf)) // 1×1×1 summary join
+          .withColumn("v1", svar("n1", "s1", "q1"))
+          .withColumn("v2", svar("n2", "s2", "q2"))
+          .withColumn("sp", sqrt(
+            ((col("n1") - 1).cast("double") * col("v1") +
+              (col("n2") - 1).cast("double") * col("v2")) /
+              (col("n1") + col("n2") - 2).cast("double")))
+          .withColumn("jf", lit(1.0) -
+            lit(3.0) / (lit(4.0) * (col("n1") + col("n2")).cast("double")
+              - 9.0))
+          .select(col("n1").as("n_click"), col("n2").as("n_view"),
+            round(md / lit(100.0), 4).as("mean_diff"),
+            round(md / col("sp"), 6).as("cohens_d"),
+            round(col("jf") * md / col("sp"), 6).as("hedges_g"),
+            round(md / sqrt(col("v2")), 6).as("glass_delta"),
+            round((col("gt") -
+              (col("n1") * col("n2") - col("gt") - col("eq")))
+              .cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+              .as("cliffs_delta"))
+      },
+      Some("""WITH x AS (
+             |  SELECT event_type, value,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |m AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS s,
+             |    CAST(SUM(cents * cents) AS BIGINT) AS q
+             |  FROM x GROUP BY event_type),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM m WHERE event_type = 'click') AS n1,
+             |    (SELECT s FROM m WHERE event_type = 'click') AS s1,
+             |    (SELECT q FROM m WHERE event_type = 'click') AS q1,
+             |    (SELECT n FROM m WHERE event_type = 'view') AS n2,
+             |    (SELECT s FROM m WHERE event_type = 'view') AS s2,
+             |    (SELECT q FROM m WHERE event_type = 'view') AS q2),
+             |pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bn
+             |  FROM x GROUP BY value),
+             |cf AS (
+             |  SELECT CAST(SUM(an * prevb) AS BIGINT) AS gt,
+             |    CAST(SUM(an * bn) AS BIGINT) AS eq
+             |  FROM (SELECT an, bn,
+             |      COALESCE(SUM(bn) OVER (ORDER BY value
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS prevb
+             |    FROM pts) t),
+             |e AS (
+             |  SELECT *,
+             |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+             |    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |      / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS v2,
+             |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+             |  FROM ab, cf),
+             |f AS (
+             |  SELECT *,
+             |    sqrt((CAST(n1 - 1 AS DOUBLE) * v1
+             |        + CAST(n2 - 1 AS DOUBLE) * v2)
+             |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp,
+             |    1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0) AS jf
+             |  FROM e)
+             |SELECT n1 AS n_click, n2 AS n_view,
+             |  ROUND(md / 100.0, 4) AS mean_diff,
+             |  ROUND(md / sp, 6) AS cohens_d,
+             |  ROUND(jf * md / sp, 6) AS hedges_g,
+             |  ROUND(md / sqrt(v2), 6) AS glass_delta,
+             |  ROUND(CAST(gt - (n1 * n2 - gt - eq) AS DOUBLE)
+             |    / CAST(n1 * n2 AS DOUBLE), 6) AS cliffs_delta
+             |FROM f""".stripMargin)),
+
+    // k-anonymity / l-diversity audit over the quasi-identifier pair
+    // (c_nationkey, c_mktsegment) — the privacy gate a training-data
+    // release runs before shipping user-derived tables: every row must
+    // hide in a crowd of ≥k identical quasi-identifier tuples, and no
+    // crowd may be uniform in the sensitive attribute (here the
+    // delinquency flag acctbal < 0; an l=1 class discloses it for every
+    // member). One groupBy at QI cardinality (|nations|×|segments|,
+    // key-sized at any corpus scale) then a second aggregate over the
+    // class table — no row-level state leaves the first shuffle.
+    Q("agg_kanonymity",
+      (s, d) => {
+        val classes = Tables.customer(s, d)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("k"),
+            countDistinct(when(col("c_acctbal") < 0, 1L).otherwise(0L))
+              .as("ldiv"))
+        classes.agg(
+          sum("k").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min("k").as("k_min"),
+          sum(when(col("k") < 10, 1L).otherwise(0L)).as("classes_lt_10"),
+          sum(when(col("k") < 10, col("k")).otherwise(0L))
+            .as("rows_lt_10"),
+          sum(when(col("ldiv") === 1, 1L).otherwise(0L))
+            .as("classes_ldiv1"))
+          .select(col("n_rows"), col("n_classes"), col("k_min"),
+            col("classes_lt_10"),
+            round(col("rows_lt_10").cast("double") /
+              col("n_rows").cast("double"), 6).as("pct_rows_lt_10"),
+            col("classes_ldiv1"))
+      },
+      Some("""WITH classes AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1
+             |      ELSE 0 END) AS BIGINT) AS ldiv
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(MIN(k) AS BIGINT) AS k_min,
+             |  CAST(SUM(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_lt_10,
+             |  ROUND(CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(k) AS DOUBLE), 6) AS pct_rows_lt_10,
+             |  CAST(SUM(CASE WHEN ldiv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_ldiv1
+             |FROM classes""".stripMargin))
   )
 }

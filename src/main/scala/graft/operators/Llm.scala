@@ -1500,5 +1500,134 @@ object Llm {
              |  ROUND(CAST(SUM(c - 1) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
              |    AS hit_rate
              |FROM g GROUP BY plen ORDER BY plen""".stripMargin))
+  ) ++ wave29
+
+  private def wave29: Seq[Q] = Seq(
+
+    // Retrieval-quality evaluation — NDCG@10 / MRR@10 / P@10 of the
+    // lexical retriever (the EXACT llm_bm25_topk scoring chain over the
+    // 3-term query) against a graded relevance label, rel = number of
+    // distinct query terms the doc contains (1..3). The eval loop every
+    // RAG / search stack runs after each index or scorer change.
+    // Scale shape: the ranked list is a distributed TakeOrdered top-10
+    // (never a global window over the corpus — the rank-stamping window
+    // runs post-limit on the 10-row frame), and the IDEAL ranking is
+    // NOT a corpus sort: gain depends only on the ≤3 relevance grades,
+    // so IDCG reduces to per-grade counts (a 3-row aggregate) expanded
+    // to positions 1..10 via sequence(). Two passes over the scored
+    // pool (top-10 + grade counts) — each one tok-scan, no unbounded
+    // materialization. Float determinism: each DCG term is rounded to
+    // 9 dp and DECIMAL-summed (the ln-round9 device), so the sum is
+    // order-free and bit-equal across engines.
+    Q("llm_ndcg_retrieval",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+        val tf = tok.filter(col("token").isin("spark", "query", "window"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfq), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("term_s",
+            log((col("n").cast("double") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                  col("n") / col("sumdl"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("rel"), round(sum("term_s"), 4).as("bm25"))
+        val gain = pow(lit(2.0), col("rel")) - 1.0
+        val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("bm25").desc,
+              col("doc_id"))))
+        val dcg = top.agg(
+          sum(round(gain / log2(col("rnk") + 1), 9).cast("decimal(28,9)"))
+            .as("dcg_raw"),
+          min(when(col("rel") >= 2, col("rnk"))).as("first_rel"),
+          sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hits10"))
+        val grades = scored.groupBy("rel").agg(count(lit(1)).as("cnt"))
+        // ≤3-row frame: the single-partition window is grade-bounded
+        val wHi = Window.orderBy(col("rel").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ideal = grades
+          .withColumn("prefix", coalesce(sum("cnt").over(wHi), lit(0L)))
+          .filter(col("prefix") < 10)
+          .select(col("rel"), explode(sequence(col("prefix") + 1,
+            least(col("prefix") + col("cnt"), lit(10L)))).as("pos"))
+          .agg(sum(round(gain / log2(col("pos") + 1), 9)
+            .cast("decimal(28,9)")).as("idcg_raw"))
+        val npool = grades.agg(sum("cnt").as("n_pool"))
+        dcg.crossJoin(broadcast(ideal)).crossJoin(broadcast(npool))
+          .select(col("n_pool"),
+            round(col("dcg_raw").cast("double"), 6).as("dcg10"),
+            round(col("idcg_raw").cast("double"), 6).as("idcg10"),
+            round(col("dcg_raw").cast("double") /
+              col("idcg_raw").cast("double"), 6).as("ndcg10"),
+            round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+              .as("mrr10"),
+            round(col("hits10").cast("double") / 10, 6).as("precision10"))
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+              |  FROM dl),
+              |tf AS (
+              |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+              |  WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+              |sc AS (
+              |  SELECT tf.doc_id, COUNT(*) AS rel,
+              |    ROUND(SUM(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)
+              |        + 1.0)
+              |      * (CAST(tf AS DOUBLE) * 2.2)
+              |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+              |        + 0.75 * CAST(dl.dl AS DOUBLE) * n / sumdl))), 4)
+              |      AS bm25
+              |  FROM tf JOIN df USING (token)
+              |  JOIN dl ON tf.doc_id = dl.doc_id, st
+              |  GROUP BY tf.doc_id),
+              |top AS (
+              |  SELECT rel, bm25,
+              |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+              |  FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10),
+              |d AS (
+              |  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+              |        / log2(rnk + 1), 9) AS DECIMAL(28,9))) AS DOUBLE)
+              |      AS dcg_raw,
+              |    MIN(CASE WHEN rel >= 2 THEN rnk END) AS first_rel,
+              |    CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS hits10
+              |  FROM top),
+              |g AS (SELECT rel, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM sc GROUP BY rel),
+              |gp AS (
+              |  SELECT rel, cnt,
+              |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY rel DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS pfx
+              |  FROM g),
+              |pos AS (
+              |  SELECT rel, unnest(generate_series(pfx + 1,
+              |    CAST(least(pfx + cnt, 10) AS BIGINT))) AS pos
+              |  FROM gp WHERE pfx < 10),
+              |i AS (
+              |  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+              |      / log2(pos + 1), 9) AS DECIMAL(28,9))) AS DOUBLE)
+              |    AS idcg_raw
+              |  FROM pos),
+              |np AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pool FROM g)
+              |SELECT n_pool, ROUND(dcg_raw, 6) AS dcg10,
+              |  ROUND(idcg_raw, 6) AS idcg10,
+              |  ROUND(dcg_raw / idcg_raw, 6) AS ndcg10,
+              |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0), 6)
+              |    AS mrr10,
+              |  ROUND(CAST(hits10 AS DOUBLE) / 10, 6) AS precision10
+              |FROM d, i, np""".stripMargin))
   )
 }

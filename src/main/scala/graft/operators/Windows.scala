@@ -2897,11 +2897,20 @@ object Windows {
             count(lit(1)).as("freq"), sum("cents").as("cents"))
           .crossJoin(broadcast(maxDay))
           .withColumn("recency", datediff(col("mx"), col("last_day")).cast("long"))
+          // lineage cut before the ntile chain: each ntileExact
+          // references its input in three subtrees, so three chained
+          // calls over the raw aggregate would rebuild the events
+          // aggregation up to 3³ times (the stat_spearman lesson);
+          // checkpointing the user-sized table between links keeps
+          // every rebuild a cached-table scan.
+          .localCheckpoint()
         val r = graft.api.Ranking.ntileExact(users, 5,
           Seq(col("recency"), col("user_id")), tileCol = "r_score")
+          .localCheckpoint()
         val rf = graft.api.Ranking.ntileExact(r, 5,
           Seq(col("freq").desc, col("user_id")), tileCol = "f_score",
           bucketBy = -col("freq"))
+          .localCheckpoint()
         val rfm = graft.api.Ranking.ntileExact(rf, 5,
           Seq(col("cents").desc, col("user_id")), tileCol = "m_score",
           bucketBy = -col("cents"))

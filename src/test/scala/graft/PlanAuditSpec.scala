@@ -153,6 +153,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-10 fourth-session queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_range_search", "catalog_view_chain",
+      "dq_partition_checksum", "dq_volume_anomaly",
+      "export_txn_log_snapshot", "export_txn_time_travel",
+      "export_vacuum_orphans", "graph_degree_powerlaw",
+      "graph_reciprocity", "llm_best_of_n", "llm_chunk_dedup_rate",
+      "llm_embedding_drift", "llm_gopher_quality", "llm_grpo_advantage",
+      "mm_aspect_bucket", "mm_audio_rms", "stat_breusch_pagan",
+      "stat_cooks_distance", "stat_deming", "stat_durbin_watson",
+      "stat_eb_shrinkage", "stat_g_test", "stat_icc",
+      "stat_moods_median", "stat_tost_equivalence", "stat_tukey_hsd",
+      "text_html_strip", "text_mattr", "ts_circular_hour", "ts_croston",
+      "ts_hurst_rs", "ts_rolling_wau", "ts_sax_symbols",
+      "ts_spc_rules").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("stat_spearman: no single-partition-per-group window in the executed plan") {
     // r10 (VERDICT next #1): the cum_before prefix sums must run
     // through the range-bucketed device — every window in the plan
