@@ -166,7 +166,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "stat_moods_median", "stat_tost_equivalence", "stat_tukey_hsd",
       "text_html_strip", "text_mattr", "ts_circular_hour", "ts_croston",
       "ts_hurst_rs", "ts_rolling_wau", "ts_sax_symbols",
-      "ts_spc_rules").distinct
+      "ts_spc_rules", "stat_effect_sizes", "agg_kanonymity",
+      "llm_ndcg_retrieval").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
