@@ -5588,6 +5588,85 @@ object Aggs {
              |    / CAST(SUM(k) AS DOUBLE), 6) AS pct_rows_lt_10,
              |  CAST(SUM(CASE WHEN ldiv = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS classes_ldiv1
-             |FROM classes""".stripMargin))
+             |FROM classes""".stripMargin)),
+
+    // Stratified (direct-adjustment) average treatment effect — the
+    // simplest causal estimator observational pipelines run when the
+    // naive group contrast is confounded by a covariate: stratify on
+    // order year, take the treated-vs-control mean difference WITHIN
+    // each stratum, and weight by stratum size. Treatment = 1-URGENT
+    // orders, control = 5-LOW, outcome = total price. Strata missing
+    // either arm are dropped (standard positivity trim) and n_used
+    // reports what survived. Scale shape: one groupBy at |years|
+    // cardinality over exact cents; every division happens on the
+    // year-bounded aggregate, each stratum term round9'd and
+    // DECIMAL-summed so the weighted mean is order-free. Divisors are
+    // CASE-guarded (no engine-dependent x/0).
+    Q("stat_stratified_ate",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .withColumn("yr", year(col("o_orderdate")))
+          .withColumn("t", col("o_orderpriority") === "1-URGENT")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        val strata = o.groupBy("yr").agg(
+            sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+            sum(when(col("t"), col("cents")).otherwise(0L)).as("st"),
+            sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+            sum(when(!col("t"), col("cents")).otherwise(0L)).as("sc"))
+          .filter(col("nt") > 0 && col("nc") > 0)
+        strata.agg(
+            count(lit(1)).as("n_strata"),
+            sum(col("nt") + col("nc")).as("n_used"),
+            sum("st").as("sts"), sum("nt").as("nts"),
+            sum("sc").as("scs"), sum("nc").as("ncs"),
+            sum(round((col("st").cast("double") / col("nt") -
+                col("sc").cast("double") / col("nc")) *
+                (col("nt") + col("nc")).cast("double"), 9)
+              .cast("decimal(38,9)")).as("wsum"))
+          .select(col("n_strata"), col("n_used"),
+            round((col("sts").cast("double") /
+              when(col("nts") > 0, col("nts")) -
+              col("scs").cast("double") /
+                when(col("ncs") > 0, col("ncs"))) / 100.0, 4)
+              .as("ate_naive"),
+            round(col("wsum").cast("double") /
+              when(col("n_used") > 0, col("n_used")).cast("double") /
+              100.0, 4).as("ate_stratified"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |    o_orderpriority = '1-URGENT' AS t,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |strata AS (
+             |  SELECT yr,
+             |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |    CAST(SUM(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT)
+             |      AS st,
+             |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nc,
+             |    CAST(SUM(CASE WHEN NOT t THEN cents ELSE 0 END) AS BIGINT)
+             |      AS sc
+             |  FROM o GROUP BY yr
+             |  HAVING SUM(CASE WHEN t THEN 1 ELSE 0 END) > 0
+             |    AND SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) > 0)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             |  CAST(SUM(nt + nc) AS BIGINT) AS n_used,
+             |  ROUND((CAST(SUM(st) AS DOUBLE)
+             |      / (CASE WHEN SUM(nt) > 0 THEN SUM(nt) END)
+             |    - CAST(SUM(sc) AS DOUBLE)
+             |      / (CASE WHEN SUM(nc) > 0 THEN SUM(nc) END)) / 100.0, 4)
+             |    AS ate_naive,
+             |  ROUND(CAST(SUM(CAST(ROUND((CAST(st AS DOUBLE) / nt
+             |        - CAST(sc AS DOUBLE) / nc)
+             |      * CAST(nt + nc AS DOUBLE), 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE)
+             |    / CAST((CASE WHEN SUM(nt + nc) > 0 THEN SUM(nt + nc) END)
+             |      AS DOUBLE) / 100.0, 4) AS ate_stratified
+             |FROM strata""".stripMargin))
   )
 }

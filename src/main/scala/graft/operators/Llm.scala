@@ -1628,6 +1628,68 @@ object Llm {
               |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0), 6)
               |    AS mrr10,
               |  ROUND(CAST(hits10 AS DOUBLE) / 10, 6) AS precision10
-              |FROM d, i, np""".stripMargin))
+              |FROM d, i, np""".stripMargin)),
+
+    // Speculative-decoding acceptance curve — the serving-side
+    // analytics every draft-model deployment watches: per draft
+    // position k, the mean rejection-sampling acceptance probability
+    // min(1, p_target/p_draft) and the mean probability that the WHOLE
+    // prefix 1..k survives (the expected-speedup curve). Token
+    // probabilities are deterministic md5-derived uniforms in
+    // (0, 0.997] (the repo's hash-coin device — portable bit-for-bit
+    // to the oracle), 16 draft positions per document. Scale shape:
+    // positions explode 16× (bounded), the prefix product runs as a
+    // per-doc 16-row window over round9'd ln terms (exact DECIMAL
+    // sums → order-free), and the final per-position means are
+    // round9+DECIMAL too. No corpus-wide window, no driver state.
+    Q("llm_speculative_accept",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), lit(16))).as("pos"))
+        def coin(tag: String) =
+          ((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("pos").cast("string"), lit(tag))), 1, 15),
+            16, 10).cast("long") % 997) + 1).cast("double") / 1000.0
+        val a = least(lit(1.0), coin(":t") / coin(":d"))
+        val wCum = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        base
+          .withColumn("a", a)
+          .withColumn("cum", exp(
+            sum(round(log(col("a")), 9).cast("decimal(28,9)")).over(wCum)
+              .cast("double")))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(round(col("a"), 9).cast("decimal(28,9)"))
+              .cast("double") / count(lit(1)), 6).as("avg_accept"),
+            round(sum(round(col("cum"), 9).cast("decimal(28,9)"))
+              .cast("double") / count(lit(1)), 6).as("mean_prefix_accept"))
+          .orderBy("pos")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, unnest(generate_series(1, 16)) AS pos
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, pos,
+              |    least(CAST(1.0 AS DOUBLE),
+              |      (CAST((${SQL_HEX15("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':t')")} % 997) + 1 AS DOUBLE) / 1000.0)
+              |      / (CAST((${SQL_HEX15("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':d')")} % 997) + 1 AS DOUBLE) / 1000.0))
+              |      AS a
+              |  FROM base),
+              |cum AS (
+              |  SELECT doc_id, pos, a,
+              |    exp(CAST(SUM(CAST(ROUND(ln(a), 9) AS DECIMAL(28,9)))
+              |      OVER (PARTITION BY doc_id ORDER BY pos
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS DOUBLE)) AS cum
+              |  FROM c)
+              |SELECT CAST(pos AS INT) AS pos,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  ROUND(CAST(SUM(CAST(ROUND(a, 9) AS DECIMAL(28,9)))
+              |    AS DOUBLE) / COUNT(*), 6) AS avg_accept,
+              |  ROUND(CAST(SUM(CAST(ROUND(cum, 9) AS DECIMAL(28,9)))
+              |    AS DOUBLE) / COUNT(*), 6) AS mean_prefix_accept
+              |FROM cum GROUP BY pos ORDER BY pos""".stripMargin))
   )
 }

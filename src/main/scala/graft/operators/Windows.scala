@@ -3543,8 +3543,110 @@ object Windows {
     Wave19Q.seasonalMk,
     Wave19Q.retentionHalflife,
     Wave19Q.rollingWau,
-    Wave19Q.circularHour
+    Wave19Q.circularHour,
+    Wave30Q.eventStudy
   )
+}
+
+/** Round-10 wave 30 (Windows leg): event-study uplift. */
+private object Wave30Q {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  /** Event-study uplift around purchases — for every purchase, the
+    * user's click spend in the hour BEFORE vs the hour AFTER (the
+    * before/after contrast marketing and causal teams run around any
+    * intervention). RANGE frames over epoch MICROSECONDS exclude the
+    * event instant itself ([-1h,-1µs] and [+1µs,+1h]), so a click at
+    * the purchase timestamp never leaks into either side. All window
+    * state is exact integers (counts + cents); the one float op — the
+    * per-purchase post−pre mean difference — is round9'd and
+    * DECIMAL-summed, so the cross-purchase mean is order-free. Scale:
+    * one user-keyed shuffle carries both frames, per-user state
+    * bounded by the 1 h horizon; divisors are CASE-guarded so a
+    * fixture with no two-sided purchase yields NULLs, not engine-
+    * dependent x/0.
+    */
+  val eventStudy: Q = Q("ts_event_study",
+    (s, d) => {
+      val ev = graft.Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      val H = 3600000000L
+      val wPre = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-H, -1)
+      val wPost = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(1, H)
+      val click = when(col("event_type") === "click", col("cents"))
+      val p = ev
+        .withColumn("pre_c", count(click).over(wPre))
+        .withColumn("pre_s", sum(click).over(wPre))
+        .withColumn("post_c", count(click).over(wPost))
+        .withColumn("post_s", sum(click).over(wPost))
+        .filter(col("event_type") === "purchase")
+      val both = col("pre_c") > 0 && col("post_c") > 0
+      p.agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(both, 1L).otherwise(0L)).as("n_with_both"),
+        sum(coalesce(col("pre_s"), lit(0L))).as("ps"),
+        sum(col("pre_c")).as("pc"),
+        sum(coalesce(col("post_s"), lit(0L))).as("qs"),
+        sum(col("post_c")).as("qc"),
+        sum(when(both,
+          round(col("post_s").cast("double") / col("post_c") -
+            col("pre_s").cast("double") / col("pre_c"), 9)
+            .cast("decimal(28,9)"))).as("usum"))
+        .select(col("n_purchases"), col("n_with_both"),
+          round(col("ps").cast("double") /
+            when(col("pc") > 0, col("pc")) / 100.0, 4)
+            .as("mean_pre_click"),
+          round(col("qs").cast("double") /
+            when(col("qc") > 0, col("qc")) / 100.0, 4)
+            .as("mean_post_click"),
+          round(col("usum").cast("double") /
+            when(col("n_with_both") > 0, col("n_with_both"))
+              .cast("double") / 100.0, 6).as("mean_uplift"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM events),
+           |w AS (
+           |  SELECT user_id, event_type,
+           |    COUNT(CASE WHEN event_type = 'click' THEN cents END)
+           |      OVER pre AS pre_c,
+           |    SUM(CASE WHEN event_type = 'click' THEN cents END)
+           |      OVER pre AS pre_s,
+           |    COUNT(CASE WHEN event_type = 'click' THEN cents END)
+           |      OVER post AS post_c,
+           |    SUM(CASE WHEN event_type = 'click' THEN cents END)
+           |      OVER post AS post_s
+           |  FROM ev
+           |  WINDOW pre AS (PARTITION BY user_id ORDER BY us
+           |      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+           |    post AS (PARTITION BY user_id ORDER BY us
+           |      RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)),
+           |p AS (SELECT * FROM w WHERE event_type = 'purchase')
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           |  CAST(SUM(CASE WHEN pre_c > 0 AND post_c > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_with_both,
+           |  ROUND(CAST(SUM(COALESCE(pre_s, 0)) AS DOUBLE)
+           |    / (CASE WHEN SUM(pre_c) > 0 THEN SUM(pre_c) END)
+           |    / 100.0, 4) AS mean_pre_click,
+           |  ROUND(CAST(SUM(COALESCE(post_s, 0)) AS DOUBLE)
+           |    / (CASE WHEN SUM(post_c) > 0 THEN SUM(post_c) END)
+           |    / 100.0, 4) AS mean_post_click,
+           |  ROUND(CAST(SUM(CASE WHEN pre_c > 0 AND post_c > 0 THEN
+           |      CAST(ROUND(CAST(post_s AS DOUBLE) / post_c
+           |        - CAST(pre_s AS DOUBLE) / pre_c, 9) AS DECIMAL(28,9))
+           |      END) AS DOUBLE)
+           |    / CAST((CASE WHEN SUM(CASE WHEN pre_c > 0 AND post_c > 0
+           |        THEN 1 ELSE 0 END) > 0
+           |      THEN SUM(CASE WHEN pre_c > 0 AND post_c > 0 THEN 1
+           |        ELSE 0 END) END) AS DOUBLE)
+           |    / 100.0, 6) AS mean_uplift
+           |FROM p""".stripMargin))
 }
 
 private object BreuschPaganQ {

@@ -167,7 +167,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_html_strip", "text_mattr", "ts_circular_hour", "ts_croston",
       "ts_hurst_rs", "ts_rolling_wau", "ts_sax_symbols",
       "ts_spc_rules", "stat_effect_sizes", "agg_kanonymity",
-      "llm_ndcg_retrieval").distinct
+      "llm_ndcg_retrieval", "ts_event_study", "stat_stratified_ate",
+      "llm_speculative_accept").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
