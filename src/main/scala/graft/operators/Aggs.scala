@@ -5667,6 +5667,244 @@ object Aggs {
              |      AS DOUBLE)
              |    / CAST((CASE WHEN SUM(nt + nc) > 0 THEN SUM(nt + nc) END)
              |      AS DOUBLE) / 100.0, 4) AS ate_stratified
-             |FROM strata""".stripMargin))
+             |FROM strata""".stripMargin)),
+
+    // CUPED variance reduction (Deng et al. 2013) — the pre-experiment
+    // covariate adjustment every mature A/B platform applies before
+    // reading an experiment: per user, pre-period spend X (events
+    // before Jan 16) predicts post-period spend Y, and the adjusted
+    // contrast Y − θ(X − X̄) removes the predictable variance,
+    // θ = cov(X,Y)/var(X). Treatment is the deterministic md5 user
+    // coin. Everything reduces from ONE user-keyed aggregate followed
+    // by a 2-arm + pooled-moment reduce: Σx, Σy, Σxy, Σx², Σy² as
+    // exact DECIMAL(38,0) sums of integer cents (long·long would
+    // overflow at 100 TB user counts), so θ, the adjusted diff
+    // (closed form: diff_naive − θ·covariate diff — no second pass),
+    // and the variance-reduction ratio corr²(X,Y) are all determined
+    // by exact integers. Divisors CASE-guarded.
+    Q("stat_cuped",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val u = Tables.events(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") < cut, col("cents")).otherwise(0L))
+            .as("x"),
+            sum(when(col("ts") >= cut, col("cents")).otherwise(0L))
+              .as("y"))
+          .withColumn("t",
+            conv(substring(md5(concat(lit("cuped:"),
+              col("user_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 2 === 1)
+        val m = u.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum((col("x").cast("decimal(19,0)") * col("y"))
+            .cast("decimal(38,0)")).as("sxy"),
+          sum((col("x").cast("decimal(19,0)") * col("x"))
+            .cast("decimal(38,0)")).as("sxx"),
+          sum((col("y").cast("decimal(19,0)") * col("y"))
+            .cast("decimal(38,0)")).as("syy"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t"), col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("t"), col("y")).otherwise(0L)).as("sy1"),
+          sum(when(!col("t"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("t"), col("x")).otherwise(0L)).as("sx0"),
+          sum(when(!col("t"), col("y")).otherwise(0L)).as("sy0"))
+        def d_(c: Column) = c.cast("double")
+        val covN = d_(col("n")) * d_(col("sxy")) - d_(col("sx")) * d_(col("sy"))
+        val varxN = d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx"))
+        val varyN = d_(col("n")) * d_(col("syy")) - d_(col("sy")) * d_(col("sy"))
+        val theta = covN / when(varxN > 0, varxN)
+        val diffY = d_(col("sy1")) / when(col("n1") > 0, col("n1")) -
+          d_(col("sy0")) / when(col("n0") > 0, col("n0"))
+        val diffX = d_(col("sx1")) / when(col("n1") > 0, col("n1")) -
+          d_(col("sx0")) / when(col("n0") > 0, col("n0"))
+        m.select(col("n").as("n_users"), col("n1").as("n_treat"),
+          col("n0").as("n_ctrl"),
+          round(theta, 6).as("theta"),
+          round(diffY / 100.0, 4).as("diff_naive"),
+          round((diffY - theta * diffX) / 100.0, 4).as("diff_cuped"),
+          round(covN * covN /
+            when(varxN > 0, varxN) / when(varyN > 0, varyN), 6)
+            .as("var_reduction"))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN cents
+             |      ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN cents
+             |      ELSE 0 END) AS BIGINT) AS y
+             |  FROM (SELECT user_id, ts,
+             |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |        AS cents FROM events) e
+             |  GROUP BY user_id),
+             |ut AS (
+             |  SELECT *,
+             |    (${SQL_HEX15_AGGS("md5('cuped:' || CAST(user_id AS VARCHAR))")} % 2) = 1 AS t
+             |  FROM u),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+             |    SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             |    SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy,
+             |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0,
+             |    CAST(SUM(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT)
+             |      AS sx0,
+             |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+             |      AS sy0
+             |  FROM ut),
+             |e AS (
+             |  SELECT *,
+             |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+             |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+             |    CAST(sy1 AS DOUBLE) / (CASE WHEN n1 > 0 THEN n1 END)
+             |      - CAST(sy0 AS DOUBLE) / (CASE WHEN n0 > 0 THEN n0 END)
+             |      AS diffy,
+             |    CAST(sx1 AS DOUBLE) / (CASE WHEN n1 > 0 THEN n1 END)
+             |      - CAST(sx0 AS DOUBLE) / (CASE WHEN n0 > 0 THEN n0 END)
+             |      AS diffx
+             |  FROM m)
+             |SELECT n AS n_users, n1 AS n_treat, n0 AS n_ctrl,
+             |  ROUND(covn / (CASE WHEN varxn > 0 THEN varxn END), 6)
+             |    AS theta,
+             |  ROUND(diffy / 100.0, 4) AS diff_naive,
+             |  ROUND((diffy - covn / (CASE WHEN varxn > 0 THEN varxn END)
+             |    * diffx) / 100.0, 4) AS diff_cuped,
+             |  ROUND(covn * covn / (CASE WHEN varxn > 0 THEN varxn END)
+             |    / (CASE WHEN varyn > 0 THEN varyn END), 6)
+             |    AS var_reduction
+             |FROM e""".stripMargin)),
+
+    // Fixed-effect inverse-variance meta-analysis over the per-year
+    // urgent-vs-low price contrasts (the stat_stratified_ate strata,
+    // now each treated as an independent "study"): pooled effect
+    // Σwᵢdᵢ/Σwᵢ with wᵢ = 1/Var(dᵢ), its standard error √(1/Σw),
+    // Cochran's heterogeneity Q = Σw d² − (Σwd)²/Σw, and
+    // I² = max(0, (Q − df)/Q) — the question "do the yearly effects
+    // agree, or is the pooled number hiding heterogeneity?". Strata
+    // need both arms with n ≥ 2 (a variance exists). Per-stratum
+    // moments are exact cents; w/wd/wd² terms are computed in UNITS
+    // (cents² weights would vanish under round9), rounded to 9 dp and
+    // DECIMAL-summed over the ≤|years| rows, so the pooled statistics
+    // are order-free and bit-equal across engines.
+    Q("stat_meta_analysis",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .withColumn("yr", year(col("o_orderdate")))
+          .withColumn("t", col("o_orderpriority") === "1-URGENT")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        val strata = o.groupBy("yr").agg(
+            sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+            sum(when(col("t"), col("cents")).otherwise(0L)).as("st"),
+            sum(when(col("t"), col("cents") * col("cents")).otherwise(0L))
+              .as("qt"),
+            sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+            sum(when(!col("t"), col("cents")).otherwise(0L)).as("sc"),
+            sum(when(!col("t"), col("cents") * col("cents")).otherwise(0L))
+              .as("qc"))
+          .filter(col("nt") > 1 && col("nc") > 1)
+        def d_(c: Column) = c.cast("double")
+        val vT = (d_(col("nt")) * d_(col("qt")) - d_(col("st")) * d_(col("st"))) /
+          (d_(col("nt")) * (col("nt") - 1).cast("double")) / 10000.0
+        val vC = (d_(col("nc")) * d_(col("qc")) - d_(col("sc")) * d_(col("sc"))) /
+          (d_(col("nc")) * (col("nc") - 1).cast("double")) / 10000.0
+        val eff = (d_(col("st")) / col("nt") - d_(col("sc")) / col("nc")) / 100.0
+        val varD = vT / col("nt") + vC / col("nc")
+        val w = lit(1.0) / when(varD > 0, varD)
+        val terms = strata.select(
+          round(w, 9).cast("decimal(28,9)").as("w"),
+          round(w * eff, 9).cast("decimal(28,9)").as("wd"),
+          round(w * eff * eff, 9).cast("decimal(28,9)").as("wd2"))
+        val agg0 = terms.agg(count(lit(1)).as("k"),
+          sum("w").as("sw"), sum("wd").as("swd"), sum("wd2").as("swd2"))
+        val sw = col("sw").cast("double")
+        val swd = col("swd").cast("double")
+        val q = col("swd2").cast("double") - swd * swd / when(sw > 0, sw)
+        agg0.select(col("k").as("k_strata"),
+          round(swd / when(sw > 0, sw), 4).as("pooled_effect"),
+          round(sqrt(lit(1.0) / when(sw > 0, sw)), 4).as("se_pooled"),
+          round(q, 4).as("q_stat"),
+          round(greatest(lit(0.0),
+            (q - (col("k") - 1).cast("double")) / when(q > 0, q)), 6)
+            .as("i2"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |    o_orderpriority = '1-URGENT' AS t,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |strata AS (
+             |  SELECT yr,
+             |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |    CAST(SUM(CASE WHEN t THEN cents ELSE 0 END) AS BIGINT)
+             |      AS st,
+             |    CAST(SUM(CASE WHEN t THEN cents * cents ELSE 0 END)
+             |      AS BIGINT) AS qt,
+             |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nc,
+             |    CAST(SUM(CASE WHEN NOT t THEN cents ELSE 0 END) AS BIGINT)
+             |      AS sc,
+             |    CAST(SUM(CASE WHEN NOT t THEN cents * cents ELSE 0 END)
+             |      AS BIGINT) AS qc
+             |  FROM o GROUP BY yr
+             |  HAVING SUM(CASE WHEN t THEN 1 ELSE 0 END) > 1
+             |    AND SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) > 1),
+             |terms AS (
+             |  SELECT
+             |    CAST(ROUND(w, 9) AS DECIMAL(28,9)) AS w,
+             |    CAST(ROUND(w * eff, 9) AS DECIMAL(28,9)) AS wd,
+             |    CAST(ROUND(w * eff * eff, 9) AS DECIMAL(28,9)) AS wd2
+             |  FROM (
+             |    SELECT
+             |      1.0 / (CASE WHEN vd > 0 THEN vd END) AS w, eff
+             |    FROM (
+             |      SELECT
+             |        ((CAST(nt AS DOUBLE) * CAST(qt AS DOUBLE)
+             |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             |          / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE))
+             |          / 10000.0) / nt
+             |        + ((CAST(nc AS DOUBLE) * CAST(qc AS DOUBLE)
+             |          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             |          / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE))
+             |          / 10000.0) / nc AS vd,
+             |        (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)
+             |          / 100.0 AS eff
+             |      FROM strata) v) ww),
+             |agg0 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(w) AS DOUBLE) AS sw,
+             |    CAST(SUM(wd) AS DOUBLE) AS swd,
+             |    CAST(SUM(wd2) AS DOUBLE) AS swd2
+             |  FROM terms)
+             |SELECT k AS k_strata,
+             |  ROUND(swd / (CASE WHEN sw > 0 THEN sw END), 4)
+             |    AS pooled_effect,
+             |  ROUND(sqrt(1.0 / (CASE WHEN sw > 0 THEN sw END)), 4)
+             |    AS se_pooled,
+             |  ROUND(swd2 - swd * swd / (CASE WHEN sw > 0 THEN sw END), 4)
+             |    AS q_stat,
+             |  ROUND(greatest(0.0, (swd2 - swd * swd
+             |      / (CASE WHEN sw > 0 THEN sw END)
+             |      - CAST(k - 1 AS DOUBLE))
+             |    / (CASE WHEN (swd2 - swd * swd
+             |      / (CASE WHEN sw > 0 THEN sw END)) > 0
+             |      THEN swd2 - swd * swd / (CASE WHEN sw > 0 THEN sw END)
+             |      END)), 6) AS i2
+             |FROM agg0""".stripMargin))
   )
 }

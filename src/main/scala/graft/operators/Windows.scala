@@ -3544,7 +3544,8 @@ object Windows {
     Wave19Q.retentionHalflife,
     Wave19Q.rollingWau,
     Wave19Q.circularHour,
-    Wave30Q.eventStudy
+    Wave30Q.eventStudy,
+    Wave30Q.piecewiseTrend
   )
 }
 
@@ -3647,6 +3648,143 @@ private object Wave30Q {
            |        ELSE 0 END) END) AS DOUBLE)
            |    / 100.0, 6) AS mean_uplift
            |FROM p""".stripMargin))
+
+  /** Piecewise-linear trend with data-chosen breakpoint — the
+    * changepoint-aware generalization of a single OLS trend line: fit
+    * two independent segments split at candidate knot day c (grid
+    * 5..24 over the 30-day fixture window), pick the knot minimizing
+    * total SSE, and report both slopes plus the R²-style improvement
+    * over the no-knot linear fit. Scale shape: the daily series is
+    * calendar-bounded, the knot grid multiplies it by a CONSTANT
+    * (20×), and every fit reduces to the six OLS moments
+    * (n, Σt, Σy, Σt², Σty, Σy²) as exact integer sums per
+    * (knot, side) — SSE/slopes are closed-form doubles of those
+    * integers, so cross-engine equality holds without any float
+    * accumulation. The argmin runs as a struct-min over the 20-row
+    * knot table (ORDER BY … LIMIT 1 on the oracle side), tie-broken
+    * by the smaller knot.
+    */
+  val piecewiseTrend: Q = Q("ts_piecewise_trend",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("t"))
+        .agg(count(lit(1)).as("y"))
+      def d_(c: org.apache.spark.sql.Column) = c.cast("double")
+      def moments(df: org.apache.spark.sql.DataFrame,
+          keys: Seq[String]) = {
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head,
+          keys.tail: _*)
+        g.agg(count(lit(1)).as("n"), sum("t").as("sti"),
+          sum("y").as("sy"), sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty"),
+          sum(col("y") * col("y")).as("syy"))
+      }
+      val sxx = d_(col("n")) * d_(col("stt")) - d_(col("sti")) * d_(col("sti"))
+      val sxy = d_(col("n")) * d_(col("sty")) - d_(col("sti")) * d_(col("sy"))
+      val syc = d_(col("n")) * d_(col("syy")) - d_(col("sy")) * d_(col("sy"))
+      val sse = (syc - sxy * sxy / when(sxx > 0, sxx)) / d_(col("n"))
+      val slope = sxy / when(sxx > 0, sxx)
+      val cand = daily.select(col("t"), col("y"),
+          explode(sequence(lit(5), lit(24))).as("c"))
+        .withColumn("side",
+          when(col("t") < col("c"), lit("L")).otherwise(lit("R")))
+      val segs = moments(cand, Seq("c", "side"))
+        .select(col("c"), col("side"), col("n"), sse.as("sse"),
+          slope.as("slope"))
+      val perKnot = segs.groupBy("c").agg(
+          sum(round(col("sse"), 6).cast("decimal(28,6)")).as("sse_tot"),
+          sum(when(col("side") === "L", round(col("slope"), 6)))
+            .as("slope_l"),
+          sum(when(col("side") === "R", round(col("slope"), 6)))
+            .as("slope_r"),
+          min("n").as("min_n"))
+        .filter(col("min_n") >= 2)
+      val best = perKnot.agg(min(struct(col("sse_tot"), col("c"),
+        col("slope_l"), col("slope_r"))).as("b"))
+      val lin = moments(daily, Seq.empty)
+        .select(round(sse, 6).as("sse_linear"))
+      best.crossJoin(broadcast(lin))
+        .select(col("b.c").as("knot_day"),
+          col("b.slope_l").as("slope_left"),
+          col("b.slope_r").as("slope_right"),
+          round(col("b.sse_tot").cast("double"), 4).as("sse_best"),
+          round(col("sse_linear"), 4).as("sse_linear"),
+          round(lit(1.0) - col("b.sse_tot").cast("double") /
+            when(col("sse_linear") > 0, col("sse_linear")), 6)
+            .as("improvement"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+           |      CAST(ts AS DATE)) AS INT) AS t,
+           |    CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |cand AS (
+           |  SELECT t, y, c,
+           |    CASE WHEN t < c THEN 'L' ELSE 'R' END AS side
+           |  FROM daily, unnest(generate_series(5, 24)) k(c)),
+           |segm AS (
+           |  SELECT c, side, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(t) AS BIGINT) AS sti,
+           |    CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    CAST(SUM(t * y) AS BIGINT) AS sty,
+           |    CAST(SUM(y * y) AS BIGINT) AS syy
+           |  FROM cand GROUP BY c, side),
+           |fits AS (
+           |  SELECT c, side, n,
+           |    ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+           |      - (CAST(n AS DOUBLE) * sty - CAST(sti AS DOUBLE) * sy)
+           |        * (CAST(n AS DOUBLE) * sty - CAST(sti AS DOUBLE) * sy)
+           |        / (CASE WHEN (CAST(n AS DOUBLE) * stt
+           |            - CAST(sti AS DOUBLE) * sti) > 0
+           |          THEN CAST(n AS DOUBLE) * stt
+           |            - CAST(sti AS DOUBLE) * sti END))
+           |      / CAST(n AS DOUBLE) AS sse,
+           |    (CAST(n AS DOUBLE) * sty - CAST(sti AS DOUBLE) * sy)
+           |      / (CASE WHEN (CAST(n AS DOUBLE) * stt
+           |          - CAST(sti AS DOUBLE) * sti) > 0
+           |        THEN CAST(n AS DOUBLE) * stt
+           |          - CAST(sti AS DOUBLE) * sti END) AS slope
+           |  FROM segm),
+           |perknot AS (
+           |  SELECT c,
+           |    SUM(CAST(ROUND(sse, 6) AS DECIMAL(28,6))) AS sse_tot,
+           |    SUM(CASE WHEN side = 'L' THEN ROUND(slope, 6) END)
+           |      AS slope_l,
+           |    SUM(CASE WHEN side = 'R' THEN ROUND(slope, 6) END)
+           |      AS slope_r,
+           |    MIN(n) AS min_n
+           |  FROM fits GROUP BY c
+           |  HAVING MIN(n) >= 2),
+           |best AS (
+           |  SELECT * FROM perknot ORDER BY sse_tot, c LIMIT 1),
+           |lin AS (
+           |  SELECT ROUND(((CAST(n AS DOUBLE) * syy
+           |      - CAST(sy AS DOUBLE) * sy)
+           |      - (CAST(n AS DOUBLE) * sty - CAST(sti AS DOUBLE) * sy)
+           |        * (CAST(n AS DOUBLE) * sty - CAST(sti AS DOUBLE) * sy)
+           |        / (CASE WHEN (CAST(n AS DOUBLE) * stt
+           |            - CAST(sti AS DOUBLE) * sti) > 0
+           |          THEN CAST(n AS DOUBLE) * stt
+           |            - CAST(sti AS DOUBLE) * sti END))
+           |      / CAST(n AS DOUBLE), 6) AS sse_linear
+           |  FROM (
+           |    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |      CAST(SUM(t) AS BIGINT) AS sti,
+           |      CAST(SUM(y) AS BIGINT) AS sy,
+           |      CAST(SUM(t * t) AS BIGINT) AS stt,
+           |      CAST(SUM(t * y) AS BIGINT) AS sty,
+           |      CAST(SUM(y * y) AS BIGINT) AS syy
+           |    FROM daily) m)
+           |SELECT CAST(b.c AS INT) AS knot_day, b.slope_l AS slope_left,
+           |  b.slope_r AS slope_right,
+           |  ROUND(CAST(b.sse_tot AS DOUBLE), 4) AS sse_best,
+           |  ROUND(l.sse_linear, 4) AS sse_linear,
+           |  ROUND(1.0 - CAST(b.sse_tot AS DOUBLE)
+           |    / (CASE WHEN l.sse_linear > 0 THEN l.sse_linear END), 6)
+           |    AS improvement
+           |FROM best b, lin l""".stripMargin))
 }
 
 private object BreuschPaganQ {

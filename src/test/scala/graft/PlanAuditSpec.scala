@@ -168,7 +168,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_hurst_rs", "ts_rolling_wau", "ts_sax_symbols",
       "ts_spc_rules", "stat_effect_sizes", "agg_kanonymity",
       "llm_ndcg_retrieval", "ts_event_study", "stat_stratified_ate",
-      "llm_speculative_accept").distinct
+      "llm_speculative_accept", "stat_cuped", "stat_meta_analysis",
+      "ts_piecewise_trend").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
