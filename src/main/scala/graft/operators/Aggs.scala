@@ -5905,6 +5905,89 @@ object Aggs {
              |      / (CASE WHEN sw > 0 THEN sw END)) > 0
              |      THEN swd2 - swd * swd / (CASE WHEN sw > 0 THEN sw END)
              |      END)), 6) AS i2
-             |FROM agg0""".stripMargin))
+             |FROM agg0""".stripMargin)),
+
+    // Krippendorff's alpha (nominal, 3 complete raters) — the
+    // annotation-agreement statistic labeling pipelines report when
+    // more than two raters judge each unit (Cohen's kappa, already in
+    // stat_cohens_kappa, stops at two). Raters are deterministic:
+    // each rater's label is the document's base class (n_chars mod 3)
+    // flipped to an md5-derived label on a 1-in-5 hash coin — so the
+    // fixture has real but imperfect agreement. With m = 3 raters and
+    // unit-label counts n_uc, the observed disagreement per unit is
+    // m(m−1) − Σc n_uc(n_uc−1) = 9 − Σc n_uc² + … reduced here as
+    // 9 − Σ n_uc² over the (doc, label) count table, and expected
+    // disagreement comes from the global label margins:
+    // De = (N² − Σc n_c²)/(N(N−1)), N = 3n. α = 1 − Do/De. Every
+    // intermediate is an exact BIGINT (counts and squares of counts),
+    // so α is one guarded division of exact integers — bit-equal
+    // across engines, no float accumulation anywhere. Linear scans,
+    // label-bounded state.
+    Q("stat_krippendorff_alpha",
+      (s, d) => {
+        val ratings = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(1), lit(3))).as("rater"))
+          .withColumn("h",
+            conv(substring(md5(concat(lit("kripp:"),
+              col("doc_id").cast("string"), lit(":"),
+              col("rater").cast("string"))), 1, 15), 16, 10)
+              .cast("long"))
+          .withColumn("label",
+            when(col("h") % 5 === 0, shiftright(col("h"), 3) % 3)
+              .otherwise(col("n_chars") % 3))
+        val uc = ratings.groupBy("doc_id", "label")
+          .agg(count(lit(1)).as("nuc"))
+        val doAgg = uc.groupBy("doc_id")
+          .agg((lit(9L) - sum(col("nuc") * col("nuc"))).as("dis"))
+          .agg(count(lit(1)).as("n_units"), sum("dis").as("dnum"))
+        val de = ratings.groupBy("label").agg(count(lit(1)).as("nc"))
+          .agg(sum("nc").as("nn"), sum(col("nc") * col("nc")).as("sq"))
+        val dObs = col("dnum").cast("double") /
+          (col("n_units") * 6).cast("double")
+        val dExp = (col("nn") * col("nn") - col("sq")).cast("double") /
+          (col("nn") * (col("nn") - 1)).cast("double")
+        doAgg.crossJoin(broadcast(de))
+          .select(col("n_units"),
+            round(dObs, 6).as("d_obs"),
+            round(dExp, 6).as("d_exp"),
+            round(lit(1.0) - dObs / when(dExp > 0, dExp), 6).as("alpha"))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, n_chars,
+              |    unnest(generate_series(1, 3)) AS rater
+              |  FROM documents),
+              |lab AS (
+              |  SELECT doc_id,
+              |    CASE WHEN h % 5 = 0 THEN (h >> 3) % 3
+              |      ELSE n_chars % 3 END AS label
+              |  FROM (SELECT doc_id, n_chars,
+              |      ${SQL_HEX15_AGGS("md5('kripp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rater AS VARCHAR))")} AS h
+              |    FROM r) t),
+              |uc AS (
+              |  SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS nuc
+              |  FROM lab GROUP BY 1, 2),
+              |do_ AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+              |    CAST(SUM(dis) AS BIGINT) AS dnum
+              |  FROM (SELECT doc_id, 9 - SUM(nuc * nuc) AS dis
+              |    FROM uc GROUP BY doc_id) p),
+              |de AS (
+              |  SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+              |    CAST(SUM(nc * nc) AS BIGINT) AS sq
+              |  FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS nc
+              |    FROM lab GROUP BY label) g)
+              |SELECT n_units,
+              |  ROUND(CAST(dnum AS DOUBLE) / CAST(n_units * 6 AS DOUBLE), 6)
+              |    AS d_obs,
+              |  ROUND(CAST(nn * nn - sq AS DOUBLE)
+              |    / CAST(nn * (nn - 1) AS DOUBLE), 6) AS d_exp,
+              |  ROUND(1.0 - (CAST(dnum AS DOUBLE)
+              |      / CAST(n_units * 6 AS DOUBLE))
+              |    / (CASE WHEN (CAST(nn * nn - sq AS DOUBLE)
+              |        / CAST(nn * (nn - 1) AS DOUBLE)) > 0
+              |      THEN CAST(nn * nn - sq AS DOUBLE)
+              |        / CAST(nn * (nn - 1) AS DOUBLE) END), 6) AS alpha
+              |FROM do_, de""".stripMargin))
   )
 }

@@ -233,8 +233,61 @@ object TypedOps {
              |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) t
-             |WHERE rn <= 2 ORDER BY o_orderstatus, rank""".stripMargin))
+             |WHERE rn <= 2 ORDER BY o_orderstatus, rank""".stripMargin)),
+
+    // KeyValueGroupedDataset.mapGroups — the imperative per-group
+    // escape hatch: one function sees the WHOLE group as an iterator.
+    // Teaching entry for its scale contract: mapGroups gets NO partial
+    // aggregation (every row shuffles to its group's task), so it is
+    // only safe when per-group state is O(1) and group count is the
+    // output size — exactly this shape (running count + argmax over a
+    // single pass, |segments| output rows). Anything decomposable
+    // belongs in a typed Aggregator (ds_typed_agg) or DataFrame agg
+    // instead; ties break on the smaller custkey so the imperative
+    // fold is order-insensitive (the iterator order is NOT
+    // deterministic across runs — an operator relying on it would be
+    // nondeterministic, the classic mapGroups bug).
+    Q("ds_typed_mapgroups",
+      (s, d) => {
+        implicit val rowEnc = Encoders.product[CustBal]
+        implicit val keyEnc = Encoders.STRING
+        implicit val outEnc = Encoders.tuple(Encoders.STRING,
+          Encoders.scalaLong, Encoders.scalaDouble, Encoders.STRING)
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+          .as[CustBal]
+          .groupByKey(_.c_mktsegment)
+          .mapGroups { (seg, it) =>
+            var n = 0L
+            var best: CustBal = null
+            it.foreach { c =>
+              n += 1
+              if (best == null || c.c_acctbal > best.c_acctbal ||
+                (c.c_acctbal == best.c_acctbal &&
+                  c.c_custkey < best.c_custkey)) best = c
+            }
+            (seg, n, best.c_acctbal, best.c_name)
+          }
+          .toDF("c_mktsegment", "n_customers", "top_acctbal", "top_name")
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT t.c_mktsegment, n.n_customers, t.c_acctbal
+             |    AS top_acctbal,
+             |  t.c_name AS top_name
+             |FROM (
+             |  SELECT c_mktsegment, c_acctbal, c_name,
+             |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) t
+             |JOIN (
+             |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT)
+             |      AS n_customers
+             |  FROM customer GROUP BY 1) n USING (c_mktsegment)
+             |WHERE t.rn = 1 ORDER BY t.c_mktsegment""".stripMargin))
   )
 
   case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)
+
+  case class CustBal(c_custkey: Long, c_name: String,
+      c_mktsegment: String, c_acctbal: Double)
 }

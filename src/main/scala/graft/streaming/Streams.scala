@@ -479,6 +479,49 @@ object Streams {
              |  ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Fourth ORACLED streaming query — the "streaming dashboard table"
+    // shape: a COMPLETE-mode stateful aggregation whose every
+    // micro-batch OVERWRITES an idempotent parquet sink via
+    // foreachBatch. Complete mode needs no watermark and re-emits all
+    // groups each batch, so after the AvailableNow catch-up the sink
+    // holds exactly the batch aggregate of the full fixture — the
+    // exactly-once argument needs no open-window caveat (the reason
+    // session/tumbling aggs stay no-oracle doesn't apply). Re-runs
+    // with the existing checkpoint see no new files, emit no batch,
+    // and leave the final state intact (idempotent). Scale: complete
+    // mode re-emits |event_type| rows per batch — key-bounded, the
+    // ONLY safe cardinality for this pattern; a high-cardinality key
+    // belongs in append/update mode instead (documented trade).
+    Q("stream_agg_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_aggnow_v1_$key"
+        val agg = eventsStream(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .select(col("event_type"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |    AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
     Q("stream_foreachbatch",

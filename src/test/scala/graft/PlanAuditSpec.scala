@@ -169,7 +169,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_spc_rules", "stat_effect_sizes", "agg_kanonymity",
       "llm_ndcg_retrieval", "ts_event_study", "stat_stratified_ate",
       "llm_speculative_accept", "stat_cuped", "stat_meta_analysis",
-      "ts_piecewise_trend").distinct
+      "ts_piecewise_trend", "stat_krippendorff_alpha",
+      "ds_typed_mapgroups").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
