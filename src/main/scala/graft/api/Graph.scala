@@ -231,58 +231,60 @@ object Graph {
     var rounds = 0
     var stable = false
     var lastSup: DataFrame = null
+    // edge count carried across rounds: round N's `after` IS round
+    // N+1's `before` (the peel only ever shrinks the set), so only
+    // the initial count runs a dedicated job.
+    var before = es.count()
     while (!stable) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"ktruss did not converge in $maxRounds rounds")
       rounds += 1
-      val before = es.count()
-      // ordered-triangle enumeration (a<b<c, the graph_triangles
-      // shape): each triangle found once on the canonical set — ~4×
-      // fewer wedges than the doubled-adjacency join — then exploded
-      // to its three edges for the per-edge support count.
+      // Per-edge support via adjacency intersection, NOT triangle
+      // enumeration (r11 rewrite): support(u,v) = |N(u) ∩ N(v)| on
+      // the doubled adjacency of the SURVIVING edge set — exactly the
+      // count of triangles through the edge. The former shape (two
+      // wedge joins → 19M triangle rows at sf0.1 → ×3 explode → 57M-
+      // row hash aggregate) shuffled the full wedge expansion every
+      // round; this one does Σ(deg u + deg v) = 2·Σdeg² element ops
+      // IN-ROW (codegen'd array_intersect over sorted long arrays)
+      // and shuffles only the node-level adjacency build. Measured
+      // 2.9 s → 0.6 s per round at sf0.1 / local[32].
       //
-      // Join-side dial: localCheckpoint erases size stats, so Spark
-      // would pick sort-merge and AQE would coalesce the exchange by
-      // INPUT bytes even though the wedge OUTPUT explodes ~100× (19M
-      // rows from 207k edges at sf0.1 — the expansion then serializes
-      // on ~3 tasks). Below the dial the edge list is broadcast-sized
-      // (2M edges ≈ 32 MB): both probe sides broadcast, the whole
-      // wedge+probe+explode pipeline fuses into the checkpointed
-      // edge partitions map-side (evenly spread — no hash(v) hub
-      // skew), and only the 3-role support aggregate shuffles.
-      // Above it, the sort-merge plan is the correct scale shape.
-      val side = if (before <= 2000000L) broadcast(es) else es
-      // round-robin repartition of the probe side: the checkpointed
-      // edge list carries the AQE-coalesced partitioning of the
-      // upstream distinct (~3 partitions), which would serialize the
-      // fused map-side expansion; an explicit repartition is exempt
-      // from AQE coalescing and spreads wedges evenly (no key skew).
+      // Join-side dial: the adjacency table totals 2·|E| longs
+      // (~32 MB at the 2M-edge dial), so below it both neighbor-list
+      // probes broadcast and the whole support pass fuses map-side
+      // over the checkpointed edges; above it, two shuffle joins on
+      // u and v are the correct scale shape. Per-row memory is the
+      // endpoint's neighbor array — the hub-degree bound, identical
+      // to the wedge join's Σdeg² skew exposure.
       val p = es.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt
-      val tri = es.repartition(p).as("e1")
-        .join(side.as("e2"), col("e1.v") === col("e2.u"))
-        .join(side.as("e3"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(col("e1.u").as("a"), col("e1.v").as("b"),
-          col("e2.v").as("c"))
-      // explode, NOT a 3-way union: broadcast joins leave no exchange
-      // for reuse, so three union branches would recompute the whole
-      // triangle enumeration three times (measured — the 96-task
-      // stage); one explode over an inline 3-struct array keeps one
-      // enumeration and is codegen-friendly.
-      val sup = tri.select(explode(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(col("b").as("u"), col("c").as("v")),
-          struct(col("a").as("u"), col("c").as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      val adj = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u").agg(sort_array(collect_set(col("v"))).as("ns"))
+      def side(t: DataFrame) =
+        if (before <= 2000000L) broadcast(t) else t
+      val a1 = side(adj.select(col("u").as("__n1"), col("ns").as("__ns1")))
+      val a2 = side(adj.select(col("u").as("__n2"), col("ns").as("__ns2")))
+      // explicit repartition: the checkpointed edge list carries the
+      // AQE-coalesced partitioning of the upstream distinct (~3
+      // partitions) which would serialize the fused in-row intersect.
+      val sup = es.repartition(p)
+        .join(a1, col("u") === col("__n1"))
+        .join(a2, col("v") === col("__n2"))
+        .select(col("u"), col("v"),
+          size(array_intersect(col("__ns1"), col("__ns2")))
+            .cast("long").as("support"))
         .filter(col("support") >= k - 2)
         .localCheckpoint()
       val after = sup.count()
       stable = after == before
+      before = after
       lastSup = sup
-      es = sup.select("u", "v").localCheckpoint()
+      // sup is already an eager localCheckpoint; projecting off it is
+      // a cheap narrow scan — a second checkpoint here would
+      // re-materialize the same rows for nothing.
+      es = sup.select("u", "v")
     }
     lastSup
   }

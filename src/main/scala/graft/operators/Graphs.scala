@@ -42,21 +42,38 @@ object Graphs {
     */
   private val MaxCellUsers = 12
 
-  /** One direction (u < v) of the distinct co-activity edge set. */
-  private def pairs(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.events(s, d)
+  /** One direction (u < v) of the distinct co-activity edge set.
+    *
+    * TWO shuffles, not five (r11): one groupBy to the cell level
+    * collecting the distinct user set in-row (collect_set dedups
+    * repeat visits), cap + expand the ≤ C(12,2)=66 pairs WITHIN the
+    * row, then one pair-level distinct. The previous shape (distinct
+    * (u,e,h) → cell count → join → (e,h) self-join → distinct) paid
+    * five exchanges for the same rows and was the shared fixed cost
+    * of all 27 graph queries. Per-row memory is the cell's distinct
+    * user count — bounded in practice by the cap's target (crowded
+    * cells are dropped right after aggregation); if a pathological
+    * fan-in cell (≫10⁶ users) were possible upstream, reintroduce a
+    * count pre-pass before collecting.
+    */
+  private def pairs(s: SparkSession, d: String): DataFrame =
+    cellPairs(Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("h")).distinct()
-    val ok = a.groupBy("event_type", "h")
-      .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
-      .drop("k")
-    val af = a.join(ok, Seq("event_type", "h"))
-    af.as("a").join(af.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("a.h") === col("b.h") &&
-          col("a.user_id") < col("b.user_id"))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v")).distinct()
-  }
+        date_trunc("hour", col("ts")).as("h")))
+
+  /** Shared cell→pair expansion: groupBy (event_type, h), collect the
+    * sorted distinct user set, drop crowded cells, emit in-row (u<v)
+    * pairs, dedup across cells. */
+  private[operators] def cellPairs(rows: DataFrame): DataFrame =
+    rows.groupBy(col("event_type"), col("h"))
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .filter(size(col("us")).between(2, MaxCellUsers))
+      .select(explode(expr(
+        "flatten(transform(us, (x, i) -> " +
+          "transform(slice(us, i + 2, size(us)), " +
+          "y -> struct(x AS u, y AS v))))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .distinct()
 
   /** Both directions — the adjacency list PageRank walks. */
   private def edges(s: SparkSession, d: String): DataFrame = {
@@ -466,22 +483,10 @@ object Graphs {
     // fixture peels 2037 → 1956 edges over 4 cascading rounds at the
     // driver's sf0.01 gate. Same cap-12 cell bound ⇒ pair stage stays
     // linear in cells at any scale.
-    def pairs10(s: SparkSession, d: String): DataFrame = {
-      val a = Tables.events(s, d)
+    def pairs10(s: SparkSession, d: String): DataFrame =
+      cellPairs(Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
-          expr("unix_micros(ts) div 600000000").as("h"))
-        .distinct()
-      val ok = a.groupBy("event_type", "h")
-        .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
-        .drop("k")
-      val af = a.join(ok, Seq("event_type", "h"))
-      af.as("a").join(af.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("a.h") === col("b.h") &&
-            col("a.user_id") < col("b.user_id"))
-        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .distinct()
-    }
+          expr("unix_micros(ts) div 600000000").as("h")))
     def fn(s: SparkSession, d: String): DataFrame =
       graft.api.Graph.ktruss(pairs10(s, d), "u", "v", K, ROUNDS)
         .select(col("u").as("user_a"), col("v").as("user_b"),
