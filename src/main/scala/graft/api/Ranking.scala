@@ -160,6 +160,19 @@ object Ranking {
     * one `approx_percentile` aggregate (groups × (p−1) doubles —
     * requires the GROUP COUNT, not the data, to be broadcast-sized).
     */
+  /** Bucket id from the group's broadcast boundary array as a
+    * CODEGEN'D when-chain (r11): the previous `aggregate(bounds, ...)`
+    * higher-order fold evaluates INTERPRETED (~2 µs/element — the
+    * SURVEY §7.10 lesson #2 trap), which at p=32 bounds made the
+    * bucket pass the dominant cost of the grouped devices; `get` is
+    * null-safe out-of-bounds so short boundary arrays (tiny groups,
+    * partitions=1) contribute 0 exactly like the old coalesce fold.
+    */
+  private def pidFromBounds(p: Int, firstD: Column): Column =
+    (0 until p - 1).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(firstD >= get(col("__bounds"), lit(i)), 1).otherwise(0)
+    }
+
   def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], rnCol: String = "__rn",
       partitions: Int = 0, bucketBy: Column = null): DataFrame = {
@@ -188,9 +201,7 @@ object Ranking {
     val gRenamed = groupCols.map(g => s"__g_$g")
     val boundsR = renamedG(bounds, Seq(col("__bounds")))
     val binned = df.join(broadcast(boundsR), gMatch(boundsR))
-      .withColumn("__pid",
-        aggregate(coalesce(col("__bounds"), array()), lit(0),
-          (acc, b) => acc + when(firstD >= b, 1).otherwise(0)))
+      .withColumn("__pid", pidFromBounds(p, firstD))
       .drop("__bounds").drop(gRenamed: _*)
     val gCols = groupCols.map(col)
     val wLocal = Window.partitionBy(gCols :+ col("__pid"): _*)
@@ -251,9 +262,7 @@ object Ranking {
     val gRenamed = groupCols.map(g => s"__g_$g")
     val boundsR = renamedG(bounds, Seq(col("__bounds")))
     val binned = wdf.join(broadcast(boundsR), gMatch(boundsR))
-      .withColumn("__pid",
-        aggregate(coalesce(col("__bounds"), array()), lit(0),
-          (acc, b) => acc + when(firstD >= b, 1).otherwise(0)))
+      .withColumn("__pid", pidFromBounds(p, firstD))
       .drop("__bounds").drop(gRenamed: _*)
     val gCols = groupCols.map(col)
     val wLocal = Window.partitionBy(gCols :+ col("__pid"): _*)

@@ -1400,51 +1400,76 @@ object Aggs {
         // 18,0 not 38,0: DuckDB decimal multiply needs p1+p2 ≤ 38, and
         // doubled ranks are ≤ ~2·rows so 18 digits is ample headroom.
         def dec(c: Column) = c.cast("decimal(18,0)")
-        // Quantity ranks: the domain is bounded (≤ ~50 integral values),
-        // so freq_q is ≤ flags×50 rows at ANY scale — still ranked
-        // through the bucketed device (uniform shape, trivial cost on an
-        // aggregate-sized input), then BROADCAST into the cell pass.
-        // localCheckpoint at both aggregate-sized seams: the ranking
-        // device references its input in THREE subtrees (bounds, local,
-        // offsets), and exchange reuse does not collapse them when the
-        // input is itself a multi-stage plan — measured 20 lineitem
-        // scans / 60 exchanges and 4.5 s at sf0.1 without the cuts,
-        // 2 fact scans and ~1.2 s with them. Both tables are
-        // aggregate-sized (flags×50 and distinct (flag, price)), so
-        // executor-local storage is trivial at any corpus scale.
-        val freqQ = Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"), col("l_quantity"))
+        // ONE fact scan + ONE fact-sized shuffle (r11): aggregate
+        // straight to (flag, quantity, price) cells; every later stage
+        // — the quantity freq table, its ranks, the price cells, the
+        // price ranking — derives from this cell table, so the raw
+        // rows are scanned once and shuffled once at any scale.
+        val c3 = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"))
           .agg(count(lit(1)).as("cnt"))
           .localCheckpoint()
-        val rq = graft.api.Ranking.withGroupedPrefixSum(freqQ,
-            Seq("l_returnflag"), Seq(col("l_quantity")), col("cnt"),
-            outCol = "cumb")
-          .select(col("l_returnflag"), col("l_quantity"),
-            (col("cumb") * 2 + col("cnt") + 1).as("r2_q"))
-        // ONE pass over the fact table: broadcast-join the quantity
-        // ranks (map-side, no shuffle), then aggregate to (flag, price)
-        // CELLS carrying the x-moment partial sums. Every later stage is
-        // distinct-price-sized; the raw rows are never shuffled again —
-        // this replaces the r9g shape's second freq scan AND the
-        // row-level sort-merge join back onto lineitem (3.0 → ~1.6 s at
-        // sf0.1, and one fact shuffle instead of three at 100 TB).
-        val cells = Tables.lineitem(s, d)
-          .select(col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"))
+        // Quantity ranks computed DRIVER-SIDE (r11): the freq table is
+        // bounded by the DOMAIN (flags × ~50 integral quantities) at
+        // any corpus scale, so collecting it is the same model-sized
+        // collect the BPE merge table uses — and replaces the ~6-stage
+        // ranking-device run that cost 0.5 s of pure scheduling on a
+        // 150-row input (r10 verdict weak item #2). One cell-level
+        // aggregate job, one in-driver prefix-sum loop, broadcast back.
+        val fq = c3
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val fqSchema = fq.schema
+        val fqRows = fq.collect() // ≤ flags × |quantity domain| rows
+        def qnum(r: org.apache.spark.sql.Row): Double = r.get(1) match {
+          case b: java.math.BigDecimal => b.doubleValue
+          case n: Number => n.doubleValue
+          case other => throw new IllegalStateException(
+            s"l_quantity not numeric: $other")
+        }
+        val rqRows: Seq[org.apache.spark.sql.Row] =
+          fqRows.groupBy(_.get(0)).toSeq.flatMap { case (_, rs) =>
+            var cum = 0L
+            rs.sortBy(qnum).map { r =>
+              val cnt = r.getLong(2)
+              val r2 = 2 * cum + cnt + 1
+              cum += cnt
+              org.apache.spark.sql.Row(r.get(0), r.get(1), r2)
+            }
+          }
+        val rq = s.createDataFrame(
+          s.sparkContext.parallelize(rqRows, 1),
+          org.apache.spark.sql.types.StructType(fqSchema.fields.take(2) :+
+            org.apache.spark.sql.types.StructField("r2_q",
+              org.apache.spark.sql.types.LongType)))
+        // Price cells from the checkpointed 3-key cells: broadcast-join
+        // the quantity ranks (map-side, no shuffle — and the probe side
+        // is already CELL-sized, not row-sized), then fold to
+        // (flag, price) carrying the x-moment partials: within a 3-key
+        // cell every row shares r2_q, so Σ r2_q = cnt·r2_q and
+        // Σ r2_q² = cnt·r2_q². Every later stage is distinct-price-
+        // sized; the raw rows were scanned and shuffled exactly once.
+        val cells = c3
           .join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
           .groupBy(col("l_returnflag"), col("l_extendedprice"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("r2_q"))).as("sqx"),
-            sum(dec(col("r2_q")) * dec(col("r2_q"))).as("sqx2"))
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(dec(col("cnt")) * dec(col("r2_q"))).as("sqx"),
+            sum(dec(col("cnt")) * dec(col("r2_q")) * dec(col("r2_q")))
+              .as("sqx2"))
           .localCheckpoint()
         // Price ranks attach IN PLACE: the device preserves its input
         // rows, so the cell table leaves with cumb attached — no
         // join-back. All five moments reduce from the cell level:
         // Σ_rows x = Σ_cells sqx, Σ_rows y = Σ_cells cnt·r2p,
         // Σ_rows x·y = Σ_cells sqx·r2p (y is constant within a cell).
+        // partitions = 8: flags × 8 range buckets = 24-way parallel
+        // sorts at local[32] with a quarter of the bounds machinery;
+        // on a real cluster the group count × bucket count only needs
+        // to cover the executor count (the device doc's contract).
         val ranked = graft.api.Ranking.withGroupedPrefixSum(cells,
             Seq("l_returnflag"), Seq(col("l_extendedprice")), col("cnt"),
-            outCol = "cumb")
+            outCol = "cumb", partitions = 8)
           .withColumn("r2_p", col("cumb") * 2 + col("cnt") + 1)
         ranked
           .groupBy("l_returnflag")
