@@ -1592,26 +1592,21 @@ object DataOps {
     */
   private val audioRmsQuery: Q = {
     val FRAME = 64
-    def fn(s: SparkSession, d: String): DataFrame =
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftbridge.Bridge
       Tables.documents(s, d)
         .withColumn("n", length(col("text")).cast("long"))
-        .withColumn("nf", expr(s"(n + ${FRAME - 1}) div $FRAME"))
+        // native one-pass per-frame (Σc, Σc², len) — r11, see
+        // functions/FrameByteStats.scala; the remaining HOFs below run
+        // over nf ≈ n/64 struct elements, not n characters
+        .withColumn("fr", Bridge.column(graft.functions.FrameByteStats(
+          Bridge.expression(col("text")), FRAME)))
+        .withColumn("nf", size(col("fr")).cast("long"))
         .withColumn("rmsArr", expr(
-          s"""transform(sequence(0L, nf - 1),
-             |  f -> sqrt(cast(aggregate(
-             |         transform(sequence(1L, least(cast($FRAME as bigint),
-             |                                      n - f * $FRAME)),
-             |           i -> cast(ascii(substring(text,
-             |                  cast(f * $FRAME + i as int), 1)) as bigint)),
-             |         cast(0 as bigint), (acc, x) -> acc + x * x)
-             |       as double)
-             |       / cast(least(cast($FRAME as bigint), n - f * $FRAME)
-             |              as double)))""".stripMargin))
+          "transform(fr, f -> sqrt(cast(f.fsq as double) " +
+            "/ cast(f.flen as double)))"))
         .withColumn("ssq", expr(
-          """aggregate(transform(sequence(1L, n),
-            |  i -> cast(ascii(substring(text, cast(i as int), 1))
-            |        as bigint)),
-            |  cast(0 as bigint), (acc, x) -> acc + x * x)""".stripMargin))
+          "aggregate(fr, cast(0 as bigint), (acc, f) -> acc + f.fsq)"))
         .select(col("doc_id"), col("n").as("n_samples"),
           col("nf").as("n_frames"),
           round(sqrt(col("ssq").cast("double") / col("n").cast("double")),
@@ -1619,6 +1614,7 @@ object DataOps {
           round(array_min(col("rmsArr")), 4).as("rms_min"),
           round(array_max(col("rmsArr")), 4).as("rms_max"))
         .orderBy("doc_id")
+    }
     val sql =
       s"""WITH b AS (
          |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
@@ -1653,20 +1649,26 @@ object DataOps {
     * image-histogram shape: real decoders emit pixel intensities;
     * the container stub emits the text's byte values — swap one
     * projection for a real decoder, the mm_binary_features doctrine).
-    * One explode to (lang, 16-wide intensity bin) — fact-linear — then
-    * exact integer counts; the per-lang share divides once at the end
-    * over a window whose partitions are value-bounded (≤16 bins × 4
-    * langs), so the window is model-sized at any corpus scale.
+    * The 16-wide bin counts are pre-aggregated WITHIN each row by the
+    * native one-pass [[graft.functions.CodepointBinCounts]] expression
+    * (r11; the per-character explode pushed ~9M rows at sf0.1 through
+    * the exchange and its `transform(sequence(...))` lambda evaluated
+    * interpreted — 2.4 s → well under 1 s), so the explode emits only
+    * ≤ |distinct bins| rows per document and the shuffle carries doc ×
+    * bin partials. The per-lang share divides once at the end over a
+    * window whose partitions are value-bounded (≤16 bins × 4 langs),
+    * so the window is model-sized at any corpus scale.
     */
   private val pixelHistQuery: Q = {
     def fn(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftbridge.Bridge
       val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
       Tables.documents(s, d)
-        .select(col("lang"), explode(expr(
-          """transform(sequence(1, cast(length(text) as int)),
-            |  i -> ascii(substring(text, i, 1)) div 16)""".stripMargin))
-          .as("bin"))
-        .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), explode(Bridge.column(
+          graft.functions.CodepointBinCounts(
+            Bridge.expression(col("text")), 16))).as("p"))
+        .groupBy(col("lang"), col("p.bin").as("bin"))
+        .agg(sum(col("p.cnt")).as("cnt"))
         .withColumn("share",
           round(col("cnt").cast("double") / sum("cnt").over(w), 6))
         .orderBy("lang", "bin")
@@ -1699,26 +1701,27 @@ object DataOps {
     */
   private val shotDetectQuery: Q = {
     val FRAME = 64; val THRESH = 300
-    def fn(s: SparkSession, d: String): DataFrame =
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftbridge.Bridge
       Tables.documents(s, d)
-        .withColumn("n", length(col("text")).cast("long"))
-        .withColumn("nf", expr(s"(n + ${FRAME - 1}) div $FRAME"))
-        .withColumn("fs", expr(
-          s"""transform(sequence(0L, nf - 1),
-             |  f -> aggregate(
-             |         transform(sequence(1L, least(cast($FRAME as bigint),
-             |                                      n - f * $FRAME)),
-             |           i -> cast(ascii(substring(text,
-             |                  cast(f * $FRAME + i as int), 1)) as bigint)),
-             |         cast(0 as bigint), (acc, x) -> acc + x))""".stripMargin))
+        // native one-pass per-frame stats (r11, FrameByteStats): the
+        // frame feature is fsum = Σ codepoint; the per-char nested
+        // lambdas are gone and empty text yields an empty frame array
+        // (no sequence(0,-1) auto-reverse — the r10 ADVICE #3 item)
+        .withColumn("fr", Bridge.column(graft.functions.FrameByteStats(
+          Bridge.expression(col("text")), FRAME)))
+        .withColumn("fs", expr("transform(fr, f -> f.fsum)"))
+        .withColumn("nf", size(col("fs")).cast("long"))
         .withColumn("diffs", expr(
-          "zip_with(slice(fs, 1, cast(nf - 1 as int)), " +
-            "slice(fs, 2, cast(nf - 1 as int)), (a, b) -> abs(b - a))"))
+          "zip_with(slice(fs, 1, cast(greatest(nf - 1, 0) as int)), " +
+            "slice(fs, 2, cast(greatest(nf - 1, 0) as int)), " +
+            "(a, b) -> abs(b - a))"))
         .select(col("doc_id"), col("nf").as("n_frames"),
           (expr(s"size(filter(diffs, x -> x > $THRESH))") + 1).cast("long")
             .as("n_shots"),
           coalesce(expr("array_max(diffs)"), lit(0L)).as("max_diff"))
         .orderBy("doc_id")
+    }
     val sql =
       s"""WITH b AS (
          |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,

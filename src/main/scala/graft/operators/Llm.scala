@@ -1441,7 +1441,8 @@ object Llm {
       (s, d) => {
         val ch = Tables.documents(s, d)
           .select(col("source"), explode(expr(
-            """transform(sequence(0, cast((length(text) - 1) div 200 as int)),
+            """transform(sequence(0,
+              |    cast(greatest(length(text) - 1, 0) div 200 as int)),
               |  i -> md5(substring(text, i * 200 + 1, 200)))""".stripMargin))
             .as("h"))
         ch.groupBy("source", "h").agg(count(lit(1)).as("c"))
@@ -1456,7 +1457,7 @@ object Llm {
              |    md5(substr(text, i * 200 + 1, 200)) AS h
              |  FROM documents,
              |    unnest(generate_series(0,
-             |      CAST((length(text) - 1) // 200 AS INT))) t(i)),
+             |      CAST(greatest(length(text) - 1, 0) // 200 AS INT))) t(i)),
              |g AS (
              |  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
              |  FROM ch GROUP BY 1, 2)

@@ -209,7 +209,9 @@ object Pipeline {
           .filter(_.isDirectory).map(_.getName).sorted
         val orphans = onDisk.filterNot(live)
         val orphanRows =
-          if (orphans.isEmpty) s.emptyDataFrame.selectExpr("0L AS n")
+          // one ROW with n=0, not an empty frame (emptyDataFrame has
+          // zero rows, so the old fallback would emit no output row)
+          if (orphans.isEmpty) s.range(1).selectExpr("0L AS n")
           else s.read.parquet(orphans.map(f => s"$tmp/data/$f").toSeq: _*)
             .agg(count(lit(1)).as("n"))
         val out = orphanRows

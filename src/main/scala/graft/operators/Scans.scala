@@ -505,13 +505,6 @@ object Scans {
              |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
              |FROM lineitem""".stripMargin)),
 
-    // Declarative data-quality rule report (the Deequ/Great-Expectations
-    // shape): each rule is (rule_id, n_checked, n_violations, pass) and
-    // the report is ONE row per rule — completeness (null fraction),
-    // domain (range / enum), uniqueness (duplicate key count), and
-    // referential integrity (orphan foreign keys). Scale shape: ALL
-    // per-row rules on a table fold into ONE linear aggregate over it
-    // (Spark does not share scans across union branches — rules must be
     // Partition content checksum — the cross-system reconciliation
     // primitive: per status partition, XOR-fold a 60-bit md5-derived
     // hash of every row's canonical string form. XOR is commutative/
@@ -544,6 +537,13 @@ object Scans {
               |  FROM orders) t
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Declarative data-quality rule report (the Deequ/Great-Expectations
+    // shape): each rule is (rule_id, n_checked, n_violations, pass) and
+    // the report is ONE row per rule — completeness (null fraction),
+    // domain (range / enum), uniqueness (duplicate key count), and
+    // referential integrity (orphan foreign keys). Scale shape: ALL
+    // per-row rules on a table fold into ONE linear aggregate over it
+    // (Spark does not share scans across union branches — rules must be
     // columns of one pass, then unpivot), so lineitem is read exactly
     // three times total: the per-row pass, the key-uniqueness hash
     // aggregate, and the referential probe's join side. At 100 TB this
