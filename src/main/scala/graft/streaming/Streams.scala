@@ -436,6 +436,69 @@ object Streams {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM u GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Fifth ORACLED streaming query (r11, VERDICT #9): session windows
+    // under Trigger.AvailableNow with a parquet sink. Append mode emits
+    // ONLY sessions finalized by the final watermark (the no-data
+    // catch-up batch sets wm = max event time − 10 min, ms-truncated —
+    // Spark's event-time stats are millisecond-precision), so the
+    // oracle is the BATCH sessionization (win_sessionize_batch's
+    // island device, break at gap ≥ 30 min — Spark merges sessions
+    // only on strict overlap, so an event exactly 30 min after its
+    // predecessor starts a NEW session) filtered to sessions whose end
+    // (last event + 30 min) ≤ that watermark. This pins the watermark
+    // finalization semantics the memory-sink stream_session query
+    // can't oracle. Exactly-once: single staged source file ⇒ one data
+    // batch ⇒ no late-data drops; re-runs resume the checkpoint and
+    // emit nothing new.
+    Q("stream_session_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sessnow_v1_$key"
+        val q = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.end").as("s_end"),
+            col("n_events"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_events").cast("long").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts FROM events),
+             |wm AS (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM e),
+             |b AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           >= INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, ts,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM b),
+             |sess AS (
+             |  SELECT user_id, sid, COUNT(*) AS n,
+             |    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS s_end
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |  CAST(SUM(n) AS BIGINT) AS n_events
+             |FROM sess, wm WHERE s_end <= w
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Third ORACLED streaming query: STATELESS stream-static broadcast
     // enrichment under Trigger.AvailableNow — the exactly-once argument
     // needs no state-finalization caveat at all here (no watermark, no
