@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Stats2 {
 
+  /** Daily event-count series — the calendar-bounded device every ts_*
+    * complexity measure below rides: one linear aggregate over the
+    * fact, then everything downstream is day-count-sized (≤ a few
+    * thousand rows per DECADE of data) so global-order windows and
+    * even pairwise self-joins on it are honest at any corpus scale.
+    */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+
+  private val SQL_DAILY =
+    "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1"
+
+
   val queries: Seq[Q] = Seq(
 
     // Bartlett's test for homogeneity of variances of extendedprice
@@ -292,6 +307,319 @@ object Stats2 {
              |    list_sum(list(CAST((nij - nji) * (nij - nji) AS DOUBLE)
              |      / (nij + nji) ORDER BY i, j)) AS chi2
              |  FROM terms)
-             |SELECT df, ROUND(chi2, 4) AS bowker_chi2 FROM m""".stripMargin))
+             |SELECT df, ROUND(chi2, 4) AS bowker_chi2 FROM m""".stripMargin)),
+
+    // Permutation entropy (order m = 3) of the daily volume series:
+    // each consecutive day triple maps to its ordinal pattern (ranks
+    // with the EARLIER-POSITION tie rule, so the encoding is total —
+    // no dropped windows on tied counts), the ≤ 3! pattern histogram
+    // is exact integers, and H = −Σ p·ln p / ln 6 folds its ≤ 6 double
+    // terms in pattern order on both engines. The window chain is one
+    // global-order pass over the calendar-bounded series.
+    Q("ts_permutation_entropy",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val pat = daily(s, d)
+          .withColumn("x1", col("c"))
+          .withColumn("x2", lead("c", 1).over(w))
+          .withColumn("x3", lead("c", 2).over(w))
+          .filter(col("x3").isNotNull)
+          .select(((when(col("x2") < col("x1"), 1).otherwise(0) +
+            when(col("x3") < col("x1"), 1).otherwise(0)) * 9 +
+            (when(col("x1") <= col("x2"), 1).otherwise(0) +
+              when(col("x3") < col("x2"), 1).otherwise(0)) * 3 +
+            (when(col("x1") <= col("x3"), 1).otherwise(0) +
+              when(col("x2") <= col("x3"), 1).otherwise(0))).as("pat"))
+          .groupBy("pat").agg(count(lit(1)).as("n"))
+        pat.agg(sum("n").cast("long").as("n_windows"),
+            count(lit(1)).cast("long").as("n_patterns"),
+            expr("aggregate(sort_array(collect_list(struct(pat, " +
+              "cast(n as double) AS v))), cast(0.0 as double), " +
+              "(acc, e) -> acc + e.v)").as("tot"),
+            expr("aggregate(sort_array(collect_list(struct(pat, " +
+              "cast(n as double) AS v))), cast(0.0 as double), " +
+              "(acc, e) -> acc + e.v * ln(e.v))").as("snln"))
+          .select(col("n_windows"), col("n_patterns"),
+            round((log(col("tot")) - col("snln") / col("tot")) /
+              log(lit(6.0)), 4).as("perm_entropy"))
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |t AS (
+              |  SELECT c AS x1,
+              |    LEAD(c, 1) OVER (ORDER BY day) AS x2,
+              |    LEAD(c, 2) OVER (ORDER BY day) AS x3
+              |  FROM byday),
+              |pat AS (
+              |  SELECT ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+              |      + CASE WHEN x3 < x1 THEN 1 ELSE 0 END) * 9
+              |    + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END
+              |      + CASE WHEN x3 < x2 THEN 1 ELSE 0 END) * 3
+              |    + (CASE WHEN x1 <= x3 THEN 1 ELSE 0 END
+              |      + CASE WHEN x2 <= x3 THEN 1 ELSE 0 END)) AS pat,
+              |    COUNT(*) AS n
+              |  FROM t WHERE x3 IS NOT NULL GROUP BY 1),
+              |m AS (
+              |  SELECT CAST(SUM(n) AS BIGINT) AS n_windows,
+              |    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+              |    list_sum(list(CAST(n AS DOUBLE) ORDER BY pat)) AS tot,
+              |    list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+              |      ORDER BY pat)) AS snln
+              |  FROM pat)
+              |SELECT n_windows, n_patterns,
+              |  ROUND((ln(tot) - snln / tot) / ln(6.0), 4) AS perm_entropy
+              |FROM m""".stripMargin)),
+
+    // Band spectral entropy of the daily series over a FIXED period
+    // grid (2..14 days): per period, the DFT power uses trig weights
+    // QUANTIZED to DECIMAL(14,12) literals (the ts_periodogram device)
+    // so Σ c·w accumulates exactly and associatively at any
+    // partitioning; only the final a² + b², the share q = P/ΣP, and
+    // H = −Σ q·ln q / ln(#periods) are doubles, folded in period
+    // order. A fixed grid (not data-length frequencies) keeps the
+    // weight tables data-independent — the honest streaming-friendly
+    // form of spectral entropy.
+    Q("ts_spectral_entropy", {
+      val PERIODS = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14)
+      def tabScala(f: Int => Double, p: Int): String =
+        (0 until p).map(k => new java.math.BigDecimal(f(k))
+          .setScale(12, java.math.RoundingMode.HALF_EVEN)
+          .toPlainString + "BD").mkString(",")
+      (s, d) => {
+        val base = daily(s, d)
+          .withColumn("ep", datediff(col("day"),
+            lit("1970-01-01").cast("date")).cast("long"))
+        val perP = PERIODS.map { p =>
+          val ct = tabScala(k => math.cos(2 * math.Pi * k / p), p)
+          val st = tabScala(k => math.sin(2 * math.Pi * k / p), p)
+          base
+            .withColumn("ph", pmod(col("ep"), lit(p.toLong)).cast("int"))
+            .withColumn("cw", expr(s"element_at(array($ct), ph + 1)"))
+            .withColumn("sw", expr(s"element_at(array($st), ph + 1)"))
+            .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+              sum(col("c") * col("cw")).as("pc"),
+              sum(col("c") * col("sw")).as("ps"),
+              sum(col("cw")).as("wc"), sum(col("sw")).as("ws"))
+            .select(lit(p).as("period"), {
+              val mean = col("sc").cast("double") / col("n").cast("double")
+              val a = col("pc").cast("double") - mean * col("wc").cast("double")
+              val b = col("ps").cast("double") - mean * col("ws").cast("double")
+              (a * a + b * b).as("pw")
+            })
+        }.reduce(_ unionByName _)
+        perP.agg(expr("aggregate(sort_array(collect_list(struct(period, " +
+            "pw AS v))), cast(0.0 as double), (acc, e) -> acc + e.v)")
+            .as("tot"),
+            expr("aggregate(sort_array(collect_list(struct(period, " +
+              "pw AS v))), cast(0.0 as double), (acc, e) -> acc + " +
+              "CASE WHEN e.v > 0 THEN e.v * ln(e.v) ELSE 0.0 END)")
+              .as("snln"),
+            count(lit(1)).cast("long").as("n_periods"))
+          .select(col("n_periods"),
+            round((log(col("tot")) - col("snln") / col("tot")) /
+              log(lit(11.0)), 4).as("spectral_entropy"))
+      }
+    },
+      Some {
+        val PERIODS = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14)
+        def tab(f: Int => Double, p: Int): String =
+          (0 until p).map(k =>
+            s"CAST(${new java.math.BigDecimal(f(k))
+              .setScale(12, java.math.RoundingMode.HALF_EVEN)
+              .toPlainString} AS DECIMAL(14,12))")
+            .mkString("[", ", ", "]")
+        val arms = PERIODS.map { p =>
+          s"""SELECT $p AS period, COUNT(*) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS sc,
+             |    SUM(c * cw) AS pc, SUM(c * sw) AS ps,
+             |    SUM(cw) AS wc, SUM(sw) AS ws
+             |  FROM (SELECT c,
+             |      ${tab(k => math.cos(2 * math.Pi * k / p), p)}[
+             |        (date_diff('day', DATE '1970-01-01', day) % $p) + 1]
+             |        AS cw,
+             |      ${tab(k => math.sin(2 * math.Pi * k / p), p)}[
+             |        (date_diff('day', DATE '1970-01-01', day) % $p) + 1]
+             |        AS sw
+             |    FROM byday)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH byday AS ($SQL_DAILY),
+           |per AS ($arms),
+           |pw AS (
+           |  SELECT period,
+           |    (CAST(pc AS DOUBLE) - (CAST(sc AS DOUBLE) / n)
+           |        * CAST(wc AS DOUBLE))
+           |      * (CAST(pc AS DOUBLE) - (CAST(sc AS DOUBLE) / n)
+           |        * CAST(wc AS DOUBLE))
+           |    + (CAST(ps AS DOUBLE) - (CAST(sc AS DOUBLE) / n)
+           |        * CAST(ws AS DOUBLE))
+           |      * (CAST(ps AS DOUBLE) - (CAST(sc AS DOUBLE) / n)
+           |        * CAST(ws AS DOUBLE)) AS pw
+           |  FROM per),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
+           |    list_sum(list(pw ORDER BY period)) AS tot,
+           |    list_sum(list(CASE WHEN pw > 0 THEN pw * ln(pw)
+           |      ELSE 0.0 END ORDER BY period)) AS snln
+           |  FROM pw)
+           |SELECT n_periods,
+           |  ROUND((ln(tot) - snln / tot) / ln(11.0), 4)
+           |    AS spectral_entropy
+           |FROM m""".stripMargin
+      }),
+
+    // Sample entropy (m = 2, r = 0.2σ) of the daily series: B = pairs
+    // of 2-templates within Chebyshev r, A = pairs of 3-templates
+    // within r, SampEn = −ln(A/B) (NULL when A = 0). The template
+    // pair stage is an i<j self-join — quadratic in DAYS, which the
+    // daily device bounds by the calendar, and σ comes from exact
+    // integer moments so both engines derive the identical r.
+    Q("ts_sample_entropy",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val t = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("c2", lead("c", 1).over(w))
+          .withColumn("c3", lead("c", 2).over(w))
+          .localCheckpoint()
+        val sig = t.agg((count(lit(1))).as("n"), sum("c").as("sx"),
+            sum(col("c") * col("c")).as("sx2"))
+          .select(col("n").cast("long").as("n"),
+            (lit(0.2) * sqrt((col("sx2").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) /
+              (col("n") - 1).cast("double"))).as("r"))
+        val a1 = t.select(col("i").as("ia"), col("c").as("a1"),
+          col("c2").as("a2"), col("c3").as("a3"))
+        val b1 = t.select(col("i").as("ib"), col("c").as("b1"),
+          col("c2").as("b2"), col("c3").as("b3"))
+        a1.join(b1, col("ia") < col("ib")).crossJoin(broadcast(sig))
+          .filter(col("a2").isNotNull && col("b2").isNotNull)
+          .agg(max("n").as("n_days"),
+            sum(when(greatest(abs(col("a1") - col("b1")),
+              abs(col("a2") - col("b2"))) <= col("r"), 1L).otherwise(0L))
+              .as("b_count"),
+            sum(when(col("a3").isNotNull && col("b3").isNotNull &&
+              greatest(abs(col("a1") - col("b1")),
+                abs(col("a2") - col("b2")),
+                abs(col("a3") - col("b3"))) <= col("r"), 1L).otherwise(0L))
+              .as("a_count"))
+          .select(col("n_days"), col("b_count"), col("a_count"),
+            when(col("a_count") > 0 && col("b_count") > 0,
+              round(-log(col("a_count").cast("double") /
+                col("b_count").cast("double")), 4)).as("sampen"))
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |t AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, c,
+              |    LEAD(c, 1) OVER (ORDER BY day) AS c2,
+              |    LEAD(c, 2) OVER (ORDER BY day) AS c3
+              |  FROM byday),
+              |sig AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    0.2 * sqrt((CAST(SUM(c * c) AS DOUBLE)
+              |        - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
+              |          / COUNT(*))
+              |      / (COUNT(*) - 1)) AS r
+              |  FROM byday),
+              |pairs AS (
+              |  SELECT a.c AS a1, a.c2 AS a2, a.c3 AS a3,
+              |    b.c AS b1, b.c2 AS b2, b.c3 AS b3, r, n
+              |  FROM t a JOIN t b ON a.i < b.i, sig
+              |  WHERE a.c2 IS NOT NULL AND b.c2 IS NOT NULL),
+              |m AS (
+              |  SELECT MAX(n) AS n_days,
+              |    CAST(SUM(CASE WHEN greatest(abs(a1 - b1), abs(a2 - b2))
+              |      <= r THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+              |    CAST(SUM(CASE WHEN a3 IS NOT NULL AND b3 IS NOT NULL
+              |      AND greatest(abs(a1 - b1), abs(a2 - b2), abs(a3 - b3))
+              |      <= r THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+              |  FROM pairs)
+              |SELECT n_days, b_count, a_count,
+              |  CASE WHEN a_count > 0 AND b_count > 0
+              |    THEN ROUND(-ln(CAST(a_count AS DOUBLE) / b_count), 4)
+              |  END AS sampen
+              |FROM m""".stripMargin)),
+
+    // Higuchi fractal dimension of the daily series (k = 1..4): the
+    // per-(k, m) curve lengths Σ|x_{m+ik} − x_{m+(i−1)k}| are exact
+    // integer sums off one lag(k) window each, the normalized L(k)
+    // averages over the k phase offsets, and FD = −slope of the
+    // 4-point ln L(k) vs ln k regression — closed form with the
+    // 4 double terms folded in k order.
+    Q("ts_higuchi_fd", {
+      val KS = Seq(1, 2, 3, 4)
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+        val nRow = base.agg(max("i").as("n"))
+        val lk = KS.map { k =>
+          base
+            .withColumn("prev", lag("c", k).over(w))
+            .filter(col("prev").isNotNull)
+            .withColumn("m", pmod(col("i") - 1, lit(k.toLong)) + 1)
+            .groupBy("m")
+            .agg(sum(abs(col("c") - col("prev"))).cast("long").as("sd"),
+              count(lit(1)).cast("long").as("ni"))
+            .crossJoin(broadcast(nRow))
+            .select((col("sd").cast("double") *
+              (col("n") - 1).cast("double") /
+              (col("ni") * lit(k.toLong)).cast("double") /
+              lit(k.toDouble)).as("lmk"))
+            .agg(avg("lmk").as("lk"))
+            .select(lit(k).as("k"), col("lk"))
+        }.reduce(_ unionByName _)
+        lk.agg(
+            expr("aggregate(sort_array(collect_list(struct(k, " +
+              "ln(cast(k as double)) AS x, ln(lk) AS y))), " +
+              "struct(cast(0.0 as double) AS sx, cast(0.0 as double) AS sy, " +
+              "cast(0.0 as double) AS sxx, cast(0.0 as double) AS sxy, " +
+              "cast(0 as int) AS n), " +
+              "(acc, e) -> struct(acc.sx + e.x AS sx, acc.sy + e.y AS sy, " +
+              "acc.sxx + e.x * e.x AS sxx, acc.sxy + e.x * e.y AS sxy, " +
+              "acc.n + 1 AS n))").as("st"))
+          .select(round(-(col("st.n").cast("double") * col("st.sxy") -
+              col("st.sx") * col("st.sy")) /
+              (col("st.n").cast("double") * col("st.sxx") -
+                col("st.sx") * col("st.sx")), 4).as("higuchi_fd"))
+      }
+    },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |t AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, c,
+              |    LAG(c, 1) OVER (ORDER BY day) AS p1,
+              |    LAG(c, 2) OVER (ORDER BY day) AS p2,
+              |    LAG(c, 3) OVER (ORDER BY day) AS p3,
+              |    LAG(c, 4) OVER (ORDER BY day) AS p4
+              |  FROM byday),
+              |nn AS (SELECT MAX(i) AS n FROM t),
+              |lmk AS (
+              |  SELECT k, m, CAST(SUM(sd) AS DOUBLE) * (MAX(n) - 1)
+              |      / (COUNT(*) * k) / k AS lmk
+              |  FROM (
+              |    SELECT 1 AS k, ((i - 1) % 1) + 1 AS m,
+              |      abs(c - p1) AS sd, n FROM t, nn WHERE p1 IS NOT NULL
+              |    UNION ALL
+              |    SELECT 2, ((i - 1) % 2) + 1, abs(c - p2), n
+              |    FROM t, nn WHERE p2 IS NOT NULL
+              |    UNION ALL
+              |    SELECT 3, ((i - 1) % 3) + 1, abs(c - p3), n
+              |    FROM t, nn WHERE p3 IS NOT NULL
+              |    UNION ALL
+              |    SELECT 4, ((i - 1) % 4) + 1, abs(c - p4), n
+              |    FROM t, nn WHERE p4 IS NOT NULL)
+              |  GROUP BY k, m),
+              |lk AS (SELECT k, AVG(lmk) AS lk FROM lmk GROUP BY k),
+              |reg AS (
+              |  SELECT COUNT(*) AS n,
+              |    list_sum(list(ln(CAST(k AS DOUBLE)) ORDER BY k)) AS sx,
+              |    list_sum(list(ln(lk) ORDER BY k)) AS sy,
+              |    list_sum(list(ln(CAST(k AS DOUBLE))
+              |      * ln(CAST(k AS DOUBLE)) ORDER BY k)) AS sxx,
+              |    list_sum(list(ln(CAST(k AS DOUBLE)) * ln(lk)
+              |      ORDER BY k)) AS sxy
+              |  FROM lk)
+              |SELECT ROUND(-(n * sxy - sx * sy)
+              |    / (n * sxx - sx * sx), 4) AS higuchi_fd
+              |FROM reg""".stripMargin))
   )
 }
