@@ -14,7 +14,8 @@ object SparkEntry {
       Windows.queries ++ SortsSets.queries ++ ScalarFns.queries ++
       Subqueries.queries ++ TypedOps.queries ++ Udfs.queries ++ Llm.queries ++
       TextAnalysis.queries ++ DataOps.queries ++ Pipeline.queries ++ Bpe.queries ++
-      Graphs.queries ++ Stats2.queries ++ graft.streaming.Streams.queries
+      Graphs.queries ++ Stats2.queries ++ Evals.queries ++
+      graft.streaming.Streams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

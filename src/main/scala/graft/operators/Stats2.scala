@@ -620,6 +620,149 @@ object Stats2 {
               |  FROM lk)
               |SELECT ROUND(-(n * sxy - sx * sy)
               |    / (n * sxx - sx * sx), 4) AS higuchi_fd
-              |FROM reg""".stripMargin))
+              |FROM reg""".stripMargin)),
+
+    // Closed-form 2-feature PCA of (quantity, extendedprice): the 2×2
+    // covariance matrix comes from ONE linear pass of EXACT DECIMAL
+    // power sums (associative at any partitioning), then eigenvalues
+    // λ = (tr ± √((sxx−syy)² + 4sxy²))/2, explained-variance ratio,
+    // and the principal-axis angle θ = ½·atan2(2sxy, sxx−syy) are
+    // scalar double arithmetic evaluated in the IDENTICAL textual
+    // order on both engines. The full-PCA scale story: d features
+    // need only the d² moment sums from the same single pass.
+    Q("stat_pca_2d",
+      (s, d) => {
+        def dd(c: String) = col(c).cast("decimal(18,2)")
+        val m = Tables.lineitem(s, d)
+          .select(dd("l_quantity").as("x"), dd("l_extendedprice").as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"),
+            sum(col("x") * col("y")).as("sxy"))
+        val nd = col("n").cast("double")
+        def D(c: String) = col(c).cast("double")
+        val sxx = (D("sx2") - D("sx") * D("sx") / nd) / (nd - 1.0)
+        val syy = (D("sy2") - D("sy") * D("sy") / nd) / (nd - 1.0)
+        val sxy = (D("sxy") - D("sx") * D("sy") / nd) / (nd - 1.0)
+        val tr = sxx + syy
+        val disc = sqrt((sxx - syy) * (sxx - syy) + lit(4.0) * sxy * sxy)
+        m.select(col("n"),
+          round((tr + disc) / 2.0, 4).as("lambda1"),
+          round((tr - disc) / 2.0, 4).as("lambda2"),
+          round((tr + disc) / (tr * 2.0), 6).as("evr1"),
+          round(atan2(lit(2.0) * sxy, sxx - syy) / 2.0, 6).as("theta"))
+      },
+      Some("""WITH m AS (
+             |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x*x) AS sx2, SUM(y*y) AS sy2, SUM(x*y) AS sxy
+             |  FROM (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |    FROM lineitem) t),
+             |c AS (
+             |  SELECT n,
+             |    (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS sxx,
+             |    (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS syy,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS sxy
+             |  FROM m)
+             |SELECT n,
+             |  ROUND(((sxx + syy) + sqrt((sxx - syy) * (sxx - syy)
+             |    + 4.0 * sxy * sxy)) / 2.0, 4) AS lambda1,
+             |  ROUND(((sxx + syy) - sqrt((sxx - syy) * (sxx - syy)
+             |    + 4.0 * sxy * sxy)) / 2.0, 4) AS lambda2,
+             |  ROUND(((sxx + syy) + sqrt((sxx - syy) * (sxx - syy)
+             |    + 4.0 * sxy * sxy)) / (2.0 * (sxx + syy)), 6) AS evr1,
+             |  ROUND(atan2(2.0 * sxy, sxx - syy) / 2.0, 6) AS theta
+             |FROM c""".stripMargin)),
+
+    // Weibull fit of customer inter-order gaps by GROUPED median-rank
+    // regression: the gap-day domain is calendar-bounded (≤ a few
+    // thousand distinct values at any corpus size), so instead of
+    // per-observation plotting positions the fit assigns each distinct
+    // gap its Bernard mid-position F_g = (C_g + (c_g+1)/2 − 0.3)
+    // / (n + 0.4) (C_g = count below, c_g = ties at g) and runs
+    // count-weighted OLS of z = ln(−ln(1−F)) on x = ln g. One fact
+    // shuffle (per-customer lag), one bounded freq table; the four
+    // weighted double sums fold in GAP ORDER on both engines.
+    Q("stat_weibull_fit",
+      (s, d) => {
+        val wC = Window.partitionBy("o_custkey")
+          .orderBy("od", "o_orderkey")
+        val gaps = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"))
+          .withColumn("gap", datediff(col("od"), lag("od", 1).over(wC)))
+          .filter(col("gap") > 0)
+        val freq = gaps.groupBy("gap").agg(count(lit(1)).as("c"))
+        val wG = Window.orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pts = freq
+          .withColumn("cb", coalesce(sum("c").over(wG), lit(0L)))
+          .crossJoin(broadcast(
+            freq.agg(sum("c").cast("long").as("ntot"))))
+          .withColumn("fg",
+            (col("cb").cast("double") +
+              (col("c") + 1).cast("double") / 2.0 - 0.3) /
+              (col("ntot").cast("double") + 0.4))
+          .select(col("gap"), col("c"), col("ntot"),
+            log(col("gap").cast("double")).as("x"),
+            log(-log(lit(1.0) - col("fg"))).as("z"))
+        def fold(v: String, alias: String) =
+          expr("aggregate(sort_array(collect_list(struct(gap AS k, " +
+            s"$v AS v))), cast(0.0 as double), (acc, e) -> acc + e.v)")
+            .as(alias)
+        val mm = pts.agg(
+          count(lit(1)).as("n_points"), max("ntot").as("n"),
+          fold("c * x", "swx"), fold("c * z", "swz"),
+          fold("c * x * x", "swxx"), fold("c * x * z", "swxz"))
+        val nw = col("n").cast("double")
+        val k = (nw * col("swxz") - col("swx") * col("swz")) /
+          (nw * col("swxx") - col("swx") * col("swx"))
+        mm.select(col("n"), col("n_points"),
+          round(k, 6).as("shape"),
+          round(exp(lit(-1.0) * ((col("swz") - k * col("swx")) / nw) / k),
+            4).as("scale"))
+      },
+      Some("""WITH g AS (
+             |  SELECT date_diff('day',
+             |      lag(CAST(o_orderdate AS DATE)) OVER (
+             |        PARTITION BY o_custkey
+             |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+             |      CAST(o_orderdate AS DATE)) AS gap
+             |  FROM orders),
+             |freq AS (SELECT gap, COUNT(*) AS c FROM g
+             |  WHERE gap > 0 GROUP BY 1),
+             |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS ntot FROM freq),
+             |pts AS (
+             |  SELECT gap, c, ntot,
+             |    ln(CAST(gap AS DOUBLE)) AS x,
+             |    ln(-ln(1.0 - (CAST(COALESCE(SUM(c) OVER (ORDER BY gap
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS DOUBLE)
+             |      + CAST(c + 1 AS DOUBLE) / 2.0 - 0.3)
+             |      / (CAST(ntot AS DOUBLE) + 0.4))) AS z
+             |  FROM freq, nt),
+             |mm AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             |    MAX(ntot) AS n,
+             |    list_sum(list(c * x ORDER BY gap)) AS swx,
+             |    list_sum(list(c * z ORDER BY gap)) AS swz,
+             |    list_sum(list(c * x * x ORDER BY gap)) AS swxx,
+             |    list_sum(list(c * x * z ORDER BY gap)) AS swxz
+             |  FROM pts)
+             |SELECT n, n_points,
+             |  ROUND((n * swxz - swx * swz)
+             |    / (n * swxx - swx * swx), 6) AS shape,
+             |  ROUND(exp(-((swz - (n * swxz - swx * swz)
+             |      / (n * swxx - swx * swx) * swx) / n)
+             |    / ((n * swxz - swx * swz)
+             |      / (n * swxx - swx * swx))), 4) AS scale
+             |FROM mm""".stripMargin))
   )
 }
