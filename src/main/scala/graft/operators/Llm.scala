@@ -1379,6 +1379,90 @@ object Llm {
               |  CAST(SUM(s * tok) AS BIGINT) AS tokens_selected
               |FROM sel GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Perplexity-ratio data selection (the RHO-1 / domain-filter
+    // shape, model-based companion to llm_dsir_weights' hashed n-gram
+    // importance weights): score each doc by its mean log-likelihood
+    // RATIO under a target-domain unigram LM (lang='en' slice) vs the
+    // general-corpus LM, both add-one smoothed over the shared vocab;
+    // select score > 0 ("more target-like than general") — a PER-ROW
+    // rule, so selection needs NO global sort/quantile at any corpus
+    // size (the rank-based top-k variant would). Both LMs are
+    // vocab-bounded broadcast tables; per-token ln-ratio terms are
+    // rounded to 9dp and summed as DECIMAL so each doc's score is
+    // exact and order-free; the per-source mean folds the same way.
+    Q("llm_ppl_ratio_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"),
+          explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+        val gc = tok.groupBy("token").agg(count(lit(1)).as("cg"))
+        val gt = gc.agg(sum("cg").cast("long").as("totg"),
+          count(lit(1)).cast("long").as("v"))
+        val tc = docs.filter(col("lang") === "en")
+          .select(explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("ct"))
+        val tt = tc.agg(coalesce(sum("ct"), lit(0L)).cast("long")
+          .as("tott"))
+        val lm = gc.join(tc, Seq("token"), "left")
+          .crossJoin(broadcast(gt)).crossJoin(broadcast(tt))
+          .select(col("token"), round(
+            log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tott") + col("v")).cast("double")) -
+              log((col("cg") + 1).cast("double") /
+                (col("totg") + col("v")).cast("double")), 9)
+            .cast("decimal(18,9)").as("lr"))
+        val ds = tok.join(broadcast(lm), "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ntok"), sum("lr").as("ssum"))
+        val sc = ds.join(docs.select("doc_id", "source"), "doc_id")
+          .withColumn("score",
+            col("ssum").cast("double") / col("ntok").cast("double"))
+        sc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L))
+              .as("n_selected"),
+            sum(round(col("score"), 9).cast("decimal(28,9)")).as("msum"))
+          .select(col("source"), col("n_docs"), col("n_selected"),
+            round(col("n_selected").cast("double") /
+              col("n_docs").cast("double"), 4).as("sel_rate"),
+            round(col("msum").cast("double") /
+              col("n_docs").cast("double"), 6).as("mean_score"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS ($SQL_TOKENS),
+              |gc AS (SELECT token, COUNT(*) AS cg FROM tok GROUP BY 1),
+              |gt AS (SELECT CAST(SUM(cg) AS BIGINT) AS totg,
+              |  CAST(COUNT(*) AS BIGINT) AS v FROM gc),
+              |tc AS (
+              |  SELECT token, COUNT(*) AS ct
+              |  FROM (SELECT unnest($SQL_TOKENIZE) AS token
+              |        FROM documents WHERE lang = 'en') x GROUP BY 1),
+              |tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tott
+              |  FROM tc),
+              |lm AS (
+              |  SELECT gc.token, CAST(ROUND(
+              |    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+              |      / CAST(tott + v AS DOUBLE))
+              |    - ln(CAST(cg + 1 AS DOUBLE)
+              |      / CAST(totg + v AS DOUBLE)), 9) AS DECIMAL(18,9))
+              |    AS lr
+              |  FROM gc LEFT JOIN tc USING (token), gt, tt),
+              |ds AS (
+              |  SELECT doc_id, COUNT(*) AS ntok, SUM(lr) AS ssum
+              |  FROM tok JOIN lm USING (token) GROUP BY 1),
+              |sc AS (
+              |  SELECT d.source,
+              |    CAST(ssum AS DOUBLE) / CAST(ntok AS DOUBLE) AS score
+              |  FROM ds JOIN documents d USING (doc_id))
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_selected,
+              |  ROUND(CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / COUNT(*), 4) AS sel_rate,
+              |  ROUND(CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(28,9)))
+              |    AS DOUBLE) / COUNT(*), 6) AS mean_score
+              |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
     // Group-relative advantage normalization (the GRPO/RLOO shape):
     // per prompt group (source stands in for the prompt), z-score each
     // response's reward against ITS GROUP's mean/std — the variance-

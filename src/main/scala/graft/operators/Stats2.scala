@@ -763,6 +763,110 @@ object Stats2 {
              |      / (n * swxx - swx * swx) * swx) / n)
              |    / ((n * swxz - swx * swz)
              |      / (n * swxx - swx * swx))), 4) AS scale
-             |FROM mm""".stripMargin))
+             |FROM mm""".stripMargin)),
+
+    // One-way ANCOVA: does extendedprice differ by return flag AFTER
+    // adjusting for quantity? Per-flag exact decimal power sums from
+    // ONE linear pass; the pooled within-group slope b_w = ΣSxy/ΣSxx,
+    // the covariate-adjusted means ȳᵢ − b_w(x̄ᵢ − x̄), and the group
+    // F with the covariate partialled out are all closed forms on the
+    // flag-bounded summary. The centered per-group Sxx/Sxy/Syy are
+    // RATIONALS (÷nᵢ), so those three sums fold in FLAG ORDER as
+    // doubles (the Bartlett device) while everything upstream stays
+    // exact. Experimentation companion to stat_cuped (same algebra,
+    // pre-period metric as the covariate) at k groups.
+    Q("stat_ancova",
+      (s, d) => {
+        def dd(c: String) = col(c).cast("decimal(18,2)")
+        val g = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("f"),
+            dd("l_quantity").as("x"), dd("l_extendedprice").as("y"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("ng"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        def fold(v: String, alias: String) =
+          expr("aggregate(sort_array(collect_list(struct(f AS k, " +
+            s"$v AS v))), cast(0.0 as double), (acc, e) -> acc + e.v)")
+            .as(alias)
+        val m = g.agg(
+          count(lit(1)).as("k"), sum("ng").cast("long").as("n"),
+          sum("sx").as("tsx"), sum("sy").as("tsy"),
+          sum("sxx").as("tsxx"), sum("syy").as("tsyy"),
+          sum("sxy").as("tsxy"),
+          fold("cast(sxx as double) - cast(sx as double) " +
+            "* cast(sx as double) / ng", "wxx"),
+          fold("cast(syy as double) - cast(sy as double) " +
+            "* cast(sy as double) / ng", "wyy"),
+          fold("cast(sxy as double) - cast(sx as double) " +
+            "* cast(sy as double) / ng", "wxy"))
+        def D(c: String) = col(c).cast("double")
+        val nd = col("n").cast("double")
+        val kd = col("k").cast("double")
+        val bw = col("wxy") / col("wxx")
+        val sseF = col("wyy") - col("wxy") * col("wxy") / col("wxx")
+        val txx = D("tsxx") - D("tsx") * D("tsx") / nd
+        val tyy = D("tsyy") - D("tsy") * D("tsy") / nd
+        val txy = D("tsxy") - D("tsx") * D("tsy") / nd
+        val sseR = tyy - txy * txy / txx
+        val fstat = ((sseR - sseF) / (kd - 1.0)) /
+          (sseF / (nd - kd - 1.0))
+        val model = m.select(col("k"), col("n"), col("tsx"),
+          round(bw, 6).as("pooled_slope"), round(fstat, 4).as("f_ancova"))
+        g.crossJoin(broadcast(model))
+          .select(col("f").as("l_returnflag"), col("ng").as("n_rows"),
+            round(col("sy").cast("double") / col("ng").cast("double") -
+              col("pooled_slope") *
+                (col("sx").cast("double") / col("ng").cast("double") -
+                  col("tsx").cast("double") / col("n").cast("double")),
+              4).as("adj_mean"),
+            col("pooled_slope"), col("f_ancova"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag AS f, COUNT(*) AS ng,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |    SUM(y*y) AS syy, SUM(x*y) AS sxy
+             |  FROM (SELECT l_returnflag,
+             |      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |    FROM lineitem) t GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(ng) AS BIGINT) AS n,
+             |    SUM(sx) AS tsx, SUM(sy) AS tsy, SUM(sxx) AS tsxx,
+             |    SUM(syy) AS tsyy, SUM(sxy) AS tsxy,
+             |    list_sum(list(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / ng ORDER BY f)) AS wxx,
+             |    list_sum(list(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / ng ORDER BY f)) AS wyy,
+             |    list_sum(list(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sy AS DOUBLE) / ng ORDER BY f)) AS wxy
+             |  FROM g),
+             |s AS (
+             |  SELECT k, n, tsx,
+             |    ROUND(wxy / wxx, 6) AS pooled_slope,
+             |    ROUND((((CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE)
+             |        * CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE)
+             |        * CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE)
+             |          * CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE)
+             |          * CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - (wyy - wxy * wxy / wxx)) / (CAST(k AS DOUBLE) - 1.0))
+             |      / ((wyy - wxy * wxy / wxx)
+             |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE) - 1.0)),
+             |      4) AS f_ancova
+             |  FROM m)
+             |SELECT f AS l_returnflag, CAST(ng AS BIGINT) AS n_rows,
+             |  ROUND(CAST(sy AS DOUBLE) / ng - pooled_slope
+             |    * (CAST(sx AS DOUBLE) / ng
+             |      - CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             |    AS adj_mean,
+             |  pooled_slope, f_ancova
+             |FROM g, s ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -499,6 +499,53 @@ object Streams {
              |FROM sess, wm WHERE s_end <= w
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Sixth ORACLED streaming query: SLIDING-window catchup. Complete
+    // output mode keeps every window's state (no watermark eviction),
+    // so after Trigger.AvailableNow drains the fixture the final
+    // micro-batch overwrite IS the batch answer — the determinism
+    // argument needs no finalization caveat, only the complete-mode
+    // memory bound (window count is calendar-bounded: 4 overlapping
+    // 1h/15min windows per event, ≤ 4 × hours-of-history rows of
+    // state). The oracle materializes the same overlap explicitly:
+    // each event belongs to EXACTLY the 4 slide-aligned windows
+    // time_bucket(ts) − k·15min, k ∈ 0..3 — pinning Spark's
+    // epoch-aligned window/slide semantics, not just the totals.
+    Q("stream_sliding_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_slidenow_v1_$key"
+        val agg = eventsStream(s, d)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .select(tsStr("window.start").as("w_start"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("w_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+             |      - (INTERVAL 15 MINUTE) * k AS w_start,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+             |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Third ORACLED streaming query: STATELESS stream-static broadcast
     // enrichment under Trigger.AvailableNow — the exactly-once argument
     // needs no state-finalization caveat at all here (no watermark, no
