@@ -867,6 +867,202 @@ object Stats2 {
              |      - CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
              |    AS adj_mean,
              |  pooled_slope, f_ancova
-             |FROM g, s ORDER BY l_returnflag""".stripMargin))
+             |FROM g, s ORDER BY l_returnflag""".stripMargin)),
+
+    // Nelson–Aalen cumulative hazard over ts_kaplan_meier's user
+    // lifetimes (first event → first 'error', else censored at last
+    // activity). Unlike KM's product — which that query folds on the
+    // driver — the NA estimator is a plain cumulative SUM of d_t/n_t,
+    // so it stays fully declarative: n_risk comes from one running
+    // subtraction over the day-bounded lifetime table, each hazard
+    // increment is rounded to 9dp and the prefix sum runs as EXACT
+    // DECIMAL — associative, order-pinned, engine-identical. The
+    // Fleming–Harrington survival exp(−H) rides along for free.
+    Q("stat_nelson_aalen",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("dn"),
+            col("event_type"))
+          .groupBy("user_id")
+          .agg(min("dn").as("f"), max("dn").as("l"),
+            min(when(col("event_type") === "error", col("dn"))).as("e"))
+        val byT = users
+          .withColumn("cens", col("e").isNull.cast("long"))
+          .withColumn("lt",
+            when(col("e").isNull, col("l") - col("f"))
+              .otherwise(col("e") - col("f")))
+          .groupBy("lt")
+          .agg(sum(lit(1L) - col("cens")).as("d"),
+            count(lit(1)).as("leaving"))
+        val nTot = byT.agg(sum("leaving").cast("long").as("ntot"))
+        val wPrev = Window.orderBy("lt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("lt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.crossJoin(broadcast(nTot))
+          .withColumn("n_risk",
+            col("ntot") - coalesce(sum("leaving").over(wPrev), lit(0L)))
+          .withColumn("hh", sum(
+            round(col("d").cast("double") / col("n_risk").cast("double"),
+              9).cast("decimal(28,9)")).over(wCum))
+          .filter(col("d") > 0)
+          .select(col("lt").as("t"), col("n_risk"),
+            col("d").as("n_deaths"),
+            round(col("hh").cast("double"), 6).as("cum_hazard"),
+            round(exp(-col("hh").cast("double")), 6).as("na_survival"))
+          .orderBy("t")
+      },
+      Some("""WITH ud AS (
+             |  SELECT user_id, MIN(dn) AS f, MAX(dn) AS l,
+             |    MIN(CASE WHEN event_type = 'error' THEN dn END) AS e
+             |  FROM (SELECT user_id, event_type,
+             |          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |            AS dn
+             |        FROM events) x GROUP BY user_id),
+             |u2 AS (SELECT
+             |    CASE WHEN e IS NULL THEN l - f ELSE e - f END AS lt,
+             |    CASE WHEN e IS NULL THEN 1 ELSE 0 END AS cens
+             |  FROM ud),
+             |byt AS (
+             |  SELECT lt, CAST(SUM(1 - cens) AS BIGINT) AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS leaving
+             |  FROM u2 GROUP BY lt),
+             |rk AS (
+             |  SELECT lt, d,
+             |    (SELECT CAST(SUM(leaving) AS BIGINT) FROM byt)
+             |      - CAST(COALESCE(SUM(leaving) OVER (ORDER BY lt
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS BIGINT) AS n_risk
+             |  FROM byt),
+             |h AS (
+             |  SELECT lt, d, n_risk,
+             |    SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 9)
+             |      AS DECIMAL(28,9))) OVER (ORDER BY lt
+             |      ROWS UNBOUNDED PRECEDING) AS hh
+             |  FROM rk)
+             |SELECT lt AS t, n_risk, d AS n_deaths,
+             |  ROUND(CAST(hh AS DOUBLE), 6) AS cum_hazard,
+             |  ROUND(exp(-CAST(hh AS DOUBLE)), 6) AS na_survival
+             |FROM h WHERE d > 0 ORDER BY t""".stripMargin)),
+
+    // Breslow–Day homogeneity test on stat_cmh_test's 2×2×K table
+    // (lang strata, x = source='src0', y = n_chars≥200): CMH asks "is
+    // there a common association"; BD asks whether ONE odds ratio
+    // fits every stratum. The MH common OR and each stratum's
+    // expected a-cell under it (the valid root of the BD quadratic,
+    // picked by the in-range CASE both engines evaluate identically)
+    // are closed forms on the K-row exact-integer summary; the χ²
+    // terms and Tarone correction fold in LANG ORDER. K-bounded after
+    // one linear pass — the stratified-tables family's third leg.
+    Q("stat_breslow_day",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .withColumn("x", (col("source") === "src0").cast("long"))
+          .withColumn("y", (col("n_chars") >= 200).cast("long"))
+          .groupBy("lang")
+          .agg(sum(col("x") * col("y")).as("a"),
+            sum("x").as("r1"), sum("y").as("c1"), count(lit(1)).as("nk"))
+        def fold(v: String, alias: String) =
+          expr("aggregate(sort_array(collect_list(struct(lang AS k, " +
+            s"$v AS v))), cast(0.0 as double), (acc, e) -> acc + e.v)")
+            .as(alias)
+        val orRow = cells.agg(
+          fold("cast(a as double) * (nk - r1 - c1 + a) / nk", "sad"),
+          fold("cast(r1 - a as double) * (c1 - a) / nk", "sbc"))
+          .select((col("sad") / col("sbc")).as("orm"))
+        val terms = cells.crossJoin(broadcast(orRow))
+          .withColumn("qb",
+            (col("orm") - 1.0) * (col("r1") + col("c1")).cast("double") +
+              col("nk").cast("double"))
+          .withColumn("disc", sqrt(col("qb") * col("qb") -
+            lit(4.0) * (col("orm") - 1.0) * col("orm") *
+              (col("r1") * col("c1")).cast("double")))
+          .withColumn("root1",
+            (col("qb") - col("disc")) / (lit(2.0) * (col("orm") - 1.0)))
+          .withColumn("root2",
+            (col("qb") + col("disc")) / (lit(2.0) * (col("orm") - 1.0)))
+          .withColumn("ea", when(abs(col("orm") - 1.0) < 1e-12,
+            (col("r1") * col("c1")).cast("double") /
+              col("nk").cast("double"))
+            .otherwise(when(
+              col("root1") > greatest(lit(0.0),
+                (col("r1") + col("c1") - col("nk")).cast("double")) &&
+                col("root1") < least(col("r1").cast("double"),
+                  col("c1").cast("double")),
+              col("root1")).otherwise(col("root2"))))
+          .withColumn("va", lit(1.0) / (lit(1.0) / col("ea") +
+            lit(1.0) / (col("r1").cast("double") - col("ea")) +
+            lit(1.0) / (col("c1").cast("double") - col("ea")) +
+            lit(1.0) / ((col("nk") - col("r1") - col("c1")).cast("double")
+              + col("ea"))))
+        val m = terms.agg(count(lit(1)).as("n_strata"),
+          max(col("orm")).as("orm"),
+          fold("(a - ea) * (a - ea) / va", "bd"),
+          fold("a - ea", "sdev"), fold("va", "sva"))
+        m.select(col("n_strata"), round(col("orm"), 6).as("or_mh"),
+          round(col("bd"), 4).as("bd_chi2"),
+          round(col("bd") - col("sdev") * col("sdev") / col("sva"), 4)
+            .as("tarone_chi2"))
+      },
+      Some("""WITH k AS (
+             |  SELECT lang,
+             |    CAST(SUM(x * y) AS BIGINT) AS a,
+             |    CAST(SUM(x) AS BIGINT) AS r1,
+             |    CAST(SUM(y) AS BIGINT) AS c1,
+             |    CAST(COUNT(*) AS BIGINT) AS nk
+             |  FROM (SELECT lang,
+             |      CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS x,
+             |      CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+             |    FROM documents) t
+             |  GROUP BY lang),
+             |orw AS (
+             |  SELECT list_sum(list(CAST(a AS DOUBLE)
+             |      * (nk - r1 - c1 + a) / nk ORDER BY lang))
+             |    / list_sum(list(CAST(r1 - a AS DOUBLE) * (c1 - a) / nk
+             |      ORDER BY lang)) AS orm
+             |  FROM k),
+             |t2 AS (
+             |  SELECT lang, a, r1, c1, nk, orm,
+             |    (orm - 1.0) * CAST(r1 + c1 AS DOUBLE)
+             |      + CAST(nk AS DOUBLE) AS qb
+             |  FROM k, orw),
+             |t3 AS (
+             |  SELECT *, sqrt(qb * qb - 4.0 * (orm - 1.0) * orm
+             |    * CAST(r1 * c1 AS DOUBLE)) AS disc
+             |  FROM t2),
+             |t4 AS (
+             |  SELECT *,
+             |    (qb - disc) / (2.0 * (orm - 1.0)) AS root1,
+             |    (qb + disc) / (2.0 * (orm - 1.0)) AS root2
+             |  FROM t3),
+             |t5 AS (
+             |  SELECT lang, a, r1, c1, nk, orm,
+             |    CASE WHEN abs(orm - 1.0) < 1e-12
+             |      THEN CAST(r1 * c1 AS DOUBLE) / CAST(nk AS DOUBLE)
+             |      WHEN root1 > greatest(0.0, CAST(r1 + c1 - nk AS DOUBLE))
+             |        AND root1 < least(CAST(r1 AS DOUBLE),
+             |          CAST(c1 AS DOUBLE))
+             |      THEN root1 ELSE root2 END AS ea
+             |  FROM t4),
+             |t6 AS (
+             |  SELECT lang, a, orm, ea,
+             |    1.0 / (1.0 / ea + 1.0 / (CAST(r1 AS DOUBLE) - ea)
+             |      + 1.0 / (CAST(c1 AS DOUBLE) - ea)
+             |      + 1.0 / (CAST(nk - r1 - c1 AS DOUBLE) + ea)) AS va
+             |  FROM t5),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             |    MAX(orm) AS orm,
+             |    list_sum(list((a - ea) * (a - ea) / va ORDER BY lang))
+             |      AS bd,
+             |    list_sum(list(a - ea ORDER BY lang)) AS sdev,
+             |    list_sum(list(va ORDER BY lang)) AS sva
+             |  FROM t6)
+             |SELECT n_strata, ROUND(orm, 6) AS or_mh,
+             |  ROUND(bd, 4) AS bd_chi2,
+             |  ROUND(bd - sdev * sdev / sva, 4) AS tarone_chi2
+             |FROM m""".stripMargin))
   )
 }
