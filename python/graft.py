@@ -22,9 +22,12 @@ Notes:
   * Scala default arguments do not exist at the Java interop layer, so
     every wrapper passes the full argument list explicitly (defaults
     here mirror the Scala defaults).
-  * This offline build environment has no pyspark, so these bindings
-    are exercised on a cluster, not in this repo's test suite; the
-    wrapped Scala methods themselves are oracle- and scalatest-covered.
+  * The binding layer is exercised offline by
+    ``tools/check_pybindings.py`` (a dev-only smoke test run against
+    the compiled classes with the driver-side pyspark install: 18
+    delegations across dedup/similarity/ranking/text/catalog, covering
+    str/int/float-list/Seq/Column/None marshalling); the wrapped Scala
+    methods themselves are oracle- and scalatest-covered.
 """
 
 from pyspark.sql import DataFrame, SparkSession

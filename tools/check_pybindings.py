@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Dev-only smoke test of the PySpark bindings (python/graft.py).
+
+Runs every binding class against the sf0.001 fixtures with the repo's
+compiled classes on the driver classpath, asserting that each py4j
+delegation crosses the gateway (argument marshalling: str, int, float
+list, scala Seq, Column handles, None->null) and returns a usable
+PySpark DataFrame. The wrapped Scala logic is oracle-covered by the
+driver's gate; THIS script covers the binding layer itself, which the
+Scala test suite cannot reach.
+
+Usage: python3 tools/check_pybindings.py [sfDir]
+Dev-only tool — requires the driver-side pyspark install; never shipped
+with, or imported by, the Scala library.
+"""
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+sys.path.insert(0, os.path.join(REPO, "python"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.driver.extraClassPath",
+            os.path.join(REPO, "target", "scala-2.13", "classes"))
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import graft  # noqa: E402
+
+docs = spark.read.parquet(f"{SF}/documents.parquet")
+embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+n_docs = docs.count()
+n_embs = embs.count()
+
+passed, failed = [], []
+
+
+def check(name, fn):
+    try:
+        fn()
+        passed.append(name)
+        print(f"PASS {name}")
+    except Exception:
+        failed.append(name)
+        print(f"FAIL {name}")
+        traceback.print_exc()
+
+
+def expect(cond, msg):
+    if not cond:
+        raise AssertionError(msg)
+
+
+# --- dedup ---------------------------------------------------------------
+check("dedup.exact_groups", lambda: expect(
+    graft.dedup.exact_groups(docs, "doc_id", "text").count() >= 0, "ran"))
+check("dedup.exact_keep", lambda: expect(
+    graft.dedup.exact_keep(docs, "doc_id", "text").count() <= n_docs,
+    "keep must not grow the corpus"))
+check("dedup.minhash_signatures", lambda: expect(
+    graft.dedup.minhash_signatures(docs, "doc_id", "text").count() == n_docs,
+    "one signature row per doc"))
+check("dedup.lsh_candidate_pairs", lambda: expect(
+    graft.dedup.lsh_candidate_pairs(docs, "doc_id", "text").count() >= 0,
+    "ran"))
+check("dedup.jaccard_verify", lambda: expect(
+    graft.dedup.jaccard_verify(docs, "doc_id", "text").count() >= 0, "ran"))
+check("dedup.near_dup_components", lambda: expect(
+    graft.dedup.near_dup_components(docs, "doc_id", "text").count() >= 0,
+    "ran"))
+check("dedup.simhash", lambda: expect(
+    graft.dedup.simhash(docs, "doc_id", "text").count() == n_docs,
+    "one simhash per doc"))
+
+# --- similarity ----------------------------------------------------------
+qid = embs.select("vec_id").orderBy("vec_id").first()[0]
+
+
+def _sim_equiv():
+    bf = graft.similarity.brute_force_top_k(
+        embs, "vec_id", "embedding", qid, top_k=5)
+    expect(bf.count() == 5, "brute force must return top_k rows")
+
+
+check("similarity.brute_force_top_k", _sim_equiv)
+check("similarity.top_k_auto", lambda: expect(
+    graft.similarity.top_k_auto(embs, "vec_id", "embedding", qid,
+                                top_k=5).count() == 5, "auto top_k rows"))
+check("similarity.bucketed_neighbors", lambda: expect(
+    graft.similarity.bucketed_neighbors(embs, "vec_id", "embedding")
+    .count() >= 0, "ran"))
+
+# --- ranking -------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _rank_check():
+    r = graft.ranking.with_global_row_number(docs, [F.col("doc_id")])
+    got = r.agg(F.countDistinct("__rn"), F.max("__rn")).first()
+    expect(got[0] == n_docs and got[1] == n_docs,
+           f"row numbers must be a permutation of 1..{n_docs}, got {got}")
+
+
+def _ntile_check():
+    r = graft.ranking.ntile_exact(docs, 4, [F.col("doc_id")])
+    got = r.groupBy("__ntile").count().count()
+    expect(got == 4, f"expected 4 tiles, got {got}")
+
+
+check("ranking.with_global_row_number", _rank_check)
+check("ranking.ntile_exact", _ntile_check)
+
+# --- text ----------------------------------------------------------------
+STOP = ["the", "a", "of", "and", "to", "in"]
+
+
+def _quality_check():
+    r = graft.text.quality(docs, "doc_id", "text", STOP)
+    expect(r.count() == n_docs, "one quality row per doc")
+    expect("quality" in r.columns, "quality column present")
+
+
+check("text.quality", _quality_check)
+check("text.token_counts", lambda: expect(
+    graft.text.token_counts(docs, "doc_id", "text").count() == n_docs,
+    "one row per doc"))
+check("text.fingerprint", lambda: expect(
+    graft.text.fingerprint(docs, "doc_id", "text").count() == n_docs,
+    "one row per doc"))
+check("text.tf_idf_top_terms", lambda: expect(
+    graft.text.tf_idf_top_terms(docs, "doc_id", "text", "lang",
+                                top_n=3).count() >= 1, "ran"))
+check("text.hashed_linear_score", lambda: expect(
+    graft.text.hashed_linear_score(
+        docs, "doc_id", "text",
+        [0.1 * ((i % 7) - 3) for i in range(64)]).count() == n_docs,
+    "one score per doc"))
+
+# --- catalog -------------------------------------------------------------
+check("catalog.databases", lambda: expect(
+    graft.catalog.databases().count() >= 1, "default db must exist"))
+
+print(f"\n{len(passed)} pass, {len(failed)} fail")
+spark.stop()
+sys.exit(1 if failed else 0)
