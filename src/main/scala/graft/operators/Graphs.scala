@@ -1745,11 +1745,53 @@ object Graphs {
     Q("graph_cycle4", fn, Some(sql))
   }
 
+  /** Katz centrality, α = 1/20, 3 unrolled attenuation hops:
+    * katz(v) = Σ_{k=1..3} α^k · (Aᵏ1)_v. Because the hop vectors are
+    * pure BIGINT neighbor sums (x₁ = deg, x₂ = Σ_{u~v} deg(u), …),
+    * the whole score is the EXACT integer 400·x₁ + 20·x₂ + x₃ over
+    * 8000 — no float folds anywhere, hub-safe by algebra (the
+    * pagerank family needs ordered chunked folds for the same
+    * reason this query needs nothing). Three degree-bounded
+    * join+aggregate rounds over the shared cell-capped edge set; the
+    * path-counting sibling of graph_pagerank's random-surfer rank.
+    */
+  private def katzQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).localCheckpoint()
+      val x1 = e.groupBy(col("v").as("node"))
+        .agg(count(lit(1)).as("x1"))
+      val x2 = e.join(x1.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node")).agg(sum("x1").as("x2"))
+      val x3 = e.join(x2.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node")).agg(sum("x2").as("x3"))
+      x1.join(x2, "node").join(x3, "node")
+        .select(col("node").as("user_id"),
+          round((col("x1") * 400L + col("x2") * 20L + col("x3"))
+            .cast("double") / 8000.0, 6).as("katz"))
+        .orderBy("user_id")
+    }
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |x1 AS (SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS x1
+         |  FROM edges GROUP BY 1),
+         |x2 AS (SELECT e.v AS node, CAST(SUM(a.x1) AS BIGINT) AS x2
+         |  FROM edges e JOIN x1 a ON a.node = e.u GROUP BY 1),
+         |x3 AS (SELECT e.v AS node, CAST(SUM(a.x2) AS BIGINT) AS x3
+         |  FROM edges e JOIN x2 a ON a.node = e.u GROUP BY 1)
+         |SELECT x1.node AS user_id,
+         |  ROUND(CAST(x1.x1 * 400 + x2.x2 * 20 + x3.x3 AS DOUBLE)
+         |    / 8000.0, 6) AS katz
+         |FROM x1 JOIN x2 ON x2.node = x1.node
+         |JOIN x3 ON x3.node = x1.node
+         |ORDER BY user_id""".stripMargin
+    Q("graph_katz", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
-      powerlawQuery, closenessQuery, cycle4Query)
+      powerlawQuery, closenessQuery, cycle4Query, katzQuery)
 }

@@ -1063,6 +1063,68 @@ object Stats2 {
              |SELECT n_strata, ROUND(orm, 6) AS or_mh,
              |  ROUND(bd, 4) AS bd_chi2,
              |  ROUND(bd - sdev * sdev / sva, 4) AS tarone_chi2
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Rolling 14-day correlation between the purchase and view daily
+    // count series — the co-movement monitor (do funnels track?) that
+    // a point estimate like ts_cross_correlation's global lags can't
+    // give. All five windowed sums are EXACT BIGINTs over the
+    // calendar-bounded day table (one linear conditional aggregate,
+    // then a 14-ROW window), and the Pearson closed form evaluates
+    // once per day from those integers — bit-identical on both
+    // engines, no float accumulation anywhere. (14-day window: the
+    // fixture spans 30 days, so the monitor emits a 17-point series.)
+    Q("ts_rolling_corr",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("p"),
+            sum(when(col("event_type") === "view", 1L)
+              .otherwise(0L)).as("v"))
+        val w = Window.orderBy("day").rowsBetween(-13, 0)
+        val base = daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sp", sum("p").over(w))
+          .withColumn("sv", sum("v").over(w))
+          .withColumn("spp", sum(col("p") * col("p")).over(w))
+          .withColumn("svv", sum(col("v") * col("v")).over(w))
+          .withColumn("spv", sum(col("p") * col("v")).over(w))
+          .filter(col("n") === 14)
+        def D(c: String) = col(c).cast("double")
+        val nd = col("n").cast("double")
+        base.select(col("day"),
+          round((nd * D("spv") - D("sp") * D("sv")) /
+            sqrt((nd * D("spp") - D("sp") * D("sp")) *
+              (nd * D("svv") - D("sv") * D("sv"))), 4).as("roll_corr"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(ts AS DATE) AS day,
+              |    CAST(SUM(CASE WHEN event_type = 'purchase'
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              |    CAST(SUM(CASE WHEN event_type = 'view'
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS v
+              |  FROM events GROUP BY 1),
+              |b AS (
+              |  SELECT day,
+              |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+              |    CAST(SUM(p) OVER w AS BIGINT) AS sp,
+              |    CAST(SUM(v) OVER w AS BIGINT) AS sv,
+              |    CAST(SUM(p * p) OVER w AS BIGINT) AS spp,
+              |    CAST(SUM(v * v) OVER w AS BIGINT) AS svv,
+              |    CAST(SUM(p * v) OVER w AS BIGINT) AS spv
+              |  FROM daily
+              |  WINDOW w AS (ORDER BY day
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              |SELECT day,
+              |  ROUND((CAST(n AS DOUBLE) * CAST(spv AS DOUBLE)
+              |      - CAST(sp AS DOUBLE) * CAST(sv AS DOUBLE))
+              |    / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+              |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+              |      * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+              |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 4)
+              |    AS roll_corr
+              |FROM b WHERE n = 14 ORDER BY day""".stripMargin))
   )
 }
