@@ -1125,6 +1125,79 @@ object Stats2 {
               |      * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
               |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 4)
               |    AS roll_corr
-              |FROM b WHERE n = 14 ORDER BY day""".stripMargin))
+              |FROM b WHERE n = 14 ORDER BY day""".stripMargin)),
+
+    // Per-type distribution-drift pager rule: two-sample KS between
+    // the first 15 fixture days and the rest, one row per event type —
+    // the nonparametric companion to dq_psi_drift's binned PSI (PSI
+    // needs bin choices; KS does not). Same exact-integer device as
+    // stat_ks_test — D's numerator max|ca·n_b − cb·n_a| is pure BIGINT
+    // so the statistic is partitioning- and engine-independent by
+    // construction — but with PARTITIONED windows (per-type), the
+    // shape that scales: the running sum rides the per-type DISTINCT-
+    // value table, and at 100 TB the standard pre-binned variant
+    // drops into the same plan via width_bucket as the value key. The
+    // drift flag compares the ROUNDED statistic so the paged set is
+    // stable cross-engine.
+    Q("dq_ks_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"),
+            to_date(col("ts")).as("day"))
+        val mn = ev.agg(min("day").as("d0"))
+        val pts = ev.crossJoin(broadcast(mn))
+          .withColumn("ina",
+            (datediff(col("day"), col("d0")) < 15).cast("long"))
+          .groupBy("event_type", "value")
+          .agg(sum("ina").as("an"),
+            sum(lit(1L) - col("ina")).as("bn"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        pts
+          .withColumn("ca", sum("an").over(w))
+          .withColumn("cb", sum("bn").over(w))
+          .withColumn("n_a", sum("an").over(wAll))
+          .withColumn("n_b", sum("bn").over(wAll))
+          .groupBy("event_type", "n_a", "n_b")
+          .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+            .as("d_num"))
+          .withColumn("d_stat", round(col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            col("d_stat"), (col("d_stat") > 0.05).as("drifted"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |mn AS (SELECT MIN(day) AS d0 FROM ev),
+             |pts AS (
+             |  SELECT event_type, value,
+             |    SUM(CASE WHEN day - d0 < 15 THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN day - d0 < 15 THEN 0 ELSE 1 END) AS bn
+             |  FROM ev, mn GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT event_type, an, bn,
+             |    SUM(an) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS ca,
+             |    SUM(bn) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cb,
+             |    SUM(an) OVER (PARTITION BY event_type) AS n_a,
+             |    SUM(bn) OVER (PARTITION BY event_type) AS n_b
+             |  FROM pts),
+             |m AS (
+             |  SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             |    CAST(n_b AS BIGINT) AS n_b,
+             |    ROUND(CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+             |      / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat
+             |  FROM cum GROUP BY event_type, cum.n_a, cum.n_b)
+             |SELECT event_type, n_a, n_b, d_stat,
+             |  d_stat > 0.05 AS drifted
+             |FROM m ORDER BY event_type""".stripMargin))
   )
 }
