@@ -63,16 +63,20 @@ object Graphs {
 
   /** Shared cell→pair expansion: groupBy (event_type, h), collect the
     * sorted distinct user set, drop crowded cells, emit in-row (u<v)
-    * pairs, dedup across cells. */
+    * pairs, dedup across cells. The C(k,2) expansion is posexplode +
+    * slice + explode — ALL native generators/expressions, no lambdas:
+    * the original nested `transform(…, slice(…))` HOF form evaluated
+    * interpreted per element (PERF.md round-10 lesson #2) and measured
+    * 9.0 s first-run / 0.7 s steady at sf0.1 vs 2.0 / 0.5 for this
+    * form (PairsProbe, 3 reps, identical 66-pair output). */
   private[operators] def cellPairs(rows: DataFrame): DataFrame =
     rows.groupBy(col("event_type"), col("h"))
       .agg(sort_array(collect_set(col("user_id"))).as("us"))
       .filter(size(col("us")).between(2, MaxCellUsers))
-      .select(explode(expr(
-        "flatten(transform(us, (x, i) -> " +
-          "transform(slice(us, i + 2, size(us)), " +
-          "y -> struct(x AS u, y AS v))))")).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .select(posexplode(col("us")).as(Seq("i", "u")), col("us"))
+      .select(col("u"),
+        explode(slice(col("us"), col("i") + lit(2), size(col("us"))))
+          .as("v"))
       .distinct()
 
   /** Both directions — the adjacency list PageRank walks. */
