@@ -1750,6 +1750,83 @@ object DataOps {
     Q("mm_shot_detect", fn, Some(sql))
   }
 
+  /** Keyframe selection — the step AFTER mm_shot_detect in a video
+    * curation pipeline: within each detected shot, pick the
+    * representative frame (max energy fsum, ties → earliest index).
+    * Shot assignment is a per-doc running sum over the exploded frame
+    * stream (windows PARTITION BY doc — bounded by frames-per-doc,
+    * never global), the argmax is a rank-1 row_number with the
+    * explicit (fsum DESC, idx ASC) total order both engines share,
+    * and the keyframe list serializes via the array_to_string house
+    * rule. Same native FrameByteStats decode stub as the audio/shot
+    * queries — one linear pass over the corpus.
+    */
+  private val keyframeQuery: Q = {
+    val FRAME = 64; val THRESH = 300
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val frames = Tables.documents(s, d)
+        .withColumn("fr", Bridge.column(graft.functions.FrameByteStats(
+          Bridge.expression(col("text")), FRAME)))
+        .select(col("doc_id"),
+          posexplode(expr("transform(fr, f -> f.fsum)"))
+            .as(Seq("i", "fsum")))
+      val wSeq = Window.partitionBy("doc_id").orderBy("i")
+      val shots = frames
+        .withColumn("prev", lag("fsum", 1).over(wSeq))
+        .withColumn("brk", when(col("prev").isNotNull &&
+          abs(col("fsum") - col("prev")) > THRESH, 1L).otherwise(0L))
+        .withColumn("shot", sum("brk").over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + 1L)
+      val wKf = Window.partitionBy("doc_id", "shot")
+        .orderBy(col("fsum").desc, col("i"))
+      shots.withColumn("rn", row_number().over(wKf))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(max("shot").cast("long").as("n_shots"),
+          concat_ws(",", sort_array(collect_list(col("i").cast("long"))))
+            .as("kf_idxs"))
+        .orderBy("doc_id")
+    }
+    val sql =
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    (CAST(length(text) AS BIGINT) + ${FRAME - 1}) // $FRAME AS nf
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, CAST(nf - 1 AS INT)),
+         |      f -> struct_pack(i := f, fsum :=
+         |        CAST(list_sum(list_transform(
+         |          generate_series(1, CAST(least($FRAME,
+         |            n - f * $FRAME) AS INT)),
+         |          j -> CAST(ascii(substr(text,
+         |                 CAST(f * $FRAME + j AS INT), 1)) AS BIGINT)))
+         |        AS BIGINT))), recursive := true) AS x
+         |  FROM b WHERE nf > 0),
+         |sh AS (
+         |  SELECT doc_id, i, fsum,
+         |    SUM(CASE WHEN prev IS NOT NULL AND abs(fsum - prev)
+         |        > $THRESH THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS UNBOUNDED PRECEDING) + 1 AS shot
+         |  FROM (SELECT doc_id, i, fsum,
+         |      lag(fsum) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |    FROM f)),
+         |kf AS (
+         |  SELECT doc_id, shot, i,
+         |    row_number() OVER (PARTITION BY doc_id, shot
+         |      ORDER BY fsum DESC, i) AS rn
+         |  FROM sh)
+         |SELECT doc_id, CAST(MAX(shot) AS BIGINT) AS n_shots,
+         |  array_to_string(list(CAST(i AS BIGINT) ORDER BY i), ',')
+         |    AS kf_idxs
+         |FROM kf WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    Q("mm_keyframe_select", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
       aspectBucketQuery, audioRmsQuery, pixelHistQuery, shotDetectQuery,
@@ -1767,7 +1844,7 @@ object DataOps {
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
-      matryoshkaQuery)
+      matryoshkaQuery, keyframeQuery)
 
   /** Topic-balance audit: k-means topic cells over the embeddings
     * (SHARED memoized codebook — the ann_ivf_* training runs once per

@@ -1326,6 +1326,57 @@ object Pipeline {
               |    / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
               |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Instruction-format mining — the SFT-data counterpart of
+    // llm_content_filter's blocklist gate: three per-row regex/contains
+    // signals (interrogative-or-imperative opener, question mark,
+    // newline list marker), a weighted score, and per-source
+    // instruction density. Entirely per-row scans (regexes anchored or
+    // single-pass contains — no tokenize, no shuffle beyond the
+    // source-keyed rollup); both engines run the same RE2/Java-compatible
+    // patterns, and the ≥2 threshold applies to an exact integer score.
+    Q("llm_instruction_filter",
+      (s, d) => {
+        val opener = "^(how|what|why|when|explain|write|describe|list" +
+          "|summarize|give|create|provide)\\b"
+        val docs = Tables.documents(s, d)
+          .withColumn("s_open",
+            when(lower(col("text")).rlike(opener), 1L).otherwise(0L))
+          .withColumn("s_q",
+            when(col("text").contains("?"), 1L).otherwise(0L))
+          .withColumn("s_list",
+            when(col("text").rlike("\\n[-*0-9]"), 1L).otherwise(0L))
+          .withColumn("score",
+            col("s_open") * 2L + col("s_q") + col("s_list"))
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 2L, 1L).otherwise(0L))
+              .as("n_instruction"),
+            sum("s_open").as("n_opener"), sum("s_q").as("n_question"))
+          .withColumn("instr_rate",
+            round(col("n_instruction").cast("double") /
+              col("n_docs").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+             |  SELECT source,
+             |    CASE WHEN regexp_matches(lower(text),
+             |      '^(how|what|why|when|explain|write|describe|list|summarize|give|create|provide)\b')
+             |      THEN 1 ELSE 0 END AS s_open,
+             |    CASE WHEN contains(text, '?') THEN 1 ELSE 0 END AS s_q,
+             |    CASE WHEN regexp_matches(text, '\n[-*0-9]')
+             |      THEN 1 ELSE 0 END AS s_list
+             |  FROM documents),
+             |g AS (SELECT source, s_open, s_q,
+             |    s_open * 2 + s_q + s_list AS score FROM f)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN score >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_instruction,
+             |  CAST(SUM(s_open) AS BIGINT) AS n_opener,
+             |  CAST(SUM(s_q) AS BIGINT) AS n_question,
+             |  ROUND(CAST(SUM(CASE WHEN score >= 2 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / COUNT(*), 4) AS instr_rate
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
     // Deterministic round-robin source interleave — the data-loader
     // ORDER a multi-source training run consumes: doc j of source i
     // lands at global position (j−1)·|S| + idx(i), so sources

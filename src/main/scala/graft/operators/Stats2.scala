@@ -1198,6 +1198,141 @@ object Stats2 {
              |  FROM cum GROUP BY event_type, cum.n_a, cum.n_b)
              |SELECT event_type, n_a, n_b, d_stat,
              |  d_stat > 0.05 AS drifted
-             |FROM m ORDER BY event_type""".stripMargin))
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Required sample size per arm for a two-sample mean test on
+    // event value (α=0.05 two-sided, power 0.80), at three relative
+    // MDEs — the continuous-metric companion to stat_power_twoprop's
+    // proportion planner (same z-constant trick, so no normal CDF is
+    // needed anywhere): n = 2(z_α+z_β)²σ²/δ². Mean and variance come
+    // from ONE exact-decimal moment pass (value canonicalized through
+    // DECIMAL(18,2) like every money column); the 3-row MDE grid is a
+    // constant fan-out. Ceil on an exactly-shared double is engine-
+    // identical by construction.
+    Q("stat_samplesize_cont",
+      (s, d) => {
+        val za = 1.9599639845400545 // Phi^-1(0.975)
+        val zb = 0.8416212335729143 // Phi^-1(0.80)
+        val m = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("value").cast("decimal(18,2)").as("x"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sx2"))
+        val nd = col("n").cast("double")
+        val mean = col("sx").cast("double") / nd
+        val s2 = (col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / nd) /
+          (nd - 1.0)
+        Seq(0.01, 0.02, 0.05).map { mde =>
+          m.select(lit(mde).as("mde_rel"), col("n").as("n_obs"),
+            round(mean, 4).as("mean_value"),
+            round(s2, 4).as("variance"))
+            .withColumn("delta", col("mean_value") * mde)
+            .withColumn("nf",
+              lit(2.0) * lit((za + zb) * (za + zb)) * col("variance") /
+                (col("delta") * col("delta")))
+            .select(col("mde_rel"), col("n_obs"), col("mean_value"),
+              (floor(col("nf")).cast("long") +
+                when(col("nf") > floor(col("nf")), 1L).otherwise(0L))
+                .as("n_per_arm"))
+        }.reduce(_ unionByName _).orderBy("mde_rel")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT COUNT(*) AS n,
+              |    SUM(x) AS sx, SUM(x * x) AS sx2
+              |  FROM (SELECT CAST(value AS DECIMAL(18,2)) AS x
+              |    FROM events WHERE event_type = 'purchase') t),
+              |st AS (
+              |  SELECT n,
+              |    ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4)
+              |      AS mean_value,
+              |    ROUND((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+              |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              |      / (CAST(n AS DOUBLE) - 1.0), 4) AS variance
+              |  FROM m),
+              |g AS (
+              |  SELECT mde_rel, n AS n_obs, mean_value,
+              |    2.0 * ${(1.9599639845400545 + 0.8416212335729143) *
+                (1.9599639845400545 + 0.8416212335729143)} * variance
+              |      / ((mean_value * mde_rel) * (mean_value * mde_rel))
+              |      AS nf
+              |  FROM st, (VALUES (CAST(0.01 AS DOUBLE)),
+              |    (CAST(0.02 AS DOUBLE)),
+              |    (CAST(0.05 AS DOUBLE))) v(mde_rel))
+              |SELECT mde_rel, n_obs, mean_value,
+              |  CAST(floor(nf) AS BIGINT)
+              |    + CASE WHEN nf > floor(nf) THEN 1 ELSE 0 END
+              |    AS n_per_arm
+              |FROM g ORDER BY mde_rel""".stripMargin)),
+
+    // Exact distribution-free median CI (order-statistic / binomial
+    // method) for purchase value: the 95% CI is [x_(l), x_(u)] with
+    // l = ⌊(n − z√n)/2⌋, u = ⌈(n + z√n)/2⌉ + 1 — PURE RANK ALGEBRA,
+    // no distributional assumption and no normal CDF. Ranks are
+    // exact integers from shared doubles; the three order statistics
+    // (median = lower x_(⌈n/2⌉) included) are INDEX-PICKED from the
+    // value-bounded cumulative freq table (the dq_volume_anomaly
+    // selection device) — one value-keyed aggregate + one running-sum
+    // window, never a full sort of the fact.
+    Q("stat_quantile_ci",
+      (s, d) => {
+        val za = 1.9599639845400545
+        val freq = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("value").cast("decimal(18,2)").as("x"))
+          .groupBy("x").agg(count(lit(1)).as("c"))
+        val wCum = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = freq.withColumn("cc", sum("c").over(wCum))
+          .crossJoin(broadcast(freq.agg(sum("c").cast("long").as("n"))))
+        val nd = col("n").cast("double")
+        val ranks = cum
+          .withColumn("rl", greatest(lit(1L),
+            floor((nd - lit(za) * sqrt(nd)) / 2.0).cast("long")))
+          .withColumn("ru", least(col("n"),
+            (floor((nd + lit(za) * sqrt(nd)) / 2.0).cast("long") +
+              when((nd + lit(za) * sqrt(nd)) / 2.0 >
+                floor((nd + lit(za) * sqrt(nd)) / 2.0), 1L)
+                .otherwise(0L)) + 1L))
+          .withColumn("rm", floor((col("n") + 1L) / 2L).cast("long"))
+        def pick(rank: org.apache.spark.sql.Column, alias: String) =
+          min(when(col("cc") >= rank, col("x"))).cast("double")
+            .as(alias)
+        ranks.groupBy("n")
+          .agg(pick(col("rm"), "median"),
+            pick(col("rl"), "ci_lo"), pick(col("ru"), "ci_hi"))
+          .select(col("n"), round(col("median"), 2).as("median"),
+            round(col("ci_lo"), 2).as("ci_lo"),
+            round(col("ci_hi"), 2).as("ci_hi"))
+      },
+      Some(s"""WITH freq AS (
+              |  SELECT CAST(value AS DECIMAL(18,2)) AS x, COUNT(*) AS c
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |cum AS (
+              |  SELECT x, SUM(c) OVER (ORDER BY x
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS cc,
+              |    (SELECT CAST(SUM(c) AS BIGINT) FROM freq) AS n
+              |  FROM freq),
+              |rk AS (
+              |  SELECT x, cc, n,
+              |    GREATEST(1, CAST(floor((n - 1.9599639845400545
+              |      * sqrt(n)) / 2.0) AS BIGINT)) AS rl,
+              |    LEAST(n, CAST(floor((n + 1.9599639845400545
+              |        * sqrt(n)) / 2.0) AS BIGINT)
+              |      + CASE WHEN (n + 1.9599639845400545 * sqrt(n))
+              |          / 2.0 > floor((n + 1.9599639845400545
+              |          * sqrt(n)) / 2.0) THEN 1 ELSE 0 END + 1)
+              |      AS ru,
+              |    (n + 1) // 2 AS rm
+              |  FROM cum)
+              |SELECT n,
+              |  ROUND(CAST(MIN(CASE WHEN cc >= rm THEN x END)
+              |    AS DOUBLE), 2) AS median,
+              |  ROUND(CAST(MIN(CASE WHEN cc >= rl THEN x END)
+              |    AS DOUBLE), 2) AS ci_lo,
+              |  ROUND(CAST(MIN(CASE WHEN cc >= ru THEN x END)
+              |    AS DOUBLE), 2) AS ci_hi
+              |FROM rk GROUP BY n""".stripMargin))
   )
 }
