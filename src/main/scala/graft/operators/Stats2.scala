@@ -1333,6 +1333,197 @@ object Stats2 {
               |    AS DOUBLE), 2) AS ci_lo,
               |  ROUND(CAST(MIN(CASE WHEN cc >= ru THEN x END)
               |    AS DOUBLE), 2) AS ci_hi
-              |FROM rk GROUP BY n""".stripMargin))
+              |FROM rk GROUP BY n""".stripMargin)),
+
+    // Two-sample Cramér–von Mises on click vs view values — the
+    // whole-distribution companion to stat_ks_test's max deviation
+    // (CvM integrates the squared ECDF gap, so spread-out drift that
+    // never breaches KS's single max still registers). The statistic
+    // is EXACT INTEGER algebra end to end: per distinct value,
+    // cnt·(ca·n₂ − cb·n₁)² accumulates as DECIMAL(38,0) (the square
+    // alone reaches ~10¹⁶ at sf0.1 — BIGINT sums would overflow at
+    // 100 TB), divided once at the end by n₁n₂(n₁+n₂)². Same
+    // value-keyed aggregate + running-sum window as KS.
+    Q("stat_cvm_test",
+      (s, d) => {
+        val pts = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("bn"))
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        pts
+          .withColumn("ca", sum("an").over(w))
+          .withColumn("cb", sum("bn").over(w))
+          .withColumn("n_a", sum("an").over(wAll))
+          .withColumn("n_b", sum("bn").over(wAll))
+          .groupBy("n_a", "n_b")
+          .agg(sum(((col("an") + col("bn")).cast("decimal(38,0)") *
+            ((col("ca") * col("n_b") - col("cb") * col("n_a")))
+              .cast("decimal(38,0)") *
+            ((col("ca") * col("n_b") - col("cb") * col("n_a")))
+              .cast("decimal(38,0)")).cast("decimal(38,0)")).as("num"))
+          .select(col("n_a"), col("n_b"),
+            round(col("num").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double") *
+                (col("n_a") + col("n_b")).cast("double") *
+                (col("n_a") + col("n_b")).cast("double")), 6)
+              .as("cvm_t"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS bn
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY value),
+             |cum AS (
+             |  SELECT an, bn,
+             |    SUM(an) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS ca,
+             |    SUM(bn) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cb
+             |  FROM pts),
+             |tot AS (SELECT CAST(SUM(an) AS BIGINT) AS n_a,
+             |  CAST(SUM(bn) AS BIGINT) AS n_b FROM pts),
+             |m AS (
+             |  SELECT n_a, n_b,
+             |    SUM(CAST(an + bn AS DECIMAL(38,0))
+             |      * CAST(ca * n_b - cb * n_a AS DECIMAL(38,0))
+             |      * CAST(ca * n_b - cb * n_a AS DECIMAL(38,0))) AS num
+             |  FROM cum, tot GROUP BY n_a, n_b)
+             |SELECT n_a, n_b,
+             |  ROUND(CAST(num AS DOUBLE)
+             |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             |      * CAST(n_a + n_b AS DOUBLE)
+             |      * CAST(n_a + n_b AS DOUBLE)), 6) AS cvm_t
+             |FROM m""".stripMargin)),
+
+    // Depth-2 binary segmentation over the daily series — the
+    // multi-changepoint extension of ts_changepoint_scan's windowed
+    // single-CP scan: pick the split minimizing total two-segment SSE
+    // (from exact-integer prefix sums — SSE(l..r) is a closed form on
+    // (Σc, Σc²) prefixes), then re-split each side the same way. The
+    // argmin is a rank-1 row_number under the engine-shared
+    // (cost, day) total order; every candidate evaluates from ONE
+    // prefix-sum pass over the calendar-bounded series — binary
+    // segmentation at any scale is O(segments × series length), never
+    // quadratic.
+    Q("ts_cpd_binseg2", {
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("ps", sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pss", sum(col("c") * col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = base.agg(max("i").as("n"), max("ps").as("tn"),
+          max("pss").as("tnn"))
+        val cand = base.crossJoin(broadcast(tot))
+        def sse(cnt: org.apache.spark.sql.Column,
+            sc: org.apache.spark.sql.Column,
+            sq: org.apache.spark.sql.Column) =
+          sq.cast("double") -
+            sc.cast("double") * sc.cast("double") / cnt.cast("double")
+        val c1 = cand.filter(col("i") < col("n"))
+          .withColumn("cost", sse(col("i"), col("ps"), col("pss")) +
+            sse(col("n") - col("i"), col("tn") - col("ps"),
+              col("tnn") - col("pss")))
+        val wR = Window.orderBy(col("cost"), col("i"))
+        val cp1 = c1.withColumn("rn", row_number().over(wR))
+          .filter(col("rn") === 1)
+          .select(col("i").as("t1"), col("day").as("d1"),
+            col("ps").as("ps1"), col("pss").as("pss1"),
+            col("cost").as("cost1"))
+        val sides = cand.crossJoin(broadcast(cp1))
+          .filter(col("i") =!= col("t1") && col("i") < col("n"))
+          .withColumn("seg",
+            when(col("i") < col("t1"), "left").otherwise("right"))
+          .withColumn("cost", when(col("i") < col("t1"),
+            sse(col("i"), col("ps"), col("pss")) +
+              sse(col("t1") - col("i"), col("ps1") - col("ps"),
+                col("pss1") - col("pss")))
+            .otherwise(
+              sse(col("i") - col("t1"), col("ps") - col("ps1"),
+                col("pss") - col("pss1")) +
+                sse(col("n") - col("i"), col("tn") - col("ps"),
+                  col("tnn") - col("pss"))))
+        val wS = Window.partitionBy("seg").orderBy(col("cost"), col("i"))
+        val cp2 = sides.withColumn("rn", row_number().over(wS))
+          .filter(col("rn") === 1)
+          .select(col("seg"), col("day").as("split_day"),
+            round(col("cost"), 6).as("seg_cost"))
+        cp1.select(lit("root").as("seg"), col("d1").as("split_day"),
+            round(col("cost1"), 6).as("seg_cost"))
+          .unionByName(cp2)
+          .orderBy("seg")
+      }
+    },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |base AS (
+              |  SELECT day, c,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+              |    SUM(c) OVER (ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS ps,
+              |    SUM(c * c) OVER (ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS pss
+              |  FROM byday),
+              |tot AS (SELECT MAX(i) AS n, MAX(ps) AS tn, MAX(pss) AS tnn
+              |  FROM base),
+              |c1 AS (
+              |  SELECT day, i, ps, pss,
+              |    (CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE)
+              |       * CAST(ps AS DOUBLE) / CAST(i AS DOUBLE))
+              |    + (CAST(tnn - pss AS DOUBLE)
+              |       - CAST(tn - ps AS DOUBLE) * CAST(tn - ps AS DOUBLE)
+              |         / CAST(n - i AS DOUBLE)) AS cost
+              |  FROM base, tot WHERE i < n),
+              |cp1 AS (
+              |  SELECT i AS t1, day AS d1, ps AS ps1, pss AS pss1, cost
+              |      AS cost1
+              |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cost, i)
+              |      AS rn FROM c1) x WHERE rn = 1),
+              |sides AS (
+              |  SELECT b.day, b.i,
+              |    CASE WHEN b.i < t1 THEN 'left' ELSE 'right' END AS seg,
+              |    CASE WHEN b.i < t1 THEN
+              |      (CAST(b.pss AS DOUBLE) - CAST(b.ps AS DOUBLE)
+              |         * CAST(b.ps AS DOUBLE) / CAST(b.i AS DOUBLE))
+              |      + (CAST(pss1 - b.pss AS DOUBLE)
+              |         - CAST(ps1 - b.ps AS DOUBLE)
+              |           * CAST(ps1 - b.ps AS DOUBLE)
+              |           / CAST(t1 - b.i AS DOUBLE))
+              |    ELSE
+              |      (CAST(b.pss - pss1 AS DOUBLE)
+              |         - CAST(b.ps - ps1 AS DOUBLE)
+              |           * CAST(b.ps - ps1 AS DOUBLE)
+              |           / CAST(b.i - t1 AS DOUBLE))
+              |      + (CAST(tnn - b.pss AS DOUBLE)
+              |         - CAST(tn - b.ps AS DOUBLE)
+              |           * CAST(tn - b.ps AS DOUBLE)
+              |           / CAST(n - b.i AS DOUBLE))
+              |    END AS cost
+              |  FROM base b, tot, cp1 WHERE b.i <> t1 AND b.i < n),
+              |cp2 AS (
+              |  SELECT seg, day AS split_day,
+              |    ROUND(cost, 6) AS seg_cost
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+              |      ORDER BY cost, i) AS rn FROM sides) x
+              |  WHERE rn = 1)
+              |SELECT 'root' AS seg, d1 AS split_day,
+              |  ROUND(cost1, 6) AS seg_cost FROM cp1
+              |UNION ALL SELECT seg, split_day, seg_cost FROM cp2
+              |ORDER BY seg""".stripMargin))
   )
 }
