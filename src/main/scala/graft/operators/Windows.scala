@@ -539,6 +539,73 @@ object Windows {
            |ORDER BY event_id""".stripMargin
       }),
 
+    // EWMA VOLATILITY (RiskMetrics λ=0.94) of the daily-revenue
+    // log-return series — ts_ewma smooths the level; this smooths the
+    // SQUARED RETURN, the risk/abnormality monitor. Same truncated-
+    // J-lag device (the fold is a J-term closed form per row, so no
+    // recursion crosses rows): returns are ln ratios of the exact
+    // decimal daily sums rounded to 9dp, λ-weights are Scala-printed
+    // shortest-roundtrip literals shared by both engines, and the
+    // window partitions nothing because the series is calendar-
+    // bounded after ONE linear rollup.
+    Q("ts_ewma_volatility", {
+      val J = 8
+      val lam = 0.94
+      val weights: Seq[Double] =
+        (0 until J).map(j => (1 to j).foldLeft(1.0 - lam)((a, _) => a * lam))
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+          .withColumn("r", expr(
+            """cast(round(ln(cast(v as double)
+              |  / cast(lag(v, 1) over (order by day) as double)), 9)
+              |  as decimal(18,9))""".stripMargin))
+          .filter(col("r").isNotNull)
+        def lagR(j: Int) =
+          if (j == 0) col("r") else lag(col("r"), j).over(w)
+        val num = (0 until J).map(j =>
+          coalesce(lagR(j).cast("double") * lagR(j).cast("double"),
+            lit(0.0)) * weights(j)).reduce(_ + _)
+        val den = (0 until J)
+          .map(j => when(lagR(j).isNotNull, weights(j)).otherwise(0.0))
+          .reduce(_ + _)
+        daily.select(col("day"), round(col("r").cast("double"), 6).as("ret"),
+            round(sqrt(num / den), 6).as("ewma_vol"))
+          .orderBy("day")
+      }
+    },
+      Some {
+        val J = 8
+        val lam = 0.94
+        val weights: Seq[Double] =
+          (0 until J).map(j => (1 to j).foldLeft(1.0 - lam)((a, _) => a * lam))
+        def wLit(j: Int) = s"CAST('${weights(j)}' AS DOUBLE)"
+        def lagR(j: Int) = if (j == 0) "r" else s"LAG(r, $j) OVER w"
+        val num = (0 until J).map(j =>
+          s"COALESCE(CAST(${lagR(j)} AS DOUBLE) * CAST(${lagR(j)} " +
+            s"AS DOUBLE), 0.0) * ${wLit(j)}").mkString(" + ")
+        val den = (0 until J).map(j =>
+          s"CASE WHEN ${lagR(j)} IS NOT NULL THEN ${wLit(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |rets AS (
+           |  SELECT day, CAST(ROUND(ln(CAST(v AS DOUBLE)
+           |      / CAST(LAG(v, 1) OVER (ORDER BY day) AS DOUBLE)), 9)
+           |    AS DECIMAL(18,9)) AS r
+           |  FROM daily)
+           |SELECT day, ROUND(CAST(r AS DOUBLE), 6) AS ret,
+           |  ROUND(sqrt(($num) / ($den)), 6) AS ewma_vol
+           |FROM rets WHERE r IS NOT NULL
+           |WINDOW w AS (ORDER BY day)
+           |ORDER BY day""".stripMargin
+      }),
+
     // Seasonality STRENGTH — the forecastability score behind
     // ts_seasonal_baseline's model choice: η² (correlation ratio) of
     // value against the hour-of-day profile, i.e. 1 − SSE_within/SST

@@ -546,6 +546,72 @@ object Streams {
              |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Seventh ORACLED streaming query: STREAM-STREAM inner join under
+    // Trigger.AvailableNow, pinned against the batch join. The
+    // completeness argument: inner-join matches emit as soon as both
+    // sides' rows are in state, and state is only evicted past the
+    // watermark — so with a watermark delay LONGER than the fixture's
+    // whole time span (40 days > 30), nothing is ever evicted and the
+    // appended sink must equal the batch join EXACTLY. That bound is
+    // the fixture-scale price of an oracle; a production job uses a
+    // real delay and trades completeness at the margin for bounded
+    // state (documented, same trade as stream_session_catchup's
+    // finalized-only rows). Output folds the matched pairs to a
+    // user-bucket rollup with exact decimal cents.
+    Q("stream_join_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_joinnow_v1_$key"
+        val src = eventsStream(s, d)
+        val left = src
+          .filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("ts").as("l_ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("l_cents"))
+          .withWatermark("l_ts", "40 days")
+        val right = src
+          .filter(col("event_id") % 2 === 1)
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("r_cents"))
+          .withWatermark("r_ts", "40 days")
+        val joined = left.join(right,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"))
+        val q = joined.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$root/sink")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("l_cents") + col("r_cents")).cast("long")
+              .as("sum_cents"))
+          .orderBy("user_bucket")
+      },
+      Some("""SELECT user_id % 10 AS user_bucket,
+             |  COUNT(*) AS n_pairs,
+             |  CAST(SUM(l_cents + r_cents) AS BIGINT) AS sum_cents
+             |FROM (
+             |  SELECT l.user_id,
+             |    CAST(CAST(l.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS l_cents,
+             |    CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS r_cents
+             |  FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+             |  JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+             |    ON l.user_id = r.user_id
+             |   AND r.ts >= l.ts
+             |   AND r.ts <= l.ts + INTERVAL 5 MINUTE) j
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Third ORACLED streaming query: STATELESS stream-static broadcast
     // enrichment under Trigger.AvailableNow — the exactly-once argument
     // needs no state-finalization caveat at all here (no watermark, no
