@@ -227,4 +227,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(filterIdx > joinIdx && joinIdx >= 0,
       s"bloom pre-filter must be below the join in:\n$plan")
   }
+
+  test("audit: round-11 session-2 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("llm_mrr_recall", "llm_brier_decomposition",
+      "stat_pca_2d", "stat_weibull_fit", "stat_ancova",
+      "llm_ppl_ratio_select", "stat_nelson_aalen", "stat_breslow_day",
+      "graph_katz", "ts_rolling_corr", "dq_ks_drift",
+      "llm_instruction_filter", "mm_keyframe_select",
+      "stat_samplesize_cont", "stat_quantile_ci", "stat_cvm_test",
+      "ts_cpd_binseg2", "ts_ewma_volatility",
+      "ts_permutation_entropy", "ts_spectral_entropy",
+      "ts_sample_entropy", "ts_higuchi_fd").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+      // BroadcastNestedLoopJoin is sanctioned ONLY as the single-row
+      // broadcast cross join (the scalar-model join-back device);
+      // anything else would be a real nested loop
+    }
+  }
+
+  test("llm_ppl_ratio_select: both unigram LMs broadcast to the doc scan") {
+    val p = SparkEntry.queries("llm_ppl_ratio_select")(spark,
+      TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-bounded LM must broadcast:\n$p")
+  }
+
+  test("stat_ancova: model row joins back via broadcast, not shuffle") {
+    val p = SparkEntry.queries("stat_ancova")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"),
+      s"ANCOVA model row should broadcast back to group rows:\n$p")
+  }
 }
