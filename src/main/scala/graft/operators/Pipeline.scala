@@ -264,6 +264,106 @@ object Pipeline {
              |FROM merged GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // CHANGE DATA FEED over the merge commit — the fifth leg of the
+    // table-format family: diff the version-0 and version-1 snapshots
+    // row-by-key (FULL OUTER on the primary key) and classify every
+    // row as update / insert / unchanged (deletes would surface as
+    // left-only keys — none in this scenario, and BOTH engines then
+    // emit no 'delete' row). This is what a CDF/CDC reader derives
+    // when the format doesn't record row-level changes natively; the
+    // oracle states the feed purely in data terms (the merge's own
+    // UPDATE/INSERT arithmetic), so a wrong replay — diffing against
+    // the pre-merge P file, losing the insert file — hash-fails.
+    // Exact decimal deltas; the diff join keys on the PK, so at scale
+    // it shuffles both snapshots once on the key (or zero times with
+    // the bucketed-layout variant).
+    Q("export_change_data_feed",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cdf").toString
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        Seq("F", "O", "P").foreach { st =>
+          o.filter(col("o_orderstatus") === st)
+            .write.mode("overwrite").parquet(s"$tmp/data/part_$st")
+        }
+        import s.implicits._
+        val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+        val updates = o
+          .filter(col("o_orderstatus") === "P" &&
+            col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("price") + lit(100).cast("decimal(18,2)")).as("price"))
+        s.read.parquet(s"$tmp/data/part_P")
+          .join(updates.withColumnRenamed("price", "new_price"),
+            Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            coalesce(col("new_price"), col("price"))
+              .cast("decimal(18,2)").as("price"))
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P_m1")
+        Tables.nation(s, d)
+          .select((col("n_nationkey") + maxKey + 1).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(50).cast("decimal(18,2)").as("price"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_ins")
+        Seq((0L, "add", "part_F"), (0L, "add", "part_O"),
+          (0L, "add", "part_P"), (1L, "remove", "part_P"),
+          (1L, "add", "part_P_m1"), (1L, "add", "part_ins"))
+          .toDF("version", "action", "file")
+          .coalesce(1).write.mode("overwrite").json(s"$tmp/_log")
+        val logDf = s.read.json(s"$tmp/_log").cache()
+        def snap(v: Long): org.apache.spark.sql.DataFrame = {
+          val live = logDf.filter(col("version") <= v)
+            .groupBy("file")
+            .agg(max_by(col("action"), col("version")).as("last"))
+            .filter(col("last") === "add")
+            .select("file").as[String].collect().sorted
+          s.read.parquet(live.map(f => s"$tmp/data/$f").toSeq: _*)
+        }
+        val v0 = snap(0L).select(col("o_orderkey"),
+          col("price").as("old_price"))
+        val v1 = snap(1L).select(col("o_orderkey"),
+          col("price").as("new_price"))
+        val out = v0.join(v1, Seq("o_orderkey"), "full_outer")
+          .withColumn("change_type",
+            when(col("old_price").isNull, "insert")
+              .when(col("new_price").isNull, "delete")
+              .when(col("new_price") =!= col("old_price"), "update")
+              .otherwise("unchanged"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(coalesce(col("new_price"), lit(0).cast("decimal(18,2)"))
+              - coalesce(col("old_price"), lit(0).cast("decimal(18,2)")))
+              .cast("double").as("delta_sum"))
+          .orderBy("change_type")
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        out
+      },
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders),
+             |feed AS (
+             |  SELECT CASE WHEN o_orderstatus = 'P'
+             |      AND o_orderkey % 3 = 0 THEN 'update'
+             |      ELSE 'unchanged' END AS change_type,
+             |    CASE WHEN o_orderstatus = 'P' AND o_orderkey % 3 = 0
+             |      THEN CAST(100 AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END AS delta
+             |  FROM f
+             |  UNION ALL
+             |  SELECT 'insert' AS change_type,
+             |    CAST(50 AS DECIMAL(18,2)) AS delta
+             |  FROM nation)
+             |SELECT change_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(delta) AS DOUBLE) AS delta_sum
+             |FROM feed GROUP BY change_type
+             |ORDER BY change_type""".stripMargin)),
+
     // VACUUM planning over the same commit log — the third leg of the
     // table-format trilogy (snapshot read, time travel, now garbage
     // collection): diff the physical data directory listing against

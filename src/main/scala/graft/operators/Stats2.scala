@@ -1524,6 +1524,98 @@ object Stats2 {
               |SELECT 'root' AS seg, d1 AS split_day,
               |  ROUND(cost1, 6) AS seg_cost FROM cp1
               |UNION ALL SELECT seg, split_day, seg_cost FROM cp2
-              |ORDER BY seg""".stripMargin))
+              |ORDER BY seg""".stripMargin)),
+
+    // Seasonal-hybrid ESD (3 rounds) on the daily series — the pager
+    // algorithm for "which days were anomalous": subtract the
+    // per-weekday LOWER MEDIAN (index-picked, so the seasonal
+    // component is an observed integer, no float seasonal fit), then
+    // run 3 unrolled ESD rounds — each re-estimates mean/sd from
+    // exact integer moments of the REMAINING residuals, flags the max
+    // |deviation| (tie → earliest day), and removes it. Sequential
+    // re-estimation is what separates ESD from the one-shot z rules
+    // (ts_anomaly_zscore, stat_grubbs): a big outlier can't mask the
+    // next one. Everything is day-count-sized after the one linear
+    // rollup; each round is one broadcast moment row + one rank-1
+    // window.
+    Q("ts_seasonal_esd",
+      (s, d) => {
+        val dd = daily(s, d).withColumn("wd", dayofweek(col("day")))
+        val wWd = Window.partitionBy("wd").orderBy("c", "day")
+        val med = dd
+          .withColumn("rn", row_number().over(wWd))
+          .withColumn("nw", count(lit(1)).over(Window.partitionBy("wd")))
+          .filter(col("rn") === floor((col("nw") + 1) / 2.0).cast("int"))
+          .select(col("wd"), col("c").as("med"))
+        val resid0 = dd.join(broadcast(med), "wd")
+          .select(col("day"), (col("c") - col("med")).as("r"))
+        def esdRound(cand: DataFrame, k: Int): (DataFrame, DataFrame) = {
+          val m = cand.agg(count(lit(1)).as("n"), sum("r").as("sr"),
+            sum(col("r") * col("r")).as("srr"))
+          val nd = col("n").cast("double")
+          val j = cand.crossJoin(broadcast(m))
+            .withColumn("mean", col("sr").cast("double") / nd)
+            .withColumn("sd", sqrt((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double") / nd) /
+              (nd - 1.0)))
+            .withColumn("dev", abs(col("r").cast("double") - col("mean")))
+          val flag = j
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("dev").desc, col("day"))))
+            .filter(col("rk") === 1)
+            .select(lit(k.toLong).as("esd_round"), col("day"),
+              col("r").as("resid"), round(col("dev") / col("sd"), 4)
+                .as("z"))
+          val rest = cand.join(broadcast(flag.select(col("day"))),
+            Seq("day"), "left_anti")
+          (flag, rest)
+        }
+        val (f1, c2) = esdRound(resid0, 1)
+        val (f2, c3) = esdRound(c2, 2)
+        val (f3, _) = esdRound(c3, 3)
+        f1.unionByName(f2).unionByName(f3).orderBy("esd_round")
+      },
+      Some {
+        def round(k: Int, cand: String): String =
+          s"""m$k AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(r) AS BIGINT) AS sr,
+             |    CAST(SUM(r * r) AS BIGINT) AS srr FROM $cand),
+             |j$k AS (
+             |  SELECT day, r,
+             |    abs(CAST(r AS DOUBLE) - CAST(sr AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS dev,
+             |    sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+             |        * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+             |  FROM $cand, m$k),
+             |f$k AS (
+             |  SELECT CAST($k AS BIGINT) AS esd_round, day,
+             |    CAST(r AS BIGINT) AS resid, ROUND(dev / sd, 4) AS z
+             |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dev DESC,
+             |      day) AS rk FROM j$k) x WHERE rk = 1),
+             |c${k + 1} AS (
+             |  SELECT day, r FROM $cand
+             |  WHERE day NOT IN (SELECT day FROM f$k))""".stripMargin
+        s"""WITH byday AS ($SQL_DAILY),
+           |dd AS (SELECT day, c, dayofweek(day) AS wd FROM byday),
+           |med AS (
+           |  SELECT wd, c AS med FROM (
+           |    SELECT wd, c,
+           |      ROW_NUMBER() OVER (PARTITION BY wd ORDER BY c, day)
+           |        AS rn,
+           |      COUNT(*) OVER (PARTITION BY wd) AS nw
+           |    FROM dd) x
+           |  WHERE rn = CAST(floor((nw + 1) / 2.0) AS INT)),
+           |c1 AS (
+           |  SELECT day, dd.c - med AS r FROM dd JOIN med USING (wd)),
+           |${round(1, "c1")},
+           |${round(2, "c2")},
+           |${round(3, "c3")}
+           |SELECT esd_round, day, resid, z FROM f1
+           |UNION ALL SELECT esd_round, day, resid, z FROM f2
+           |UNION ALL SELECT esd_round, day, resid, z FROM f3
+           |ORDER BY esd_round""".stripMargin
+      })
   )
 }
