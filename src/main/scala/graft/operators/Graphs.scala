@@ -1791,11 +1791,105 @@ object Graphs {
     Q("graph_katz", fn, Some(sql))
   }
 
+  /** Effective diameter (ANF-style sampled estimate): the 90th-
+    * percentile shortest-path distance over all pairs reachable from
+    * 4 sampled sources — the eccentricity device's multi-source BFS,
+    * finished with a rank index-pick over the HOP-BOUNDED distance
+    * freq table (p90 never sorts pairs; distances live in a ≤64
+    * domain). Reports mean distance alongside: mean is an exact
+    * rational of two BIGINTs. Source sampling is the standard
+    * all-pairs escape at scale (exact APSP is V·E); the 4 smallest
+    * node ids keep the sample deterministic.
+    */
+  private def effectiveDiameterQuery: Q = {
+    val L = 16
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = edges(s, d).localCheckpoint()
+      val srcs = e.select(col("u")).distinct().orderBy("u").limit(4)
+        .collect().map(_.getLong(0)) // 4 ids — model-sized scalar set
+      var frontier = e.sparkSession
+        .createDataFrame(srcs.toSeq.map(Tuple1(_))).toDF("src")
+        .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+        .localCheckpoint()
+      var acc = frontier
+      var lev = 0L
+      var more = true
+      while (more && lev < L) {
+        lev += 1
+        val next = e.join(frontier, e("u") === frontier("node"))
+          .select(frontier("src"), e("v").as("node"), lit(lev).as("d"))
+          .distinct()
+          .join(acc.select(col("src").as("__s"), col("node").as("__n")),
+            col("src") === col("__s") && col("node") === col("__n"),
+            "left_anti")
+          .localCheckpoint()
+        more = next.limit(1).count() > 0
+        if (more) {
+          acc = acc.unionByName(next).localCheckpoint(); frontier = next
+        }
+      }
+      val pairs = acc.filter(col("d") > 0)
+      val freq = pairs.groupBy("d").agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      freq.withColumn("cc", sum("c").over(wCum))
+        .crossJoin(broadcast(freq.agg(
+          sum("c").cast("long").as("n_pairs"),
+          sum(col("d") * col("c")).cast("long").as("sd"))))
+        .withColumn("r90",
+          // ceil(0.9 n) as exact integer arithmetic: (9n + 9) div 10
+          expr("(9 * n_pairs + 9) div 10"))
+        .groupBy("n_pairs", "sd")
+        .agg(min(when(col("cc") >= col("r90"), col("d")))
+          .as("eff_diameter"))
+        .select(col("n_pairs"),
+          round(col("sd").cast("double") / col("n_pairs").cast("double"),
+            4).as("mean_distance"),
+          col("eff_diameter"))
+    }
+    val lvls = (1 to L).map { k =>
+      s"""lvl$k AS MATERIALIZED (
+         |  SELECT DISTINCT l.src, e.v AS node
+         |  FROM edges e JOIN lvl${k - 1} l ON e.u = l.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${k - 1} v
+         |    WHERE v.src = l.src AND v.node = e.v)),
+         |vis$k AS MATERIALIZED (SELECT src, node, d FROM vis${k - 1}
+         |  UNION ALL SELECT src, node, CAST($k AS BIGINT) FROM lvl$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH $SQL_EDGES,
+         |srcs AS (SELECT u AS src FROM edges GROUP BY u
+         |  ORDER BY u LIMIT 4),
+         |lvl0 AS (SELECT src, src AS node FROM srcs),
+         |vis0 AS (SELECT src, node, CAST(0 AS BIGINT) AS d FROM lvl0),
+         |$lvls,
+         |pairs AS (SELECT d FROM vis$L WHERE d > 0),
+         |freq AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY d),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(d * c) AS BIGINT) AS sd FROM freq),
+         |cum AS (
+         |  SELECT d, SUM(c) OVER (ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         |    n_pairs, sd, (9 * n_pairs + 9) // 10 AS r90
+         |  FROM freq, tot)
+         |SELECT n_pairs,
+         |  ROUND(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE), 4)
+         |    AS mean_distance,
+         |  MIN(CASE WHEN cc >= r90 THEN d END) AS eff_diameter
+         |FROM cum GROUP BY n_pairs, sd""".stripMargin
+    Q("graph_effective_diameter", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
       modularityQuery, harmonicQuery, jaccardLinksQuery, ssspQuery,
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
-      powerlawQuery, closenessQuery, cycle4Query, katzQuery)
+      powerlawQuery, closenessQuery, cycle4Query, katzQuery,
+      effectiveDiameterQuery)
 }

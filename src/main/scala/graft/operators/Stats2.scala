@@ -1616,6 +1616,110 @@ object Stats2 {
            |UNION ALL SELECT esd_round, day, resid, z FROM f2
            |UNION ALL SELECT esd_round, day, resid, z FROM f3
            |ORDER BY esd_round""".stripMargin
+      }),
+
+    // Theta-method forecast (the M3-competition winner) for the next
+    // 3 days of the daily series: theta0 = the OLS trend line (exact
+    // integer moments), theta2 = 2c − trend, smoothed by truncated-
+    // 8-lag SES (α=0.5, the ts_ewma closed-form device — no recursion
+    // crosses rows), forecast = the average of the extrapolated trend
+    // and the flat SES level. One linear rollup, one moment pass, one
+    // 8-lag window at the last point; the 3-row horizon is a constant
+    // fan-out. Every double derives from shared exact integers
+    // through identical formula text on both engines.
+    Q("ts_theta_forecast", {
+      val J = 8
+      val wts: Seq[Double] =
+        (0 until J).map(j => (1 to j).foldLeft(0.5)((a, _) => a * 0.5))
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+        val m = base.agg(count(lit(1)).as("n"),
+          sum("i").as("si"), sum("c").as("sc"),
+          sum(col("i") * col("i")).as("sii"),
+          sum(col("i") * col("c")).as("sic"))
+        def D(c: String) = col(c).cast("double")
+        val nd = col("n").cast("double")
+        val bSlope = (nd * D("sic") - D("si") * D("sc")) /
+          (nd * D("sii") - D("si") * D("si"))
+        val withAb = base.crossJoin(broadcast(m))
+          .withColumn("b", bSlope)
+          .withColumn("a", (D("sc") - col("b") * D("si")) / nd)
+          .withColumn("z", lit(2.0) * col("c").cast("double") -
+            (col("a") + col("b") * col("i").cast("double")))
+        def lagZ(j: Int) =
+          if (j == 0) col("z") else lag(col("z"), j).over(w)
+        val num = (0 until J).map(j =>
+          coalesce(lagZ(j), lit(0.0)) * wts(j)).reduce(_ + _)
+        val den = (0 until J)
+          .map(j => when(lagZ(j).isNotNull, wts(j)).otherwise(0.0))
+          .reduce(_ + _)
+        val last = withAb
+          .withColumn("ses", num / den)
+          .filter(col("i") === col("n"))
+          .select(col("n"), col("a"), col("b"), col("ses"))
+        Seq(1, 2, 3).map { h =>
+          last.select(lit(h.toLong).as("h"),
+            round(col("a") + col("b") *
+              (col("n") + h).cast("double"), 4).as("f_trend"),
+            round(col("ses"), 4).as("f_ses"),
+            round((col("a") + col("b") * (col("n") + h).cast("double") +
+              col("ses")) / 2.0, 4).as("f_theta"))
+        }.reduce(_ unionByName _).orderBy("h")
+      }
+    },
+      Some {
+        val J = 8
+        val wts: Seq[Double] =
+          (0 until J).map(j => (1 to j).foldLeft(0.5)((a, _) => a * 0.5))
+        def wLit(j: Int) = s"CAST('${wts(j)}' AS DOUBLE)"
+        def lagZ(j: Int) = if (j == 0) "z" else s"LAG(z, $j) OVER w"
+        val num = (0 until J)
+          .map(j => s"COALESCE(${lagZ(j)}, 0.0) * ${wLit(j)}")
+          .mkString(" + ")
+        val den = (0 until J).map(j =>
+          s"CASE WHEN ${lagZ(j)} IS NOT NULL THEN ${wLit(j)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""WITH byday AS ($SQL_DAILY),
+           |base AS (
+           |  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+           |    AS i, day
+           |  FROM byday),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(i) AS BIGINT) AS si, CAST(SUM(c) AS BIGINT)
+           |      AS sc,
+           |    CAST(SUM(i * i) AS BIGINT) AS sii,
+           |    CAST(SUM(i * c) AS BIGINT) AS sic
+           |  FROM base),
+           |ab AS (
+           |  SELECT n, si, sc,
+           |    (CAST(n AS DOUBLE) * CAST(sic AS DOUBLE)
+           |      - CAST(si AS DOUBLE) * CAST(sc AS DOUBLE))
+           |    / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+           |      - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS b
+           |  FROM m),
+           |ab2 AS (
+           |  SELECT n, b, (CAST(sc AS DOUBLE) - b * CAST(si AS DOUBLE))
+           |    / CAST(n AS DOUBLE) AS a
+           |  FROM ab),
+           |zs AS (
+           |  SELECT base.i, n, a, b,
+           |    2.0 * CAST(c AS DOUBLE)
+           |      - (a + b * CAST(base.i AS DOUBLE)) AS z
+           |  FROM base, ab2),
+           |ses AS (
+           |  SELECT n, a, b, ($num) / ($den) AS ses
+           |  FROM zs WINDOW w AS (ORDER BY i)
+           |  QUALIFY i = n)
+           |SELECT CAST(h AS BIGINT) AS h,
+           |  ROUND(a + b * CAST(n + h AS DOUBLE), 4) AS f_trend,
+           |  ROUND(ses, 4) AS f_ses,
+           |  ROUND((a + b * CAST(n + h AS DOUBLE) + ses) / 2.0, 4)
+           |    AS f_theta
+           |FROM ses, (VALUES (1), (2), (3)) hh(h)
+           |ORDER BY h""".stripMargin
       })
   )
 }
