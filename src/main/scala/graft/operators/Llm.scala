@@ -1463,6 +1463,44 @@ object Llm {
               |    AS DOUBLE) / COUNT(*), 6) AS mean_score
               |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Prompt/template census — the template-spam detector: docs
+    // sharing the same first-8-token prefix are one "template
+    // cluster"; report the top-10 clusters by size with their source
+    // diversity. The prefix key is a bounded slice (8 tokens) hashed
+    // per row, so the census is ONE md5-keyed groupBy at any corpus
+    // size — the boilerplate signal line-dedup misses when bodies
+    // differ after a shared opener. Top-10 under the exact
+    // (n DESC, prefix) total order.
+    Q("llm_template_census",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("prefix",
+            concat_ws(" ", slice(TextUdfs.tokenizeCol(col("text")), 1, 8)))
+        val g = docs.groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+        val wR = Window.orderBy(col("n_docs").desc, col("prefix"))
+        g.withColumn("rk", row_number().over(wR).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("rk"), col("prefix"), col("n_docs"),
+            col("n_sources"))
+          .orderBy("rk")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT source, array_to_string(
+              |    list_slice(${TextUdfs.SQL_TOKENIZE}, 1, 8), ' ')
+              |    AS prefix
+              |  FROM documents),
+              |g AS (
+              |  SELECT prefix, COUNT(*) AS n_docs,
+              |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+              |  FROM p GROUP BY prefix)
+              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC,
+              |    prefix) AS BIGINT) AS rk,
+              |  prefix, n_docs, n_sources
+              |FROM g
+              |QUALIFY rk <= 10 ORDER BY rk""".stripMargin)),
+
     // Group-relative advantage normalization (the GRPO/RLOO shape):
     // per prompt group (source stands in for the prompt), z-score each
     // response's reward against ITS GROUP's mean/std — the variance-

@@ -1720,6 +1720,53 @@ object Stats2 {
            |    AS f_theta
            |FROM ses, (VALUES (1), (2), (3)) hh(h)
            |ORDER BY h""".stripMargin
-      })
+      }),
+
+    // Monotonic-id completeness audit — the CDC/backfill question
+    // "did every row arrive?": per table-key (order, event ids),
+    // expected span = max − min + 1 vs distinct ids ⇒ missing count,
+    // plus duplicate ids (rows − distinct). ONE aggregate per keyed
+    // table (count, min, max, count distinct — all map-side-
+    // combinable exact integers); nothing is sorted and no id list is
+    // materialized, so the audit is one linear pass at any scale.
+    Q("dq_id_gaps",
+      (s, d) => {
+        def audit(tab: String, df: DataFrame, k: String) = df
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(k)).as("n_ids"),
+            min(col(k)).cast("long").as("id_min"),
+            max(col(k)).cast("long").as("id_max"))
+          .select(lit(tab).as("table_name"), col("n_rows"), col("n_ids"),
+            (col("id_max") - col("id_min") + 1L - col("n_ids"))
+              .as("n_missing"),
+            (col("n_rows") - col("n_ids")).as("n_duplicate"))
+        audit("events", Tables.events(s, d), "event_id")
+          .unionByName(audit("orders", Tables.orders(s, d), "o_orderkey"))
+          .unionByName(
+            audit("documents", Tables.documents(s, d), "doc_id"))
+          .orderBy("table_name")
+      },
+      Some("""SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+             |  CAST(MAX(doc_id) - MIN(doc_id) + 1
+             |    - COUNT(DISTINCT doc_id) AS BIGINT) AS n_missing,
+             |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+             |    AS n_duplicate
+             |FROM documents
+             |UNION ALL
+             |SELECT 'events', COUNT(*),
+             |  CAST(COUNT(DISTINCT event_id) AS BIGINT),
+             |  CAST(MAX(event_id) - MIN(event_id) + 1
+             |    - COUNT(DISTINCT event_id) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'orders', COUNT(*),
+             |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+             |  CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+             |    - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             |FROM orders
+             |ORDER BY table_name""".stripMargin))
   )
 }
