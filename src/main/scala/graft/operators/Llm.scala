@@ -1501,6 +1501,69 @@ object Llm {
               |FROM g
               |QUALIFY rk <= 10 ORDER BY rk""".stripMargin)),
 
+    // Unbiased pass@k estimator (the Codex-paper formula) per prompt
+    // group: with n samples and c passes, pass@k = 1 − C(n−c,k)/C(n,k)
+    // = 1 − Π_{i=0..k−1} (n−c−i)/(n−i) — the PRODUCT form that never
+    // materializes factorials. Source stands in for the prompt; a
+    // sample "passes" when its 4dp quality score clears 0.75. n and c
+    // are exact integers from one linear aggregate; the k-term product
+    // folds in ASCENDING i on both engines (k ≤ 10, a constant), so
+    // the double is bit-identical. Degenerate guard: k > n ⇒ C(n,k)=0
+    // conventionally pass@k = 1 when c > 0 else 0 — the fixture's
+    // smallest source exceeds k=10, and the CASE is mirrored anyway.
+    Q("llm_pass_at_k",
+      (s, d) => {
+        val STOP = Seq("the", "a", "of", "and", "to", "in")
+        val base = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("quality") >= 0.75, 1L).otherwise(0L)).as("c"))
+        def passAt(k: Int) = {
+          val prod = (0 until k).map(i =>
+            (col("n") - col("c") - i).cast("double") /
+              (col("n") - i).cast("double")).reduce(_ * _)
+          round(when(col("n") < k,
+            when(col("c") > 0, 1.0).otherwise(0.0))
+            .otherwise(lit(1.0) - prod), 6)
+        }
+        base.select(col("source"), col("n"), col("c"),
+            passAt(1).as("pass_at_1"), passAt(5).as("pass_at_5"),
+            passAt(10).as("pass_at_10"))
+          .orderBy("source")
+      },
+      Some {
+        def prod(k: Int) = (0 until k).map(i =>
+          s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        def passAt(k: Int) =
+          s"""ROUND(CASE WHEN n < $k
+             |    THEN CASE WHEN c > 0 THEN 1.0 ELSE 0.0 END
+             |    ELSE 1.0 - ${prod(k)} END, 6)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT source,
+           |    floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+           |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN
+           |        ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+           |        / len(t))
+           |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t))
+           |        / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM (SELECT source, $SQL_TOKENIZE AS t,
+           |        length(regexp_replace(lower(text), '[^a-z]', '',
+           |          'g')) AS n_letters
+           |        FROM documents) x),
+           |g AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c
+           |  FROM q GROUP BY source)
+           |SELECT source, n, c,
+           |  ${passAt(1)} AS pass_at_1,
+           |  ${passAt(5)} AS pass_at_5,
+           |  ${passAt(10)} AS pass_at_10
+           |FROM g ORDER BY source""".stripMargin
+      }),
+
     // Group-relative advantage normalization (the GRPO/RLOO shape):
     // per prompt group (source stands in for the prompt), z-score each
     // response's reward against ITS GROUP's mean/std — the variance-

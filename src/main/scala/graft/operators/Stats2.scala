@@ -1767,6 +1767,95 @@ object Stats2 {
              |    - COUNT(DISTINCT o_orderkey) AS BIGINT),
              |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
              |FROM orders
-             |ORDER BY table_name""".stripMargin))
+             |ORDER BY table_name""".stripMargin)),
+
+    // Trend-sensitivity audit: how much does the daily-volume OLS
+    // slope move when the 3 most anomalous days (largest |residual|
+    // vs the full-series fit, ties → earliest day) are excluded? A
+    // large delta means the headline trend is owned by outliers — the
+    // robustness check that decides whether ts_theta_forecast's trend
+    // leg can be believed. Two exact-integer moment passes over the
+    // calendar-bounded series + one rank-3 window; the trimmed refit
+    // is leave-k-out, not iterative.
+    Q("ts_trend_sensitivity",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+        def slopeOf(df: DataFrame) = {
+          val m = df.agg(count(lit(1)).as("n"), sum("i").as("si"),
+            sum("c").as("sc"), sum(col("i") * col("i")).as("sii"),
+            sum(col("i") * col("c")).as("sic"))
+          def D(c: String) = col(c).cast("double")
+          val nd = col("n").cast("double")
+          m.select(((nd * D("sic") - D("si") * D("sc")) /
+            (nd * D("sii") - D("si") * D("si"))).as("b"))
+        }
+        val bAll = slopeOf(base).select(col("b").as("b_all"))
+        val resid = base.crossJoin(broadcast(bAll))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("n"),
+            sum("i").as("si"), sum("c").as("sc"))))
+          .withColumn("a", (col("sc").cast("double") -
+            col("b_all") * col("si").cast("double")) /
+            col("n").cast("double"))
+          .withColumn("adev", abs(col("c").cast("double") -
+            (col("a") + col("b_all") * col("i").cast("double"))))
+        val wR = Window.orderBy(col("adev").desc, col("day"))
+        val kept = resid.withColumn("rk", row_number().over(wR))
+          .filter(col("rk") > 3)
+          .select("day", "i", "c")
+        val bTrim = slopeOf(kept).select(col("b").as("b_trimmed"))
+        bAll.crossJoin(broadcast(bTrim))
+          .select(round(col("b_all"), 6).as("slope_all"),
+            round(col("b_trimmed"), 6).as("slope_trimmed"),
+            round(col("b_trimmed") - col("b_all"), 6).as("delta"))
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |base AS (
+              |  SELECT day, c,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+              |  FROM byday),
+              |m AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(i) AS BIGINT) AS si,
+              |    CAST(SUM(c) AS BIGINT) AS sc,
+              |    CAST(SUM(i * i) AS BIGINT) AS sii,
+              |    CAST(SUM(i * c) AS BIGINT) AS sic
+              |  FROM base),
+              |ball AS (
+              |  SELECT n, si, sc,
+              |    (CAST(n AS DOUBLE) * CAST(sic AS DOUBLE)
+              |      - CAST(si AS DOUBLE) * CAST(sc AS DOUBLE))
+              |    / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+              |      - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS b_all
+              |  FROM m),
+              |resid AS (
+              |  SELECT day, i, c,
+              |    abs(CAST(c AS DOUBLE) - ((CAST(sc AS DOUBLE)
+              |        - b_all * CAST(si AS DOUBLE)) / CAST(n AS DOUBLE)
+              |      + b_all * CAST(i AS DOUBLE))) AS adev
+              |  FROM base, ball),
+              |kept AS (
+              |  SELECT i, c FROM (SELECT *, ROW_NUMBER() OVER
+              |    (ORDER BY adev DESC, day) AS rk FROM resid) x
+              |  WHERE rk > 3),
+              |m2 AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(i) AS BIGINT) AS si,
+              |    CAST(SUM(c) AS BIGINT) AS sc,
+              |    CAST(SUM(i * i) AS BIGINT) AS sii,
+              |    CAST(SUM(i * c) AS BIGINT) AS sic
+              |  FROM kept),
+              |btrim AS (
+              |  SELECT (CAST(n AS DOUBLE) * CAST(sic AS DOUBLE)
+              |      - CAST(si AS DOUBLE) * CAST(sc AS DOUBLE))
+              |    / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+              |      - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+              |    AS b_trimmed
+              |  FROM m2)
+              |SELECT ROUND(b_all, 6) AS slope_all,
+              |  ROUND(b_trimmed, 6) AS slope_trimmed,
+              |  ROUND(b_trimmed - b_all, 6) AS delta
+              |FROM ball, btrim""".stripMargin))
   )
 }
