@@ -27,6 +27,36 @@ class RunningValueSum
   }
 }
 
+/** Exact-integer running (count, cents) per key — the oracle-able
+  * TransformWithState processor: the running COUNT is strictly
+  * monotone across emissions, so the per-key FINAL state is
+  * recoverable from an append sink as the max-count row, and cents
+  * accumulate as exact longs (no float drift across micro-batch
+  * splits). Used by stream_tws_catchup.
+  */
+class RunningCountCents
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("cc",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val (pn, pc) = if (st.exists()) st.get() else (0L, 0L)
+    var n = pn; var c = pc
+    rows.foreach { r => n += 1; c += r._2 }
+    st.update((n, c))
+    Iterator((key, n, c))
+  }
+}
+
 /** §2.I — Structured Streaming operators.
   *
   * Each declared query runs a REAL streaming job over the events fixture
@@ -545,6 +575,59 @@ object Streams {
              |  COUNT(*) AS n_events,
              |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Eighth ORACLED streaming query: TransformWithState (Spark 4's
+    // arbitrary-state API) pinned against a batch aggregate. The
+    // Update-mode processor emits a cumulative (count, cents) row per
+    // key per micro-batch; count is STRICTLY MONOTONE per key, so the
+    // per-key final state in the append sink is exactly the max-count
+    // row — recoverable however AvailableNow split the batches — and
+    // cents accumulate as exact longs, so the recovered totals must
+    // equal the batch GROUP BY. This is the determinism argument the
+    // Update-mode memory-sink variant (stream_transformwithstate)
+    // cannot make, which is why that one is sanctioned no-oracle.
+    Q("stream_tws_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_twsnow_v1_$key"
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        implicit val longEnc = Encoders.scalaLong
+        implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong)
+        val pairs = eventsStream(s, d)
+          .select(col("user_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .as[(Long, Long)](inEnc)
+        val out = pairs.groupByKey(_._1)(longEnc)
+          .transformWithState(new RunningCountCents(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())(outEnc)
+          .toDF("user_id", "n_events", "cents")
+        val q = out.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$root/sink")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            max_by(col("cents"), col("n_events")).as("cents"))
+          .select(col("user_id"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Seventh ORACLED streaming query: STREAM-STREAM inner join under
     // Trigger.AvailableNow, pinned against the batch join. The
