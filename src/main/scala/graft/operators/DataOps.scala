@@ -1827,6 +1827,81 @@ object DataOps {
     Q("mm_keyframe_select", fn, Some(sql))
   }
 
+  /** Silence/padding trim — the VAD preprocessing step before any
+    * audio model sees the clip: a frame is "active" when its energy
+    * proxy (fsum over the stubbed 64-byte decode) clears the
+    * threshold; the keep-range is [first active, last active], and
+    * the per-lang rollup reports how much leading/trailing material
+    * trimming reclaims (exact integer frame accounting — the trim
+    * share is Σtrimmed/Σframes, one rational per lang). Explode +
+    * conditional min/max per doc — no lambdas, one partitioned pass.
+    */
+  private val silenceTrimQuery: Q = {
+    val FRAME = 64; val THRESH = 3000
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val frames = Tables.documents(s, d)
+        .withColumn("fr", Bridge.column(graft.functions.FrameByteStats(
+          Bridge.expression(col("text")), FRAME)))
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr("transform(fr, f -> f.fsum)"))
+            .as(Seq("i", "fsum")))
+      val perDoc = frames.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nf"),
+          min(when(col("fsum") >= THRESH, col("i"))).as("fa"),
+          max(when(col("fsum") >= THRESH, col("i"))).as("la"))
+        .withColumn("kept",
+          when(col("fa").isNull, 0L)
+            .otherwise(col("la") - col("fa") + 1L))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nf").cast("long").as("frames_total"),
+          sum(col("nf") - col("kept")).cast("long").as("frames_trimmed"),
+          sum(when(col("fa").isNull, 1L).otherwise(0L))
+            .as("n_all_silent"))
+        .withColumn("trim_share",
+          round(col("frames_trimmed").cast("double") /
+            col("frames_total").cast("double"), 4))
+        .orderBy("lang")
+    }
+    val sql =
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(length(text) AS BIGINT) AS n,
+         |    (CAST(length(text) AS BIGINT) + ${FRAME - 1}) // $FRAME
+         |      AS nf
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, nf, i,
+         |    CAST(list_sum(list_transform(
+         |      generate_series(1, CAST(least($FRAME,
+         |        n - i * $FRAME) AS INT)),
+         |      j -> CAST(ascii(substr(text,
+         |             CAST(i * $FRAME + j AS INT), 1)) AS BIGINT)))
+         |      AS BIGINT) AS fsum
+         |  FROM b, unnest(generate_series(0, CAST(nf - 1 AS INT)))
+         |    t(i)
+         |  WHERE nf > 0),
+         |pd AS (
+         |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nf,
+         |    MIN(CASE WHEN fsum >= $THRESH THEN i END) AS fa,
+         |    MAX(CASE WHEN fsum >= $THRESH THEN i END) AS la
+         |  FROM f GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT lang, nf, fa,
+         |    CASE WHEN fa IS NULL THEN 0 ELSE la - fa + 1 END AS kept
+         |  FROM pd)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(nf) AS BIGINT) AS frames_total,
+         |  CAST(SUM(nf - kept) AS BIGINT) AS frames_trimmed,
+         |  CAST(SUM(CASE WHEN fa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_all_silent,
+         |  ROUND(CAST(SUM(nf - kept) AS DOUBLE)
+         |    / CAST(SUM(nf) AS DOUBLE), 4) AS trim_share
+         |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
+    Q("mm_silence_trim", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(mmBinaryFeatures, mmFrameSample, mmTileGrid, mmFrameDedup, clipFilterQuery,
       aspectBucketQuery, audioRmsQuery, pixelHistQuery, shotDetectQuery,
@@ -1844,7 +1919,7 @@ object DataOps {
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, embeddingOutliersQuery, phashDedupQuery,
-      matryoshkaQuery, keyframeQuery)
+      matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
   /** Topic-balance audit: k-means topic cells over the embeddings
     * (SHARED memoized codebook — the ann_ivf_* training runs once per

@@ -1856,6 +1856,121 @@ object Stats2 {
               |SELECT ROUND(b_all, 6) AS slope_all,
               |  ROUND(b_trimmed, 6) AS slope_trimmed,
               |  ROUND(b_trimmed - b_all, 6) AS delta
-              |FROM ball, btrim""".stripMargin))
+              |FROM ball, btrim""".stripMargin)),
+
+    // Holdout forecast evaluation — which model earns the forecast?
+    // Train on the first 23 days, score the last 7, compare seasonal-
+    // naive (f = c_{t−7}, exact integer errors) against the OLS trend
+    // (exact train moments, per-day |error| doubles rounded to 9dp
+    // and decimal-summed in day order), both scaled by MASE's
+    // in-sample naive MAE so the scores are unit-free and
+    // cross-series comparable. ts_backtest_snaive scores ONE method
+    // in-sample; this is the model-selection harness (one row per
+    // method, same exact split on both engines).
+    Q("ts_forecast_eval",
+      (s, d) => {
+        val TRAIN = 23
+        val w = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("c7", lag("c", 7).over(w))
+        val train = base.filter(col("i") <= TRAIN)
+        val test = base.filter(col("i") > TRAIN)
+        val m = train.agg(count(lit(1)).as("n"), sum("i").as("si"),
+          sum("c").as("sc"), sum(col("i") * col("i")).as("sii"),
+          sum(col("i") * col("c")).as("sic"))
+        def D(c: String) = col(c).cast("double")
+        val nd = col("n").cast("double")
+        val ab = m.select(
+          ((nd * D("sic") - D("si") * D("sc")) /
+            (nd * D("sii") - D("si") * D("si"))).as("b"))
+          .crossJoin(broadcast(m.select(D("sc").as("scd"),
+            D("si").as("sid"), nd.as("nd"))))
+          .select(col("b"),
+            ((col("scd") - col("b") * col("sid")) / col("nd")).as("a"))
+        // in-sample naive MAE (MASE denominator): exact integers
+        val denom = train.filter(col("i") > 7)
+          .agg(sum(abs(col("c") - col("c7"))).cast("long").as("sad"),
+            count(lit(1)).as("nd7"))
+        val scored = test.crossJoin(broadcast(ab))
+          .withColumn("e_trend", abs(col("c").cast("double") -
+            (col("a") + col("b") * col("i").cast("double"))))
+        val agg = scored.agg(count(lit(1)).as("n_test"),
+          sum("c").cast("long").as("sct"),
+          sum(abs(col("c") - col("c7"))).cast("long").as("sad_sn"),
+          sum(round(col("e_trend"), 9).cast("decimal(28,9)"))
+            .as("sad_tr"))
+          .crossJoin(broadcast(denom))
+          .withColumn("mase_den",
+            col("sad").cast("double") / col("nd7").cast("double"))
+        val sn = agg.select(lit("snaive").as("method"),
+          round(col("sad_sn").cast("double") /
+            col("n_test").cast("double"), 4).as("mae"),
+          round(col("sad_sn").cast("double") /
+            col("sct").cast("double"), 4).as("wape"),
+          round(col("sad_sn").cast("double") /
+            col("n_test").cast("double") / col("mase_den"), 4)
+            .as("mase"))
+        val tr = agg.select(lit("trend").as("method"),
+          round(col("sad_tr").cast("double") /
+            col("n_test").cast("double"), 4).as("mae"),
+          round(col("sad_tr").cast("double") /
+            col("sct").cast("double"), 4).as("wape"),
+          round(col("sad_tr").cast("double") /
+            col("n_test").cast("double") / col("mase_den"), 4)
+            .as("mase"))
+        sn.unionByName(tr).orderBy("method")
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |base AS (
+              |  SELECT day, c,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+              |    LAG(c, 7) OVER (ORDER BY day) AS c7
+              |  FROM byday),
+              |m AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(i) AS BIGINT) AS si,
+              |    CAST(SUM(c) AS BIGINT) AS sc,
+              |    CAST(SUM(i * i) AS BIGINT) AS sii,
+              |    CAST(SUM(i * c) AS BIGINT) AS sic
+              |  FROM base WHERE i <= 23),
+              |ab AS (
+              |  SELECT b, (CAST(sc AS DOUBLE) - b * CAST(si AS DOUBLE))
+              |      / CAST(n AS DOUBLE) AS a
+              |  FROM (SELECT n, si, sc,
+              |      (CAST(n AS DOUBLE) * CAST(sic AS DOUBLE)
+              |        - CAST(si AS DOUBLE) * CAST(sc AS DOUBLE))
+              |      / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+              |        - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS b
+              |    FROM m) x),
+              |den AS (
+              |  SELECT CAST(SUM(abs(c - c7)) AS BIGINT) AS sad,
+              |    CAST(COUNT(*) AS BIGINT) AS nd7
+              |  FROM base WHERE i > 7 AND i <= 23),
+              |agg AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+              |    CAST(SUM(c) AS BIGINT) AS sct,
+              |    CAST(SUM(abs(c - c7)) AS BIGINT) AS sad_sn,
+              |    SUM(CAST(ROUND(abs(CAST(c AS DOUBLE)
+              |      - (a + b * CAST(i AS DOUBLE))), 9)
+              |      AS DECIMAL(28,9))) AS sad_tr,
+              |    CAST(MAX(sad) AS DOUBLE) / MAX(nd7) AS mase_den
+              |  FROM base, ab, den WHERE i > 23)
+              |SELECT 'snaive' AS method,
+              |  ROUND(CAST(sad_sn AS DOUBLE) / CAST(n_test AS DOUBLE), 4)
+              |    AS mae,
+              |  ROUND(CAST(sad_sn AS DOUBLE) / CAST(sct AS DOUBLE), 4)
+              |    AS wape,
+              |  ROUND(CAST(sad_sn AS DOUBLE) / CAST(n_test AS DOUBLE)
+              |    / mase_den, 4) AS mase
+              |FROM agg
+              |UNION ALL
+              |SELECT 'trend',
+              |  ROUND(CAST(sad_tr AS DOUBLE) / CAST(n_test AS DOUBLE), 4),
+              |  ROUND(CAST(sad_tr AS DOUBLE) / CAST(sct AS DOUBLE), 4),
+              |  ROUND(CAST(sad_tr AS DOUBLE) / CAST(n_test AS DOUBLE)
+              |    / mase_den, 4)
+              |FROM agg
+              |ORDER BY method""".stripMargin))
   )
 }
