@@ -511,6 +511,72 @@ object Llm {
               |SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
               |ORDER BY doc""".stripMargin)),
 
+    // Near-dup cluster PROVENANCE: within each multi-doc near-dup
+    // component, is the duplication re-crawl (one source) or
+    // syndication (many sources)? Reports per component size, source
+    // diversity, the dominant source (exact (n DESC, source) order)
+    // and its share — the curation decision input: re-crawl clusters
+    // dedup freely, syndication clusters may need source-weighted
+    // keep rules. One join of the component labels (the shared LSH
+    // device) back to doc metadata + two component-keyed aggregates;
+    // components are cluster-bounded, never corpus-wide.
+    Q("llm_dupcluster_sources",
+      (s, d) => {
+        val comp = graft.api.Dedup
+          .nearDupComponents(Tables.documents(s, d), "doc_id", "text",
+            0.6, K, BANDS)
+        val meta = Tables.documents(s, d).select(col("doc_id"),
+          col("source"))
+        val bySrc = comp.join(meta, comp("doc") === meta("doc_id"))
+          .groupBy("comp", "source").agg(count(lit(1)).as("n"))
+        val wTop = Window.partitionBy("comp")
+          .orderBy(col("n").desc, col("source"))
+        val top = bySrc.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") === 1)
+          .select(col("comp"), col("source").as("top_source"),
+            col("n").as("top_n"))
+        bySrc.groupBy("comp")
+          .agg(sum("n").cast("long").as("n_docs"),
+            count(lit(1)).as("n_sources"))
+          .filter(col("n_docs") > 1)
+          .join(top, "comp")
+          .select(col("comp"), col("n_docs"), col("n_sources"),
+            col("top_source"),
+            round(col("top_n").cast("double") /
+              col("n_docs").cast("double"), 4).as("top_share"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE
+              |jac AS ($SQL_JACCARD),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM jac WHERE is_near_dup
+              |  UNION ALL
+              |  SELECT doc_b AS u, doc_a AS v FROM jac WHERE is_near_dup),
+              |reach(doc, lab) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.v, r.lab FROM reach r JOIN edges e ON r.doc = e.u),
+              |lbl AS (SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc),
+              |bysrc AS (
+              |  SELECT comp, source, COUNT(*) AS n
+              |  FROM lbl JOIN documents ON doc = doc_id
+              |  GROUP BY comp, source),
+              |top AS (
+              |  SELECT comp, source AS top_source, n AS top_n
+              |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+              |      ORDER BY n DESC, source) AS rk FROM bysrc) x
+              |  WHERE rk = 1),
+              |agg AS (
+              |  SELECT comp, CAST(SUM(n) AS BIGINT) AS n_docs,
+              |    CAST(COUNT(*) AS BIGINT) AS n_sources
+              |  FROM bysrc GROUP BY comp)
+              |SELECT agg.comp, n_docs, n_sources, top_source,
+              |  ROUND(CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+              |    AS top_share
+              |FROM agg JOIN top ON top.comp = agg.comp
+              |WHERE n_docs > 1
+              |ORDER BY agg.comp""".stripMargin)),
+
     // Keep-best near-dup collapse: every doc labeled with its near-dup
     // component (singletons keep themselves), each component keeps its
     // LONGEST member (ties → lowest id) — the keep-longest curation

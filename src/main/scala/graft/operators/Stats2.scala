@@ -1971,6 +1971,45 @@ object Stats2 {
               |  ROUND(CAST(sad_tr AS DOUBLE) / CAST(n_test AS DOUBLE)
               |    / mase_den, 4)
               |FROM agg
-              |ORDER BY method""".stripMargin))
+              |ORDER BY method""".stripMargin)),
+
+    // Paired SIGN TEST on day-over-day volume changes — the
+    // assumption-free floor of the paired-test family (wilcoxon needs
+    // symmetric differences; the sign test needs nothing): count
+    // up-days vs down-days (ties dropped, per the classical rule),
+    // z = (|n_pos − n_neg| − 1)/√m with continuity correction. All
+    // EXACT INTEGERS until the final two doubles; one linear rollup +
+    // one lag window over the calendar-bounded series.
+    Q("stat_sign_test",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val diffs = daily(s, d)
+          .withColumn("prev", lag("c", 1).over(w))
+          .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+          .withColumn("pos", (col("c") > col("prev")).cast("long"))
+        diffs.agg(sum("pos").cast("long").as("n_pos"),
+            sum(lit(1L) - col("pos")).cast("long").as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            round(greatest(abs(col("n_pos") - col("n_neg"))
+              .cast("double") - 1.0, lit(0.0)) /
+              sqrt((col("n_pos") + col("n_neg")).cast("double")), 4)
+              .as("sign_z"))
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |d AS (
+              |  SELECT c, LAG(c, 1) OVER (ORDER BY day) AS prev
+              |  FROM byday),
+              |m AS (
+              |  SELECT
+              |    CAST(SUM(CASE WHEN c > prev THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_pos,
+              |    CAST(SUM(CASE WHEN c < prev THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_neg
+              |  FROM d WHERE prev IS NOT NULL AND c <> prev)
+              |SELECT n_pos, n_neg,
+              |  ROUND(GREATEST(CAST(abs(n_pos - n_neg) AS DOUBLE) - 1.0,
+              |      0.0)
+              |    / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 4) AS sign_z
+              |FROM m""".stripMargin))
   )
 }
