@@ -19,7 +19,8 @@ class Wave50Spec extends AnyFunSuite {
       assert(nSrc >= 1 && nSrc <= nDocs)
       assert(share > 0.0 && share <= 1.0)
       // dominant share can't be below an even split
-      assert(share + 1e-9 >= 1.0 / nSrc,
+      // share is rounded to 4dp, so allow a half-ulp of that rounding
+      assert(share + 1e-4 >= 1.0 / nSrc,
         s"top share $share below even split of $nSrc sources")
       if (nSrc == 1) assert(share == 1.0)
     }
