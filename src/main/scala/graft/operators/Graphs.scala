@@ -1884,6 +1884,65 @@ object Graphs {
     Q("graph_effective_diameter", fn, Some(sql))
   }
 
+  /** Conductance of each LPA community — the cut-quality companion to
+    * graph_modularity's global score: φ(c) = cut(c) / min(vol(c),
+    * M − vol(c)), all EXACT INTEGERS (directed cut edges, degree
+    * volumes over the both-directions list) until the one division.
+    * Low conductance = few escaping edges = a real community; the
+    * per-community view localizes what modularity only averages.
+    * Same edges⋈labels⋈labels join shape as modularity; M − vol = 0
+    * (a lone community) guards to NULL on both engines.
+    */
+  private def conductanceQuery: Q = {
+    val ROUNDS = LPA_ROUNDS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val e = communityEdges(s, d).localCheckpoint()
+      val labels = lpaLabels(e)
+      val lu = labels.select(col("node").as("u"), col("lbl").as("cu"))
+      val lv = labels.select(col("node").as("v"), col("lbl").as("cv"))
+      val joined = e.join(lu, Seq("u")).join(lv, Seq("v"))
+      val cut = joined.filter(col("cu") =!= col("cv"))
+        .groupBy(col("cu").as("lbl")).agg(count(lit(1)).as("cut"))
+      val vol = joined.groupBy(col("cu").as("lbl"))
+        .agg(count(lit(1)).as("vol"))
+      val nn = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      val m = vol.agg(sum("vol").cast("long").as("mm"))
+      nn.join(vol, Seq("lbl")).join(cut, Seq("lbl"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("cut", coalesce(col("cut"), lit(0L)))
+        .select(col("lbl").as("community"), col("n_nodes"),
+          col("vol").as("volume"), col("cut"),
+          round(col("cut").cast("double") /
+            nullif(least(col("vol"), col("mm") - col("vol")), lit(0L))
+              .cast("double"), 6).as("conductance"))
+        .orderBy("community")
+    }
+    val sql =
+      s"""WITH $SQL_COMMUNITY_EDGES,
+         |$lpaSqlChain,
+         |lab AS (SELECT node, lbl FROM l$ROUNDS),
+         |j AS (
+         |  SELECT a.lbl AS cu, b.lbl AS cv
+         |  FROM edges e JOIN lab a ON a.node = e.u
+         |  JOIN lab b ON b.node = e.v),
+         |vol AS (SELECT cu AS lbl, CAST(COUNT(*) AS BIGINT) AS vol
+         |  FROM j GROUP BY 1),
+         |cut AS (SELECT cu AS lbl, CAST(COUNT(*) AS BIGINT) AS cut
+         |  FROM j WHERE cu <> cv GROUP BY 1),
+         |nn AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM lab GROUP BY 1),
+         |m AS (SELECT CAST(SUM(vol) AS BIGINT) AS mm FROM vol)
+         |SELECT nn.lbl AS community, n_nodes, vol AS volume,
+         |  COALESCE(cut.cut, 0) AS cut,
+         |  ROUND(CAST(COALESCE(cut.cut, 0) AS DOUBLE)
+         |    / CAST(NULLIF(LEAST(vol, mm - vol), 0) AS DOUBLE), 6)
+         |    AS conductance
+         |FROM nn JOIN vol ON vol.lbl = nn.lbl
+         |LEFT JOIN cut ON cut.lbl = nn.lbl, m
+         |ORDER BY community""".stripMargin
+    Q("graph_conductance", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
@@ -1891,5 +1950,5 @@ object Graphs {
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
       powerlawQuery, closenessQuery, cycle4Query, katzQuery,
-      effectiveDiameterQuery)
+      effectiveDiameterQuery, conductanceQuery)
 }
