@@ -2010,6 +2010,82 @@ object Stats2 {
               |  ROUND(GREATEST(CAST(abs(n_pos - n_neg) AS DOUBLE) - 1.0,
               |      0.0)
               |    / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 4) AS sign_z
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // Tukey MEDIAN POLISH (one row-then-column sweep) of the
+    // week × weekday volume matrix — the ROBUST twin of
+    // ts_decompose_ma's moving-average decomposition: effects come
+    // from observed LOWER MEDIANS (index-picked, ties → earliest
+    // day), so everything stays EXACT INTEGER end to end — no float
+    // enters at all, the only stats query in the repo that can say
+    // that. Weekday index is positional ((i−1) mod 7), sidestepping
+    // engine weekday-label conventions. Output: the 7 weekday
+    // effects and each column's worst post-polish residual — the
+    // "which weekday still misbehaves after seasonality is removed"
+    // audit. Two grouped rank windows over the calendar-bounded
+    // matrix.
+    Q("ts_median_polish",
+      (s, d) => {
+        val wD = Window.orderBy("day")
+        val base = daily(s, d)
+          .withColumn("i", row_number().over(wD).cast("long"))
+          .withColumn("w", floor((col("i") - 1) / 7.0).cast("long"))
+          .withColumn("wd", (col("i") - 1) % 7)
+        def lowMed(df: DataFrame, key: String, v: String, out: String) = {
+          val wk = Window.partitionBy(key).orderBy(col(v), col("i"))
+          df.withColumn("__rn", row_number().over(wk))
+            .withColumn("__nk",
+              count(lit(1)).over(Window.partitionBy(key)))
+            .filter(col("__rn") ===
+              floor((col("__nk") + 1) / 2.0).cast("int"))
+            .select(col(key), col(v).as(out))
+        }
+        val rowmed = lowMed(base, "w", "c", "roweff")
+        val r1 = base.join(broadcast(rowmed), "w")
+          .withColumn("r1", col("c") - col("roweff"))
+        val colmed = lowMed(r1, "wd", "r1", "coleff")
+        val r2 = r1.join(broadcast(colmed), "wd")
+          .withColumn("r2", col("r1") - col("coleff"))
+        r2.groupBy("wd")
+          .agg(max("coleff").as("weekday_effect"),
+            count(lit(1)).as("n_weeks"),
+            max(abs(col("r2"))).as("max_abs_resid"))
+          .orderBy("wd")
+      },
+      Some(s"""WITH byday AS ($SQL_DAILY),
+              |base AS (
+              |  SELECT c,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+              |  FROM byday),
+              |bwd AS (
+              |  SELECT c, i, (i - 1) // 7 AS w, (i - 1) % 7 AS wd
+              |  FROM base),
+              |rowmed AS (
+              |  SELECT w, c AS roweff FROM (
+              |    SELECT w, c, i,
+              |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY c, i)
+              |        AS rn,
+              |      COUNT(*) OVER (PARTITION BY w) AS nk
+              |    FROM bwd) x
+              |  WHERE rn = CAST(floor((nk + 1) / 2.0) AS INT)),
+              |r1 AS (
+              |  SELECT bwd.c, bwd.i, bwd.w, bwd.wd,
+              |    bwd.c - roweff AS r1
+              |  FROM bwd JOIN rowmed USING (w)),
+              |colmed AS (
+              |  SELECT wd, r1 AS coleff FROM (
+              |    SELECT wd, r1, i,
+              |      ROW_NUMBER() OVER (PARTITION BY wd ORDER BY r1, i)
+              |        AS rn,
+              |      COUNT(*) OVER (PARTITION BY wd) AS nk
+              |    FROM r1) x
+              |  WHERE rn = CAST(floor((nk + 1) / 2.0) AS INT))
+              |SELECT r1.wd,
+              |  CAST(MAX(coleff) AS BIGINT) AS weekday_effect,
+              |  COUNT(*) AS n_weeks,
+              |  CAST(MAX(abs(r1.r1 - coleff)) AS BIGINT)
+              |    AS max_abs_resid
+              |FROM r1 JOIN colmed USING (wd)
+              |GROUP BY r1.wd ORDER BY r1.wd""".stripMargin))
   )
 }
