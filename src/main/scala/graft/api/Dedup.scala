@@ -402,9 +402,44 @@ object Dedup {
     * it cannot overflow under ANSI mode even for 10^19-scale id domains
     * (38 digits of headroom over any realistic corpus).
     */
+  /** Memo for the component labels, keyed like Similarity's k-means
+    * codebook cache: canonicalized analyzed plan (exprId-free) + a
+    * (path, length, mtime) fingerprint of every file-source leaf, so
+    * a regenerated fixture invalidates the entry. The cached value is
+    * the final localCheckpoint'd label table — model-sized (only docs
+    * with a near-dup edge). Rationale (round-11 session-2 bench): the
+    * chain costs ~2.5 s uncached and THREE queries run it
+    * (llm_neardup_components / llm_dedup_keep_best /
+    * llm_dupcluster_sources); whether any of them rode another's
+    * transient shingle cache depended on hash-map bench ORDER, which
+    * made costs phase-of-moon (the one r11 min-gate hit). The memo
+    * makes the reuse explicit and order-independent.
+    */
+  private case class CompKey(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      sourceFp: String, idCol: String, textCol: String,
+      threshold: Double, k: Int, bands: Int, maxIters: Int)
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[CompKey, DataFrame]
+  private[graft] def clearComponentsCache(): Unit = compCache.clear()
+
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, k: Int = 16, bands: Int = 4,
       maxIters: Int = 25): DataFrame = {
+    val analyzed =
+      docs.select(col(idCol), col(textCol)).queryExecution.analyzed
+    val key = CompKey(analyzed.canonicalized,
+      Similarity.sourceFingerprint(analyzed), idCol, textCol,
+      threshold, k, bands, maxIters)
+    if (compCache.size > 16) compCache.clear()
+    compCache.computeIfAbsent(key, _ =>
+      computeNearDupComponents(docs, idCol, textCol, threshold, k,
+        bands, maxIters))
+  }
+
+  private def computeNearDupComponents(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int, bands: Int,
+      maxIters: Int): DataFrame = {
     require(docs.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"nearDupComponents requires a numeric id column; '$idCol' is " +

@@ -206,7 +206,7 @@ object Similarity {
     * signal the plan key lacks (InMemoryFileIndex equality is by root
     * path only).
     */
-  private def sourceFingerprint(plan: LogicalPlan): String =
+  private[graft] def sourceFingerprint(plan: LogicalPlan): String =
     plan.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
