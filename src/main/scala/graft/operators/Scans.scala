@@ -142,6 +142,39 @@ object Scans {
               |COUNT(*) AS n_suppliers, ${SQL_DSUM("s_acctbal")} AS sum_bal
               |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // COMPRESSION-CODEC roundtrip — the orthogonal axis to the format
+    // matrix: the same table written as parquet under snappy, gzip
+    // and zstd, read back per codec, and every codec's aggregate must
+    // match the source exactly (data is codec-invariant BY CONTRACT —
+    // this is the query that catches a codec build/dictionary issue
+    // at ingest time). A real 100-TB warehouse mixes codecs across
+    // table generations, so multi-codec read-compat is a first-class
+    // capability, not a config detail. Writes are memoized per
+    // fixture like every staged-artifact query.
+    Q("scan_codec_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(s"$d/supplier.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val codecs = Seq("snappy", "gzip", "zstd")
+        codecs.map { c =>
+          val tmp =
+            s"${sys.props("java.io.tmpdir")}/graft_codec_${c}_$key"
+          if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+            Tables.supplier(s, d).write.mode("overwrite")
+              .option("compression", c).parquet(tmp)
+          }
+          s.read.parquet(tmp)
+            .agg(count(lit(1)).as("n_rows"),
+              dsum(col("s_acctbal")).as("sum_bal"))
+            .select(lit(c).as("codec"), col("n_rows"), col("sum_bal"))
+        }.reduce(_ unionByName _).orderBy("codec")
+      },
+      Some(s"""SELECT codec, COUNT(*) AS n_rows,
+              |  ${SQL_DSUM("s_acctbal")} AS sum_bal
+              |FROM supplier, (VALUES ('gzip'), ('snappy'), ('zstd'))
+              |  c(codec)
+              |GROUP BY codec ORDER BY codec""".stripMargin)),
+
     // TEXT source roundtrip — the last format in the matrix
     // (csv/json/orc/avro/xml/parquet covered elsewhere): region
     // serialized as pipe-delimited lines via spark.write.text, read
