@@ -1630,6 +1630,90 @@ object Llm {
            |FROM g ORDER BY source""".stripMargin
       }),
 
+    // Empirical LSH RECALL audit — llm_lsh_band_tuning gives the
+    // THEORETICAL 1−(1−s^r)^b curve; this measures the real thing on
+    // a 1-in-20 doc slice: exact all-pairs Jaccard over the slice
+    // (the ground truth LSH is supposed to find — quadratic, which is
+    // exactly why it runs on the CAPPED slice and never the corpus)
+    // vs the banded candidate set on the same slice. Bucket caps
+    // never bind at fixture bucket sizes (≤4), so slice-LSH equals
+    // corpus-LSH filtered to the slice on both engines. The number a
+    // 100-TB dedup run needs BEFORE trusting its band parameters.
+    Q("llm_lsh_recall_audit",
+      (s, d) => {
+        val slice = Tables.documents(s, d)
+          .filter(col("doc_id") % 20 === 0)
+        val sets = graft.api.Dedup
+          .shingleHashRows(slice, "doc_id", "text")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("h"))).as("toks"))
+        val a = sets.select(col("doc_id").as("doc_a"),
+          col("toks").as("ta"))
+        val b = sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("tb"))
+        val truePairs = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("j", col("inter").cast("double") /
+            (size(col("ta")).cast("long") + size(col("tb")).cast("long")
+              - col("inter")).cast("double"))
+          .filter(col("j") >= 0.6)
+          .select("doc_a", "doc_b")
+        val cands = graft.api.Dedup
+          .lshCandidatePairs(slice, "doc_id", "text", K, BANDS, 1000)
+        val hits = truePairs.join(
+          cands.withColumn("cand", lit(1L)), Seq("doc_a", "doc_b"),
+          "left")
+          .agg(count(lit(1)).as("true_pairs"),
+            sum(coalesce(col("cand"), lit(0L))).cast("long")
+              .as("found_by_lsh"))
+        hits
+          .crossJoin(broadcast(
+            cands.agg(count(lit(1)).as("lsh_candidates"))))
+          .crossJoin(broadcast(
+            slice.agg(count(lit(1)).as("n_slice"))))
+          .select(col("n_slice"), col("true_pairs"),
+            col("found_by_lsh"), col("lsh_candidates"),
+            round(col("found_by_lsh").cast("double") /
+              col("true_pairs").cast("double"), 4).as("recall"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, h FROM ($SQL_SHINGLE_HASHES)
+              |  WHERE doc_id % 20 = 0),
+              |sets AS (SELECT doc_id, list(DISTINCT h) AS toks
+              |  FROM sh GROUP BY doc_id),
+              |tp AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              |    / (len(a.toks) + len(b.toks)
+              |      - len(list_intersect(a.toks, b.toks))) >= 0.6),
+              |cands AS (
+              |  SELECT DISTINCT p.doc_a, p.doc_b FROM (
+              |    SELECT unnest(flatten(list_transform(ids, (x, i) ->
+              |      list_transform(ids[i+1:],
+              |        y -> {'doc_a': x, 'doc_b': y})))) AS p
+              |    FROM (SELECT band, bhash,
+              |          list_sort(list(doc_id))[:1000] AS ids
+              |        FROM (SELECT * FROM ($SQL_BANDED)
+              |              WHERE doc_id % 20 = 0) sb
+              |        GROUP BY band, bhash) bk
+              |    WHERE len(ids) > 1) t),
+              |m AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
+              |    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS found_by_lsh
+              |  FROM tp LEFT JOIN cands c
+              |    ON tp.doc_a = c.doc_a AND tp.doc_b = c.doc_b),
+              |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS lsh_candidates
+              |  FROM cands),
+              |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice
+              |  FROM documents WHERE doc_id % 20 = 0)
+              |SELECT n_slice, true_pairs, found_by_lsh, lsh_candidates,
+              |  ROUND(CAST(found_by_lsh AS DOUBLE)
+              |    / CAST(true_pairs AS DOUBLE), 4) AS recall
+              |FROM m, nc, ns""".stripMargin)),
+
     // Group-relative advantage normalization (the GRPO/RLOO shape):
     // per prompt group (source stands in for the prompt), z-score each
     // response's reward against ITS GROUP's mean/std — the variance-
