@@ -2086,6 +2086,67 @@ object Stats2 {
               |  CAST(MAX(abs(r1.r1 - coleff)) AS BIGINT)
               |    AS max_abs_resid
               |FROM r1 JOIN colmed USING (wd)
-              |GROUP BY r1.wd ORDER BY r1.wd""".stripMargin))
+              |GROUP BY r1.wd ORDER BY r1.wd""".stripMargin)),
+
+    // Association rules over per-user event-type baskets: for every
+    // ordered type pair (a → b), support / confidence / lift from
+    // exact user-set counts — the market-basket view of behavior that
+    // llm_pmi_cooccur gives for tokens. Baskets are per-user DISTINCT
+    // type sets (one aggregate), the pair table is |types|²-bounded
+    // (≤ 25 rows here, ≤ a few thousand for any real event taxonomy),
+    // and every metric is a ratio of exact BIGINTs evaluated in
+    // identical order. Rules with lift > 1 are the cross-sell/
+    // funnel-dependency signals.
+    Q("stat_assoc_rules",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = ut.select("user_id").distinct().count()
+        val tc = ut.groupBy(col("event_type").as("t"))
+          .agg(count(lit(1)).as("n"))
+        val pair = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("nab"))
+        pair
+          .join(tc.select(col("t").as("ta"), col("n").as("na")), "ta")
+          .join(broadcast(tc.select(col("t").as("tb"),
+            col("n").as("nb"))), "tb")
+          .select(col("ta"), col("tb"), col("nab"),
+            round(col("nab").cast("double") / nUsers.toDouble, 4)
+              .as("support"),
+            round(col("nab").cast("double") /
+              col("na").cast("double"), 4).as("confidence"),
+            round(col("nab").cast("double") * nUsers.toDouble /
+              (col("na").cast("double") * col("nb").cast("double")), 4)
+              .as("lift"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             |  AS n_users FROM ut),
+             |tc AS (SELECT event_type AS t, CAST(COUNT(*) AS BIGINT)
+             |  AS n FROM ut GROUP BY 1),
+             |pair AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    CAST(COUNT(*) AS BIGINT) AS nab
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type <> b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, nab,
+             |  ROUND(CAST(nab AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+             |    AS support,
+             |  ROUND(CAST(nab AS DOUBLE) / CAST(na.n AS DOUBLE), 4)
+             |    AS confidence,
+             |  ROUND(CAST(nab AS DOUBLE) * CAST(n_users AS DOUBLE)
+             |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 4)
+             |    AS lift
+             |FROM pair
+             |JOIN tc na ON na.t = ta
+             |JOIN tc nb ON nb.t = tb, nu
+             |ORDER BY ta, tb""".stripMargin))
   )
 }
