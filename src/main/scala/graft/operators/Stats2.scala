@@ -2147,6 +2147,55 @@ object Stats2 {
              |FROM pair
              |JOIN tc na ON na.t = ta
              |JOIN tc nb ON nb.t = tb, nu
-             |ORDER BY ta, tb""".stripMargin))
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // Ingest-coverage SLA per event type: what share of the GLOBAL
+    // hour span does each type actually cover, and what is its worst
+    // internal silence (max gap between consecutive active hours)?
+    // dq_freshness_lag watches the stream's HEAD; this watches its
+    // BODY — the "feed went quiet for 9 hours last Tuesday" pager.
+    // One hour-level rollup (exact integer hour ids via unix div),
+    // one per-type lag window over the hour-bounded activity table;
+    // coverage and gaps are pure BIGINT arithmetic.
+    Q("dq_coverage_sla",
+      (s, d) => {
+        val hrs = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .distinct()
+        val span = hrs.agg(min("h").as("h0"), max("h").as("h1"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        hrs.withColumn("gap", col("h") - lag("h", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("active_hours"),
+            max("gap").as("max_gap_hours"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("active_hours"),
+            (col("h1") - col("h0") + 1L).as("span_hours"),
+            round(col("active_hours").cast("double") /
+              (col("h1") - col("h0") + 1L).cast("double"), 4)
+              .as("coverage"),
+            coalesce(col("max_gap_hours"), lit(1L)).as("max_gap_hours"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hrs AS (
+             |  SELECT DISTINCT event_type,
+             |    epoch_us(ts) // 3600000000 AS h
+             |  FROM events),
+             |span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs),
+             |g AS (
+             |  SELECT event_type, h,
+             |    h - LAG(h, 1) OVER (PARTITION BY event_type
+             |      ORDER BY h) AS gap
+             |  FROM hrs)
+             |SELECT event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS active_hours,
+             |  CAST(h1 - h0 + 1 AS BIGINT) AS span_hours,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE)
+             |    / CAST(h1 - h0 + 1 AS DOUBLE), 4) AS coverage,
+             |  CAST(COALESCE(MAX(gap), 1) AS BIGINT) AS max_gap_hours
+             |FROM g, span
+             |GROUP BY event_type, h0, h1
+             |ORDER BY event_type""".stripMargin))
   )
 }
