@@ -5,13 +5,22 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [--only name1,name2]  (filter is dev-only;
-    // the driver always invokes with exactly two args = full dump)
+    // args: <sfDir> <outDir> [--only name1,name2 | --shards i/n]
+    // (filters are dev-only; the driver always invokes with exactly two
+    // args = full dump). --shards i/n keeps every query whose rank in
+    // the SORTED name list ≡ i (mod n) — a deterministic partition of
+    // the surface so a comparator death can be bisected to the shard
+    // (and the query) that kills it from the driver's own artifacts.
     val sfDir = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] =
       if (args.length >= 4 && args(2) == "--only") Some(args(3).split(",").toSet)
-      else None
+      else if (args.length >= 4 && args(2) == "--shards") {
+        val Array(i, n) = args(3).split("/").map(_.toInt)
+        require(n > 0 && i >= 0 && i < n, s"--shards wants i/n with 0<=i<n, got ${args(3)}")
+        Some(SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+          .collect { case (name, idx) if idx % n == i => name }.toSet)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

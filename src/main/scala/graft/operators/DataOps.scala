@@ -643,10 +643,21 @@ object DataOps {
     * different query-side fan-out. In the oracle, `afinal` (rn=1) is
     * the index side and `aprobe` (rn ≤ probes) the query side.
     */
+  // ORACLE-COST dial (r12, VERDICT next #1): every query sharing the
+  // unrolled k-means CTE chain pays DuckDB for each Lloyd round — the
+  // 13-query family was ~10 min of the driver's oracle sweep at
+  // ITERS=5 (measured locally, r12). The declared-query variants train
+  // 2 rounds (training-quality EVIDENCE lives in KMeansIvfSpec /
+  // IvfPqProbe at full depth, not in the oracle); `ann_ivf_trained`
+  // alone keeps the full 5-round chain as the cross-engine determinism
+  // witness. Both engines change in lockstep — correctness is
+  // unaffected, only the DuckDB bill.
+  private val ORACLE_ITERS = 2
+
   private def ivfTrainedQ(name: String, probes: Int,
       labelCol: Option[String] = None, autoK: Boolean = false,
-      negLabel: Boolean = false): Q = {
-    val K = 16; val ITERS = 5; val TOPK = if (labelCol.isDefined) 3 else 2
+      negLabel: Boolean = false, iters: Int = ORACLE_ITERS): Q = {
+    val K = 16; val ITERS = iters; val TOPK = if (labelCol.isDefined) 3 else 2
     // auto-k (`ann_ivf_autok`): cells = Similarity.suggestCells(n), the
     // measured √n rule — k is DATA-DRIVEN, so the one count() here is
     // the query's declared intent, not driver-side compute. The oracle
@@ -735,7 +746,7 @@ object DataOps {
     * dot product, the device every ivf oracle already leans on).
     */
   private lazy val annRangeQuery: Q = {
-    val K = 16; val ITERS = 5; val T = 0.4; val PROBES = 2
+    val K = 16; val ITERS = ORACLE_ITERS; val T = 0.4; val PROBES = 2
     def fn(s: SparkSession, d: String): DataFrame =
       graft.api.Similarity.ivfRangeNeighbors(Tables.embeddings(s, d),
           "vec_id", "embedding", K, ITERS, T, PROBES)
@@ -895,7 +906,7 @@ object DataOps {
     * shared k-means chain and mirrors the earlier-id drop rule.
     */
   private def semDedupQ(name: String, probes: Int): Q = {
-    val K = 16; val ITERS = 5; val TAU = 0.4
+    val K = 16; val ITERS = ORACLE_ITERS; val TAU = 0.4
     def fn(s: SparkSession, d: String) =
       graft.api.Similarity
         .semDedup(Tables.embeddings(s, d), "vec_id", "embedding", K, ITERS,
@@ -1027,7 +1038,7 @@ object DataOps {
   private val annPqAdcQuery: Q = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graftbridge.Bridge
-    val M = 4; val SUB = 16; val K = 16; val ITERS = 5; val TOPK = 10
+    val M = 4; val SUB = 16; val K = 16; val ITERS = ORACLE_ITERS; val TOPK = 10
     val QID = 0L
     def fn(s: SparkSession, d: String) = {
       val embs = Tables.embeddings(s, d)
@@ -1167,7 +1178,7 @@ object DataOps {
   private val annIvfPqQuery: Q = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graftbridge.Bridge
-    val M = 4; val SUB = 16; val PQK = 16; val CELLS = 16; val ITERS = 5
+    val M = 4; val SUB = 16; val PQK = 16; val CELLS = 16; val ITERS = ORACLE_ITERS
     // PROBES=4 (was 2): measured on this fixture, the exact top-10
     // spreads over 5 coarse cells — probes=2 caps ANY code quality at
     // recall 0.5 (routing, not quantization); probes=4 raises the
@@ -1456,7 +1467,7 @@ object DataOps {
     * distance.
     */
   private val clusterBalanceQuery: Q = {
-    val K = 16; val ITERS = 5
+    val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String) = {
       val wAll = Window.partitionBy()
       graft.api.Similarity
@@ -1908,7 +1919,8 @@ object DataOps {
       quantizeQuery, simhashQuery, simhashPairsQuery, annQuery,
       nnDescentQuery,
       topkAutoQuery, embedNearDupQuery, ivfQuery,
-      ivfTrainedQ("ann_ivf_trained", 1), ivfTrainedQ("ann_ivf_multiprobe", 2),
+      ivfTrainedQ("ann_ivf_trained", 1, iters = 5),
+      ivfTrainedQ("ann_ivf_multiprobe", 2),
       ivfTrainedQ("llm_knn_ivf", 2, labelCol = Some("label")),
       ivfTrainedQ("ann_ivf_autok", 1, autoK = true),
       // hard-negative mining: identical IVF blocking, label predicate
@@ -1938,7 +1950,7 @@ object DataOps {
   private lazy val topicBalanceQuery: Q = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graftbridge.Bridge
-    val K = 16; val ITERS = 5
+    val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String): DataFrame = {
       val embs = Tables.embeddings(s, d)
       val vcol = expr("transform(embedding, e -> cast(e as double))")
@@ -2142,7 +2154,7 @@ object DataOps {
     * artifact-served ≡ freshly-computed.
     */
   private def annIndexPersistedQuery: Q = {
-    val K = 16; val ITERS = 5; val TOPK = 2; val PROBES = 2
+    val K = 16; val ITERS = ORACLE_ITERS; val TOPK = 2; val PROBES = 2
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
       val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
