@@ -1833,10 +1833,11 @@ object Aggs {
     // sums (identical doubles both engines), so the rank order —
     // row_number over (|d|, partkey) — is bit-reproducible; rank sums
     // are exact integers and only the closed-form z drops to double.
-    // The global rank runs on the PART-AGGREGATED set (|parts|, not
-    // |rows|); at a scale where even that sort hurts, the spearman
-    // frequency-rank device (cum-count over distinct values) replaces
-    // the row_number without changing W. Zero differences are excluded
+    // The rank runs on the PART-AGGREGATED set (|parts|, not |rows|)
+    // through Ranking.withGlobalRowNumber — the range-bucketed two-pass
+    // device, bit-identical to the window row_number by RankingSpec's
+    // contract — so no single-partition sort exists even at 10⁸ parts
+    // (the oracle keeps the window form). Zero differences are excluded
     // (the standard Wilcoxon treatment); |d| ties get sequential ranks
     // with the partkey tie-break, mirrored exactly in the oracle.
     Q("stat_wilcoxon",
@@ -1854,8 +1855,9 @@ object Aggs {
           .withColumn("dd", col("sx").cast("double") / col("nx") -
             col("sy").cast("double") / col("ny"))
           .filter(col("dd") =!= 0.0)
-        val w = Window.orderBy(abs(col("dd")), col("l_partkey"))
-        g.withColumn("rnk", row_number().over(w))
+        graft.api.Ranking.withGlobalRowNumber(g,
+            Seq(abs(col("dd")), col("l_partkey")), rnCol = "rnk",
+            bucketBy = abs(col("dd")))
           .agg(count(lit(1)).as("n"),
             sum(when(col("dd") > 0, col("rnk"))).as("w_plus"),
             sum(when(col("dd") < 0, col("rnk"))).as("w_minus"))
@@ -2989,18 +2991,20 @@ object Aggs {
     // (the ts_cusum device: a 1-ulp cross-engine ln wobble is 10⁻⁷ of
     // the rounding grid), so the global reduction is a plain exact
     // integer SUM — map-side combined, NO ordering device at any
-    // scale. The one global row_number is the honest cost (range-sort;
-    // zonal rank offsets at 100 TB, same semantics).
+    // scale. The rank is Ranking.withGlobalRowNumber (range-bucketed
+    // two-pass, bit-identical to the window row_number by RankingSpec's
+    // contract) — no single-partition sort at any corpus size (the
+    // oracle keeps the window form).
     Q("stat_anderson_darling",
       (s, d) => {
-        val wOrd = Window.orderBy("u", "doc_id")
         val u = Tables.documents(s, d)
           .select(col("doc_id"),
             ((conv(substring(md5(concat(lit("ad:"),
               col("doc_id").cast("string"))), 1, 15), 16, 10)
               .cast("long").cast("double") + 0.5) /
               lit(1152921504606846976.0)).as("u"))
-        val r = u.withColumn("i", row_number().over(wOrd).cast("long"))
+        val r = graft.api.Ranking.withGlobalRowNumber(u,
+          Seq(col("u"), col("doc_id")), rnCol = "i").drop("__n")
         val n = r.agg(count(lit(1)).as("n"))
         val paired = r.as("a").crossJoin(n)
           .join(r.as("b").select(col("b.i").as("j"), col("b.u").as("u2")),
@@ -3204,16 +3208,19 @@ object Aggs {
     // decile reports its population, its spend share, and the
     // CUMULATIVE share — all integer sums with one final mirrored
     // division per output cell. The user-level rollup is the only
-    // corpus-proportional stage.
+    // corpus-proportional stage: the decile cut is Ranking.ntileExact
+    // (range-partitioned two-pass global row number + front-loaded-
+    // remainder tile rule, bit-identical to NTILE by RankingSpec's
+    // contract), NOT a global NTILE window — at 10⁸-10⁹ users the
+    // single-partition total-order sort would be the job's bottleneck.
     Q("stat_lorenz_curve",
       (s, d) => {
         val users = Tables.events(s, d)
           .withColumn("cents",
             (col("value").cast("decimal(18,2)") * 100).cast("long"))
           .groupBy("user_id").agg(sum("cents").as("spend"))
-        val ranked = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("spend"), col("user_id")))
-            .cast("long"))
+        val ranked = graft.api.Ranking.ntileExact(users, 10,
+          Seq(col("spend"), col("user_id")), tileCol = "decile")
         val byDec = ranked.groupBy("decile")
           .agg(count(lit(1)).as("n_users"), sum("spend").as("dec_spend"))
         val tot = byDec.agg(sum("dec_spend").as("total"))

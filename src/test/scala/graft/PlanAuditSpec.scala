@@ -201,6 +201,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("lorenz/wilcoxon/anderson-darling: corpus-proportional ranks ride the bucketed device") {
+    // r12 (VERDICT next #2/#3): the three stats that ranked a
+    // corpus-proportional set through a partition-less window now use
+    // the Ranking devices. Gate: every windowspec that orders by the
+    // ranked value must be __pid-bucket-scoped. Windows over
+    // CELL-BOUNDED sets (lorenz's 10-row decile cumsum, the devices'
+    // own O(buckets) offset prefix sum) are sanctioned and recognised
+    // by their ordering keys (decile / __pid).
+    def specs(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // Sanctioned window shapes: __pid-scoped (the device's per-bucket
+    // local ranks / __pid-ordered offset prefix sum), __cnt (the
+    // device's total-row-count window over the O(buckets) count
+    // table), and lorenz's 10-row decile cumsum.
+    def bounded(l: String, extra: String = ""): Boolean =
+      l.contains("__pid") || l.contains("__cnt") ||
+        (extra.nonEmpty && l.contains(extra))
+    specs("stat_lorenz_curve").foreach { l =>
+      assert(bounded(l, "decile"),
+        s"lorenz window neither bucket-scoped nor decile-bounded:\n$l")
+    }
+    Seq("stat_wilcoxon", "stat_anderson_darling").foreach { n =>
+      val ss = specs(n)
+      assert(ss.nonEmpty, s"expected window specs in the $n plan")
+      ss.foreach { l =>
+        assert(bounded(l),
+          s"$n window not bucket-scoped (single-partition sort):\n$l")
+      }
+    }
+  }
+
   test("agg_cms_portable: the probe joins the sketch via broadcast") {
     val p = SparkEntry.queries("agg_cms_portable")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
