@@ -416,6 +416,7 @@ object Dedup {
     * makes the reuse explicit and order-independent.
     */
   private case class CompKey(
+      session: org.apache.spark.sql.SparkSession, // reference identity
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       sourceFp: String, idCol: String, textCol: String,
       threshold: Double, k: Int, bands: Int, maxIters: Int)
@@ -428,9 +429,18 @@ object Dedup {
       maxIters: Int = 25): DataFrame = {
     val analyzed =
       docs.select(col(idCol), col(textCol)).queryExecution.analyzed
-    val key = CompKey(analyzed.canonicalized,
+    // The owning session is part of the key (r12 ADVICE): the cached
+    // value is a localCheckpoint'd DataFrame whose RDDs are pinned to
+    // the SparkContext that created it — a plan-only key would serve a
+    // dead-context entry to a NEW session in the same JVM (SparkSession
+    // uses reference equality, which is exactly the ownership test).
+    // Belt and braces: also purge entries whose context has stopped.
+    val key = CompKey(docs.sparkSession, analyzed.canonicalized,
       Similarity.sourceFingerprint(analyzed), idCol, textCol,
       threshold, k, bands, maxIters)
+    val it = compCache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
     if (compCache.size > 16) compCache.clear()
     compCache.computeIfAbsent(key, _ =>
       computeNearDupComponents(docs, idCol, textCol, threshold, k,

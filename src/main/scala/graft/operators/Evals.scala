@@ -64,11 +64,16 @@ object Evals {
           .select(col("token"), col("n_rel"),
             round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
               .as("mrr10"),
+            // NULLIF zero guards (r12 ADVICE): a probe token with zero
+            // relevant docs divides by 0 — Spark non-ANSI yields NULL
+            // but DuckDB IEEE float division yields inf/NaN; nullif on
+            // BOTH sides makes the engines agree (NULL) on that edge.
             round(col("rel5").cast("double") /
-              col("n_rel").cast("double"), 6).as("recall5"),
+              nullif(col("n_rel"), lit(0L)).cast("double"), 6)
+              .as("recall5"),
             round(coalesce(col("ap_num").cast("double"), lit(0.0)) /
-              least(col("n_rel"), lit(10L)).cast("double"), 6)
-              .as("map10"))
+              nullif(least(col("n_rel"), lit(10L)), lit(0L)).cast("double"),
+              6).as("map10"))
           .orderBy("token")
       },
       Some(s"""WITH tok AS ($SQL_TOKENS),
@@ -102,9 +107,10 @@ object Evals {
               |  FROM top GROUP BY token)
               |SELECT m.token, n_rel,
               |  ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr10,
-              |  ROUND(CAST(rel5 AS DOUBLE) / n_rel, 6) AS recall5,
+              |  ROUND(CAST(rel5 AS DOUBLE) / NULLIF(n_rel, 0), 6)
+              |    AS recall5,
               |  ROUND(COALESCE(CAST(ap_num AS DOUBLE), 0.0)
-              |    / LEAST(n_rel, 10), 6) AS map10
+              |    / NULLIF(LEAST(n_rel, 10), 0), 6) AS map10
               |FROM m JOIN totals USING (token)
               |ORDER BY token""".stripMargin)),
 

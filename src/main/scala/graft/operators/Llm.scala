@@ -1667,7 +1667,7 @@ object Llm {
           .agg(count(lit(1)).as("true_pairs"),
             sum(coalesce(col("cand"), lit(0L))).cast("long")
               .as("found_by_lsh"))
-        hits
+        val out = hits
           .crossJoin(broadcast(
             cands.agg(count(lit(1)).as("lsh_candidates"))))
           .crossJoin(broadcast(
@@ -1676,6 +1676,15 @@ object Llm {
             col("found_by_lsh"), col("lsh_candidates"),
             round(col("found_by_lsh").cast("double") /
               col("true_pairs").cast("double"), 4).as("recall"))
+        // lshCandidatePairs persists the slice's candidate table
+        // (MEMORY_AND_DISK inside pairsFromShingles); the SLICE plan
+        // never matches the corpus dedup chain's, so nearDupComponents'
+        // terminal unpersist can't release it. Pin the 1-row result
+        // eagerly, then drop the cache (r12 ADVICE — was a leak per
+        // audited fixture).
+        val pinned = out.localCheckpoint()
+        cands.unpersist(blocking = false)
+        pinned
       },
       Some(s"""WITH sh AS (
               |  SELECT doc_id, h FROM ($SQL_SHINGLE_HASHES)

@@ -592,7 +592,15 @@ object Streams {
         val f = new java.io.File(s"$d/events.parquet")
         val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_twsnow_v1_$key"
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        // TransformWithState requires the RocksDB provider; the session
+        // is SHARED across the whole bench/verify sweep, so capture the
+        // prior value and restore it after the query terminates (r12
+        // ADVICE) — otherwise every streaming query that runs later
+        // silently inherits a different state-store provider depending
+        // on execution order.
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val priorProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         implicit val longEnc = Encoders.scalaLong
         implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -608,14 +616,19 @@ object Streams {
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())(outEnc)
           .toDF("user_id", "n_events", "cents")
-        val q = out.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(s"$root/sink")
-          }
-          .option("checkpointLocation", s"$root/cp")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        try {
+          val q = out.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(s"$root/sink")
+            }
+            .option("checkpointLocation", s"$root/cp")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally priorProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
         s.read.parquet(s"$root/sink")
           .groupBy("user_id")
           .agg(max("n_events").as("n_events"),
@@ -646,7 +659,7 @@ object Streams {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
         val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
-        val root = s"${sys.props("java.io.tmpdir")}/graft_joinnow_v1_$key"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_joinnow_v2_$key"
         val src = eventsStream(s, d)
         val left = src
           .filter(col("event_id") % 2 === 0)
@@ -664,15 +677,22 @@ object Streams {
           col("user_id") === col("r_user") &&
             col("r_ts") >= col("l_ts") &&
             col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"))
+        // IDEMPOTENT sink (r12 ADVICE): foreachBatch is at-least-once,
+        // so a batch REPLAYED after a mid-run failure (or a killed
+        // re-run resuming this fixture-keyed checkpoint) must replace,
+        // not duplicate — plain mode("append") to one directory would
+        // permanently inflate n_pairs/sum_cents and fail the oracle on
+        // every later run. Each batch overwrites its own batchId-named
+        // subdirectory; the read globs them back together.
         val q = joined.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(s"$root/sink")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink/b=$batchId")
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$root/sink")
+        s.read.parquet(s"$root/sink/b=*")
           .groupBy((col("user_id") % 10).as("user_bucket"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("l_cents") + col("r_cents")).cast("long")
