@@ -76,6 +76,103 @@ object Graph {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Strongly connected components of a DIRECTED graph by iterative
+    * forward/backward min-label peeling (the distributed FW-BW family —
+    * GraphX ships the same scheme): each outer round computes, over the
+    * REMAINING subgraph,
+    *   f(v) = min id among {v} ∪ ancestors(v)   (min-label propagated
+    *          ALONG edge direction) and
+    *   b(v) = min id among {v} ∪ descendants(v) (propagated AGAINST it);
+    * f(v) = b(v) = c implies c →* v and v →* c, so v ∈ SCC(c) — and
+    * because an SCC's members share one ancestor set and one descendant
+    * set (mutual-reachability paths never leave the SCC), every member
+    * of a finished SCC peels in the SAME round with label min(SCC).
+    * Peeled nodes and their edges are removed; the round repeats on the
+    * remainder. The minimum remaining id always satisfies f = b, so
+    * every round peels at least one SCC; outer rounds are bounded by
+    * the longest id-decreasing chain in the condensation DAG (small for
+    * real graphs; `maxOuter` throws on adversarial chains rather than
+    * running away). Inner fixpoints reuse the [[connectedComponents]]
+    * discipline: localCheckpoint per round, min-label sum as the
+    * monotone convergence witness is replaced by a changed-count join
+    * (labels here are direction-scoped).
+    *
+    * Returns (node, scc_id) with scc_id = min node id of the SCC.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxOuter: Int = 50, maxIters: Int = 100): DataFrame = {
+    var e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .localCheckpoint()
+    var nodes = e.select(col("__u").as("node"))
+      .unionByName(e.select(col("__v").as("node")))
+      .distinct().localCheckpoint()
+    var acc: DataFrame = null
+    var outer = 0
+    var remaining = nodes.count()
+    while (remaining > 0) {
+      if (outer >= maxOuter)
+        throw new IllegalStateException(
+          s"stronglyConnectedComponents did not finish in $maxOuter peels")
+      val f = directedMinLabel(nodes, e, reverse = false, maxIters)
+        .withColumnRenamed("lab", "__f")
+      val b = directedMinLabel(nodes, e, reverse = true, maxIters)
+        .withColumnRenamed("lab", "__b")
+      val done = f.join(b, "node")
+        .filter(col("__f") === col("__b"))
+        .select(col("node"), col("__f").as("scc_id"))
+        .localCheckpoint()
+      acc =
+        if (acc == null) done
+        else acc.unionByName(done).localCheckpoint()
+      nodes = nodes.join(done.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      e = e
+        .join(done.select(col("node").as("__dn")),
+          col("__u") === col("__dn"), "left_anti")
+        .join(done.select(col("node").as("__dn")),
+          col("__v") === col("__dn"), "left_anti")
+        .localCheckpoint()
+      remaining = nodes.count()
+      outer += 1
+    }
+    acc
+  }
+
+  /** Min-label fixpoint along one direction: lab(v) = min over {v} ∪
+    * in-neighbors' labels (edge u→v propagates u's label to v); with
+    * `reverse` the edge list is flipped so labels flow against the
+    * direction. Same per-round localCheckpoint + changed-count loop as
+    * [[connectedComponents]].
+    */
+  private def directedMinLabel(nodes: DataFrame, e: DataFrame,
+      reverse: Boolean, maxIters: Int): DataFrame = {
+    val ed =
+      if (reverse) e.select(col("__v").as("__u"), col("__u").as("__v"))
+      else e
+    var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"directedMinLabel did not converge in $maxIters rounds")
+      val nbrMin = ed.join(labels, ed("__u") === labels("node"))
+        .groupBy(col("__v")).agg(min("lab").as("__nl"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.node") === nbrMin("__v"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("__nl"), col("l.lab")))
+            .as("lab"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   /** Single-source hop distances (unweighted BFS) by iterated
     * relaxation: dist starts at {source → 0} and each round every
     * node takes min(own, neighbor + 1), until a driver-checked round

@@ -1943,6 +1943,133 @@ object Graphs {
     Q("graph_conductance", fn, Some(sql))
   }
 
+  /** Deterministic DIRECTED derivation of the co-activity graph: each
+    * undirected (u < v) pair gets exactly one direction from the
+    * portable md5 coin — u→v on an even coin, v→u on odd. A hash-random
+    * orientation of a dense small-world graph yields real directed
+    * cycles (and so non-trivial SCCs) while staying bit-reproducible in
+    * both engines; the fixture carries no native directed relation, so
+    * the orientation is the declared derivation, mirrored exactly by
+    * the oracle.
+    */
+  private def directedEdges(s: SparkSession, d: String): DataFrame = {
+    def hcoin(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("u").cast("string"), lit(":"), col("v").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    // Independent keep (1-in-16) and direction coins: the UNDIRECTED
+    // co-activity graph is dense enough (mean degree ~51 at sf0.01)
+    // that ANY full orientation is one giant SCC — thinning to 1/16
+    // before orienting yields a real condensation (measured at sf0.01:
+    // 17 SCCs — a 134-node giant plus peripheral singletons), so the
+    // operator demonstrably separates components at oracle scale.
+    val coin = hcoin("dir:") % 2
+    pairs(s, d)
+      .filter(hcoin("keep:") % 16 === 0)
+      .select(
+        when(coin === 0, col("u")).otherwise(col("v")).as("du"),
+        when(coin === 0, col("v")).otherwise(col("u")).as("dv"))
+  }
+
+  private val SQL_DIR_COIN = SQL_HEX15(
+    "md5('dir:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR))") + " % 2"
+  private val SQL_KEEP_COIN = SQL_HEX15(
+    "md5('keep:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR))") + " % 16"
+
+  private val SQL_DIR =
+    s"""dir AS (
+       |  SELECT CASE WHEN $SQL_DIR_COIN = 0 THEN u ELSE v END AS du,
+       |    CASE WHEN $SQL_DIR_COIN = 0 THEN v ELSE u END AS dv
+       |  FROM e0 WHERE $SQL_KEEP_COIN = 0),
+       |dnodes AS (
+       |  SELECT du AS node FROM dir UNION SELECT dv AS node FROM dir),
+       |reach AS (
+       |  SELECT du AS a, dv AS b FROM dir
+       |  UNION
+       |  SELECT r.a, d.dv AS b FROM reach r JOIN dir d ON r.b = d.du),
+       |mutual AS (
+       |  SELECT r1.a AS mu, r1.b AS mv
+       |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       |scc AS (
+       |  SELECT n.node, LEAST(n.node, COALESCE(MIN(m.mu), n.node)) AS scc_id
+       |  FROM dnodes n LEFT JOIN mutual m ON m.mv = n.node
+       |  GROUP BY n.node)""".stripMargin
+
+  /** Strongly connected components of the coin-directed co-activity
+    * graph ([[graft.api.Graph.stronglyConnectedComponents]] — the
+    * forward/backward min-label peeling the distributed FW-BW family
+    * uses; scc_id = min member id). The oracle states SCC membership
+    * from first principles: the recursive transitive closure (row-dedup
+    * bounds it at |nodes|·|reach| rows — fixture-affordable ground
+    * truth, never the Spark path), mutual pairs, min mutual partner.
+    * Scale shape on the Spark side: per peel round two min-label
+    * fixpoints, each one edges⋈labels equi-join + dst-keyed MIN per
+    * iteration with localCheckpoint lineage caps — the connected-
+    * components cost profile × the (small) number of peel rounds.
+    */
+  private def sccQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame =
+      graft.api.Graph
+        .stronglyConnectedComponents(directedEdges(s, d), "du", "dv")
+        .select(col("node").as("user_id"), col("scc_id"))
+        .orderBy("user_id")
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |$SQL_DIR
+         |SELECT node AS user_id, scc_id FROM scc ORDER BY user_id""".stripMargin
+    Q("graph_scc", fn, Some(sql))
+  }
+
+  /** Condensation (SCC-DAG) summary of the directed co-activity graph:
+    * the component count, the giant SCC's size, the singleton count,
+    * and the number of DISTINCT condensed edges (scc(u) → scc(v),
+    * u's SCC ≠ v's) — the DAG a scheduler or cycle-breaking pass
+    * actually operates on. One extra join of the directed edge list
+    * against the SCC labels + a distinct on the (model-sized) SCC-pair
+    * set on top of [[sccQuery]]'s machinery.
+    */
+  private def condensationQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val dir = directedEdges(s, d)
+      val scc = graft.api.Graph
+        .stronglyConnectedComponents(dir, "du", "dv")
+      val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
+      val summary = sizes.agg(count(lit(1)).as("n_sccs"),
+        sum("n").cast("long").as("n_nodes"),
+        max("n").as("largest_scc"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_singletons"))
+      val dagE = dir
+        .join(scc.select(col("node").as("du"), col("scc_id").as("su")), "du")
+        .join(scc.select(col("node").as("dv"), col("scc_id").as("sv")), "dv")
+        .filter(col("su") =!= col("sv"))
+        .select("su", "sv").distinct()
+        .agg(count(lit(1)).as("n_dag_edges"))
+      summary.crossJoin(broadcast(dagE)) // 1×1 summary join
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |$SQL_DIR,
+         |sizes AS (
+         |  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM scc GROUP BY scc_id),
+         |summary AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sccs,
+         |    CAST(SUM(n) AS BIGINT) AS n_nodes,
+         |    CAST(MAX(n) AS BIGINT) AS largest_scc,
+         |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_singletons
+         |  FROM sizes),
+         |dag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dag_edges FROM (
+         |    SELECT DISTINCT a.scc_id AS su, b.scc_id AS sv
+         |    FROM dir d JOIN scc a ON d.du = a.node
+         |    JOIN scc b ON d.dv = b.node
+         |    WHERE a.scc_id <> b.scc_id) t)
+         |SELECT n_sccs, n_nodes, largest_scc, n_singletons, n_dag_edges
+         |FROM summary, dag""".stripMargin
+    Q("graph_condensation", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
@@ -1950,5 +2077,5 @@ object Graphs {
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
       powerlawQuery, closenessQuery, cycle4Query, katzQuery,
-      effectiveDiameterQuery, conductanceQuery)
+      effectiveDiameterQuery, conductanceQuery, sccQuery, condensationQuery)
 }

@@ -455,6 +455,87 @@ object Pipeline {
              |  COUNT(*) AS orphan_rows
              |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)),
 
+    // BRANCHES over the commit log — the sixth leg of the table-format
+    // family (Iceberg refs / Delta branch semantics): the log gains a
+    // `branch` column; branch `audit` FORKS at main's v0, main then
+    // advances (v1 compacts P), and an audit-only commit (v2) adds a
+    // file invisible to main. Replaying a branch = main's actions up
+    // to the fork version + the branch's own actions, last-action-wins
+    // — pure metadata algebra, same file-list-sized driver collect as
+    // the other legs. The oracle pins both isolation directions in
+    // data terms: main must NOT see the audit insert (totals = orders)
+    // and audit must NOT see main's post-fork compaction (4 live
+    // files: the pre-compaction P plus the insert).
+    Q("export_txn_branch",
+      (s, d) => memoTxn(s, d, "export_txn_branch") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_txnbranch").toString
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        Seq("F", "O", "P").foreach { st =>
+          o.filter(col("o_orderstatus") === st)
+            .write.mode("overwrite").parquet(s"$tmp/data/part_$st")
+        }
+        o.filter(col("o_orderstatus") === "P").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_P2")
+        val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+        Tables.nation(s, d)
+          .select((col("n_nationkey") + maxKey + 1).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(50).cast("decimal(18,2)").as("price"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/data/part_ins")
+        import s.implicits._
+        // (version, branch, action, file); audit forks main at v0
+        Seq((0L, "main", "add", "part_F"), (0L, "main", "add", "part_O"),
+          (0L, "main", "add", "part_P"),
+          (1L, "main", "remove", "part_P"), (1L, "main", "add", "part_P2"),
+          (2L, "audit", "add", "part_ins"))
+          .toDF("version", "branch", "action", "file")
+          .coalesce(1).write.mode("overwrite").json(s"$tmp/_log")
+        val logDf = s.read.json(s"$tmp/_log").cache()
+        val forkV = 0L
+        def live(branch: String): Array[String] = logDf
+          .filter(
+            if (branch == "main") col("branch") === "main"
+            else col("branch") === "main" && col("version") <= forkV ||
+              col("branch") === branch)
+          .groupBy("file")
+          .agg(max_by(col("action"), col("version")).as("last"))
+          .filter(col("last") === "add")
+          .select("file").as[String].collect().sorted
+        val out = Seq("audit", "main").map { b =>
+          val files = live(b)
+          s.read.parquet(files.map(f => s"$tmp/data/$f").toSeq: _*)
+            .agg(count(lit(1)).as("n_orders"),
+              sum("price").cast("double").as("sum_price"))
+            .select(lit(b).as("branch"),
+              lit(files.length.toLong).as("n_files"),
+              col("n_orders"), col("sum_price"))
+        }.reduce(_ unionByName _)
+          .orderBy("branch")
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders),
+             |audit AS (
+             |  SELECT price FROM base
+             |  UNION ALL
+             |  SELECT CAST(50 AS DECIMAL(18,2)) AS price FROM nation)
+             |SELECT 'audit' AS branch, CAST(4 AS BIGINT) AS n_files,
+             |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+             |FROM audit
+             |UNION ALL
+             |SELECT 'main' AS branch, CAST(3 AS BIGINT) AS n_files,
+             |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+             |FROM base
+             |ORDER BY branch""".stripMargin)),
+
     // Benchmark decontamination: flag every corpus doc sharing an
     // 8-token n-gram with the benchmark set (here: doc_id < 20 stands
     // in for an eval suite). The n-gram unit is the industry-standard

@@ -582,6 +582,47 @@ object Scans {
     // aggregate, and the referential probe's join side. At 100 TB this
     // is the pre-ingest gate that runs BEFORE a corpus lands in the
     // training mix; pass/fail is exact-integer, no flaky sampling.
+    // Schema-contract drift audit (r12): diff the LIVE parquet schema
+    // of the orders table against a declared column contract — the
+    // first check any ingestion pipeline runs when an upstream team
+    // "just added a column" (status: ok / missing = contracted but
+    // absent / unexpected = present but uncontracted). The contract
+    // here deliberately drifts both ways (expects `o_clerk`, omits
+    // `o_orderpriority`) so every status value is exercised. Column
+    // NAMES only — cross-engine type strings differ (Spark
+    // `timestamp_ntz` vs DuckDB `TIMESTAMP`), so type drift belongs to
+    // a single-engine check, not the oracle gate. The schema read is
+    // driver metadata (file footer), never a data scan — the same
+    // sanctioned class as the commit-log file lists.
+    Q("dq_schema_drift",
+      (s, d) => {
+        import s.implicits._
+        val contract = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_clerk")
+        val actual = Tables.orders(s, d).columns.toSeq
+        val c = contract.toDF("column_name").withColumn("__c", lit(1))
+        val a = actual.toDF("column_name").withColumn("__a", lit(1))
+        c.join(a, Seq("column_name"), "full_outer")
+          .select(col("column_name"),
+            when(col("__a").isNull, "missing")
+              .when(col("__c").isNull, "unexpected")
+              .otherwise("ok").as("status"))
+          .orderBy("column_name")
+      },
+      Some("""WITH actual AS (
+             |  SELECT column_name FROM information_schema.columns
+             |  WHERE table_name = 'orders'),
+             |contract AS (
+             |  SELECT unnest(['o_orderkey', 'o_custkey', 'o_orderstatus',
+             |    'o_totalprice', 'o_orderdate', 'o_clerk']) AS column_name)
+             |SELECT COALESCE(c.column_name, a.column_name) AS column_name,
+             |  CASE WHEN a.column_name IS NULL THEN 'missing'
+             |    WHEN c.column_name IS NULL THEN 'unexpected'
+             |    ELSE 'ok' END AS status
+             |FROM contract c FULL OUTER JOIN actual a
+             |  ON c.column_name = a.column_name
+             |ORDER BY column_name""".stripMargin)),
+
     Q("dq_rule_report",
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -32,6 +32,341 @@ object Stats2 {
 
   val queries: Seq[Q] = Seq(
 
+    // Kuiper's test (click vs view value distributions) — the rotation-
+    // invariant sibling of stat_ks_test: V = D⁺ + D⁻ instead of
+    // max|D|, equally sensitive in the tails and at the median, and THE
+    // two-sample test for circular/periodic data (hour-of-day, phase).
+    // Same exact-integer device as the KS query: on the distinct-value
+    // aggregate, D⁺ and D⁻ numerators are max(ca·n_b − cb·n_a) and its
+    // negation — all BIGINTs until one final mirrored division. Same
+    // 100-TB pre-binning note as stat_ks_test (width_bucket as the
+    // group key drops into the identical shape).
+    Q("stat_kuiper_test",
+      (s, d) => {
+        val pts = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("bn"))
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        pts
+          .withColumn("ca", sum("an").over(w))
+          .withColumn("cb", sum("bn").over(w))
+          .withColumn("n_a", sum("an").over(wAll))
+          .withColumn("n_b", sum("bn").over(wAll))
+          .groupBy("n_a", "n_b")
+          .agg(greatest(max(col("ca") * col("n_b") - col("cb") * col("n_a")),
+            lit(0L)).as("dplus_num"),
+            greatest(max(col("cb") * col("n_a") - col("ca") * col("n_b")),
+              lit(0L)).as("dminus_num"))
+          .select(col("n_a"), col("n_b"),
+            (col("dplus_num") + col("dminus_num")).as("v_num"),
+            round((col("dplus_num") + col("dminus_num")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double"), 6).as("v_stat"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bn
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY value),
+             |cum AS (
+             |  SELECT an, bn,
+             |    SUM(an) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    SUM(bn) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |  FROM pts),
+             |tot AS (SELECT SUM(an) AS n_a, SUM(bn) AS n_b FROM pts),
+             |m AS (
+             |  SELECT CAST(t.n_a AS BIGINT) AS n_a,
+             |    CAST(t.n_b AS BIGINT) AS n_b,
+             |    CAST(GREATEST(MAX(c.ca * t.n_b - c.cb * t.n_a), 0)
+             |      AS BIGINT) AS dplus_num,
+             |    CAST(GREATEST(MAX(c.cb * t.n_a - c.ca * t.n_b), 0)
+             |      AS BIGINT) AS dminus_num
+             |  FROM cum c, tot t GROUP BY t.n_a, t.n_b)
+             |SELECT n_a, n_b,
+             |  dplus_num + dminus_num AS v_num,
+             |  ROUND(CAST(dplus_num + dminus_num AS DOUBLE)
+             |    / CAST(n_a * n_b AS DOUBLE), 6) AS v_stat
+             |FROM m""".stripMargin)),
+
+    // Cliff's delta (click vs view) — the nonparametric EFFECT SIZE the
+    // Mann-Whitney z cannot give (z grows with n; δ does not):
+    // δ = P(X>Y) − P(X<Y) = 2U/(n₁n₂) − 1, computed from the same
+    // exact doubled-integer rank-sum device as stat_mannwhitney, so
+    // every term is a BIGINT until the single mirrored division. The
+    // conventional |δ| magnitude bands (Romano et al. 2006: 0.147 /
+    // 0.33 / 0.474) label the row — the "is this shift practically
+    // meaningful" readout an A/B dashboard pairs with the p-value.
+    Q("stat_cliffs_delta",
+      (s, d) => {
+        val pts = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("an"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("bn"))
+        val wPrev = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = pts
+          .withColumn("prev",
+            coalesce(sum(col("an") + col("bn")).over(wPrev), lit(0L)))
+          .agg(sum("an").as("n_a"), sum("bn").as("n_b"),
+            sum(col("an") * (lit(2L) * col("prev") + col("an") + col("bn") + lit(1L)))
+              .as("r1x2"))
+        // u2 = 2U; δ = (2U − n_a·n_b)/(n_a·n_b)... careful: δ =
+        // 2U/(n₁n₂) − 1 = (u2 − 2·n₁n₂)·... u2 here is 2U, so
+        // δ = (u2 − n₁n₂)/(n₁n₂) exactly — integers until the division
+        val u2 = col("r1x2") - col("n_a") * (col("n_a") + lit(1L))
+        val dnum = u2 - col("n_a") * col("n_b")
+        val delta = dnum.cast("double") /
+          (col("n_a") * col("n_b")).cast("double")
+        r.select(col("n_a"), col("n_b"),
+          round(delta, 6).as("delta"),
+          when(abs(delta) < 0.147, "negligible")
+            .when(abs(delta) < 0.33, "small")
+            .when(abs(delta) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS an,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bn
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY value),
+             |r AS (
+             |  SELECT CAST(SUM(an) AS BIGINT) AS n_a,
+             |    CAST(SUM(bn) AS BIGINT) AS n_b,
+             |    CAST(SUM(an * (2 * COALESCE(prev, 0) + an + bn + 1))
+             |      AS BIGINT) AS r1x2
+             |  FROM (SELECT an, bn,
+             |      SUM(an + bn) OVER (ORDER BY value
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+             |    FROM pts) t),
+             |m AS (
+             |  SELECT n_a, n_b,
+             |    CAST(r1x2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             |      / CAST(n_a * n_b AS DOUBLE) AS delta_raw
+             |  FROM r)
+             |SELECT n_a, n_b, ROUND(delta_raw, 6) AS delta,
+             |  CASE WHEN ABS(delta_raw) < 0.147 THEN 'negligible'
+             |    WHEN ABS(delta_raw) < 0.33 THEN 'small'
+             |    WHEN ABS(delta_raw) < 0.474 THEN 'medium'
+             |    ELSE 'large' END AS magnitude
+             |FROM m""".stripMargin)),
+
+    // Lomb–Scargle periodogram (generalized, τ-free form) — the
+    // spectral-power estimator for UNEVENLY-SAMPLED series, which is
+    // the case plain FFT/periodogram (ts_periodogram) cannot handle:
+    // the probed series is hourly purchase counts RESTRICTED to hours
+    // that actually had a purchase by the user_id%5=0 cohort — missing
+    // hours are absent rows, not zeros. Determinism device inherited
+    // from ts_periodogram: hour phases are integers mod the period, so
+    // the cos/sin weights are a DRIVER-PRECOMPUTED DECIMAL(14,12)
+    // table shared verbatim by both engines; all products and sums
+    // stay exact decimals/integers, and the final power expression is
+    // one textually mirrored double formula. Power is normalized by
+    // SST (share of variance at the period, like ts_periodogram).
+    Q("ts_lomb_scargle", {
+      val PERIODS = Seq(24, 168)
+      def tabScala(f: Int => Double, p: Int): String =
+        (0 until p).map(k => new java.math.BigDecimal(f(k))
+          .setScale(12, java.math.RoundingMode.HALF_EVEN).toPlainString + "BD")
+          .mkString(",")
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val perPeriod = PERIODS.map { p =>
+          val ct = tabScala(k => math.cos(2 * math.Pi * k / p), p)
+          val st = tabScala(k => math.sin(2 * math.Pi * k / p), p)
+          hourly
+            .withColumn("ph", pmod(col("hr"), lit(p.toLong)).cast("int"))
+            .withColumn("cw", expr(s"element_at(array($ct), ph + 1)"))
+            .withColumn("sw", expr(s"element_at(array($st), ph + 1)"))
+            .groupBy()
+            .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+              sum(col("c") * col("c")).as("sc2"),
+              sum(col("c") * col("cw")).as("yc"),
+              sum(col("c") * col("sw")).as("ys"),
+              sum(col("cw")).as("wc"), sum(col("sw")).as("ws"),
+              sum(col("cw") * col("cw")).as("cc"),
+              sum(col("sw") * col("sw")).as("ss"),
+              sum(col("cw") * col("sw")).as("cs"))
+            .select(lit(p.toLong).as("period"), col("n"),
+              col("sc").as("total_events"),
+              round({
+                val nD = col("n").cast("double")
+                val mean = col("sc").cast("double") / nD
+                val ycc = col("yc").cast("double") - mean * col("wc").cast("double")
+                val ysc = col("ys").cast("double") - mean * col("ws").cast("double")
+                val ccc = col("cc").cast("double") -
+                  col("wc").cast("double") * col("wc").cast("double") / nD
+                val ssc = col("ss").cast("double") -
+                  col("ws").cast("double") * col("ws").cast("double") / nD
+                val csc = col("cs").cast("double") -
+                  col("wc").cast("double") * col("ws").cast("double") / nD
+                val sst = col("sc2").cast("double") - nD * mean * mean
+                (ssc * ycc * ycc - lit(2.0) * csc * ycc * ysc + ccc * ysc * ysc) /
+                  ((ccc * ssc - csc * csc) * sst)
+              }, 4).as("power_share"))
+        }
+        perPeriod.reduce(_ unionByName _).orderBy("period")
+      }
+    },
+      Some {
+        val PERIODS = Seq(24, 168)
+        def tab(f: Int => Double, p: Int): String =
+          (0 until p).map(k =>
+            s"CAST(${new java.math.BigDecimal(f(k))
+              .setScale(12, java.math.RoundingMode.HALF_EVEN).toPlainString} AS DECIMAL(14,12))")
+            .mkString("[", ", ", "]")
+        val arms = PERIODS.map { p =>
+          s"""SELECT CAST($p AS BIGINT) AS period, COUNT(*) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS total_events,
+             |    SUM(c * c) AS sc2, SUM(c * cw) AS yc, SUM(c * sw) AS ys,
+             |    SUM(cw) AS wc, SUM(sw) AS ws,
+             |    SUM(cw * cw) AS cc, SUM(sw * sw) AS ss,
+             |    SUM(cw * sw) AS cs
+             |  FROM (SELECT c,
+             |      ${tab(k => math.cos(2 * math.Pi * k / p), p)}[(hr % $p) + 1] AS cw,
+             |      ${tab(k => math.sin(2 * math.Pi * k / p), p)}[(hr % $p) + 1] AS sw
+             |    FROM hourly)""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH hourly AS (
+           |  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+           |    COUNT(*) AS c
+           |  FROM events
+           |  WHERE event_type = 'purchase' AND user_id % 5 = 0
+           |  GROUP BY 1),
+           |m AS (
+           |  $arms)
+           |SELECT period, n, total_events,
+           |  ROUND((
+           |    (CAST(ss AS DOUBLE) - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE) / n)
+           |      * (CAST(yc AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(wc AS DOUBLE))
+           |      * (CAST(yc AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(wc AS DOUBLE))
+           |    - 2.0 * (CAST(cs AS DOUBLE) - CAST(wc AS DOUBLE) * CAST(ws AS DOUBLE) / n)
+           |      * (CAST(yc AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(wc AS DOUBLE))
+           |      * (CAST(ys AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(ws AS DOUBLE))
+           |    + (CAST(cc AS DOUBLE) - CAST(wc AS DOUBLE) * CAST(wc AS DOUBLE) / n)
+           |      * (CAST(ys AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(ws AS DOUBLE))
+           |      * (CAST(ys AS DOUBLE) - (CAST(total_events AS DOUBLE) / n) * CAST(ws AS DOUBLE)))
+           |  / (((CAST(cc AS DOUBLE) - CAST(wc AS DOUBLE) * CAST(wc AS DOUBLE) / n)
+           |      * (CAST(ss AS DOUBLE) - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE) / n)
+           |    - (CAST(cs AS DOUBLE) - CAST(wc AS DOUBLE) * CAST(ws AS DOUBLE) / n)
+           |      * (CAST(cs AS DOUBLE) - CAST(wc AS DOUBLE) * CAST(ws AS DOUBLE) / n))
+           |    * (CAST(sc2 AS DOUBLE) - n * (CAST(total_events AS DOUBLE) / n)
+           |      * (CAST(total_events AS DOUBLE) / n))), 4) AS power_share
+           |FROM m ORDER BY period""".stripMargin
+      }),
+
+    // Engle–Granger cointegration test (daily clicks vs views): step 1
+    // regresses y on x by OLS over the DAY-BOUNDED aggregate (exact
+    // integer sums → closed-form α, β as identical doubles); step 2
+    // runs the no-intercept Dickey–Fuller regression Δe_t = ρ·e_{t-1}
+    // on the residuals. Residual determinism: e_t is one mirrored
+    // double expression of integer day counts, then ROUNDED TO
+    // MILLI-UNIT BIGINTs (the ts_cusum / anderson-darling device — a
+    // 1-ulp wobble is 10⁻⁹ of the grid) so every DF regression sum is
+    // an exact integer sum at any partitioning (products stay ≲10¹⁴,
+    // far under 2⁶³). t = ρ̂/se with se² = SSR/((m−1)·Σe²ₜ₋₁) — the
+    // milli-unit scale cancels, so the integer sums feed the t-stat
+    // directly. A strongly negative t_rho rejects "no cointegration" —
+    // the spurious-regression guard every KPI-coupling analysis needs.
+    Q("ts_cointegration",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        val mo = daily.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast("double")
+        val beta = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        val alpha = (col("sy").cast("double") - beta * col("sx").cast("double")) / nD
+        val model = mo.select(col("n"), beta.as("beta"), alpha.as("alpha"))
+        val w = Window.orderBy("day") // day-bounded set (≤ calendar days)
+        val resid = daily.crossJoin(broadcast(model))
+          .withColumn("e3",
+            round((col("y").cast("double") - col("alpha") -
+              col("beta") * col("x").cast("double")) * 1000.0).cast("long"))
+          .withColumn("el3", lag("e3", 1).over(w))
+          .filter(col("el3").isNotNull)
+        val df = resid.agg(
+          sum(col("el3") * (col("e3") - col("el3"))).as("num"),
+          sum(col("el3") * col("el3")).as("den"),
+          sum((col("e3") - col("el3")) * (col("e3") - col("el3"))).as("sdd"),
+          count(lit(1)).as("m"))
+        val numD = col("num").cast("double")
+        val denD = col("den").cast("double")
+        val sddD = col("sdd").cast("double")
+        val rho = numD / denD
+        val ssr = sddD - numD * numD / denD
+        val t = rho / sqrt(ssr / ((col("m").cast("double") - lit(1.0)) * denD))
+        df.crossJoin(broadcast(model))
+          .select(col("n").as("n_days"),
+            round(col("beta"), 4).as("beta"),
+            round(col("alpha"), 4).as("alpha"),
+            round(rho, 4).as("rho"),
+            round(t, 4).as("t_rho"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM daily),
+             |model AS (
+             |  SELECT n,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+             |    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+             |      / CAST(n AS DOUBLE) AS alpha
+             |  FROM mo),
+             |resid AS (
+             |  SELECT CAST(round((CAST(y AS DOUBLE) - m.alpha
+             |      - m.beta * CAST(x AS DOUBLE)) * 1000.0) AS BIGINT) AS e3,
+             |    LAG(CAST(round((CAST(y AS DOUBLE) - m.alpha
+             |      - m.beta * CAST(x AS DOUBLE)) * 1000.0) AS BIGINT))
+             |      OVER (ORDER BY day) AS el3
+             |  FROM daily, model m),
+             |df AS (
+             |  SELECT CAST(SUM(el3 * (e3 - el3)) AS BIGINT) AS num,
+             |    CAST(SUM(el3 * el3) AS BIGINT) AS den,
+             |    CAST(SUM((e3 - el3) * (e3 - el3)) AS BIGINT) AS sdd,
+             |    CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM resid WHERE el3 IS NOT NULL)
+             |SELECT n AS n_days,
+             |  ROUND(beta, 4) AS beta, ROUND(alpha, 4) AS alpha,
+             |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS rho,
+             |  ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+             |    / sqrt((CAST(sdd AS DOUBLE) - CAST(num AS DOUBLE)
+             |        * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+             |      / ((CAST(m AS DOUBLE) - 1.0) * CAST(den AS DOUBLE))), 4)
+             |    AS t_rho
+             |FROM df, model""".stripMargin)),
+
     // Bartlett's test for homogeneity of variances of extendedprice
     // across return flags: per-group (n, Σx, Σx²) accumulate as EXACT
     // DECIMAL (associative at any partitioning — one linear aggregate

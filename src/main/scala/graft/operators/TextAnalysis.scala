@@ -371,6 +371,145 @@ object TextAnalysis {
               |FROM lines l JOIN df d USING (line)
               |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Matthews correlation coefficient of the quality gate (r12): the
+    // 2×2 confusion between the quality-score gate (quality ≥ 0.75 —
+    // the classifier) and the well-formed-length truth twin (25 ≤
+    // n_words ≤ 90, the label llm_brier_decomposition already uses) —
+    // MCC is the single-number summary that stays honest under class
+    // imbalance where accuracy and F1 mislead (the curation-gate
+    // dashboard number next to llm_quality_auc). All four cells are
+    // exact integers from ONE linear aggregate; MCC's numerator is an
+    // exact integer product-difference and only the √ of the four
+    // marginal products drops to double (NULLIF-guarded: a degenerate
+    // margin yields NULL in both engines).
+    Q("stat_mcc",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+        val cm = q.agg(
+          sum(when(col("quality") >= 0.75 &&
+            col("n_words").between(25, 90), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("quality") >= 0.75 &&
+            !col("n_words").between(25, 90), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("quality") < 0.75 &&
+            col("n_words").between(25, 90), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("quality") < 0.75 &&
+            !col("n_words").between(25, 90), 1L).otherwise(0L)).as("tn"))
+        val den = sqrt((col("tp") + col("fp")).cast("double") *
+          (col("tp") + col("fn")).cast("double") *
+          (col("tn") + col("fp")).cast("double") *
+          (col("tn") + col("fn")).cast("double"))
+        cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 4)
+            .as("accuracy"),
+          round((lit(2L) * col("tp")).cast("double") /
+            nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
+              .cast("double"), 4).as("f1"),
+          round((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+            nullif(den, lit(0.0)), 4).as("mcc"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT
+              |    CASE WHEN floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |        + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |        + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 >= 0.75
+              |      THEN 1 ELSE 0 END AS pred,
+              |    CASE WHEN len(t) BETWEEN 25 AND 90 THEN 1 ELSE 0 END AS label
+              |  FROM (SELECT doc_id, $SQL_TOKENIZE AS t,
+              |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |    FROM documents) x),
+              |cm AS (
+              |  SELECT
+              |    CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |    CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |  FROM q)
+              |SELECT tp, fp, fn, tn,
+              |  ROUND(CAST(tp + tn AS DOUBLE)
+              |    / CAST(tp + fp + fn + tn AS DOUBLE), 4) AS accuracy,
+              |  ROUND(CAST(2 * tp AS DOUBLE)
+              |    / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 4) AS f1,
+              |  ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+              |    / NULLIF(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0),
+              |    4) AS mcc
+              |FROM cm""".stripMargin)),
+
+    // Per-SOURCE boilerplate-line census (r12) — the diagnostic BEHIND
+    // llm_line_dedup's removal: which pseudo-lines (the shared 3-token
+    // line device) recur across ≥3 distinct docs WITHIN a source, how
+    // much of the source's line mass they hold, and the worst
+    // offender. This is the CCNet/RefinedWeb "nav bars, cookie
+    // banners, footers" audit a curation team reads BEFORE turning on
+    // line-level dropping. Scale shape: one line explode (O(tokens/3))
+    // + two (source, line)-keyed aggregates + a source-bounded top-1
+    // window — linear at any corpus size.
+    Q("llm_boilerplate_lines",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextUdfs.tokenizeCol(col("text")).as("t"))
+        val lines = toks
+          .withColumn("nl",
+            ceil(size(col("t")).cast("double") / 3.0).cast("int"))
+          .filter(col("nl") > 0) // empty docs emit no lines (both engines)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(0), col("nl") - 1)).as("i"), col("t"))
+          .select(col("doc_id"), col("source"),
+            array_join(slice(col("t"), col("i") * 3 + 1, lit(3)), " ")
+              .as("line"))
+        val lc = lines.groupBy("source", "line")
+          .agg(count(lit(1)).as("inst"),
+            countDistinct("doc_id").as("docs"))
+        val agg = lc.groupBy("source")
+          .agg(sum("inst").cast("long").as("n_lines"),
+            count(lit(1)).as("n_distinct_lines"),
+            sum(when(col("docs") >= 3, 1L).otherwise(0L)).cast("long")
+              .as("n_boilerplate_lines"),
+            round(sum(when(col("docs") >= 3, col("inst")).otherwise(0L))
+              .cast("double") / sum("inst").cast("double"), 4)
+              .as("bp_share"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("docs").desc, col("line"))
+        val top = lc.filter(col("docs") >= 3)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("line").as("top_bp_line"))
+        agg.join(top, Seq("source"), "left")
+          .select(col("source"), col("n_lines"), col("n_distinct_lines"),
+            col("n_boilerplate_lines"), col("bp_share"), col("top_bp_line"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $SQL_TOKENIZE AS t
+              |  FROM documents),
+              |lines AS (
+              |  SELECT doc_id, source,
+              |    array_to_string(t[i * 3 + 1 : i * 3 + 3], ' ') AS line
+              |  FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+              |lc AS (
+              |  SELECT source, line, CAST(COUNT(*) AS BIGINT) AS inst,
+              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+              |  FROM lines GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT source, CAST(SUM(inst) AS BIGINT) AS n_lines,
+              |    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+              |    CAST(SUM(CASE WHEN docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_boilerplate_lines,
+              |    ROUND(CAST(SUM(CASE WHEN docs >= 3 THEN inst ELSE 0 END)
+              |        AS DOUBLE) / CAST(SUM(inst) AS DOUBLE), 4) AS bp_share
+              |  FROM lc GROUP BY source),
+              |top AS (
+              |  SELECT source, line AS top_bp_line FROM (
+              |    SELECT source, line, ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY docs DESC, line) AS rn
+              |    FROM lc WHERE docs >= 3) r WHERE rn = 1)
+              |SELECT a.source, a.n_lines, a.n_distinct_lines,
+              |  a.n_boilerplate_lines, a.bp_share, t.top_bp_line
+              |FROM agg a LEFT JOIN top t ON a.source = t.source
+              |ORDER BY a.source""".stripMargin)),
+
     // Unicode/text normalization suite (round-6 verdict Next #5): NFC
     // composition, control-char strip, whitespace collapse — applied
     // to a deterministically DIRTIED copy of each document (combining

@@ -286,6 +286,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-12 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_index_append", "graph_scc", "graph_condensation",
+      "stat_kuiper_test", "stat_cliffs_delta", "ts_lomb_scargle",
+      "ts_cointegration", "export_txn_branch", "dq_schema_drift",
+      "llm_boilerplate_lines", "stat_mcc").distinct
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("graph_scc: peeled SCC labels are internally consistent at sf0.001") {
+    // every member's scc_id is the component's min id, scc_ids are
+    // members of their own component, and the directed edge derivation
+    // is deterministic across two runs
+    val r1 = SparkEntry.queries("graph_scc")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val r2 = SparkEntry.queries("graph_scc")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(r1.nonEmpty && r1.sameElements(r2), "SCC labels must be run-stable")
+    val byComp = r1.groupBy(_._2)
+    byComp.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid,
+        s"scc_id $cid is not the min member of its component")
+    }
+  }
+
   test("llm_ppl_ratio_select: both unigram LMs broadcast to the doc scan") {
     val p = SparkEntry.queries("llm_ppl_ratio_select")(spark,
       TestSpark.sf0001).queryExecution.executedPlan.toString
