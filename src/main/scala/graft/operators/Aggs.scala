@@ -1855,7 +1855,12 @@ object Aggs {
           .withColumn("dd", col("sx").cast("double") / col("nx") -
             col("sy").cast("double") / col("ny"))
           .filter(col("dd") =!= 0.0)
-        graft.api.Ranking.withGlobalRowNumber(g,
+        // localCheckpoint before the device: withGlobalRowNumber
+        // consumes its input in three plan branches (boundary agg,
+        // local ranks, bucket offsets) — without the cut each branch
+        // re-runs the 2-shuffle lineitem aggregation (measured r12:
+        // 2.35 s → the part-aggregated set is materialized once)
+        graft.api.Ranking.withGlobalRowNumber(g.localCheckpoint(),
             Seq(abs(col("dd")), col("l_partkey")), rnCol = "rnk",
             bucketBy = abs(col("dd")))
           .agg(count(lit(1)).as("n"),
@@ -3003,8 +3008,13 @@ object Aggs {
               col("doc_id").cast("string"))), 1, 15), 16, 10)
               .cast("long").cast("double") + 0.5) /
               lit(1152921504606846976.0)).as("u"))
+        // checkpoint the ranked table: it is consumed TWICE by the
+        // i ↔ n+1−i pairing self-join below, and the device itself
+        // reads its input in three branches — one materialization
+        // serves all five consumers
         val r = graft.api.Ranking.withGlobalRowNumber(u,
           Seq(col("u"), col("doc_id")), rnCol = "i").drop("__n")
+          .localCheckpoint()
         val n = r.agg(count(lit(1)).as("n"))
         val paired = r.as("a").crossJoin(n)
           .join(r.as("b").select(col("b.i").as("j"), col("b.u").as("u2")),
@@ -3219,8 +3229,8 @@ object Aggs {
           .withColumn("cents",
             (col("value").cast("decimal(18,2)") * 100).cast("long"))
           .groupBy("user_id").agg(sum("cents").as("spend"))
-        val ranked = graft.api.Ranking.ntileExact(users, 10,
-          Seq(col("spend"), col("user_id")), tileCol = "decile")
+        val ranked = graft.api.Ranking.ntileExact(users.localCheckpoint(),
+          10, Seq(col("spend"), col("user_id")), tileCol = "decile")
         val byDec = ranked.groupBy("decile")
           .agg(count(lit(1)).as("n_users"), sum("spend").as("dec_spend"))
         val tot = byDec.agg(sum("dec_spend").as("total"))

@@ -1994,6 +1994,25 @@ object Graphs {
        |  FROM dnodes n LEFT JOIN mutual m ON m.mv = n.node
        |  GROUP BY n.node)""".stripMargin
 
+  /** Per-(session, fixture) memo for the SCC label table: THREE
+    * declared queries (graph_scc / graph_condensation / graph_bowtie)
+    * ride the same iterative peel loop; the memoized value is the
+    * final localCheckpoint'd (node, scc_id) table — model-sized. Same
+    * dead-context purge rule as the dedup memos.
+    */
+  private val sccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def sccLabels(s: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val key = (s, s"${d}_${f.length}_${f.lastModified}")
+    val it = sccMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+    if (sccMemo.size > 16) sccMemo.clear()
+    sccMemo.computeIfAbsent(key, _ => graft.api.Graph
+      .stronglyConnectedComponents(directedEdges(s, d), "du", "dv"))
+  }
+
   /** Strongly connected components of the coin-directed co-activity
     * graph ([[graft.api.Graph.stronglyConnectedComponents]] — the
     * forward/backward min-label peeling the distributed FW-BW family
@@ -2008,8 +2027,7 @@ object Graphs {
     */
   private def sccQuery: Q = {
     def fn(s: SparkSession, d: String): DataFrame =
-      graft.api.Graph
-        .stronglyConnectedComponents(directedEdges(s, d), "du", "dv")
+      sccLabels(s, d)
         .select(col("node").as("user_id"), col("scc_id"))
         .orderBy("user_id")
     val sql =
@@ -2030,8 +2048,7 @@ object Graphs {
   private def condensationQuery: Q = {
     def fn(s: SparkSession, d: String): DataFrame = {
       val dir = directedEdges(s, d)
-      val scc = graft.api.Graph
-        .stronglyConnectedComponents(dir, "du", "dv")
+      val scc = sccLabels(s, d)
       val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
       val summary = sizes.agg(count(lit(1)).as("n_sccs"),
         sum("n").cast("long").as("n_nodes"),
@@ -2070,6 +2087,88 @@ object Graphs {
     Q("graph_condensation", fn, Some(sql))
   }
 
+  /** Multi-source reachability over the directed edge list: every node
+    * reachable from the seed set (seed included), frontier-BFS with
+    * per-round localCheckpoint; `reverse` flips the edges (= "reaches
+    * the seed set"). Rounds bounded by the graph's directed diameter.
+    */
+  private def reachableFrom(seed: DataFrame, dir: DataFrame,
+      reverse: Boolean): DataFrame = {
+    val e =
+      if (reverse) dir.select(col("dv").as("du"), col("du").as("dv"))
+      else dir
+    var reached = seed.localCheckpoint()
+    var added = 1L
+    var rounds = 0
+    while (added > 0) {
+      if (rounds >= 64)
+        throw new IllegalStateException("reachableFrom: >64 BFS rounds")
+      val nxt = e.join(reached, e("du") === reached("node"))
+        .select(col("dv").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti").localCheckpoint()
+      added = nxt.count()
+      if (added > 0)
+        reached = reached.unionByName(nxt).localCheckpoint()
+      rounds += 1
+    }
+    reached
+  }
+
+  /** Bow-tie decomposition (Broder et al. 2000) of the directed
+    * co-activity graph: nodes classified GIANT (the largest SCC, ties
+    * by min scc_id) / IN (reach the giant, not in it) / OUT (reached
+    * from it) / OTHER (tendrils+tubes+disconnected). THE structural
+    * census of any web/link corpus — crawl frontier sizing and link-
+    * graph quality both read off these four numbers. Composes
+    * [[sccQuery]]'s machinery with two multi-source BFS passes; the
+    * oracle classifies from the same recursive closure.
+    */
+  private def bowtieQuery: Q = {
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val dir = directedEdges(s, d).localCheckpoint()
+      val scc = sccLabels(s, d)
+      val giantId = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("scc_id")).head().getLong(0)
+      val giant = scc.filter(col("scc_id") === giantId).select("node")
+      val fwd = reachableFrom(giant, dir, reverse = false)
+        .select(col("node"), lit(1).as("__fwd"))
+      val bwd = reachableFrom(giant, dir, reverse = true)
+        .select(col("node"), lit(1).as("__bwd"))
+      val cls = scc
+        .join(fwd, Seq("node"), "left").join(bwd, Seq("node"), "left")
+        .select(col("node"),
+          when(col("scc_id") === giantId, "giant")
+            .when(col("__bwd").isNotNull, "in")
+            .when(col("__fwd").isNotNull, "out")
+            .otherwise("other").as("category"))
+      val tot = cls.count().toDouble
+      cls.groupBy("category").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("share",
+          round(col("n_nodes").cast("double") / lit(tot), 4))
+        .orderBy("category")
+    }
+    val sql =
+      s"""WITH RECURSIVE $SQL_EDGES,
+         |$SQL_DIR,
+         |sz AS (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id),
+         |g AS (SELECT scc_id FROM sz ORDER BY n DESC, scc_id LIMIT 1),
+         |gm AS (SELECT node FROM scc, g WHERE scc.scc_id = g.scc_id),
+         |cls AS (
+         |  SELECT s.node,
+         |    CASE WHEN s.scc_id = (SELECT scc_id FROM g) THEN 'giant'
+         |      WHEN EXISTS (SELECT 1 FROM reach r JOIN gm
+         |        ON r.b = gm.node WHERE r.a = s.node) THEN 'in'
+         |      WHEN EXISTS (SELECT 1 FROM reach r JOIN gm
+         |        ON r.a = gm.node WHERE r.b = s.node) THEN 'out'
+         |      ELSE 'other' END AS category
+         |  FROM scc s),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM cls)
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  ROUND(COUNT(*) / t, 4) AS share
+         |FROM cls, tot GROUP BY category, t ORDER BY category""".stripMargin
+    Q("graph_bowtie", fn, Some(sql))
+  }
+
   val queries: Seq[Q] =
     Seq(pagerankQuery, trianglesQuery, componentsQuery, assortativityQuery,
       hopDistanceQuery, spCountQuery, stressQuery, ktrussQuery, eccentricityQuery, kcoreQuery, adamicAdarQuery, labelPropagationQuery,
@@ -2077,5 +2176,6 @@ object Graphs {
       randomWalkQuery, localClusteringQuery, hitsQuery, mstQuery,
       centralizationQuery, richClubQuery, bipartiteQuery, reciprocityQuery,
       powerlawQuery, closenessQuery, cycle4Query, katzQuery,
-      effectiveDiameterQuery, conductanceQuery, sccQuery, condensationQuery)
+      effectiveDiameterQuery, conductanceQuery, sccQuery, condensationQuery,
+      bowtieQuery)
 }

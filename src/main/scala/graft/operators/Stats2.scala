@@ -32,6 +32,166 @@ object Stats2 {
 
   val queries: Seq[Q] = Seq(
 
+    // Gamma distribution fit by method of moments over extendedprice —
+    // the parametric summary a cost model or synthetic-data generator
+    // wants for a positive right-skewed measure: k̂ = m²/v (shape),
+    // θ̂ = v/m (scale). Moments accumulate as EXACT DECIMAL sums (the
+    // stat_bartlett device — associative at any partitioning, one
+    // linear aggregate at any scale); m, v and the two estimators are
+    // textually mirrored doubles.
+    Q("stat_gamma_fit",
+      (s, d) => {
+        val a = Tables.lineitem(s, d)
+          .select(col("l_extendedprice").cast("decimal(18,2)").as("x"))
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"),
+            sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"))
+        val nD = col("n").cast("double")
+        val m = col("sx").cast("double") / nD
+        val v = (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / nD) /
+          (nD - lit(1.0))
+        a.select(col("n"),
+          round(m, 4).as("mean"), round(v, 4).as("variance"),
+          round(m * m / v, 4).as("k_hat"),
+          round(v / m, 4).as("theta_hat"))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+             |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(l_extendedprice AS DECIMAL(18,2))
+             |      AS DECIMAL(38,4))) AS sxx
+             |  FROM lineitem)
+             |SELECT n,
+             |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+             |  ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) - 1.0), 4) AS variance,
+             |  ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS k_hat,
+             |  ROUND(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0))
+             |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS theta_hat
+             |FROM a""".stripMargin)),
+
+    // Beta distribution fit by method of moments over the quality
+    // score (a [0,1] measure): α̂ = m(m(1−m)/v − 1), β̂ = (1−m)(·) —
+    // the prior a Bayesian quality-gate calibration starts from. The
+    // score is the library's 4dp-grid quality (y = quality·10⁴, an
+    // exact integer — the brier device), so Σy and Σy² are exact
+    // integer sums and every double below is textually mirrored.
+    Q("stat_beta_fit",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text",
+            Seq("the", "a", "of", "and", "to", "in"))
+          .select(floor(col("quality") * 10000.0 + 0.5).cast("long").as("y"))
+        val a = q.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("sy2"))
+        val nD = col("n").cast("double")
+        val m = col("sy").cast("double") / (nD * lit(10000.0))
+        val v = (col("sy2").cast("double") / lit(1.0e8) -
+          nD * m * m) / (nD - lit(1.0))
+        val c = m * (lit(1.0) - m) / v - lit(1.0)
+        a.select(col("n"), round(m, 4).as("mean"),
+          round(v, 6).as("variance"),
+          round(m * c, 4).as("alpha_hat"),
+          round((lit(1.0) - m) * c, 4).as("beta_hat"))
+      },
+      Some(s"""WITH y AS (
+              |  SELECT CAST(floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN (${Seq("the", "a", "of", "and", "to", "in").map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS y
+              |  FROM (SELECT doc_id,
+              |      ${graft.functions.TextUdfs.SQL_TOKENIZE} AS t,
+              |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |    FROM documents) x),
+              |a AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(y) AS BIGINT) AS sy,
+              |    CAST(SUM(y * y) AS BIGINT) AS sy2
+              |  FROM y)
+              |SELECT n,
+              |  ROUND(CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4) AS mean,
+              |  ROUND((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
+              |      * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |      * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)))
+              |    / (CAST(n AS DOUBLE) - 1.0), 6) AS variance,
+              |  ROUND((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |    * ((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |      * (1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |      / ((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
+              |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)))
+              |        / (CAST(n AS DOUBLE) - 1.0)) - 1.0), 4) AS alpha_hat,
+              |  ROUND((1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |    * ((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |      * (1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |      / ((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
+              |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+              |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)))
+              |        / (CAST(n AS DOUBLE) - 1.0)) - 1.0), 4) AS beta_hat
+              |FROM a""".stripMargin)),
+
+    // Negative-binomial fit by method of moments over daily purchase
+    // counts — the overdispersion-honest count model (Poisson forces
+    // v = m; real arrival counts overdisperse): dispersion = v/m,
+    // r̂ = m²/(v−m), p̂ = m/v, NULLIF-guarded when the data is actually
+    // under-dispersed (both engines then emit NULL r̂). Day-bounded
+    // aggregate; exact integer count sums.
+    Q("stat_negbinom_fit",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        val nD = col("n").cast("double")
+        val m = col("sc").cast("double") / nD
+        val v = (col("sc2").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") / nD) /
+          (nD - lit(1.0))
+        a.select(col("n").as("n_days"),
+          round(m, 4).as("mean"), round(v, 4).as("variance"),
+          round(v / m, 4).as("dispersion"),
+          round(m * m / nullif(v - m, lit(0.0)), 4).as("r_hat"),
+          round(m / v, 4).as("p_hat"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |a AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS sc,
+             |    CAST(SUM(c * c) AS BIGINT) AS sc2
+             |  FROM daily)
+             |SELECT n AS n_days,
+             |  ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+             |  ROUND((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+             |      * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) - 1.0), 4) AS variance,
+             |  ROUND(((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+             |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0))
+             |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS dispersion,
+             |  ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / NULLIF((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+             |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0)
+             |      - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 4) AS r_hat,
+             |  ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / ((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+             |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS p_hat
+             |FROM a""".stripMargin)),
+
     // Kuiper's test (click vs view value distributions) — the rotation-
     // invariant sibling of stat_ks_test: V = D⁺ + D⁻ instead of
     // max|D|, equally sensitive in the tails and at the median, and THE
