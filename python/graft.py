@@ -325,6 +325,99 @@ class catalog:
         return _wrap(_jvm().graft.api.Catalog.storageBreakdown(s._jsparkSession, db), s)
 
 
+class multimodal:
+    """Pandas-UDF multimodal plumbing (mapInPandas) — the brief's
+    decode / feature-extract / frame-sample shapes. The DECODE step is
+    a clearly-marked deterministic STUB (no codec libs ship in this
+    offline container — swap ``_decode_stub`` for PIL / pyav in
+    production); everything Spark-side is the real thing: output
+    schema, Arrow-batch iteration (one pandas.DataFrame per batch,
+    streamed — never a whole-partition materialization), column
+    pruning BEFORE the UDF so only (id, payload) crosses the Arrow
+    boundary, and the fan-out row shape of a frame sampler. Payloads
+    are opaque bytes (the ``documents.text`` bytes stand in for an
+    image/video blob — the mm_* Scala operators' convention).
+    """
+
+    DECODE_SCHEMA = ("doc_id long, width int, height int, n_frames int, "
+                     "mean_luma double")
+    FRAME_SCHEMA = "doc_id long, frame_idx int, frame_luma double"
+
+    @staticmethod
+    def _payload_bytes(p):
+        return p if isinstance(p, (bytes, bytearray)) else str(p).encode("utf-8")
+
+    @staticmethod
+    def _decode_stub(payload):
+        """STUB decoder: header-derived fake dimensions, 64-byte frame
+        blocks, byte-mean luma. Deterministic in the payload bytes."""
+        b = multimodal._payload_bytes(payload)
+        n = len(b)
+        w = 16 + (b[0] % 48 if n else 0)
+        h = 16 + (b[n // 2] % 48 if n else 0)
+        frames = max(1, n // 64)
+        luma = (sum(b) / float(n)) if n else 0.0
+        return w, h, frames, luma
+
+    @staticmethod
+    def decode_features(docs, id_col="doc_id", payload_col="text"):
+        """One feature row per blob via mapInPandas. The closure is
+        deliberately SELF-CONTAINED (no module-level references):
+        cloudpickle then ships it whole, so executors need no `graft`
+        module on their PYTHONPATH — the standard packaging rule for
+        production pandas UDFs."""
+        ic, pc = id_col, payload_col
+
+        def fn(batches):
+            import pandas as pd
+
+            def blob(p):
+                return (p if isinstance(p, (bytes, bytearray))
+                        else str(p).encode("utf-8"))
+
+            def decode(p):  # STUB — swap for a real codec in production
+                b = blob(p)
+                n = len(b)
+                w = 16 + (b[0] % 48 if n else 0)
+                h = 16 + (b[n // 2] % 48 if n else 0)
+                return w, h, max(1, n // 64), (sum(b) / float(n)) if n else 0.0
+
+            for pdf in batches:
+                rows = [(int(i),) + decode(p)
+                        for i, p in zip(pdf[ic], pdf[pc])]
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "width", "height",
+                                   "n_frames", "mean_luma"])
+
+        return (docs.select(id_col, payload_col)
+                .mapInPandas(fn, multimodal.DECODE_SCHEMA))
+
+    @staticmethod
+    def frame_sample(docs, id_col="doc_id", payload_col="text", every=4):
+        """One row per SAMPLED frame (idx ≡ 0 mod ``every``) — the
+        fan-out shape of a video pipeline (output rows > input rows),
+        still streamed one Arrow batch at a time."""
+        ic, pc, ev = id_col, payload_col, every
+
+        def fn(batches):  # self-contained — see decode_features
+            import pandas as pd
+            for pdf in batches:
+                out = {"doc_id": [], "frame_idx": [], "frame_luma": []}
+                for i, p in zip(pdf[ic], pdf[pc]):
+                    b = (p if isinstance(p, (bytes, bytearray))
+                         else str(p).encode("utf-8"))
+                    for f in range(0, max(1, len(b) // 64), ev):
+                        chunk = b[f * 64:(f + 1) * 64]
+                        out["doc_id"].append(int(i))
+                        out["frame_idx"].append(f)
+                        out["frame_luma"].append(
+                            (sum(chunk) / float(len(chunk))) if chunk else 0.0)
+                yield pd.DataFrame(out)
+
+        return (docs.select(id_col, payload_col)
+                .mapInPandas(fn, multimodal.FRAME_SCHEMA))
+
+
 def _to_seq(xs):
     """Python list → scala.collection.immutable.Seq of strings."""
     jvm = _jvm()

@@ -147,6 +147,22 @@ object Subqueries {
     // mode. Same text both engines; the physical plan is the ordinary
     // hash aggregate, so nothing changes at scale. Decimal-domain money
     // per §7.4.
+    // Named WINDOW clause (r12) — the parser surface none of the
+    // function-form window queries exercise: two window functions
+    // SHARING one named spec (one sort, one frame — the planner must
+    // recognize the shared spec, not re-sort per function). Identical
+    // SQL text runs in both engines.
+    sqlQ("sql_named_window",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, rn""".stripMargin),
+
     sqlQ("sql_group_by_all",
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n,

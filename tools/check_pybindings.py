@@ -146,6 +146,26 @@ check("text.hashed_linear_score", lambda: expect(
         [0.1 * ((i % 7) - 3) for i in range(64)]).count() == n_docs,
     "one score per doc"))
 
+# --- multimodal (mapInPandas plumbing; pure-python, no py4j) --------------
+def _mm_decode_check():
+    r = graft.multimodal.decode_features(docs)
+    expect(r.count() == n_docs, "one decoded row per blob")
+    expect(set(r.columns) == {"doc_id", "width", "height", "n_frames",
+                              "mean_luma"}, f"schema: {r.columns}")
+    row = r.orderBy("doc_id").first()
+    expect(row["width"] >= 16 and row["n_frames"] >= 1, f"stub sane: {row}")
+
+
+def _mm_frames_check():
+    r = graft.multimodal.frame_sample(docs, every=4)
+    expect(r.count() >= n_docs, "at least one sampled frame per blob")
+    expect(r.filter("frame_idx % 4 != 0").count() == 0,
+           "only every-4th frame sampled")
+
+
+check("multimodal.decode_features", _mm_decode_check)
+check("multimodal.frame_sample", _mm_frames_check)
+
 # --- catalog -------------------------------------------------------------
 check("catalog.databases", lambda: expect(
     graft.catalog.databases().count() >= 1, "default db must exist"))
