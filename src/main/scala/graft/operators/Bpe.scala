@@ -206,6 +206,9 @@ object Bpe {
        |  CAST(SUM(nt) AS DOUBLE) / SUM(length(word) + 1) AS compression
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def fnround(c: org.apache.spark.sql.Column, d: Int) =
+    org.apache.spark.sql.functions.round(c, d)
+
   def queries: Seq[Q] = Seq(
     // The learned merge table itself IS the result — rank order is the
     // tokenizer model. vocab_size counts distinct symbols across the
@@ -292,5 +295,80 @@ object Bpe {
            |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
            |  CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS fertility,
            |  CAST(SUM(nt) AS DOUBLE) / SUM(length(word)) AS tokens_per_char
-           |FROM tok GROUP BY lang ORDER BY lang""".stripMargin)))
+           |FROM tok GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Tokenizer-fertility DRIFT between two corpus snapshots (r12):
+    // the deploy-gating monitor llm_tokenizer_fertility feeds — a
+    // tokenizer trained on yesterday's corpus is re-audited on
+    // today's delivery, per language, and a fertility jump means the
+    // vocab no longer fits the incoming text (new domain, new
+    // language mix) and a retrain is due — the ANN-codebook-drift
+    // twin on the text side. Snapshots = doc_id parity (the library's
+    // standing two-epoch stand-in); same trained vocab (shared
+    // memoized run), one lang-keyed aggregate with per-half integer
+    // sums; NULLIF keeps a single-snapshot language NULL in both
+    // engines instead of diverging NULL-vs-inf.
+    Q("llm_tokenizer_drift",
+      (s, d) => {
+        val (_, words) = train(s, d)
+        val wt = words.select(col("word"),
+          expr("size(split(toks, ' '))").as("nt"))
+        Tables.documents(s, d)
+          .select(col("lang"), (col("doc_id") % 2 === 0).as("old_snap"),
+            explode(
+              expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+              .as("word"))
+          .join(wt, Seq("word"), "left")
+          .withColumn("nt", coalesce(col("nt"), length(col("word")) + 1))
+          .groupBy("lang")
+          .agg(
+            sum(when(col("old_snap"), 1L).otherwise(0L)).as("w_old"),
+            sum(when(!col("old_snap"), 1L).otherwise(0L)).as("w_new"),
+            sum(when(col("old_snap"), col("nt").cast("long"))
+              .otherwise(0L)).as("t_old"),
+            sum(when(!col("old_snap"), col("nt").cast("long"))
+              .otherwise(0L)).as("t_new"))
+          .select(col("lang"), col("w_old"), col("w_new"),
+            // fnround: functions.round — a local BPE helper shadows it
+            fnround(col("t_old").cast("double") /
+              nullif(col("w_old"), lit(0L)).cast("double"), 6)
+              .as("fert_old"),
+            fnround(col("t_new").cast("double") /
+              nullif(col("w_new"), lit(0L)).cast("double"), 6)
+              .as("fert_new"),
+            fnround(col("t_new").cast("double") /
+              nullif(col("w_new"), lit(0L)).cast("double") -
+              col("t_old").cast("double") /
+              nullif(col("w_old"), lit(0L)).cast("double"), 6)
+              .as("fert_delta"))
+          .orderBy("lang")
+      },
+      Some(s"WITH $trainChain,\n" +
+        s"""docw AS (
+           |  SELECT lang, (doc_id % 2 = 0) AS old_snap,
+           |    unnest(list_filter(
+           |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+           |    AS word
+           |  FROM documents),
+           |wt AS (SELECT word, len(string_split(toks, ' ')) AS nt FROM w$N_MERGES),
+           |tok AS (
+           |  SELECT d.lang, d.old_snap, d.word,
+           |    COALESCE(wt.nt, length(d.word) + 1) AS nt
+           |  FROM docw d LEFT JOIN wt ON d.word = wt.word),
+           |a AS (
+           |  SELECT lang,
+           |    CAST(SUM(CASE WHEN old_snap THEN 1 ELSE 0 END) AS BIGINT) AS w_old,
+           |    CAST(SUM(CASE WHEN old_snap THEN 0 ELSE 1 END) AS BIGINT) AS w_new,
+           |    CAST(SUM(CASE WHEN old_snap THEN nt ELSE 0 END) AS BIGINT) AS t_old,
+           |    CAST(SUM(CASE WHEN old_snap THEN 0 ELSE nt END) AS BIGINT) AS t_new
+           |  FROM tok GROUP BY lang)
+           |SELECT lang, w_old, w_new,
+           |  ROUND(CAST(t_old AS DOUBLE) / CAST(NULLIF(w_old, 0) AS DOUBLE), 6)
+           |    AS fert_old,
+           |  ROUND(CAST(t_new AS DOUBLE) / CAST(NULLIF(w_new, 0) AS DOUBLE), 6)
+           |    AS fert_new,
+           |  ROUND(CAST(t_new AS DOUBLE) / CAST(NULLIF(w_new, 0) AS DOUBLE)
+           |    - CAST(t_old AS DOUBLE) / CAST(NULLIF(w_old, 0) AS DOUBLE), 6)
+           |    AS fert_delta
+           |FROM a ORDER BY lang""".stripMargin)))
 }

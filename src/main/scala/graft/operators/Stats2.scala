@@ -192,6 +192,95 @@ object Stats2 {
              |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS p_hat
              |FROM a""".stripMargin)),
 
+    // VAR(1) coefficient matrix for the (clicks, views) daily pair —
+    // the multivariate sibling of ts_granger/ts_cointegration: how
+    // much does each series' today depend on BOTH series' yesterday
+    // (A = Σz_t z'_{t-1} · (Σz_{t-1}z'_{t-1})⁻¹ on mean-centered
+    // series). Exactness device: center with n·x_t − Σx (EXACT
+    // integers — the n² factor cancels in A), so all eight
+    // cross-products are exact BIGINT sums at any partitioning and
+    // the 2×2 inverse is the only (textually mirrored) double math.
+    Q("ts_var1",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        val mo = daily.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"))
+        val w = Window.orderBy("day") // day-bounded
+        val z = daily.crossJoin(broadcast(mo))
+          .withColumn("zx", col("n") * col("x") - col("sx"))
+          .withColumn("zy", col("n") * col("y") - col("sy"))
+          .withColumn("zxl", lag("zx", 1).over(w))
+          .withColumn("zyl", lag("zy", 1).over(w))
+          .filter(col("zxl").isNotNull)
+        val m = z.agg(
+          max("n").as("n"),
+          sum(col("zx") * col("zxl")).as("xtxl"),
+          sum(col("zx") * col("zyl")).as("xtyl"),
+          sum(col("zy") * col("zxl")).as("ytxl"),
+          sum(col("zy") * col("zyl")).as("ytyl"),
+          sum(col("zxl") * col("zxl")).as("xlxl"),
+          sum(col("zxl") * col("zyl")).as("xlyl"),
+          sum(col("zyl") * col("zyl")).as("ylyl"))
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        val det = D(col("xlxl")) * D(col("ylyl")) -
+          D(col("xlyl")) * D(col("xlyl"))
+        m.select(col("n").as("n_days"),
+          round((D(col("xtxl")) * D(col("ylyl")) -
+            D(col("xtyl")) * D(col("xlyl"))) / det, 6).as("a11"),
+          round((D(col("xtyl")) * D(col("xlxl")) -
+            D(col("xtxl")) * D(col("xlyl"))) / det, 6).as("a12"),
+          round((D(col("ytxl")) * D(col("ylyl")) -
+            D(col("ytyl")) * D(col("xlyl"))) / det, 6).as("a21"),
+          round((D(col("ytyl")) * D(col("xlxl")) -
+            D(col("ytxl")) * D(col("xlyl"))) / det, 6).as("a22"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+             |  FROM daily),
+             |z AS (
+             |  SELECT n, n * x - sx AS zx, n * y - sy AS zy,
+             |    LAG(n * x - sx) OVER (ORDER BY day) AS zxl,
+             |    LAG(n * y - sy) OVER (ORDER BY day) AS zyl
+             |  FROM daily, mo),
+             |m AS (
+             |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+             |    CAST(SUM(zx * zxl) AS BIGINT) AS xtxl,
+             |    CAST(SUM(zx * zyl) AS BIGINT) AS xtyl,
+             |    CAST(SUM(zy * zxl) AS BIGINT) AS ytxl,
+             |    CAST(SUM(zy * zyl) AS BIGINT) AS ytyl,
+             |    CAST(SUM(zxl * zxl) AS BIGINT) AS xlxl,
+             |    CAST(SUM(zxl * zyl) AS BIGINT) AS xlyl,
+             |    CAST(SUM(zyl * zyl) AS BIGINT) AS ylyl
+             |  FROM z WHERE zxl IS NOT NULL)
+             |SELECT n AS n_days,
+             |  ROUND((CAST(xtxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |    - CAST(xtyl AS DOUBLE) * CAST(xlyl AS DOUBLE))
+             |    / (CAST(xlxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |      - CAST(xlyl AS DOUBLE) * CAST(xlyl AS DOUBLE)), 6) AS a11,
+             |  ROUND((CAST(xtyl AS DOUBLE) * CAST(xlxl AS DOUBLE)
+             |    - CAST(xtxl AS DOUBLE) * CAST(xlyl AS DOUBLE))
+             |    / (CAST(xlxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |      - CAST(xlyl AS DOUBLE) * CAST(xlyl AS DOUBLE)), 6) AS a12,
+             |  ROUND((CAST(ytxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |    - CAST(ytyl AS DOUBLE) * CAST(xlyl AS DOUBLE))
+             |    / (CAST(xlxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |      - CAST(xlyl AS DOUBLE) * CAST(xlyl AS DOUBLE)), 6) AS a21,
+             |  ROUND((CAST(ytyl AS DOUBLE) * CAST(xlxl AS DOUBLE)
+             |    - CAST(ytxl AS DOUBLE) * CAST(xlyl AS DOUBLE))
+             |    / (CAST(xlxl AS DOUBLE) * CAST(ylyl AS DOUBLE)
+             |      - CAST(xlyl AS DOUBLE) * CAST(xlyl AS DOUBLE)), 6) AS a22
+             |FROM m""".stripMargin)),
+
     // Kuiper's test (click vs view value distributions) — the rotation-
     // invariant sibling of stat_ks_test: V = D⁺ + D⁻ instead of
     // max|D|, equally sensitive in the tails and at the median, and THE
