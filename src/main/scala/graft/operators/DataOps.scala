@@ -1932,7 +1932,7 @@ object DataOps {
       annRangeQuery, embeddingDriftQuery,
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
-      annIndexPersistedQuery, annIndexAppendQuery,
+      annIndexPersistedQuery, annIndexAppendQuery, annRecallAuditQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2250,6 +2250,116 @@ object DataOps {
          |  WHERE a.vec_id % 97 = 5) t
          |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     Q("ann_index_append", fn, Some(sql))
+  }
+
+  /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of
+    * llm_lsh_recall_audit): on a 1-in-20 vector slice, exact all-pairs
+    * cosine top-k (the ground truth IVF is supposed to find —
+    * quadratic, which is exactly why it runs on the CAPPED slice and
+    * never the corpus) vs the cell-blocked top-k under the FULL-corpus
+    * trained codebook (probes=2), reported as recall@k for k=1/2/4.
+    * Slice-IVF equals corpus-IVF filtered to the slice because cell
+    * assignment is per-vector (no bucket caps in the IVF path). The
+    * number a 100-TB serving deployment reads BEFORE trusting its
+    * probe setting; KMeansIvfSpec's recall floors are the API-level
+    * twin, this is the DECLARED, oracled form.
+    */
+  // lazy: declared below the `queries` val (the topicBalanceQuery
+  // object-init-order rule)
+  private lazy val annRecallAuditQuery: Q = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftbridge.Bridge
+    val K = 16; val ITERS = ORACLE_ITERS; val PROBES = 2; val KS = Seq(1, 2, 4)
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val embs = Tables.embeddings(s, d)
+      val vcol = expr("transform(embedding, e -> cast(e as double))")
+      val coarse = graft.api.Similarity.kmeansCodebook(
+        embs.select(col("vec_id"), vcol.as("v")), "vec_id", "v", K, ITERS)
+      // slice with norms + probe cells; checkpointed once (consumed by
+      // both sides of two self-joins)
+      val slice = embs.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), vcol.as("v"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(v, 0.0D, (acc, e) -> acc + e * e)")))
+        .withColumn("cells", Bridge.column(graft.functions.NearestCells(
+          UnresolvedAttribute("v"), coarse, PROBES)))
+        .localCheckpoint()
+      val nQ = slice.count()
+      val KMAX = KS.max
+      val dot = expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, e) -> acc + e)")
+      val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      val exact = slice.as("a")
+        .join(slice.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
+          (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .withColumn("ern", row_number().over(wq)).filter(col("ern") <= KMAX)
+        .select("qid", "nbr", "ern")
+      val ivf = slice.as("a")
+        .select(col("a.vec_id").as("__qid"), col("a.v").as("__qv"),
+          col("a.nrm").as("__qn"), explode(col("a.cells")).as("acell"))
+        .as("a")
+        .join(slice.as("b"),
+          col("a.acell") === element_at(col("b.cells"), 1) &&
+            col("a.__qid") =!= col("b.vec_id"))
+        .select(col("a.__qid").as("qid"), col("b.vec_id").as("nbr"),
+          (expr("aggregate(zip_with(a.__qv, b.v, (x, y) -> x * y), " +
+            "0.0D, (acc, e) -> acc + e)") /
+            (col("a.__qn") * col("b.nrm"))).as("cos"))
+        .dropDuplicates("qid", "nbr")
+        .withColumn("irn", row_number().over(wq)).filter(col("irn") <= KMAX)
+        .select("qid", "nbr", "irn")
+      val m = exact.join(ivf, Seq("qid", "nbr")).localCheckpoint()
+      val ks = KS.map(_.toLong).toDF("k")
+      ks.join(m, col("ern") <= col("k") && col("irn") <= col("k"), "left")
+        .groupBy("k").agg(count(col("qid")).as("hits"))
+        .select(col("k"), lit(nQ).as("n_queries"), col("hits"),
+          round(col("hits").cast("double") / (lit(nQ) * col("k")).cast("double"), 4)
+            .as("recall"))
+        .orderBy("k")
+    }
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS)},
+         |sl AS (SELECT vec_id, v, nrm FROM base WHERE vec_id % 20 = 0),
+         |sp AS (
+         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${kmL2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM sl b, cb$ITERS c) t WHERE rn <= $PROBES),
+         |sh AS (
+         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${kmL2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM sl b, cb$ITERS c) t WHERE rn = 1),
+         |ex AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nbr) AS ern
+         |  FROM (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         |      ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |    FROM sl a JOIN sl b ON a.vec_id <> b.vec_id) t),
+         |iv AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nbr) AS irn
+         |  FROM (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nbr,
+         |      ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |    FROM sp a JOIN sh b
+         |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) t),
+         |m AS (
+         |  SELECT e.qid, e.ern, i.irn FROM ex e
+         |  JOIN iv i ON e.qid = i.qid AND e.nbr = i.nbr
+         |  WHERE e.ern <= 4 AND i.irn <= 4),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sl),
+         |ks AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS k)
+         |SELECT k, n AS n_queries,
+         |  CAST(COUNT(m.qid) AS BIGINT) AS hits,
+         |  ROUND(CAST(COUNT(m.qid) AS DOUBLE)
+         |    / CAST(n * k AS DOUBLE), 4) AS recall
+         |FROM ks CROSS JOIN nq LEFT JOIN m ON m.ern <= k AND m.irn <= k
+         |GROUP BY k, n ORDER BY k""".stripMargin
+    Q("ann_recall_audit", fn, Some(sql))
   }
 
   /** Matryoshka (MRL) truncation-quality audit: for each dimension

@@ -295,7 +295,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ts_cointegration", "export_txn_branch", "dq_schema_drift",
       "llm_boilerplate_lines", "stat_mcc", "graph_bowtie",
       "stat_gamma_fit", "stat_beta_fit", "stat_negbinom_fit",
-      "sql_named_window", "llm_tokenizer_drift", "ts_var1").distinct
+      "sql_named_window", "llm_tokenizer_drift", "ts_var1",
+      "ann_recall_audit").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
