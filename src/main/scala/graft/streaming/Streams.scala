@@ -801,6 +801,56 @@ object Streams {
              |    AS DOUBLE) / 100.0 AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Ninth ORACLED streaming query (r12) — complete-mode EVENT-TIME
+    // WINDOWED aggregation + post-rank: per UTC day, the top event
+    // type by count (ties → lexicographic type). Complete mode over a
+    // (day × type)-bounded key space re-emits the whole table per
+    // micro-batch (same key-bounded-only caveat as stream_agg_catchup)
+    // and needs no watermark, so the AvailableNow catch-up's final
+    // overwrite equals the batch windowed aggregate EXACTLY — which is
+    // what the oracle states. The rank runs on the SINK read-back
+    // (day-bounded window) — the streaming side ships the raw
+    // dashboard table, the serving layer ranks, the standard split.
+    Q("stream_topn_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_topnnow_v1_$key"
+        val agg = eventsStream(s, d)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("n").desc, col("event_type"))
+        s.read.parquet(s"$root/sink")
+          .select(to_date(col("window.start")).cast("string").as("day"),
+            col("event_type"), col("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("day"), col("event_type").as("top_type"), col("n"))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |    event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT day, event_type, CAST(n AS BIGINT) AS n,
+             |    ROW_NUMBER() OVER (PARTITION BY day
+             |      ORDER BY n DESC, event_type) AS rn
+             |  FROM c)
+             |SELECT day, event_type AS top_type, n
+             |FROM r WHERE rn = 1 ORDER BY day""".stripMargin)),
+
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
     Q("stream_foreachbatch",
