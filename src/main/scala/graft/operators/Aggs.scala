@@ -1771,6 +1771,73 @@ object Aggs {
     // with their Laplace-smoothed floor instead of silently dropping
     // out of the Σ. All counts integer; the 10 log terms only combine
     // in the final 10-row window sum.
+    // Categorical composition drift (r12) — the χ² sibling of
+    // dq_psi_drift for DISCRETE columns: did the event-type MIX shift
+    // between the window's two halves? Per type, both halves' counts,
+    // shares, and the 2×k homogeneity χ² contribution; the total rides
+    // along (5-row window, the psi_total device). Exact integer counts
+    // and margins; expected cells and terms are textually mirrored
+    // doubles. One grouped aggregate over the fact — linear at any
+    // scale, the feed-mix pager next to dq_volume_anomaly's row-count
+    // alarm.
+    Q("dq_composition_drift",
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(sum(when(col("ts") < lit("2024-01-16"), 1L).otherwise(0L))
+            .as("n_a"),
+            sum(when(col("ts") >= lit("2024-01-16"), 1L).otherwise(0L))
+              .as("n_b"))
+        val tot = c.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+        val f = c.crossJoin(broadcast(tot))
+          .withColumn("n", col("ta") + col("tb"))
+          .withColumn("rt", col("n_a") + col("n_b"))
+          .withColumn("ea", col("rt").cast("double") *
+            col("ta").cast("double") / col("n").cast("double"))
+          .withColumn("eb", col("rt").cast("double") *
+            col("tb").cast("double") / col("n").cast("double"))
+          .withColumn("term",
+            (col("n_a").cast("double") - col("ea")) *
+              (col("n_a").cast("double") - col("ea")) / col("ea") +
+              (col("n_b").cast("double") - col("eb")) *
+              (col("n_b").cast("double") - col("eb")) / col("eb"))
+        f.select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("n_a").cast("double") / col("ta").cast("double"), 6)
+              .as("share_a"),
+            round(col("n_b").cast("double") / col("tb").cast("double"), 6)
+              .as("share_b"),
+            round(col("term"), 6).as("chi2_term"),
+            round(sum(col("term")).over(Window.partitionBy()), 6)
+              .as("chi2_total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN ts < '2024-01-16' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_b
+             |  FROM events GROUP BY event_type),
+             |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             |  CAST(SUM(n_b) AS BIGINT) AS tb FROM c),
+             |f AS (
+             |  SELECT event_type, n_a, n_b, ta, tb,
+             |    CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+             |      / CAST(ta + tb AS DOUBLE) AS ea,
+             |    CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+             |      / CAST(ta + tb AS DOUBLE) AS eb
+             |  FROM c, t)
+             |SELECT event_type, n_a, n_b,
+             |  ROUND(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_a,
+             |  ROUND(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_b,
+             |  ROUND((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+             |    / ea + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+             |    / eb, 6) AS chi2_term,
+             |  ROUND(SUM((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+             |    / ea + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+             |    / eb) OVER (), 6) AS chi2_total
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     Q("dq_psi_drift",
       (s, d) => {
         val o = Tables.orders(s, d)
