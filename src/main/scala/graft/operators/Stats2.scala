@@ -192,6 +192,60 @@ object Stats2 {
              |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS p_hat
              |FROM a""".stripMargin)),
 
+    // Page–Hinkley sequential changepoint detector (r12) over daily
+    // purchase counts — the STREAMING-friendly cousin of ts_cusum /
+    // ts_sprt_trace: m_t accumulates (x_i − μ_i − δ) against the
+    // RUNNING mean μ_i, PH_t = m_t − min_{i≤t} m_i, alarm at λ. Every
+    // term derives from exact integer cumsums in day order (running
+    // sums evaluate in frame order in both engines, so the double fold
+    // is identical); day-bounded windows throughout.
+    Q("ts_page_hinkley", {
+      val DELTA = 2.0; val LAMBDA = 100.0
+      (s, d) => {
+        val w = Window.orderBy("day") // day-bounded
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cx", sum("x").over(wRun))
+          .withColumn("dev", col("x").cast("double") -
+            col("cx").cast("double") / col("i").cast("double") - lit(DELTA))
+          .withColumn("m", sum("dev").over(wRun))
+          .withColumn("ph", col("m") - min("m").over(wRun))
+          .select(col("day").cast("string").as("day"), col("x"),
+            round(col("ph"), 4).as("ph"),
+            (col("ph") > LAMBDA).as("alarm"))
+          .orderBy("day")
+      }
+    },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (
+             |  SELECT day, CAST(x AS BIGINT) AS x,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             |    CAST(SUM(x) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cx
+             |  FROM daily),
+             |m AS (
+             |  SELECT day, x,
+             |    SUM(CAST(x AS DOUBLE) - CAST(cx AS DOUBLE)
+             |        / CAST(i AS DOUBLE) - 2.0)
+             |      OVER (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+             |  FROM r)
+             |SELECT CAST(day AS VARCHAR) AS day, x,
+             |  ROUND(mm - MIN(mm) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ph,
+             |  (mm - MIN(mm) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 100.0
+             |    AS alarm
+             |FROM m ORDER BY day""".stripMargin)),
+
     // VAR(1) coefficient matrix for the (clicks, views) daily pair —
     // the multivariate sibling of ts_granger/ts_cointegration: how
     // much does each series' today depend on BOTH series' yesterday

@@ -371,6 +371,73 @@ object TextAnalysis {
               |FROM lines l JOIN df d USING (line)
               |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Length-bias audit of the quality judge (r12) — the known RLHF
+    // reward-model pathology: does the "judge" (the quality score)
+    // systematically prefer LONGER responses? Per source, the Pearson
+    // correlation between n_words and quality over that source's docs
+    // — a strongly positive r across sources means the gate is buying
+    // length, not quality, and downstream best-of-n / preference-pair
+    // selection inherits the bias. Exactness: quality rides its 4dp
+    // integer grid (y = quality·10⁴), n_words is an integer, so all
+    // five moment sums are exact BIGINTs and r is one mirrored double
+    // expression per source row.
+    Q("llm_length_bias",
+      (s, d) => {
+        val q = graft.api.TextMetrics
+          .quality(Tables.documents(s, d), "doc_id", "text", STOP)
+          .select(col("doc_id"), col("n_words").as("x"),
+            floor(col("quality") * 10000.0 + 0.5).cast("long").as("y"))
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val m = q.join(src, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast("double")
+        val cov = nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val vx = nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val vy = nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        m.select(col("source"), col("n").as("n_docs"),
+            round(col("sx").cast("double") / nD, 4).as("mean_words"),
+            round(col("sy").cast("double") / (nD * lit(10000.0)), 4)
+              .as("mean_quality"),
+            round(cov / sqrt(nullif(vx * vy, lit(0.0))), 4)
+              .as("length_quality_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(t) AS BIGINT) AS x,
+              |    CAST(floor((0.4 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+              |      + 0.4 * (1.0 - CAST(len(list_filter(t, x -> x IN ($SQL_STOP))) AS DOUBLE) / len(t))
+              |      + 0.2 * least((CAST(n_letters AS DOUBLE) / len(t)) / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS y
+              |  FROM (SELECT doc_id, source, $SQL_TOKENIZE AS t,
+              |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+              |    FROM documents) z),
+              |m AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+              |    CAST(SUM(y * y) AS BIGINT) AS syy,
+              |    CAST(SUM(x * y) AS BIGINT) AS sxy
+              |  FROM q GROUP BY source)
+              |SELECT source, n AS n_docs,
+              |  ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_words,
+              |  ROUND(CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4)
+              |    AS mean_quality,
+              |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |    / sqrt(NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)), 4)
+              |    AS length_quality_r
+              |FROM m ORDER BY source""".stripMargin)),
+
     // Matthews correlation coefficient of the quality gate (r12): the
     // 2×2 confusion between the quality-score gate (quality ≥ 0.75 —
     // the classifier) and the well-formed-length truth twin (25 ≤
