@@ -296,7 +296,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_boilerplate_lines", "stat_mcc", "graph_bowtie",
       "stat_gamma_fit", "stat_beta_fit", "stat_negbinom_fit",
       "sql_named_window", "llm_tokenizer_drift", "ts_var1",
-      "ann_recall_audit").distinct
+      "ann_recall_audit", "dq_composition_drift", "llm_length_bias",
+      "ts_page_hinkley").distinct
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
