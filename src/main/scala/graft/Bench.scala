@@ -95,9 +95,21 @@ object Bench {
       if (java.nio.file.Files.exists(prevPath)) {
         val prevTxt = java.nio.file.Files.readString(prevPath)
         val entry = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-        val prev = entry.findAllMatchIn(prevTxt)
+        val prevMedian = entry.findAllMatchIn(prevTxt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => results.contains(k) }.toMap
+        // Prefer the prev run's per-query MIN (first element of its
+        // "spread" arrays) as the comparison floor: r12's gate compared
+        // current mins against prev MEDIANS, so a prev file captured on
+        // an idle box phantom-flagged queries whose floor never moved
+        // (r12 verdict What's-wrong #1: both flagged "regressions"
+        // adjudicated to their r11 levels). min-vs-min is the only
+        // contention-robust pairing.
+        val spreadEntry = """"([A-Za-z0-9_]+)":\[([0-9]+\.[0-9]+),""".r
+        val prevMin0 = spreadEntry.findAllMatchIn(prevTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => results.contains(k) }.toMap
+        val prev = if (prevMin0.nonEmpty) prevMin0 else prevMedian
         // Gate on the per-query MIN, not the median: all passes share
         // one machine, so contention inflates every sample and the
         // median still phantom-flags (r10: 22 flagged, ~19 phantoms).
@@ -114,7 +126,14 @@ object Bench {
       System.err.println(s"[bench] regression diff failed: ${e.getMessage}")
     }
     // Compact headline LAST: it must sit inside any stdout tail window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$stat,"n_queries":${results.size},"full":"PERF_data/bench_last.json"}""")
+    // total_min = sum of per-query minima across the interleaved passes
+    // — the contention-resistant round-over-round comparison metric
+    // (r12 verdict Next #1: the median-sum carried a ~30% machine-load
+    // phantom, 359 s official vs 274.8 s idle on the same commit).
+    // Compare total_min across rounds; the median "value" stays for
+    // continuity with r1-r12 history.
+    val totalMin = if (qmin.nonEmpty) qmin.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sf":"$sfDir"$stat,"n_queries":${results.size},"full":"PERF_data/bench_last.json"}""")
     // The driver keeps only a ~2 kB tail of stdout, which truncates the
     // per-query map past ~60 queries — persist the complete line so the
     // full history is committable every round (VERDICT r4 item 5).

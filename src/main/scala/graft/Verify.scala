@@ -16,7 +16,12 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length >= 4 && args(2) == "--only") Some(args(3).split(",").toSet)
       else if (args.length >= 4 && args(2) == "--shards") {
-        val Array(i, n) = args(3).split("/").map(_.toInt)
+        // Validate shape before destructuring (r12 ADVICE): a malformed
+        // "--shards 3" must hit the friendly require, not a MatchError.
+        val parts = args(3).split("/").toSeq.map(p => scala.util.Try(p.toInt))
+        require(parts.length == 2 && parts.forall(_.isSuccess),
+          s"--shards wants i/n with 0<=i<n, got ${args(3)}")
+        val Seq(i, n) = parts.map(_.get)
         require(n > 0 && i >= 0 && i < n, s"--shards wants i/n with 0<=i<n, got ${args(3)}")
         Some(SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
           .collect { case (name, idx) if idx % n == i => name }.toSet)

@@ -199,9 +199,29 @@ object Dedup {
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
     if (verifyCache.size > 16) verifyCache.clear()
-    verifyCache.computeIfAbsent(key, _ =>
+    getOrBuild(verifyCache, key)(
       jaccardFromShingles(persistedShingles(docs, idCol, textCol),
         threshold, k, bands).localCheckpoint())
+  }
+
+  /** get-or-build WITHOUT holding the CHM bin lock for the duration of
+    * the Spark jobs (r12 ADVICE): computeIfAbsent would run the full
+    * shingle/LSH pipeline + eager localCheckpoint inside the bin lock,
+    * blocking any concurrent caller that hashes to the same bin. A
+    * race loser's duplicate build is released best-effort and the
+    * winner's value returned, so all callers still observe one value.
+    */
+  private def getOrBuild[K](
+      cache: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      key: K)(build: => DataFrame): DataFrame = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(key, built)
+      if (prev == null) built
+      else { Similarity.releaseCheckpoint(built); prev }
+    }
   }
 
   /** Incremental (batch-vs-corpus) near-dup flagging: each NEW doc
@@ -472,7 +492,7 @@ object Dedup {
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
     if (compCache.size > 16) compCache.clear()
-    compCache.computeIfAbsent(key, _ =>
+    getOrBuild(compCache, key)(
       computeNearDupComponents(docs, idCol, textCol, threshold, k,
         bands, maxIters))
   }

@@ -201,6 +201,22 @@ object Similarity {
     */
   private[graft] def clearCodebookCache(): Unit = codebookCache.clear()
 
+  /** Best-effort block release for an evicted/orphaned localCheckpoint'd
+    * DataFrame (r12 ADVICE): the checkpoint blocks belong to the
+    * LogicalRDD's rdd, which plain df.unpersist() does not reach (the
+    * df was never CacheManager-cached), so they would otherwise wait
+    * for GC/ContextCleaner. Skips dead contexts — their blocks died
+    * with the context.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    try if (!df.sparkSession.sparkContext.isStopped)
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    catch { case _: Throwable => () }
+
   /** (path, length, mtime) of every file behind file-source leaves —
     * cheap (the FileIndex has already listed) and exactly the staleness
     * signal the plan key lacks (InMemoryFileIndex equality is by root

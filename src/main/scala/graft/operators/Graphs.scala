@@ -68,6 +68,11 @@ object Graphs {
     */
   private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
+  // Evictions release their localCheckpoint blocks via
+  // graft.api.Similarity.releaseCheckpoint (r12 ADVICE): wholesale
+  // clear() used to leave them to GC/ContextCleaner.
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    graft.api.Similarity.releaseCheckpoint(df)
   private def memoPairs(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
@@ -75,7 +80,10 @@ object Graphs {
     val it = pairsMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    if (pairsMemo.size > 16) pairsMemo.clear()
+    if (pairsMemo.size > 16) {
+      pairsMemo.values().forEach(releaseCheckpoint(_))
+      pairsMemo.clear()
+    }
     pairsMemo.computeIfAbsent(key, _ => build.localCheckpoint())
   }
   private def pairs(s: SparkSession, d: String): DataFrame =
@@ -2034,7 +2042,10 @@ object Graphs {
     val it = sccMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-    if (sccMemo.size > 16) sccMemo.clear()
+    if (sccMemo.size > 16) {
+      sccMemo.values().forEach(releaseCheckpoint(_))
+      sccMemo.clear()
+    }
     sccMemo.computeIfAbsent(key, _ => graft.api.Graph
       .stronglyConnectedComponents(directedEdges(s, d), "du", "dv"))
   }

@@ -181,6 +181,7 @@ object Pipeline {
         }.reduce(_ unionByName _)
           .orderBy("version")
           .localCheckpoint()
+        logDf.unpersist(blocking = false)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
         out
@@ -366,6 +367,7 @@ object Pipeline {
               .cast("double").as("delta_sum"))
           .orderBy("change_type")
           .localCheckpoint()
+        logDf.unpersist(blocking = false)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
         out
@@ -516,6 +518,10 @@ object Pipeline {
         }.reduce(_ unionByName _)
           .orderBy("branch")
           .localCheckpoint()
+        // Release the log cache before deleting its source files (r12
+        // ADVICE): the memoTxn entry would otherwise pin a CacheManager
+        // entry whose parquet/json no longer exists for the session.
+        logDf.unpersist(blocking = false)
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
         out

@@ -51,10 +51,14 @@ object Stats2 {
         val v = (col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") / nD) /
           (nD - lit(1.0))
+        // NULLIF-guard both estimator denominators (r12 ADVICE): on a
+        // degenerate fixture (zero variance / empty table) Spark
+        // non-ANSI yields NULL while DuckDB IEEE division yields
+        // inf/NaN — guarding BOTH engines pins NULL on both.
         a.select(col("n"),
           round(m, 4).as("mean"), round(v, 4).as("variance"),
-          round(m * m / v, 4).as("k_hat"),
-          round(v / m, 4).as("theta_hat"))
+          round(m * m / nullif(v, lit(0.0)), 4).as("k_hat"),
+          round(v / nullif(m, lit(0.0)), 4).as("theta_hat"))
       },
       Some("""WITH a AS (
              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -70,13 +74,13 @@ object Stats2 {
              |    / (CAST(n AS DOUBLE) - 1.0), 4) AS variance,
              |  ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
              |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-             |    / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |    / NULLIF((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
              |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-             |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS k_hat,
+             |      / (CAST(n AS DOUBLE) - 1.0), 0.0), 4) AS k_hat,
              |  ROUND(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
              |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
              |      / (CAST(n AS DOUBLE) - 1.0))
-             |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS theta_hat
+             |    / NULLIF(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 4) AS theta_hat
              |FROM a""".stripMargin)),
 
     // Beta distribution fit by method of moments over the quality
@@ -97,7 +101,7 @@ object Stats2 {
         val m = col("sy").cast("double") / (nD * lit(10000.0))
         val v = (col("sy2").cast("double") / lit(1.0e8) -
           nD * m * m) / (nD - lit(1.0))
-        val c = m * (lit(1.0) - m) / v - lit(1.0)
+        val c = m * (lit(1.0) - m) / nullif(v, lit(0.0)) - lit(1.0)
         a.select(col("n"), round(m, 4).as("mean"),
           round(v, 6).as("variance"),
           round(m * c, 4).as("alpha_hat"),
@@ -125,17 +129,17 @@ object Stats2 {
               |  ROUND((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |    * ((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |      * (1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
-              |      / ((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
+              |      / NULLIF((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
               |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)))
-              |        / (CAST(n AS DOUBLE) - 1.0)) - 1.0), 4) AS alpha_hat,
+              |        / (CAST(n AS DOUBLE) - 1.0), 0.0) - 1.0), 4) AS alpha_hat,
               |  ROUND((1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |    * ((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |      * (1.0 - CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
-              |      / ((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
+              |      / NULLIF((CAST(sy2 AS DOUBLE) / 1e8 - CAST(n AS DOUBLE)
               |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
               |          * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)))
-              |        / (CAST(n AS DOUBLE) - 1.0)) - 1.0), 4) AS beta_hat
+              |        / (CAST(n AS DOUBLE) - 1.0), 0.0) - 1.0), 4) AS beta_hat
               |FROM a""".stripMargin)),
 
     // Negative-binomial fit by method of moments over daily purchase
@@ -157,11 +161,13 @@ object Stats2 {
         val v = (col("sc2").cast("double") -
           col("sc").cast("double") * col("sc").cast("double") / nD) /
           (nD - lit(1.0))
+        // dispersion/p_hat denominators NULLIF-guarded like r_hat (r12
+        // ADVICE): degenerate fixtures otherwise diverge NULL vs inf.
         a.select(col("n").as("n_days"),
           round(m, 4).as("mean"), round(v, 4).as("variance"),
-          round(v / m, 4).as("dispersion"),
+          round(v / nullif(m, lit(0.0)), 4).as("dispersion"),
           round(m * m / nullif(v - m, lit(0.0)), 4).as("r_hat"),
-          round(m / v, 4).as("p_hat"))
+          round(m / nullif(v, lit(0.0)), 4).as("p_hat"))
       },
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
@@ -179,7 +185,7 @@ object Stats2 {
              |  ROUND(((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
              |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
              |      / (CAST(n AS DOUBLE) - 1.0))
-             |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS dispersion,
+             |    / NULLIF(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 4) AS dispersion,
              |  ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
              |      * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
              |    / NULLIF((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
@@ -187,9 +193,9 @@ object Stats2 {
              |      / (CAST(n AS DOUBLE) - 1.0)
              |      - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 4) AS r_hat,
              |  ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-             |    / ((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+             |    / NULLIF((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
              |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-             |      / (CAST(n AS DOUBLE) - 1.0)), 4) AS p_hat
+             |      / (CAST(n AS DOUBLE) - 1.0), 0.0), 4) AS p_hat
              |FROM a""".stripMargin)),
 
     // Page–Hinkley sequential changepoint detector (r12) over daily
