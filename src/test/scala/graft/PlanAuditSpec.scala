@@ -310,6 +310,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_decontaminate_sweep: ONE corpus tokenize feeds all three settings") {
+    // r12 verdict Next #2: the union-of-settings form re-ran
+    // tokenize+explode+distinct per setting (3 CORPUS passes). The
+    // single tagged-gram-stream form splits bench/corpus via PUSHED
+    // doc_id range filters — the corpus side (doc_id >= 20, the
+    // 100-TB-scaling side) is scanned and tokenized exactly once; the
+    // bench side is a separate constant-size (20-doc) scan. Assert on
+    // the FINAL adaptive plan section only (the AQE string appends the
+    // initial plan after it).
+    val df = SparkEntry.queries("llm_decontaminate_sweep")(spark,
+      TestSpark.sf0001)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPart = p.split("== Initial Plan ==").head
+    def scans(pred: String => Boolean) = finalPart.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents") && pred(l))
+    val corpusScans = scans(_.contains("GreaterThanOrEqual(doc_id,20)"))
+    val allDocScans = scans(_ => true)
+    assert(corpusScans == 1 && allDocScans <= 2,
+      s"expected exactly 1 corpus-side documents scan (one corpus " +
+        s"tokenize pass) and at most 1 bench-side, got corpus=" +
+        s"$corpusScans total=$allDocScans:\n$p")
+  }
+
   test("graph_scc: peeled SCC labels are internally consistent at sf0.001") {
     // every member's scc_id is the component's min id, scc_ids are
     // members of their own component, and the directed edge derivation
