@@ -4,9 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only stage-level timing probe for stat_spearman (r11 verdict
-  * item #2): times each seam of the two-pass bounded-domain rank
-  * device separately at driver conditions so the 2.9-4.7 s cost can
-  * be attributed. Usage: runMain graft.SpearmanProbe [sfDir]
+  * item #2; reshaped r13 alongside the query): times each seam of the
+  * two-scan bounded-domain rank pipeline separately at driver
+  * conditions so the cost can be attributed. Stages: (1) the
+  * domain-bounded (flag, quantity) freq collect + driver ranks,
+  * (2) the raw-fact → (flag, price) cell aggregate (the only
+  * fact-sized shuffle), (3) the grouped prefix-sum ranking device,
+  * (4) the final per-flag moment aggregate.
+  * Usage: runMain graft.SpearmanProbe [sfDir]
   */
 object SpearmanProbe {
   def main(args: Array[String]): Unit = {
@@ -31,17 +36,12 @@ object SpearmanProbe {
     }
     (1 to 2).foreach { rep =>
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
-      val c3 = time(s"[$rep] c3 fact agg+checkpoint") {
-        val c = Tables.lineitem(spark, d)
-          .groupBy(col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"))
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
-        c.count(); c
-      }
+      val fact = Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
       val rq = time(s"[$rep] fq collect + driver ranks") {
-        val fq = c3.groupBy(col("l_returnflag"), col("l_quantity"))
-          .agg(sum(col("cnt")).as("cnt"))
+        val fq = fact.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
         val fqSchema = fq.schema
         val fqRows = fq.collect()
         def qnum(r: org.apache.spark.sql.Row): Double = r.get(1) match {
@@ -65,20 +65,19 @@ object SpearmanProbe {
             org.apache.spark.sql.types.StructField("r2_q",
               org.apache.spark.sql.types.LongType)))
       }
-      val cells = time(s"[$rep] cells join+agg+checkpoint") {
-        val c = c3.join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
+      val cells = time(s"[$rep] raw-fact cells agg (materialize)") {
+        val c = fact.join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
           .groupBy(col("l_returnflag"), col("l_extendedprice"))
-          .agg(sum(col("cnt")).as("cnt"),
-            sum(dec(col("cnt")) * dec(col("r2_q"))).as("sqx"),
-            sum(dec(col("cnt")) * dec(col("r2_q")) * dec(col("r2_q")))
-              .as("sqx2"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("r2_q"))).as("sqx"),
+            sum(dec(col("r2_q")) * dec(col("r2_q"))).as("sqx2"))
           .localCheckpoint()
         c.count(); c
       }
       val dev = time(s"[$rep] ranking device (materialize)") {
         graft.api.Ranking.withGroupedPrefixSum(cells,
             Seq("l_returnflag"), Seq(col("l_extendedprice")), col("cnt"),
-            outCol = "cumb")
+            outCol = "cumb", partitions = 8)
           .withColumn("r2_p", col("cumb") * 2 + col("cnt") + 1)
           .localCheckpoint()
       }
