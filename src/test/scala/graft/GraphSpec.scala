@@ -39,10 +39,51 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("non-convergence bound throws instead of truncating") {
-    val e = bothDirs((0L until 10L).map(i => (i, i + 1)))
+    // long enough that even the pointer-doubled loop (O(log diameter))
+    // cannot finish in 3 rounds
+    val e = bothDirs((0L until 200L).map(i => (i, i + 1)))
     assertThrows[IllegalStateException] {
       graft.api.Graph.connectedComponents(e, "u", "v", maxIters = 3).collect()
     }
+  }
+
+  test("pointer doubling: 200-node path converges in O(log n) rounds, exact labels") {
+    // 199-hop diameter; the 1-hop-per-round form needed 199 rounds,
+    // the doubled form must land well under 20 (maxIters enforces it)
+    val e = bothDirs((0L until 199L).map(i => (i, i + 1)))
+    val comp = graft.api.Graph.connectedComponents(e, "u", "v", maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200 && comp.values.forall(_ == 0L))
+  }
+
+  test("SCC peel survives id-adversarial chains longer than the old 50-round bound") {
+    import spark.implicits._
+    // r12 verdict Next #6: outer rounds used to equal the longest
+    // id-decreasing chain in the condensation DAG (one peel per round,
+    // throws at 50). The (f, b) class cut must shatter BOTH
+    // orientations of a 120-edge chain into singleton SCCs without
+    // tripping maxOuter.
+    val inc = (0L until 120L).map(i => (i, i + 1)).toDF("du", "dv")
+    val dec = (0L until 120L).map(i => (i + 1, i)).toDF("du", "dv")
+    Seq(inc, dec).foreach { edges =>
+      val scc = graft.api.Graph
+        .stronglyConnectedComponents(edges, "du", "dv")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scc.size == 121, s"expected 121 nodes, got ${scc.size}")
+      assert(scc.forall { case (n, c) => n == c },
+        "every chain node must be its own singleton SCC")
+    }
+    // and a chain THROUGH a real cycle: 2-cycle {60, 61} embedded in a
+    // decreasing chain — the cycle must survive the class cut intact
+    val mixed = ((0L until 120L).map(i => (i + 1, i)) :+ (60L, 61L))
+      .toDF("du", "dv")
+    val scc2 = graft.api.Graph
+      .stronglyConnectedComponents(mixed, "du", "dv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc2(61L) == 60L && scc2(60L) == 60L,
+      "embedded 2-cycle must form one SCC labelled by its min id")
+    assert(scc2.count { case (n, c) => n != c } == 1,
+      "only the cycle partner joins another node's SCC")
   }
 
   test("hopDistances: path graph distances are exact, unreachable nodes absent") {
