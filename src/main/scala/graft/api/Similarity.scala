@@ -3,7 +3,7 @@ package graft.api
 import java.security.MessageDigest
 
 import graft.functions.{CosineSim, SqL2}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.Bridge
@@ -647,6 +647,58 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(table)
+  }
+
+  /** Retrain-decision audit of a persisted IVF index — the "WHEN to
+    * rebuild" signal [[appendToIvfIndex]]'s continuous-ingestion story
+    * needs: after batches accrete against the FROZEN codebook, report
+    * per cell
+    *   - `n_vecs` — postings count,
+    *   - `fill_factor` — n_vecs·k / corpus (1.0 = perfectly balanced;
+    *     skew means some cells answer most probes and serving degrades),
+    *   - `drift` — squared-L2 distance between the frozen centroid and
+    *     the EXACT per-dimension mean of the vectors currently posted
+    *     to the cell (the Lloyd-update device: DECIMAL(38,20) sums cast
+    *     to double, so the mean is partitioning-independent and
+    *     cross-engine identical; distance is the index-ordered
+    *     [[graft.functions.SqL2]] fold behind a ROUND(4)).
+    * A deployment rebuilds via [[writeIvfIndex]] when drift or fill
+    * skew crosses its threshold.
+    *
+    * Scale shape: one scan of the postings artifact into a
+    * (cell, dim)-keyed aggregate — k×dims result cells, model-sized at
+    * any corpus size — then a broadcast join against the k-row codebook
+    * frame; no pairwise stage, no corpus-side Exchange beyond the one
+    * aggregate shuffle of k×dims partial rows.
+    */
+  def ivfIndexDrift(spark: SparkSession, table: String,
+      codebook: Array[Array[Double]]): DataFrame = {
+    SqL2.register(spark)
+    val postings = spark.table(table)
+    val m = postings
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast("decimal(38,20)")).cast("double") /
+        count(lit(1))).as("dv"))
+    val mv = m.groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("dv")))),
+        e => e.getField("dv")).as("mv"))
+    val counts = postings.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val cents = spark.createDataFrame(
+        codebook.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+          (i, v.toIndexedSeq)
+        })
+      .toDF("cell", "c_v")
+    // corpus total over the ≤k-row cell frame — the single-partition
+    // window is over model-sized data, never the corpus
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.join(mv, "cell").join(broadcast(cents), "cell")
+      .withColumn("__t", sum(col("n_vecs")).over(wAll))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") * codebook.length / col("__t"),
+          4).as("fill_factor"),
+        round(expr("sq_l2(mv, c_v)"), 4).as("drift"))
   }
 
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted

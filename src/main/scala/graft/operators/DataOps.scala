@@ -1932,7 +1932,8 @@ object DataOps {
       annRangeQuery, embeddingDriftQuery,
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
-      annIndexPersistedQuery, annIndexAppendQuery, annRecallAuditQuery,
+      annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
+      annRecallAuditQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2250,6 +2251,69 @@ object DataOps {
          |  WHERE a.vec_id % 97 = 5) t
          |WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     Q("ann_index_append", fn, Some(sql))
+  }
+
+  /** The retrain-decision audit closing the IVF index lifecycle (r13,
+    * VERDICT next-round #5): after [[graft.api.Similarity
+    * .appendToIvfIndex]] batches accrete against the FROZEN codebook
+    * (same artifact + memo as ann_index_append, so whichever query runs
+    * first pays the one build), report per cell the fill factor and the
+    * centroid drift — the squared-L2 distance between the frozen
+    * centroid and the exact per-dimension mean of the postings now in
+    * the cell ([[graft.api.Similarity.ivfIndexDrift]]). This is the
+    * signal that tells a 100-TB deployment WHEN to rebuild: drift grows
+    * as ingestion shifts the distribution the codebook was trained on;
+    * fill skew shows cells absorbing most of the probe traffic. The
+    * oracle trains the k-means CTE chain on the initial cohort
+    * (vec_id % 3 ≠ 0), assigns ALL vectors to those frozen cells —
+    * exactly the artifact's content after the append — and mirrors the
+    * decimal-exact Lloyd-update mean + ordered L2 fold.
+    */
+  private def annIndexDriftQuery: Q = {
+    val K = 16; val ITERS = ORACLE_ITERS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val table = s"graft_ann_idx.ivfapp_$key"
+      val embs = Tables.embeddings(s, d)
+      val codebook = annIdxCodebooks.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val cb = graft.api.Similarity.writeIvfIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, K, ITERS)
+        graft.api.Similarity.appendToIvfIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, cb)
+        cb
+      })
+      graft.api.Similarity.ivfIndexDrift(s, table, codebook)
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          col("fill_factor"), col("drift"))
+        .orderBy("cell")
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
+         |allv AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |${kmAssign(s"cb$ITERS", "afull", 1, src = "allv")},
+         |m AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+         |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |        FROM afull) e
+         |  GROUP BY cell, pos),
+         |mvt AS (SELECT cell, list(dv ORDER BY pos) AS mv FROM m GROUP BY cell),
+         |cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM afull GROUP BY cell),
+         |tot AS (SELECT COUNT(*) AS t FROM afull)
+         |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs,
+         |  ROUND(CAST(n_vecs AS DOUBLE) * $K / t, 4) AS fill_factor,
+         |  ROUND(${kmL2("mvt.mv", "c.v")}, 4) AS drift
+         |FROM cnt JOIN mvt USING (cell) JOIN cb$ITERS c ON cnt.cell = c.c_id, tot
+         |ORDER BY cell""".stripMargin
+    Q("ann_index_drift", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

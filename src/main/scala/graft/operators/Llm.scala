@@ -96,7 +96,7 @@ object Llm {
     * `dedup_index_incremental` (persisted bucketed artifact): both
     * compute the same rows, only the Spark-side physical shape differs.
     */
-  private val SQL_INCREMENTAL =
+  private[graft] val SQL_INCREMENTAL =
     s"""WITH banded AS ($SQL_BANDED),
        |cands AS (
        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id

@@ -63,9 +63,21 @@ class RunningCountCents
   * as a bounded file source (`readStream` → transform → sink →
   * `processAllAvailable` → stop) and returns the sink contents as a
   * batch DataFrame, so the driver's rows>0 / count harness applies.
-  * DuckDB has no streaming semantics → oracles legitimately omitted
-  * (SURVEY.md §2.I); windowed/watermark semantics are cross-checked by
-  * the batch twins (`heat_daily`, `win_range_frame`) and StreamingSpec.
+  *
+  * Oracles (r13): a streaming query IS batch-oracle-able whenever its
+  * final sink contents are provably batch-equal — complete-mode aggs
+  * (last overwrite = full aggregate, split-independent), stateless
+  * transforms/joins (exactly-once append = batch result), and
+  * watermark-FINALIZED append aggs (single staged source file ⇒ one
+  * data batch ⇒ final watermark = max event time − delay, so the
+  * finalized set is the batch aggregate filtered on window end ≤ wm —
+  * the catch-up twins' device, applied to the memory-sink bases too).
+  * Oracles stay legitimately omitted only where the output is
+  * engine-specific: HLL sketch values (stream_sliding) and update-mode
+  * float accumulation order (stream_transformwithstate); SURVEY.md §2.I
+  * records the sanctioned list. Windowed/watermark semantics are
+  * additionally cross-checked by the batch twins (`heat_daily`,
+  * `win_range_frame`) and StreamingSpec's MemoryStream cases.
   *
   * Scale notes: state is bounded by watermarks everywhere state exists
   * (windowed aggs, dedup, stream-stream join); session windows merge
@@ -221,7 +233,13 @@ object Streams {
         runToMemory(agg, "complete")
           .select(tsStr("window.start").as("w_start"), col("event_type"), col("n"))
           .orderBy("w_start", "event_type")
-      }, None),
+      },
+      // complete mode: the last micro-batch overwrite IS the full batch
+      // aggregate, whatever the batch split — direct oracle (r13)
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+             |    '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  event_type, COUNT(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("stream_sliding",
       (s, d) => {
@@ -249,7 +267,35 @@ object Streams {
             tsStr("session_window.start").as("sess_start"),
             tsStr("session_window.end").as("sess_end"), col("n_events"))
           .orderBy("user_id", "sess_start")
-      }, None),
+      },
+      // direct oracle (r13): the stream_session_catchup island device,
+      // here returning the per-session rows themselves (start = first
+      // event, end = last event + 30 min, finalized when end ≤ the
+      // final watermark = max event time − 10 min)
+      Some("""WITH e AS (SELECT user_id, ts FROM events),
+             |wm AS (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM e),
+             |b AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           >= INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, ts,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM b),
+             |sess AS (
+             |  SELECT user_id, COUNT(*) AS n_events, min(ts) AS s_start,
+             |    max(ts) + INTERVAL 30 MINUTE AS s_end
+             |  FROM g GROUP BY user_id, sid)
+             |SELECT user_id,
+             |  strftime(s_start, '%Y-%m-%d %H:%M:%S') AS sess_start,
+             |  strftime(s_end, '%Y-%m-%d %H:%M:%S') AS sess_end, n_events
+             |FROM sess, wm WHERE epoch_us(s_end) <= w
+             |ORDER BY user_id, sess_start""".stripMargin)),
 
     // Append-mode tumbling agg: late rows (older than watermark) are
     // dropped and unfinalized trailing windows withheld — the
@@ -264,7 +310,18 @@ object Streams {
         runToMemory(agg, "append")
           .select(tsStr("window.start").as("w_start"), col("n"))
           .orderBy("w_start")
-      }, None),
+      },
+      // direct oracle (r13): stream_late_catchup's finalization device —
+      // single staged file ⇒ one data batch ⇒ nothing is ever late, and
+      // append emits exactly the windows whose end ≤ final watermark
+      Some("""WITH wm AS (
+             |  SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM events),
+             |b AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, COUNT(*) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, n
+             |FROM b, wm WHERE epoch_us(ws + INTERVAL 1 HOUR) <= w
+             |ORDER BY w_start""".stripMargin)),
 
     Q("stream_dedup",
       (s, d) => {
@@ -273,7 +330,13 @@ object Streams {
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("user_id"), col("event_type"))
         runToMemory(deduped, "append").orderBy("event_id")
-      }, None),
+      },
+      // direct oracle (r13): event_id is unique in the fixture, so the
+      // dedup must be a NO-OP — the oracle pins exactly-once delivery
+      // and no-false-drops (real duplicate handling is pinned by
+      // stream_dedup_catchup + StreamingSpec's MemoryStream case)
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |ORDER BY event_id""".stripMargin)),
 
     // Stream-static join is stateless on the stream side; the static
     // dim would be broadcast on a cluster.
@@ -285,7 +348,12 @@ object Streams {
           .join(cust, col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
         runToMemory(joined, "append").orderBy("event_id")
-      }, None),
+      },
+      // direct oracle (r13): stateless exactly-once append ⇒ the sink
+      // is the batch inner join, whatever the micro-batch split
+      Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY e.event_id""".stripMargin)),
 
     // Stream-stream interval join: both sides watermarked, join window
     // bounded to 1h → state eviction is safe on both sides.
@@ -307,7 +375,17 @@ object Streams {
             col("c_ts") <= col("p_ts"))
           .select(col("p_id"), col("c_id"), col("p_user"))
         runToMemory(joined, "append").orderBy("p_id", "c_id")
-      }, None),
+      },
+      // direct oracle (r13): inner stream-stream matches emit as found;
+      // single staged file ⇒ both sides fully present in batch one ⇒
+      // the sink is the complete batch interval join
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  p.user_id AS p_user
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |ORDER BY p_id, c_id""".stripMargin)),
 
     // LEFT OUTER stream-stream join: same watermarked interval join,
     // but purchases with NO preceding click in the hour still emit
@@ -337,7 +415,31 @@ object Streams {
           .select(col("p_id"), col("c_id"), col("p_user"),
             col("c_id").isNull.as("unattributed"))
         runToMemory(joined, "append").orderBy("p_id", "c_id")
-      }, None),
+      },
+      // direct oracle (r13): matches emit as found (both sides in batch
+      // one); unmatched purchases null-emit on state EVICTION, which
+      // happens once the final watermark — min(max purchase ts, max
+      // click ts) − 1 h, ms-truncated — passes p_ts (the latest click
+      // that could still match p has c_ts = p_ts). Purchases still open
+      // at end-of-stream are withheld: production fallout semantics,
+      // same rule as stream_outer_catchup.
+      Some("""WITH p AS (
+             |  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+             |  FROM events WHERE event_type = 'click'),
+             |wm AS (
+             |  SELECT (epoch_ms(LEAST((SELECT max(p_ts) FROM p),
+             |    (SELECT max(c_ts) FROM c))) - 3600000) * 1000 AS w),
+             |j AS (
+             |  SELECT p.p_id, c.c_id, p.p_user, p.p_ts
+             |  FROM p LEFT JOIN c ON p.p_user = c.c_user
+             |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+             |    AND c.c_ts <= p.p_ts)
+             |SELECT p_id, c_id, p_user, c_id IS NULL AS unattributed
+             |FROM j, wm WHERE c_id IS NOT NULL OR epoch_us(p_ts) < wm.w
+             |ORDER BY p_id, c_id""".stripMargin)),
 
     // Arbitrary stateful processing: running per-user event count kept
     // in GroupState; emits the updated count each batch (update mode).
@@ -358,7 +460,12 @@ object Streams {
           }(longEnc, tupEnc)
           .toDF("user_id", "running_count")
         runToMemory(counted, "update").orderBy("user_id")
-      }, None),
+      },
+      // direct oracle (r13): single staged file ⇒ one data batch ⇒ each
+      // user emits exactly once, with its full count (the multi-batch
+      // recovery variant is stream_fmgws_catchup's max-count device)
+      Some("""SELECT user_id, COUNT(*) AS running_count
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Spark 4 transformWithState: typed ValueState in the RocksDB state
     // store (required provider for this API) — per-user running value
@@ -1107,7 +1214,12 @@ object Streams {
         q.processAllAvailable()
         q.stop()
         s.read.parquet(outDir).orderBy("event_id")
-      }, None),
+      },
+      // direct oracle (r13): stateless pass-through under exactly-once
+      // foreachBatch append — the sink is the source, whatever the
+      // batch split (no arithmetic, so `value` stays bit-identical)
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin)),
 
     // Streaming ingest deduped against the PERSISTED band index — the
     // continuous-crawl architecture that joins this repo's two praised
@@ -1147,6 +1259,12 @@ object Streams {
         q.processAllAvailable()
         q.stop()
         s.read.parquet(outDir).orderBy("doc_id")
-      }, None)
+      },
+      // direct oracle (r13): each arriving doc's verdict is computed
+      // against the SAME frozen corpus index independently of its
+      // batch, so the streamed union equals the one-shot batch check —
+      // byte-identical to llm_incremental_dedup/dedup_index_incremental
+      // (same split, same k/bands/threshold), hence the same oracle
+      Some(graft.operators.Llm.SQL_INCREMENTAL))
   )
 }

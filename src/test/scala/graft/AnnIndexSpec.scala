@@ -70,6 +70,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < codebook.length))
   }
 
+  test("ivfIndexDrift flags a shifted append batch above an unshifted one") {
+    // the retrain-decision signal (r13): appending a distribution-
+    // SHIFTED batch must raise the measured centroid drift of the
+    // affected cells above what the same-distribution append produces
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val init = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    val shifted = batch.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.5f)))
+    def driftAfter(table: String, b: org.apache.spark.sql.DataFrame): Double = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val cb = graft.api.Similarity
+        .writeIvfIndex(init, "vec_id", "embedding", table)
+      graft.api.Similarity.appendToIvfIndex(b, "vec_id", "embedding", table, cb)
+      val rows = graft.api.Similarity.ivfIndexDrift(spark, table, cb).collect()
+      assert(rows.nonEmpty)
+      // fill factors of occupied cells average ≤ k/occupied · 1.0 and
+      // the counts cover the whole corpus
+      assert(rows.map(_.getAs[Long]("n_vecs")).sum == init.count() + b.count())
+      rows.map(_.getAs[Double]("drift")).max
+    }
+    val plain = driftAfter("graft_buckets.ann_drift_a", batch)
+    val moved = driftAfter("graft_buckets.ann_drift_b", shifted)
+    assert(moved > plain,
+      s"shifted-batch drift $moved must exceed unshifted $plain")
+  }
+
   test("the bucketed postings side joins without a shuffle Exchange") {
     val codebook = buildIndex()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
