@@ -1117,8 +1117,17 @@ object Streams {
               .cast("long").as("sum_cents"))
           .orderBy("user_bucket")
       },
+      // wm = LEAST of the per-side maxima − 10 min: each withWatermark
+      // node tracks ITS OWN input's max event time and the global
+      // watermark is their MIN (multipleWatermarkPolicy default) — a
+      // global max(ts) here overstates the watermark by the gap between
+      // the two sides' maxima and mis-finalizes boundary rows (caught
+      // by the r13 full sweep: one bucket-5 row at sf0.01)
       Some("""WITH wm AS (
-             |  SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS w FROM events),
+             |  SELECT (epoch_ms(LEAST(
+             |    (SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+             |    (SELECT max(ts) FROM events WHERE event_id % 2 = 1)))
+             |    - 600000) * 1000 AS w),
              |l AS (SELECT user_id, ts AS l_ts,
              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_cents
              |  FROM events WHERE event_id % 2 = 0),
