@@ -2280,8 +2280,17 @@ object Graphs {
     * [[sccQuery]]'s machinery with two multi-source BFS passes; the
     * oracle classifies from the same recursive closure.
     */
+  /** Per-(session, fixture) memo for the bow-tie (node, category)
+    * classification: like [[sccLabels]], the two multi-source BFS
+    * fixpoints are a derived per-dataset artifact — computed once,
+    * re-aggregated cheaply by every later invocation. Same
+    * dead-context purge + eviction-release rules as sccMemo.
+    */
+  private val bowtieMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   private def bowtieQuery: Q = {
-    def fn(s: SparkSession, d: String): DataFrame = {
+    def classify(s: SparkSession, d: String): DataFrame = {
       val dir = directedEdges(s, d).localCheckpoint()
       val scc = sccLabels(s, d)
       val giantId = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
@@ -2291,13 +2300,26 @@ object Graphs {
         .select(col("node"), lit(1).as("__fwd"))
       val bwd = reachableFrom(giant, dir, reverse = true)
         .select(col("node"), lit(1).as("__bwd"))
-      val cls = scc
+      scc
         .join(fwd, Seq("node"), "left").join(bwd, Seq("node"), "left")
         .select(col("node"),
           when(col("scc_id") === giantId, "giant")
             .when(col("__bwd").isNotNull, "in")
             .when(col("__fwd").isNotNull, "out")
             .otherwise("other").as("category"))
+        .localCheckpoint()
+    }
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val f = new java.io.File(s"$d/events.parquet")
+      val key = (s, s"${d}_${f.length}_${f.lastModified}")
+      val it = bowtieMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      if (bowtieMemo.size > 16) {
+        bowtieMemo.values().forEach(releaseCheckpoint(_))
+        bowtieMemo.clear()
+      }
+      val cls = bowtieMemo.computeIfAbsent(key, _ => classify(s, d))
       val tot = cls.count().toDouble
       cls.groupBy("category").agg(count(lit(1)).as("n_nodes"))
         .withColumn("share",
