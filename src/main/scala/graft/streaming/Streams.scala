@@ -93,6 +93,13 @@ object Streams {
   private lazy val streamIdxLocation =
     java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
 
+  /** table → source fingerprint for the standing corpus index (the
+    * Llm.bandIndexMemo convention): rebuild only when the fixture
+    * changes, not on every invocation.
+    */
+  private val streamIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One entry per staged-source fingerprint; computeIfAbsent serializes
     * concurrent stagers of the same fixture (the map value is just a
     * completion token — the staged path itself is derived from the key).
@@ -1249,10 +1256,18 @@ object Streams {
         // next JVM)
         s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
           s"'$streamIdxLocation'")
-        val corpus = s.read.parquet(s"$d/documents.parquet")
-          .filter(col("doc_id") % 10 >= 2)
-        graft.api.Dedup.writeBandIndex(corpus, "doc_id", "text",
-          table = "graft_stream_idx.corpus")
+        // build the corpus index ONCE per fixture (the bandIndexMemo
+        // convention of dedup_index_incremental — the standing index is
+        // the artifact; only the arriving batches are per-run work)
+        val f = new java.io.File(s"$d/documents.parquet")
+        val fpNow = s"${f.getAbsolutePath}|${f.length}:${f.lastModified}"
+        if (streamIdxMemo.get("graft_stream_idx.corpus") != fpNow) {
+          val corpus = s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") % 10 >= 2)
+          graft.api.Dedup.writeBandIndex(corpus, "doc_id", "text",
+            table = "graft_stream_idx.corpus")
+          streamIdxMemo.put("graft_stream_idx.corpus", fpNow)
+        }
         val outDir = java.nio.file.Files
           .createTempDirectory("graft_stream_dedup").toString
         val q = documentsStream(s, d)
