@@ -1670,11 +1670,19 @@ object Pipeline {
           .distinct()
           .localCheckpoint()
         val per = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
-        val shared = sg.as("a").join(sg.as("b"),
-            col("a.gh") === col("b.gh") &&
-              col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("source_a"),
-            col("b.source").as("source_b"))
+        // ONE gram-keyed aggregate instead of a gram self-join (r13):
+        // the self-join re-shuffled the fact-sized gram table on gh
+        // twice more; collect_set bounds each bucket at |sources| and
+        // the pair expansion is C(|ss|,2) per gram — same output,
+        // one fewer corpus-sized Exchange
+        val shared = sg.groupBy("gh")
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ss, (x, i) -> transform(" +
+              "slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"))
+            .as("p"))
+          .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
           .agg(count(lit(1)).as("n_shared"))
         shared
           .join(broadcast(per.select(col("source").as("source_a"),
@@ -1696,11 +1704,16 @@ object Pipeline {
               |    FROM (SELECT source, $SQL_TOKENIZE AS t FROM documents)
               |    WHERE len(t) >= 8) x),
               |per AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+              |bk AS (
+              |  SELECT gh, list_sort(list(source)) AS ss
+              |  FROM sg GROUP BY gh HAVING COUNT(*) > 1),
               |sh AS (
-              |  SELECT a.source AS source_a, b.source AS source_b,
+              |  SELECT p.a AS source_a, p.b AS source_b,
               |    COUNT(*) AS n_shared
-              |  FROM sg a JOIN sg b
-              |    ON a.gh = b.gh AND a.source < b.source
+              |  FROM (
+              |    SELECT unnest(flatten(list_transform(ss, (x, i) ->
+              |      list_transform(ss[i+1:], y -> {'a': x, 'b': y})))) AS p
+              |    FROM bk) t
               |  GROUP BY 1, 2)
               |SELECT source_a, source_b, n_shared,
               |  ROUND(CAST(n_shared AS DOUBLE)
