@@ -652,7 +652,7 @@ object DataOps {
   // alone keeps the full 5-round chain as the cross-engine determinism
   // witness. Both engines change in lockstep — correctness is
   // unaffected, only the DuckDB bill.
-  private val ORACLE_ITERS = 2
+  private[graft] val ORACLE_ITERS = 2
 
   private def ivfTrainedQ(name: String, probes: Int,
       labelCol: Option[String] = None, autoK: Boolean = false,
@@ -2269,6 +2269,37 @@ object DataOps {
     * exactly the artifact's content after the append — and mirrors the
     * decimal-exact Lloyd-update mean + ordered L2 fold.
     */
+  /** The drift-audit oracle, shared verbatim by `ann_index_drift`
+    * (batch-built artifact) and `stream_ann_append` (the same artifact
+    * grown by streaming foreachBatch deliveries): both hold exactly
+    * ALL vectors assigned to the frozen initial-cohort cells, so the
+    * per-cell fill/drift report is identical however the appends
+    * arrived.
+    */
+  private[graft] lazy val annDriftOracleSql: String = {
+    val K = 16; val ITERS = ORACLE_ITERS
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
+       |allv AS (
+       |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+       |${kmAssign(s"cb$ITERS", "afull", 1, src = "allv")},
+       |m AS (
+       |  SELECT cell, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+       |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |        FROM afull) e
+       |  GROUP BY cell, pos),
+       |mvt AS (SELECT cell, list(dv ORDER BY pos) AS mv FROM m GROUP BY cell),
+       |cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM afull GROUP BY cell),
+       |tot AS (SELECT COUNT(*) AS t FROM afull)
+       |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs,
+       |  ROUND(CAST(n_vecs AS DOUBLE) * $K / t, 4) AS fill_factor,
+       |  ROUND(${kmL2("mvt.mv", "c.v")}, 4) AS drift
+       |FROM cnt JOIN mvt USING (cell) JOIN cb$ITERS c ON cnt.cell = c.c_id, tot
+       |ORDER BY cell""".stripMargin
+  }
+
   private def annIndexDriftQuery: Q = {
     val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String): DataFrame = {
@@ -2292,28 +2323,7 @@ object DataOps {
           col("fill_factor"), col("drift"))
         .orderBy("cell")
     }
-    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
-    val sql =
-      s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
-         |allv AS (
-         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
-         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
-         |${kmAssign(s"cb$ITERS", "afull", 1, src = "allv")},
-         |m AS (
-         |  SELECT cell, pos,
-         |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
-         |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-         |        FROM afull) e
-         |  GROUP BY cell, pos),
-         |mvt AS (SELECT cell, list(dv ORDER BY pos) AS mv FROM m GROUP BY cell),
-         |cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM afull GROUP BY cell),
-         |tot AS (SELECT COUNT(*) AS t FROM afull)
-         |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs,
-         |  ROUND(CAST(n_vecs AS DOUBLE) * $K / t, 4) AS fill_factor,
-         |  ROUND(${kmL2("mvt.mv", "c.v")}, 4) AS drift
-         |FROM cnt JOIN mvt USING (cell) JOIN cb$ITERS c ON cnt.cell = c.c_id, tot
-         |ORDER BY cell""".stripMargin
-    Q("ann_index_drift", fn, Some(sql))
+    Q("ann_index_drift", fn, Some(annDriftOracleSql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

@@ -186,6 +186,25 @@ object Streams {
   private def documentsStream(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(documentsSchema).parquet(stageDir(d, "documents"))
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** embeddings as a streaming source (daily embedding deliveries
+    * arriving in a watched directory — the ANN-ingest twin of
+    * [[documentsStream]]).
+    */
+  private def embeddingsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(embeddingsSchema).parquet(stageDir(d, "embeddings"))
+
+  /** fixture key → frozen codebook for stream_ann_append's persisted
+    * IVF artifact (build + stream-drain run once per fixture, the
+    * streamIdxMemo convention).
+    */
+  private val streamAnnMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return its final contents.
     *
@@ -1289,6 +1308,50 @@ object Streams {
       // batch, so the streamed union equals the one-shot batch check —
       // byte-identical to llm_incremental_dedup/dedup_index_incremental
       // (same split, same k/bands/threshold), hence the same oracle
-      Some(graft.operators.Llm.SQL_INCREMENTAL))
+      Some(graft.operators.Llm.SQL_INCREMENTAL)),
+
+    // Streaming EMBEDDING ingest committed to the persisted IVF index —
+    // the ANN twin of stream_dedup_index, joining the repo's streaming
+    // and similarity halves: the index is trained+written ONCE on the
+    // standing corpus (vec_id % 3 ≠ 0, frozen codebook), then each
+    // arriving micro-batch of new embeddings assigns against that
+    // frozen codebook and APPENDS its postings (foreachBatch →
+    // Similarity.appendToIvfIndex — O(batch), no retraining, bucket
+    // files append-only). The declared result is the retrain-decision
+    // audit over the grown artifact (Similarity.ivfIndexDrift): the
+    // artifact holds exactly ALL vectors assigned to frozen cells
+    // whatever the batch split — each append is batch-independent —
+    // so the oracle is ann_index_drift's, verbatim (StreamingSpec pins
+    // stream-grown ≡ batch-grown row-for-row).
+    Q("stream_ann_append",
+      (s, d) => {
+        val f = new java.io.File(s"$d/embeddings.parquet")
+        val tkey = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${f.length}_${f.lastModified}"
+        val table = s"graft_stream_idx.annstream_$tkey"
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
+          s"'$streamIdxLocation'")
+        val cb = streamAnnMemo.computeIfAbsent(tkey, _ => {
+          val cb0 = graft.api.Similarity.writeIvfIndex(
+            graft.Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", table, 16,
+            graft.operators.DataOps.ORACLE_ITERS)
+          val q = embeddingsStream(s, d)
+            .filter(col("vec_id") % 3 === 0)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.api.Similarity.appendToIvfIndex(
+                batch, "vec_id", "embedding", table, cb0)
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          cb0
+        })
+        graft.api.Similarity.ivfIndexDrift(s, table, cb)
+          .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+            col("fill_factor"), col("drift"))
+          .orderBy("cell")
+      },
+      Some(graft.operators.DataOps.annDriftOracleSql))
   )
 }

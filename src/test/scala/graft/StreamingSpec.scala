@@ -222,4 +222,17 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(streamed == oneShot)
   }
+
+  test("stream_ann_append: stream-grown index drift equals the batch-grown one") {
+    // the ANN ingestion twin of the dedup-index case: committing the
+    // same delivery cohort through foreachBatch micro-batches must
+    // leave the SAME artifact as the one-shot batch append — pinned by
+    // comparing the full per-cell fill/drift audit row-for-row
+    val streamed = SparkEntry.queries("stream_ann_append")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    val batch = SparkEntry.queries("ann_index_drift")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
 }
