@@ -1915,14 +1915,27 @@ object TextAnalysis {
             posexplode(graft.functions.TextUdfs.tokenizeCol(col("text"))))
           .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
           .filter(col("tok") =!= "" && !col("tok").isin(stops: _*))
-        val t2 = toks.select(col("doc_id").as("d2"), col("p").as("q"),
-          col("tok").as("tok2"))
-        val pairsK = Seq(1, 2).map { k =>
-          toks.join(t2, col("doc_id") === col("d2") &&
-            col("q") === col("p") + k)
-            .select(least(col("tok"), col("tok2")).as("w1"),
-              greatest(col("tok"), col("tok2")).as("w2"))
-        }.reduce(_.unionByName(_))
+        // ONE doc-keyed window pass instead of two positional
+        // self-joins (r13): a content token's ±2-window partners can
+        // only be its next two CONTENT tokens (positions strictly
+        // increase), so lead(1)/lead(2) + a position-delta ≤ 2 check
+        // emits exactly the join's pair set with one Exchange instead
+        // of three fact-sized ones. Per-doc window state is bounded by
+        // document length at any corpus size.
+        val wSeq = Window.partitionBy("doc_id").orderBy("p")
+        val pairsK = toks
+          .withColumn("p1", lead(col("p"), 1).over(wSeq))
+          .withColumn("t1", lead(col("tok"), 1).over(wSeq))
+          .withColumn("p2", lead(col("p"), 2).over(wSeq))
+          .withColumn("t2", lead(col("tok"), 2).over(wSeq))
+          .select(explode(expr(
+            "filter(array(" +
+              "IF(p1 IS NOT NULL AND p1 - p <= 2, " +
+              "struct(least(tok, t1) AS w1, greatest(tok, t1) AS w2), NULL), " +
+              "IF(p2 IS NOT NULL AND p2 - p <= 2, " +
+              "struct(least(tok, t2) AS w1, greatest(tok, t2) AS w2), NULL)" +
+              "), x -> x IS NOT NULL)")).as("pr"))
+          .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
         val np = pairsK.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
         val nw = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
         val totals = toks.agg(count(lit(1)).as("n_tok"))
