@@ -701,6 +701,29 @@ object Similarity {
         round(expr("sq_l2(mv, c_v)"), 4).as("drift"))
   }
 
+  /** Compact the persisted IVF postings table — the maintenance op a
+    * continuously-ingesting index needs: every [[appendToIvfIndex]]
+    * delivery adds its own small bucket files, and read amplification
+    * grows with the delivery count until a compaction rewrites the
+    * postings ONCE under the same bucket spec. `repartition(buckets,
+    * cell)` uses the same hash the bucketing does, so each write task
+    * holds exactly one bucket and emits ONE file per bucket — the
+    * minimal layout — while content stays bit-identical (the snapshot
+    * is localCheckpoint-materialized before the overwrite, so
+    * compacting a table in place is safe). Cost: one read + one
+    * shuffle of the postings, amortized over every later query's
+    * saved file-open fan-out.
+    */
+  def compactIvfIndex(spark: SparkSession, table: String,
+      target: String, buckets: Int = 8): Unit = {
+    val snap = spark.table(table).localCheckpoint()
+    snap.repartition(buckets, col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(target)
+    releaseCheckpoint(snap)
+  }
+
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted
     * postings table from [[writeIvfIndex]]. The batch fans out to its
     * `probes` nearest cells via the codebook (per-row expression work);

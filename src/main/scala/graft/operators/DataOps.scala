@@ -1933,7 +1933,7 @@ object DataOps {
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
-      annRecallAuditQuery,
+      annIndexCompactQuery, annRecallAuditQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2324,6 +2324,82 @@ object DataOps {
         .orderBy("cell")
     }
     Q("ann_index_drift", fn, Some(annDriftOracleSql))
+  }
+
+  /** fixture key → compaction-done marker for ann_index_compact (the
+    * rewrite is a once-per-fixture maintenance action, like the index
+    * build it compacts).
+    */
+  private val annIdxCompacted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** IVF index COMPACTION (r13 — the maintenance leg completing the
+    * lifecycle: build → serve → append → drift-audit → compact →
+    * retrain): [[graft.api.Similarity.compactIvfIndex]] rewrites the
+    * append-fragmented postings (one small file per delivery per
+    * bucket) into one file per bucket under the same bucket spec. The
+    * declared result is a CONTENT-PRESERVATION audit over the
+    * compacted artifact: per cell, the posting count and the exact
+    * integer sum of ×10⁶-quantized vector components (the
+    * llm_embedding_drift quantization device — double arithmetic on
+    * float-exact inputs, associative at any partitioning), which the
+    * oracle derives from the embeddings assigned to the frozen cells —
+    * so a compaction that drops, duplicates, or perturbs ANY component
+    * of ANY vector fails the gate. AnnIndexSpec asserts the layout
+    * claim itself (fewer files, equal rows, old table untouched).
+    */
+  private def annIndexCompactQuery: Q = {
+    val K = 16; val ITERS = ORACLE_ITERS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val table = s"graft_ann_idx.ivfapp_$key"
+      val cmp = s"graft_ann_idx.ivfcmp_$key"
+      val embs = Tables.embeddings(s, d)
+      annIdxCodebooks.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val cb = graft.api.Similarity.writeIvfIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, K, ITERS)
+        graft.api.Similarity.appendToIvfIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, cb)
+        cb
+      })
+      annIdxCompacted.computeIfAbsent(key, _ => {
+        graft.api.Similarity.compactIvfIndex(s, table, cmp)
+        java.lang.Boolean.TRUE
+      })
+      val postings = s.table(cmp)
+      val cnt = postings.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val sq = postings
+        .select(col("cell"), explode(col("v")).as("x"))
+        .select(col("cell"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("qx"))
+        .groupBy("cell").agg(sum("qx").as("sum_q"))
+      cnt.join(sq, "cell")
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+          col("sum_q"))
+        .orderBy("cell")
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
+         |allv AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |${kmAssign(s"cb$ITERS", "afull", 1, src = "allv")},
+         |cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM afull GROUP BY cell),
+         |sq AS (
+         |  SELECT cell,
+         |    CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS sum_q
+         |  FROM (SELECT cell, unnest(v) AS x FROM afull) e
+         |  GROUP BY cell)
+         |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs, sum_q
+         |FROM cnt JOIN sq USING (cell) ORDER BY cell""".stripMargin
+    Q("ann_index_compact", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

@@ -97,6 +97,33 @@ class AnnIndexSpec extends AnyFunSuite {
       s"shifted-batch drift $moved must exceed unshifted $plain")
   }
 
+  test("compactIvfIndex shrinks the file count and preserves content exactly") {
+    // fragment an index with several appends, then compact into a new
+    // table: fewer files, identical row multiset, source untouched
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.ann_cmp_src"
+    val TC = "graft_buckets.ann_cmp_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $TA")
+    spark.sql(s"DROP TABLE IF EXISTS $TC")
+    val cb = graft.api.Similarity
+      .writeIvfIndex(embs.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", TA)
+    (1 to 3).foreach { r =>
+      graft.api.Similarity.appendToIvfIndex(
+        embs.filter(col("vec_id") % 4 === r), "vec_id", "embedding", TA, cb)
+    }
+    val filesBefore = spark.table(TA).inputFiles.toSet
+    val rowsBefore = spark.table(TA)
+      .collect().map(_.toString).sorted.toSeq
+    graft.api.Similarity.compactIvfIndex(spark, TA, TC)
+    assert(spark.table(TC).inputFiles.length < filesBefore.size,
+      s"compaction must shrink ${filesBefore.size} files")
+    val rowsAfter = spark.table(TC)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction must preserve content")
+    assert(spark.table(TA).inputFiles.toSet == filesBefore,
+      "the source table must be untouched")
+  }
+
   test("the bucketed postings side joins without a shuffle Exchange") {
     val codebook = buildIndex()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
