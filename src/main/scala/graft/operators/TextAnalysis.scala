@@ -1936,10 +1936,17 @@ object TextAnalysis {
               "struct(least(tok, t2) AS w1, greatest(tok, t2) AS w2), NULL)" +
               "), x -> x IS NOT NULL)")).as("pr"))
           .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        // both aggregates are model-sized (vocab / observed-pair
+        // bounded) — localCheckpoint them so the corpus is scanned
+        // exactly TWICE (once per aggregate); the totals derive from
+        // the checkpointed frames instead of two more corpus passes
+        // (the r13 plan audit counts the scans)
         val np = pairsK.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+          .localCheckpoint()
         val nw = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
-        val totals = toks.agg(count(lit(1)).as("n_tok"))
-          .crossJoin(pairsK.agg(count(lit(1)).as("n_pairs")))
+          .localCheckpoint()
+        val totals = nw.agg(sum("n_w").cast("long").as("n_tok"))
+          .crossJoin(np.agg(sum("n_pair").cast("long").as("n_pairs")))
         np.join(nw.select(col("tok").as("w1"), col("n_w").as("n_w1")), "w1")
           .join(nw.select(col("tok").as("w2"), col("n_w").as("n_w2")), "w2")
           .crossJoin(totals)

@@ -363,4 +363,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"),
       s"ANCOVA model row should broadcast back to group rows:\n$p")
   }
+
+  test("audit: round-13 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_index_drift", "ann_index_compact",
+      "stream_ann_append", "llm_pmi_cooccur", "llm_source_ngram_overlap")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("ann_index_drift: the codebook side joins via broadcast") {
+    // the k-row centroid frame must broadcast onto the model-sized
+    // (cell, dim) aggregate — a shuffle there would be a plan bug
+    val p = SparkEntry.queries("ann_index_drift")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook centroids should broadcast:\n$p")
+  }
+
+  test("llm_pmi_cooccur: pair extraction is one window pass, not self-joins") {
+    // r13: lead()-window form — the token table must appear in exactly
+    // one document-keyed Exchange feeding a Window, with no
+    // token-table equi-join anywhere in the pair path
+    val p = SparkEntry.queries("llm_pmi_cooccur")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the lead()-window pair pass runs during the np checkpoint
+    // materialization; the FINAL plan must read only the checkpointed
+    // model-sized aggregates (zero corpus re-scans) and join them via
+    // broadcast — a SortMergeJoin on the vocab keys would mean a
+    // fact-sized side leaked through
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 0,
+      s"final plan should read checkpointed aggregates, not re-scan " +
+        s"the corpus ($docScans scans):\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"vocab-side counts should broadcast:\n$p")
+  }
 }
