@@ -1,0 +1,54 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: per-query FileScan census over the whole declared surface.
+  * A query whose FINAL plan scans the same fact table many times is
+  * re-deriving corpus work its consumers should share (the r13
+  * llm_pmi_cooccur finding: 5 tokenize passes where 2 suffice) — at
+  * 100 TB each extra scan is a full corpus read. Prints queries whose
+  * plan holds > `threshold` FileScans of one table, worst first.
+  * Checkpointed/broadcast model-sized frames don't count (they appear
+  * as ExistingRDD, not FileScan) — exactly the intended distinction.
+  */
+object ScanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val threshold = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tableRe = "FileScan \\w+ ([a-zA-Z0-9_.]*\\[?)".r
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val perTable = p.linesIterator
+            .filter(_.contains("FileScan"))
+            .toSeq
+            .groupBy { l =>
+              // attribute the scan to its source path's last segment
+              val i = l.indexOf("Location")
+              if (i >= 0) l.substring(i).split("[/\\],]").reverse
+                .find(s => s.endsWith(".parquet") || s.nonEmpty).getOrElse("?")
+              else "?"
+            }
+            .map { case (t, ls) => (t, ls.size) }
+          perTable.filter(_._2 > threshold)
+            .map { case (t, n) => (name, t, n) }
+        } catch { case e: Throwable =>
+          System.err.println(s"[scan-probe] $name failed: ${e.getMessage}")
+          Nil
+        }
+    }
+    results.sortBy(-_._3).foreach { case (q, t, n) =>
+      println(f"[scan-probe] $n%2d x $t%-28s $q")
+    }
+    println(s"[scan-probe] ${results.size} (query, table) pairs over " +
+      s"threshold $threshold across ${SparkEntry.queries.size} queries")
+    spark.stop()
+  }
+}

@@ -91,7 +91,15 @@ object Bpe {
     */
   private[graft] def trainOnWords(hist: DataFrame): (Seq[MergeRow], DataFrame) = {
     {
-      var words = hist.cache()
+      // localCheckpoint, NOT cache (r13, found by ScanProbe): cache
+      // keeps the full lineage, so 12 rounds of nested cached plans
+      // print 2^13 FileScans and every analyzer/stats traversal walks
+      // the exponential tree — the same iterative-loop hazard the
+      // graph fixpoints hit. The eager checkpoint costs nothing extra
+      // here (each round already runs an action for its stats row) and
+      // the final vocab-sized table stays materialized for the
+      // tokenize joins.
+      var words = hist.localCheckpoint()
       val merges = Seq.newBuilder[MergeRow]
       var exhausted = false
       for (r <- 1 to N_MERGES if !exhausted) {
@@ -111,18 +119,18 @@ object Bpe {
         val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
         val next = words
           .withColumn("toks", applyMerge("toks", a, b))
-          .cache()
-        // post-merge stats materialize `next` (so the parent can be
-        // dropped) and chart the classic vocab-growth / compression
+          .localCheckpoint()
+        // per-round stats chart the classic vocab-growth / compression
         // curve the merge table is judged by. ONE action for both:
         // over the exploded (sym, freq) rows, distinct syms is the
-        // vocab and Σfreq is exactly Σ_word freq·n_syms
+        // vocab and Σfreq is exactly Σ_word freq·n_syms (`next` is
+        // already materialized by the eager checkpoint; superseded
+        // round blocks are reclaimed by the ContextCleaner)
         val statsRow = next
           .select(col("freq"), explode(expr("split(toks, ' ')")).as("sym"))
           .agg(countDistinct("sym"), sum("freq")).head()
         val vocab = statsRow.getLong(0)
         val corpusToks = statsRow.getLong(1)
-        words.unpersist()
         words = next
         merges += MergeRow(r.toLong, a, b, a + b, n, vocab, corpusToks)
         }
