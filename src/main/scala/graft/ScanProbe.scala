@@ -2,13 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: per-query FileScan census over the whole declared surface.
-  * A query whose FINAL plan scans the same fact table many times is
+  * A query whose FINAL plan scans the same fact table many times MAY be
   * re-deriving corpus work its consumers should share (the r13
-  * llm_pmi_cooccur finding: 5 tokenize passes where 2 suffice) — at
-  * 100 TB each extra scan is a full corpus read. Prints queries whose
-  * plan holds > `threshold` FileScans of one table, worst first.
-  * Checkpointed/broadcast model-sized frames don't count (they appear
-  * as ExistingRDD, not FileScan) — exactly the intended distinction.
+  * llm_pmi_cooccur finding: 5 tokenize passes where 2 suffice). Prints
+  * queries whose plan holds > `threshold` FileScans of one table,
+  * worst first. Checkpointed/broadcast model-sized frames don't count
+  * (they appear as ExistingRDD, not FileScan).
+  *
+  * CAVEAT (r13, measured): this is a STATIC count and overstates real
+  * I/O — Spark's ReuseExchange dedups identical shuffle subtrees at
+  * execution, so branches that differ only above their first Exchange
+  * already share the scan+map work. Treat a hit as a lead, then
+  * MEASURE: of the 7 top offenders fixed with eager localCheckpoint,
+  * only ts_seasonal_esd got faster (2.25 → 1.57 min); six others paid
+  * more for the checkpoint job than the reused scans cost and were
+  * reverted. The census stays valuable for (a) plan-TREE blowups the
+  * analyzer must walk (llm_bpe_tokenize printed 2^13 scans from nested
+  * cache() lineage) and (b) duplicated subtrees with NO common
+  * exchange boundary.
   */
 object ScanProbe {
   def main(args: Array[String]): Unit = {

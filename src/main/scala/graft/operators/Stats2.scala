@@ -2191,8 +2191,15 @@ object Stats2 {
           .withColumn("nw", count(lit(1)).over(Window.partitionBy("wd")))
           .filter(col("rn") === floor((col("nw") + 1) / 2.0).cast("int"))
           .select(col("wd"), col("c").as("med"))
+        // day-sized residual table, localCheckpoint'd (r13, ScanProbe):
+        // every ESD round references its candidate set three times
+        // (moment row + deviation join + survivor anti-join), so the
+        // un-truncated chain re-derived the events rollup ~52× in the
+        // final plan — at corpus scale that is 52 fact scans for a
+        // day-count-sized computation
         val resid0 = dd.join(broadcast(med), "wd")
           .select(col("day"), (col("c") - col("med")).as("r"))
+          .localCheckpoint()
         def esdRound(cand: DataFrame, k: Int): (DataFrame, DataFrame) = {
           val m = cand.agg(count(lit(1)).as("n"), sum("r").as("sr"),
             sum(col("r") * col("r")).as("srr"))
@@ -2212,6 +2219,7 @@ object Stats2 {
                 .as("z"))
           val rest = cand.join(broadcast(flag.select(col("day"))),
             Seq("day"), "left_anti")
+            .localCheckpoint()
           (flag, rest)
         }
         val (f1, c2) = esdRound(resid0, 1)
