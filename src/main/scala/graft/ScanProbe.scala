@@ -32,7 +32,6 @@ object ScanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val tableRe = "FileScan \\w+ ([a-zA-Z0-9_.]*\\[?)".r
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -44,7 +43,7 @@ object ScanProbe {
               // attribute the scan to its source path's last segment
               val i = l.indexOf("Location")
               if (i >= 0) l.substring(i).split("[/\\],]").reverse
-                .find(s => s.endsWith(".parquet") || s.nonEmpty).getOrElse("?")
+                .find(_.nonEmpty).getOrElse("?")
               else "?"
             }
             .map { case (t, ls) => (t, ls.size) }

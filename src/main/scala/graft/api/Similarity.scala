@@ -713,13 +713,28 @@ object Similarity {
     * compacting a table in place is safe). Cost: one read + one
     * shuffle of the postings, amortized over every later query's
     * saved file-open fan-out.
+    *
+    * `buckets <= 0` (the default) derives the count from the SOURCE
+    * table's own bucket spec (r13 ADVICE: a hard-coded 8 silently
+    * changed the layout of an index written with a non-default count),
+    * so "same bucket spec" holds by construction; pass an explicit
+    * positive count only to deliberately re-bucket.
     */
   def compactIvfIndex(spark: SparkSession, table: String,
-      target: String, buckets: Int = 8): Unit = {
+      target: String, buckets: Int = 0): Unit = {
+    val nb =
+      if (buckets > 0) buckets
+      else spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+        .collectFirst {
+          case r if r.getString(0).trim == "Num Buckets" =>
+            r.getString(1).trim.toInt
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactIvfIndex: $table has no bucket spec; pass buckets explicitly"))
     val snap = spark.table(table).localCheckpoint()
-    snap.repartition(buckets, col("cell"))
+    snap.repartition(nb, col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "cell").sortBy("cell")
+      .bucketBy(nb, "cell").sortBy("cell")
       .saveAsTable(target)
     releaseCheckpoint(snap)
   }

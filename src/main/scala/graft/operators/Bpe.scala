@@ -131,7 +131,12 @@ object Bpe {
           .agg(countDistinct("sym"), sum("freq")).head()
         val vocab = statsRow.getLong(0)
         val corpusToks = statsRow.getLong(1)
+        // release the superseded round's checkpoint blocks NOW (r13
+        // ADVICE): waiting for GC + ContextCleaner lets up to N_MERGES
+        // corpus-scale block sets pile up in the block manager
+        val prev = words
         words = next
+        graft.api.Similarity.releaseCheckpoint(prev)
         merges += MergeRow(r.toLong, a, b, a + b, n, vocab, corpusToks)
         }
       }

@@ -37,7 +37,7 @@ object Llm {
     */
   private val bandIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def docsFingerprint(d: String): String = {
+  private[graft] def docsFingerprint(d: String): String = {
     def fp(x: java.io.File): String =
       if (x.isDirectory)
         x.listFiles().sortBy(_.getName).map(fp).mkString(",")

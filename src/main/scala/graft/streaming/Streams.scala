@@ -1277,9 +1277,12 @@ object Streams {
           s"'$streamIdxLocation'")
         // build the corpus index ONCE per fixture (the bandIndexMemo
         // convention of dedup_index_incremental — the standing index is
-        // the artifact; only the arriving batches are per-run work)
-        val f = new java.io.File(s"$d/documents.parquet")
-        val fpNow = s"${f.getAbsolutePath}|${f.length}:${f.lastModified}"
+        // the artifact; only the arriving batches are per-run work).
+        // Fingerprint via Llm.docsFingerprint (r13 ADVICE): it recurses
+        // into the directory's part files, because a regenerated fixture
+        // can keep identical top-level length/mtime while its parts
+        // changed — the top-level-only key would serve a stale index.
+        val fpNow = graft.operators.Llm.docsFingerprint(d)
         if (streamIdxMemo.get("graft_stream_idx.corpus") != fpNow) {
           val corpus = s.read.parquet(s"$d/documents.parquet")
             .filter(col("doc_id") % 10 >= 2)
