@@ -63,11 +63,14 @@ class GraphSpec extends AnyFunSuite {
     // throws at 50). The (f, b) class cut must shatter BOTH
     // orientations of a 120-edge chain into singleton SCCs without
     // tripping maxOuter.
+    // localCutoff = 0 forces the DISTRIBUTED peel even on these
+    // test-sized graphs (the default would finish them with the local
+    // Tarjan pass — both paths are pinned, and pinned EQUAL, below)
     val inc = (0L until 120L).map(i => (i, i + 1)).toDF("du", "dv")
     val dec = (0L until 120L).map(i => (i + 1, i)).toDF("du", "dv")
     Seq(inc, dec).foreach { edges =>
       val scc = graft.api.Graph
-        .stronglyConnectedComponents(edges, "du", "dv")
+        .stronglyConnectedComponents(edges, "du", "dv", localCutoff = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(scc.size == 121, s"expected 121 nodes, got ${scc.size}")
       assert(scc.forall { case (n, c) => n == c },
@@ -78,12 +81,39 @@ class GraphSpec extends AnyFunSuite {
     val mixed = ((0L until 120L).map(i => (i + 1, i)) :+ (60L, 61L))
       .toDF("du", "dv")
     val scc2 = graft.api.Graph
-      .stronglyConnectedComponents(mixed, "du", "dv")
+      .stronglyConnectedComponents(mixed, "du", "dv", localCutoff = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scc2(61L) == 60L && scc2(60L) == 60L,
       "embedded 2-cycle must form one SCC labelled by its min id")
     assert(scc2.count { case (n, c) => n != c } == 1,
       "only the cycle partner joins another node's SCC")
+  }
+
+  test("SCC local-Tarjan tail path matches the distributed peel exactly") {
+    import spark.implicits._
+    // a condensation-rich directed graph: three real cycles of distinct
+    // sizes, bridge chains between them, a DAG fan and isolated-ish
+    // tendrils — every node class (giant, small SCC, singleton chain
+    // node, sink, source) is present
+    val edges = (
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++            // 3-cycle {1,2,3}
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)) ++ // 4-cycle
+      Seq((20L, 21L), (21L, 20L)) ++                   // 2-cycle
+      Seq((3L, 10L), (13L, 20L), (21L, 30L)) ++        // bridges
+      (30L until 40L).map(i => (i, i + 1)) ++          // chain tail
+      Seq((40L, 1L))                                   // back-edge: collapses
+        // {1..3,10..13,20,21,30..40} into ONE giant SCC via the cycle
+    ).toDF("du", "dv")
+    val viaLocal = graft.api.Graph
+      .stronglyConnectedComponents(edges, "du", "dv") // default cutoff
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPeel = graft.api.Graph
+      .stronglyConnectedComponents(edges, "du", "dv", localCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaPeel, "local Tarjan and distributed peel disagree")
+    // the back-edge makes the whole strongly-linked ring one SCC with
+    // min id 1; verify against first principles
+    assert(viaLocal(40L) == 1L && viaLocal(20L) == 1L && viaLocal(35L) == 1L)
   }
 
   test("hopDistances: path graph distances are exact, unreachable nodes absent") {
