@@ -316,6 +316,39 @@ object Dedup {
       table: String, k: Int = 16, bands: Int = 4, buckets: Int = 8): Unit =
     writeBandIndex(batch, idCol, textCol, table, k, bands, buckets, append = true)
 
+  /** Compact the persisted band index — the maintenance op
+    * [[appendToBandIndex]]'s continuous-ingestion story accrues toward
+    * (the band-index twin of [[graft.api.Similarity.compactIvfIndex]]):
+    * every delivery appends its own small bucket files to BOTH halves
+    * of the artifact, and read amplification grows with the delivery
+    * count until a compaction rewrites each half ONCE under its own
+    * original bucket spec (count read from the catalog, so "same spec"
+    * holds by construction). `repartition(n, keys)` uses the same hash
+    * the bucketing does, so each write task holds exactly one bucket
+    * and emits ONE file per bucket — the minimal layout — while content
+    * stays bit-identical (each half is localCheckpoint-materialized
+    * before its overwrite, so compacting in place is safe). Cost: one
+    * read + one shuffle per half, amortized over every later batch's
+    * saved file-open fan-out.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, target: String): Unit = {
+    def half(suffix: String, keys: Seq[String]): Unit = {
+      val src = s"$table$suffix"
+      val nb = graft.api.Similarity.catalogBuckets(spark, src)
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactBandIndex: $src has no bucket spec"))
+      val snap = spark.table(src).localCheckpoint()
+      snap.repartition(nb, keys.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(nb, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(s"$target$suffix")
+      graft.api.Similarity.releaseCheckpoint(snap)
+    }
+    half("_bands", Seq("band", "bhash"))
+    half("_sets", Seq("doc_id"))
+  }
+
   /** [[incrementalNearDups]] against the PERSISTED band index — the
     * shape a continuous-ingestion corpus actually runs at 100 TB. The
     * batch side computes its signatures fresh (O(batch)); the corpus

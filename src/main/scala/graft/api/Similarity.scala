@@ -720,15 +720,24 @@ object Similarity {
     * so "same bucket spec" holds by construction; pass an explicit
     * positive count only to deliberately re-bucket.
     */
+  /** The SOURCE table's bucket count from the catalog (DESCRIBE
+    * EXTENDED) — the "same bucket spec" guarantee every compaction
+    * rewrite leans on (r13 ADVICE). Shared with
+    * [[graft.api.Dedup.compactBandIndex]].
+    */
+  private[graft] def catalogBuckets(spark: SparkSession,
+      table: String): Option[Int] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .collectFirst {
+        case r if r.getString(0).trim == "Num Buckets" =>
+          r.getString(1).trim.toInt
+      }
+
   def compactIvfIndex(spark: SparkSession, table: String,
       target: String, buckets: Int = 0): Unit = {
     val nb =
       if (buckets > 0) buckets
-      else spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
-        .collectFirst {
-          case r if r.getString(0).trim == "Num Buckets" =>
-            r.getString(1).trim.toInt
-        }
+      else catalogBuckets(spark, table)
         .getOrElse(throw new IllegalArgumentException(
           s"compactIvfIndex: $table has no bucket spec; pass buckets explicitly"))
     val snap = spark.table(table).localCheckpoint()

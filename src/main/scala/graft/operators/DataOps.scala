@@ -883,20 +883,22 @@ object DataOps {
     */
   private def kmChain(kSql: String, iters: Int,
       labSel: String = "", labSelB: String = "",
-      baseWhere: String = ""): String = {
+      baseWhere: String = "", prefix: String = ""): String = {
     val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
     val iterCtes = (1 to iters).flatMap(i =>
-      Seq(kmAssign(s"cb${i - 1}", s"a$i", 1, labSel, labSelB),
-        kmUpdate(s"a$i", s"cb${i - 1}", s"cb$i")))
-    s"""base AS (
+      Seq(kmAssign(s"${prefix}cb${i - 1}", s"${prefix}a$i", 1, labSel,
+          labSelB, src = s"${prefix}base"),
+        kmUpdate(s"${prefix}a$i", s"${prefix}cb${i - 1}", s"${prefix}cb$i")))
+    s"""${prefix}base AS (
        |  SELECT vec_id$labSel, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
        |  FROM (SELECT vec_id$labSel, $sqlV AS v FROM embeddings$baseWhere) x),
-       |cb0 AS (
+       |${prefix}cb0 AS (
        |  SELECT c_id, v FROM (
        |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
-       |    FROM base) r WHERE c_id < $kSql),
+       |    FROM ${prefix}base) r WHERE c_id < $kSql),
        |${iterCtes.mkString(",\n")},
-       |${kmAssign(s"cb$iters", "afinal", 1, labSel, labSelB)}""".stripMargin
+       |${kmAssign(s"${prefix}cb$iters", s"${prefix}afinal", 1, labSel,
+          labSelB, src = s"${prefix}base")}""".stripMargin
   }
 
   /** SemDeDup (see [[graft.api.Similarity.semDedup]]): k-means cells +
@@ -1933,7 +1935,7 @@ object DataOps {
       annPqAdcQuery, annIvfPqQuery, semDedupQuery, semDedupProbe2Query, mmrRerankQuery, clusterBalanceQuery,
       topicBalanceQuery,
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
-      annIndexCompactQuery, annRecallAuditQuery,
+      annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2400,6 +2402,97 @@ object DataOps {
          |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs, sum_q
          |FROM cnt JOIN sq USING (cell) ORDER BY cell""".stripMargin
     Q("ann_index_compact", fn, Some(sql))
+  }
+
+  /** IVF index RETRAIN — the decision [[annIndexDriftQuery]] informs,
+    * EXECUTED (r13 verdict Next #2, closing the lifecycle: build →
+    * serve → append → drift-audit → compact → retrain): rebuild the
+    * codebook FROM THE CURRENT POSTINGS (initial + appended —
+    * [[graft.api.Similarity.writeIvfIndex]] runs its deterministic
+    * Lloyd chain over the artifact itself and rewrites a fresh bucketed
+    * index), then report per cell the BEFORE drift (frozen codebook vs
+    * its postings' exact means — ann_index_drift's signal) next to the
+    * AFTER drift (retrained codebook vs the re-assigned postings'
+    * means). Recovery shows up as drift_after ≪ drift_before;
+    * AnnIndexSpec pins exactly that on a distribution-shifted batch.
+    * The oracle runs TWO k-means CTE chains — the frozen initial-cohort
+    * chain and a prefix-isolated full-cohort chain (the retrain: the
+    * artifact holds exactly ALL vectors, so training on the postings ≡
+    * training on the full table) — with the decimal-exact Lloyd-mean +
+    * ordered L2 fold mirrored on both sides.
+    */
+  private def annIndexRetrainQuery: Q = {
+    val K = 16; val ITERS = ORACLE_ITERS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val table = s"graft_ann_idx.ivfapp_$key"
+      val retr = s"graft_ann_idx.ivfretr_$key"
+      val embs = Tables.embeddings(s, d)
+      val cb = annIdxCodebooks.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val cb0 = graft.api.Similarity.writeIvfIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, K, ITERS)
+        graft.api.Similarity.appendToIvfIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, cb0)
+        cb0
+      })
+      // the retrain maintenance action itself, once per fixture: train
+      // on the postings (NOT the source table — a deployment retrains
+      // from what the index actually holds) and rewrite the artifact
+      val cb2 = annIdxCodebooks.computeIfAbsent(s"retr_$key", _ =>
+        graft.api.Similarity.writeIvfIndex(
+          s.table(table).select(col("vec_id"), col("v")), "vec_id", "v",
+          retr, K, ITERS))
+      val before = graft.api.Similarity.ivfIndexDrift(s, table, cb)
+        .select(col("cell"), col("n_vecs").as("n_before"),
+          col("drift").as("drift_before"))
+      val after = graft.api.Similarity.ivfIndexDrift(s, retr, cb2)
+        .select(col("cell"), col("n_vecs").as("n_after"),
+          col("drift").as("drift_after"))
+      before.join(after, Seq("cell"), "full_outer")
+        .select(col("cell").cast("long").as("cell"), col("n_before"),
+          col("drift_before"), col("n_after"), col("drift_after"))
+        .orderBy("cell")
+    }
+    val sqlV = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    def meanCtes(src: String, p: String): String =
+      s"""${p}m AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+         |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |        FROM $src) e
+         |  GROUP BY cell, pos),
+         |${p}mv AS (SELECT cell, list(dv ORDER BY pos) AS mv
+         |  FROM ${p}m GROUP BY cell),
+         |${p}cnt AS (SELECT cell, COUNT(*) AS n FROM $src GROUP BY cell)""".stripMargin
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
+         |allv AS (
+         |  SELECT vec_id, v, sqrt(${SQL_DOT("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, $sqlV AS v FROM embeddings) x),
+         |${kmAssign(s"cb$ITERS", "afull", 1, src = "allv")},
+         |${meanCtes("afull", "b")},
+         |bdrift AS (
+         |  SELECT CAST(bcnt.cell AS BIGINT) AS cell, n AS n_before,
+         |    ROUND(${kmL2("bmv.mv", "c.v")}, 4) AS drift_before
+         |  FROM bcnt JOIN bmv USING (cell)
+         |  JOIN cb$ITERS c ON bcnt.cell = c.c_id),
+         |${kmChain(K.toString, ITERS, prefix = "r")},
+         |${meanCtes("rafinal", "a")},
+         |adrift AS (
+         |  SELECT CAST(acnt.cell AS BIGINT) AS cell, n AS n_after,
+         |    ROUND(${kmL2("amv.mv", "c.v")}, 4) AS drift_after
+         |  FROM acnt JOIN amv USING (cell)
+         |  JOIN rcb$ITERS c ON acnt.cell = c.c_id)
+         |SELECT COALESCE(b.cell, a.cell) AS cell, n_before, drift_before,
+         |  n_after, drift_after
+         |FROM bdrift b FULL JOIN adrift a ON b.cell = a.cell
+         |ORDER BY cell""".stripMargin
+    Q("ann_index_retrain", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

@@ -298,6 +298,79 @@ object Llm {
       },
       Some(SQL_INCREMENTAL)),
 
+    // Band-index COMPACTION (r13 verdict Next #3 — the dedup twin of
+    // ann_index_compact, completing the band artifact's lifecycle:
+    // build → serve batches → append deliveries → compact): the same
+    // corpus content as dedup_index_incremental's artifact is built
+    // FRAGMENTED (one initial write + three appendToBandIndex
+    // deliveries, each leaving its own small bucket files in BOTH
+    // halves), then Dedup.compactBandIndex rewrites each half
+    // one-file-per-bucket under its original catalog bucket spec. The
+    // declared result is a CONTENT-PRESERVATION audit over the
+    // compacted artifact: per band, row/doc counts and an exact modular
+    // checksum of the 60-bit band-hash keys, plus the same for the
+    // shingle-set half — so a compaction that drops, duplicates, or
+    // perturbs ANY posting fails the gate. The oracle states the
+    // identical audit from the first-principles signature derivation
+    // (the corpus is doc_id % 10 >= 2 however it was delivered).
+    // DedupIndexSpec asserts the layout claim itself (fewer files,
+    // equal rows, source untouched).
+    Q("dedup_index_compact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup_idx LOCATION " +
+          s"'$dedupIdxLocation'")
+        val fpNow = docsFingerprint(d)
+        val src = "graft_dedup_idx.cmpsrc"
+        val dst = "graft_dedup_idx.cmpdst"
+        if (bandIndexMemo.get(dst) != fpNow) {
+          val m10 = col("doc_id") % 10
+          graft.api.Dedup.writeBandIndex(
+            docs.filter(m10.isin(2, 3, 4)), "doc_id", "text", src, K, BANDS)
+          Seq(Seq(5, 6), Seq(7, 8), Seq(9)).foreach(del =>
+            graft.api.Dedup.appendToBandIndex(
+              docs.filter(m10.isin(del: _*)), "doc_id", "text", src, K, BANDS))
+          graft.api.Dedup.compactBandIndex(s, src, dst)
+          bandIndexMemo.put(dst, fpNow)
+        }
+        val bAudit = s.table(s"${dst}_bands")
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(conv(substring(col("bhash"), 1, 15), 16, 10).cast("long")
+              % 1000003).as("checksum"))
+          .select(concat(lit("bands:"), col("band").cast("string")).as("part"),
+            col("n_rows"), col("n_docs"), col("checksum"))
+        val sAudit = s.table(s"${dst}_sets")
+          .select(col("doc_id"), explode(col("toks")).as("h"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("h") % 1000003).as("checksum"))
+          .select(lit("sets").as("part"), col("n_docs").as("n_rows"),
+            col("n_docs"), col("checksum"))
+        bAudit.unionByName(sAudit).orderBy("part")
+      },
+      Some(s"""WITH banded AS (
+              |  SELECT * FROM ($SQL_BANDED) WHERE doc_id % 10 >= 2),
+              |b AS (
+              |  SELECT 'bands:' || CAST(band AS VARCHAR) AS part,
+              |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |    CAST(SUM(${SQL_HEX15("bhash")} % 1000003) AS BIGINT)
+              |      AS checksum
+              |  FROM banded GROUP BY band),
+              |sh AS (
+              |  SELECT DISTINCT doc_id, h FROM ($SQL_SHINGLE_HASHES)
+              |  WHERE doc_id % 10 >= 2),
+              |st AS (
+              |  SELECT 'sets' AS part,
+              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_rows,
+              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |    CAST(SUM(h % 1000003) AS BIGINT) AS checksum
+              |  FROM sh)
+              |SELECT part, n_rows, n_docs, checksum FROM b
+              |UNION ALL SELECT part, n_rows, n_docs, checksum FROM st
+              |ORDER BY part""".stripMargin)),
+
     // Exact shingle-set Jaccard for LSH candidates only (the verify
     // step touches |candidates| pairs, not n²; same shingle unit the
     // signatures estimate). Integer set sizes + one division →

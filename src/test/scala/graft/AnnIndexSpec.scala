@@ -97,6 +97,40 @@ class AnnIndexSpec extends AnyFunSuite {
       s"shifted-batch drift $moved must exceed unshifted $plain")
   }
 
+  test("retraining over the postings recovers the drift a shifted append caused") {
+    // the decision ivfIndexDrift informs, executed (r14): append a
+    // distribution-shifted batch against the frozen codebook (drift
+    // spikes), then rebuild codebook + artifact FROM THE POSTINGS —
+    // the retrained centroids absorb the shifted mass, so the post-
+    // retrain drift audit must come back well below the pre-retrain one
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.ann_retr_src"
+    val TR = "graft_buckets.ann_retr_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $TA")
+    spark.sql(s"DROP TABLE IF EXISTS $TR")
+    val init = embs.filter(col("vec_id") % 3 =!= 0)
+    val shifted = embs.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5f)))
+    val cb = graft.api.Similarity
+      .writeIvfIndex(init, "vec_id", "embedding", TA)
+    graft.api.Similarity
+      .appendToIvfIndex(shifted, "vec_id", "embedding", TA, cb)
+    def maxDrift(table: String, codebook: Array[Array[Double]]): Double =
+      graft.api.Similarity.ivfIndexDrift(spark, table, codebook)
+        .collect().map(_.getAs[Double]("drift")).max
+    val before = maxDrift(TA, cb)
+    val cb2 = graft.api.Similarity.writeIvfIndex(
+      spark.table(TA).select(col("vec_id"), col("v")), "vec_id", "v", TR)
+    val after = maxDrift(TR, cb2)
+    assert(spark.table(TR).count() == spark.table(TA).count(),
+      "retrain must carry every posting over")
+    assert(after < before,
+      s"post-retrain drift $after must recover below pre-retrain $before")
+    assert(after < before / 2,
+      s"recovery too weak: $after vs $before — retrain not absorbing the shift")
+  }
+
   test("compactIvfIndex shrinks the file count and preserves content exactly") {
     // fragment an index with several appends, then compact into a new
     // table: fewer files, identical row multiset, source untouched

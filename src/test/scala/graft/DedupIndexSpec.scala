@@ -84,4 +84,45 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(re.nonEmpty && re.forall(_.getBoolean(3)),
       "appended docs must be found as exact dups on re-ingest")
   }
+
+  test("compactBandIndex shrinks both halves' file counts, preserves content, leaves source untouched") {
+    // mirror AnnIndexSpec's compaction gate on the band artifact (r14):
+    // fragment with several appends, compact into a new table pair —
+    // fewer files per half, identical row multisets, source untouched
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.dedup_cmp_src"
+    val TC = "graft_buckets.dedup_cmp_dst"
+    Seq("_bands", "_sets").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $TA$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS $TC$sfx")
+    }
+    graft.api.Dedup.writeBandIndex(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", TA)
+    (1 to 3).foreach(r => graft.api.Dedup.appendToBandIndex(
+      docs.filter(col("doc_id") % 4 === r), "doc_id", "text", TA))
+    val before = Seq("_bands", "_sets").map { sfx =>
+      sfx -> (spark.table(s"$TA$sfx").inputFiles.toSet,
+        spark.table(s"$TA$sfx").collect().map(_.toString).sorted.toSeq)
+    }.toMap
+    graft.api.Dedup.compactBandIndex(spark, TA, TC)
+    Seq("_bands", "_sets").foreach { sfx =>
+      val (files0, rows0) = before(sfx)
+      assert(spark.table(s"$TC$sfx").inputFiles.length < files0.size,
+        s"$sfx: compaction must shrink ${files0.size} files")
+      val rowsAfter = spark.table(s"$TC$sfx")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rowsAfter == rows0, s"$sfx: compaction must preserve content")
+      assert(spark.table(s"$TA$sfx").inputFiles.toSet == files0,
+        s"$sfx: the source table must be untouched")
+    }
+    // the compacted artifact still serves: same incremental verdicts
+    val batch = docs.filter(col("doc_id") % 97 === 1)
+    val viaSrc = graft.api.Dedup
+      .incrementalNearDupsIndexed(batch, "doc_id", "text", TA)
+      .collect().map(_.toString).sorted.toSeq
+    val viaCmp = graft.api.Dedup
+      .incrementalNearDupsIndexed(batch, "doc_id", "text", TC)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSrc == viaCmp, "compacted index must serve identical verdicts")
+  }
 }
