@@ -24,10 +24,12 @@ Notes:
     here mirror the Scala defaults).
   * The binding layer is exercised offline by
     ``tools/check_pybindings.py`` (a dev-only smoke test run against
-    the compiled classes with the driver-side pyspark install: 18
+    the compiled classes with the driver-side pyspark install: 27
     delegations across dedup/similarity/ranking/text/catalog, covering
-    str/int/float-list/Seq/Column/None marshalling); the wrapped Scala
-    methods themselves are oracle- and scalatest-covered.
+    str/int/float-list/Seq/Column/None marshalling plus double[][]
+    codebooks in both directions for the persisted-index lifecycle);
+    the wrapped Scala methods themselves are oracle- and
+    scalatest-covered.
 """
 
 from pyspark.sql import DataFrame, SparkSession
@@ -136,6 +138,14 @@ class dedup:
             batch._jdf, id_col, text_col, table, threshold, k, bands))
 
     @staticmethod
+    def compact_band_index(table, target):
+        """Rewrite both halves of an append-fragmented band index
+        one-file-per-bucket under their original catalog bucket specs
+        (content-preserving; source untouched)."""
+        s = _active_spark()
+        _jvm().graft.api.Dedup.compactBandIndex(s._jsparkSession, table, target)
+
+    @staticmethod
     def release_caches(docs, id_col, text_col, threshold=0.6, k=16, bands=4,
                        max_bucket=1000):
         _jvm().graft.api.Dedup.releaseCaches(
@@ -202,6 +212,67 @@ class similarity:
         vector gets (cell, kept, dup_of, max_sim)."""
         return _wrap(_jvm().graft.api.Similarity.semDedup(
             embs._jdf, id_col, vec_col, k, iters, threshold))
+
+    # ---- persisted IVF index lifecycle: build → serve → append →
+    # drift-audit → compact → retrain. Codebooks cross the py4j
+    # boundary as double[][]; the wrappers accept/return plain Python
+    # list-of-lists so callers never touch JVM array handles. ----
+
+    @staticmethod
+    def write_ivf_index(embs, id_col, vec_col, table, k=16, iters=5,
+                        buckets=8):
+        """Train + persist the bucketed IVF postings artifact; returns
+        the trained codebook (list of per-cell centroid lists)."""
+        cb = _jvm().graft.api.Similarity.writeIvfIndex(
+            embs._jdf, id_col, vec_col, table, k, iters, buckets)
+        return [list(row) for row in cb]
+
+    @staticmethod
+    def append_to_ivf_index(batch, id_col, vec_col, table, codebook,
+                            buckets=8):
+        """Commit a new vector delivery against the FROZEN codebook —
+        append-only bucket files, O(batch), no retraining."""
+        _jvm().graft.api.Similarity.appendToIvfIndex(
+            batch._jdf, id_col, vec_col, table, _to_j2d(codebook), buckets)
+
+    @staticmethod
+    def ivf_query_indexed(batch, id_col, vec_col, table, codebook,
+                          top_k=2, probes=2):
+        """Serve a query batch against the persisted postings — no
+        Exchange on the corpus side."""
+        return _wrap(_jvm().graft.api.Similarity.ivfQueryIndexed(
+            batch._jdf, id_col, vec_col, table, _to_j2d(codebook),
+            top_k, probes))
+
+    @staticmethod
+    def ivf_index_drift(table, codebook):
+        """Per-cell fill factor + centroid drift of the postings vs the
+        frozen codebook — the WHEN-to-retrain signal."""
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Similarity.ivfIndexDrift(
+            s._jsparkSession, table, _to_j2d(codebook)), s)
+
+    @staticmethod
+    def compact_ivf_index(table, target, buckets=0):
+        """Rewrite append-fragmented postings one-file-per-bucket;
+        ``buckets<=0`` derives the count from the source's catalog
+        spec (the "same bucket spec" guarantee)."""
+        s = _active_spark()
+        _jvm().graft.api.Similarity.compactIvfIndex(
+            s._jsparkSession, table, target, buckets)
+
+    @staticmethod
+    def retrain_ivf_index(table, target, id_col="vec_id", k=16, iters=5,
+                          buckets=8):
+        """The decision ivf_index_drift informs, executed: re-run the
+        Lloyd chain over the CURRENT postings (initial + appended) and
+        rewrite a fresh artifact at ``target``; returns the retrained
+        codebook."""
+        s = _active_spark()
+        postings = s.table(table).select(id_col, "v")
+        cb = _jvm().graft.api.Similarity.writeIvfIndex(
+            postings._jdf, id_col, "v", target, k, iters, buckets)
+        return [list(row) for row in cb]
 
 
 class ranking:
@@ -425,3 +496,17 @@ def _to_seq(xs):
     for x in xs:
         arr.add(x)
     return jvm.scala.jdk.CollectionConverters.ListHasAsScala(arr).asScala().toSeq()
+
+
+def _to_j2d(codebook):
+    """Python list-of-lists (or an already-JVM double[][]) → double[][]."""
+    if not isinstance(codebook, (list, tuple)):
+        return codebook  # already a JVM array handle — pass through
+    gw = _active_spark().sparkContext._gateway
+    n = len(codebook)
+    d = len(codebook[0]) if n else 0
+    arr = gw.new_array(gw.jvm.double, n, d)
+    for i, row in enumerate(codebook):
+        for j, x in enumerate(row):
+            arr[i][j] = float(x)
+    return arr

@@ -100,6 +100,97 @@ check("similarity.bucketed_neighbors", lambda: expect(
     graft.similarity.bucketed_neighbors(embs, "vec_id", "embedding")
     .count() >= 0, "ran"))
 
+
+# --- persisted IVF index lifecycle (r14): build → append → serve →
+# drift → compact → retrain, exercising double[][] marshalling BOTH
+# directions across the gateway ---------------------------------------
+import tempfile  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# fresh per-process database location (the Llm.scala convention: a
+# fixed dir outlives the in-memory catalog and a later JVM's
+# saveAsTable trips over the orphaned directory)
+spark.sql("CREATE DATABASE IF NOT EXISTS graft_pyidx LOCATION "
+          f"'{tempfile.mkdtemp(prefix='graft_pyidx_')}'")
+
+_state = {}
+
+
+def _ivf_build_check():
+    cb = graft.similarity.write_ivf_index(
+        embs.filter("vec_id % 3 != 0"), "vec_id", "embedding",
+        "graft_pyidx.ivf")
+    expect(isinstance(cb, list) and len(cb) == 16 and len(cb[0]) > 0,
+           f"codebook shape: {len(cb)}")
+    _state["cb"] = cb
+    expect(spark.table("graft_pyidx.ivf").count() ==
+           embs.filter("vec_id % 3 != 0").count(), "one posting per vector")
+
+
+def _ivf_append_check():
+    n0 = spark.table("graft_pyidx.ivf").count()
+    graft.similarity.append_to_ivf_index(
+        embs.filter("vec_id % 3 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivf", _state["cb"])
+    expect(spark.table("graft_pyidx.ivf").count() == n_embs,
+           f"append must grow {n0} to {n_embs}")
+
+
+def _ivf_query_check():
+    r = graft.similarity.ivf_query_indexed(
+        embs.filter("vec_id % 97 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivf", _state["cb"])
+    expect(r.count() > 0 and "cos_sim" in r.columns, "served neighbors")
+
+
+def _ivf_drift_check():
+    r = graft.similarity.ivf_index_drift("graft_pyidx.ivf", _state["cb"])
+    expect(r.count() == 16 and "drift" in r.columns, "per-cell drift rows")
+    expect(r.agg(F.sum("n_vecs")).first()[0] == n_embs, "counts cover corpus")
+
+
+def _ivf_compact_check():
+    graft.similarity.compact_ivf_index("graft_pyidx.ivf",
+                                       "graft_pyidx.ivf_cmp")
+    expect(spark.table("graft_pyidx.ivf_cmp").count() == n_embs,
+           "compaction preserves row count")
+
+
+def _ivf_retrain_check():
+    cb2 = graft.similarity.retrain_ivf_index("graft_pyidx.ivf",
+                                             "graft_pyidx.ivf_retr")
+    expect(len(cb2) == 16, "retrained codebook shape")
+    d0 = graft.similarity.ivf_index_drift(
+        "graft_pyidx.ivf", _state["cb"]).agg(F.max("drift")).first()[0]
+    d1 = graft.similarity.ivf_index_drift(
+        "graft_pyidx.ivf_retr", cb2).agg(F.max("drift")).first()[0]
+    expect(d1 <= d0, f"retrain must not worsen drift: {d1} vs {d0}")
+
+
+def _band_compact_check():
+    graft.dedup.write_band_index(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text", "graft_pyidx.band")
+    graft.dedup.append_to_band_index(
+        docs.filter("doc_id % 2 = 1"), "doc_id", "text", "graft_pyidx.band")
+    graft.dedup.compact_band_index("graft_pyidx.band", "graft_pyidx.band_cmp")
+    for sfx in ["_bands", "_sets"]:
+        expect(spark.table(f"graft_pyidx.band_cmp{sfx}").count() ==
+               spark.table(f"graft_pyidx.band{sfx}").count(),
+               f"{sfx} content preserved")
+    r = graft.dedup.incremental_near_dups_indexed(
+        docs.limit(5), "doc_id", "text", "graft_pyidx.band_cmp")
+    expect(r.count() == 5, "compacted band index serves batches")
+
+
+check("similarity.write_ivf_index", _ivf_build_check)
+check("similarity.append_to_ivf_index", _ivf_append_check)
+check("similarity.ivf_query_indexed", _ivf_query_check)
+check("similarity.ivf_index_drift", _ivf_drift_check)
+check("similarity.compact_ivf_index", _ivf_compact_check)
+check("similarity.retrain_ivf_index", _ivf_retrain_check)
+check("dedup.write/append/compact_band_index", _band_compact_check)
+
 # --- ranking -------------------------------------------------------------
 from pyspark.sql import functions as F  # noqa: E402
 
