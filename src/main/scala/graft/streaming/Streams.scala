@@ -234,6 +234,20 @@ object Streams {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.shufflePartitions", "8"))
+    // Dev-only A/B knob (r13 verdict Next #5): GRAFT_STREAM_ROCKSDB=1
+    // flips the state store to the in-box RocksDBStateStoreProvider so
+    // the bench can measure it against the default HDFS-backed map on
+    // the stream-stream floors. MEASURED at sf0.1 (see PERF.md r14):
+    // RocksDB lost on every stateful query at fixture scale — JNI +
+    // per-batch snapshot overhead dwarfs the tiny state — so the
+    // default stays; at cluster scale with state ≫ executor memory the
+    // trade flips, which is a one-conf deployment decision, not a code
+    // change.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    if (sys.env.get("GRAFT_STREAM_ROCKSDB").contains("1"))
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
     try {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
@@ -243,7 +257,13 @@ object Streams {
       if (hook != null) q.recentProgress.foreach(hook)
       q.stop()
       s.table(name)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
   }
 
   private def tsStr(c: String): org.apache.spark.sql.Column =
