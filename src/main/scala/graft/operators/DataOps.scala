@@ -1936,6 +1936,7 @@ object DataOps {
       topicBalanceQuery,
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
+      annRetrainRecallQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2603,6 +2604,139 @@ object DataOps {
          |FROM ks CROSS JOIN nq LEFT JOIN m ON m.ern <= k AND m.irn <= k
          |GROUP BY k, n ORDER BY k""".stripMargin
     Q("ann_recall_audit", fn, Some(sql))
+  }
+
+  /** Recall@k RECOVERY of the retrain (r14 — the second half of
+    * verdict r13 #2's ask, alongside [[annIndexRetrainQuery]]'s drift
+    * recovery): on the capped 1-in-20 slice, exact all-pairs cosine
+    * top-k ground truth vs the cell-blocked top-k under (a) the FROZEN
+    * initial-cohort codebook — what serving looks like after appends
+    * without a retrain — and (b) the RETRAINED full-cohort codebook,
+    * reported side by side as recall@k for k=1/2/4. The number that
+    * justifies paying the rebuild: recall_retrained − recall_frozen is
+    * the serving quality the retrain buys back. Same slice-capping
+    * scale guard as [[annRecallAuditQuery]] (the quadratic truth runs
+    * on n/20 rows, never the corpus); the oracle runs the two
+    * prefix-isolated k-means chains and mirrors both searches.
+    */
+  private lazy val annRetrainRecallQuery: Q = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftbridge.Bridge
+    val K = 16; val ITERS = ORACLE_ITERS; val PROBES = 2; val KS = Seq(1, 2, 4)
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val embs = Tables.embeddings(s, d)
+      val vcol = expr("transform(embedding, e -> cast(e as double))")
+      val cbF = graft.api.Similarity.kmeansCodebook(
+        embs.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id"), vcol.as("v")), "vec_id", "v", K, ITERS)
+      val cbR = graft.api.Similarity.kmeansCodebook(
+        embs.select(col("vec_id"), vcol.as("v")), "vec_id", "v", K, ITERS)
+      val slice = embs.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), vcol.as("v"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(v, 0.0D, (acc, e) -> acc + e * e)")))
+        .withColumn("cells_f", Bridge.column(graft.functions.NearestCells(
+          UnresolvedAttribute("v"), cbF, PROBES)))
+        .withColumn("cells_r", Bridge.column(graft.functions.NearestCells(
+          UnresolvedAttribute("v"), cbR, PROBES)))
+        .localCheckpoint()
+      val nQ = slice.count()
+      val KMAX = KS.max
+      val dot = expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, e) -> acc + e)")
+      val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+      val exact = slice.as("a")
+        .join(slice.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
+          (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .withColumn("ern", row_number().over(wq)).filter(col("ern") <= KMAX)
+        .select("qid", "nbr", "ern").localCheckpoint()
+      def hitsPerK(cellsCol: String, hitsName: String): DataFrame = {
+        val ivf = slice.as("a")
+          .select(col("a.vec_id").as("__qid"), col("a.v").as("__qv"),
+            col("a.nrm").as("__qn"), explode(col(s"a.$cellsCol")).as("acell"))
+          .as("a")
+          .join(slice.as("b"),
+            col("a.acell") === element_at(col(s"b.$cellsCol"), 1) &&
+              col("a.__qid") =!= col("b.vec_id"))
+          .select(col("a.__qid").as("qid"), col("b.vec_id").as("nbr"),
+            (expr("aggregate(zip_with(a.__qv, b.v, (x, y) -> x * y), " +
+              "0.0D, (acc, e) -> acc + e)") /
+              (col("a.__qn") * col("b.nrm"))).as("cos"))
+          .dropDuplicates("qid", "nbr")
+          .withColumn("irn", row_number().over(wq)).filter(col("irn") <= KMAX)
+          .select("qid", "nbr", "irn")
+        val m = exact.join(ivf, Seq("qid", "nbr"))
+        KS.map(_.toLong).toDF("k")
+          .join(m, col("ern") <= col("k") && col("irn") <= col("k"), "left")
+          .groupBy("k").agg(count(col("qid")).as(hitsName))
+      }
+      hitsPerK("cells_f", "hits_frozen")
+        .join(hitsPerK("cells_r", "hits_retrained"), "k")
+        .select(col("k"), lit(nQ).as("n_queries"), col("hits_frozen"),
+          round(col("hits_frozen").cast("double")
+            / (lit(nQ) * col("k")).cast("double"), 4).as("recall_frozen"),
+          col("hits_retrained"),
+          round(col("hits_retrained").cast("double")
+            / (lit(nQ) * col("k")).cast("double"), 4).as("recall_retrained"))
+        .orderBy("k")
+    }
+    def assign(cb: String, name: String, maxRn: Int): String =
+      s"""$name AS (
+         |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${kmL2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM sl b, $cb c) t WHERE rn <= $maxRn)""".stripMargin
+    def ivfCte(sp: String, sh: String, name: String): String =
+      s"""$name AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nbr) AS irn
+         |  FROM (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nbr,
+         |      ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |    FROM $sp a JOIN $sh b
+         |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) t)""".stripMargin
+    val sql =
+      s"""WITH ${kmChain(K.toString, ITERS, baseWhere = " WHERE vec_id % 3 <> 0")},
+         |${kmChain(K.toString, ITERS, prefix = "r")},
+         |sl AS (SELECT vec_id, v, nrm FROM rbase WHERE vec_id % 20 = 0),
+         |${assign(s"cb$ITERS", "spf", PROBES)},
+         |${assign(s"cb$ITERS", "shf", 1)},
+         |${assign(s"rcb$ITERS", "spr", PROBES)},
+         |${assign(s"rcb$ITERS", "shr", 1)},
+         |ex AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nbr) AS ern
+         |  FROM (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         |      ${SQL_DOT("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |    FROM sl a JOIN sl b ON a.vec_id <> b.vec_id) t),
+         |${ivfCte("spf", "shf", "ivff")},
+         |${ivfCte("spr", "shr", "ivfr")},
+         |mf AS (
+         |  SELECT e.qid, e.ern, i.irn FROM ex e
+         |  JOIN ivff i ON e.qid = i.qid AND e.nbr = i.nbr
+         |  WHERE e.ern <= ${KS.max} AND i.irn <= ${KS.max}),
+         |mr AS (
+         |  SELECT e.qid, e.ern, i.irn FROM ex e
+         |  JOIN ivfr i ON e.qid = i.qid AND e.nbr = i.nbr
+         |  WHERE e.ern <= ${KS.max} AND i.irn <= ${KS.max}),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sl),
+         |ks AS (SELECT CAST(unnest([${KS.mkString(", ")}]) AS BIGINT) AS k),
+         |hf AS (
+         |  SELECT k, CAST(COUNT(m.qid) AS BIGINT) AS hits_frozen
+         |  FROM ks LEFT JOIN mf m ON m.ern <= k AND m.irn <= k GROUP BY k),
+         |hr AS (
+         |  SELECT k, CAST(COUNT(m.qid) AS BIGINT) AS hits_retrained
+         |  FROM ks LEFT JOIN mr m ON m.ern <= k AND m.irn <= k GROUP BY k)
+         |SELECT k, n AS n_queries, hits_frozen,
+         |  ROUND(CAST(hits_frozen AS DOUBLE) / CAST(n * k AS DOUBLE), 4)
+         |    AS recall_frozen,
+         |  hits_retrained,
+         |  ROUND(CAST(hits_retrained AS DOUBLE) / CAST(n * k AS DOUBLE), 4)
+         |    AS recall_retrained
+         |FROM hf JOIN hr USING (k) CROSS JOIN nq ORDER BY k""".stripMargin
+    Q("ann_retrain_recall", fn, Some(sql))
   }
 
   /** Matryoshka (MRL) truncation-quality audit: for each dimension

@@ -121,6 +121,61 @@ object Llm {
        |LEFT JOIN agg a ON d.doc_id = a.new_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Content-preservation audit over a band-index artifact pair —
+    * shared by `dedup_index_compact` (batch-built, appended, compacted)
+    * and `stream_compact_catchup` (the same corpus delivered by
+    * streaming micro-batches, then compacted): per band, row/doc
+    * counts and an exact modular checksum of the 60-bit band-hash
+    * keys, plus the same for the shingle-set half. Any dropped,
+    * duplicated, or perturbed posting fails the gate.
+    */
+  private[graft] def bandIndexAudit(s: SparkSession,
+      table: String): DataFrame = {
+    val bAudit = s.table(s"${table}_bands")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(conv(substring(col("bhash"), 1, 15), 16, 10).cast("long")
+          % 1000003).as("checksum"))
+      .select(concat(lit("bands:"), col("band").cast("string")).as("part"),
+        col("n_rows"), col("n_docs"), col("checksum"))
+    val sAudit = s.table(s"${table}_sets")
+      .select(col("doc_id"), explode(col("toks")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("h") % 1000003).as("checksum"))
+      .select(lit("sets").as("part"), col("n_docs").as("n_rows"),
+        col("n_docs"), col("checksum"))
+    bAudit.unionByName(sAudit).orderBy("part")
+  }
+
+  /** DuckDB twin of [[bandIndexAudit]] over the doc_id % 10 >= 2
+    * corpus — the delivery path (batch appends vs streaming
+    * micro-batches) is invisible to the content, so both declared
+    * compaction queries share this oracle verbatim.
+    */
+  private[graft] lazy val SQL_BAND_AUDIT: String =
+    s"""WITH banded AS (
+       |  SELECT * FROM ($SQL_BANDED) WHERE doc_id % 10 >= 2),
+       |b AS (
+       |  SELECT 'bands:' || CAST(band AS VARCHAR) AS part,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(SUM(${SQL_HEX15("bhash")} % 1000003) AS BIGINT)
+       |      AS checksum
+       |  FROM banded GROUP BY band),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, h FROM ($SQL_SHINGLE_HASHES)
+       |  WHERE doc_id % 10 >= 2),
+       |st AS (
+       |  SELECT 'sets' AS part,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(SUM(h % 1000003) AS BIGINT) AS checksum
+       |  FROM sh)
+       |SELECT part, n_rows, n_docs, checksum FROM b
+       |UNION ALL SELECT part, n_rows, n_docs, checksum FROM st
+       |ORDER BY part""".stripMargin
+
   private val SQL_PAIRS =
     s"""SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
        |  SELECT unnest(flatten(list_transform(ids, (x, i) ->
@@ -333,43 +388,85 @@ object Llm {
           graft.api.Dedup.compactBandIndex(s, src, dst)
           bandIndexMemo.put(dst, fpNow)
         }
-        val bAudit = s.table(s"${dst}_bands")
-          .groupBy(col("band"))
-          .agg(count(lit(1)).as("n_rows"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            sum(conv(substring(col("bhash"), 1, 15), 16, 10).cast("long")
-              % 1000003).as("checksum"))
-          .select(concat(lit("bands:"), col("band").cast("string")).as("part"),
-            col("n_rows"), col("n_docs"), col("checksum"))
-        val sAudit = s.table(s"${dst}_sets")
-          .select(col("doc_id"), explode(col("toks")).as("h"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            sum(col("h") % 1000003).as("checksum"))
-          .select(lit("sets").as("part"), col("n_docs").as("n_rows"),
-            col("n_docs"), col("checksum"))
-        bAudit.unionByName(sAudit).orderBy("part")
+        bandIndexAudit(s, dst)
       },
-      Some(s"""WITH banded AS (
-              |  SELECT * FROM ($SQL_BANDED) WHERE doc_id % 10 >= 2),
-              |b AS (
-              |  SELECT 'bands:' || CAST(band AS VARCHAR) AS part,
-              |    CAST(COUNT(*) AS BIGINT) AS n_rows,
-              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-              |    CAST(SUM(${SQL_HEX15("bhash")} % 1000003) AS BIGINT)
-              |      AS checksum
-              |  FROM banded GROUP BY band),
-              |sh AS (
-              |  SELECT DISTINCT doc_id, h FROM ($SQL_SHINGLE_HASHES)
-              |  WHERE doc_id % 10 >= 2),
-              |st AS (
-              |  SELECT 'sets' AS part,
-              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_rows,
-              |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-              |    CAST(SUM(h % 1000003) AS BIGINT) AS checksum
-              |  FROM sh)
-              |SELECT part, n_rows, n_docs, checksum FROM b
-              |UNION ALL SELECT part, n_rows, n_docs, checksum FROM st
-              |ORDER BY part""".stripMargin)),
+      Some(SQL_BAND_AUDIT)),
+
+    // Band-index DRIFT audit (r14 — the dedup twin of ann_index_drift,
+    // making the two persisted-index lifecycles symmetric: build →
+    // serve → append → compact → DRIFT): per band, the standing
+    // corpus index's bucket census (bucket count, rows, max bucket —
+    // skew says some buckets absorb most candidate traffic) next to
+    // the INCOMING batch's collision profile against it (rows landing
+    // in an existing corpus bucket, hit rate). A rising hit rate or a
+    // growing max bucket is the re-banding / re-hashing signal, read
+    // BEFORE committing a delivery — exactly what ivfIndexDrift's
+    // fill/drift is for cells. The batch side probes the bucketed
+    // artifact with the serve path's co-partitioned semi-join (no
+    // corpus-side Exchange); all outputs are exact integers + one
+    // rounded ratio, mirrored from the first-principles banding
+    // derivation.
+    Q("dedup_index_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup_idx LOCATION " +
+          s"'$dedupIdxLocation'")
+        val fpNow = docsFingerprint(d)
+        if (bandIndexMemo.get("graft_dedup_idx.corpus") != fpNow) {
+          graft.api.Dedup.writeBandIndex(
+            docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
+            "graft_dedup_idx.corpus", K, BANDS)
+          bandIndexMemo.put("graft_dedup_idx.corpus", fpNow)
+        }
+        val cb = s.table("graft_dedup_idx.corpus_bands")
+        val corpusStats = cb.groupBy("band", "bhash")
+          .agg(count(lit(1)).as("sz"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_rows"),
+            max("sz").as("max_bucket"))
+        val batch = graft.api.Dedup.lshBanded(
+          docs.filter(col("doc_id") % 10 < 2), "doc_id", "text", K, BANDS)
+          .localCheckpoint() // consumed by both aggregates below
+        val batchStats = batch.groupBy("band")
+          .agg(count(lit(1)).as("n_batch_rows"))
+        val hitStats = batch
+          .join(cb.select(col("band"), col("bhash")),
+            Seq("band", "bhash"), "left_semi")
+          .groupBy("band").agg(count(lit(1)).as("n_batch_hits"))
+        corpusStats.join(batchStats, "band")
+          .join(hitStats, Seq("band"), "left")
+          .select(col("band"), col("n_buckets"), col("n_rows"),
+            col("max_bucket"), col("n_batch_rows"),
+            coalesce(col("n_batch_hits"), lit(0L)).as("n_batch_hits"),
+            round(coalesce(col("n_batch_hits"), lit(0L)).cast("double")
+              / col("n_batch_rows"), 4).as("hit_rate"))
+          .orderBy("band")
+      },
+      Some(s"""WITH banded AS ($SQL_BANDED),
+              |cbd AS (SELECT * FROM banded WHERE doc_id % 10 >= 2),
+              |nbd AS (SELECT * FROM banded WHERE doc_id % 10 < 2),
+              |bk AS (
+              |  SELECT band, bhash, CAST(COUNT(*) AS BIGINT) AS sz
+              |  FROM cbd GROUP BY 1, 2),
+              |cs AS (
+              |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+              |    CAST(MAX(sz) AS BIGINT) AS max_bucket
+              |  FROM bk GROUP BY band),
+              |bs AS (
+              |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_batch_rows
+              |  FROM nbd GROUP BY band),
+              |hs AS (
+              |  SELECT n.band, CAST(COUNT(*) AS BIGINT) AS n_batch_hits
+              |  FROM nbd n JOIN (SELECT DISTINCT band, bhash FROM cbd) c
+              |    USING (band, bhash)
+              |  GROUP BY n.band)
+              |SELECT cs.band, n_buckets, n_rows, max_bucket, n_batch_rows,
+              |  COALESCE(n_batch_hits, 0) AS n_batch_hits,
+              |  ROUND(CAST(COALESCE(n_batch_hits, 0) AS DOUBLE)
+              |    / n_batch_rows, 4) AS hit_rate
+              |FROM cs JOIN bs USING (band) LEFT JOIN hs ON cs.band = hs.band
+              |ORDER BY band""".stripMargin)),
 
     // Exact shingle-set Jaccard for LSH candidates only (the verify
     // step touches |candidates| pairs, not n²; same shingle unit the

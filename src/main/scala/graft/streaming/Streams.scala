@@ -1375,6 +1375,55 @@ object Streams {
             col("fill_factor"), col("drift"))
           .orderBy("cell")
       },
-      Some(graft.operators.DataOps.annDriftOracleSql))
+      Some(graft.operators.DataOps.annDriftOracleSql)),
+
+    // Streaming deliveries → fragmented band index → COMPACTION — the
+    // maintenance leg under the INGEST path (r14, tying this round's
+    // dedup_index_compact into streaming): three AvailableNow runs
+    // model three scheduled ingest deliveries, each appending its
+    // micro-batches' postings to BOTH halves of the artifact
+    // (foreachBatch → Dedup.appendToBandIndex — exactly the
+    // fragmentation a continuously-fed index accrues), then
+    // Dedup.compactBandIndex rewrites each half one-file-per-bucket
+    // under its original catalog spec. The declared result is the
+    // content-preservation audit; the corpus content (doc_id % 10 >=
+    // 2) is delivery-path-invariant, so the oracle is
+    // dedup_index_compact's verbatim, and StreamingSpec pins the
+    // stream-built artifact's audit ≡ the batch-built one's.
+    Q("stream_compact_catchup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
+          s"'$streamIdxLocation'")
+        val fpNow = graft.operators.Llm.docsFingerprint(d)
+        val src = "graft_stream_idx.cmpsrc"
+        val dst = "graft_stream_idx.cmpdst"
+        if (streamIdxMemo.get(dst) != fpNow) {
+          Seq("_bands", "_sets").foreach { sfx =>
+            s.sql(s"DROP TABLE IF EXISTS $src$sfx")
+            s.sql(s"DROP TABLE IF EXISTS $dst$sfx")
+          }
+          Seq(Seq(2L, 3L, 4L), Seq(5L, 6L, 7L), Seq(8L, 9L)).foreach { del =>
+            val cp = java.nio.file.Files
+              .createTempDirectory("graft_stream_cmp").toString
+            val q = documentsStream(s, d)
+              .filter((col("doc_id") % 10).isin(del: _*))
+              .writeStream
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                if (!batch.isEmpty)
+                  graft.api.Dedup.appendToBandIndex(
+                    batch, "doc_id", "text", src)
+              }
+              .option("checkpointLocation", cp)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          graft.api.Dedup.compactBandIndex(s, src, dst)
+          streamIdxMemo.put(dst, fpNow)
+        }
+        graft.operators.Llm.bandIndexAudit(s, dst)
+      },
+      Some(graft.operators.Llm.SQL_BAND_AUDIT))
   )
 }
