@@ -401,11 +401,13 @@ object Llm {
     // in an existing corpus bucket, hit rate). A rising hit rate or a
     // growing max bucket is the re-banding / re-hashing signal, read
     // BEFORE committing a delivery — exactly what ivfIndexDrift's
-    // fill/drift is for cells. The batch side probes the bucketed
-    // artifact with the serve path's co-partitioned semi-join (no
-    // corpus-side Exchange); all outputs are exact integers + one
-    // rounded ratio, mirrored from the first-principles banding
-    // derivation.
+    // fill/drift is for cells. The batch probes the BUCKETED artifact
+    // with a (band, bhash) semi-join: at corpus scale the bucketed
+    // scan feeds the join with no corpus-side Exchange; at fixture
+    // scale the optimizer rightly broadcasts the small corpus instead
+    // (size-driven, both shapes correct — PlanAuditSpec pins the
+    // bucketed scan). All outputs are exact integers + one rounded
+    // ratio, mirrored from the first-principles banding derivation.
     Q("dedup_index_drift",
       (s, d) => {
         val docs = Tables.documents(s, d)

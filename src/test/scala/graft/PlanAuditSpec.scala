@@ -388,6 +388,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"codebook centroids should broadcast:\n$p")
   }
 
+  test("audit: round-14 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_index_retrain", "ann_retrain_recall",
+      "dedup_index_compact", "dedup_index_drift", "stream_compact_catchup")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("dedup_index_drift: both artifact probes read the BUCKETED scan") {
+    // the census and the batch semi-join must both read the bucketed
+    // corpus_bands scan (Bucketed: true) — at fixture scale the join
+    // side broadcasts the small corpus (size-driven and correct); at
+    // corpus scale the same bucketed scan feeds the join exchange-free
+    val p = SparkEntry.queries("dedup_index_drift")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val bucketedScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("corpus_bands") &&
+        l.contains("Bucketed: true"))
+    assert(bucketedScans == 2,
+      s"expected 2 bucketed corpus_bands scans, got $bucketedScans:\n$p")
+  }
+
   test("llm_pmi_cooccur: pair extraction is one window pass, not self-joins") {
     // r13: lead()-window form — the token table must appear in exactly
     // one document-keyed Exchange feeding a Window, with no
