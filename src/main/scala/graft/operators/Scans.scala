@@ -175,6 +175,53 @@ object Scans {
               |  c(codec)
               |GROUP BY codec ORDER BY codec""".stripMargin)),
 
+    // PARQUET BLOOM-FILTER write knob (r14) — the point-lookup axis
+    // footer min/max stats cannot serve: o_custkey is high-cardinality
+    // and UNSORTED within the table, so every row group's [min, max]
+    // range covers any probe key and zone-map skipping degenerates to
+    // a full scan — the bloom filter is what lets the reader skip row
+    // groups on a point equality (the classic "find one customer in
+    // 100 TB of orders" shape). orders is rewritten once per fixture
+    // with a bloom on o_custkey, then probed with a LITERAL equality
+    // (the pushdown-eligible form; the probe key is the min custkey —
+    // one model-sized driver scalar, the graph-source convention).
+    // Values are knob-invariant by contract, so the oracle runs the
+    // same lookup on the original table; Wave57Spec asserts the
+    // footer actually carries bloom offsets for o_custkey (and none
+    // for un-bloomed columns) and that the equality reaches
+    // PushedFilters.
+    Q("scan_parquet_bloom",
+      (s, d) => {
+        val src = new java.io.File(s"$d/orders.parquet")
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_bloom_orders_$key"
+        if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+          // dictionary encoding is disabled for the bloom column:
+          // parquet-mr SKIPS the bloom when a chunk stays fully
+          // dictionary-encoded (the dictionary already answers exact
+          // membership) — true of the fixture's small custkey domain,
+          // while a 100-TB custkey column would spill out of
+          // dictionary on its own and get the bloom without the knob
+          Tables.orders(s, d).write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+            .option("parquet.enable.dictionary#o_custkey", "false")
+            .parquet(tmp)
+        }
+        val o = s.read.parquet(tmp)
+        val probe = o.agg(min("o_custkey")).head().getLong(0)
+        o.filter(col("o_custkey") === probe)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+              |  ${SQL_DSUM("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // TEXT source roundtrip — the last format in the matrix
     // (csv/json/orc/avro/xml/parquet covered elsewhere): region
     // serialized as pipe-delimited lines via spark.write.text, read

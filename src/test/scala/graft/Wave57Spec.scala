@@ -28,6 +28,38 @@ class Wave57Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == corpusDocs))
   }
 
+  test("scan_parquet_bloom: footer carries blooms for the keyed column only, probe is pushed down") {
+    import scala.jdk.CollectionConverters._
+    // run the query once (materializes the per-fixture artifact and
+    // proves the lookup itself returns the probe customer's orders)
+    val rows = q("scan_parquet_bloom").collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum >= 1L)
+    // the artifact's parquet footers: bloom offsets must be present
+    // for o_custkey column chunks and ABSENT for un-bloomed columns
+    val src = new java.io.File(s"${TestSpark.sf0001}/orders.parquet")
+    val key = s"${TestSpark.sf0001.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+    val tmp = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_bloom_orders_$key")
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val cols = rdr.getFooter.getBlocks.get(0).getColumns.asScala
+      val cust = cols.find(_.getPath.toDotString == "o_custkey").get
+      val price = cols.find(_.getPath.toDotString == "o_totalprice").get
+      assert(cust.getBloomFilterOffset >= 0,
+        "o_custkey column chunk must carry a bloom filter")
+      assert(price.getBloomFilterOffset < 0,
+        "un-bloomed columns must not pay bloom bytes")
+    } finally rdr.close()
+    // and the probe equality reaches the scan as a pushed filter
+    val p = q("scan_parquet_bloom").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_custkey"),
+      s"point probe must be pushed down:\n$p")
+  }
+
   test("stream_compact_catchup: streamed deliveries compact to the batch artifact's audit") {
     // the content-preservation audit of the STREAM-built compacted
     // index must equal the batch-built one's (dedup_index_compact):
