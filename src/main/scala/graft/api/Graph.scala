@@ -165,7 +165,12 @@ object Graph {
       dstCol: String, maxOuter: Int = 50, maxIters: Int = 100,
       localCutoff: Int = 4096): DataFrame = {
     val sess = edges.sparkSession
-    var e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    // Normalize ids to long ONCE at entry: the exact local-Tarjan tail
+    // reads rows with getLong, and the distributed peel passes types
+    // through — without the cast an int-typed id column crashes under
+    // the cutoff and the two paths would emit different schemas.
+    var e = edges.select(col(srcCol).cast("long").as("__u"),
+        col(dstCol).cast("long").as("__v"))
       .cpReset()
     var nodes = e.select(col("__u").as("node"))
       .unionByName(e.select(col("__v").as("node")))

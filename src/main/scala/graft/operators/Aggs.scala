@@ -1182,7 +1182,7 @@ object Aggs {
       val SPLIT = "2024-01-21"
       (s, d) => {
         val src = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_rollup_partials_$key"
         val partial = (df: org.apache.spark.sql.DataFrame) => df
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

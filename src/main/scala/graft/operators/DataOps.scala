@@ -2164,7 +2164,7 @@ object DataOps {
     val K = 16; val ITERS = ORACLE_ITERS; val TOPK = 2; val PROBES = 2
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
       val table = s"graft_ann_idx.ivf_$key"
       val codebook = annIdxCodebooks.computeIfAbsent(key, _ => {
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
@@ -2214,7 +2214,7 @@ object DataOps {
     val K = 16; val ITERS = ORACLE_ITERS; val TOPK = 2; val PROBES = 2
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
       val table = s"graft_ann_idx.ivfapp_$key"
       val embs = Tables.embeddings(s, d)
       val codebook = annIdxCodebooks.computeIfAbsent(s"app_$key", _ => {
@@ -2307,7 +2307,7 @@ object DataOps {
     val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
       val table = s"graft_ann_idx.ivfapp_$key"
       val embs = Tables.embeddings(s, d)
       val codebook = annIdxCodebooks.computeIfAbsent(s"app_$key", _ => {
@@ -2355,7 +2355,7 @@ object DataOps {
     val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
       val table = s"graft_ann_idx.ivfapp_$key"
       val cmp = s"graft_ann_idx.ivfcmp_$key"
       val embs = Tables.embeddings(s, d)
@@ -2426,7 +2426,7 @@ object DataOps {
     val K = 16; val ITERS = ORACLE_ITERS
     def fn(s: SparkSession, d: String): DataFrame = {
       val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
       val table = s"graft_ann_idx.ivfapp_$key"
       val retr = s"graft_ann_idx.ivfretr_$key"
       val embs = Tables.embeddings(s, d)

@@ -85,7 +85,7 @@ object Graphs {
   private def memoPairs(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
-    val key = (s, s"${tag}_${d}_${f.length}_${f.lastModified}")
+    val key = (s, s"${tag}_${d}_${graft.Fixtures.fingerprint(f)}")
     val it = pairsMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
@@ -1374,7 +1374,7 @@ object Graphs {
     val ROUNDS = 12
     def fn(s: SparkSession, d: String): DataFrame = {
       val fKey = new java.io.File(s"$d/events.parquet")
-      val memoKey = (s, s"${d}_${fKey.length}_${fKey.lastModified}")
+      val memoKey = (s, s"${d}_${graft.Fixtures.fingerprint(fKey)}")
       val it = mstMemo.entrySet().iterator()
       while (it.hasNext)
         if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
@@ -2158,7 +2158,7 @@ object Graphs {
     (SparkSession, String), DataFrame]
   private def sccLabels(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
-    val key = (s, s"${d}_${f.length}_${f.lastModified}")
+    val key = (s, s"${d}_${graft.Fixtures.fingerprint(f)}")
     val it = sccMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
@@ -2311,7 +2311,7 @@ object Graphs {
     }
     def fn(s: SparkSession, d: String): DataFrame = {
       val f = new java.io.File(s"$d/events.parquet")
-      val key = (s, s"${d}_${f.length}_${f.lastModified}")
+      val key = (s, s"${d}_${graft.Fixtures.fingerprint(f)}")
       val it = bowtieMemo.entrySet().iterator()
       while (it.hasNext)
         if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()

@@ -521,7 +521,7 @@ object Joins {
         val src = new java.io.File(s"$d/lineitem.parquet")
         // table-identifier-safe key: dots (sf0.01) are NOT allowed in
         // table names, unlike the path-keyed staging dirs elsewhere
-        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
         bktTables.computeIfAbsent(key, _ => {
           s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION " +
             s"'$bktLocation'")
@@ -680,7 +680,7 @@ object Joins {
     Q("join_dpp_prune",
       (s, d) => {
         val src = new java.io.File(s"$d/orders.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val factTmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
         if (!new java.io.File(s"$factTmp/_SUCCESS").exists()) {
           Tables.orders(s, d).write.mode("overwrite")

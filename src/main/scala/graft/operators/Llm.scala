@@ -38,12 +38,10 @@ object Llm {
   private val bandIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def docsFingerprint(d: String): String = {
-    def fp(x: java.io.File): String =
-      if (x.isDirectory)
-        x.listFiles().sortBy(_.getName).map(fp).mkString(",")
-      else s"${x.getName}:${x.length}:${x.lastModified}"
+    // delegates to the repo-wide convention (graft.Fixtures, r15): a
+    // recursive (name, length, mtime) walk collapsed to an MD5 digest
     val f = new java.io.File(s"$d/documents.parquet")
-    if (f.exists) s"${f.getAbsolutePath}|${fp(f)}" else d
+    if (f.exists) graft.Fixtures.fingerprint(f) else d
   }
 
   /** DuckDB twin of the exploded unigram token stream (Spark side lives

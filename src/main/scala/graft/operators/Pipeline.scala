@@ -71,7 +71,7 @@ object Pipeline {
       name: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val f = new java.io.File(s"$d/orders.parquet")
-    val key = (s, s"${d}_${f.length}_${f.lastModified}", name)
+    val key = (s, s"${d}_${graft.Fixtures.fingerprint(f)}", name)
     val it = txnMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
@@ -1048,7 +1048,7 @@ object Pipeline {
         import java.nio.file.{Files, Paths}
         import scala.jdk.CollectionConverters._
         val src = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_snap_$key"
         val dataDir = s"$root/data"
         def partFiles(): Seq[String] =

@@ -56,7 +56,7 @@ object Scans {
         // the cached partitioned copy instead of being silently shadowed
         // by it, and distinct dataset paths can never collide.
         val src = new java.io.File(s"$d/orders.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.orders(s, d).write.mode("overwrite")
@@ -82,7 +82,7 @@ object Scans {
     Q("scan_csv_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/nation.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.nation(s, d).write.mode("overwrite")
@@ -103,7 +103,7 @@ object Scans {
     Q("scan_json_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/customer.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_customer_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.customer(s, d)
@@ -127,7 +127,7 @@ object Scans {
     Q("scan_orc_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/supplier.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_supplier_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
@@ -154,7 +154,7 @@ object Scans {
     Q("scan_codec_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/supplier.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val codecs = Seq("snappy", "gzip", "zstd")
         codecs.map { c =>
           val tmp =
@@ -193,7 +193,7 @@ object Scans {
     Q("scan_parquet_bloom",
       (s, d) => {
         val src = new java.io.File(s"$d/orders.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_bloom_orders_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           // dictionary encoding is disabled for the bloom column:
@@ -231,7 +231,7 @@ object Scans {
     Q("scan_text_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/region.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_text_region_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.region(s, d)
@@ -256,7 +256,7 @@ object Scans {
     Q("catalog_partition_skew",
       (s, d) => {
         val src = new java.io.File(s"$d/orders.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_part_orders_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.orders(s, d).write.mode("overwrite")
@@ -286,7 +286,7 @@ object Scans {
     Q("scan_avro_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/part.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_avro_part_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.part(s, d).write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
@@ -313,7 +313,7 @@ object Scans {
     Q("scan_xml_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/customer.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_xml_customer_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           Tables.customer(s, d)
@@ -342,7 +342,7 @@ object Scans {
     Q("scan_schema_evolution",
       (s, d) => {
         val src = new java.io.File(s"$d/nation.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_evolve_nation_$key"
         if (!new java.io.File(s"$tmp/gen2/_SUCCESS").exists()) {
           Tables.nation(s, d).select(lit(1L).as("gen"), col("n_nationkey"),
@@ -376,7 +376,7 @@ object Scans {
       (s, d) => {
         import org.apache.spark.sql.types._
         val src = new java.io.File(s"$d/nation.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_corrupt_$key"
         if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
           import s.implicits._
@@ -460,7 +460,7 @@ object Scans {
     Q("scan_corrupt_recovery",
       (s, d) => {
         val src = new java.io.File(s"$d/customer.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_corrupt_file_$key"
         val dir = new java.io.File(tmp)
         if (!new java.io.File(s"$tmp/.staged").exists()) {
@@ -751,7 +751,7 @@ object Scans {
     Q("scan_binary_files",
       (s, d) => {
         val src = new java.io.File(s"$d/documents.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = new java.io.File(
           s"${sys.props("java.io.tmpdir")}/graft_bin_$key")
         if (!new java.io.File(tmp, "_STAGED").exists()) {
@@ -879,7 +879,7 @@ object Scans {
     Q("scan_glob_options",
       (s, d) => {
         val src = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_glob_events_$key"
         if (!new java.io.File(s"$tmp/_STAGED").exists()) {
           Tables.events(s, d).write.mode("overwrite")
@@ -999,7 +999,7 @@ object Scans {
     Q("scan_jdbc_roundtrip",
       (s, d) => {
         val src = new java.io.File(s"$d/supplier.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val db = s"${sys.props("java.io.tmpdir")}/graft_derby_$key"
         val url = s"jdbc:derby:$db;create=true"
         val props = new java.util.Properties()
@@ -1045,7 +1045,7 @@ object Scans {
     Q("catalog_hive_stats",
       (s, d) => {
         val src = new java.io.File(s"$d/nation.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${src.length}_${src.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
         val tbl = s"nation_stats_$key"
         val statCols = Seq("n_name", "n_nationkey", "n_regionkey")
         staged.computeIfAbsent(s"stats_$tbl", _ => {

@@ -134,7 +134,7 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val f = new java.io.File(s"$d/$tbl.parquet")
     val key =
-      s"${tbl}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+      s"${tbl}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
     // computeIfAbsent both memoizes and SERIALIZES staging per key: a
     // second caller blocks until the first finishes, so nobody reads a
     // half-staged file. The copy lands under a temp name and is
@@ -551,7 +551,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         // v3: keyed alongside the STABLE staged source path (a
         // checkpoint written against a since-deleted random staging dir
         // must not be resumed). Bumped v2→v3 when stageDir generalized
@@ -593,7 +593,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/documents.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_dedupnow_v1_$key"
         val q = documentsStream(s, d)
           .select(col("source"), md5(col("text")).as("h"),
@@ -637,7 +637,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_sessnow_v1_$key"
         val q = eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
@@ -697,7 +697,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_slidenow_v1_$key"
         val agg = eventsStream(s, d)
           .withColumn("cents",
@@ -743,7 +743,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_twsnow_v1_$key"
         // TransformWithState requires the RocksDB provider; the session
         // is SHARED across the whole bench/verify sweep, so capture the
@@ -811,7 +811,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_joinnow_v2_$key"
         val src = eventsStream(s, d)
         val left = src
@@ -881,7 +881,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_enrichnow_v1_$key"
         val dim = graft.Tables.nation(s, d)
           .select(col("n_nationkey"), col("n_name"))
@@ -928,7 +928,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_aggnow_v1_$key"
         val agg = eventsStream(s, d)
           .withColumn("cents",
@@ -968,7 +968,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_topnnow_v1_$key"
         val agg = eventsStream(s, d)
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -1021,7 +1021,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_latenow_v1_$key"
         val q = eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
@@ -1069,7 +1069,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_fmgwsnow_v1_$key"
         implicit val longEnc = Encoders.scalaLong
         implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -1129,7 +1129,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_outernow_v1_$key"
         val src = eventsStream(s, d)
         val left = src.filter(col("event_id") % 2 === 0)
@@ -1210,7 +1210,7 @@ object Streams {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val f = new java.io.File(s"$d/events.parquet")
-        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${f.length}_${f.lastModified}"
+        val key = s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_msinknow_v1_$key"
         val q = eventsStream(s, d)
           .select(col("event_id"), col("event_type"),
@@ -1349,7 +1349,7 @@ object Streams {
     Q("stream_ann_append",
       (s, d) => {
         val f = new java.io.File(s"$d/embeddings.parquet")
-        val tkey = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${f.length}_${f.lastModified}"
+        val tkey = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(f)}"
         val table = s"graft_stream_idx.annstream_$tkey"
         s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
           s"'$streamIdxLocation'")

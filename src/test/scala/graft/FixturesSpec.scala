@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.Fixtures — the one per-fixture artifact fingerprint (r14
+  * verdict Next #6). The property that motivated it: a part-file
+  * change must move the fingerprint EVEN IF the enclosing directory's
+  * own (length, mtime) stats do not move — the exact case the old
+  * top-level keys served stale artifacts for.
+  */
+class FixturesSpec extends AnyFunSuite {
+
+  private def write(f: java.io.File, s: String): Unit = {
+    val w = new java.io.FileWriter(f)
+    try w.write(s) finally w.close()
+  }
+
+  test("stable across recomputation; sensitive to hidden part-file change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_spec").toFile
+    val part = new java.io.File(dir, "part-00000.parquet")
+    write(part, "alpha")
+    val dirMtime = dir.lastModified
+    val fp1 = Fixtures.fingerprint(dir)
+    assert(fp1 == Fixtures.fingerprint(dir), "recomputation must be stable")
+    assert(fp1.matches("[0-9a-f]{32}"), "digest form: 32 hex chars")
+    // regenerate the part file with different content but FORCE the
+    // part file's mtime and the directory's stats back to their old
+    // values — only the length differs, as when a fixture is rewritten
+    write(part, "alphabeta")
+    part.setLastModified(dirMtime)
+    dir.setLastModified(dirMtime)
+    val fp2 = Fixtures.fingerprint(dir)
+    assert(fp2 != fp1, "part-file length change must move the fingerprint")
+    // and an mtime-only change (same length) must move it too
+    write(part, "gamma!!!!")           // same 9-byte length as alphabeta
+    part.setLastModified(dirMtime + 12345L)
+    dir.setLastModified(dirMtime)
+    val fp3 = Fixtures.fingerprint(dir)
+    assert(fp3 != fp2, "part-file mtime change must move the fingerprint")
+  }
+
+  test("distinct paths never collide even with identical trees") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_fp_a").toFile
+    val d2 = java.nio.file.Files.createTempDirectory("graft_fp_b").toFile
+    write(new java.io.File(d1, "x"), "same")
+    write(new java.io.File(d2, "x"), "same")
+    new java.io.File(d2, "x").setLastModified(
+      new java.io.File(d1, "x").lastModified)
+    assert(Fixtures.fingerprint(d1) != Fixtures.fingerprint(d2),
+      "absolute path participates in the digest")
+  }
+}

@@ -116,6 +116,30 @@ class GraphSpec extends AnyFunSuite {
     assert(viaLocal(40L) == 1L && viaLocal(20L) == 1L && viaLocal(35L) == 1L)
   }
 
+  test("SCC accepts int-typed id columns on BOTH paths and emits long") {
+    import spark.implicits._
+    // r14 ADVICE: the local Tarjan tail reads rows with getLong, so an
+    // int-typed edge list crashed under the default cutoff and the two
+    // paths emitted different schemas. Ids are now cast to long once at
+    // entry — pin both paths on an int graph with a cycle + chain.
+    val intEdges = (Seq((1, 2), (2, 3), (3, 1)) ++
+      (3 until 10).map(i => (i, i + 1))).toDF("du", "dv")
+    assert(intEdges.schema("du").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    Seq(4096, 0).foreach { cutoff =>
+      val scc = graft.api.Graph
+        .stronglyConnectedComponents(intEdges, "du", "dv",
+          localCutoff = cutoff)
+      assert(scc.schema("node").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(scc.schema("scc_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val m = scc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L).forall(m(_) == 1L), "cycle is one SCC")
+      assert((4L to 10L).forall(i => m(i) == i), "chain nodes singleton")
+    }
+  }
+
   test("hopDistances: path graph distances are exact, unreachable nodes absent") {
     val e = bothDirs((0L until 39L).map(i => (i, i + 1)) :+ (100L, 101L))
     val d = graft.api.Graph.hopDistances(e, "u", "v", 0L)
