@@ -24,8 +24,8 @@ Notes:
     here mirror the Scala defaults).
   * The binding layer is exercised offline by
     ``tools/check_pybindings.py`` (a dev-only smoke test run against
-    the compiled classes with the driver-side pyspark install: 27
-    delegations across dedup/similarity/ranking/text/catalog, covering
+    the compiled classes with the driver-side pyspark install: 31
+    delegations across dedup/similarity/graph/ranking/text/catalog, covering
     str/int/float-list/Seq/Column/None marshalling plus double[][]
     codebooks in both directions for the persisted-index lifecycle);
     the wrapped Scala methods themselves are oracle- and
@@ -263,16 +263,58 @@ class similarity:
 
     @staticmethod
     def retrain_ivf_index(table, target, id_col="vec_id", k=16, iters=5,
-                          buckets=8):
+                          buckets=0):
         """The decision ivf_index_drift informs, executed: re-run the
         Lloyd chain over the CURRENT postings (initial + appended) and
         rewrite a fresh artifact at ``target``; returns the retrained
-        codebook."""
+        codebook. ``buckets<=0`` derives the count from the source
+        artifact's catalog bucket spec (never silently re-buckets)."""
         s = _active_spark()
-        postings = s.table(table).select(id_col, "v")
-        cb = _jvm().graft.api.Similarity.writeIvfIndex(
-            postings._jdf, id_col, "v", target, k, iters, buckets)
+        cb = _jvm().graft.api.Similarity.retrainIvfIndex(
+            s._jsparkSession, table, target, id_col, k, iters, buckets)
         return [list(row) for row in cb]
+
+
+class graph:
+    """graft.api.Graph — convergent distributed graph primitives.
+
+    Edge frames are plain DataFrames with two id columns; undirected
+    algorithms (``connected_components``, ``kcore``) expect BOTH
+    directions of each edge present.
+    """
+
+    @staticmethod
+    def connected_components(edges, src_col, dst_col, max_iters=100):
+        """(node, component) with component = min reachable node id;
+        converges in O(log diameter) rounds via pointer doubling."""
+        return _wrap(_jvm().graft.api.Graph.connectedComponents(
+            edges._jdf, src_col, dst_col, max_iters))
+
+    @staticmethod
+    def strongly_connected_components(edges, src_col, dst_col,
+                                      max_outer=50, max_iters=100,
+                                      local_cutoff=4096):
+        """(node, scc_id) of the DIRECTED graph by FW-BW min-label
+        peeling. ``local_cutoff``: remainder row count at or below which
+        the peel finishes with one exact driver-side Tarjan pass
+        (0 disables — always distributed); ids are normalized to long."""
+        return _wrap(_jvm().graft.api.Graph.stronglyConnectedComponents(
+            edges._jdf, src_col, dst_col, max_outer, max_iters,
+            local_cutoff))
+
+    @staticmethod
+    def hop_distances(edges, src_col, dst_col, source, max_iters=100):
+        """(node, dist) BFS hop distances from ``source``; unreachable
+        nodes are absent."""
+        return _wrap(_jvm().graft.api.Graph.hopDistances(
+            edges._jdf, src_col, dst_col, int(source), max_iters))
+
+    @staticmethod
+    def kcore(edges, src_col, dst_col, k, max_rounds=12):
+        """Iterative degree peel: surviving (node, degree) rows of the
+        k-core subgraph."""
+        return _wrap(_jvm().graft.api.Graph.kcore(
+            edges._jdf, src_col, dst_col, k, max_rounds))
 
 
 class ranking:

@@ -748,6 +748,31 @@ object Similarity {
     releaseCheckpoint(snap)
   }
 
+  /** Retrain the persisted IVF index — the decision [[ivfIndexDrift]]
+    * informs, executed: re-run the Lloyd chain over the CURRENT
+    * postings (initial cohort + every appended delivery — a deployment
+    * retrains from what the index actually holds, not the original
+    * source) and rewrite a fresh artifact at `target`. Returns the
+    * retrained codebook.
+    *
+    * `buckets <= 0` (the default) derives the count from the SOURCE
+    * artifact's own catalog bucket spec, exactly like
+    * [[compactIvfIndex]] (r14 ADVICE: a hard-coded 8 here silently
+    * re-bucketed an index built with a non-default count); pass an
+    * explicit positive count only to deliberately re-bucket.
+    */
+  def retrainIvfIndex(spark: SparkSession, table: String, target: String,
+      idCol: String = "vec_id", k: Int = 16, iters: Int = 5,
+      buckets: Int = 0): Array[Array[Double]] = {
+    val nb =
+      if (buckets > 0) buckets
+      else catalogBuckets(spark, table)
+        .getOrElse(throw new IllegalArgumentException(
+          s"retrainIvfIndex: $table has no bucket spec; pass buckets explicitly"))
+    writeIvfIndex(spark.table(table).select(col(idCol), col("v")),
+      idCol, "v", target, k, iters, nb)
+  }
+
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted
     * postings table from [[writeIvfIndex]]. The batch fans out to its
     * `probes` nearest cells via the codebook (per-row expression work);

@@ -2443,11 +2443,12 @@ object DataOps {
       })
       // the retrain maintenance action itself, once per fixture: train
       // on the postings (NOT the source table — a deployment retrains
-      // from what the index actually holds) and rewrite the artifact
+      // from what the index actually holds) and rewrite the artifact;
+      // the bucket count is derived from the source artifact's own
+      // catalog spec (r14 ADVICE — never silently re-bucket)
       val cb2 = annIdxCodebooks.computeIfAbsent(s"retr_$key", _ =>
-        graft.api.Similarity.writeIvfIndex(
-          s.table(table).select(col("vec_id"), col("v")), "vec_id", "v",
-          retr, K, ITERS))
+        graft.api.Similarity.retrainIvfIndex(s, table, retr, "vec_id",
+          K, ITERS))
       val before = graft.api.Similarity.ivfIndexDrift(s, table, cb)
         .select(col("cell"), col("n_vecs").as("n_before"),
           col("drift").as("drift_before"))

@@ -191,6 +191,52 @@ check("similarity.compact_ivf_index", _ivf_compact_check)
 check("similarity.retrain_ivf_index", _ivf_retrain_check)
 check("dedup.write/append/compact_band_index", _band_compact_check)
 
+# --- graph (r15: the one api/ object that had zero bindings) -------------
+_ring = [(i, (i + 1) % 5) for i in range(5)]          # directed 5-cycle
+_tail = [(5, 6), (6, 7), (4, 5)]                       # chain off the ring
+_edges = spark.createDataFrame(_ring + _tail, "u long, v long")
+_both = _edges.union(_edges.selectExpr("v AS u", "u AS v"))
+
+
+def _cc_check():
+    r = graft.graph.connected_components(_both, "u", "v")
+    got = {row["node"]: row["component"] for row in r.collect()}
+    expect(len(got) == 8 and set(got.values()) == {0},
+           f"one component labelled 0, got {got}")
+
+
+def _scc_check():
+    # default local_cutoff (exercises the local-Tarjan tail) AND
+    # local_cutoff=0 (forces the distributed peel) must agree
+    for cutoff in (4096, 0):
+        r = graft.graph.strongly_connected_components(
+            _edges, "u", "v", local_cutoff=cutoff)
+        got = {row["node"]: row["scc_id"] for row in r.collect()}
+        expect(all(got[i] == 0 for i in range(5)),
+               f"ring is one SCC (cutoff={cutoff}): {got}")
+        expect(all(got[i] == i for i in (5, 6, 7)),
+               f"tail nodes are singletons (cutoff={cutoff}): {got}")
+
+
+def _hops_check():
+    r = graft.graph.hop_distances(_both, "u", "v", 0)
+    got = {row[0]: row[1] for row in r.collect()}
+    # undirected ring: 0-4 is one hop, so the tail end 7 sits at 4
+    expect(got[0] == 0 and got[7] == 4, f"BFS distances: {got}")
+
+
+def _kcore_check():
+    # the 2-core of ring+tail is exactly the ring (tail peels off)
+    r = graft.graph.kcore(_both, "u", "v", 2)
+    expect({row[0] for row in r.collect()} == set(range(5)),
+           "2-core must be the 5-ring")
+
+
+check("graph.connected_components", _cc_check)
+check("graph.strongly_connected_components", _scc_check)
+check("graph.hop_distances", _hops_check)
+check("graph.kcore", _kcore_check)
+
 # --- ranking -------------------------------------------------------------
 from pyspark.sql import functions as F  # noqa: E402
 
