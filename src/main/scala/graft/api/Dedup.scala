@@ -349,6 +349,49 @@ object Dedup {
     half("_sets", Seq("doc_id"))
   }
 
+  /** Retrain the persisted band index — the decision the
+    * `dedup_index_drift` census informs, executed (the band twin of
+    * [[graft.api.Similarity.retrainIvfIndex]]): re-derive the LSH
+    * banding at ADJUSTED (k, bands) — e.g. more rows per band when the
+    * census shows mega-buckets absorbing the candidate traffic — and
+    * rewrite a fresh artifact at `target`, FROM THE STANDING ARTIFACT
+    * alone: the `_sets` half stores every doc's distinct 60-bit
+    * shingle hashes, which is exactly the input the minhash chain
+    * needs (sig_i = min over hashes of h XOR seed_i — distinctness
+    * does not move a min), so no source-corpus re-scan, re-tokenize,
+    * or re-md5 happens. Cost: one read of the sets half + the k cheap
+    * xor-mixes, at any corpus size.
+    *
+    * Bucket counts are derived per half from the SOURCE artifact's own
+    * catalog specs (the compact/retrain same-spec convention —
+    * never silently re-bucket); `buckets > 0` overrides both to
+    * deliberately re-bucket.
+    */
+  def retrainBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, target: String, k: Int = 16, bands: Int = 4,
+      buckets: Int = 0): Unit = {
+    def nb(suffix: String): Int =
+      if (buckets > 0) buckets
+      else graft.api.Similarity.catalogBuckets(spark, s"$table$suffix")
+        .getOrElse(throw new IllegalArgumentException(
+          s"retrainBandIndex: $table$suffix has no bucket spec"))
+    val nbBands = nb("_bands")
+    val nbSets = nb("_sets")
+    // snapshot the sets half (it is both the signature input and the
+    // carried-over content, and `target` may equal `table` in place)
+    val sets = spark.table(s"${table}_sets").localCheckpoint()
+    val shingles = sets.select(col("doc_id"), explode(col("toks")).as("h"))
+    bandedFromShingles(shingles, k, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(nbBands, "band", "bhash").sortBy("band", "bhash")
+      .saveAsTable(s"${target}_bands")
+    sets
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(nbSets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${target}_sets")
+    graft.api.Similarity.releaseCheckpoint(sets)
+  }
+
   /** [[incrementalNearDups]] against the PERSISTED band index — the
     * shape a continuous-ingestion corpus actually runs at 100 TB. The
     * batch side computes its signatures fresh (O(batch)); the corpus

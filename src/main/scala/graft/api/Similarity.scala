@@ -773,6 +773,123 @@ object Similarity {
       idCol, "v", target, k, iters, nb)
   }
 
+  /** Persist the IVF+PQ CODED index (r14 verdict Next #2) — the
+    * artifact a billion-vector corpus actually serves from: instead of
+    * raw vectors, each posting row is (id, cell, codes) where `codes`
+    * are the M per-subspace PQ centroid ids of the vector's RESIDUAL
+    * v − coarseCentroid(cell) (the FAISS IVFPQ layout; residuals
+    * concentrate around the origin so the code budget is spent on what
+    * the coarse quantizer didn't explain — the measured
+    * [[graft.operators]] `ann_ivfpq_adc` recipe, persisted). At
+    * M=4 int codes per vector vs 64 raw doubles + norm, the postings
+    * shrink to ~a few percent of the raw-vector artifact's bytes
+    * (AnnIndexSpec measures the fraction); the two codebooks returned
+    * (coarse CELLS×dims + PQ M×PQK×(dims/M)) are the model-sized
+    * routing/decoding tables a serving tier keeps in memory.
+    *
+    * Training reuses the memoized deterministic [[kmeansCodebook]]
+    * (md5-ranked init, decimal-exact Lloyd means) for the coarse AND
+    * each subspace codebook, and cell/code assignment is the exact
+    * strict-< first-min [[graft.functions.NearestCells]] — so the
+    * artifact is bit-reproducible and oracle-mirrorable. Postings are
+    * bucketed+sorted by `cell` like [[writeIvfIndex]], so serving
+    * joins bucket-to-bucket with no corpus-side Exchange.
+    */
+  def writeIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+      table: String, cells: Int = 16, m: Int = 4, pqk: Int = 16,
+      iters: Int = 5, buckets: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val base = embs.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val coarse = kmeansCodebook(base, idCol, "__v", cells, iters)
+    val dims = coarse(0).length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val coarseLit = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val resid = assignCells(base, coarse)
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(coarseLit, col("__cell") + 1), (x, y) => x - y))
+    def subCol(mi: Int) = expr(s"slice(__r, ${mi * sub + 1}, $sub)")
+    val pq: Array[Array[Array[Double]]] = (0 until m).map { mi =>
+      kmeansCodebook(resid.select(col(idCol), subCol(mi).as("__sub")),
+        idCol, "__sub", pqk, iters)
+    }.toArray
+    var coded = resid
+    for (mi <- 0 until m)
+      coded = coded
+        .withColumn(s"__sub_$mi", subCol(mi))
+        .withColumn(s"__code_$mi", element_at(Bridge.column(
+          graft.functions.NearestCells(
+            UnresolvedAttribute(s"__sub_$mi"), pq(mi), 1)), 1))
+    coded
+      .select(col(idCol), col("__cell").cast("int").as("cell"),
+        array((0 until m).map(mi => col(s"__code_$mi").cast("int")): _*)
+          .as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    (coarse, pq)
+  }
+
+  /** ADC serving from the persisted CODED postings of
+    * [[writeIvfPqIndex]] — true asymmetric-distance computation at
+    * scale: each query row fans out to its `probes` nearest coarse
+    * cells and builds, per (query, cell), the M×PQK LUT of exact
+    * subspace distances between the query's residual slice and every
+    * PQ centroid (model-sized per-row expression work against the
+    * broadcast-literal codebooks — no corpus touch); each candidate
+    * posting then costs O(M) array lookups — `adc =
+    * Σ_m lut[m][codes[m]]` — never a dims-length fold. The corpus side
+    * is the bucketed coded table read straight into the cell
+    * equi-join: the only Exchanges are on the batch/probe side
+    * (AnnIndexSpec asserts it), so serving is O(batch·probes·cell) in
+    * compute AND reads ~3% of the bytes the raw-vector index serves.
+    * Returns per query the `topK` ADC-nearest (cell, rn, nbr_id,
+    * adc_dist) — approximate by construction; rerank the short list
+    * against source vectors when exactness matters.
+    */
+  def ivfPqQueryIndexed(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]], topK: Int = 5,
+      probes: Int = 4): DataFrame = {
+    val s = batch.sparkSession
+    val dims = coarse(0).length
+    val m = pq.length
+    val sub = dims / m
+    val coarseLit = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val pqLit = typedlit(
+      pq.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val base = prepare(batch, idCol, vecCol).select(col(idCol), col("__v"))
+    val qs = probeCells(base, coarse, probes)
+      .select(col(idCol), col("__v"),
+        explode(col("__probe_cells")).as("cell"))
+      .withColumn("__qr", zip_with(col("__v"),
+        element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+      .withColumn("__lut", transform(pqLit, (mcb, mi) =>
+        transform(mcb, cvec =>
+          aggregate(
+            zip_with(slice(col("__qr"), mi * sub + 1, lit(sub)), cvec,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e))))
+      .select(col(idCol), col("cell"), col("__lut"))
+    val postings = s.table(table)
+      .select(col(idCol).as("pb_id"), col("cell").as("pb_cell"),
+        col("codes").as("pb_codes"))
+    val w = Window.partitionBy("__id_a")
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    qs.as("a").join(postings,
+        col("a.cell") === col("pb_cell") && col(s"a.$idCol") =!= col("pb_id"))
+      .select(col(s"a.$idCol").as("__id_a"), col("pb_cell").as("cell"),
+        col("pb_id").as("nbr_id"),
+        aggregate(
+          zip_with(col("pb_codes"), col("__lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, e) => acc + e).as("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__id_a", idCol)
+  }
+
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted
     * postings table from [[writeIvfIndex]]. The batch fans out to its
     * `probes` nearest cells via the codebook (per-row expression work);

@@ -1936,7 +1936,7 @@ object DataOps {
       topicBalanceQuery,
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
-      annRetrainRecallQuery,
+      annRetrainRecallQuery, annIvfPqPersistedQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2495,6 +2495,166 @@ object DataOps {
          |FROM bdrift b FULL JOIN adrift a ON b.cell = a.cell
          |ORDER BY cell""".stripMargin
     Q("ann_index_retrain", fn, Some(sql))
+  }
+
+  /** The PQ-CODED persisted index, built and SERVED (r14 verdict Next
+    * #2 — upgrades the persisted-index scale story from raw-vector
+    * postings to coded postings): [[graft.api.Similarity
+    * .writeIvfPqIndex]] trains the coarse IVF codebook + M=4 residual
+    * PQ codebooks ONCE per fixture and persists (vec_id, cell, codes)
+    * — 4 int codes per vector instead of 64 raw doubles + norm, the
+    * ~billion-vector artifact layout — then a query batch
+    * (vec_id % 97 = 0) is answered from the CODES ALONE via
+    * [[graft.api.Similarity.ivfPqQueryIndexed]]: per (query, probed
+    * cell) the M×PQK LUT of exact subspace distances is built as
+    * expression work against the literal codebooks, and each candidate
+    * posting costs O(M) lookups (true ADC — never a dims-length fold,
+    * never a corpus-side Exchange; AnnIndexSpec asserts the plan and
+    * the coded artifact's byte fraction). The oracle unrolls coarse
+    * training + residual derivation + 4 subspace trainings + per-query
+    * probe routing + per-(query, cell) LUTs + the O(M) ADC sum in one
+    * CTE chain — the `ann_ivfpq_adc` derivation generalized from one
+    * pinned query to the batch, minus the exact rerank (the coded
+    * artifact intentionally does not store raw vectors; rerank is a
+    * separate source-table fetch in a deployment).
+    */
+  private val annIvfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  private def annIvfPqPersistedQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS; val PROBES = 4; val TOPK = 5
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
+      val table = s"graft_ann_idx.ivfpq_$key"
+      val model = annIvfPqModels.computeIfAbsent(key, _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        graft.api.Similarity.writeIvfPqIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding", table,
+          CELLS, M, PQK, ITERS)
+      })
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0)
+      graft.api.Similarity
+        .ivfPqQueryIndexed(batch, "vec_id", "embedding", table,
+          model._1, model._2, TOPK, PROBES)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rn").cast("long").as("rn"), col("nbr_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy("vec_id", "rn")
+    }
+    def L2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    def assign(cb: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT b.vec_id, b.v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
+         |    FROM base b, $cb c) t WHERE rn = 1)""".stripMargin
+    def update(a: String, prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
+         |    SELECT cell, pos,
+         |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+         |    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |          FROM $a) e
+         |    GROUP BY cell, pos) m GROUP BY cell
+         |  UNION ALL
+         |  SELECT c_id, v FROM $prev
+         |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
+    val coarseCtes = (Seq(
+      s"""cb0 AS (
+         |  SELECT c_id, v FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
+         |    FROM base) r WHERE c_id < $CELLS)""".stripMargin)
+      ++ (1 to ITERS).flatMap(i =>
+        Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
+      ++ Seq(assign(s"cb$ITERS", "afinal"))).mkString(",\n")
+    def perSub(m: Int): String = {
+      val off = m * SUB
+      def assignS(cb: String, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id, sv, c_id AS cell FROM (
+           |    SELECT b.vec_id, b.sv, c.c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+           |        ORDER BY ${L2("b.sv", "c.v")}, c.c_id) AS rn
+           |    FROM sub_$m b, $cb c) t WHERE rn = 1)""".stripMargin
+      def updateS(a: String, prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
+           |    SELECT cell, pos,
+           |      CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS dv
+           |    FROM (SELECT cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+           |          FROM $a) e
+           |    GROUP BY cell, pos) mm GROUP BY cell
+           |  UNION ALL
+           |  SELECT c_id, v FROM $prev
+           |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
+      val iters = (1 to ITERS).flatMap(i => Seq(
+        assignS(s"cb${i - 1}_$m", s"a${i}_$m"),
+        updateS(s"a${i}_$m", s"cb${i - 1}_$m", s"cb${i}_$m")))
+      (Seq(
+        s"""sub_$m AS (
+           |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM resid)""".stripMargin,
+        s"""cb0_$m AS (
+           |  SELECT c_id, sv AS v FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, sv
+           |    FROM sub_$m) r WHERE c_id < $PQK)""".stripMargin)
+        ++ iters ++ Seq(
+        assignS(s"cb${ITERS}_$m", s"codes_$m"),
+        // LUT per (query, probed cell): the query's residual slice vs
+        // every PQ centroid — the model-sized table ADC reads from
+        s"""lut_$m AS (
+           |  SELECT qr.qid, qr.pcell, c.c_id,
+           |    ${L2("c.v", s"qr.r[${off + 1}:${off + SUB}]")} AS dist
+           |  FROM cb${ITERS}_$m c, qres qr)""".stripMargin))
+        .mkString(",\n")
+    }
+    val codeJoins = (0 until M).map(m =>
+      s"JOIN codes_$m c$m ON c$m.vec_id = af.vec_id").mkString("\n  ")
+    val lutJoins = (0 until M).map(m =>
+      s"JOIN lut_$m l$m ON l$m.qid = p.qid AND l$m.pcell = p.pcell AND l$m.c_id = c$m.cell")
+      .mkString("\n  ")
+    val adcSum = (0 until M).map(m => s"l$m.dist").mkString(" + ")
+    val sql =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$coarseCtes,
+         |resid AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
+         |  FROM afinal a JOIN cb$ITERS c ON a.cell = c.c_id),
+         |qb AS MATERIALIZED (
+         |  SELECT vec_id AS qid, v FROM base WHERE vec_id % 97 = 0),
+         |pc AS MATERIALIZED (
+         |  SELECT qid, c_id AS pcell FROM (
+         |    SELECT q.qid, c.c_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${L2("c.v", "q.v")}, c.c_id) AS rn
+         |    FROM cb$ITERS c, qb q) t WHERE rn <= $PROBES),
+         |qres AS MATERIALIZED (
+         |  SELECT p.qid, p.pcell,
+         |    list_transform(list_zip(q.v, c.v), x -> x[1] - x[2]) AS r
+         |  FROM pc p JOIN qb q ON p.qid = q.qid
+         |  JOIN cb$ITERS c ON p.pcell = c.c_id),
+         |${(0 until M).map(perSub).mkString(",\n")},
+         |cand AS (
+         |  SELECT p.qid, af.cell, af.vec_id AS nbr, $adcSum AS adc
+         |  FROM pc p
+         |  JOIN afinal af ON af.cell = p.pcell AND af.vec_id <> p.qid
+         |  $codeJoins
+         |  $lutJoins),
+         |ranked AS (
+         |  SELECT qid, cell, nbr, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc, nbr) AS rn
+         |  FROM cand)
+         |SELECT qid AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(rn AS BIGINT) AS rn, nbr AS nbr_id,
+         |  ROUND(adc, 4) AS adc_dist
+         |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivfpq_persisted", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

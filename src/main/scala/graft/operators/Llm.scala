@@ -72,22 +72,32 @@ object Llm {
   /** sig_i = MIN(h XOR seed_i) — same xor-mix family as
     * graft.api.Dedup.minhashSignatures, identical literal seeds.
     */
-  private val SQL_SIGS = {
-    val seeds = graft.api.Dedup.minhashSeeds(K)
+  private def sqlSigsP(k: Int): String = {
+    val seeds = graft.api.Dedup.minhashSeeds(k)
     s"SELECT doc_id, " +
-      (0 until K).map(i =>
+      (0 until k).map(i =>
         s"MIN(xor(h, CAST(${seeds(i)} AS BIGINT))) AS sig_$i").mkString(", ") +
       s" FROM ($SQL_SHINGLE_HASHES) GROUP BY doc_id"
   }
 
-  private val SQL_BANDED = {
-    val bandList = (0 until BANDS)
-      .map(b => "md5(concat_ws('|', " + (0 until K / BANDS)
-        .map(r => s"CAST(sig_${b * (K / BANDS) + r} AS VARCHAR)").mkString(", ") + "))")
+  private val SQL_SIGS = sqlSigsP(K)
+
+  /** Banding at arbitrary (k, bands) over a signatures relation `src`
+    * (defaults to the freshly-derived sigs) — parameterized so
+    * `dedup_index_retrain`'s oracle can band the SAME sigs at two
+    * different band counts without recomputing the minhash chain.
+    */
+  private def sqlBandedP(k: Int, bands: Int, src: String = ""): String = {
+    val from = if (src.nonEmpty) src else s"(${sqlSigsP(k)})"
+    val bandList = (0 until bands)
+      .map(b => "md5(concat_ws('|', " + (0 until k / bands)
+        .map(r => s"CAST(sig_${b * (k / bands) + r} AS VARCHAR)").mkString(", ") + "))")
       .mkString("[", ", ", "]")
     s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band, unnest(bl) AS bhash
-       |FROM (SELECT doc_id, $bandList AS bl FROM ($SQL_SIGS))""".stripMargin
+       |FROM (SELECT doc_id, $bandList AS bl FROM $from)""".stripMargin
   }
+
+  private val SQL_BANDED = sqlBandedP(K, BANDS)
 
   /** DuckDB twin of the batch-vs-corpus incremental near-dup check —
     * shared verbatim by `llm_incremental_dedup` (in-session corpus) and
@@ -467,6 +477,124 @@ object Llm {
               |    / n_batch_rows, 4) AS hit_rate
               |FROM cs JOIN bs USING (band) LEFT JOIN hs ON cs.band = hs.band
               |ORDER BY band""".stripMargin)),
+
+    // Band-index RETRAIN (r15, verdict Next #3 — the decision
+    // dedup_index_drift informs, EXECUTED, the band twin of
+    // ann_index_retrain): Dedup.retrainBandIndex re-derives the banding
+    // at adjusted (k, bands) — here BANDS 4 → 2, i.e. rows-per-band
+    // 4 → 8, the tightening a census full of mega-buckets calls for
+    // (collision probability per band falls from j⁴ to j⁸) — and
+    // rewrites a fresh artifact FROM THE STANDING ARTIFACT alone: the
+    // _sets half already stores every doc's distinct shingle hashes,
+    // which is the whole input the minhash chain needs, so no source
+    // re-scan/re-tokenize/re-md5 at any corpus size. Declared result =
+    // per band the drift census BEFORE (4-band artifact probed by the
+    // 4-banded batch) next to AFTER (2-band artifact probed by the
+    // 2-banded batch), full-outer on band (the after columns are null
+    // for bands 2-3 — the retrained index has fewer, stricter bands).
+    // Oracle = the first-principles banding derivation at BOTH
+    // parameter sets over ONE materialized signature table.
+    // DedupIndexSpec pins post-retrain max_bucket < pre-retrain on a
+    // skew-injected near-dup fixture.
+    Q("dedup_index_retrain",
+      (s, d) => {
+        val BANDS2 = 2
+        val docs = Tables.documents(s, d)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup_idx LOCATION " +
+          s"'$dedupIdxLocation'")
+        val fpNow = docsFingerprint(d)
+        if (bandIndexMemo.get("graft_dedup_idx.corpus") != fpNow) {
+          graft.api.Dedup.writeBandIndex(
+            docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text",
+            "graft_dedup_idx.corpus", K, BANDS)
+          bandIndexMemo.put("graft_dedup_idx.corpus", fpNow)
+        }
+        val retr = "graft_dedup_idx.retr"
+        if (bandIndexMemo.get(retr) != fpNow) {
+          graft.api.Dedup.retrainBandIndex(
+            s, "graft_dedup_idx.corpus", retr, K, BANDS2)
+          bandIndexMemo.put(retr, fpNow)
+        }
+        def census(table: String, batchBands: Int): DataFrame = {
+          val cb = s.table(s"${table}_bands")
+          val cs = cb.groupBy("band", "bhash").agg(count(lit(1)).as("sz"))
+            .groupBy("band")
+            .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_rows"),
+              max("sz").as("max_bucket"))
+          val batch = graft.api.Dedup.lshBanded(
+            docs.filter(col("doc_id") % 10 < 2), "doc_id", "text",
+            K, batchBands)
+          val bs = batch.groupBy("band")
+            .agg(count(lit(1)).as("n_batch_rows"))
+          val hs = batch
+            .join(cb.select(col("band"), col("bhash")),
+              Seq("band", "bhash"), "left_semi")
+            .groupBy("band").agg(count(lit(1)).as("n_batch_hits"))
+          cs.join(bs, "band").join(hs, Seq("band"), "left")
+            .select(col("band"), col("n_buckets"), col("n_rows"),
+              col("max_bucket"),
+              coalesce(col("n_batch_hits"), lit(0L)).as("hits"),
+              round(coalesce(col("n_batch_hits"), lit(0L)).cast("double")
+                / col("n_batch_rows"), 4).as("hit_rate"))
+        }
+        val before = census("graft_dedup_idx.corpus", BANDS)
+          .select(col("band"), col("n_buckets").as("nb_before"),
+            col("n_rows").as("rows_before"),
+            col("max_bucket").as("maxb_before"),
+            col("hits").as("hits_before"),
+            col("hit_rate").as("hitrate_before"))
+        val after = census(retr, BANDS2)
+          .select(col("band"), col("n_buckets").as("nb_after"),
+            col("n_rows").as("rows_after"),
+            col("max_bucket").as("maxb_after"),
+            col("hits").as("hits_after"),
+            col("hit_rate").as("hitrate_after"))
+        before.join(after, Seq("band"), "full_outer").orderBy("band")
+      },
+      Some {
+        val BANDS2 = 2
+        def half(n: Int, cte: String, tag: String): String =
+          s"""bk$n AS (
+             |  SELECT band, bhash, CAST(COUNT(*) AS BIGINT) AS sz
+             |  FROM cb$n GROUP BY 1, 2),
+             |cs$n AS (
+             |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |    CAST(MAX(sz) AS BIGINT) AS max_bucket
+             |  FROM bk$n GROUP BY band),
+             |bs$n AS (
+             |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_batch_rows
+             |  FROM nb$n GROUP BY band),
+             |hs$n AS (
+             |  SELECT n.band, CAST(COUNT(*) AS BIGINT) AS n_hits
+             |  FROM nb$n n JOIN (SELECT DISTINCT band, bhash FROM cb$n) c
+             |    USING (band, bhash)
+             |  GROUP BY n.band),
+             |$cte AS (
+             |  SELECT cs$n.band,
+             |    n_buckets AS nb_$tag, n_rows AS rows_$tag,
+             |    max_bucket AS maxb_$tag,
+             |    COALESCE(n_hits, 0) AS hits_$tag,
+             |    ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+             |      / n_batch_rows, 4) AS hitrate_$tag
+             |  FROM cs$n JOIN bs$n USING (band)
+             |  LEFT JOIN hs$n ON cs$n.band = hs$n.band)""".stripMargin
+        s"""WITH sigs AS MATERIALIZED (${sqlSigsP(K)}),
+           |b1 AS MATERIALIZED (${sqlBandedP(K, BANDS, "sigs")}),
+           |b2 AS MATERIALIZED (${sqlBandedP(K, BANDS2, "sigs")}),
+           |cb1 AS (SELECT * FROM b1 WHERE doc_id % 10 >= 2),
+           |nb1 AS (SELECT * FROM b1 WHERE doc_id % 10 < 2),
+           |cb2 AS (SELECT * FROM b2 WHERE doc_id % 10 >= 2),
+           |nb2 AS (SELECT * FROM b2 WHERE doc_id % 10 < 2),
+           |${half(1, "befc", "before")},
+           |${half(2, "aftc", "after")}
+           |SELECT COALESCE(b.band, a.band) AS band,
+           |  nb_before, rows_before, maxb_before, hits_before,
+           |  hitrate_before, nb_after, rows_after, maxb_after,
+           |  hits_after, hitrate_after
+           |FROM befc b FULL JOIN aftc a ON b.band = a.band
+           |ORDER BY band""".stripMargin
+      }),
 
     // Exact shingle-set Jaccard for LSH candidates only (the verify
     // step touches |candidates| pairs, not n²; same shingle unit the

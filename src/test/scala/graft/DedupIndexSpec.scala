@@ -85,6 +85,62 @@ class DedupIndexSpec extends AnyFunSuite {
       "appended docs must be found as exact dups on re-ingest")
   }
 
+  test("retrainBandIndex tightens a skew-injected index from the standing artifact alone") {
+    // the decision dedup_index_drift informs, executed (r15): a corpus
+    // of near-identical docs (one token varies out of ~80) produces
+    // mega-buckets at rows-per-band 4 (pair collision ≈ j⁴); the
+    // retrain re-bands at rows 8 (j⁸) FROM THE _sets HALF ALONE —
+    // post-retrain max bucket must drop, content must match the
+    // first-principles banding at the new parameters exactly, and the
+    // sets half must carry over bit-identically.
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.dedup_retr_src"
+    val TR = "graft_buckets.dedup_retr_dst"
+    Seq("_bands", "_sets").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $TA$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS $TR$sfx")
+    }
+    // 4 scattered mutated tokens of 80 → ~12 of ~78 shingles differ →
+    // pairwise j ≈ 0.73: per band the collision rate is ~j⁴ at rows 4
+    // vs ~j⁸ at rows 8 — enough shared-minimum mass for mega-buckets
+    // before, and enough distinct mass for the re-banding to split them
+    // letter-only tokens: the shared tokenizer strips [^a-z ], so
+    // digit-bearing tokens would all collapse into one shingle
+    def az(n: Int) = s"${('a' + n / 26).toChar}${('a' + n % 26).toChar}"
+    val skew = (0L until 30L).map { i =>
+      val muts = Set(0L, 19L, 41L, 61L).map(o => ((i * 7 + o) % 80).toInt)
+      (i, (0 until 80).map(p =>
+        if (muts(p)) s"q${az(i.toInt)}${az(p)}" else s"c${az(p)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    graft.api.Dedup.writeBandIndex(skew, "doc_id", "text", TA, 16, 4)
+    graft.api.Dedup.retrainBandIndex(spark, TA, TR, 16, 2)
+    def maxBucket(t: String): Long =
+      spark.table(s"${t}_bands").groupBy("band", "bhash")
+        .agg(count(lit(1)).as("sz")).agg(max("sz")).head().getLong(0)
+    val (pre, post) = (maxBucket(TA), maxBucket(TR))
+    assert(pre >= 6, s"fixture not skewed enough: pre max bucket $pre")
+    assert(post < pre,
+      s"post-retrain max bucket $post must drop below pre-retrain $pre")
+    // artifact-derived banding ≡ first-principles banding at (16, 2):
+    // the _sets hashes are the complete minhash input
+    val fromArtifact = spark.table(s"${TR}_bands")
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = graft.api.Dedup.lshBanded(skew, "doc_id", "text", 16, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromArtifact == fresh,
+      "retrained bands must equal the from-source derivation")
+    // sets half carried over exactly; same catalog bucket specs
+    assert(spark.table(s"${TR}_sets").collect().map(_.toString).sorted.toSeq
+      == spark.table(s"${TA}_sets").collect().map(_.toString).sorted.toSeq)
+    Seq("_bands", "_sets").foreach { sfx =>
+      val nb = (t: String) => graft.api.Similarity
+        .catalogBuckets(spark, s"$t$sfx")
+      assert(nb(TR) == nb(TA), s"$sfx bucket spec must carry over")
+    }
+  }
+
   test("compactBandIndex shrinks both halves' file counts, preserves content, leaves source untouched") {
     // mirror AnnIndexSpec's compaction gate on the band artifact (r14):
     // fragment with several appends, compact into a new table pair —

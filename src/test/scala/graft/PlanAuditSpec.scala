@@ -403,6 +403,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-15 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_ivfpq_persisted", "dedup_index_retrain")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("dedup_index_drift: both artifact probes read the BUCKETED scan") {
     // the census and the batch semi-join must both read the bucketed
     // corpus_bands scan (Bucketed: true) — at fixture scale the join
