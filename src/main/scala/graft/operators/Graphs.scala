@@ -95,7 +95,7 @@ object Graphs {
     }
     pairsMemo.computeIfAbsent(key, _ => build.localCheckpoint())
   }
-  private def pairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def pairs(s: SparkSession, d: String): DataFrame =
     memoPairs(s, d, "hour")(
       cellPairs(Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -1243,8 +1243,19 @@ object Graphs {
   /** HITS hubs & authorities (Kleinberg) — 3 unrolled mutual-
     * reinforcement rounds over the DIRECTED half of the co-activity
     * graph (u→v, u<v: each pair once, so hub and authority roles are
-    * asymmetric and the two scores genuinely differ). Two cross-engine
-    * determinism devices: per-node sums go through the same hub-safe
+    * asymmetric and the two scores genuinely differ). The update is
+    * SIMULTANEOUS (Jacobi — power iteration on the block matrix
+    * [[0, A], [Aᵀ, 0]]; r14 verdict Next #4): both lattices advance
+    * off the SAME previous frontier — a(k) from h(k−1) AND h(k) from
+    * a(k−1) — exactly like `directedMinLabelBoth`'s fused fixpoints,
+    * so each round is ONE checkpointed (node, ar, hr) frame instead of
+    * two, the two contribution branches are independent subtrees of
+    * one plan (their shuffle stages schedule concurrently), and the
+    * two normalization maxes come from ONE aggregate pass. Same fixed
+    * point as the sequential form; GraphSpec pins the declared values
+    * bit-equal to an independent driver-side replay of this exact
+    * recurrence. Two cross-engine determinism devices: per-node sums
+    * go through the same hub-safe
     * [[graft.api.Graph.orderedChunkedSum]] two-level fold as PageRank
     * (bounded per-row state, bit-identical summation tree), and the
     * per-round normalization divides by the global MAX — an order-FREE
@@ -1253,8 +1264,8 @@ object Graphs {
     * (max-normalized HITS converges to the same fixed point). Nodes
     * with no in-edges (resp. out-edges) hold score 0 via left joins.
     * Scale shape per round: two edges⋈scores equi-joins + two keyed
-    * chunked aggregates + two 1-row max reductions (broadcast back),
-    * the edge set cached once across all rounds.
+    * chunked aggregates + one 1-row two-max reduction (broadcast
+    * back), the edge set cached once across all rounds.
     */
   private def hitsQuery: Q = {
     val ITERS = 3
@@ -1264,42 +1275,48 @@ object Graphs {
       val nodes = e.select(col("u").as("node"))
         .unionByName(e.select(col("v").as("node"))).distinct()
       nodes.count() // materialization barrier: rounds read the cached e
-      var hub = nodes.withColumn("h", lit(1.0))
-      var auth: DataFrame = nodes.withColumn("a", lit(1.0))
-      // Each round's raw-score table is localCheckpoint'ed (O(V) rows,
-      // eager): it is referenced TWICE (value side + its own max), so
-      // without lineage truncation every round re-derives the whole
-      // previous chain down both branches — the same exponential
-      // re-expansion the oracle needed MATERIALIZED for, measured at
-      // 198 s vs 2 s at sf0.1. Iterative graph state must break
-      // lineage each round at any scale (the GraphX checkpoint rule).
+      // Each round's raw-score frame is localCheckpoint'ed (O(V) rows):
+      // it is referenced three times (both next-round joins + its own
+      // maxes), so without lineage truncation every round re-derives
+      // the whole previous chain down every branch — the same
+      // exponential re-expansion the oracle needed MATERIALIZED for,
+      // measured at 198 s vs 2 s at sf0.1. Iterative graph state must
+      // break lineage each round at any scale (the GraphX checkpoint
+      // rule).
+      var x = nodes.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
       for (_ <- 1 to ITERS) {
-        val aContrib = e.join(hub, e("u") === hub("node"))
+        val aContrib = e
+          .join(x.select(col("node").as("hn"), col("h")),
+            e("u") === col("hn"))
           .select(col("v"), col("u"), col("h").as("c"))
         val aSums = graft.api.Graph
-          .orderedChunkedSum(aContrib, "v", "u", "c", "sc", CHUNK)
-        val aRaw = nodes.join(aSums, nodes("node") === aSums("v"), "left")
-          .select(col("node"), coalesce(col("sc"), lit(0.0)).as("ar"))
-          .cpReset()
-        auth = aRaw.crossJoin(aRaw.agg(max("ar").as("am")))
-          .select(col("node"), (col("ar") / col("am")).as("a"))
-        val hContrib = e.join(auth, e("v") === auth("node"))
+          .orderedChunkedSum(aContrib, "v", "u", "c", "asum", CHUNK)
+        val hContrib = e
+          .join(x.select(col("node").as("an"), col("a")),
+            e("v") === col("an"))
           .select(col("u"), col("v"), col("a").as("c"))
         val hSums = graft.api.Graph
-          .orderedChunkedSum(hContrib, "u", "v", "c", "sc", CHUNK)
-        val hRaw = nodes.join(hSums, nodes("node") === hSums("u"), "left")
-          .select(col("node"), coalesce(col("sc"), lit(0.0)).as("hr"))
+          .orderedChunkedSum(hContrib, "u", "v", "c", "hsum", CHUNK)
+        val raw = nodes
+          .join(aSums, nodes("node") === aSums("v"), "left")
+          .join(hSums, nodes("node") === hSums("u"), "left")
+          .select(col("node"), coalesce(col("asum"), lit(0.0)).as("ar"),
+            coalesce(col("hsum"), lit(0.0)).as("hr"))
           .cpReset()
-        hub = hRaw.crossJoin(hRaw.agg(max("hr").as("hm")))
-          .select(col("node"), (col("hr") / col("hm")).as("h"))
+        x = raw
+          .crossJoin(raw.agg(max("ar").as("am"), max("hr").as("hm")))
+          .select(col("node"), (col("hr") / col("hm")).as("h"),
+            (col("ar") / col("am")).as("a"))
       }
-      hub.join(auth, Seq("node"))
-        .select(col("node").as("user_id"), col("h").as("hub"),
+      x.select(col("node").as("user_id"), col("h").as("hub"),
           col("a").as("authority"))
         .orderBy("user_id")
     }
     // mirrors orderedChunkedSum round by round (the pagerank device);
-    // normalization is a scalar-subquery MAX — order-free both engines
+    // normalization is a scalar-subquery MAX — order-free both engines.
+    // SIMULTANEOUS update: hr$k reads a${k-1} (not a$k) — both
+    // lattices advance off the same previous frontier, mirroring the
+    // fused Scala loop exactly.
     def round(k: Int): String =
       s"""ar$k AS MATERIALIZED (
          |  SELECT n.node, COALESCE(s.sc, 0e0) AS ar
@@ -1314,8 +1331,6 @@ object Graphs {
          |        FROM e0 e JOIN h${k - 1} h ON e.u = h.node)
          |      GROUP BY node, chunk)
          |    GROUP BY node) s ON n.node = s.node),
-         |a$k AS MATERIALIZED (SELECT node, ar / (SELECT MAX(ar) FROM ar$k) AS a
-         |        FROM ar$k),
          |hr$k AS MATERIALIZED (
          |  SELECT n.node, COALESCE(s.sc, 0e0) AS hr
          |  FROM nodes n LEFT JOIN (
@@ -1326,15 +1341,18 @@ object Graphs {
          |        SELECT e.u AS node, e.v AS v, a.a AS c,
          |          (ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY e.v) - 1)
          |            // $CHUNK AS chunk
-         |        FROM e0 e JOIN a$k a ON e.v = a.node)
+         |        FROM e0 e JOIN a${k - 1} a ON e.v = a.node)
          |      GROUP BY node, chunk)
          |    GROUP BY node) s ON n.node = s.node),
+         |a$k AS MATERIALIZED (SELECT node, ar / (SELECT MAX(ar) FROM ar$k) AS a
+         |        FROM ar$k),
          |h$k AS MATERIALIZED (SELECT node, hr / (SELECT MAX(hr) FROM hr$k) AS h
          |        FROM hr$k)""".stripMargin
     val sql =
       s"""WITH $SQL_EDGES,
          |nodes AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0),
          |h0 AS (SELECT node, 1e0 AS h FROM nodes),
+         |a0 AS (SELECT node, 1e0 AS a FROM nodes),
          |${(1 to ITERS).map(round).mkString(",\n")}
          |SELECT h.node AS user_id, h.h AS hub, a.a AS authority
          |FROM h$ITERS h JOIN a$ITERS a ON h.node = a.node

@@ -186,6 +186,48 @@ class GraphSpec extends AnyFunSuite {
     assert(math.ceil(n.toDouble / chunk).toInt == 49)
   }
 
+  test("graph_hits: fused simultaneous update matches a driver-side exact replay bit-for-bit") {
+    // r14 verdict Next #4: the loop now advances BOTH lattices off the
+    // same previous frontier (Jacobi) in one checkpointed frame per
+    // round. Pin the declared values against an independent driver
+    // replay of the exact recurrence — same two-level CHUNK=8 ordered
+    // summation tree, same max normalization, same join-miss zeros —
+    // so any drift in the fused loop's maths (or a silent revert to
+    // the sequential update) fails on exact double equality.
+    val CHUNK = 8
+    val e = graft.operators.Graphs.pairs(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val inByV = e.groupBy(_._2)
+    val outByU = e.groupBy(_._1)
+    def chunkedSum(contribs: Seq[(Long, Double)]): Double =
+      contribs.sortBy(_._1).map(_._2).grouped(CHUNK)
+        .map(_.foldLeft(0.0)(_ + _)).foldLeft(0.0)(_ + _)
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val ar = nodes.map(n => n -> chunkedSum(
+        inByV.getOrElse(n, Array.empty[(Long, Long)]).toSeq
+          .map { case (u, _) => (u, h(u)) })).toMap
+      val hr = nodes.map(n => n -> chunkedSum(
+        outByU.getOrElse(n, Array.empty[(Long, Long)]).toSeq
+          .map { case (_, v) => (v, a(v)) })).toMap
+      val am = ar.values.max
+      val hm = hr.values.max
+      a = ar.map { case (n, x) => n -> x / am }
+      h = hr.map { case (n, x) => n -> x / hm }
+    }
+    val got = graft.SparkEntry.queries("graph_hits")(spark, TestSpark.sf0001)
+      .collect()
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getDouble(1) == h(n), s"hub mismatch at node $n")
+      assert(r.getDouble(2) == a(n), s"authority mismatch at node $n")
+    }
+  }
+
   test("declared graph_components query: labels are component minima on sf0.001") {
     val df = graft.SparkEntry.queries("graph_components")(spark, TestSpark.sf0001)
     val rows = df.collect()
