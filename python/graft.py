@@ -24,7 +24,7 @@ Notes:
     here mirror the Scala defaults).
   * The binding layer is exercised offline by
     ``tools/check_pybindings.py`` (a dev-only smoke test run against
-    the compiled classes with the driver-side pyspark install: 31
+    the compiled classes with the driver-side pyspark install: 33
     delegations across dedup/similarity/graph/ranking/text/catalog, covering
     str/int/float-list/Seq/Column/None marshalling plus double[][]
     codebooks in both directions for the persisted-index lifecycle);
@@ -144,6 +144,16 @@ class dedup:
         (content-preserving; source untouched)."""
         s = _active_spark()
         _jvm().graft.api.Dedup.compactBandIndex(s._jsparkSession, table, target)
+
+    @staticmethod
+    def retrain_band_index(table, target, k=16, bands=4, buckets=0):
+        """Rebuild the band index at adjusted (k, bands) FROM THE
+        STANDING ARTIFACT alone (the _sets half holds the complete
+        minhash input — no source re-scan). ``buckets<=0`` derives
+        each half's bucket count from the source's catalog spec."""
+        s = _active_spark()
+        _jvm().graft.api.Dedup.retrainBandIndex(
+            s._jsparkSession, table, target, k, bands, buckets)
 
     @staticmethod
     def release_caches(docs, id_col, text_col, threshold=0.6, k=16, bands=4,
@@ -273,6 +283,33 @@ class similarity:
         cb = _jvm().graft.api.Similarity.retrainIvfIndex(
             s._jsparkSession, table, target, id_col, k, iters, buckets)
         return [list(row) for row in cb]
+
+    # ---- PQ-coded index (r15): build the coded artifact and serve ADC
+    # from the codes alone. Codebooks cross the gateway as double[][]
+    # (coarse) and double[][][] (PQ). ----
+
+    @staticmethod
+    def write_ivf_pq_index(embs, id_col, vec_col, table, cells=16, m=4,
+                           pqk=16, iters=5, buckets=8):
+        """Persist (id, cell, codes) — M int residual-PQ codes per
+        vector instead of raw vectors; returns (coarse, pq) codebooks
+        as plain Python nested lists."""
+        t = _jvm().graft.api.Similarity.writeIvfPqIndex(
+            embs._jdf, id_col, vec_col, table, cells, m, pqk, iters,
+            buckets)
+        coarse = [list(row) for row in t._1()]
+        pq = [[list(row) for row in sub] for sub in t._2()]
+        return coarse, pq
+
+    @staticmethod
+    def ivf_pq_query_indexed(batch, id_col, vec_col, table, coarse, pq,
+                             top_k=5, probes=4):
+        """Serve a query batch from the persisted CODES alone (true
+        ADC: per-(query, probed cell) LUT + O(M) lookups per
+        candidate; no corpus-side Exchange)."""
+        return _wrap(_jvm().graft.api.Similarity.ivfPqQueryIndexed(
+            batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
+            _to_j3d(pq), top_k, probes))
 
 
 class graph:
@@ -551,4 +588,20 @@ def _to_j2d(codebook):
     for i, row in enumerate(codebook):
         for j, x in enumerate(row):
             arr[i][j] = float(x)
+    return arr
+
+
+def _to_j3d(pq):
+    """Python list-of-list-of-lists (or a JVM double[][][]) → double[][][]."""
+    if not isinstance(pq, (list, tuple)):
+        return pq
+    gw = _active_spark().sparkContext._gateway
+    m = len(pq)
+    k = len(pq[0]) if m else 0
+    d = len(pq[0][0]) if k else 0
+    arr = gw.new_array(gw.jvm.double, m, k, d)
+    for a, sub in enumerate(pq):
+        for b, row in enumerate(sub):
+            for c, x in enumerate(row):
+                arr[a][b][c] = float(x)
     return arr

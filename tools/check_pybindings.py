@@ -183,13 +183,43 @@ def _band_compact_check():
     expect(r.count() == 5, "compacted band index serves batches")
 
 
+def _ivfpq_check():
+    # double[][][] marshalling both directions: Tuple2 return unpacked
+    # into nested lists, the pq codebook shipped back as a 3-d array
+    coarse, pq = graft.similarity.write_ivf_pq_index(
+        embs, "vec_id", "embedding", "graft_pyidx.ivfpq")
+    expect(len(coarse) == 16 and len(pq) == 4 and len(pq[0]) == 16
+           and len(pq[0][0]) == 16, "codebook shapes")
+    expect(spark.table("graft_pyidx.ivfpq").count() == n_embs,
+           "one coded posting per vector")
+    r = graft.similarity.ivf_pq_query_indexed(
+        embs.filter("vec_id % 97 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivfpq", coarse, pq)
+    expect(r.count() > 0 and "adc_dist" in r.columns, "ADC served")
+
+
+def _band_retrain_check():
+    # from-artifact retrain at tightened banding (4 -> 2 bands): bands
+    # half rebuilt, sets half carried over exactly
+    graft.dedup.retrain_band_index("graft_pyidx.band_cmp",
+                                   "graft_pyidx.band_retr", 16, 2)
+    expect(spark.table("graft_pyidx.band_retr_sets").count() ==
+           spark.table("graft_pyidx.band_cmp_sets").count(),
+           "sets half carried over")
+    n_docs_idx = spark.table("graft_pyidx.band_cmp_sets").count()
+    expect(spark.table("graft_pyidx.band_retr_bands").count() ==
+           2 * n_docs_idx, "2 band rows per doc after retrain")
+
+
 check("similarity.write_ivf_index", _ivf_build_check)
 check("similarity.append_to_ivf_index", _ivf_append_check)
 check("similarity.ivf_query_indexed", _ivf_query_check)
 check("similarity.ivf_index_drift", _ivf_drift_check)
 check("similarity.compact_ivf_index", _ivf_compact_check)
 check("similarity.retrain_ivf_index", _ivf_retrain_check)
+check("similarity.write_ivf_pq_index/ivf_pq_query_indexed", _ivfpq_check)
 check("dedup.write/append/compact_band_index", _band_compact_check)
+check("dedup.retrain_band_index", _band_retrain_check)
 
 # --- graph (r15: the one api/ object that had zero bindings) -------------
 _ring = [(i, (i + 1) % 5) for i in range(5)]          # directed 5-cycle
