@@ -303,13 +303,17 @@ class similarity:
 
     @staticmethod
     def ivf_pq_query_indexed(batch, id_col, vec_col, table, coarse, pq,
-                             top_k=5, probes=4):
+                             top_k=5, probes=4, postings_filter=None):
         """Serve a query batch from the persisted CODES alone (true
         ADC: per-(query, probed cell) LUT + O(M) lookups per
-        candidate; no corpus-side Exchange)."""
+        candidate; no corpus-side Exchange). ``postings_filter``: an
+        optional pyspark Column restricting the candidate universe
+        before the join (filtered ANN)."""
+        from pyspark.sql import functions as F
+        flt = postings_filter if postings_filter is not None else F.lit(True)
         return _wrap(_jvm().graft.api.Similarity.ivfPqQueryIndexed(
             batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
-            _to_j3d(pq), top_k, probes))
+            _to_j3d(pq), top_k, probes, flt._jc))
 
 
 class graph:

@@ -847,11 +847,17 @@ object Similarity {
     * Returns per query the `topK` ADC-nearest (cell, rn, nbr_id,
     * adc_dist) — approximate by construction; rerank the short list
     * against source vectors when exactness matters.
+    *
+    * `postingsFilter` restricts the candidate universe BEFORE the join
+    * (filtered ANN — the standard metadata-constrained serving shape;
+    * also how `ann_ivfpq_recall` caps its exact ground truth to a
+    * slice): the predicate lands on the bucketed scan, so a selective
+    * filter prunes, never post-filters the top-k.
     */
   def ivfPqQueryIndexed(batch: DataFrame, idCol: String, vecCol: String,
       table: String, coarse: Array[Array[Double]],
       pq: Array[Array[Array[Double]]], topK: Int = 5,
-      probes: Int = 4): DataFrame = {
+      probes: Int = 4, postingsFilter: Column = lit(true)): DataFrame = {
     val s = batch.sparkSession
     val dims = coarse(0).length
     val m = pq.length
@@ -872,7 +878,7 @@ object Similarity {
               (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, e) => acc + e))))
       .select(col(idCol), col("cell"), col("__lut"))
-    val postings = s.table(table)
+    val postings = s.table(table).filter(postingsFilter)
       .select(col(idCol).as("pb_id"), col("cell").as("pb_cell"),
         col("codes").as("pb_codes"))
     val w = Window.partitionBy("__id_a")

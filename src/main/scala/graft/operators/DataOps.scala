@@ -1936,7 +1936,7 @@ object DataOps {
       topicBalanceQuery,
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
-      annRetrainRecallQuery, annIvfPqPersistedQuery,
+      annRetrainRecallQuery, annIvfPqPersistedQuery, annIvfPqRecallQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2521,20 +2521,31 @@ object DataOps {
   private val annIvfPqModels = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
+  /** Build-once-per-fixture memo for the coded artifact — shared by
+    * `ann_ivfpq_persisted` (serving) and `ann_ivfpq_recall` (the audit
+    * of that serving): whichever runs first pays the one build.
+    */
+  private def ensureIvfPqIndex(s: SparkSession, d: String, cells: Int,
+      m: Int, pqk: Int, iters: Int)
+      : (String, (Array[Array[Double]], Array[Array[Array[Double]]])) = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
+    val table = s"graft_ann_idx.ivfpq_$key"
+    val model = annIvfPqModels.computeIfAbsent(key, _ => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+        s"'$annIdxLocation'")
+      graft.api.Similarity.writeIvfPqIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", table,
+        cells, m, pqk, iters)
+    })
+    (table, model)
+  }
+
   private def annIvfPqPersistedQuery: Q = {
     val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
     val ITERS = ORACLE_ITERS; val PROBES = 4; val TOPK = 5
     def fn(s: SparkSession, d: String): DataFrame = {
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
-      val table = s"graft_ann_idx.ivfpq_$key"
-      val model = annIvfPqModels.computeIfAbsent(key, _ => {
-        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
-          s"'$annIdxLocation'")
-        graft.api.Similarity.writeIvfPqIndex(
-          Tables.embeddings(s, d), "vec_id", "embedding", table,
-          CELLS, M, PQK, ITERS)
-      })
+      val (table, model) = ensureIvfPqIndex(s, d, CELLS, M, PQK, ITERS)
       val batch = Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0)
       graft.api.Similarity
         .ivfPqQueryIndexed(batch, "vec_id", "embedding", table,
@@ -2544,8 +2555,35 @@ object DataOps {
           round(col("adc_dist"), 4).as("adc_dist"))
         .orderBy("vec_id", "rn")
     }
-    def L2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val sql =
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES,
+             qbWhere = "vec_id % 97 = 0", candExtra = "")},
+         |ranked AS (
+         |  SELECT qid, cell, nbr, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc, nbr) AS rn
+         |  FROM cand)
+         |SELECT qid AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(rn AS BIGINT) AS rn, nbr AS nbr_id,
+         |  ROUND(adc, 4) AS adc_dist
+         |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivfpq_persisted", fn, Some(sql))
+  }
+
+  private def SQL_PQ_L2(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** The IVF+PQ derivation as one WITH-chain (coarse training →
+    * residuals → M subspace trainings → codes → per-query probe
+    * routing → per-(query, probed cell) LUTs → O(M) ADC sums per
+    * candidate in `cand`) — shared by `ann_ivfpq_persisted` (serving
+    * rows) and `ann_ivfpq_recall` (the recall audit); callers append
+    * their own final CTEs/SELECT. `qbWhere` picks the query batch,
+    * `candExtra` optionally restricts the candidate universe (the
+    * oracle twin of ivfPqQueryIndexed's postingsFilter).
+    */
+  private def ivfPqOracleCtes(CELLS: Int, M: Int, SUB: Int, PQK: Int,
+      ITERS: Int, PROBES: Int, qbWhere: String, candExtra: String): String = {
+    def L2(a: String, b: String) = SQL_PQ_L2(a, b)
     def assign(cb: String, name: String) =
       s"""$name AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
@@ -2618,43 +2656,113 @@ object DataOps {
       s"JOIN lut_$m l$m ON l$m.qid = p.qid AND l$m.pcell = p.pcell AND l$m.c_id = c$m.cell")
       .mkString("\n  ")
     val adcSum = (0 until M).map(m => s"l$m.dist").mkString(" + ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$coarseCtes,
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
+       |  FROM afinal a JOIN cb$ITERS c ON a.cell = c.c_id),
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id AS qid, v FROM base WHERE $qbWhere),
+       |pc AS MATERIALIZED (
+       |  SELECT qid, c_id AS pcell FROM (
+       |    SELECT q.qid, c.c_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ${L2("c.v", "q.v")}, c.c_id) AS rn
+       |    FROM cb$ITERS c, qb q) t WHERE rn <= $PROBES),
+       |qres AS MATERIALIZED (
+       |  SELECT p.qid, p.pcell,
+       |    list_transform(list_zip(q.v, c.v), x -> x[1] - x[2]) AS r
+       |  FROM pc p JOIN qb q ON p.qid = q.qid
+       |  JOIN cb$ITERS c ON p.pcell = c.c_id),
+       |${(0 until M).map(perSub).mkString(",\n")},
+       |cand AS (
+       |  SELECT p.qid, af.cell, af.vec_id AS nbr, $adcSum AS adc
+       |  FROM pc p
+       |  JOIN afinal af ON af.cell = p.pcell AND af.vec_id <> p.qid$candExtra
+       |  $codeJoins
+       |  $lutJoins)""".stripMargin
+  }
+
+  /** Recall@k audit of the CODED serving path (r15 — what the ~3%-byte
+    * artifact costs in answer quality, the number a deployment reads
+    * before trusting codes): on the capped 1-in-20 slice, exact
+    * all-pairs squared-L2 top-k ground truth (quadratic, which is
+    * exactly why it runs on the slice and never the corpus) vs the
+    * ADC top-k served from the PERSISTED codes over the same slice
+    * universe (ivfPqQueryIndexed with the slice postingsFilter — the
+    * candidate cap rides the bucketed scan, not a post-filter),
+    * reported as recall@k for k=1/2/4. Combines both loss sources a
+    * coded index has — probe routing (cells the query never visits)
+    * and quantization (codes re-ordering near-ties) — against one
+    * exact yardstick; `ann_recall_audit` isolates the routing half
+    * for the raw-vector index.
+    */
+  private lazy val annIvfPqRecallQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS; val PROBES = 4; val KS = Seq(1, 2, 4)
+    def fn(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val (table, model) = ensureIvfPqIndex(s, d, CELLS, M, PQK, ITERS)
+      val KMAX = KS.max
+      val vcol = expr("transform(embedding, e -> cast(e as double))")
+      val slice = Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), vcol.as("v")).localCheckpoint()
+      val nQ = slice.count()
+      val dist = expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
+          "0.0D, (acc, e) -> acc + e)")
+      val wq = Window.partitionBy("qid").orderBy(col("dst"), col("nbr"))
+      val exact = slice.as("a")
+        .join(slice.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
+          dist.as("dst"))
+        .withColumn("ern", row_number().over(wq)).filter(col("ern") <= KMAX)
+        .select("qid", "nbr", "ern")
+      val ivf = graft.api.Similarity.ivfPqQueryIndexed(
+          slice, "vec_id", "v", table, model._1, model._2, KMAX, PROBES,
+          postingsFilter = col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("nbr_id").as("nbr"),
+          col("rn").as("irn"))
+      val m = exact.join(ivf, Seq("qid", "nbr")).localCheckpoint()
+      val ks = KS.map(_.toLong).toDF("k")
+      ks.join(m, col("ern") <= col("k") && col("irn") <= col("k"), "left")
+        .groupBy("k").agg(count(col("qid")).as("hits"))
+        .select(col("k"), lit(nQ).as("n_queries"), col("hits"),
+          round(col("hits").cast("double")
+            / (lit(nQ) * col("k")).cast("double"), 4).as("recall"))
+        .orderBy("k")
+    }
+    val KMAX = KS.max
     val sql =
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |$coarseCtes,
-         |resid AS MATERIALIZED (
-         |  SELECT a.vec_id, a.cell,
-         |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
-         |  FROM afinal a JOIN cb$ITERS c ON a.cell = c.c_id),
-         |qb AS MATERIALIZED (
-         |  SELECT vec_id AS qid, v FROM base WHERE vec_id % 97 = 0),
-         |pc AS MATERIALIZED (
-         |  SELECT qid, c_id AS pcell FROM (
-         |    SELECT q.qid, c.c_id, ROW_NUMBER() OVER (PARTITION BY q.qid
-         |      ORDER BY ${L2("c.v", "q.v")}, c.c_id) AS rn
-         |    FROM cb$ITERS c, qb q) t WHERE rn <= $PROBES),
-         |qres AS MATERIALIZED (
-         |  SELECT p.qid, p.pcell,
-         |    list_transform(list_zip(q.v, c.v), x -> x[1] - x[2]) AS r
-         |  FROM pc p JOIN qb q ON p.qid = q.qid
-         |  JOIN cb$ITERS c ON p.pcell = c.c_id),
-         |${(0 until M).map(perSub).mkString(",\n")},
-         |cand AS (
-         |  SELECT p.qid, af.cell, af.vec_id AS nbr, $adcSum AS adc
-         |  FROM pc p
-         |  JOIN afinal af ON af.cell = p.pcell AND af.vec_id <> p.qid
-         |  $codeJoins
-         |  $lutJoins),
-         |ranked AS (
-         |  SELECT qid, cell, nbr, adc, ROW_NUMBER() OVER (
-         |    PARTITION BY qid ORDER BY adc, nbr) AS rn
-         |  FROM cand)
-         |SELECT qid AS vec_id, CAST(cell AS BIGINT) AS cell,
-         |  CAST(rn AS BIGINT) AS rn, nbr AS nbr_id,
-         |  ROUND(adc, 4) AS adc_dist
-         |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
-    Q("ann_ivfpq_persisted", fn, Some(sql))
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES,
+             qbWhere = "vec_id % 20 = 0",
+             candExtra = " AND af.vec_id % 20 = 0")},
+         |iv AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc, nbr) AS irn
+         |  FROM cand),
+         |sl AS (SELECT vec_id, v FROM base WHERE vec_id % 20 = 0),
+         |ex AS (
+         |  SELECT qid, nbr, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dst, nbr) AS ern
+         |  FROM (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         |      ${SQL_PQ_L2("a.v", "b.v")} AS dst
+         |    FROM sl a JOIN sl b ON a.vec_id <> b.vec_id) t),
+         |m AS (
+         |  SELECT e.qid, e.ern, i.irn FROM ex e
+         |  JOIN iv i ON e.qid = i.qid AND e.nbr = i.nbr
+         |  WHERE e.ern <= $KMAX AND i.irn <= $KMAX),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sl),
+         |ks AS (SELECT CAST(unnest([${KS.mkString(", ")}]) AS BIGINT) AS k)
+         |SELECT k, n AS n_queries,
+         |  CAST(COUNT(m.qid) AS BIGINT) AS hits,
+         |  ROUND(CAST(COUNT(m.qid) AS DOUBLE)
+         |    / CAST(n * k AS DOUBLE), 4) AS recall
+         |FROM ks CROSS JOIN nq LEFT JOIN m ON m.ern <= k AND m.irn <= k
+         |GROUP BY k, n ORDER BY k""".stripMargin
+    Q("ann_ivfpq_recall", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of
