@@ -302,6 +302,16 @@ class similarity:
         return coarse, pq
 
     @staticmethod
+    def append_to_ivf_pq_index(batch, id_col, vec_col, table, coarse, pq,
+                               buckets=8):
+        """Commit a new delivery into the coded index: assigned against
+        the FROZEN coarse codebook, encoded against the FROZEN PQ
+        codebooks, appended under the same bucket spec — O(batch)."""
+        _jvm().graft.api.Similarity.appendToIvfPqIndex(
+            batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
+            _to_j3d(pq), buckets)
+
+    @staticmethod
     def ivf_pq_query_indexed(batch, id_col, vec_col, table, coarse, pq,
                              top_k=5, probes=4, postings_filter=None):
         """Serve a query batch from the persisted CODES alone (true

@@ -814,21 +814,60 @@ object Similarity {
       kmeansCodebook(resid.select(col(idCol), subCol(mi).as("__sub")),
         idCol, "__sub", pqk, iters)
     }.toArray
-    var coded = resid
-    for (mi <- 0 until m)
-      coded = coded
-        .withColumn(s"__sub_$mi", subCol(mi))
-        .withColumn(s"__code_$mi", element_at(Bridge.column(
-          graft.functions.NearestCells(
-            UnresolvedAttribute(s"__sub_$mi"), pq(mi), 1)), 1))
-    coded
-      .select(col(idCol), col("__cell").cast("int").as("cell"),
-        array((0 until m).map(mi => col(s"__code_$mi").cast("int")): _*)
-          .as("codes"))
+    encodeIvfPq(base, idCol, coarse, pq)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(table)
     (coarse, pq)
+  }
+
+  /** (id, cell, codes) rows for a pre-cast (id, __v) frame against
+    * FROZEN codebooks — the shared encode of [[writeIvfPqIndex]] and
+    * [[appendToIvfPqIndex]]: exact NearestCells assign, residual
+    * against the assigned centroid, per-subspace PQ code.
+    */
+  private def encodeIvfPq(base: DataFrame, idCol: String,
+      coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]]): DataFrame = {
+    val dims = coarse(0).length
+    val m = pq.length
+    val sub = dims / m
+    val coarseLit = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    var coded = assignCells(base, coarse)
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(coarseLit, col("__cell") + 1), (x, y) => x - y))
+    for (mi <- 0 until m)
+      coded = coded
+        .withColumn(s"__sub_$mi", expr(s"slice(__r, ${mi * sub + 1}, $sub)"))
+        .withColumn(s"__code_$mi", element_at(Bridge.column(
+          graft.functions.NearestCells(
+            UnresolvedAttribute(s"__sub_$mi"), pq(mi), 1)), 1))
+    coded.select(col(idCol), col("__cell").cast("int").as("cell"),
+      array((0 until m).map(mi => col(s"__code_$mi").cast("int")): _*)
+        .as("codes"))
+  }
+
+  /** Commit a NEW vector batch into the persisted CODED index —
+    * append-only, cost O(batch), the PQ twin of [[appendToIvfIndex]]:
+    * the batch is assigned against the FROZEN coarse codebook and
+    * encoded against the FROZEN PQ codebooks (per-row expression work
+    * — no retraining, no corpus re-scan, no raw vectors stored), and
+    * its coded postings append under the SAME bucket spec. Completes
+    * the coded artifact's ingest leg; retrain is deliberately NOT
+    * expressible from codes alone (quantization is lossy — a
+    * deployment retrains from the raw source table via
+    * [[writeIvfPqIndex]], which is the honest 100-TB story: codes
+    * serve, sources train).
+    */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]], buckets: Int = 8): Unit = {
+    val base = batch.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    encodeIvfPq(base, idCol, coarse, pq)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
   }
 
   /** ADC serving from the persisted CODED postings of

@@ -1937,6 +1937,7 @@ object DataOps {
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
       annRetrainRecallQuery, annIvfPqPersistedQuery, annIvfPqRecallQuery,
+      annIvfPqAppendQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2582,15 +2583,25 @@ object DataOps {
     * oracle twin of ivfPqQueryIndexed's postingsFilter).
     */
   private def ivfPqOracleCtes(CELLS: Int, M: Int, SUB: Int, PQK: Int,
-      ITERS: Int, PROBES: Int, qbWhere: String, candExtra: String): String = {
+      ITERS: Int, PROBES: Int, qbWhere: String, candExtra: String,
+      trainWhere: String = ""): String = {
+    // `trainWhere` restricts the TRAINING cohort (coarse init + Lloyd
+    // rounds + every subspace chain) while assignment/coding still
+    // covers ALL vectors — the frozen-codebook append derivation
+    // (ann_index_append precedent): the artifact after an append holds
+    // exactly all vectors coded against the initial-cohort codebooks.
+    val trainSrc = if (trainWhere.isEmpty) "base" else "basetr"
+    val trainCte =
+      if (trainWhere.isEmpty) ""
+      else s"basetr AS (SELECT * FROM base WHERE $trainWhere),\n"
     def L2(a: String, b: String) = SQL_PQ_L2(a, b)
-    def assign(cb: String, name: String) =
+    def assign(cb: String, name: String, src: String = "base") =
       s"""$name AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
          |    SELECT b.vec_id, b.v, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY ${L2("b.v", "c.v")}, c.c_id) AS rn
-         |    FROM base b, $cb c) t WHERE rn = 1)""".stripMargin
+         |    FROM $src b, $cb c) t WHERE rn = 1)""".stripMargin
     def update(a: String, prev: String, name: String) =
       s"""$name AS (
          |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
@@ -2606,19 +2617,26 @@ object DataOps {
       s"""cb0 AS (
          |  SELECT c_id, v FROM (
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
-         |    FROM base) r WHERE c_id < $CELLS)""".stripMargin)
+         |    FROM $trainSrc) r WHERE c_id < $CELLS)""".stripMargin)
       ++ (1 to ITERS).flatMap(i =>
-        Seq(assign(s"cb${i - 1}", s"a$i"), update(s"a$i", s"cb${i - 1}", s"cb$i")))
+        Seq(assign(s"cb${i - 1}", s"a$i", trainSrc),
+          update(s"a$i", s"cb${i - 1}", s"cb$i")))
       ++ Seq(assign(s"cb$ITERS", "afinal"))).mkString(",\n")
     def perSub(m: Int): String = {
       val off = m * SUB
-      def assignS(cb: String, name: String) =
+      val subTrain = if (trainWhere.isEmpty) s"sub_$m" else s"subtr_$m"
+      val subTrainCte =
+        if (trainWhere.isEmpty) Seq.empty[String]
+        else Seq(
+          s"""subtr_$m AS (
+             |  SELECT * FROM sub_$m WHERE $trainWhere)""".stripMargin)
+      def assignS(cb: String, name: String, src: String = s"sub_$m") =
         s"""$name AS (
            |  SELECT vec_id, sv, c_id AS cell FROM (
            |    SELECT b.vec_id, b.sv, c.c_id,
            |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
            |        ORDER BY ${L2("b.sv", "c.v")}, c.c_id) AS rn
-           |    FROM sub_$m b, $cb c) t WHERE rn = 1)""".stripMargin
+           |    FROM $src b, $cb c) t WHERE rn = 1)""".stripMargin
       def updateS(a: String, prev: String, name: String) =
         s"""$name AS (
            |  SELECT cell AS c_id, list(dv ORDER BY pos) AS v FROM (
@@ -2631,15 +2649,16 @@ object DataOps {
            |  SELECT c_id, v FROM $prev
            |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
       val iters = (1 to ITERS).flatMap(i => Seq(
-        assignS(s"cb${i - 1}_$m", s"a${i}_$m"),
+        assignS(s"cb${i - 1}_$m", s"a${i}_$m", subTrain),
         updateS(s"a${i}_$m", s"cb${i - 1}_$m", s"cb${i}_$m")))
       (Seq(
         s"""sub_$m AS (
-           |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM resid)""".stripMargin,
+           |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM resid)""".stripMargin)
+        ++ subTrainCte ++ Seq(
         s"""cb0_$m AS (
            |  SELECT c_id, sv AS v FROM (
            |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, sv
-           |    FROM sub_$m) r WHERE c_id < $PQK)""".stripMargin)
+           |    FROM $subTrain) r WHERE c_id < $PQK)""".stripMargin)
         ++ iters ++ Seq(
         assignS(s"cb${ITERS}_$m", s"codes_$m"),
         // LUT per (query, probed cell): the query's residual slice vs
@@ -2659,7 +2678,7 @@ object DataOps {
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
        |  FROM embeddings),
-       |$coarseCtes,
+       |$trainCte$coarseCtes,
        |resid AS MATERIALIZED (
        |  SELECT a.vec_id, a.cell,
        |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
@@ -2763,6 +2782,65 @@ object DataOps {
          |FROM ks CROSS JOIN nq LEFT JOIN m ON m.ern <= k AND m.irn <= k
          |GROUP BY k, n ORDER BY k""".stripMargin
     Q("ann_ivfpq_recall", fn, Some(sql))
+  }
+
+  /** The coded index's INGEST leg (r15 — completing the PQ artifact's
+    * lifecycle through append, the coded twin of `ann_index_append`):
+    * train + persist the coded index on the INITIAL cohort only
+    * (vec_id % 3 ≠ 0), commit a new delivery (vec_id % 3 = 0) via
+    * [[graft.api.Similarity.appendToIvfPqIndex]] — assigned against
+    * the FROZEN coarse codebook and encoded against the FROZEN PQ
+    * codebooks, appended under the same bucket spec, cost O(batch),
+    * no retraining, NO RAW VECTORS stored — then serve a query batch
+    * (vec_id % 97 = 5) from the grown coded artifact. The oracle
+    * trains every chain (coarse + 4 subspaces) on the initial cohort
+    * and codes ALL vectors against those frozen codebooks — exactly
+    * the artifact's content after the append (`trainWhere` in the
+    * shared CTE builder). Retrain-from-codes is deliberately absent:
+    * quantization is lossy, so a deployment retrains from the raw
+    * source (codes serve, sources train — documented on the API).
+    */
+  private lazy val annIvfPqAppendQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS; val PROBES = 4; val TOPK = 5
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
+      val table = s"graft_ann_idx.ivfpqapp_$key"
+      val embs = Tables.embeddings(s, d)
+      val model = annIvfPqModels.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val (coarse, pq) = graft.api.Similarity.writeIvfPqIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, CELLS, M, PQK, ITERS)
+        graft.api.Similarity.appendToIvfPqIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, coarse, pq)
+        (coarse, pq)
+      })
+      val batch = embs.filter(col("vec_id") % 97 === 5)
+      graft.api.Similarity
+        .ivfPqQueryIndexed(batch, "vec_id", "embedding", table,
+          model._1, model._2, TOPK, PROBES)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rn").cast("long").as("rn"), col("nbr_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy("vec_id", "rn")
+    }
+    val sql =
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES,
+             qbWhere = "vec_id % 97 = 5", candExtra = "",
+             trainWhere = "vec_id % 3 <> 0")},
+         |ranked AS (
+         |  SELECT qid, cell, nbr, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc, nbr) AS rn
+         |  FROM cand)
+         |SELECT qid AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(rn AS BIGINT) AS rn, nbr AS nbr_id,
+         |  ROUND(adc, 4) AS adc_dist
+         |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivfpq_append", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

