@@ -1937,7 +1937,7 @@ object DataOps {
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
       annRetrainRecallQuery, annIvfPqPersistedQuery, annIvfPqRecallQuery,
-      annIvfPqAppendQuery,
+      annIvfPqAppendQuery, annIvfPqCompactQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2841,6 +2841,71 @@ object DataOps {
          |  ROUND(adc, 4) AS adc_dist
          |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     Q("ann_ivfpq_append", fn, Some(sql))
+  }
+
+  /** Compaction of the CODED artifact (r15 — the coded lifecycle's
+    * maintenance leg, completing build → append → COMPACT → serve →
+    * recall; retrain stays source-side by design): the
+    * `ann_ivfpq_append` artifact's delivery fragments are rewritten
+    * one-file-per-bucket by [[graft.api.Similarity.compactIvfIndex]] —
+    * schema-agnostic over any cell-bucketed postings table, so the
+    * coded layout reuses it verbatim, catalog-derived bucket count and
+    * all — and the query batch is served from the COMPACTED codes.
+    * Content is compaction-invariant, so the oracle is
+    * `ann_ivfpq_append`'s frozen-codebook derivation verbatim (the
+    * stream_compact_catchup sharing precedent); AnnIndexSpec asserts
+    * the layout claim itself (fewer files, equal rows, source
+    * untouched) on the raw artifact and the serve path equality here
+    * is the declared, oracled form.
+    */
+  private lazy val annIvfPqCompactQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS; val PROBES = 4; val TOPK = 5
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
+      val table = s"graft_ann_idx.ivfpqapp_$key"
+      val cmp = s"graft_ann_idx.ivfpqcmp_$key"
+      val embs = Tables.embeddings(s, d)
+      // same build+append memo as ann_ivfpq_append — whichever runs
+      // first pays the one build
+      val model = annIvfPqModels.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val (coarse, pq) = graft.api.Similarity.writeIvfPqIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, CELLS, M, PQK, ITERS)
+        graft.api.Similarity.appendToIvfPqIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, coarse, pq)
+        (coarse, pq)
+      })
+      annIdxCompacted.computeIfAbsent(s"pq_$key", _ => {
+        graft.api.Similarity.compactIvfIndex(s, table, cmp)
+        java.lang.Boolean.TRUE
+      })
+      val batch = embs.filter(col("vec_id") % 97 === 5)
+      graft.api.Similarity
+        .ivfPqQueryIndexed(batch, "vec_id", "embedding", cmp,
+          model._1, model._2, TOPK, PROBES)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("rn").cast("long").as("rn"), col("nbr_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy("vec_id", "rn")
+    }
+    val sql =
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES,
+             qbWhere = "vec_id % 97 = 5", candExtra = "",
+             trainWhere = "vec_id % 3 <> 0")},
+         |ranked AS (
+         |  SELECT qid, cell, nbr, adc, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY adc, nbr) AS rn
+         |  FROM cand)
+         |SELECT qid AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(rn AS BIGINT) AS rn, nbr AS nbr_id,
+         |  ROUND(adc, 4) AS adc_dist
+         |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
+    Q("ann_ivfpq_compact", fn, Some(sql))
   }
 
   /** Empirical ANN RECALL audit (r12 — the trained-IVF twin of

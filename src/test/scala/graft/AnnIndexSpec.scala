@@ -270,6 +270,24 @@ class AnnIndexSpec extends AnyFunSuite {
     val served = graft.api.Similarity.ivfPqQueryIndexed(
       batch.limit(5), "vec_id", "embedding", TA, coarse, pq)
     assert(served.count() > 0, "appended vectors must be servable")
+    // compaction (compactIvfIndex is schema-agnostic over any
+    // cell-bucketed postings table): fewer files, identical content,
+    // source untouched, compacted codes serve identically
+    val TC = "graft_buckets.ann_pq_cmp"
+    spark.sql(s"DROP TABLE IF EXISTS $TC")
+    graft.api.Similarity.compactIvfIndex(spark, TA, TC)
+    assert(spark.table(TC).inputFiles.length < files1.size,
+      s"compaction must shrink ${files1.size} coded files")
+    assert(spark.table(TC).collect().map(_.toString).sorted.toSeq ==
+      spark.table(TA).collect().map(_.toString).sorted.toSeq,
+      "compaction must preserve coded content")
+    assert(spark.table(TA).inputFiles.toSet == files1,
+      "the source coded table must be untouched")
+    val servedCmp = graft.api.Similarity.ivfPqQueryIndexed(
+      batch.limit(5), "vec_id", "embedding", TC, coarse, pq)
+    assert(servedCmp.collect().map(_.toString).sorted.toSeq ==
+      served.collect().map(_.toString).sorted.toSeq,
+      "compacted codes must serve identical neighbors")
   }
 
   test("ivfPqQueryIndexed: the coded postings side joins without a shuffle Exchange") {
