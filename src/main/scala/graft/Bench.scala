@@ -34,8 +34,12 @@ object Bench {
     // A fixed calibration workload — (a) a pinned single-thread
     // xorshift64 loop over a constant iteration count (raw core speed +
     // CPU steal, allocation-free) and (b) a tiny CONSTANT Spark job
-    // (fixed row count, fixed 8-partition plan, one 64-group shuffle:
-    // scheduler + shuffle machinery speed) — is timed before the
+    // (fixed row count, fixed 32-task plan, one 64-group shuffle:
+    // scheduler + shuffle machinery speed AND core availability — a
+    // co-tenant eating most cores slows a 32-task stage roughly like
+    // it slows real queries, which a single-thread loop cannot see;
+    // measured r15: during a contention burst the 8-task variant rose
+    // 1.4-2.0× while queries rose 3-5×) — is timed before the
     // warm-up, after the warm-up, and after the last timed pass, and
     // persisted as "canary_s":[start,mid,end] in the bench JSON. The
     // regression gate below scales the prev round's mins by the canary
@@ -50,7 +54,7 @@ object Bench {
       }
       // data-dependent use keeps the loop un-eliminable
       if (x == 42L) System.err.println("canary collision")
-      spark.range(0L, 4000000L, 1L, 8)
+      spark.range(0L, 16000000L, 1L, 32)
         .selectExpr("id % 64 AS k", "id AS v")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
         .count()
