@@ -1937,7 +1937,7 @@ object DataOps {
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
       annRetrainRecallQuery, annIvfPqPersistedQuery, annIvfPqRecallQuery,
-      annIvfPqAppendQuery, annIvfPqCompactQuery,
+      annIvfPqAppendQuery, annIvfPqCompactQuery, annIvfPqDriftQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
 
@@ -2841,6 +2841,133 @@ object DataOps {
          |  ROUND(adc, 4) AS adc_dist
          |FROM ranked WHERE rn <= $TOPK ORDER BY vec_id, rn""".stripMargin
     Q("ann_ivfpq_append", fn, Some(sql))
+  }
+
+  /** Drift audit of the CODED artifact (r15 — the monitoring leg the
+    * coded lifecycle still lacked, the codes-domain analog of
+    * `ann_index_drift`): after deliveries accrete against the FROZEN
+    * codebooks, report per cell
+    *   - `n_init` / `n_app` — postings from the initial cohort vs the
+    *     appended deliveries (fill trajectory),
+    *   - `fill_factor` — n_vecs·CELLS / corpus (probe-traffic skew),
+    *   - `code_shift` — the mean-over-subspaces total-variation
+    *     distance between the cell's CODE-USAGE histograms of the two
+    *     cohorts: ½·Σ_c |share_init(m,c) − share_app(m,c)|, averaged
+    *     over the M subspaces. Rising code_shift means the frozen PQ
+    *     codebooks quantize the new data differently than the data
+    *     they were trained on — the codes-side WHEN-to-rebuild signal
+    *     (the rebuild itself runs from the raw source, see
+    *     `ann_ivfpq_append`'s scaladoc). Everything is exact integer
+    *     counts until the final rounded ratios, so the oracle derives
+    *     the same histograms from the trainWhere CTE chain. Scale
+    *     shape: one scan of the coded artifact into (cell, cohort,
+    *     subspace, code)-keyed counts — ≤ CELLS·2·M·PQK result rows,
+    *     model-sized at any corpus size.
+    */
+  private lazy val annIvfPqDriftQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val key = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(src)}"
+      val table = s"graft_ann_idx.ivfpqapp_$key"
+      val embs = Tables.embeddings(s, d)
+      // same build+append memo as ann_ivfpq_append/compact
+      annIvfPqModels.computeIfAbsent(s"app_$key", _ => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann_idx LOCATION " +
+          s"'$annIdxLocation'")
+        val (coarse, pq) = graft.api.Similarity.writeIvfPqIndex(
+          embs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          table, CELLS, M, PQK, ITERS)
+        graft.api.Similarity.appendToIvfPqIndex(
+          embs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+          table, coarse, pq)
+        (coarse, pq)
+      })
+      val coded = s.table(table)
+        .withColumn("is_app", (col("vec_id") % 3 === 0).cast("int"))
+        .localCheckpoint() // consumed by the counts and the histograms
+      val counts = coded.groupBy("cell")
+        .agg(count(when(col("is_app") === 0, 1)).as("n_init"),
+          count(when(col("is_app") === 1, 1)).as("n_app"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // Per-cohort totals in a cell are the SAME for every subspace
+      // (each posting contributes one code per subspace), so
+      //   TV_m = Σ_c |n0·t1 − n1·t0| / (2·t0·t1)   and
+      //   code_shift = mean_m TV_m
+      //             = (Σ_{m,c} |n0·t1 − n1·t0|) / (2·t0·t1·M)
+      // — ONE exact integer sum then ONE division (the ordered-fold
+      // rule: no order-sensitive float accumulation anywhere).
+      val hist = coded
+        .select(col("cell"), col("is_app"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .groupBy("cell", "is_app", "m", "code")
+        .agg(count(lit(1)).as("n"))
+      val n01 = hist.groupBy("cell", "m", "code")
+        .agg(sum(when(col("is_app") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("is_app") === 1, col("n")).otherwise(0L)).as("n1"))
+      val num = n01.join(counts, "cell")
+        .groupBy("cell")
+        .agg(sum(abs(col("n0") * col("n_app") - col("n1") * col("n_init")))
+          .as("num"))
+      counts.join(num, "cell")
+        .withColumn("__t", sum(col("n_init") + col("n_app")).over(wAll))
+        .select(col("cell").cast("long").as("cell"), col("n_init"),
+          col("n_app"),
+          round((col("n_init") + col("n_app")).cast("double") * CELLS
+            / col("__t"), 4).as("fill_factor"),
+          when(col("n_init") > 0 && col("n_app") > 0,
+            round(col("num").cast("double")
+              / (lit(2.0) * col("n_init") * col("n_app") * M), 4))
+            .as("code_shift"))
+        .orderBy("cell")
+    }
+    val sql =
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES = 1,
+             qbWhere = "vec_id % 97 = 5", candExtra = "",
+             trainWhere = "vec_id % 3 <> 0")},
+         |coded AS (
+         |  SELECT af.vec_id, af.cell,
+         |    CASE WHEN af.vec_id % 3 = 0 THEN 1 ELSE 0 END AS is_app,
+         |    ${(0 until M).map(m => s"c$m.cell AS code_$m").mkString(", ")}
+         |  FROM afinal af
+         |  ${(0 until M).map(m =>
+               s"JOIN codes_$m c$m ON c$m.vec_id = af.vec_id")
+               .mkString("\n  ")}),
+         |cnt AS (
+         |  SELECT cell,
+         |    CAST(COUNT(*) FILTER (WHERE is_app = 0) AS BIGINT) AS n_init,
+         |    CAST(COUNT(*) FILTER (WHERE is_app = 1) AS BIGINT) AS n_app
+         |  FROM coded GROUP BY cell),
+         |hist AS (
+         |  SELECT cell, is_app, m, code, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT cell, is_app,
+         |      unnest([${(0 until M).map(m => s"$m").mkString(", ")}]) AS m,
+         |      unnest([${(0 until M).map(m => s"code_$m").mkString(", ")}]) AS code
+         |    FROM coded) x
+         |  GROUP BY cell, is_app, m, code),
+         |n01 AS (
+         |  SELECT cell, m, code,
+         |    CAST(SUM(CASE WHEN is_app = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN is_app = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+         |  FROM hist GROUP BY cell, m, code),
+         |num AS (
+         |  SELECT x.cell,
+         |    CAST(SUM(ABS(n0 * c.n_app - n1 * c.n_init)) AS BIGINT) AS num
+         |  FROM n01 x JOIN cnt c ON x.cell = c.cell
+         |  GROUP BY x.cell),
+         |tt AS (SELECT SUM(n_init + n_app) AS t FROM cnt)
+         |SELECT CAST(c.cell AS BIGINT) AS cell, n_init, n_app,
+         |  ROUND(CAST(n_init + n_app AS DOUBLE) * $CELLS / tt.t, 4)
+         |    AS fill_factor,
+         |  CASE WHEN n_init > 0 AND n_app > 0
+         |    THEN ROUND(CAST(num AS DOUBLE)
+         |      / (2e0 * n_init * n_app * $M), 4) END AS code_shift
+         |FROM cnt c JOIN num nm ON c.cell = nm.cell, tt
+         |ORDER BY cell""".stripMargin
+    Q("ann_ivfpq_drift", fn, Some(sql))
   }
 
   /** Compaction of the CODED artifact (r15 — the coded lifecycle's

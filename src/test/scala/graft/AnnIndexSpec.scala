@@ -290,6 +290,26 @@ class AnnIndexSpec extends AnyFunSuite {
       "compacted codes must serve identical neighbors")
   }
 
+  test("ann_ivfpq_drift: totals cover the corpus, shifts bounded, fill averages 1") {
+    val rows = graft.SparkEntry.queries("ann_ivfpq_drift")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("n_init") + r.getAs[Long]("n_app")).sum
+    assert(total == embs.count(), "cohort counts must cover the corpus")
+    rows.foreach { r =>
+      val cs = r.getAs[java.lang.Double]("code_shift")
+      if (cs != null) assert(cs >= 0.0 && cs <= 1.0,
+        s"TV distance out of [0,1]: $r")
+      assert(r.getAs[Double]("fill_factor") > 0.0)
+    }
+    // fill factors average 1 by construction (n·CELLS / total over all)
+    val meanFill = rows.map(_.getAs[Double]("fill_factor")).sum / rows.length
+    assert(math.abs(meanFill - 16.0 / rows.length) < 0.01 ||
+      math.abs(meanFill - 1.0) < 0.01,
+      s"mean fill factor $meanFill inconsistent")
+  }
+
   test("ivfPqQueryIndexed: the coded postings side joins without a shuffle Exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
     val TP = "graft_buckets.ann_pq_idx2"

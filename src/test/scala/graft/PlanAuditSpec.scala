@@ -405,7 +405,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("audit: round-15 queries have no scan-all/nested-loop surprises") {
     val names = Seq("ann_ivfpq_persisted", "ann_ivfpq_recall",
-      "ann_ivfpq_append", "ann_ivfpq_compact", "dedup_index_retrain")
+      "ann_ivfpq_append", "ann_ivfpq_compact", "ann_ivfpq_drift",
+      "dedup_index_retrain")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
