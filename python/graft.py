@@ -239,9 +239,11 @@ class similarity:
 
     @staticmethod
     def append_to_ivf_index(batch, id_col, vec_col, table, codebook,
-                            buckets=8):
+                            buckets=0):
         """Commit a new vector delivery against the FROZEN codebook —
-        append-only bucket files, O(batch), no retraining."""
+        append-only bucket files, O(batch), no retraining.
+        ``buckets<=0`` derives the count from the existing target's
+        catalog bucket spec (never silently re-buckets)."""
         _jvm().graft.api.Similarity.appendToIvfIndex(
             batch._jdf, id_col, vec_col, table, _to_j2d(codebook), buckets)
 
@@ -303,10 +305,12 @@ class similarity:
 
     @staticmethod
     def append_to_ivf_pq_index(batch, id_col, vec_col, table, coarse, pq,
-                               buckets=8):
+                               buckets=0):
         """Commit a new delivery into the coded index: assigned against
         the FROZEN coarse codebook, encoded against the FROZEN PQ
-        codebooks, appended under the same bucket spec — O(batch)."""
+        codebooks, appended under the same bucket spec — O(batch).
+        ``buckets<=0`` derives the count from the existing target's
+        catalog bucket spec (never silently re-buckets)."""
         _jvm().graft.api.Similarity.appendToIvfPqIndex(
             batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
             _to_j3d(pq), buckets)

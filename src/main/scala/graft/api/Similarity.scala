@@ -635,19 +635,43 @@ object Similarity {
     * against the frozen codebook and append; a periodic retrain
     * rebuilds via [[writeIvfIndex]] when centroid drift warrants it
     * (llm_embedding_drift is the monitor for exactly that decision).
+    *
+    * `buckets <= 0` (the default) derives the count from the TARGET
+    * table's own catalog bucket spec when it exists (r15 ADVICE: the
+    * "never silently re-bucket" convention compaction/retrain already
+    * follow — a hard-coded 8 made appending to a non-default-bucketed
+    * index fail with a bucket-spec mismatch unless every caller
+    * re-threaded the count); a first append that CREATES the table
+    * falls back to [[writeIvfIndex]]'s default of 8.
     */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       table: String, codebook: Array[Array[Double]],
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
+    val nb = resolveAppendBuckets(batch.sparkSession, table, buckets)
     val base = prepare(batch, idCol, vecCol)
       .select(col(idCol), col("__v"), col("__nrm"))
     assignCells(base, codebook).withColumnRenamed("__cell", "cell")
       .select(col(idCol), col("cell"), col("__v").as("v"),
         col("__nrm").as("nrm"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(buckets, "cell").sortBy("cell")
+      .bucketBy(nb, "cell").sortBy("cell")
       .saveAsTable(table)
   }
+
+  /** Bucket count for an APPEND: explicit positive wins; else the
+    * existing target table's catalog spec (never silently re-bucket);
+    * else — the table doesn't exist yet, the append creates it — the
+    * write-path default of 8. An existing table WITHOUT a bucket spec
+    * throws: a bucketed append into it would fail downstream anyway,
+    * and loudly beats silently.
+    */
+  private def resolveAppendBuckets(spark: SparkSession, table: String,
+      buckets: Int): Int =
+    if (buckets > 0) buckets
+    else if (spark.catalog.tableExists(table))
+      catalogBuckets(spark, table).getOrElse(throw new IllegalArgumentException(
+        s"append: existing table $table has no bucket spec; pass buckets explicitly"))
+    else 8
 
   /** Retrain-decision audit of a persisted IVF index — the "WHEN to
     * rebuild" signal [[appendToIvfIndex]]'s continuous-ingestion story
@@ -858,15 +882,22 @@ object Similarity {
     * deployment retrains from the raw source table via
     * [[writeIvfPqIndex]], which is the honest 100-TB story: codes
     * serve, sources train).
+    *
+    * `buckets <= 0` (the default) derives the count from the TARGET
+    * table's own catalog bucket spec when it exists (r15 ADVICE —
+    * same convention as [[appendToIvfIndex]]): appending to a coded
+    * index written with a non-default count Just Works instead of
+    * failing with a bucket-spec mismatch.
     */
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
       table: String, coarse: Array[Array[Double]],
-      pq: Array[Array[Array[Double]]], buckets: Int = 8): Unit = {
+      pq: Array[Array[Array[Double]]], buckets: Int = 0): Unit = {
+    val nb = resolveAppendBuckets(batch.sparkSession, table, buckets)
     val base = batch.select(col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     encodeIvfPq(base, idCol, coarse, pq)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(buckets, "cell").sortBy("cell")
+      .bucketBy(nb, "cell").sortBy("cell")
       .saveAsTable(table)
   }
 
