@@ -310,6 +310,67 @@ class AnnIndexSpec extends AnyFunSuite {
       s"mean fill factor $meanFill inconsistent")
   }
 
+  test("ann_ivfpq_rerank: reranked recall >= ADC recall, monotone in k, source fetched by short list only") {
+    // the r16 verdict's Done-criteria for the rerank leg: the exact
+    // rerank can only promote the true NN (its exact distance is
+    // globally minimal, hence minimal within any short list containing
+    // it), so rr_recall >= adc_recall at every k; and both columns use
+    // the monotone true-NN-in-top-k definition, so each is
+    // non-decreasing in k.
+    val df = graft.SparkEntry.queries("ann_ivfpq_rerank")(
+      spark, TestSpark.sf0001)
+    val rows = df.collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 4L))
+    var prevAdc = -1.0; var prevRr = -1.0
+    rows.foreach { r =>
+      val adc = r.getAs[Double]("adc_recall")
+      val rr = r.getAs[Double]("rr_recall")
+      assert(rr >= adc,
+        s"rerank lost recall at k=${r.getAs[Long]("k")}: adc=$adc rr=$rr")
+      assert(adc >= prevAdc && rr >= prevRr,
+        s"true-NN recall@k must be monotone in k: $r")
+      prevAdc = adc; prevRr = rr
+    }
+    // plan shape: every checkpointed leg (truth, short list, query
+    // vectors) enters as an RDD scan, so the ONLY file scan left is
+    // the keyed source-vector fetch — exactly one, broadcast-joined
+    // against the model-sized short list. A second file scan would
+    // mean a corpus distance pass leaked back in. (The fetch scan even
+    // carries the slice's `% 20` filter: LogicalRDD preserves the
+    // checkpointed short list's constraints, and Catalyst pushes the
+    // propagated nbr constraint down to the parquet scan.) AQE's
+    // toString prints the final AND initial plans — count scans in the
+    // final section only.
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val fileScans = p.linesIterator.count(_.contains("FileScan"))
+    assert(fileScans == 1,
+      s"expected exactly ONE source file scan (the short-list fetch), got $fileScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"short-list source fetch must be a broadcast probe:\n$p")
+  }
+
+  test("ann_ivfpq_tuning: sweep covers all settings with exact costs and monotone recall") {
+    val rows = graft.SparkEntry.queries("ann_ivfpq_tuning")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.map(r => (r.getAs[Long]("m"), r.getAs[Long]("pqk"))).toSeq
+      == Seq((2L, 16L), (4L, 16L), (4L, 64L), (8L, 16L)),
+      "sweep must emit one row per (M, PQK) setting in (m, pqk) order")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m"); val pqk = r.getAs[Long]("pqk")
+      assert(r.getAs[Long]("bits_per_vec")
+        == m * (63 - java.lang.Long.numberOfLeadingZeros(pqk)),
+        s"bits_per_vec must be M*log2(PQK): $r")
+      // dims*(cells + pqk): M-invariant (M subspaces of PQK centroids
+      // at dims/M floats each always multiply out to PQK*dims)
+      assert(r.getAs[Long]("codebook_floats") == 64L * (16L + pqk),
+        s"codebook_floats must be dims*(cells+pqk): $r")
+      assert(r.getAs[Double]("recall_at_4") >= r.getAs[Double]("recall_at_1"),
+        s"true-NN recall@k must be monotone in k: $r")
+      assert(r.getAs[Long]("n_queries") > 0)
+    }
+  }
+
   test("ivfPqQueryIndexed: the coded postings side joins without a shuffle Exchange") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
     val TP = "graft_buckets.ann_pq_idx2"

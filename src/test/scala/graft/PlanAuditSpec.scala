@@ -403,6 +403,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: round-16 queries have no scan-all/nested-loop surprises") {
+    val names = Seq("ann_ivfpq_rerank", "ann_ivfpq_tuning",
+      "stream_ivfpq_append")
+    names.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      info(s"=== $n ===")
+      p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Scan")
+      ).take(12).foreach(l => info(l.trim.take(150)))
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("audit: round-15 queries have no scan-all/nested-loop surprises") {
     val names = Seq("ann_ivfpq_persisted", "ann_ivfpq_recall",
       "ann_ivfpq_append", "ann_ivfpq_compact", "ann_ivfpq_drift",
