@@ -205,6 +205,12 @@ object Streams {
   private val streamAnnMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Double]]]()
 
+  /** fixture key → frozen (coarse, pq) codebooks for
+    * stream_ivfpq_append's persisted CODED artifact (same convention).
+    */
+  private val streamPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return its final contents.
     *
@@ -1376,6 +1382,52 @@ object Streams {
           .orderBy("cell")
       },
       Some(graft.operators.DataOps.annDriftOracleSql)),
+
+    // Streaming delivery into the CODED index (r16 — the coded twin of
+    // stream_ann_append, closing the PQ lifecycle's ingest leg: a
+    // continuous pipeline ingests into the artifact it SERVES from,
+    // which since the coded index landed is the PQ one). The coded
+    // index is trained + written ONCE on the standing cohort (vec_id
+    // % 3 ≠ 0 — frozen coarse AND PQ codebooks), then each arriving
+    // micro-batch of embeddings is assigned + residual-encoded against
+    // those frozen codebooks and APPENDS its (id, cell, codes) rows
+    // (foreachBatch → Similarity.appendToIvfPqIndex — O(batch), bucket
+    // files append-only, bucket count resolved from the table's own
+    // catalog spec, NO raw vectors stored). The declared result is the
+    // coded drift/fill audit over the stream-grown artifact
+    // (DataOps.ivfPqDriftAudit). Appends are batch-independent — every
+    // delivery row is encoded against the same frozen codebooks
+    // whatever micro-batch carried it — so the stream-grown artifact's
+    // content equals the batch-grown one's and the oracle is
+    // ann_ivfpq_drift's VERBATIM (StreamingSpec pins stream-grown ≡
+    // batch-grown row-for-row).
+    Q("stream_ivfpq_append",
+      (s, d) => {
+        val f = new java.io.File(s"$d/embeddings.parquet")
+        val tkey = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_${graft.Fixtures.fingerprint(f)}"
+        val table = s"graft_stream_idx.pqstream_$tkey"
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_idx LOCATION " +
+          s"'$streamIdxLocation'")
+        streamPqMemo.computeIfAbsent(tkey, _ => {
+          val model = graft.api.Similarity.writeIvfPqIndex(
+            graft.Tables.embeddings(s, d).filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", table, 16, 4, 16,
+            graft.operators.DataOps.ORACLE_ITERS)
+          val q = embeddingsStream(s, d)
+            .filter(col("vec_id") % 3 === 0)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.api.Similarity.appendToIvfPqIndex(
+                batch, "vec_id", "embedding", table, model._1, model._2)
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          model
+        })
+        graft.operators.DataOps.ivfPqDriftAudit(s, table)
+      },
+      Some(graft.operators.DataOps.ivfPqDriftOracleSql)),
 
     // Streaming deliveries → fragmented band index → COMPACTION — the
     // maintenance leg under the INGEST path (r14, tying this round's

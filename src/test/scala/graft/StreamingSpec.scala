@@ -235,4 +235,19 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     assert(streamed == batch)
   }
+
+  test("stream_ivfpq_append: stream-grown CODED drift audit equals the batch-grown one") {
+    // the coded twin (r16): training is deterministic (md5 init,
+    // decimal-exact Lloyd means) and every delivery row is encoded
+    // against the FROZEN codebooks independently of the micro-batch
+    // that carried it, so the stream-grown coded artifact's per-cell
+    // fill/code-shift audit must equal ann_ivfpq_drift's batch-grown
+    // one row-for-row
+    val streamed = SparkEntry.queries("stream_ivfpq_append")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    val batch = SparkEntry.queries("ann_ivfpq_drift")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
 }
