@@ -329,6 +329,49 @@ class similarity:
             batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
             _to_j3d(pq), top_k, probes, flt._jc))
 
+    @staticmethod
+    def ivf_pq_query_reranked(batch, id_col, vec_col, table, coarse, pq,
+                              source, src_id_col, src_vec_col, top_k=5,
+                              probes=4, overfetch=4, postings_filter=None):
+        """The exactness-recovery serving form: ADC over-fetch of
+        ``overfetch * top_k`` candidates from the codes, then an EXACT
+        rerank of that short list against the raw ``source`` vectors —
+        fetched by a short-list keyed broadcast probe, never a corpus
+        distance pass. Reranked recall >= ADC recall by construction."""
+        from pyspark.sql import functions as F
+        flt = postings_filter if postings_filter is not None else F.lit(True)
+        return _wrap(_jvm().graft.api.Similarity.ivfPqQueryReranked(
+            batch._jdf, id_col, vec_col, table, _to_j2d(coarse),
+            _to_j3d(pq), source._jdf, src_id_col, src_vec_col, top_k,
+            probes, overfetch, flt._jc))
+
+    @staticmethod
+    def retrain_ivf_pq_index(source, id_col, vec_col, table, target,
+                             cells=16, m=4, pqk=16, iters=5, buckets=0):
+        """Retrain the coded index from the raw ``source`` table —
+        codes are lossy, so there is deliberately no retrain-from-codes
+        (codes serve, sources train). Writes a fresh coded artifact at
+        ``target`` under the old table's catalog bucket spec; returns
+        the fresh (coarse, pq) codebooks as Python nested lists."""
+        s = _active_spark()
+        t = _jvm().graft.api.Similarity.retrainIvfPqIndex(
+            s._jsparkSession, source._jdf, id_col, vec_col, table,
+            target, cells, m, pqk, iters, buckets)
+        coarse = [list(row) for row in t._1()]
+        pq = [[list(row) for row in sub] for sub in t._2()]
+        return coarse, pq
+
+    @staticmethod
+    def ivf_pq_distortion(table, source, id_col, vec_col, coarse, pq):
+        """Per-cell quantization-distortion audit of a coded index
+        (exact residual-vs-reconstruction squared-L2, 1e-6-quantized
+        before the order-independent cell sum) — the quality side of
+        the WHEN-to-retrain decision."""
+        s = _active_spark()
+        return _wrap(_jvm().graft.api.Similarity.ivfPqDistortion(
+            s._jsparkSession, table, source._jdf, id_col, vec_col,
+            _to_j2d(coarse), _to_j3d(pq)), s)
+
 
 class graph:
     """graft.api.Graph — convergent distributed graph primitives.

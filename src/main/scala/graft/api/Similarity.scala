@@ -966,6 +966,122 @@ object Similarity {
       .withColumnRenamed("__id_a", idCol)
   }
 
+  /** The exactness-recovery serving form (r16 — `ann_ivfpq_rerank` as
+    * a first-class API, the step [[ivfPqQueryIndexed]]'s doc calls
+    * "rerank when exactness matters"): ADC over-fetch of
+    * `overfetch · topK` candidates from the persisted codes, then an
+    * EXACT squared-L2 rerank of that short list against the raw
+    * `source` vectors — fetched by a short-list keyed broadcast probe
+    * of ONE source scan, never a corpus distance pass. Returns per
+    * query the `topK` exact-reranked (nbr_id, dist, rn). The true NN's
+    * exact distance is globally minimal, so whenever it survives into
+    * the short list it reranks to position 1 — reranked recall ≥ ADC
+    * recall by construction (`ann_ivfpq_rerank` measures the recovery;
+    * AnnIndexSpec pins API-served ≡ exact recomputation).
+    *
+    * Sizing: the short list is O(batch · overfetch · topK) — the
+    * serving assumption (as everywhere in this API family) is that the
+    * QUERY BATCH is the small side and the corpus the large one, so
+    * both the short list and the query vectors broadcast; corpus bytes
+    * are touched only by the bucketed coded scan and the one keyed
+    * source fetch.
+    */
+  def ivfPqQueryReranked(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]], source: DataFrame,
+      srcIdCol: String, srcVecCol: String, topK: Int = 5,
+      probes: Int = 4, overfetch: Int = 4,
+      postingsFilter: Column = lit(true)): DataFrame = {
+    val short = ivfPqQueryIndexed(batch, idCol, vecCol, table, coarse,
+        pq, topK * overfetch, probes, postingsFilter)
+      .select(col(idCol).as("__q_id"), col("nbr_id"))
+    val srcV = source.select(col(srcIdCol).as("nbr_id"),
+      transform(col(srcVecCol), x => x.cast("double")).as("__nv"))
+    val qv = batch.select(col(idCol).as("__q_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    val w = Window.partitionBy("__q_id").orderBy(col("dist"), col("nbr_id"))
+    srcV.join(broadcast(short), Seq("nbr_id"))
+      .join(broadcast(qv), Seq("__q_id"))
+      .select(col("__q_id"), col("nbr_id"),
+        aggregate(zip_with(col("__qv"), col("__nv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .withColumnRenamed("__q_id", idCol)
+  }
+
+  /** Retrain the CODED index from the raw `source` table — the
+    * "sources train" half of the coded lifecycle's honest contract
+    * (codes are lossy, so retrain-from-codes is deliberately absent;
+    * [[ivfPqDistortion]] and `ann_ivfpq_drift` are the signals that
+    * say WHEN to run this). Trains fresh coarse + PQ codebooks on
+    * `source` and writes a fresh coded artifact to `target` under the
+    * OLD table's catalog bucket spec (never silently re-bucket — the
+    * [[retrainIvfIndex]] convention).
+    */
+  def retrainIvfPqIndex(spark: SparkSession, source: DataFrame,
+      idCol: String, vecCol: String, table: String, target: String,
+      cells: Int = 16, m: Int = 4, pqk: Int = 16, iters: Int = 5,
+      buckets: Int = 0)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val nb =
+      if (buckets > 0) buckets
+      else catalogBuckets(spark, table)
+        .getOrElse(throw new IllegalArgumentException(
+          s"retrainIvfPqIndex: $table has no bucket spec; pass buckets explicitly"))
+    writeIvfPqIndex(source, idCol, vecCol, target, cells, m, pqk,
+      iters, nb)
+  }
+
+  /** Per-cell quantization-distortion audit of a persisted CODED
+    * index: for every posting, the exact squared-L2 between the
+    * source vector's residual and its PQ reconstruction (Σ over
+    * subspaces of ‖resid slice − centroid(code)‖²), aggregated per
+    * cell as (n_vecs, sum_q, mean_sqerr). This is the quality side of
+    * the WHEN-to-retrain decision (`ann_ivfpq_drift` is the
+    * distribution side): distortion a retrain would reclaim, measured
+    * in the serving metric's own units. Per-vector distortions are
+    * quantized to exact 1e-6 integers BEFORE the cell sum (the
+    * ann_index_compact device) so the aggregate is order-independent
+    * — same result at any partitioning, oracle-mirrorable. One
+    * source-join pass, map-side partial aggregation to CELLS rows; no
+    * corpus shuffle.
+    */
+  def ivfPqDistortion(spark: SparkSession, table: String,
+      source: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]],
+      pq: Array[Array[Array[Double]]]): DataFrame = {
+    val dims = coarse(0).length
+    val m = pq.length
+    val sub = dims / m
+    val coarseLit = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val src = source.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val j = spark.table(table).select(col(idCol), col("cell"), col("codes"))
+      .join(src, Seq(idCol))
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+    val dists = (0 until m).map { mi =>
+      val cent = element_at(
+        typedlit(pq(mi).map(_.toIndexedSeq).toIndexedSeq),
+        element_at(col("codes"), mi + 1) + 1)
+      aggregate(
+        zip_with(expr(s"slice(__r, ${mi * sub + 1}, $sub)"), cent,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)
+    }
+    j.withColumn("__qd",
+        floor(dists.reduce(_ + _) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("__qd").as("sum_q"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("sum_q"),
+        round(col("sum_q").cast("double")
+          / (col("n_vecs").cast("double") * lit(1000000.0)), 4)
+          .as("mean_sqerr"))
+  }
+
   /** Top-k cosine neighbors of a QUERY BATCH against the persisted
     * postings table from [[writeIvfIndex]]. The batch fans out to its
     * `probes` nearest cells via the codebook (per-row expression work);

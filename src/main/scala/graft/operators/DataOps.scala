@@ -1937,7 +1937,7 @@ object DataOps {
       annIndexPersistedQuery, annIndexAppendQuery, annIndexDriftQuery,
       annIndexCompactQuery, annIndexRetrainQuery, annRecallAuditQuery,
       annRetrainRecallQuery, annIvfPqPersistedQuery, annIvfPqRecallQuery,
-      annIvfPqRerankQuery, annIvfPqTuningQuery,
+      annIvfPqRerankQuery, annIvfPqTuningQuery, annIvfPqRetrainQuery,
       annIvfPqAppendQuery, annIvfPqCompactQuery, annIvfPqDriftQuery,
       embeddingOutliersQuery, phashDedupQuery,
       matryoshkaQuery, keyframeQuery, silenceTrimQuery)
@@ -2627,18 +2627,24 @@ object DataOps {
   // can instantiate SEVERAL (M, PQK) subspace chains with distinct
   // `sfx` name suffixes over ONE shared coarse derivation.
 
-  /** base → (optional basetr) → coarse Lloyd chain → afinal → resid. */
+  /** base → (optional basetr) → coarse Lloyd chain → afinal → resid.
+    * `csfx` suffixes every chain-internal name (basetr/cb/a/afinal/
+    * resid) so two coarse chains — e.g. init-trained vs full-retrained
+    * (`ann_ivfpq_retrain`) — can coexist in one statement; `base` is
+    * shared and emitted only by the `withBase = true` (first) chain.
+    */
   private def ivfPqCoarseCtes(CELLS: Int, ITERS: Int,
-      trainWhere: String): String = {
+      trainWhere: String, csfx: String = "",
+      withBase: Boolean = true): String = {
     // `trainWhere` restricts the TRAINING cohort (coarse init + Lloyd
     // rounds + every subspace chain) while assignment/coding still
     // covers ALL vectors — the frozen-codebook append derivation
     // (ann_index_append precedent): the artifact after an append holds
     // exactly all vectors coded against the initial-cohort codebooks.
-    val trainSrc = if (trainWhere.isEmpty) "base" else "basetr"
+    val trainSrc = if (trainWhere.isEmpty) "base" else s"basetr$csfx"
     val trainCte =
       if (trainWhere.isEmpty) ""
-      else s"basetr AS (SELECT * FROM base WHERE $trainWhere),\n"
+      else s"basetr$csfx AS (SELECT * FROM base WHERE $trainWhere),\n"
     def L2(a: String, b: String) = SQL_PQ_L2(a, b)
     def assign(cb: String, name: String, src: String = "base") =
       s"""$name AS (
@@ -2659,22 +2665,26 @@ object DataOps {
          |  SELECT c_id, v FROM $prev
          |  WHERE c_id NOT IN (SELECT DISTINCT cell FROM $a))""".stripMargin
     val coarseCtes = (Seq(
-      s"""cb0 AS (
+      s"""cb0$csfx AS (
          |  SELECT c_id, v FROM (
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v
          |    FROM $trainSrc) r WHERE c_id < $CELLS)""".stripMargin)
       ++ (1 to ITERS).flatMap(i =>
-        Seq(assign(s"cb${i - 1}", s"a$i", trainSrc),
-          update(s"a$i", s"cb${i - 1}", s"cb$i")))
-      ++ Seq(assign(s"cb$ITERS", "afinal"))).mkString(",\n")
-    s"""WITH base AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |$trainCte$coarseCtes,
-       |resid AS MATERIALIZED (
+        Seq(assign(s"cb${i - 1}$csfx", s"a$i$csfx", trainSrc),
+          update(s"a$i$csfx", s"cb${i - 1}$csfx", s"cb$i$csfx")))
+      ++ Seq(assign(s"cb$ITERS$csfx", s"afinal$csfx"))).mkString(",\n")
+    val basePrefix =
+      if (!withBase) ""
+      else
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |""".stripMargin
+    s"""$basePrefix$trainCte$coarseCtes,
+       |resid$csfx AS MATERIALIZED (
        |  SELECT a.vec_id, a.cell,
        |    list_transform(list_zip(a.v, c.v), x -> x[1] - x[2]) AS r
-       |  FROM afinal a JOIN cb$ITERS c ON a.cell = c.c_id)""".stripMargin
+       |  FROM afinal$csfx a JOIN cb$ITERS$csfx c ON a.cell = c.c_id)""".stripMargin
   }
 
   /** qb → pc → qres: the query batch, its probe routing, and its
@@ -2703,7 +2713,8 @@ object DataOps {
     * parallel (M, PQK) instantiations in one statement.
     */
   private def ivfPqSubspaceCtes(m: Int, SUB: Int, PQK: Int, ITERS: Int,
-      trainWhere: String, sfx: String, withLut: Boolean): String = {
+      trainWhere: String, sfx: String, withLut: Boolean,
+      residSrc: String = "resid"): String = {
     def L2(a: String, b: String) = SQL_PQ_L2(a, b)
     val off = m * SUB
     val subTrain =
@@ -2745,7 +2756,7 @@ object DataOps {
            |  FROM cb${ITERS}_$m$sfx c, qres qr)""".stripMargin)
     (Seq(
       s"""sub_$m$sfx AS (
-         |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM resid)""".stripMargin)
+         |  SELECT vec_id, r[${off + 1}:${off + SUB}] AS sv FROM $residSrc)""".stripMargin)
       ++ subTrainCte ++ Seq(
       s"""cb0_$m$sfx AS (
          |  SELECT c_id, sv AS v FROM (
@@ -3115,6 +3126,99 @@ object DataOps {
          |$unionAll
          |ORDER BY m, pqk""".stripMargin
     Q("ann_ivfpq_tuning", fn, Some(sql))
+  }
+
+  /** CODED-index RETRAIN — the decision `ann_ivfpq_drift` (and the
+    * distortion audit below) informs, EXECUTED, completing the coded
+    * lifecycle's symmetry with the raw index (`ann_index_retrain`)
+    * and the dedup index (`dedup_index_retrain`) while honoring the
+    * coded contract's one asymmetry: quantization is lossy, so the
+    * retrain trains from the RAW SOURCE table, never from codes
+    * ([[graft.api.Similarity.retrainIvfPqIndex]] — "codes serve,
+    * sources train"). The artifact audited before/after is the
+    * quantization-distortion census [[graft.api.Similarity
+    * .ivfPqDistortion]]: per cell, n and the exact per-vector
+    * residual-vs-reconstruction squared-L2, quantized to 1e-6
+    * integers BEFORE the cell sum (order-independent aggregate, the
+    * ann_index_compact device). BEFORE = the grown artifact under its
+    * frozen init-cohort codebooks (exactly what serving pays today);
+    * AFTER = the fresh artifact retrained on the full cohort.
+    * Recovery shows up as mse_after ≤ mse_before in aggregate
+    * (codebooks now trained on the data they encode); AnnIndexSpec
+    * pins corpus-total recovery on a distribution-shifted append.
+    * The oracle runs TWO full IVF-PQ chains — the init-trained chain
+    * (trainWhere) and a `_r`-suffixed full-cohort chain over the
+    * shared MATERIALIZED base — and derives both distortion censuses
+    * from codes joined back to their subspace centroids.
+    */
+  private lazy val annIvfPqRetrainQuery: Q = {
+    val CELLS = 16; val M = 4; val SUB = 16; val PQK = 16
+    val ITERS = ORACLE_ITERS
+    def fn(s: SparkSession, d: String): DataFrame = {
+      val (table, model) = ensureIvfPqAppendIndex(s, d, CELLS, M, PQK, ITERS)
+      val key = ivfPqKey(d, CELLS, M, PQK, ITERS)
+      val retr = s"graft_ann_idx.ivfpqretr_$key"
+      val embs = Tables.embeddings(s, d)
+      // the retrain maintenance action itself, once per fixture: train
+      // fresh codebooks on the FULL source cohort and rewrite a fresh
+      // coded artifact under the old table's catalog bucket spec
+      val model2 = annIvfPqModels.computeIfAbsent(s"retr_$key", _ =>
+        graft.api.Similarity.retrainIvfPqIndex(s, embs, "vec_id",
+          "embedding", table, retr, CELLS, M, PQK, ITERS))
+      val before = graft.api.Similarity.ivfPqDistortion(s, table, embs,
+          "vec_id", "embedding", model._1, model._2)
+        .select(col("cell"), col("n_vecs").as("n_before"),
+          col("sum_q").as("sq_before"),
+          col("mean_sqerr").as("mse_before"))
+      val after = graft.api.Similarity.ivfPqDistortion(s, retr, embs,
+          "vec_id", "embedding", model2._1, model2._2)
+        .select(col("cell"), col("n_vecs").as("n_after"),
+          col("sum_q").as("sq_after"), col("mean_sqerr").as("mse_after"))
+      before.join(after, Seq("cell"), "full_outer")
+        .select(col("cell"), col("n_before"), col("sq_before"),
+          col("mse_before"), col("n_after"), col("sq_after"),
+          col("mse_after"))
+        .orderBy("cell")
+    }
+    def distLeg(codesSfx: String, cbSfx: String, afinal: String,
+        legSfx: String): String = {
+      val joins = (0 until M).map(m =>
+        s"""JOIN codes_$m$codesSfx c$m ON c$m.vec_id = af.vec_id
+           |  JOIN cb${ITERS}_$m$cbSfx cc$m ON c$m.cell = cc$m.c_id""".stripMargin)
+        .mkString("\n  ")
+      val dSum = (0 until M).map(m =>
+        SQL_PQ_L2(s"c$m.sv", s"cc$m.v")).mkString(" + ")
+      s"""q$legSfx AS (
+         |  SELECT af.cell,
+         |    CAST(floor(($dSum) * 1000000.0 + 0.5) AS BIGINT) AS qd
+         |  FROM $afinal af
+         |  $joins),
+         |agg$legSfx AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n$legSfx,
+         |    CAST(SUM(qd) AS BIGINT) AS sq$legSfx
+         |  FROM q$legSfx GROUP BY cell)""".stripMargin
+    }
+    val sql =
+      s"""${ivfPqOracleCtes(CELLS, M, SUB, PQK, ITERS, PROBES = 1,
+             qbWhere = "", candExtra = "",
+             trainWhere = "vec_id % 3 <> 0", codesOnly = true)},
+         |${ivfPqCoarseCtes(CELLS, ITERS, trainWhere = "", csfx = "_r",
+             withBase = false)},
+         |${(0 until M).map(m => ivfPqSubspaceCtes(m, SUB, PQK, ITERS,
+             trainWhere = "", sfx = "_r", withLut = false,
+             residSrc = "resid_r")).mkString(",\n")},
+         |${distLeg("", "", "afinal", "_b")},
+         |${distLeg("_r", "_r", "afinal_r", "_a")}
+         |SELECT CAST(COALESCE(b.cell, a.cell) AS BIGINT) AS cell,
+         |  n_b AS n_before, sq_b AS sq_before,
+         |  ROUND(CAST(sq_b AS DOUBLE)
+         |    / (CAST(n_b AS DOUBLE) * 1000000.0), 4) AS mse_before,
+         |  n_a AS n_after, sq_a AS sq_after,
+         |  ROUND(CAST(sq_a AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) * 1000000.0), 4) AS mse_after
+         |FROM agg_b b FULL JOIN agg_a a ON b.cell = a.cell
+         |ORDER BY cell""".stripMargin
+    Q("ann_ivfpq_retrain", fn, Some(sql))
   }
 
   /** The coded index's INGEST leg (r15 — completing the PQ artifact's

@@ -310,6 +310,87 @@ class AnnIndexSpec extends AnyFunSuite {
       s"mean fill factor $meanFill inconsistent")
   }
 
+  test("ivfPqQueryReranked: API-served rerank equals exact recomputation over the ADC short list") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TP = "graft_buckets.ann_pq_rr"
+    spark.sql(s"DROP TABLE IF EXISTS $TP")
+    val (coarse, pq) = graft.api.Similarity
+      .writeIvfPqIndex(embs, "vec_id", "embedding", TP)
+    val batch = embs.filter(col("vec_id") % 97 === 0)
+    val TOPK = 3; val OVER = 4
+    val served = graft.api.Similarity.ivfPqQueryReranked(
+        batch, "vec_id", "embedding", TP, coarse, pq,
+        embs, "vec_id", "embedding", TOPK, 4, OVER)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rn")) ->
+        ((r.getAs[Long]("nbr_id"), r.getAs[Double]("dist")))).toMap
+    assert(served.nonEmpty)
+    // exact recomputation: the SAME ADC short list, reranked on the
+    // driver by exact squared L2 from the raw vectors
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val short = graft.api.Similarity.ivfPqQueryIndexed(
+        batch, "vec_id", "embedding", TP, coarse, pq, TOPK * OVER, 4)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = short.groupBy(_._1).flatMap { case (q, nbrs) =>
+      val qv = vecs(q)
+      nbrs.map(_._2).distinct.toSeq
+        .map { n =>
+          val nv = vecs(n)
+          (n, qv.indices.map(i =>
+            (qv(i) - nv(i)) * (qv(i) - nv(i))).sum)
+        }
+        .sortBy { case (n, dd) => (dd, n) }
+        .take(TOPK).zipWithIndex
+        .map { case ((n, dd), i) => (q, i + 1) -> ((n, dd)) }
+    }.toMap
+    assert(served.keySet == expect.keySet,
+      s"key sets differ: ${served.keySet} vs ${expect.keySet}")
+    served.foreach { case (k, (n, dd)) =>
+      val (en, edd) = expect(k)
+      assert(n == en && math.abs(dd - edd) < 1e-9,
+        s"$k: served ($n, $dd) vs exact ($en, $edd)")
+    }
+  }
+
+  test("retrainIvfPqIndex: source-side retrain recovers the distortion a shifted append caused") {
+    // the coded twin of the raw retrain-recovery pin: append a
+    // distribution-shifted delivery against FROZEN codebooks (the PQ
+    // codebooks never saw the shifted residuals — distortion spikes),
+    // then retrain from the SOURCE (codes are lossy; retrain-from-
+    // codes deliberately doesn't exist) — the fresh codebooks absorb
+    // the shifted mass, so total quantization distortion must drop
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val TA = "graft_buckets.ann_pqretr_src"
+    val TR = "graft_buckets.ann_pqretr_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $TA")
+    spark.sql(s"DROP TABLE IF EXISTS $TR")
+    val init = embs.filter(col("vec_id") % 3 =!= 0)
+    val shifted = embs.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5f)))
+    val source = init.unionByName(shifted)
+    val (c0, p0) = graft.api.Similarity
+      .writeIvfPqIndex(init, "vec_id", "embedding", TA)
+    graft.api.Similarity
+      .appendToIvfPqIndex(shifted, "vec_id", "embedding", TA, c0, p0)
+    def total(table: String,
+        model: (Array[Array[Double]], Array[Array[Array[Double]]])): Long =
+      graft.api.Similarity.ivfPqDistortion(spark, table, source,
+          "vec_id", "embedding", model._1, model._2)
+        .agg(sum("sum_q")).collect()(0).getLong(0)
+    val before = total(TA, (c0, p0))
+    val model2 = graft.api.Similarity.retrainIvfPqIndex(spark, source,
+      "vec_id", "embedding", TA, TR)
+    assert(spark.table(TR).count() == spark.table(TA).count(),
+      "retrain must re-encode every posting")
+    val after = total(TR, model2)
+    assert(after < before,
+      s"post-retrain distortion $after must recover below pre-retrain $before")
+  }
+
   test("ann_ivfpq_rerank: reranked recall >= ADC recall, monotone in k, source fetched by short list only") {
     // the r16 verdict's Done-criteria for the rerank leg: the exact
     // rerank can only promote the true NN (its exact distance is

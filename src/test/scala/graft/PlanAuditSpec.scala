@@ -405,7 +405,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("audit: round-16 queries have no scan-all/nested-loop surprises") {
     val names = Seq("ann_ivfpq_rerank", "ann_ivfpq_tuning",
-      "stream_ivfpq_append")
+      "stream_ivfpq_append", "ann_ivfpq_retrain")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString

@@ -183,9 +183,14 @@ def _band_compact_check():
     expect(r.count() == 5, "compacted band index serves batches")
 
 
+_pq_coarse = None
+_pq_pq = None
+
+
 def _ivfpq_check():
     # double[][][] marshalling both directions: Tuple2 return unpacked
     # into nested lists, the pq codebook shipped back as a 3-d array
+    global _pq_coarse, _pq_pq
     coarse, pq = graft.similarity.write_ivf_pq_index(
         embs.filter("vec_id % 3 != 0"), "vec_id", "embedding",
         "graft_pyidx.ivfpq")
@@ -206,6 +211,35 @@ def _ivfpq_check():
         postings_filter=F.col("vec_id") % 2 == 0)
     expect(flt.filter("nbr_id % 2 != 0").count() == 0,
            "postings_filter must constrain the candidate universe")
+    _pq_coarse, _pq_pq = coarse, pq
+
+
+def _ivfpq_rerank_check():
+    # serving with the exact-rerank recovery leg: reranked rows carry
+    # exact distances, and the top-1 exact distance can only improve
+    # on (or match) the best exact distance among the ADC top-k
+    r = graft.similarity.ivf_pq_query_reranked(
+        embs.filter("vec_id % 97 = 0"), "vec_id", "embedding",
+        "graft_pyidx.ivfpq", _pq_coarse, _pq_pq,
+        embs, "vec_id", "embedding", 3)
+    expect(r.count() > 0 and "dist" in r.columns and "rn" in r.columns,
+           "reranked serving returns (nbr_id, dist, rn)")
+    expect(r.filter("rn > 3").count() == 0, "top_k respected")
+
+
+def _ivfpq_retrain_check():
+    # sources-train retrain + the distortion audit that motivates it
+    d0 = graft.similarity.ivf_pq_distortion(
+        "graft_pyidx.ivfpq", embs, "vec_id", "embedding",
+        _pq_coarse, _pq_pq)
+    expect(d0.count() > 0 and "mean_sqerr" in d0.columns,
+           "distortion audit emits per-cell mean_sqerr")
+    c2, p2 = graft.similarity.retrain_ivf_pq_index(
+        embs, "vec_id", "embedding", "graft_pyidx.ivfpq",
+        "graft_pyidx.ivfpq_retr")
+    expect(len(c2) == 16 and len(p2) == 4, "fresh codebook shapes")
+    expect(spark.table("graft_pyidx.ivfpq_retr").count() == n_embs,
+           "retrain re-encodes every posting")
 
 
 def _band_retrain_check():
@@ -228,6 +262,9 @@ check("similarity.ivf_index_drift", _ivf_drift_check)
 check("similarity.compact_ivf_index", _ivf_compact_check)
 check("similarity.retrain_ivf_index", _ivf_retrain_check)
 check("similarity.write_ivf_pq_index/ivf_pq_query_indexed", _ivfpq_check)
+check("similarity.ivf_pq_query_reranked", _ivfpq_rerank_check)
+check("similarity.retrain_ivf_pq_index/ivf_pq_distortion",
+      _ivfpq_retrain_check)
 check("dedup.write/append/compact_band_index", _band_compact_check)
 check("dedup.retrain_band_index", _band_retrain_check)
 
