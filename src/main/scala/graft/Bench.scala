@@ -60,8 +60,29 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second, RECORD-ONLY calibration leg (r16): per-ACTION scheduling
+    // latency. The r16 same-box adjudication found a degradation mode
+    // the throughput canary under-responds to — the 32-task canary
+    // read FASTER than the r15 official window (0.65 vs 0.86) while
+    // iterative fixpoints (pagerank/ktruss rounds, stream-stream
+    // micro-batch commits) ran 1.5-2.5× slower, i.e. the box was
+    // penalizing job-submission round-trips, not compute. 24
+    // sequential trivial 32-task jobs time exactly that round-trip;
+    // persisted as "canary_chain_s":[start,mid,end] next to canary_s
+    // so the next adjudication can separate compute-speed shifts from
+    // scheduler-latency shifts without a worktree control. The
+    // regression gate still normalizes by canary_s only (the chain
+    // leg needs a cross-round baseline first — r16 establishes it).
+    def chainSample(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 24) { spark.range(0L, 32L, 1L, 32).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
     val canary = scala.collection.mutable.ArrayBuffer[Double]()
+    val chain = scala.collection.mutable.ArrayBuffer[Double]()
     canary += canarySample() // start: cold JVM — reflects box + startup
+    chain += chainSample()
     // Warm-up pass at sfDir ITSELF (r13 verdict Next #1b; previously
     // sf0.001): JIT + codegen + shuffle infra dominate first execution
     // of each query shape, and — the part a small-sf warm-up cannot
@@ -75,6 +96,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     canary += canarySample() // mid: warm JVM, before the timed window
+    chain += chainSample()
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -85,6 +107,7 @@ object Bench {
     // so a transient contention spike cannot poison all of them)
     val passes = (1 to repeat).map(_ => timedPass())
     canary += canarySample() // end: warm JVM, after the timed window
+    chain += chainSample()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -119,7 +142,8 @@ object Bench {
     // inside any stdout tail window and parses standalone. Per-query
     // numbers live in the detail line + PERF_data/bench_last.json.
     val canaryJson = canary.mkString("[", ",", "]")
-    val line = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"canary_s":$canaryJson,"sf":"$sfDir"$stat}"""
+    val chainJson = chain.mkString("[", ",", "]")
+    val line = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"canary_s":$canaryJson,"canary_chain_s":$chainJson,"sf":"$sfDir"$stat}"""
     println(line)
     // Round-over-round regression gate (r10, VERDICT next #2): diff
     // this run against the previous round's persisted file and print
@@ -191,7 +215,7 @@ object Bench {
     // Compare total_min across rounds; the median "value" stays for
     // continuity with r1-r12 history.
     val totalMin = if (qmin.nonEmpty) qmin.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","canary_s":$canaryJson,"sf":"$sfDir"$stat,"n_queries":${results.size},"full":"PERF_data/bench_last.json"}""")
+    println(s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","canary_s":$canaryJson,"canary_chain_s":$chainJson,"sf":"$sfDir"$stat,"n_queries":${results.size},"full":"PERF_data/bench_last.json"}""")
     // The driver keeps only a ~2 kB tail of stdout, which truncates the
     // per-query map past ~60 queries — persist the complete line so the
     // full history is committable every round (VERDICT r4 item 5).
