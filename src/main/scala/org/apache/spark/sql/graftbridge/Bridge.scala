@@ -34,4 +34,11 @@ object Bridge {
     */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus (private[spark]) — dev-only probes
+    * that read SparkListener counters right after an action need the
+    * events flushed first.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
