@@ -47,20 +47,32 @@ object CensusProbe {
     queries.foreach { case (_, fn) =>
       try fn(spark, dir).count() catch { case _: Throwable => () }
     }
+    // reps > 1: report the MIN total across reps (contention-resistant,
+    // the Bench gate's own statistic); counters are from the last rep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CENSUS_REPS", "1").toInt
     println("[census] name totalSec buildSec planSec jobs stages tasks shufReadMB shufWriteMB")
     queries.foreach { case (name, fn) =>
-      jobs.set(0); stages.set(0); tasks.set(0); shufR.set(0L); shufW.set(0L)
-      val t0 = System.nanoTime()
       try {
-        val df = fn(spark, dir)           // build + analysis (+ any eager
-        val t1 = System.nanoTime()        //   model jobs inside fn)
-        df.queryExecution.executedPlan    // optimizer + physical planning
-        val t2 = System.nanoTime()
-        df.count()
-        val t3 = System.nanoTime()
+        var bestTotal = Double.MaxValue
+        var bestBuild = 0.0; var bestPlan = 0.0
+        for (_ <- 1 to reps) {
+          jobs.set(0); stages.set(0); tasks.set(0); shufR.set(0L); shufW.set(0L)
+          val t0 = System.nanoTime()
+          val df = fn(spark, dir)           // build + analysis (+ any eager
+          val t1 = System.nanoTime()        //   model jobs inside fn)
+          df.queryExecution.executedPlan    // optimizer + physical planning
+          val t2 = System.nanoTime()
+          df.count()
+          val t3 = System.nanoTime()
+          val tot = (t3 - t0) / 1e9
+          if (tot < bestTotal) {
+            bestTotal = tot
+            bestBuild = (t1 - t0) / 1e9; bestPlan = (t2 - t1) / 1e9
+          }
+        }
         // listener events are async; drain before reading the counters
         org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
-        println(f"[census] $name%-28s ${(t3 - t0) / 1e9}%7.3f ${(t1 - t0) / 1e9}%7.3f ${(t2 - t1) / 1e9}%7.3f ${jobs.get}%4d ${stages.get}%5d ${tasks.get}%6d ${shufR.get / 1e6}%10.2f ${shufW.get / 1e6}%10.2f")
+        println(f"[census] $name%-28s ${bestTotal}%7.3f ${bestBuild}%7.3f ${bestPlan}%7.3f ${jobs.get}%4d ${stages.get}%5d ${tasks.get}%6d ${shufR.get / 1e6}%10.2f ${shufW.get / 1e6}%10.2f")
       } catch { case e: Throwable =>
         println(s"[census] $name FAILED: ${e.getMessage}")
       }

@@ -18,6 +18,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Balance a CPU-heavy derivation over an under-split scan (guide
+    * §2.5 "input skew": one huge unsplittable file → repartition right
+    * after the read). A single-row-group parquet fixture (or a gzip
+    * landing file at deployment) arrives as ONE scan task, so an
+    * expensive per-row stage fused into the scan — tokenize + n-gram
+    * explode + hash, vector math — runs serially while the rest of the
+    * cluster idles. When the scan has fewer splits than the session's
+    * parallelism, redistribute rows first; the exchange carries only
+    * the projected input (cheap next to the serial stage it unblocks).
+    * At warehouse scale a columnar scan has thousands of splits, so
+    * this is a structural NO-OP — the cost is only ever paid when the
+    * alternative is a single-core stage. Results are unaffected:
+    * repartition is row-preserving, and every query here is
+    * partitioning-independent by construction (the local[4]/local[32]
+    * double-Verify gate).
+    */
+  def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

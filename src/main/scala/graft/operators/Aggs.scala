@@ -1927,7 +1927,7 @@ object Aggs {
         // local ranks, bucket offsets) — without the cut each branch
         // re-runs the 2-shuffle lineitem aggregation (measured r12:
         // 2.35 s → the part-aggregated set is materialized once)
-        graft.api.Ranking.withGlobalRowNumber(g.localCheckpoint(),
+        graft.api.Ranking.withGlobalRowNumber(g.localCheckpoint(eager = false),
             Seq(abs(col("dd")), col("l_partkey")), rnCol = "rnk",
             bucketBy = abs(col("dd")))
           .agg(count(lit(1)).as("n"),
@@ -3081,7 +3081,7 @@ object Aggs {
         // serves all five consumers
         val r = graft.api.Ranking.withGlobalRowNumber(u,
           Seq(col("u"), col("doc_id")), rnCol = "i").drop("__n")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val n = r.agg(count(lit(1)).as("n"))
         val paired = r.as("a").crossJoin(n)
           .join(r.as("b").select(col("b.i").as("j"), col("b.u").as("u2")),
@@ -3296,7 +3296,7 @@ object Aggs {
           .withColumn("cents",
             (col("value").cast("decimal(18,2)") * 100).cast("long"))
           .groupBy("user_id").agg(sum("cents").as("spend"))
-        val ranked = graft.api.Ranking.ntileExact(users.localCheckpoint(),
+        val ranked = graft.api.Ranking.ntileExact(users.localCheckpoint(eager = false),
           10, Seq(col("spend"), col("user_id")), tileCol = "decile")
         val byDec = ranked.groupBy("decile")
           .agg(count(lit(1)).as("n_users"), sum("spend").as("dec_spend"))
@@ -5409,7 +5409,7 @@ object Aggs {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("ng"), sum(dec2).as("sg"),
             sum(dec2 * dec2).as("sg2"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val m = g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
             sum(col("sg2")).as("s2"),
             sum(col("sg").cast("double") * col("sg").cast("double") /
@@ -5482,7 +5482,7 @@ object Aggs {
         val cells = Tables.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val rows = cells.groupBy("l_returnflag").agg(sum("o").as("r"))
         val cols_ = cells.groupBy("l_linestatus").agg(sum("o").as("c"))
         val tot = cells.agg(sum("o").as("n"))

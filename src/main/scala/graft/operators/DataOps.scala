@@ -315,7 +315,7 @@ object DataOps {
   private def simhashPairsQuery: Q = {
     val THRESH = 3
     def fn(s: SparkSession, d: String) = {
-      val sh = graft.api.Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      val sh = graft.api.Dedup.simhash(Tables.balanced(Tables.documents(s, d)), "doc_id", "text")
       val banded = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bval", expr("shiftright(simhash, band * 8) & 255"))

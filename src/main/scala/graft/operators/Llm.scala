@@ -436,7 +436,7 @@ object Llm {
             max("sz").as("max_bucket"))
         val batch = graft.api.Dedup.lshBanded(
           docs.filter(col("doc_id") % 10 < 2), "doc_id", "text", K, BANDS)
-          .localCheckpoint() // consumed by both aggregates below
+          .localCheckpoint(eager = false) // consumed by both aggregates below
         val batchStats = batch.groupBy("band")
           .agg(count(lit(1)).as("n_batch_rows"))
         val hitStats = batch
@@ -1342,11 +1342,11 @@ object Llm {
         val best = big.withColumn("rn", row_number().over(wBest))
           .filter(col("rn") === 1)
           .select(col("token"), col("nxt"), col("c"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         var chain = best.filter(col("token") === "the")
           .select(lit(1L).as("step"), col("token").as("from_token"),
             col("nxt").as("to_token"), col("c").as("n_bigram"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         var frontier = chain
         for (step <- 2 to STEPS) {
           frontier = frontier
@@ -1354,7 +1354,7 @@ object Llm {
             .select(lit(step.toLong).as("step"),
               best("token").as("from_token"),
               best("nxt").as("to_token"), best("c").as("n_bigram"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           chain = chain.unionByName(frontier)
         }
         chain.orderBy("step")
@@ -1401,7 +1401,7 @@ object Llm {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val sh = graft.api.Dedup.shingleHashRows(docs, "doc_id", "text")
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = graft.api.Dedup
           .lshCandidatePairs(docs, "doc_id", "text", K, BANDS)
@@ -1474,12 +1474,12 @@ object Llm {
             round(log(col("c").cast("double") / col("ct").cast("double")),
               10).cast("decimal(20,10)"))
           .select("token", "nxt", "logp")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wTop = Window.orderBy(col("score").desc, col("seq").asc)
         var beams = s.range(1)
           .select(lit("the").as("seq"), lit("the").as("cur"),
             lit(0).cast("decimal(20,10)").as("score"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         var acc = beams.select(lit(0L).as("step"),
           row_number().over(wTop).cast("long").as("rank"),
           col("seq"), round(col("score").cast("double"), 4).as("log_score"))
@@ -1491,7 +1491,7 @@ object Llm {
                 .as("score"))
             .withColumn("rn", row_number().over(wTop))
             .filter(col("rn") <= 2).drop("rn")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           acc = acc.unionByName(beams.select(lit(step.toLong).as("step"),
             row_number().over(wTop).cast("long").as("rank"), col("seq"),
             round(col("score").cast("double"), 4).as("log_score")))

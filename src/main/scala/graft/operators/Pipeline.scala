@@ -1668,7 +1668,7 @@ object Pipeline {
           .select(col("source"), explode(grams8(col("t"))).as("g"))
           .select(col("source"), md5(col("g")).as("gh"))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val per = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
         // ONE gram-keyed aggregate instead of a gram self-join (r13):
         // the self-join re-shuffled the fact-sized gram table on gh

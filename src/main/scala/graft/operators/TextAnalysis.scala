@@ -1172,7 +1172,7 @@ object TextAnalysis {
             explode(TextUdfs.tokenizeCol(col("text"))).as("token"))
           .groupBy("doc_id", "lang", "token")
           .agg(count(lit(1)).as("c_dt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val train = docTok.filter(col("doc_id") % 5 =!= 0)
         val test = docTok.filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), col("lang").as("true_lang"), col("token"),
@@ -1455,7 +1455,7 @@ object TextAnalysis {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             array_distinct(TextUdfs.tokenizeCol(col("text"))).as("tk"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         var covered = Seq.empty[String]
         var selected = Seq.empty[Long]
         val out = scala.collection.mutable.ArrayBuffer
@@ -1942,9 +1942,9 @@ object TextAnalysis {
         // the checkpointed frames instead of two more corpus passes
         // (the r13 plan audit counts the scans)
         val np = pairsK.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val nw = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val totals = nw.agg(sum("n_w").cast("long").as("n_tok"))
           .crossJoin(np.agg(sum("n_pair").cast("long").as("n_pairs")))
         np.join(nw.select(col("tok").as("w1"), col("n_w").as("n_w1")), "w1")

@@ -1612,7 +1612,7 @@ object Windows {
         val hourly = Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val tot = hourly.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("c").as("sx"),
             sum(col("c") * col("c")).as("sxx"))
@@ -2025,7 +2025,7 @@ object Windows {
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg((sum(col("value").cast("decimal(18,2)")) * 100)
             .cast("decimal(20,0)").as("cents"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val sStat = daily.as("a")
           .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
             col("a.day") < col("b.day"))
@@ -2970,14 +2970,14 @@ object Windows {
           // aggregation up to 3³ times (the stat_spearman lesson);
           // checkpointing the user-sized table between links keeps
           // every rebuild a cached-table scan.
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val r = graft.api.Ranking.ntileExact(users, 5,
           Seq(col("recency"), col("user_id")), tileCol = "r_score")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val rf = graft.api.Ranking.ntileExact(r, 5,
           Seq(col("freq").desc, col("user_id")), tileCol = "f_score",
           bucketBy = -col("freq"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val rfm = graft.api.Ranking.ntileExact(rf, 5,
           Seq(col("cents").desc, col("user_id")), tileCol = "m_score",
           bucketBy = -col("cents"))
