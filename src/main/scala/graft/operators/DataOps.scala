@@ -2827,7 +2827,7 @@ object DataOps {
       val KMAX = KS.max
       val vcol = expr("transform(embedding, e -> cast(e as double))")
       val slice = Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), vcol.as("v")).localCheckpoint()
+        .select(col("vec_id"), vcol.as("v")).localCheckpoint(eager = false)
       val nQ = slice.count()
       val dist = expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
@@ -2847,7 +2847,7 @@ object DataOps {
       // one row per query whose true NN made the ADC list at all;
       // irn = where it landed, so hits@k is a rank threshold
       val m = truth.join(ivf, Seq("qid", "nbr"))
-        .select("qid", "irn").localCheckpoint()
+        .select("qid", "irn").localCheckpoint(eager = false)
       val ks = KS.map(_.toLong).toDF("k")
       ks.join(m, col("irn") <= col("k"), "left")
         .groupBy("k").agg(count(col("qid")).as("hits"))
@@ -2917,7 +2917,7 @@ object DataOps {
       val KMAX = KS.max
       val vcol = expr("transform(embedding, e -> cast(e as double))")
       val slice = Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), vcol.as("v")).localCheckpoint()
+        .select(col("vec_id"), vcol.as("v")).localCheckpoint(eager = false)
       val nQ = slice.count()
       val dist = expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
@@ -2928,13 +2928,13 @@ object DataOps {
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
           dist.as("dst"))
         .withColumn("ern", row_number().over(wq)).filter(col("ern") === 1)
-        .select("qid", "nbr").localCheckpoint()
+        .select("qid", "nbr").localCheckpoint(eager = false)
       // ADC over-fetched short list from the persisted codes
       val short = graft.api.Similarity.ivfPqQueryIndexed(
           slice, "vec_id", "v", table, model._1, model._2, SHORTN, PROBES,
           postingsFilter = col("vec_id") % 20 === 0)
         .select(col("vec_id").as("qid"), col("nbr_id").as("nbr"),
-          col("rn").as("irn")).localCheckpoint()
+          col("rn").as("irn")).localCheckpoint(eager = false)
       // keyed source fetch: broadcast the short list, probe ONE source
       // scan — the deployment shape (codes serve, the source is only
       // ever touched by id)
@@ -3043,7 +3043,7 @@ object DataOps {
     def fn(s: SparkSession, d: String): DataFrame = {
       val vcol = expr("transform(embedding, e -> cast(e as double))")
       val slice = Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), vcol.as("v")).localCheckpoint()
+        .select(col("vec_id"), vcol.as("v")).localCheckpoint(eager = false)
       val nQ = slice.count()
       val dist = expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
@@ -3054,7 +3054,7 @@ object DataOps {
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
           dist.as("dst"))
         .withColumn("ern", row_number().over(wq)).filter(col("ern") === 1)
-        .select("qid", "nbr").localCheckpoint()
+        .select("qid", "nbr").localCheckpoint(eager = false)
       val rows = SETTINGS.map { case (m, pqk) =>
         val (table, model) = ensureIvfPqIndex(s, d, CELLS, m, pqk, ITERS)
         val ivf = graft.api.Similarity.ivfPqQueryIndexed(
@@ -3487,7 +3487,7 @@ object DataOps {
           sqrt(expr("aggregate(v, 0.0D, (acc, e) -> acc + e * e)")))
         .withColumn("cells", Bridge.column(graft.functions.NearestCells(
           UnresolvedAttribute("v"), coarse, PROBES)))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nQ = slice.count()
       val KMAX = KS.max
       val dot = expr(
@@ -3513,7 +3513,7 @@ object DataOps {
         .dropDuplicates("qid", "nbr")
         .withColumn("irn", row_number().over(wq)).filter(col("irn") <= KMAX)
         .select("qid", "nbr", "irn")
-      val m = exact.join(ivf, Seq("qid", "nbr")).localCheckpoint()
+      val m = exact.join(ivf, Seq("qid", "nbr")).localCheckpoint(eager = false)
       val ks = KS.map(_.toLong).toDF("k")
       ks.join(m, col("ern") <= col("k") && col("irn") <= col("k"), "left")
         .groupBy("k").agg(count(col("qid")).as("hits"))
@@ -3599,7 +3599,7 @@ object DataOps {
           UnresolvedAttribute("v"), cbF, PROBES)))
         .withColumn("cells_r", Bridge.column(graft.functions.NearestCells(
           UnresolvedAttribute("v"), cbR, PROBES)))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nQ = slice.count()
       val KMAX = KS.max
       val dot = expr(
@@ -3610,7 +3610,7 @@ object DataOps {
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nbr"),
           (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .withColumn("ern", row_number().over(wq)).filter(col("ern") <= KMAX)
-        .select("qid", "nbr", "ern").localCheckpoint()
+        .select("qid", "nbr", "ern").localCheckpoint(eager = false)
       def hitsPerK(cellsCol: String, hitsName: String): DataFrame = {
         val ivf = slice.as("a")
           .select(col("a.vec_id").as("__qid"), col("a.v").as("__qv"),

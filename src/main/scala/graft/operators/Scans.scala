@@ -820,7 +820,11 @@ object Scans {
     // scale.
     Q("dq_reconciliation",
       (s, d) => {
-        val items = Tables.lineitem(s, d)
+        // the order-keyed decimal re-total is the heavy stage; balance
+        // it out of the single-split scan (Tables.balanced scaladoc)
+        val items = Tables.balanced(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")))
           .groupBy(col("l_orderkey"))
           .agg(sum(chargeDec(col("l_extendedprice"), col("l_discount"),
             col("l_tax"))).as("actual"))
