@@ -68,7 +68,7 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 100): DataFrame = {
-    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
     // Each round's label table references the previous one TWICE
     // (neighbor-min join + own-label least), so plain cache() would
     // leave a logical plan doubling every round — 2^diameter analyzer
@@ -417,7 +417,7 @@ object Graph {
     */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
       source: Long, maxIters: Int = 100): DataFrame = {
-    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("d")).cpReset()
     var changed = 1L
@@ -456,7 +456,7 @@ object Graph {
     */
   def spCounts(edges: DataFrame, srcCol: String, dstCol: String,
       source: Long, maxIters: Int = 64): DataFrame = {
-    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v")).cache()
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
     var frontier = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(1L).as("paths"))
       .cpReset()

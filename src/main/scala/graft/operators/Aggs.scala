@@ -1409,9 +1409,12 @@ object Aggs {
         // DOMAIN-bounded (flag, quantity) freq table with map-side
         // combine (the shuffle carries ~flags × 50 rows per task);
         // pass 2 aggregates raw rows straight to (flag, price) cells.
-        val fact = Tables.lineitem(s, d)
+        // balance the single-split scan: both passes fuse a partial
+        // aggregate into the scan stage, which otherwise runs on one
+        // core (Tables.balanced scaladoc; no-op on a split source)
+        val fact = Tables.balanced(Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"))
+            col("l_extendedprice")))
         // Quantity ranks computed DRIVER-SIDE (r11): the freq table is
         // bounded by the DOMAIN (flags × ~50 integral quantities) at
         // any corpus scale, so collecting it is the same model-sized

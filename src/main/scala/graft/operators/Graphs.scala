@@ -202,7 +202,7 @@ object Graphs {
       // returned (lazy) DataFrame still references `e`, and the cache
       // entry is deduplicated across re-invocations by canonicalized
       // plan, so repeated runs in one session hold ONE edge-set copy.
-      val e = edges(s, d).cache()
+      val e = edges(s, d)
       val nodes = e.groupBy("u").agg(count(lit(1)).as("deg"))
         .select(col("u").as("node"), col("deg"))
       val n = nodes.count().toDouble
@@ -955,7 +955,7 @@ object Graphs {
   private def harmonicQuery: Q = {
     val H = 3; val K = 64
     def fn(s: SparkSession, d: String): DataFrame = {
-      val e = edges(s, d).cache()
+      val e = edges(s, d)
       val roots = e.select(col("u")).distinct()
         .withColumn("__rk", md5(concat_ws("|", lit("hc"),
           col("u").cast("string"))))
@@ -1271,7 +1271,7 @@ object Graphs {
     val ITERS = 3
     val CHUNK = 8
     def fn(s: SparkSession, d: String): DataFrame = {
-      val e = pairs(s, d).cache()
+      val e = pairs(s, d)
       val nodes = e.select(col("u").as("node"))
         .unionByName(e.select(col("v").as("node"))).distinct()
       nodes.count() // materialization barrier: rounds read the cached e
@@ -1816,7 +1816,7 @@ object Graphs {
   private def closenessQuery: Q = {
     val H = 3; val K = 64
     def fn(s: SparkSession, d: String): DataFrame = {
-      val e = edges(s, d).cache()
+      val e = edges(s, d)
       // same K-sampled-root delta-BFS device as harmonicQuery (r13):
       // all-roots exact H-balls cost n·deg^H — measured ~10⁸ joined
       // rows at sf0.1; the md5-smallest-K root sample is the

@@ -2248,7 +2248,7 @@ object TextAnalysis {
       val e = big.unionByName(
           big.select(col("b").as("a"), col("a").as("b")))
         .groupBy(col("a").as("u"), col("b").as("v"))
-        .agg(count(lit(1)).as("w")).cache()
+        .agg(count(lit(1)).as("w"))
       val nodes = e.groupBy("u").agg(sum("w").as("wdeg"))
         .select(col("u").as("node"), col("wdeg"))
       val n = nodes.count().toDouble
