@@ -1666,7 +1666,16 @@ object Pipeline {
           .withColumn("t", TextUdfs.tokenizeCol(col("text")))
           .filter(size(col("t")) >= 8)
           .select(col("source"), explode(grams8(col("t"))).as("g"))
-          .select(col("source"), md5(col("g")).as("gh"))
+          // 60-bit long gram key instead of the 32-char md5 hex string
+          // (r16, guide §2.3 narrower types): the distinct and the
+          // gram-keyed aggregate shuffle ~1/3 the bytes and compare
+          // longs instead of strings. Same device (and same DuckDB
+          // mirror) as the minhash signature family; the oracle
+          // truncates identically, so both engines see the identical
+          // collision domain and the declared counts cannot diverge.
+          .select(col("source"),
+            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+              .as("gh"))
           .distinct()
           .localCheckpoint(eager = false)
         val per = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
@@ -1696,7 +1705,7 @@ object Pipeline {
           .orderBy("source_a", "source_b")
       },
       Some(s"""WITH sg AS (
-              |  SELECT DISTINCT source, md5(g) AS gh FROM (
+              |  SELECT DISTINCT source, ${SQL_HEX15("md5(g)")} AS gh FROM (
               |    SELECT source, unnest(list_transform(
               |      generate_series(1, len(t) - 7),
               |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
