@@ -1409,10 +1409,19 @@ object Aggs {
         // DOMAIN-bounded (flag, quantity) freq table with map-side
         // combine (the shuffle carries ~flags × 50 rows per task);
         // pass 2 aggregates raw rows straight to (flag, price) cells.
-        // balance the single-split scan: both passes fuse a partial
-        // aggregate into the scan stage, which otherwise runs on one
-        // core (Tables.balanced scaladoc; no-op on a split source)
-        val fact = Tables.balanced(Tables.lineitem(s, d)
+        // balance the single-split scan ONCE into a lazily
+        // checkpointed frame (r16 verdict #1: the bare balanced frame
+        // was re-executed by every consumer — the freq collect plus
+        // the cells aggregate's three downstream branches — stamping
+        // FOUR full-fact RoundRobin exchanges into the plan and making
+        // this the slowest query in the bench, 2.7 → 4.4 s). The lazy
+        // cut materializes on the freq collect below and every later
+        // branch reads the checkpointed 32-way blocks, so exactly one
+        // exchange balances the scan (guide §2.4 exchange sharing). On
+        // a well-split source balancedShared passes the scan through
+        // untouched — no checkpoint, consumers re-scan the 3 pruned
+        // parquet columns.
+        val fact = Tables.balancedShared(Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_quantity"),
             col("l_extendedprice")))
         // Quantity ranks computed DRIVER-SIDE (r11): the freq table is
@@ -1452,15 +1461,20 @@ object Aggs {
         // fact-sized data movement in the whole query is this
         // aggregate's shuffle, and it carries distinct-(flag, price)
         // cells, which saturate at the price domain as the corpus
-        // grows. The device's three subtrees below share this
-        // aggregate via AQE exchange reuse (measured: dropping the
-        // former localCheckpoint changed nothing).
+        // grows. The grouped-prefix-sum device consumes this frame
+        // THREE times (range bounds, local sums, bucket offsets), so
+        // the aggregate is cut behind a lazy checkpoint — without it
+        // each consumer re-runs the join + hash aggregate and
+        // re-shuffles the full cell table (census: 3 × ~7 MB at
+        // sf0.1; the cell table is domain-bounded at any scale, so
+        // the checkpoint stays model-sized).
         val cells = fact
           .join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
           .groupBy(col("l_returnflag"), col("l_extendedprice"))
           .agg(count(lit(1)).as("cnt"),
             sum(dec(col("r2_q"))).as("sqx"),
             sum(dec(col("r2_q")) * dec(col("r2_q"))).as("sqx2"))
+          .localCheckpoint(eager = false)
         // Price ranks attach IN PLACE: the device preserves its input
         // rows, so the cell table leaves with cumb attached — no
         // join-back. All five moments reduce from the cell level:
